@@ -1,0 +1,257 @@
+package graft.journal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core of the journal engine: delete/purge/replay semantics over
+  * an action log (graft.model.ActionLog IR), expressed as declarative
+  * DataFrame plans so Catalyst keeps predicate pushdown / column pruning /
+  * whole-stage codegen.
+  *
+  * Reference semantics being reproduced (evolution-gaming/kafka-journal):
+  *   - purge drops the whole journal prefix
+  *     (replicator/.../ReplicatedCassandra.scala:389-460)
+  *   - delete(to) truncates seq_nr <= to
+  *     (eventual-cassandra/.../EventualCassandra.scala:195-204)
+  *   - replay returns surviving appends in seq_nr order
+  *     (journal/.../Journals.scala:194-301)
+  *
+  * Scale notes (100 TB): every operator here shuffles AT MOST ONCE, on
+  * `(topic, id)` — the same key Kafka partitions by, so a pre-partitioned
+  * (bucketed) journal store makes the exchange a no-op. The two analytic
+  * window columns (`lp`, `dt`) share one `Window.partitionBy(topic, id)`
+  * spec and therefore one Exchange+Sort. An alternative plan — aggregate the
+  * per-journal head to a tiny DataFrame and broadcast-join it back — trades
+  * the sort for a second scan; on local bench the single-sort plan wins and
+  * AQE handles skewed journals.
+  */
+object JournalOps {
+
+  private val perKey = Window.partitionBy("topic", "id")
+
+  private def isAppend: Column = col("action") === "append"
+  private def isDelete: Column = col("action") === "delete"
+  private def isPurge: Column = col("action") === "purge"
+  private def isUser: Column = col("action") =!= "mark"
+
+  /** Annotates each action row with its journal's fold state:
+    *   - `lp`: offset of the journal's last purge (null if never purged)
+    *   - `after_purge`: this row survives the purge cut
+    *   - `dt`: effective delete_to — max over deletes after the purge cut
+    *
+    * One shuffle on (topic, id); both window aggregates share the frame.
+    */
+  def annotate(actions: DataFrame): DataFrame = {
+    actions
+      .withColumn("lp", max(when(isPurge, col("koffset"))).over(perKey))
+      .withColumn(
+        "after_purge",
+        col("lp").isNull || col("koffset") > col("lp")
+      )
+      .withColumn(
+        "dt",
+        max(when(isDelete && col("after_purge"), col("delete_to")))
+          .over(perKey)
+      )
+  }
+
+  /** Appends that survive purge + delete truncation (F3 deleted-prefix
+    * filter; reference EventualCassandra.scala:195-204).
+    */
+  def survivors(actions: DataFrame): DataFrame =
+    annotate(actions).filter(
+      isAppend && col("after_purge") &&
+        col("seq_nr") > coalesce(col("dt"), lit(0L))
+    )
+
+  /** S5 — full journal scan: surviving events of every journal, replay
+    * order. The ORDER BY is part of the query contract (replay streams in
+    * seq_nr order); at scale it sorts only within each journal's partition
+    * when the store is bucketed by (topic, id).
+    */
+  def journalScan(actions: DataFrame): DataFrame =
+    survivors(actions)
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .orderBy("topic", "id", "seq_nr")
+
+  /** A2 — journal pointer: max surviving-append seq_nr per journal. A journal
+    * whose every append was purged has no pointer (reference
+    * Journals.scala:303-323: pointer None after purge).
+    */
+  def pointer(actions: DataFrame): DataFrame =
+    annotate(actions)
+      .filter(isAppend && col("after_purge"))
+      .groupBy("topic", "id")
+      .agg(max("seq_nr").as("seq_nr"))
+      .orderBy("topic", "id")
+
+  /** S8 — metajournal: the per-journal head row the replicator maintains
+    * (reference MetaJournalStatements.scala:24-57, ReplicatedCassandra
+    * .scala:186-260). seq_nr widens to delete_to when a delete overshoots
+    * the last append (ReplicatedCassandra.scala:296-336).
+    */
+  def metajournal(actions: DataFrame): DataFrame =
+    annotate(actions)
+      .filter(isUser && col("after_purge"))
+      .groupBy("topic", "id")
+      .agg(
+        min("part_no").as("part_no"),
+        max("koffset").as("koffset"),
+        greatest(
+          coalesce(max(when(isAppend, col("seq_nr"))), lit(0L)),
+          coalesce(max("dt"), lit(0L))
+        ).as("seq_nr"),
+        max("dt").as("delete_to"),
+        min("ts").as("created"),
+        to_date(min("ts")).as("created_date"),
+        max("ts").as("updated")
+      )
+      .orderBy("topic", "id")
+
+  /** S9/A4 — pointer2: replicated high-watermark per (topic, partition) —
+    * max offset + 1, i.e. the next offset the replicator would consume
+    * (reference Pointer2Statements.scala:19-29, TopicReplicator.scala:216-225).
+    */
+  def pointer2(actions: DataFrame): DataFrame =
+    actions
+      .groupBy("topic", "part_no")
+      .agg(
+        (max("koffset") + 1L).as("next_offset"),
+        count(lit(1)).as("records")
+      )
+      .orderBy("topic", "part_no")
+
+  /** A5 — topic discovery (reference Pointer2Statements.SelectTopics:31-59). */
+  def topics(actions: DataFrame): DataFrame =
+    actions.select("topic").distinct().orderBy("topic")
+
+  /** A6 — ids per topic: journals that currently exist, i.e. have at least
+    * one user action after the purge cut (reference
+    * EventualCassandra.scala:216-218, MetaJournalStatements.SelectIds:636-660).
+    */
+  def ids(actions: DataFrame): DataFrame =
+    annotate(actions)
+      .filter(isUser && col("after_purge"))
+      .select("topic", "id")
+      .distinct()
+      .orderBy("topic", "id")
+
+  /** A1 — HeadInfo: fold over the *unreplicated tail* of each partition
+    * (actions above the replicated watermark), summarizing what the Kafka
+    * head holds per journal (reference HeadInfo.scala:105-277). Declarative
+    * formulation of the fold: the result only depends on the tail's last
+    * purge offset, and the appends/deletes above it. The typed equivalent
+    * lives in [[HeadInfo]] (used by the streaming side / specs).
+    *
+    * `watermark` maps (topic, part_no) -> replicated offset; rows at or
+    * below it are already in the eventual store. It is a tiny DataFrame
+    * (one row per Kafka partition) — broadcast by Catalyst automatically.
+    */
+  def headInfo(actions: DataFrame, watermark: DataFrame): DataFrame = {
+    val tail = actions
+      .join(broadcast(watermark), Seq("topic", "part_no"))
+      .filter(col("koffset") > col("wm"))
+    tail
+      .withColumn("lp", max(when(isPurge, col("koffset"))).over(perKey))
+      .withColumn(
+        "after_purge",
+        col("lp").isNull || col("koffset") > col("lp")
+      )
+      .groupBy("topic", "id")
+      .agg(
+        min(when(isAppend && col("after_purge"), col("koffset")))
+          .as("head_offset"),
+        max(when(isAppend && col("after_purge"), col("seq_nr")))
+          .as("head_seq_nr"),
+        max(when(isDelete && col("after_purge"), col("delete_to")))
+          .as("head_delete_to"),
+        max(isPurge.cast("int")).cast("boolean").as("purged")
+      )
+      .withColumn(
+        "kind",
+        when(col("head_seq_nr").isNotNull, "append")
+          .when(col("head_delete_to").isNotNull, "delete")
+          .when(col("purged"), "purge")
+          .otherwise("empty")
+      )
+      .orderBy("topic", "id")
+  }
+
+  /** Default watermark fixture: 80% of each partition's max offset. */
+  def defaultWatermark(actions: DataFrame): DataFrame =
+    actions
+      .groupBy("topic", "part_no")
+      .agg(floor(max("koffset") * 0.8).cast("long").as("wm"))
+
+  /** A3 — batch compaction summary: what Batch.of would emit per journal for
+    * a whole-log batch (reference replicator/.../Batch.scala:27-177): the
+    * purge cut, the widest effective delete, and the merged-append extent.
+    * The streaming replicator applies exactly this shape per micro-batch.
+    */
+  def batchCompaction(actions: DataFrame): DataFrame =
+    annotate(actions)
+      .groupBy("topic", "id")
+      .agg(
+        max(when(isPurge, col("koffset"))).as("purge_offset"),
+        max(when(isDelete && col("after_purge"), col("delete_to")))
+          .as("effective_delete_to"),
+        max(when(isDelete && col("after_purge"), col("koffset")))
+          .as("delete_offset"),
+        count(
+          when(
+            isAppend && col("after_purge") &&
+              col("seq_nr") > coalesce(col("dt"), lit(0L)),
+            lit(1)
+          )
+        ).as("surviving_appends"),
+        min(
+          when(
+            isAppend && col("after_purge") &&
+              col("seq_nr") > coalesce(col("dt"), lit(0L)),
+            col("seq_nr")
+          )
+        ).as("first_seq_nr"),
+        max(when(isAppend && col("after_purge"), col("seq_nr")))
+          .as("last_seq_nr")
+      )
+      .orderBy("topic", "id")
+
+  /** A7 — expired journals: TTL scan (reference PurgeExpired.scala:53-69,
+    * ExpiryService.scala:37-60). expire_after derives from the journal's
+    * first surviving action's props (fixture stand-in for PayloadMetadata's
+    * expireAfter); expire_on = created_date + days.
+    */
+  def expired(actions: DataFrame, asOf: String): DataFrame =
+    annotate(actions)
+      .filter(isUser && col("after_purge"))
+      .groupBy("topic", "id")
+      .agg(
+        to_date(min("ts")).as("created_date"),
+        (min(
+          regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+        ) % 30).as("expire_after_days")
+      )
+      .withColumn(
+        "expire_on",
+        date_add(col("created_date"), col("expire_after_days"))
+      )
+      .filter(col("expire_on") <= lit(asOf).cast("date"))
+      .select("topic", "id", "created_date", "expire_after_days", "expire_on")
+      .orderBy("topic", "id")
+
+  /** S10 — snapshot load: latest snapshot at-or-below the pointer. Fixture:
+    * every surviving append whose seq_nr % 10 == 0 is a snapshot; load =
+    * top-1 by seq_nr per journal (reference SnapshotStore.scala:26-34 —
+    * max-seqNr selection).
+    */
+  def snapshotLoad(actions: DataFrame): DataFrame = {
+    val snaps = survivors(actions).filter(col("seq_nr") % 10 === 0)
+    val pick = Window.partitionBy("topic", "id").orderBy(col("seq_nr").desc)
+    snaps
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select("topic", "id", "seq_nr", "koffset", "payload")
+      .orderBy("topic", "id")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.journal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J1 — the reference's signature operation: merged two-source replay.
+  *
+  * A journal read stitches the *eventual* store (complete but stale: offsets
+  * <= the replicated watermark) with the *log tail* (fresh but truncated:
+  * offsets above a lower bound that may overlap the replicated prefix), then
+  * deduplicates by (journal, seq_nr) and replays in order
+  * (reference journal/.../Journals.scala:194-301: eventual scan, switch to
+  * Kafka at last seq_nr, stateful seq_nr dedup at :244-254).
+  *
+  * The Spark formulation is a union + window dedup, NOT a stateful stream:
+  *   - eventual leg: survivors of the replicated prefix only (delete/purge
+  *     state as of the watermark — exactly what the materialized store holds)
+  *   - tail leg: raw appends above `tailFrom` (Kafka's redelivery overlap)
+  *   - global delete/purge state from the union (HeadInfo's deleteTo branch,
+  *     Journals.scala:272-292)
+  *   - dedup keeps the first-offset copy of each (topic, id, seq_nr) — the
+  *     same row the stateful scan would keep (F4).
+  *
+  * Scale: both legs are scans with pushed filters; the dedup window shares
+  * the (topic, id) shuffle with the delete/purge window. The overlap region
+  * is bounded by the replication lag, so the tail leg is small in practice —
+  * Catalyst sees an ordinary union, no custom operator needed.
+  */
+object Replay {
+
+  /** Merged replay of every journal. `wmFrac` positions the replicated
+    * watermark, `tailFrac` the (earlier) tail start, per Kafka partition —
+    * the gap between them is the duplicated-delivery overlap the dedup must
+    * resolve.
+    */
+  def mergedRead(
+      actions: DataFrame,
+      wmFrac: Double = 0.8,
+      tailFrac: Double = 0.6
+  ): DataFrame = {
+    val bounds = actions
+      .groupBy("topic", "part_no")
+      .agg(
+        floor(max("koffset") * wmFrac).cast("long").as("wm"),
+        floor(max("koffset") * tailFrac).cast("long").as("tail_from")
+      )
+    val bounded = actions.join(broadcast(bounds), Seq("topic", "part_no"))
+
+    // Eventual leg: what the replicator materialized — delete/purge state
+    // computed over the replicated prefix only.
+    val eventual = JournalOps
+      .survivors(bounded.filter(col("koffset") <= col("wm")))
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+
+    // Tail leg: raw appends from the log above tail_from (overlaps the
+    // replicated prefix — Kafka gives at-least-once).
+    val tail = bounded
+      .filter(col("koffset") > col("tail_from") && col("action") === "append")
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+
+    val merged = eventual.unionByName(tail)
+
+    // Global head state (purge cut + widest delete) over the full log —
+    // the HeadInfo branch of the read (Journals.scala:272-292). Tiny
+    // per-journal table, broadcast back.
+    val heads = JournalOps
+      .annotate(actions)
+      .groupBy("topic", "id")
+      .agg(
+        max(when(col("action") === "purge", col("koffset"))).as("g_lp"),
+        max(
+          when(
+            col("action") === "delete" && col("after_purge"),
+            col("delete_to")
+          )
+        ).as("g_dt")
+      )
+
+    val pick = Window
+      .partitionBy("topic", "id", "seq_nr")
+      .orderBy(col("koffset"))
+
+    merged
+      .join(broadcast(heads), Seq("topic", "id"), "left")
+      .filter(
+        (col("g_lp").isNull || col("koffset") > col("g_lp")) &&
+          col("seq_nr") > coalesce(col("g_dt"), lit(0L))
+      )
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .orderBy("topic", "id", "seq_nr")
+  }
+
+  /** F4/F5 — seq_nr dedup under duplicated delivery: replays a log whose
+    * tail was delivered twice (at-least-once redelivery) and proves the
+    * dedup keeps exactly one copy per (journal, seq_nr)
+    * (reference Journals.scala:244-254 stateful scan;
+    * EventualCassandra.scala:170-191 uniqueness check).
+    */
+  def dedupReplay(actions: DataFrame, tailFrac: Double = 0.7): DataFrame = {
+    val bounds = actions
+      .groupBy("topic", "part_no")
+      .agg(floor(max("koffset") * tailFrac).cast("long").as("tail_from"))
+    val dup = actions
+      .join(broadcast(bounds), Seq("topic", "part_no"))
+      .filter(col("koffset") > col("tail_from"))
+      .drop("tail_from")
+    val redelivered = actions.unionByName(dup)
+
+    val pick = Window
+      .partitionBy("topic", "id", "seq_nr")
+      .orderBy(col("koffset"))
+    JournalOps
+      .survivors(redelivered)
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select("topic", "id", "seq_nr", "koffset", "payload")
+      .orderBy("topic", "id", "seq_nr")
+  }
+}

@@ -1,0 +1,195 @@
+package graft.oracle
+
+import graft.model.ActionLog
+
+/** DuckDB oracle SQL for the journal operator queries. Every statement runs
+  * over the same parquet tables the Spark queries read, starts from the SAME
+  * action-log derivation text ([[ActionLog.derivationSql]]), and mirrors the
+  * operator's semantics independently — the driver hash-compares results.
+  *
+  * Dialect discipline: plain ANSI window/aggregate SQL, identical column
+  * names and ORDER BY as the Spark side.
+  */
+object JournalOracles {
+
+  /** Purge/delete fold state per action row (mirror of JournalOps.annotate). */
+  private val annCte: String = s"""
+    ${ActionLog.oracleCte},
+    ann AS (
+      SELECT a.*,
+             MAX(CASE WHEN action = 'purge' THEN koffset END)
+               OVER (PARTITION BY topic, id) AS lp
+      FROM actions a
+    ),
+    ann2 AS (
+      SELECT *, (lp IS NULL OR koffset > lp) AS after_purge FROM ann
+    ),
+    ann3 AS (
+      SELECT *,
+             MAX(CASE WHEN action = 'delete' AND after_purge THEN delete_to END)
+               OVER (PARTITION BY topic, id) AS dt
+      FROM ann2
+    )
+  """
+
+  val journalScan: String = s"""$annCte
+    SELECT topic, id, seq_nr, koffset, ts, payload
+    FROM ann3
+    WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+    ORDER BY topic, id, seq_nr
+  """
+
+  val pointer: String = s"""$annCte
+    SELECT topic, id, MAX(seq_nr) AS seq_nr
+    FROM ann3
+    WHERE action = 'append' AND after_purge
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
+  val metajournal: String = s"""$annCte
+    SELECT topic, id,
+           MIN(part_no) AS part_no,
+           MAX(koffset) AS koffset,
+           GREATEST(
+             COALESCE(MAX(CASE WHEN action = 'append' THEN seq_nr END), 0),
+             COALESCE(MAX(dt), 0)
+           ) AS seq_nr,
+           MAX(dt) AS delete_to,
+           MIN(ts) AS created,
+           CAST(MIN(ts) AS DATE) AS created_date,
+           MAX(ts) AS updated
+    FROM ann3
+    WHERE action <> 'mark' AND after_purge
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
+  val pointer2: String = s"""${ActionLog.oracleCte}
+    SELECT topic, part_no,
+           MAX(koffset) + 1 AS next_offset,
+           COUNT(*) AS records
+    FROM actions
+    GROUP BY topic, part_no
+    ORDER BY topic, part_no
+  """
+
+  val topics: String = s"""${ActionLog.oracleCte}
+    SELECT DISTINCT topic FROM actions ORDER BY topic
+  """
+
+  val ids: String = s"""$annCte
+    SELECT DISTINCT topic, id
+    FROM ann2
+    WHERE action <> 'mark' AND after_purge
+    ORDER BY topic, id
+  """
+
+  val headInfo: String = s"""${ActionLog.oracleCte},
+    wm AS (
+      SELECT topic, part_no,
+             CAST(floor(MAX(koffset) * 0.8) AS BIGINT) AS wm
+      FROM actions GROUP BY topic, part_no
+    ),
+    tail AS (
+      SELECT a.* FROM actions a
+      JOIN wm USING (topic, part_no)
+      WHERE koffset > wm
+    ),
+    tl AS (
+      SELECT *,
+             MAX(CASE WHEN action = 'purge' THEN koffset END)
+               OVER (PARTITION BY topic, id) AS lp
+      FROM tail
+    ),
+    tl2 AS (
+      SELECT *, (lp IS NULL OR koffset > lp) AS after_purge FROM tl
+    )
+    SELECT topic, id,
+           MIN(CASE WHEN action = 'append' AND after_purge THEN koffset END)
+             AS head_offset,
+           MAX(CASE WHEN action = 'append' AND after_purge THEN seq_nr END)
+             AS head_seq_nr,
+           MAX(CASE WHEN action = 'delete' AND after_purge THEN delete_to END)
+             AS head_delete_to,
+           CAST(MAX(CASE WHEN action = 'purge' THEN 1 ELSE 0 END) AS BOOLEAN)
+             AS purged,
+           CASE
+             WHEN MAX(CASE WHEN action = 'append' AND after_purge THEN seq_nr END)
+                  IS NOT NULL THEN 'append'
+             WHEN MAX(CASE WHEN action = 'delete' AND after_purge THEN delete_to END)
+                  IS NOT NULL THEN 'delete'
+             WHEN MAX(CASE WHEN action = 'purge' THEN 1 ELSE 0 END) = 1
+                  THEN 'purge'
+             ELSE 'empty'
+           END AS kind
+    FROM tl2
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
+  val batchCompaction: String = s"""$annCte
+    SELECT topic, id,
+           MAX(CASE WHEN action = 'purge' THEN koffset END) AS purge_offset,
+           MAX(CASE WHEN action = 'delete' AND after_purge THEN delete_to END)
+             AS effective_delete_to,
+           MAX(CASE WHEN action = 'delete' AND after_purge THEN koffset END)
+             AS delete_offset,
+           COUNT(CASE WHEN action = 'append' AND after_purge
+                       AND seq_nr > COALESCE(dt, 0) THEN 1 END)
+             AS surviving_appends,
+           MIN(CASE WHEN action = 'append' AND after_purge
+                     AND seq_nr > COALESCE(dt, 0) THEN seq_nr END)
+             AS first_seq_nr,
+           MAX(CASE WHEN action = 'append' AND after_purge THEN seq_nr END)
+             AS last_seq_nr
+    FROM ann3
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
+  /** J1's oracle is the whole-log replay: the two-source merge must be
+    * indistinguishable from having had the full log in one place.
+    */
+  val mergedRead: String = journalScan
+
+  val dedupReplay: String = s"""$annCte
+    SELECT topic, id, seq_nr, koffset, payload
+    FROM ann3
+    WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+    ORDER BY topic, id, seq_nr
+  """
+
+  val expired: String = s"""$annCte
+    SELECT topic, id, created_date, expire_after_days,
+           created_date + expire_after_days AS expire_on
+    FROM (
+      SELECT topic, id,
+             CAST(MIN(ts) AS DATE) AS created_date,
+             MIN(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) % 30
+               AS expire_after_days
+      FROM ann2
+      WHERE action <> 'mark' AND after_purge
+      GROUP BY topic, id
+    ) m
+    WHERE created_date + expire_after_days <= DATE '2024-01-20'
+    ORDER BY topic, id
+  """
+
+  val snapshotLoad: String = s"""$annCte
+    SELECT topic, id, seq_nr, koffset, payload
+    FROM (
+      SELECT s.*,
+             ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC)
+               AS rn
+      FROM (
+        SELECT topic, id, seq_nr, koffset, payload
+        FROM ann3
+        WHERE action = 'append' AND after_purge
+          AND seq_nr > COALESCE(dt, 0) AND seq_nr % 10 = 0
+      ) s
+    ) t
+    WHERE rn = 1
+    ORDER BY topic, id
+  """
+}

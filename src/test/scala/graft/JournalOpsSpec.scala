@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.journal.{ActionRow, HeadInfo, JournalOps, Replay}
+import graft.model.ActionLog
+
+/** Spark-level invariants of the journal operators over the sf0.001
+  * testdata. The byte-exact oracle is the driver's DuckDB gate
+  * (scripts/localverify.py locally); these specs pin the *relational
+  * identities* between operators instead.
+  */
+class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def actions = ActionLog.fromEvents(spark, sfDir)
+
+  test("action log is a deterministic derivation with dense offsets") {
+    val a = actions.cache()
+    assert(a.count() == 1000)
+    // koffset dense per (topic, part_no)
+    import org.apache.spark.sql.functions._
+    val bad = a
+      .groupBy("topic", "part_no")
+      .agg(max("koffset").as("mx"), count(lit(1)).as("cnt"))
+      .filter(col("mx") =!= col("cnt") - 1)
+      .count()
+    assert(bad == 0)
+    // appends carry seq_nr; others don't
+    assert(a.filter("action = 'append' AND seq_nr IS NULL").count() == 0)
+    assert(a.filter("action <> 'append' AND seq_nr IS NOT NULL").count() == 0)
+    assert(a.filter("action = 'delete' AND delete_to IS NULL").count() == 0)
+    a.unpersist()
+  }
+
+  test("merged two-source read equals whole-log replay (J1 identity)") {
+    val whole = JournalOps.journalScan(actions)
+    val merged = Replay.mergedRead(actions)
+    assert(merged.exceptAll(whole).count() == 0)
+    assert(whole.exceptAll(merged).count() == 0)
+  }
+
+  test("duplicated-delivery replay equals clean replay (F4 dedup)") {
+    val clean = JournalOps
+      .journalScan(actions)
+      .select("topic", "id", "seq_nr", "koffset", "payload")
+    val deduped = Replay.dedupReplay(actions)
+    assert(deduped.exceptAll(clean).count() == 0)
+    assert(clean.exceptAll(deduped).count() == 0)
+  }
+
+  test("pointer equals max seq_nr of the journal scan where one exists") {
+    import org.apache.spark.sql.functions._
+    val fromScan = JournalOps
+      .journalScan(actions)
+      .groupBy("topic", "id")
+      .agg(max("seq_nr").as("seq_nr"))
+    // pointer also covers journals whose survivors were all deleted but not
+    // purged (delete does not reset the pointer) — so scan-derived pointers
+    // are a subset
+    val ptr = JournalOps.pointer(actions)
+    assert(fromScan.exceptAll(ptr).count() == 0)
+  }
+
+  test("metajournal seq_nr >= pointer's and >= delete_to (widening)") {
+    import org.apache.spark.sql.functions._
+    val meta = JournalOps.metajournal(actions)
+    assert(
+      meta.filter(col("delete_to") > col("seq_nr")).count() == 0
+    )
+    val joined = JournalOps
+      .pointer(actions)
+      .withColumnRenamed("seq_nr", "ptr")
+      .join(meta, Seq("topic", "id"))
+    assert(joined.filter(col("ptr") > col("seq_nr")).count() == 0)
+  }
+
+  test("typed HeadInfo fold agrees with the declarative window formulation") {
+    implicit val enc: org.apache.spark.sql.Encoder[ActionRow] =
+      org.apache.spark.sql.Encoders.product[ActionRow]
+    import org.apache.spark.sql.functions._
+    val a = actions
+    val wm = JournalOps.defaultWatermark(a)
+    val declarative = JournalOps
+      .headInfo(a, wm)
+      .select("topic", "id", "kind", "head_offset", "head_seq_nr")
+
+    val tailRows = a
+      .join(wm, Seq("topic", "part_no"))
+      .filter(col("koffset") > col("wm"))
+      .select(
+        col("topic"),
+        col("part_no"),
+        col("koffset"),
+        col("id"),
+        col("action"),
+        coalesce(col("seq_nr"), lit(0L)).as("seqNr"),
+        coalesce(col("delete_to"), lit(0L)).as("deleteTo")
+      )
+      .as[ActionRow]
+    val typed = HeadInfo
+      .perJournal(spark, tailRows)
+      .toDF()
+      .select(
+        col("topic"),
+        col("id"),
+        col("kind"),
+        col("offset").as("head_offset"),
+        col("seqNr").as("head_seq_nr")
+      )
+    assert(typed.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(typed).count() == 0)
+  }
+}
