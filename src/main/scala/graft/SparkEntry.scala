@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics.Analytics
 import graft.journal.{JournalOps, Replay}
 import graft.model.ActionLog
-import graft.oracle.JournalOracles
+import graft.oracle.{AnalyticsOracles, JournalOracles}
 
 /** Driver contract — query registry + DuckDB oracles (SURVEY.md §2/§7).
   *
@@ -39,7 +40,16 @@ object SparkEntry {
     "j1_replay_merge" -> ((s, d) => Replay.mergedRead(actions(s, d))),
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
     "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-01-20")),
-    "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d)))
+    "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
+    // analytics surface (SURVEY §2.2-§2.6 relational shapes at scale)
+    "q1_pricing_summary" -> (Analytics.pricingSummary _),
+    "q3_revenue_topk" -> (Analytics.revenueTopK _),
+    "q5_region_revenue" -> (Analytics.regionRevenue _),
+    "q4_order_priority" -> (Analytics.orderPriority _),
+    "w1_events_running" -> (Analytics.eventsRunning _),
+    "w2_sessionize" -> (Analytics.sessionize _),
+    "q6_event_type_stats" -> (Analytics.eventTypeStats _),
+    "q7_top_users" -> (Analytics.topUsers _)
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -57,6 +67,14 @@ object SparkEntry {
     "j1_replay_merge" -> JournalOracles.mergedRead,
     "f4_dedup_replay" -> JournalOracles.dedupReplay,
     "a7_expired" -> JournalOracles.expired,
-    "s10_snapshot_load" -> JournalOracles.snapshotLoad
+    "s10_snapshot_load" -> JournalOracles.snapshotLoad,
+    "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,
+    "q3_revenue_topk" -> AnalyticsOracles.revenueTopK,
+    "q5_region_revenue" -> AnalyticsOracles.regionRevenue,
+    "q4_order_priority" -> AnalyticsOracles.orderPriority,
+    "w1_events_running" -> AnalyticsOracles.eventsRunning,
+    "w2_sessionize" -> AnalyticsOracles.sessionize,
+    "q6_event_type_stats" -> AnalyticsOracles.eventTypeStats,
+    "q7_top_users" -> AnalyticsOracles.topUsers
   )
 }

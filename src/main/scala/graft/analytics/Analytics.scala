@@ -1,0 +1,227 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.ActionLog
+
+/** General analytics surface over the TPC-H-ish testdata — the query shapes
+  * a consumer of the journal engine runs on materialized event data: scans
+  * with pushed-down predicates, broadcast joins, partial aggregation,
+  * windows, top-k, sessionization.
+  *
+  * Numeric discipline: money-ish doubles are cast to DECIMAL before
+  * aggregation so sums are EXACT (order-independent — a float sum would
+  * depend on partition merge order and could never hash-match an oracle),
+  * then cast back to double for a stable output type. Timestamp arithmetic
+  * goes through unix_micros (exact BIGINT) — never through double seconds.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/customer) are
+  * broadcast; fact-side aggregations combine map-side (Spark partial agg is
+  * automatic for all aggregates used here); every filter lands in the
+  * parquet scan (verified via explain: PushedFilters).
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  /** TPC-H Q1 shape: pricing summary with exact decimal arithmetic. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("sum_disc_price"),
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount")) *
+            (lit(1).cast("decimal(12,2)") + dec("l_tax"))
+        ).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: unshipped-orders revenue top-10. Customer is the small
+    * side — broadcast; lineitem aggregates map-side before the join result
+    * shuffles on l_orderkey.
+    */
+  def revenueTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(
+        broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by (region, nation) — the 4-dimension
+    * broadcast-join chain.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(
+          nation.join(broadcast(region),
+            col("n_regionkey") === col("r_regionkey"))
+        ),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey")
+      )
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+  }
+
+  /** TPC-H Q4 shape: order-priority count with an EXISTS semi-join. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+      )
+    val lateLine = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select("l_orderkey")
+    ord
+      .join(lateLine, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Per-user running aggregates over the event stream (W1-class ordered
+    * windows): running exact sum of value, previous-event gap in µs.
+    */
+  def eventsRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagW = Window.partitionBy("user_id").orderBy("event_id")
+    ev.select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        sum(col("value").cast("decimal(12,2)"))
+          .over(w)
+          .cast("double")
+          .as("running_value"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(lagW)).as("gap_us"),
+        row_number().over(lagW).cast("long").as("event_seq")
+      )
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): the batch analogue of
+    * a streaming session window. Two stacked windows over the same
+    * (user_id, event_id) ordering — one shuffle, one sort.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val gapUs = 30L * 60 * 1000 * 1000
+    val flagged = ev
+      .withColumn(
+        "new_session",
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser) > gapUs)
+          .cast("int")
+      )
+      .withColumn(
+        "session_id",
+        coalesce(
+          sum(coalesce(col("new_session"), lit(1))).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ),
+          lit(1)
+        )
+      )
+    flagged
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max("ts")) - unix_micros(min("ts")))
+          .as("duration_us"),
+        sum(col("value").cast("decimal(12,2)"))
+          .cast("double")
+          .as("session_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Per-type event stats: counts, distinct users, exact value sum. */
+  def eventTypeStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast("decimal(12,2)"))
+          .cast("double")
+          .as("total_value"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us")
+      )
+      .orderBy("event_type")
+  }
+
+  /** Top-k users by exact total value with deterministic tiebreak. */
+  def topUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    ev.groupBy("user_id")
+      .agg(
+        sum(col("value").cast("decimal(12,2)"))
+          .cast("double")
+          .as("total_value"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.oracle
+
+/** DuckDB oracles for the analytics surface. Decimal casts mirror the Spark
+  * side exactly: aggregate in DECIMAL (exact, order-independent), cast the
+  * result to DOUBLE.
+  */
+object AnalyticsOracles {
+
+  private val disc =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  val pricingSummary: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM($disc) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM($disc * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+             AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+  """
+
+  val revenueTopK: String = s"""
+    SELECT l_orderkey, o_orderdate, CAST(SUM($disc) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+  """
+
+  val regionRevenue: String = s"""
+    SELECT r_name, n_name, CAST(SUM($disc) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, r_name, n_name
+  """
+
+  val orderPriority: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 30
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+  """
+
+  val eventsRunning: String = """
+    SELECT user_id, event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_value,
+           epoch_us(ts) - LAG(epoch_us(ts), 1)
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS BIGINT) AS event_seq
+    FROM events
+    ORDER BY user_id, event_id
+  """
+
+  val sessionize: String = """
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM (
+      SELECT *,
+             CAST(SUM(COALESCE(new_session, 1))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM (
+        SELECT *,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY event_id)
+                 > 1800000000 AS INT) AS new_session
+        FROM events
+      ) f
+    ) s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+  """
+
+  val eventTypeStats: String = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(epoch_us(ts)) AS first_us,
+           MAX(epoch_us(ts)) AS last_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+  """
+
+  val topUsers: String = """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+  """
+}
