@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Analytics
 import graft.journal.{JournalOps, Replay}
 import graft.model.ActionLog
-import graft.oracle.{AnalyticsOracles, JournalOracles}
+import graft.oracle.{AnalyticsOracles, JournalOracles, PipelineOracles}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — query registry + DuckDB oracles (SURVEY.md §2/§7).
   *
@@ -49,7 +50,20 @@ object SparkEntry {
     "w1_events_running" -> (Analytics.eventsRunning _),
     "w2_sessionize" -> (Analytics.sessionize _),
     "q6_event_type_stats" -> (Analytics.eventTypeStats _),
-    "q7_top_users" -> (Analytics.topUsers _)
+    "q7_top_users" -> (Analytics.topUsers _),
+    // LLM-data-pipeline operators over documents/embeddings
+    "p1_text_quality" -> (TextAnalysis.quality _),
+    "p2_langid_confusion" -> (TextAnalysis.langIdConfusion _),
+    "p3_token_stats" -> (TextAnalysis.tokenStats _),
+    "p4_corpus_stats" -> (TextAnalysis.corpusStats _),
+    "d1_dedup_exact" -> (Dedup.exact _),
+    "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "k3_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
+    "m1_media_meta" -> (Multimodal.mediaMeta _),
+    "m2_media_stats" -> (Multimodal.mediaStats _)
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -75,6 +89,18 @@ object SparkEntry {
     "w1_events_running" -> AnalyticsOracles.eventsRunning,
     "w2_sessionize" -> AnalyticsOracles.sessionize,
     "q6_event_type_stats" -> AnalyticsOracles.eventTypeStats,
-    "q7_top_users" -> AnalyticsOracles.topUsers
+    "q7_top_users" -> AnalyticsOracles.topUsers,
+    "p1_text_quality" -> PipelineOracles.quality,
+    "p2_langid_confusion" -> PipelineOracles.langIdConfusion,
+    "p3_token_stats" -> PipelineOracles.tokenStats,
+    "p4_corpus_stats" -> PipelineOracles.corpusStats,
+    "d1_dedup_exact" -> PipelineOracles.dedupExact,
+    "k1_knn_brute" -> PipelineOracles.knnBruteForce,
+    "k2_knn_ivf" -> PipelineOracles.knnIvf,
+    "m1_media_meta" -> PipelineOracles.mediaMeta,
+    "m2_media_stats" -> PipelineOracles.mediaStats
+    // d2_minhash_pairs / d3_simhash_pairs / k3_lsh_bucket_stats use Spark
+    // xxhash64 (not expressible in DuckDB) — covered by ScalaTest
+    // invariants; the driver records a rows-only check.
   )
 }

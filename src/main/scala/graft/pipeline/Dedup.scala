@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each designed so
+  * the candidate-generation step is a shuffle on a SMALL derived key (hash /
+  * band / bucket) rather than an O(n²) comparison:
+  *
+  *   - exact:   groupBy(md5) — one shuffle of (hash, id), not documents
+  *   - minhash: shingle → k minhashes → LSH bands → join within band-buckets
+  *   - simhash: 64-bit bit-vote signature → bucket by 16-bit chunks (any
+  *              pair within Hamming distance 3 shares one of 4 chunks)
+  *   - n-gram Jaccard: exact verification on candidate pairs only
+  *
+  * At 100 TB the only all-pairs work happens inside LSH buckets, whose
+  * expected size is corpus-independent for a fixed similarity threshold;
+  * skewed buckets (boilerplate shingles) are handled by AQE skew-join
+  * splitting.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: canonical assignment per content hash. Every doc maps to
+    * the min doc_id sharing its md5; `is_dup` marks non-canonical copies.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("h", md5(col("text")))
+    val w = Window.partitionBy("h")
+    d.select(
+        col("doc_id"),
+        col("h"),
+        min("doc_id").over(w).as("canonical_id"),
+        (count(lit(1)).over(w) > 1).as("in_dup_group")
+      )
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id", "in_dup_group", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Word 3-gram shingles of a document, distinct, as one row per shingle.
+    * Shared candidate basis for MinHash and Jaccard verification.
+    */
+  def shingles(d: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    d.select(col("doc_id"), words.as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
+          )
+        ).as("shingle")
+      )
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * numPerms minhashes from one xxhash64 per (shingle, perm-seed); bands of
+    * `rowsPerBand` minhashes hash to a bucket; documents sharing any
+    * (band, bucket) become a candidate pair; pairs are verified with exact
+    * shingle-set Jaccard and filtered at `threshold`.
+    *
+    * Every stage is a groupBy/join on derived keys — documents never
+    * pairwise-compare outside shared buckets.
+    */
+  def minhashPairs(
+      spark: SparkSession,
+      dir: String,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = shingles(docs(spark, dir)).cache()
+
+    // minhash matrix: doc × perm -> min over shingles of xxhash64(perm, shingle)
+    val perms = (0 until numPerms).map { p =>
+      min(xxhash64(lit(p), col("shingle"))).as(s"mh_$p")
+    }
+    val mh = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+
+    // LSH bands: hash rowsPerBand consecutive minhashes per band
+    val numBands = numPerms / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"mh_$i")): _*
+        ).as("bucket")
+      )
+    }
+    val banded = mh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    val cand = banded
+      .as("l")
+      .join(
+        banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id")
+      )
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs: |A∩B| via a join on the
+    * shingle, |A∪B| = |A| + |B| − |A∩B|.
+    */
+  def verifyJaccard(
+      cand: DataFrame,
+      sh: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // intersect via equi-join on (doc, shingle): shuffle keys stay small
+    val inter = cand
+      .join(sh.toDF("a", "shingle"), "a")
+      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+    inter
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn(
+        "jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "n_inter", "na", "nb", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** SimHash near-dup: 64-bit signature by bit-voting word-hash bits,
+    * bucketed by 16-bit chunks for candidate generation (pigeonhole: any
+    * pair within Hamming distance 3 collides on ≥1 of the 4 chunks).
+    * Output: candidate pairs with their Hamming distance ≤ maxDist.
+    */
+  def simhashPairs(
+      spark: SparkSession,
+      dir: String,
+      maxDist: Int = 8
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+
+    // bit-vote: for each of 64 bits, +1 if set else -1; sign of sum = bit
+    val bitCols = (0 until 64).map { i =>
+      sum(
+        when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)
+      ).as(s"b_$i")
+    }
+    val sig = words
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(i =>
+            when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+          )
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("sig")
+      )
+
+    val chunked = sig.select(
+      col("doc_id"),
+      col("sig"),
+      explode(
+        array((0 until 4).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key")
+          )
+        }: _*)
+      ).as("ck")
+    )
+
+    val cand = chunked
+      .as("l")
+      .join(
+        chunked.as("r"),
+        col("l.ck.chunk") === col("r.ck.chunk") &&
+          col("l.ck.key") === col("r.ck.key") &&
+          col("l.doc_id") < col("r.doc_id")
+      )
+      .select(
+        col("l.doc_id").as("a"),
+        col("r.doc_id").as("b"),
+        col("l.sig").as("sig_a"),
+        col("r.sig").as("sig_b")
+      )
+      .distinct()
+
+    cand
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+}

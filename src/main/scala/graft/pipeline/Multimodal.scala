@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY` columns
+  * with typed metadata, processed by per-partition batch "decoders".
+  *
+  * The decode itself is STUBBED (no codec libraries in this container) with
+  * a deterministic fake — but everything Spark-side is real: the binary
+  * column, the schema of the extracted metadata, the mapPartitions batch
+  * shape (one decoder instantiation per partition, streamed rows), and the
+  * partitioning strategy (media rows are heavy — partition count follows
+  * bytes, not row count; at 100 TB, `maxPartitionBytes` and a bucketed
+  * doc_id layout keep a decoder's working set bounded).
+  */
+object Multimodal {
+
+  /** Typed metadata a real decoder would emit. */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      duration_ms: Long
+  )
+
+  /** Builds the media table: the document text reinterpreted as opaque
+    * bytes (stand-in for image/audio payloads) + a media_type derived from
+    * the id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")
+        ).as("media_type")
+      )
+
+  /** STUB decoder: deterministic metadata from the byte payload. A real
+    * implementation swaps ONLY the body of this function for e.g. a JNI
+    * image decoder — the batch shape (Iterator→Iterator, one init per
+    * partition) is what matters for Spark.
+    */
+  private def decodeBatch(
+      rows: Iterator[(Long, Array[Byte], String)]
+  ): Iterator[MediaMeta] = {
+    // per-partition decoder init would happen here (expensive handle)
+    rows.map { case (id, bytes, mtype) =>
+      val n = bytes.length.toLong
+      MediaMeta(
+        doc_id = id,
+        media_type = mtype,
+        n_bytes = n,
+        width = (n % 640).toInt,
+        height = (n % 480).toInt,
+        n_frames = if (mtype == "video") (n % 250).toInt else 1,
+        duration_ms = if (mtype != "image") n * 10 else 0L
+      )
+    }
+  }
+
+  /** Decode pipeline: binary payloads → typed metadata via a per-partition
+    * batch decode (mapPartitions — the Scala analogue of mapInPandas).
+    */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(decodeBatch)
+  }
+
+  /** Oracle-checkable projection of the decode output: all fields are pure
+    * arithmetic on the payload byte length, so DuckDB can mirror them.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir)
+      .toDF()
+      .orderBy("doc_id")
+
+  /** Rollup per media type — the "what's in this corpus" report. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir)
+      .toDF()
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"),
+        max("n_bytes").as("max_bytes"),
+        sum("duration_ms").as("total_duration_ms")
+      )
+      .orderBy("media_type")
+}

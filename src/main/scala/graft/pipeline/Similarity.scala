@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a full scan of the corpus; the dot product runs inside
+  * whole-stage codegen via higher-order functions (zip_with + aggregate),
+  * no UDF.
+  *
+  * Scale path: IVF-style bucketed search — restrict the scan to the
+  * query's coarse bucket (here the `label` column stands in for a k-means
+  * cell id; at 100 TB the bucket becomes a partition key so a query prunes
+  * to 1/nlist of the corpus) — plus a sign-LSH variant whose hyperplanes
+  * are derived deterministically from xxhash64, giving a shuffle-free
+  * bucket join.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Double-precision cosine between two float-array columns, computed with
+    * sequential fold semantics (deterministic, engine-portable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force exact top-k neighbors for the first `nQueries` vectors.
+    * Query side is tiny → broadcast; corpus side scans once; per-query
+    * top-k via window over the (qid) partition.
+    */
+  def knnBruteForce(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5
+  ): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosine(col("q"), col("embedding")).as("sim")
+      )
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style search: only score candidates in the query's coarse bucket
+    * (`label` = stand-in cell id). Same output shape as brute force; at
+    * scale the corpus is partitioned by bucket so each query prunes its
+    * scan to one partition.
+    */
+  def knnIvf(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5
+  ): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("q"),
+        col("label").as("qlabel")
+      )
+    val scored = corpus
+      .join(
+        broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid")
+      )
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosine(col("q"), col("embedding")).as("sim")
+      )
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** Sign-LSH bucketing: `nBits` pseudo-random hyperplanes, derived
+    * deterministically from xxhash64(planeIdx, dimIdx) mapped to ±1.
+    * Vectors sharing a bucket are near in angle with high probability;
+    * pairs are then exactly scored. Candidate generation is a groupBy on
+    * the bucket key — no all-pairs shuffle.
+    */
+  def lshBuckets(
+      spark: SparkSession,
+      dir: String,
+      nBits: Int = 12
+  ): DataFrame = {
+    val corpus = emb(spark, dir)
+    // plane p, dim d: sign = +1 if xxhash64(p, d) even else -1
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(
+          col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) =>
+            v.cast("double") *
+              when(xxhash64(lit(p), i) % 2 === 0, 1.0).otherwise(-1.0)
+        ),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    corpus.select(
+      col("vec_id"),
+      col("label"),
+      bits.reduce((a, b) => a.bitwiseOR(b)).as("bucket")
+    )
+  }
+
+  /** Bucket-size histogram of the LSH index — the balance diagnostic that
+    * decides whether buckets need salting at scale.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(spark, dir)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .groupBy("n_vectors")
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("n_vectors")
+}

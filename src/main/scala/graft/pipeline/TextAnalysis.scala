@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: quality scoring,
+  * language identification, token statistics. All are single-pass projections
+  * over the `documents` table — no shuffle except the final ORDER BY, fully
+  * inside whole-stage codegen (no UDFs: every feature is built from
+  * length/replace/regexp arithmetic so Catalyst codegens it and the DuckDB
+  * oracle can mirror it exactly).
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** # of occurrences of `needle` via length arithmetic — engine-portable
+    * and codegen-friendly (no regex engine differences).
+    */
+  private def occurrences(c: Column, needle: String): Column =
+    (length(c) - length(replace(c, lit(needle), lit("")))) / needle.length
+
+  /** Whitespace token count: single-space separated corpus → spaces + 1. */
+  private def wordCount(c: Column): Column =
+    length(c) - length(replace(c, lit(" "), lit(""))) + 1
+
+  /** Quality scoring: the length/punctuation/stopword-ratio features a
+    * pretraining filter computes per document (C4-/Gopher-style heuristics).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val txt = col("text")
+    d.select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        length(txt).as("n_chars_actual"),
+        col("n_chars"),
+        wordCount(txt).cast("long").as("n_words"),
+        (length(txt).cast("double") / wordCount(txt))
+          .as("avg_word_len"),
+        occurrences(txt, ".").cast("long").as("n_periods"),
+        occurrences(txt, " the ").cast("long").as("n_the"),
+        (occurrences(txt, " the ").cast("double") / wordCount(txt))
+          .as("stopword_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID (n-gram-free heuristic): score each
+    * language by marker-word occurrences, plus a non-ASCII share for CJK;
+    * argmax with a deterministic priority order. Returns the per-language
+    * confusion counts against the labeled `lang` column.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    val en = score(Seq("the", "and", "of", "is"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val es = score(Seq("el", "los", "y", "de"))
+    val de = score(Seq("der", "die", "und", "das"))
+    // non-ASCII character share signals CJK ('[ -~]' = printable ASCII,
+    // identical in Java regex and RE2)
+    val zh = length(col("text")) -
+      length(regexp_replace(col("text"), "[ -~]", ""))
+    val pred = when(col("en_s") === col("mx"), "en")
+      .when(col("de_s") === col("mx"), "de")
+      .when(col("es_s") === col("mx"), "es")
+      .otherwise("fr")
+    d.select(
+        col("doc_id"),
+        col("lang"),
+        en.as("en_s"),
+        fr.as("fr_s"),
+        es.as("es_s"),
+        de.as("de_s"),
+        zh.cast("double").as("zh_s")
+      )
+      .withColumn(
+        "mx",
+        greatest(col("en_s"), col("fr_s"), col("es_s"), col("de_s"))
+      )
+      .withColumn("predicted", when(col("zh_s") > 0, "zh").otherwise(pred))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Token statistics: whitespace tokens plus a BPE-ish regex segmentation
+    * (alpha runs / digit runs / single punctuation — the pre-tokenizer
+    * shape GPT-style BPE vocabularies assume).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks =
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    d.select(
+        col("doc_id"),
+        col("lang"),
+        wordCount(col("text")).cast("long").as("ws_tokens"),
+        toks.cast("long").as("bpe_tokens"),
+        (length(col("text")).cast("double") / toks).as("chars_per_token")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Corpus rollup per (lang, source): the shape of a pretraining-mix
+    * report. Exact counts; ratios in double of exact ints.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(wordCount(col("text")).cast("long")).as("total_words"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars")
+      )
+      .orderBy("lang", "source")
+  }
+}
