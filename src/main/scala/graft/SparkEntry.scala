@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
-import graft.journal.{JournalOps, Replay}
+import graft.journal.{JournalOps, Replay, Segments}
 import graft.model.ActionLog
 import graft.oracle.{AnalyticsOracles, JournalOracles, PipelineOracles}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -42,6 +42,8 @@ object SparkEntry {
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
     "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-01-20")),
     "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
+    "c1_segments" -> ((s, d) => Segments.segments(actions(s, d))),
+    "c6_codec_roundtrip" -> ((s, d) => Segments.codecRoundtrip(actions(s, d))),
     // analytics surface (SURVEY §2.2-§2.6 relational shapes at scale)
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_revenue_topk" -> (Analytics.revenueTopK _),
@@ -82,6 +84,8 @@ object SparkEntry {
     "f4_dedup_replay" -> JournalOracles.dedupReplay,
     "a7_expired" -> JournalOracles.expired,
     "s10_snapshot_load" -> JournalOracles.snapshotLoad,
+    "c1_segments" -> JournalOracles.segments,
+    "c6_codec_roundtrip" -> JournalOracles.codecRoundtrip,
     "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,
     "q3_revenue_topk" -> AnalyticsOracles.revenueTopK,
     "q5_region_revenue" -> AnalyticsOracles.regionRevenue,

@@ -176,6 +176,42 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  /** Java String.hashCode as portable SQL: Horner sum in BIGINT (exact for
+    * ids up to 8 chars), wrapped to int32 once at the end (mod 2^32 is a
+    * ring homomorphism, so one wrap equals per-step int overflow).
+    */
+  private val javaHashSql: String = {
+    val terms = (1 to 8).map { i =>
+      s"CASE WHEN length(id) >= $i THEN CAST(ascii(substr(id, $i, 1)) AS BIGINT) * CAST(power(31, length(id) - $i) AS BIGINT) ELSE 0 END"
+    }
+    val sum = terms.mkString("(", " + ", ")")
+    s"(((($sum % 4294967296) + 6442450944) % 4294967296) - 2147483648)"
+  }
+
+  val segments: String = s"""$annCte,
+    surv AS (
+      SELECT topic, id,
+             CAST(floor((seq_nr - 1) / 10) AS BIGINT) AS seg
+      FROM ann3
+      WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+    )
+    SELECT topic, id,
+           CAST(abs($javaHashSql) % 100 AS INT) AS meta_segment,
+           COUNT(DISTINCT seg) AS n_segments,
+           MAX(seg) AS max_segment
+    FROM surv
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
+  val codecRoundtrip: String = s"""$annCte
+    SELECT topic, id, COUNT(*) AS n_events, TRUE AS codec_ok
+    FROM ann3
+    WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+    GROUP BY topic, id
+    ORDER BY topic, id
+  """
+
   val snapshotLoad: String = s"""$annCte
     SELECT topic, id, seq_nr, koffset, payload
     FROM (

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.journal.Replicate
+
+/** The replicator as a Structured Streaming job (reference
+  * replicator/.../TopicReplicator.scala, ConsumeTopic.scala): a stream of
+  * action records is folded into the eventual store via `foreachBatch`,
+  * which gives the reference's commit-after-write ordering (T1) for free —
+  * offsets checkpoint only after the batch's store writes succeed.
+  *
+  * Source: file stream here (the container has no Kafka broker); swapping
+  * in `readStream.format("kafka")` changes ONLY [[streamFrom]] — the merge
+  * body is source-agnostic. Sink: plain parquet read-modify-write with an
+  * atomic directory swap per micro-batch; on Delta/Iceberg the same logical
+  * plan is a transactional MERGE INTO (the 100 TB deployment shape —
+  * documented as SURVEY §7.4 risk 1).
+  *
+  * Exactly-once (T2) = at-least-once delivery (checkpoint replay) +
+  * idempotent merge ([[Replicate.mergeBatch]]'s pointer2 offset guard):
+  * a redelivered micro-batch is a no-op. Poison records stall the query
+  * (exception propagates, T4's stall-don't-skip) rather than being dropped.
+  */
+object StreamingReplicator {
+
+  /** Applies one micro-batch to the store directory (read-modify-write +
+    * directory swap). Also the test seam: batches can be fed directly.
+    */
+  def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
+    val cur = Paths.get(storeDir, "current")
+    val store =
+      if (Files.exists(cur)) Replicate.read(spark, cur.toString)
+      else Replicate.empty(spark, batch)
+
+    val merged = Replicate.mergeBatch(store, batch)
+
+    // write to a fresh generation dir (reads the old files), then swap
+    val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
+    merged.journal.write.mode(SaveMode.Overwrite)
+      .parquet(next.resolve("journal").toString)
+    merged.metajournal.write.mode(SaveMode.Overwrite)
+      .parquet(next.resolve("metajournal").toString)
+    merged.pointer2.write.mode(SaveMode.Overwrite)
+      .parquet(next.resolve("pointer2").toString)
+
+    val old = if (Files.exists(cur)) {
+      val o = Paths.get(storeDir, s"old-${System.nanoTime()}")
+      Files.move(cur, o)
+      Some(o)
+    } else None
+    Files.move(next, cur)
+    old.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
+      Files.deleteIfExists(f): Unit
+    )
+
+  /** Runs the replicator over a parquet file stream of action records.
+    * `Trigger.AvailableNow` drains what exists and stops — the batch-ingest
+    * mode; pass a processing-time trigger for a long-running tail.
+    */
+  def streamFrom(
+      spark: SparkSession,
+      inputDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, storeDir, batch)
+      }
+      .start()
+  }
+}
