@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints the formatted physical plan of selected
+  * queries (all registered ones if no names given). Used to keep the plans
+  * honest — PushedFilters reaching the scans, broadcasts where expected,
+  * no stray exchanges.
+  *
+  *   sbt "runMain graft.Explain s5_journal_scan q3_revenue_topk"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n========== $name ==========")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+    spark.stop()
+  }
+}

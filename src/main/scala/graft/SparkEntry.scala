@@ -15,8 +15,19 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
+  /** The derived action log is shared by every journal query — derive it
+    * once per (session, sfDir) and keep it cached (tiny relative to
+    * executor memory; at 100 TB the log is a real table and this cache is
+    * simply the parquet scan).
+    */
+  private val actionCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def actions(spark: SparkSession, dir: String): DataFrame =
-    ActionLog.fromEvents(spark, dir)
+    actionCache.getOrElseUpdate(
+      (spark, dir),
+      ActionLog.fromEvents(spark, dir).persist()
+    )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's signature operation — merged two-source replay (J1).

@@ -41,8 +41,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word 3-gram shingles of a document, distinct, as one row per shingle.
-    * Shared candidate basis for MinHash and Jaccard verification.
+  /** Word 3-gram shingles of a document, hashed to 64-bit ids immediately
+    * (downstream set operations shuffle longs, not strings — the shingle
+    * text never leaves the map side). One row per occurrence, NOT
+    * deduplicated: MinHash is duplicate-insensitive (min over repeats is
+    * the min), so the corpus-wide distinct shuffle is deliberately avoided;
+    * Jaccard verification dedups its (small) candidate subset itself.
     */
   def shingles(d: DataFrame, n: Int = 3): DataFrame = {
     val words = split(col("text"), " ")
@@ -52,11 +56,10 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))
+            i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n))))
           )
         ).as("shingle")
       )
-      .distinct()
   }
 
   /** MinHash + LSH near-duplicate candidate pairs.
@@ -121,16 +124,32 @@ object Dedup {
       sh: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // intersect via equi-join on (doc, shingle): shuffle keys stay small
-    val inter = cand
-      .join(sh.toDF("a", "shingle"), "a")
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-    inter
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+    // restrict shingles to documents that appear in a candidate pair first
+    // (broadcast semi-join) — the intersection then joins two small sets,
+    // and set sizes aggregate only those docs, not the whole corpus
+    val docsInPairs = cand
+      .select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id")))
+      .distinct()
+    val shc = sh
+      .join(broadcast(docsInPairs), Seq("doc_id"), "left_semi")
+      .distinct() // set semantics, applied to the candidate subset only
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shc
+      .toDF("a", "shingle")
+      .join(broadcast(cand), "a")
+      .join(shc.toDF("b", "shingle"), Seq("b", "shingle"))
+    val pairStats = inter.groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    // pairStats is tiny — keep it the broadcast side against the per-doc
+    // size table (which scales with the corpus and must NOT be broadcast)
+    sizes
+      .toDF("b", "nb")
+      .join(
+        broadcast(
+          sizes.toDF("a", "na").join(broadcast(pairStats), "a")
+        ),
+        "b"
+      )
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") /
