@@ -53,6 +53,16 @@ object SparkEntry {
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
     "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-01-20")),
     "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
+    "s2_key_tail_scan" -> ((s, d) =>
+      JournalOps.keyTailScan(actions(s, d), Seq("1", "2", "3"), 5L)),
+    "f2_stream_bounds" -> ((s, d) => {
+      val a = actions(s, d)
+      JournalOps.streamBounds(a, JournalOps.defaultWatermark(a))
+    }),
+    "t6_staleness" -> ((s, d) => {
+      val a = actions(s, d)
+      JournalOps.staleness(a, JournalOps.defaultWatermark(a))
+    }),
     "c1_segments" -> ((s, d) => Segments.segments(actions(s, d))),
     "c6_codec_roundtrip" -> ((s, d) => Segments.codecRoundtrip(actions(s, d))),
     // analytics surface (SURVEY §2.2-§2.6 relational shapes at scale)
@@ -95,6 +105,9 @@ object SparkEntry {
     "f4_dedup_replay" -> JournalOracles.dedupReplay,
     "a7_expired" -> JournalOracles.expired,
     "s10_snapshot_load" -> JournalOracles.snapshotLoad,
+    "s2_key_tail_scan" -> JournalOracles.keyTailScan,
+    "f2_stream_bounds" -> JournalOracles.streamBounds,
+    "t6_staleness" -> JournalOracles.staleness,
     "c1_segments" -> JournalOracles.segments,
     "c6_codec_roundtrip" -> JournalOracles.codecRoundtrip,
     "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,

@@ -240,6 +240,63 @@ object JournalOps {
       .select("topic", "id", "created_date", "expire_after_days", "expire_on")
       .orderBy("topic", "id")
 
+  /** S2 — per-key tail scan: one journal's actions from a given offset —
+    * the reference's single-partition seek-and-filter consumer
+    * (journal/.../ConsumeActionRecords.scala:13-58). Pure pushed-down
+    * filters: partition pruning by key, offset lower bound, key equality
+    * (F1).
+    */
+  def keyTailScan(actions: DataFrame, ids: Seq[String], from: Long): DataFrame =
+    actions
+      .filter(col("id").isin(ids: _*) && col("koffset") >= from)
+      .select("topic", "part_no", "koffset", "id", "action", "seq_nr")
+      .orderBy("topic", "id", "koffset")
+
+  /** F2 — bounded stream window with marker termination: the per-record
+    * decision table of StreamActionRecords.scala:60-119. The reader's
+    * marker is the partition's last mark action; the readable window is
+    * (replicated watermark, marker offset); only user actions inside it
+    * surface. Partitions whose marker is already replicated produce
+    * nothing (the :72-74 fast path).
+    */
+  def streamBounds(actions: DataFrame, watermark: DataFrame): DataFrame = {
+    val markers = actions
+      .filter(col("action") === "mark")
+      .groupBy("topic", "part_no")
+      .agg(max("koffset").as("marker_offset"))
+    actions
+      .join(broadcast(watermark), Seq("topic", "part_no"))
+      .join(broadcast(markers), Seq("topic", "part_no"))
+      .filter(
+        col("marker_offset") > col("wm") &&
+          col("koffset") > col("wm") &&
+          col("koffset") < col("marker_offset") &&
+          isUser
+      )
+      .select("topic", "part_no", "koffset", "id", "action", "seq_nr")
+      .orderBy("topic", "part_no", "koffset")
+  }
+
+  /** T6 — read-your-writes staleness: end-offset vs replicated watermark
+    * per partition — the batch replacement for the reference's
+    * marker+HeadCache barrier (HeadCache.scala:19-186): a reader may skip
+    * the log tail exactly when lag is zero.
+    */
+  def staleness(actions: DataFrame, watermark: DataFrame): DataFrame =
+    actions
+      .groupBy("topic", "part_no")
+      .agg((max("koffset") + 1L).as("end_offset"))
+      .join(watermark, Seq("topic", "part_no"))
+      .select(
+        col("topic"),
+        col("part_no"),
+        col("end_offset"),
+        (col("wm") + 1L).as("replicated_offset"),
+        (col("end_offset") - col("wm") - 1L).as("lag"),
+        (col("end_offset") - col("wm") === 1L).as("tail_skippable")
+      )
+      .orderBy("topic", "part_no")
+
   /** S10 — snapshot load: latest snapshot at-or-below the pointer. Fixture:
     * every surviving append whose seq_nr % 10 == 0 is a snapshot; load =
     * top-1 by seq_nr per journal (reference SnapshotStore.scala:26-34 —

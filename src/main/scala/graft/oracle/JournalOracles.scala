@@ -176,6 +176,52 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  val keyTailScan: String = s"""${ActionLog.oracleCte}
+    SELECT topic, part_no, koffset, id, action, seq_nr
+    FROM actions
+    WHERE id IN ('1', '2', '3') AND koffset >= 5
+    ORDER BY topic, id, koffset
+  """
+
+  val streamBounds: String = s"""${ActionLog.oracleCte},
+    wm AS (
+      SELECT topic, part_no,
+             CAST(floor(MAX(koffset) * 0.8) AS BIGINT) AS wm
+      FROM actions GROUP BY topic, part_no
+    ),
+    markers AS (
+      SELECT topic, part_no, MAX(koffset) AS marker_offset
+      FROM actions WHERE action = 'mark'
+      GROUP BY topic, part_no
+    )
+    SELECT topic, part_no, koffset, id, action, seq_nr
+    FROM actions
+    JOIN wm USING (topic, part_no)
+    JOIN markers USING (topic, part_no)
+    WHERE marker_offset > wm
+      AND koffset > wm AND koffset < marker_offset
+      AND action <> 'mark'
+    ORDER BY topic, part_no, koffset
+  """
+
+  val staleness: String = s"""${ActionLog.oracleCte},
+    wm AS (
+      SELECT topic, part_no,
+             CAST(floor(MAX(koffset) * 0.8) AS BIGINT) AS wm
+      FROM actions GROUP BY topic, part_no
+    ),
+    ends AS (
+      SELECT topic, part_no, MAX(koffset) + 1 AS end_offset
+      FROM actions GROUP BY topic, part_no
+    )
+    SELECT topic, part_no, end_offset,
+           wm + 1 AS replicated_offset,
+           end_offset - wm - 1 AS lag,
+           end_offset - wm = 1 AS tail_skippable
+    FROM ends JOIN wm USING (topic, part_no)
+    ORDER BY topic, part_no
+  """
+
   /** Java String.hashCode as portable SQL: Horner sum in BIGINT (exact for
     * ids up to 8 chars), wrapped to int32 once at the end (mod 2^32 is a
     * ring homomorphism, so one wrap equals per-step int overflow).
