@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Analytics
-import graft.journal.{JournalOps, Replay, Segments}
+import graft.functions.ActionHeaderJson
+import graft.journal.{JournalOps, Replay, Segments, Snapshots}
 import graft.model.ActionLog
 import graft.oracle.{AnalyticsOracles, JournalOracles, PipelineOracles}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -65,6 +66,13 @@ object SparkEntry {
     }),
     "c1_segments" -> ((s, d) => Segments.segments(actions(s, d))),
     "c6_codec_roundtrip" -> ((s, d) => Segments.codecRoundtrip(actions(s, d))),
+    "c5_action_header" -> ((s, d) =>
+      ActionHeaderJson.roundtrip(actions(s, d))),
+    "s10b_snapshot_criteria" -> ((s, d) =>
+      Snapshots.load(actions(s, d),
+        Snapshots.Criteria(maxSeqNr = 40, minSeqNr = 15))),
+    "a7b_purge_expired_apply" -> ((s, d) =>
+      Segments.purgeExpiredApply(actions(s, d), "2024-01-20")),
     // analytics surface (SURVEY §2.2-§2.6 relational shapes at scale)
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_revenue_topk" -> (Analytics.revenueTopK _),
@@ -110,6 +118,9 @@ object SparkEntry {
     "t6_staleness" -> JournalOracles.staleness,
     "c1_segments" -> JournalOracles.segments,
     "c6_codec_roundtrip" -> JournalOracles.codecRoundtrip,
+    "c5_action_header" -> JournalOracles.actionHeader,
+    "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
+    "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,
     "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,
     "q3_revenue_topk" -> AnalyticsOracles.revenueTopK,
     "q5_region_revenue" -> AnalyticsOracles.regionRevenue,

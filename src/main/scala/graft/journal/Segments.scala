@@ -8,6 +8,47 @@ import graft.functions.{EventsCodec, JavaStringHash}
 /** C1/C6 — segmentation + codec operators. */
 object Segments {
 
+  /** A7 end-to-end — purge-expired pipeline (reference replicator/.../
+    * PurgeExpired.scala:53-69): scan for journals whose TTL elapsed,
+    * synthesize a Purge action for each at its partition's end offset, fold
+    * them through the replication merge, and report the journals that
+    * remain. The output is provably `ids ∖ expired`, which the oracle
+    * asserts set-algebraically.
+    */
+  def purgeExpiredApply(actions: DataFrame, asOf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = Replicate.compute(actions)
+    val expired = JournalOps.expired(actions, asOf).select("topic", "id")
+    val ends = actions
+      .groupBy("topic", "part_no")
+      .agg((max("koffset") + 1L).as("base"))
+    val w = Window.partitionBy("topic", "part_no").orderBy("id")
+    val purges = expired
+      .join(
+        store.metajournal.select("topic", "id", "part_no"),
+        Seq("topic", "id")
+      )
+      .join(broadcast(ends), Seq("topic", "part_no"))
+      .select(
+        col("topic"),
+        col("part_no"),
+        (col("base") + row_number().over(w) - 1).as("koffset"),
+        col("id"),
+        lit("purge").as("action"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("ts"),
+        lit(null).cast("long").as("seq_nr"),
+        lit(null).cast("long").as("delete_to"),
+        lit(null).cast("double").as("payload"),
+        lit(0L).as("event_id"),
+        lit("{}").as("props")
+      )
+    Replicate
+      .mergeBatch(store, purges)
+      .metajournal
+      .select("topic", "id")
+      .orderBy("topic", "id")
+  }
+
   /** C1 — the reference's two segmentation functions
     * (eventual-cassandra/.../SegmentNr.scala:138-150):
     *   - journal-table segment: `(seq_nr - 1) / segmentSize` (scaled-down

@@ -258,6 +258,58 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  val actionHeader: String = s"""${ActionLog.oracleCte}
+    SELECT action, COUNT(*) AS n, TRUE AS header_ok
+    FROM actions
+    GROUP BY action
+    ORDER BY action
+  """
+
+  val snapshotCriteria: String = s"""$annCte
+    SELECT topic, id, buffer_nr, seq_nr, koffset, payload
+    FROM (
+      SELECT s.*,
+             ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr DESC)
+               AS rn
+      FROM (
+        SELECT topic, id, CAST(seq_nr / 10 AS INT) AS buffer_nr,
+               seq_nr, koffset, payload
+        FROM ann3
+        WHERE action = 'append' AND after_purge
+          AND seq_nr > COALESCE(dt, 0) AND seq_nr % 10 = 0
+          AND seq_nr BETWEEN 15 AND 40
+      ) s
+    ) t
+    WHERE rn = 1
+    ORDER BY topic, id
+  """
+
+  val purgeExpiredApply: String = s"""$annCte,
+    ids AS (
+      SELECT DISTINCT topic, id FROM ann2
+      WHERE action <> 'mark' AND after_purge
+    ),
+    expired AS (
+      SELECT topic, id
+      FROM (
+        SELECT topic, id,
+               CAST(MIN(ts) AS DATE) AS created_date,
+               MIN(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) % 30
+                 AS ead
+        FROM ann2
+        WHERE action <> 'mark' AND after_purge
+        GROUP BY topic, id
+      ) m
+      WHERE created_date + ead <= DATE '2024-01-20'
+    )
+    SELECT topic, id FROM (
+      SELECT topic, id FROM ids
+      EXCEPT
+      SELECT topic, id FROM expired
+    ) r
+    ORDER BY topic, id
+  """
+
   val snapshotLoad: String = s"""$annCte
     SELECT topic, id, seq_nr, koffset, payload
     FROM (
