@@ -82,6 +82,9 @@ object SparkEntry {
     "w2_sessionize" -> (Analytics.sessionize _),
     "q6_event_type_stats" -> (Analytics.eventTypeStats _),
     "q7_top_users" -> (Analytics.topUsers _),
+    "w3_event_ranks" -> (Analytics.eventRanks _),
+    "q8_revenue_rollup" -> (Analytics.revenueRollup _),
+    "d4_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // LLM-data-pipeline operators over documents/embeddings
     "p1_text_quality" -> (TextAnalysis.quality _),
     "p2_langid_confusion" -> (TextAnalysis.langIdConfusion _),
@@ -129,6 +132,9 @@ object SparkEntry {
     "w2_sessionize" -> AnalyticsOracles.sessionize,
     "q6_event_type_stats" -> AnalyticsOracles.eventTypeStats,
     "q7_top_users" -> AnalyticsOracles.topUsers,
+    "w3_event_ranks" -> AnalyticsOracles.eventRanks,
+    "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
+    "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,
     "p2_langid_confusion" -> PipelineOracles.langIdConfusion,
     "p3_token_stats" -> PipelineOracles.tokenStats,

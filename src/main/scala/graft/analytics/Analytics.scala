@@ -211,6 +211,44 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Window-function spread: rank / dense_rank / ntile / lag / lead over
+    * each user's events by value — the W1-class ordered-analytics surface.
+    */
+  def eventRanks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    ev.select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event")
+      )
+      .filter(col("rnk") <= 10)
+      .orderBy("user_id", "rnk")
+  }
+
+  /** Hierarchical rollup: revenue by region ⊃ nation ⊃ total — the
+    * grouping-sets surface (exact decimal, so subtotal hashes are stable).
+    *
+    * Expressed through spark.sql: `Dataset.rollup` currently trips the
+    * ambiguous-self-join detector on Expand's duplicated grouping
+    * attributes; the SQL path plans the identical Expand+Aggregate — and
+    * runs the oracle's text verbatim, so the two engines execute the same
+    * statement.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation", "region").foreach { n =>
+      t(spark, dir, n).createOrReplaceTempView(n)
+    }
+    spark.sql(graft.oracle.AnalyticsOracles.revenueRollup)
+  }
+
   /** Top-k users by exact total value with deterministic tiebreak. */
   def topUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = ActionLog.normalizedEvents(spark, dir)

@@ -113,6 +113,35 @@ object AnalyticsOracles {
     ORDER BY event_type
   """
 
+  val eventRanks: String = """
+    SELECT user_id, event_id, value, rnk, drnk, quartile,
+           prev_event, next_event
+    FROM (
+      SELECT user_id, event_id, value,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             LAG(event_id, 1) OVER w AS prev_event,
+             LEAD(event_id, 1) OVER w AS next_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    ) r
+    WHERE rnk <= 10
+    ORDER BY user_id, rnk
+  """
+
+  val revenueRollup: String = s"""
+    SELECT r_name, n_name,
+           CAST(SUM($disc) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+  """
+
   val topUsers: String = """
     SELECT user_id,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,

@@ -136,6 +136,23 @@ object PipelineOracles {
     ORDER BY qid, rank
   """
 
+  val embeddingNearDup: String = s"""
+    SELECT label, a, b, sim
+    FROM (
+      SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+             list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                              CAST(r.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                    CAST(l.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
+                                    CAST(r.embedding AS DOUBLE[])))) AS sim
+      FROM embeddings l
+      JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+    ) s
+    WHERE sim >= 0.99
+    ORDER BY a, b
+  """
+
   val mediaMeta: String = """
     SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

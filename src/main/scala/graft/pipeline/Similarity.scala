@@ -140,6 +140,35 @@ object Similarity {
     )
   }
 
+  /** Embedding near-duplicate pairs: candidates restricted to the coarse
+    * bucket (label), exact double cosine above threshold. At 100 TB the
+    * label is an IVF cell / LSH bucket partition key, so the quadratic
+    * term is per-bucket, not per-corpus.
+    */
+  def embeddingNearDup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.99
+  ): DataFrame = {
+    val corpus = emb(spark, dir)
+    val l = corpus.select(
+      col("label"),
+      col("vec_id").as("a"),
+      col("embedding").as("ea")
+    )
+    val r = corpus.select(
+      col("label"),
+      col("vec_id").as("b"),
+      col("embedding").as("eb")
+    )
+    l.join(r, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select("label", "a", "b", "sim")
+      .orderBy("a", "b")
+  }
+
   /** Bucket-size histogram of the LSH index — the balance diagnostic that
     * decides whether buckets need salting at scale.
     */
