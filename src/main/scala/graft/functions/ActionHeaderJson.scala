@@ -102,6 +102,30 @@ object ActionHeaderJson {
 
   def decode(json: Column): Column = from_json(json, schema)
 
+  /** The JSON events envelope (`PayloadJson`) — the Kafka wire format for
+    * JSON-able payload batches (reference PayloadAndType.scala:112,
+    * golden fixtures Payload-v0-json.json / Payload-json-many.json):
+    * `{"events":[{"seqNr":1,"tags":[...],"payloadType":"json|text",
+    * "payload":...}], "metadata":{...}}` (metadata v1+ only).
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("events", ArrayType(StructType(Seq(
+      StructField("seqNr", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("payloadType", StringType),
+      StructField("payload", StringType)
+    )))),
+    StructField("metadata", metadataSchema)
+  ))
+
+  def decodeEnvelope(json: Column): Column = from_json(json, envelopeSchema)
+
+  /** Encode an array<struct<seqNr,tags,payloadType,payload>> column into
+    * the envelope JSON.
+    */
+  def encodeEnvelope(events: Column, metadata: Column): Column =
+    to_json(struct(events.as("events"), metadata.as("metadata")))
+
   /** Roundtrip exercise over an action log: encode each action's header,
     * parse it back, and verify the discriminator + payload fields survive.
     * `codec_ok` hash-joins the oracle's TRUE.

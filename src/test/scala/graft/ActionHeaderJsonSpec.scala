@@ -73,6 +73,52 @@ class ActionHeaderJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getString(0) == "origin")
   }
 
+  test("parses golden JSON payload envelopes (PayloadJson wire format)") {
+    val sp = spark
+    import sp.implicits._
+    def parseEnv(name: String) = {
+      val json = new String(
+        Files.readAllBytes(Paths.get(goldenDir, name)), "UTF-8")
+      Seq(json)
+        .toDF("j")
+        .select(ActionHeaderJson.decodeEnvelope(col("j")).as("e"))
+        .select("e.*")
+        .head()
+    }
+    val one = parseEnv("Payload-v0-json.json")
+    val evs = one.getSeq[org.apache.spark.sql.Row](0)
+    assert(evs.length == 1)
+    assert(evs.head.getLong(0) == 1L)
+    assert(evs.head.getSeq[String](1) == Seq("0", "1"))
+    assert(evs.head.getString(2) == "json")
+
+    val many = parseEnv("Payload-json-many.json")
+    assert(many.getSeq[org.apache.spark.sql.Row](0).length > 1)
+  }
+
+  test("envelope encode→decode roundtrip") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Seq("a"), "text", "hello"))
+      .toDF("seqNr", "tags", "payloadType", "payload")
+      .agg(collect_list(struct(
+        col("seqNr"), col("tags"), col("payloadType"), col("payload")
+      )).as("events"))
+      .select(
+        ActionHeaderJson.decodeEnvelope(
+          ActionHeaderJson.encodeEnvelope(
+            col("events"),
+            lit(null).cast(ActionHeaderJson.metadataSchema)
+          )
+        ).as("e")
+      )
+      .select("e.events")
+      .head()
+    val evs = df.getSeq[org.apache.spark.sql.Row](0)
+    assert(evs.head.getLong(0) == 1L)
+    assert(evs.head.getString(3) == "hello")
+  }
+
   test("encode→decode roundtrip preserves the discriminator and fields") {
     val sp = spark
     import sp.implicits._

@@ -83,6 +83,31 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("streaming resumes from checkpoint and ingests only new files") {
+    val a = actions.cache()
+    val tmp = Files.createTempDirectory("graft-stream-resume").toString
+    val inDir = s"$tmp/in"
+    val storeDir = s"$tmp/store"
+    val ckDir = s"$tmp/ck"
+    val cs = chunks(a, 3)
+    val schema = a.schema
+    // first run: chunks 0 and 1
+    cs.take(2).zipWithIndex.foreach { case (c, i) =>
+      c.coalesce(1).write.parquet(s"$inDir/chunk_$i")
+    }
+    val q1 = StreamingReplicator.streamFrom(
+      spark, s"$inDir/chunk_*", storeDir, ckDir, schema)
+    q1.awaitTermination(120000)
+    // second run, same checkpoint: only chunk 2 is new
+    cs(2).coalesce(1).write.parquet(s"$inDir/chunk_2")
+    val q2 = StreamingReplicator.streamFrom(
+      spark, s"$inDir/chunk_*", storeDir, ckDir, schema)
+    q2.awaitTermination(120000)
+    val got = Replicate.read(spark, s"$storeDir/current")
+    assertStoreEquals(got, Replicate.compute(a))
+    a.unpersist()
+  }
+
   test("structured-streaming replicator materializes the same store") {
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-stream").toString
