@@ -68,6 +68,14 @@ object SparkEntry {
     "c6_codec_roundtrip" -> ((s, d) => Segments.codecRoundtrip(actions(s, d))),
     "c5_action_header" -> ((s, d) =>
       ActionHeaderJson.roundtrip(actions(s, d))),
+    "f8_wire_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      graft.sources.KafkaWire
+        .fromWire(graft.sources.KafkaWire.toWire(actions(s, d)))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("action")
+    }),
     "s10b_snapshot_criteria" -> ((s, d) =>
       Snapshots.load(actions(s, d),
         Snapshots.Criteria(maxSeqNr = 40, minSeqNr = 15))),
@@ -122,6 +130,7 @@ object SparkEntry {
     "c1_segments" -> JournalOracles.segments,
     "c6_codec_roundtrip" -> JournalOracles.codecRoundtrip,
     "c5_action_header" -> JournalOracles.actionHeader,
+    "f8_wire_roundtrip" -> JournalOracles.actionCounts,
     "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
     "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,
     "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,

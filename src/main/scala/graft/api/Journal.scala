@@ -1,0 +1,98 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.journal.{JournalOps, Replicate, Replay}
+
+/** User-facing journal API — the Spark-native counterpart of the
+  * reference's client surface (journal/.../Journal.scala:20-40:
+  * append / read / pointer / delete / purge, plus EventualJournal's
+  * ids / topics / offsets).
+  *
+  * The reference's `Journal` is a per-entity handle over Kafka+Cassandra;
+  * here the handle is over (log DataFrame, materialized Store). Writes are
+  * log appends (the caller's sink decides Kafka vs files); reads are
+  * merged two-source queries bounded exactly like the reference's
+  * marker/head-info branch.
+  *
+  * All methods return lazy DataFrames — composition stays inside one
+  * Catalyst plan, so e.g. `journal.read(id).filter(...)` pushes the filter
+  * into the store scan.
+  */
+final class Journal(
+    val spark: SparkSession,
+    log: DataFrame,
+    store: Replicate.Store
+) {
+
+  /** Events of one journal from `fromSeqNr`, replay order — the recovery
+    * query (reference Journals.scala:194-301): merged store prefix + log
+    * tail with dedup and delete/purge semantics.
+    */
+  def read(topic: String, id: String, fromSeqNr: Long = 1L): DataFrame =
+    Replay
+      .mergedRead(log.filter(col("topic") === topic && col("id") === id))
+      .filter(col("seq_nr") >= fromSeqNr)
+
+  /** Highest appended seqNr of one journal (None ⇒ empty row set). */
+  def pointer(topic: String, id: String): DataFrame =
+    JournalOps
+      .pointer(log.filter(col("topic") === topic && col("id") === id))
+      .select("seq_nr")
+
+  /** Append actions for a key onto the caller-provided log sink: stamps
+    * topic/partition/id columns the way the producer does (key = id,
+    * partition by id hash — reference ActionToProducerRecord).
+    */
+  def append(
+      topic: String,
+      id: String,
+      events: DataFrame, // (seq_nr LONG, ts TIMESTAMP, payload DOUBLE)
+      numPartitions: Int = 8
+  ): DataFrame =
+    events.select(
+      lit(topic).as("topic"),
+      (abs(hash(lit(id))) % numPartitions).cast("int").as("part_no"),
+      lit(null).cast("long").as("koffset"), // assigned by the sink/broker
+      lit(id).as("id"),
+      lit("append").as("action"),
+      col("ts"),
+      col("seq_nr"),
+      lit(null).cast("long").as("delete_to"),
+      col("payload"),
+      lit(0L).as("event_id"),
+      lit("{}").as("props")
+    )
+
+  /** delete(to) clamped to the current pointer — reference
+    * Journals.scala:326-332. Returns the action row to produce.
+    */
+  def delete(topic: String, id: String, to: Long): DataFrame = {
+    val ptr = JournalOps
+      .pointer(log.filter(col("topic") === topic && col("id") === id))
+      .select(col("seq_nr").as("ptr"))
+    ptr.select(
+      lit(topic).as("topic"),
+      lit(id).as("id"),
+      lit("delete").as("action"),
+      least(lit(to), col("ptr")).as("delete_to")
+    )
+  }
+
+  def ids(topic: String): DataFrame =
+    JournalOps.ids(log.filter(col("topic") === topic)).select("id")
+
+  def topics: DataFrame = JournalOps.topics(log)
+
+  /** Replicated offsets per partition (reference
+    * EventualJournal.offset / pointer2). */
+  def offsets(topic: String): DataFrame =
+    store.pointer2.filter(col("topic") === topic)
+}
+
+object Journal {
+  /** Handle over a raw action log: materializes the store lazily. */
+  def apply(spark: SparkSession, log: DataFrame): Journal =
+    new Journal(spark, log, Replicate.compute(log))
+}

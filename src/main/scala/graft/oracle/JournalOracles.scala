@@ -258,6 +258,13 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  val actionCounts: String = s"""${ActionLog.oracleCte}
+    SELECT action, COUNT(*) AS n
+    FROM actions
+    GROUP BY action
+    ORDER BY action
+  """
+
   val actionHeader: String = s"""${ActionLog.oracleCte}
     SELECT action, COUNT(*) AS n, TRUE AS header_ok
     FROM actions

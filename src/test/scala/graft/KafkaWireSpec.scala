@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Journal
+import graft.model.ActionLog
+import graft.sources.KafkaWire
+
+/** Wire-format roundtrip + user-API surface tests. */
+class KafkaWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-wire-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def actions = ActionLog.fromEvents(spark, sfDir)
+
+  test("actions → kafka wire → actions is the identity") {
+    val a = actions
+      .select("topic", "part_no", "koffset", "id", "action", "ts",
+        "seq_nr", "delete_to", "payload")
+      .cache()
+    val back = KafkaWire.fromWire(KafkaWire.toWire(a))
+    assert(back.exceptAll(a).count() == 0)
+    assert(a.exceptAll(back).count() == 0)
+    a.unpersist()
+  }
+
+  test("header-only records carry delete_to through the wire") {
+    val a = actions.filter(col("action") === "delete")
+    val back = KafkaWire
+      .fromWire(KafkaWire.toWire(actions))
+      .filter(col("action") === "delete")
+    assert(back.count() == a.count())
+    assert(back.filter(col("delete_to").isNull).count() == 0)
+  }
+
+  test("Journal API: read equals engine replay for a single key") {
+    val log = actions.cache()
+    val j = Journal(spark, log)
+    val viaApi = j.read("t1", "1").select("seq_nr")
+    val direct = graft.journal.JournalOps
+      .journalScan(log)
+      .filter(col("topic") === "t1" && col("id") === "1")
+      .select("seq_nr")
+    assert(viaApi.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaApi).count() == 0)
+    log.unpersist()
+  }
+
+  test("Journal API: pointer, ids, topics, delete clamp") {
+    val log = actions.cache()
+    val j = Journal(spark, log)
+    assert(j.topics.count() == 4)
+    assert(j.ids("t1").count() > 0)
+    val ptr = j.pointer("t1", "1").head().getLong(0)
+    assert(ptr > 0)
+    // delete beyond the pointer clamps to the pointer
+    val clamped = j.delete("t1", "1", Long.MaxValue).head().getLong(3)
+    assert(clamped == ptr)
+    log.unpersist()
+  }
+}
