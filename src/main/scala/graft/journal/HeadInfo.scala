@@ -40,7 +40,13 @@ object HeadInfo {
           case Append(o, s, d) =>
             Append(o, math.max(s, action.seqNr), d)
           case Delete(d) =>
-            Append(action.koffset, action.seqNr, Some(d))
+            // reference clamps the carried deleteTo below the first appended
+            // seqNr (HeadInfo.scala `deleteToOf`: min(range.from.prev, d))
+            Append(
+              action.koffset,
+              action.seqNr,
+              if (action.seqNr > 1) Some(math.min(d, action.seqNr - 1)) else None
+            )
           case Empty | Purge =>
             Append(action.koffset, action.seqNr, None)
         }
@@ -106,6 +112,63 @@ object HeadInfo {
     case Delete(d) => Result(topic, id, "delete", None, None, Some(d))
     case Append(o, s, d) => Result(topic, id, "append", Some(o), Some(s), d)
   }
+
+  /** Skew-safe variant: partial folds per (journal, offset-chunk) merged in
+    * chunk order — the job the reference's Semigroup exists for
+    * (HeadInfo.scala:127-150: PartitionCache merges partial per-offset-range
+    * entries). A single hot journal no longer serializes into one task: its
+    * chunks fold in parallel and only the (few) partial states meet in the
+    * final per-key reduce.
+    *
+    * Each partial carries a `sawPurge` flag: the bare Semigroup cannot
+    * represent "purged then appended" inside the right chunk (its Append
+    * merge would keep the stale left state), so a purged chunk REPLACES the
+    * accumulated state instead of merging — making the chunked fold exact,
+    * not approximate.
+    */
+  def perJournalSalted(
+      spark: SparkSession,
+      actions: Dataset[ActionRow],
+      chunkSize: Long = 1000L
+  ): Dataset[Result] = {
+    import spark.implicits._
+    actions
+      .groupByKey(a => (a.topic, a.id, a.koffset / chunkSize))
+      .mapGroups { (key: (String, String, Long), rows: Iterator[ActionRow]) =>
+        val sorted = rows.toArray.sortBy(_.koffset)
+        val sawPurge = sorted.exists(_.action == "purge")
+        (key._1, key._2, key._3, sawPurge,
+          pack(sorted.foldLeft(Empty: HeadInfo)(step)))
+      }
+      .groupByKey { case (topic, id, _, _, _) => (topic, id) }
+      .mapGroups {
+        (key: (String, String),
+         parts: Iterator[(String, String, Long, Boolean, (String, Long, Long, Long))]) =>
+          val ordered = parts.toArray.sortBy(_._3)
+          val merged = ordered.foldLeft(Empty: HeadInfo) {
+            case (acc, (_, _, _, purged, packed)) =>
+              val head = unpack(packed)
+              if (purged) head else combine(acc, head)
+          }
+          toResult(key._1, key._2, merged)
+      }
+  }
+
+  /** Flat encodable form of a HeadInfo (for shuffling partials). */
+  private[journal] def pack(h: HeadInfo): (String, Long, Long, Long) = h match {
+    case Empty           => ("e", 0L, 0L, -1L)
+    case Purge           => ("p", 0L, 0L, -1L)
+    case Delete(d)       => ("d", 0L, 0L, d)
+    case Append(o, s, d) => ("a", o, s, d.getOrElse(-1L))
+  }
+
+  private[journal] def unpack(t: (String, Long, Long, Long)): HeadInfo =
+    t._1 match {
+      case "e" => Empty
+      case "p" => Purge
+      case "d" => Delete(t._4)
+      case _   => Append(t._2, t._3, if (t._4 >= 0) Some(t._4) else None)
+    }
 
   /** Runs the fold per journal over a Dataset of action rows. Each group is
     * one journal's tail — sorted by offset in-memory (bounded by tail size,

@@ -93,6 +93,25 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("ptr") > col("seq_nr")).count() == 0)
   }
 
+  test("salted chunked HeadInfo fold equals the sequential fold") {
+    implicit val enc: org.apache.spark.sql.Encoder[ActionRow] =
+      org.apache.spark.sql.Encoders.product[ActionRow]
+    import org.apache.spark.sql.functions._
+    val rows = actions
+      .select(
+        col("topic"), col("part_no"), col("koffset"), col("id"),
+        col("action"),
+        coalesce(col("seq_nr"), lit(0L)).as("seqNr"),
+        coalesce(col("delete_to"), lit(0L)).as("deleteTo")
+      )
+      .as[ActionRow]
+    val seq = HeadInfo.perJournal(spark, rows).toDF()
+    // tiny chunks force purge/append boundaries across chunks
+    val salted = HeadInfo.perJournalSalted(spark, rows, chunkSize = 8L).toDF()
+    assert(salted.exceptAll(seq).count() == 0)
+    assert(seq.exceptAll(salted).count() == 0)
+  }
+
   test("typed HeadInfo fold agrees with the declarative window formulation") {
     implicit val enc: org.apache.spark.sql.Encoder[ActionRow] =
       org.apache.spark.sql.Encoders.product[ActionRow]
