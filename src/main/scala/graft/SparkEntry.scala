@@ -44,6 +44,9 @@ object SparkEntry {
     "s9_pointer2" -> ((s, d) => JournalOps.pointer2(actions(s, d))),
     "a5_topics" -> ((s, d) => JournalOps.topics(actions(s, d))),
     "a6_ids" -> ((s, d) => JournalOps.ids(actions(s, d))),
+    "a6b_ids_by_created" -> ((s, d) =>
+      JournalOps.idsByCreated(actions(s, d), "2024-01-03", "2024-01-15")),
+    "p5_fingerprint" -> (TextAnalysis.fingerprint _),
     "a1_head_info" -> ((s, d) => {
       val a = actions(s, d)
       JournalOps.headInfo(a, JournalOps.defaultWatermark(a))
@@ -118,6 +121,8 @@ object SparkEntry {
     "s9_pointer2" -> JournalOracles.pointer2,
     "a5_topics" -> JournalOracles.topics,
     "a6_ids" -> JournalOracles.ids,
+    "a6b_ids_by_created" -> JournalOracles.idsByCreated,
+    "p5_fingerprint" -> PipelineOracles.fingerprint,
     "a1_head_info" -> JournalOracles.headInfo,
     "a3_batch_compaction" -> JournalOracles.batchCompaction,
     "j1_replay_merge" -> JournalOracles.mergedRead,

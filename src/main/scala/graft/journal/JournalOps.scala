@@ -137,6 +137,19 @@ object JournalOps {
       .distinct()
       .orderBy("topic", "id")
 
+  /** S8 — ids by created date window (reference
+    * MetaJournalStatements.SelectIdsByCreatedDate / `created_date`
+    * secondary index): journals first created inside [fromDate, toDate].
+    */
+  def idsByCreated(actions: DataFrame, fromDate: String, toDate: String): DataFrame =
+    metajournal(actions)
+      .filter(
+        col("created_date") >= lit(fromDate).cast("date") &&
+          col("created_date") <= lit(toDate).cast("date")
+      )
+      .select("topic", "id", "created_date")
+      .orderBy("topic", "id")
+
   /** A1 — HeadInfo: fold over the *unreplicated tail* of each partition
     * (actions above the replicated watermark), summarizing what the Kafka
     * head holds per journal (reference HeadInfo.scala:105-277). Declarative

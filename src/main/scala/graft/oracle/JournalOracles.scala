@@ -85,6 +85,18 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  val idsByCreated: String = s"""$annCte
+    SELECT topic, id, created_date
+    FROM (
+      SELECT topic, id, CAST(MIN(ts) AS DATE) AS created_date
+      FROM ann2
+      WHERE action <> 'mark' AND after_purge
+      GROUP BY topic, id
+    ) m
+    WHERE created_date BETWEEN DATE '2024-01-03' AND DATE '2024-01-15'
+    ORDER BY topic, id
+  """
+
   val headInfo: String = s"""${ActionLog.oracleCte},
     wm AS (
       SELECT topic, part_no,

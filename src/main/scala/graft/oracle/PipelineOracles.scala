@@ -70,6 +70,22 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  val fingerprint: String = """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(text, 1, 64), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS prefix_fp
+    FROM documents
+    ORDER BY doc_id
+  """
+
   val corpusStats: String = s"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
