@@ -103,6 +103,7 @@ object SparkEntry {
     "p4_corpus_stats" -> (TextAnalysis.corpusStats _),
     "d1_dedup_exact" -> (Dedup.exact _),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),

@@ -160,6 +160,94 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over near-duplicate pairs → cluster (canonical
+    * document) assignment — the step that turns pairwise similarity into
+    * keep/drop decisions for a training corpus.
+    *
+    * Iterative min-label propagation: every doc starts as its own label;
+    * each round propagates the minimum label across edges; converges in
+    * O(diameter) rounds (near-dup clusters are tiny, so 2-4 rounds). Each
+    * round is two shuffles on bounded keys — the standard large-graph CC
+    * shape (no driver-side graph).
+    */
+  def components(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      localThreshold: Long = 1L << 20
+  ): DataFrame = {
+    // undirected edge list
+    val edges = pairs
+      .select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+
+    // Hybrid: near-dup graphs are usually far smaller than the corpus (only
+    // docs that occur in a pair). Below the threshold a driver-side
+    // union-find replaces the iterative join loop — each distributed round
+    // costs plan+codegen+shuffle overhead that dwarfs 10^6 edges of work.
+    // Above it, fall through to the scale path.
+    if (edges.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      return labels.toDF("doc_id", "label").orderBy("doc_id")
+    }
+    var labels = edges
+      .select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("label", "nb_label"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("nb_label").as("prop_label"))
+      val next = labels
+        .join(prop, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("prop_label"), col("label")))
+            .as("label")
+        )
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** End-to-end near-dup clustering: minhash pairs → components → cluster
+    * assignment with keep/drop flag (keep = min doc_id of the cluster).
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    components(minhashPairs(spark, dir))
+      .withColumn("keep", col("doc_id") === col("label"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup: 64-bit signature by bit-voting word-hash bits,
     * bucketed by 16-bit chunks for candidate generation (pigeonhole: any
     * pair within Hamming distance 3 collides on ≥1 of the 4 chunks).

@@ -58,6 +58,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.exceptAll(found).count() == 0)
   }
 
+  test("connected components assign one min-label per cluster") {
+    val sp = spark
+    import sp.implicits._
+    // two triangles + an isolated edge + a chain: known components
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // component min=1
+      (10L, 11L), (11L, 12L),       // chain, min=10
+      (20L, 21L),                   // pair, min=20
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // longer chain, min=30
+    ).toDF("a", "b")
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L
+    )
+    // driver union-find path AND distributed label-propagation path
+    for (threshold <- Seq(1L << 20, 0L)) {
+      val got = graft.pipeline.Dedup
+        .components(pairs, localThreshold = threshold)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want, s"threshold=$threshold")
+    }
+  }
+
+  test("near-dup clusters keep exactly one doc per cluster") {
+    val cl = graft.pipeline.Dedup.nearDupClusters(spark, sfDir).cache()
+    assert(cl.count() > 0)
+    import org.apache.spark.sql.functions._
+    val perCluster = cl.groupBy("label")
+      .agg(sum(col("keep").cast("int")).as("keepers"))
+    assert(perCluster.filter(col("keepers") =!= 1).count() == 0)
+  }
+
   test("simhash: hamming distance 0 pairs are exact-signature matches") {
     val pairs = Dedup.simhashPairs(spark, sfDir).cache()
     assert(pairs.filter(col("dist") < 0).count() == 0)
