@@ -62,6 +62,35 @@ object StreamingReplicator {
       Files.deleteIfExists(f): Unit
     )
 
+  /** Runs the replicator over a stream of KAFKA-SHAPED records (key /
+    * value bytes / `journal.action` header — the exact columns
+    * `readStream.format("kafka")` yields): decodes each micro-batch with
+    * [[graft.sources.KafkaWire.fromWire]] and merges. This is the
+    * production entry point; the file stream stands in for the broker.
+    */
+  def streamFromWire(
+      spark: SparkSession,
+      inputDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(
+          batch.sparkSession,
+          storeDir,
+          graft.sources.KafkaWire.fromWire(batch)
+        )
+      }
+      .start()
+  }
+
   /** Runs the replicator over a parquet file stream of action records.
     * `Trigger.AvailableNow` drains what exists and stops — the batch-ingest
     * mode; pass a processing-time trigger for a long-running tail.
