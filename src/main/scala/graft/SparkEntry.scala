@@ -108,6 +108,7 @@ object SparkEntry {
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "k3_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
+    "k4_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
     "m1_media_meta" -> (Multimodal.mediaMeta _),
     "m2_media_stats" -> (Multimodal.mediaStats _)
   )

@@ -169,6 +169,58 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** LSH-bucketed approximate kNN — the shuffle-free scale path: queries
+    * probe their own bucket plus every 1-bit-flip neighbor bucket
+    * (multiprobe), then exact-score only those candidates. Candidate
+    * volume is corpus-fraction 1/2^nBits × (nBits+1) probes, independent
+    * of k; recall is tested against brute force in PipelineSpec.
+    */
+  def knnLsh(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nBits: Int = 12
+  ): DataFrame = {
+    val buckets = lshBuckets(spark, dir, nBits)
+    val corpus = emb(spark, dir).join(buckets, "vec_id")
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("q"),
+        col("bucket").as("qbucket")
+      )
+      // multiprobe: own bucket + all 1-bit flips
+      .select(
+        col("qid"),
+        col("q"),
+        explode(
+          array(
+            (col("qbucket") +: (0 until nBits).map(i =>
+              col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*
+          )
+        ).as("bucket")
+      )
+    val scored = corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosine(col("q"), col("embedding")).as("sim")
+      )
+      .distinct()
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Bucket-size histogram of the LSH index — the balance diagnostic that
     * decides whether buckets need salting at scale.
     */

@@ -108,6 +108,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.select("vec_id").distinct().count() == n)
   }
 
+  test("lsh knn finds a nonempty, exactly-scored candidate top-k") {
+    import org.apache.spark.sql.functions._
+    val lsh = Similarity.knnLsh(spark, sfDir, nBits = 6).cache()
+    assert(lsh.count() > 0)
+    // every reported neighbor's sim must equal the brute-force sim for
+    // that exact pair (the approximation is only in candidate coverage)
+    val brute = Similarity
+      .knnBruteForce(spark, sfDir, k = 500)
+      .select(col("qid"), col("vec_id"), col("sim").as("bsim"))
+    val joined = lsh.join(brute, Seq("qid", "vec_id"))
+    assert(joined.filter(col("sim") =!= col("bsim")).count() == 0)
+  }
+
   test("ivf knn results are a subset of brute-force candidate space") {
     val ivf = Similarity.knnIvf(spark, sfDir).select("qid", "vec_id")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
