@@ -40,8 +40,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_journal_scan" -> ((s, d) => JournalOps.journalScan(actions(s, d))),
     "a2_pointer" -> ((s, d) => JournalOps.pointer(actions(s, d))),
-    "s8_metajournal" -> ((s, d) => JournalOps.metajournal(actions(s, d))),
-    "s9_pointer2" -> ((s, d) => JournalOps.pointer2(actions(s, d))),
+    "s8_metajournal" -> ((s, d) =>
+      JournalOps.metajournal(actions(s, d)).orderBy("topic", "id")),
+    "s9_pointer2" -> ((s, d) =>
+      JournalOps.pointer2(actions(s, d)).orderBy("topic", "part_no")),
     "a5_topics" -> ((s, d) => JournalOps.topics(actions(s, d))),
     "a6_ids" -> ((s, d) => JournalOps.ids(actions(s, d))),
     "a6b_ids_by_created" -> ((s, d) =>

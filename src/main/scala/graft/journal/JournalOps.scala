@@ -106,8 +106,8 @@ object JournalOps {
         min("ts").as("created"),
         to_date(min("ts")).as("created_date"),
         max("ts").as("updated")
-      )
-      .orderBy("topic", "id")
+      ) // unordered: callers in the merge path must not pay a sort; the
+        // query surface adds ORDER BY explicitly
 
   /** S9/A4 — pointer2: replicated high-watermark per (topic, partition) —
     * max offset + 1, i.e. the next offset the replicator would consume
@@ -119,8 +119,7 @@ object JournalOps {
       .agg(
         (max("koffset") + 1L).as("next_offset"),
         count(lit(1)).as("records")
-      )
-      .orderBy("topic", "part_no")
+      ) // unordered (see metajournal)
 
   /** A5 — topic discovery (reference Pointer2Statements.SelectTopics:31-59). */
   def topics(actions: DataFrame): DataFrame =

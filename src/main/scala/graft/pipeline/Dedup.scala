@@ -243,10 +243,13 @@ object Dedup {
   /** End-to-end near-dup clustering: minhash pairs → components → cluster
     * assignment with keep/drop flag (keep = min doc_id of the cluster).
     */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    components(minhashPairs(spark, dir))
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the edge-list union scans the pair set twice
+    val pairs = minhashPairs(spark, dir).cache()
+    components(pairs)
       .withColumn("keep", col("doc_id") === col("label"))
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup: 64-bit signature by bit-voting word-hash bits,
     * bucketed by 16-bit chunks for candidate generation (pigeonhole: any
