@@ -96,6 +96,9 @@ object SparkEntry {
     "q6_event_type_stats" -> (Analytics.eventTypeStats _),
     "q7_top_users" -> (Analytics.topUsers _),
     "w3_event_ranks" -> (Analytics.eventRanks _),
+    "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
+    "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
+    "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
     "d4_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // LLM-data-pipeline operators over documents/embeddings
@@ -151,6 +154,9 @@ object SparkEntry {
     "q6_event_type_stats" -> AnalyticsOracles.eventTypeStats,
     "q7_top_users" -> AnalyticsOracles.topUsers,
     "w3_event_ranks" -> AnalyticsOracles.eventRanks,
+    "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
+    "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
+    "m3_frame_sample" -> PipelineOracles.frameSample,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,

@@ -211,6 +211,52 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q6 shape: forecast revenue — pure scan+filter+agg, the query
+    * whose whole cost is how much the scan prunes.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        sum(dec("l_extendedprice") * dec("l_discount"))
+          .cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+
+  /** TPC-H Q12 shape: conditional aggregation after a fact-fact join —
+    * priority counts per return flag.
+    */
+  def shipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(
+          when(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L
+          ).otherwise(0L)
+        ).as("high_line_count"),
+        sum(
+          when(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L
+          ).otherwise(1L)
+        ).as("low_line_count")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** Window-function spread: rank / dense_rank / ntile / lag / lead over
     * each user's events by value — the W1-class ordered-analytics surface.
     */

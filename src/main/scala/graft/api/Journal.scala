@@ -35,6 +35,20 @@ final class Journal(
       .mergedRead(log.filter(col("topic") === topic && col("id") === id))
       .filter(col("seq_nr") >= fromSeqNr)
 
+  /** Typed replay — `Dataset[EventRecord]`, the reference's
+    * `Stream[F, EventRecord[A]]` as a typed Dataset (EventRecord.scala:13-30).
+    */
+  def readTyped(topic: String, id: String, fromSeqNr: Long = 1L): org.apache.spark.sql.Dataset[EventRecord] = {
+    implicit val enc: org.apache.spark.sql.Encoder[EventRecord] =
+      org.apache.spark.sql.Encoders.product[EventRecord]
+    read(topic, id, fromSeqNr)
+      .select(
+        col("topic"), col("id"), col("seq_nr"), col("koffset"),
+        col("ts"), col("payload")
+      )
+      .as[EventRecord]
+  }
+
   /** Highest appended seqNr of one journal (None ⇒ empty row set). */
   def pointer(topic: String, id: String): DataFrame =
     JournalOps
@@ -90,6 +104,16 @@ final class Journal(
   def offsets(topic: String): DataFrame =
     store.pointer2.filter(col("topic") === topic)
 }
+
+/** Typed event row (reference EventRecord.scala:13-30 projection). */
+final case class EventRecord(
+    topic: String,
+    id: String,
+    seq_nr: Long,
+    koffset: Long,
+    ts: java.sql.Timestamp,
+    payload: Option[Double]
+)
 
 object Journal {
   /** Handle over a raw action log: materializes the store lazily. */

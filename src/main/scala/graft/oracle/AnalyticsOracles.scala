@@ -113,6 +113,30 @@ object AnalyticsOracles {
     ORDER BY event_type
   """
 
+  val forecastRevenue: String = s"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+  """
+
+  val shipmodePriority: String = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+  """
+
   val eventRanks: String = """
     SELECT user_id, event_id, value, rnk, drnk, quartile,
            prev_event, next_event

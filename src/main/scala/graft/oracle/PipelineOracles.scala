@@ -184,6 +184,19 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  val frameSample: String = """
+    SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
+    FROM (
+      SELECT doc_id,
+             CAST(strlen(text) % 250 AS INT) AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ) v,
+    LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 25)) AS frame_idx) f
+    WHERE n_frames > 0
+    ORDER BY doc_id, frame_idx
+  """
+
   val mediaStats: String = """
     SELECT media_type,
            COUNT(*) AS n,

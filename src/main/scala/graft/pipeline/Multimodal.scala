@@ -85,6 +85,30 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
 
+  /** Frame sampling: one row per sampled frame of each video (every
+    * `stride`-th frame) — the explode/generator shape a vision pipeline
+    * uses to turn media rows into training examples. The frame "decode" is
+    * the stub; the explode semantics, stride arithmetic and row fan-out
+    * are real and oracle-checked.
+    */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 25): DataFrame =
+    decodeMeta(spark, dir)
+      .toDF()
+      .filter(col("media_type") === "video" && col("n_frames") > 0)
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(
+          sequence(
+            lit(0L),
+            (col("n_frames") - 1).cast("long"),
+            lit(stride.toLong)
+          )
+        ).as("frame_idx")
+      )
+      .withColumn("frame_ts_ms", col("frame_idx") * 40L)
+      .orderBy("doc_id", "frame_idx")
+
   /** Rollup per media type — the "what's in this corpus" report. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir)

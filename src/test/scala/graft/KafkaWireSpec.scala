@@ -64,6 +64,16 @@ class KafkaWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     log.unpersist()
   }
 
+  test("Journal API: typed read yields ordered EventRecords") {
+    val log = actions.cache()
+    val j = Journal(spark, log)
+    val recs = j.readTyped("t1", "1").collect()
+    assert(recs.nonEmpty)
+    assert(recs.map(_.seq_nr).toSeq == recs.map(_.seq_nr).sorted.toSeq)
+    assert(recs.forall(r => r.topic == "t1" && r.id == "1"))
+    log.unpersist()
+  }
+
   test("Journal API: pointer, ids, topics, delete clamp") {
     val log = actions.cache()
     val j = Journal(spark, log)
