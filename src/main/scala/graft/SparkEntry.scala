@@ -99,6 +99,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
     "d4_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     // LLM-data-pipeline operators over documents/embeddings
@@ -157,6 +158,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
     "m3_frame_sample" -> PipelineOracles.frameSample,
+    "m4_media_knn" -> PipelineOracles.mediaKnn,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,

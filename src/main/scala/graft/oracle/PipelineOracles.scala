@@ -184,6 +184,32 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  val mediaKnn: String = """
+    SELECT qid, doc_id, rank
+    FROM (
+      SELECT qid, doc_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id)
+               AS BIGINT) AS rank
+      FROM (
+        SELECT q.qid, e.doc_id,
+               list_dot_product(q.qe, e.ee) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(e.ee, e.ee))) AS sim
+        FROM (SELECT doc_id AS qid,
+                     list_transform(generate_series(1, 8),
+                       k -> CAST((strlen(text) * k) % 97 + 1 AS DOUBLE)) AS qe
+              FROM documents WHERE doc_id < 5) q
+        JOIN (SELECT doc_id,
+                     list_transform(generate_series(1, 8),
+                       k -> CAST((strlen(text) * k) % 97 + 1 AS DOUBLE)) AS ee
+              FROM documents) e
+          ON e.doc_id <> q.qid
+      ) s
+    ) r
+    WHERE rank <= 3
+    ORDER BY qid, rank
+  """
+
   val frameSample: String = """
     SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
     FROM (

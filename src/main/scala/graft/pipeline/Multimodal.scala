@@ -109,6 +109,56 @@ object Multimodal {
       .withColumn("frame_ts_ms", col("frame_idx") * 40L)
       .orderBy("doc_id", "frame_idx")
 
+  /** STUB feature extractor: a deterministic 8-dim "embedding" from the
+    * payload (a real build swaps the body for a vision/audio encoder; the
+    * batch shape — per-partition init, Iterator→Iterator, fixed-width
+    * float vector out — is the real contract).
+    */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition model handle init would happen here
+        rows.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          // exact small integers: float-representable, so the DuckDB
+          // oracle reproduces the vectors bit-for-bit
+          // +1 keeps the vector nonzero even when n ≡ 0 (mod 97)
+          val vec = (1 to 8).map(k => ((n * k) % 97 + 1).toFloat).toArray
+          (id, vec)
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
+  /** Media similarity: cosine top-k over the extracted features — the full
+    * multimodal retrieval chain (binary column → batch extract → ANN).
+    * Deterministic stub features make the whole chain oracle-checkable.
+    */
+  def mediaKnn(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFeatures(spark, dir)
+    val queries = feats
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("embedding").as("q"))
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("doc_id"))
+    feats
+      .join(broadcast(queries), col("doc_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        Similarity.cosine(col("q"), col("embedding")).as("sim")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Rollup per media type — the "what's in this corpus" report. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir)
