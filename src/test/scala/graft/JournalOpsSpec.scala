@@ -93,6 +93,17 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("ptr") > col("seq_nr")).count() == 0)
   }
 
+  test("aggregate-join annotate equals window annotate") {
+    val a = actions.cache()
+    val cols = Seq("topic", "id", "koffset", "action", "lp", "dt",
+      "after_purge").map(org.apache.spark.sql.functions.col)
+    val viaWindow = JournalOps.annotate(a).select(cols: _*)
+    val viaAgg = JournalOps.annotateAgg(a).select(cols: _*)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    a.unpersist()
+  }
+
   test("salted chunked HeadInfo fold equals the sequential fold") {
     implicit val enc: org.apache.spark.sql.Encoder[ActionRow] =
       org.apache.spark.sql.Encoders.product[ActionRow]
