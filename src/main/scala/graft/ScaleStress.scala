@@ -17,14 +17,7 @@ import graft.model.ActionLog
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local("graft-scale-stress")
     spark.sparkContext.setLogLevel("WARN")
 
     val base = ActionLog.normalizedEvents(spark, "/root/testdata/sf0.1")
