@@ -161,6 +161,53 @@ class JournalModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("randomized scenarios reproduce the model (property-based)") {
+    // deterministic pseudo-random action sequences: monotone append seqNrs,
+    // bounded deletes, purges, marks, and occasional duplicated suffixes
+    val rnd = new scala.util.Random(20260812L)
+    val randomCases: Seq[Seq[MA]] = (0 until 300).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      var seq = 0L
+      val base = (0 until len).flatMap { _ =>
+        rnd.nextInt(10) match {
+          case 0 => Seq(Pur)
+          case 1 | 2 =>
+            if (seq > 0) Seq(Del(1L + rnd.nextInt(seq.toInt + 2)))
+            else Seq(Mrk)
+          case 3 => Seq(Mrk)
+          case _ =>
+            seq += 1
+            Seq(App(seq))
+        }
+      }
+      if (base.isEmpty) Seq(App(1))
+      else if (rnd.nextBoolean())
+        base ++ base.takeRight(1 + rnd.nextInt(base.length))
+      else base
+    }
+    val df = casesDf(randomCases).cache()
+    val gotReplay = Replay
+      .mergedRead(df)
+      .select("id", "seq_nr")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
+    val gotPointer = JournalOps
+      .pointer(df)
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .toMap
+    randomCases.zipWithIndex.foreach { case (as, ci) =>
+      val (wantSeqs, wantPtr) = model(as)
+      assert(
+        gotReplay.getOrElse(ci.toString, Nil) == wantSeqs,
+        s"replay case $ci: $as"
+      )
+      assert(gotPointer.get(ci.toString) == wantPtr, s"pointer case $ci: $as")
+    }
+    df.unpersist()
+  }
+
   test("dedup replay reproduces the model on duplicated deliveries") {
     val cs = cases
     val df = casesDf(cs).cache()
