@@ -98,6 +98,8 @@ object SparkEntry {
     "w3_event_ranks" -> (Analytics.eventRanks _),
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
+    "q10_returned_items" -> (Analytics.returnedItemRanking _),
+    "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
@@ -157,6 +159,8 @@ object SparkEntry {
     "w3_event_ranks" -> AnalyticsOracles.eventRanks,
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
+    "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
+    "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,
     "m4_media_knn" -> PipelineOracles.mediaKnn,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,

@@ -257,6 +257,46 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items, per customer, top 20. */
+  def returnedItemRanking(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: distribution of orders per customer (left join keeps
+    * zero-order customers).
+    */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(!col("o_orderpriority").startsWith("4"))
+      .select("o_orderkey", "o_custkey")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Window-function spread: rank / dense_rank / ntile / lag / lead over
     * each user's events by value — the W1-class ordered-analytics surface.
     */

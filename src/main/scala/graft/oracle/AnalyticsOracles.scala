@@ -137,6 +137,33 @@ object AnalyticsOracles {
     ORDER BY l_returnflag
   """
 
+  val returnedItemRanking: String = s"""
+    SELECT c_custkey, c_name, n_name, CAST(SUM($disc) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+  """
+
+  val customerDistribution: String = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority NOT LIKE '4%'
+      ) o ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+  """
+
   val eventRanks: String = """
     SELECT user_id, event_id, value, rnk, drnk, quartile,
            prev_event, next_event
