@@ -49,6 +49,8 @@ object SparkEntry {
     "a6b_ids_by_created" -> ((s, d) =>
       JournalOps.idsByCreated(actions(s, d), "2024-01-03", "2024-01-15")),
     "p5_fingerprint" -> (TextAnalysis.fingerprint _),
+    "p6_length_histogram" -> (TextAnalysis.lengthHistogram _),
+    "p7_source_quality" -> (TextAnalysis.sourceQuality _),
     "a1_head_info" -> ((s, d) => {
       val a = actions(s, d)
       JournalOps.headInfo(a, JournalOps.defaultWatermark(a))
@@ -133,6 +135,8 @@ object SparkEntry {
     "a6_ids" -> JournalOracles.ids,
     "a6b_ids_by_created" -> JournalOracles.idsByCreated,
     "p5_fingerprint" -> PipelineOracles.fingerprint,
+    "p6_length_histogram" -> PipelineOracles.lengthHistogram,
+    "p7_source_quality" -> PipelineOracles.sourceQuality,
     "a1_head_info" -> JournalOracles.headInfo,
     "a3_batch_compaction" -> JournalOracles.batchCompaction,
     "j1_replay_merge" -> JournalOracles.mergedRead,

@@ -86,6 +86,28 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  val lengthHistogram: String = """
+    SELECT lang,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+  """
+
+  val sourceQuality: String = s"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST($words AS BIGINT)) AS DOUBLE) / COUNT(*)
+             AS avg_words,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CAST(${occ(" the ", 5)} AS BIGINT)) AS BIGINT)
+             AS total_the
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+  """
+
   val corpusStats: String = s"""
     SELECT lang, source,
            COUNT(*) AS n_docs,

@@ -130,6 +130,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document-length histogram (100-char buckets) per language — the
+    * length-filter calibration view of a corpus.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("lang"),
+        (floor(col("n_chars") / 100) * 100).cast("long").as("bucket")
+      )
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket")
+
+  /** Per-source quality rollup: the feature averages a mix-weighting
+    * pipeline consumes (exact integer sums divided in double).
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(wordCount(col("text")).cast("long")).cast("double") /
+          count(lit(1))).as("avg_words"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"),
+        sum(occurrences(col("text"), " the ").cast("long"))
+          .as("total_the")
+      )
+      .orderBy("source")
+  }
+
   /** Corpus rollup per (lang, source): the shape of a pretraining-mix
     * report. Exact counts; ratios in double of exact ints.
     */
