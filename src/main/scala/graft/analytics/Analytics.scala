@@ -17,10 +17,12 @@ import graft.model.ActionLog
   * then cast back to double for a stable output type. Timestamp arithmetic
   * goes through unix_micros (exact BIGINT) — never through double seconds.
   *
-  * Scale notes: dimension tables (region/nation/supplier/customer) are
-  * broadcast; fact-side aggregations combine map-side (Spark partial agg is
-  * automatic for all aggregates used here); every filter lands in the
-  * parquet scan (verified via explain: PushedFilters).
+  * Scale notes: only genuinely fixed dimensions (region/nation, supplier at
+  * its small multiplier) carry broadcast hints; customer/orders scale with
+  * the corpus and are left to AQE, which broadcasts at small SF and falls
+  * back to sort-merge at 100 TB. Fact-side aggregations combine map-side
+  * (Spark partial agg is automatic for all aggregates used here); every
+  * filter lands in the parquet scan (verified via explain: PushedFilters).
   */
 object Analytics {
 
@@ -52,9 +54,10 @@ object Analytics {
       )
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 shape: unshipped-orders revenue top-10. Customer is the small
-    * side — broadcast; lineitem aggregates map-side before the join result
-    * shuffles on l_orderkey.
+  /** TPC-H Q3 shape: unshipped-orders revenue top-10. Orders and customer
+    * are scale-factor tables, so neither gets a broadcast hint — AQE picks
+    * broadcast at small SF and sort-merge/shuffled-hash at 100 TB, where a
+    * forced broadcast would OOM the executors.
     */
   def revenueTopK(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
@@ -67,8 +70,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(
-        broadcast(ord.join(broadcast(cust),
-          col("o_custkey") === col("c_custkey"))),
+        ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey")
       )
       .groupBy("l_orderkey", "o_orderdate")
@@ -82,8 +84,9 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: revenue by (region, nation) — the 4-dimension
-    * broadcast-join chain.
+  /** TPC-H Q5 shape: revenue by (region, nation). Only the genuinely fixed
+    * dimensions (region 5 rows, nation 25, supplier SF-small) are hinted;
+    * orders and customer scale with the corpus and are left to AQE.
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region")
@@ -100,9 +103,9 @@ object Analytics {
         ),
         col("s_nationkey") === col("n_nationkey")
       )
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(
-        broadcast(cust),
+        cust,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey")
       )
@@ -257,7 +260,10 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** TPC-H Q10 shape: revenue lost to returned items, per customer, top 20. */
+  /** TPC-H Q10 shape: revenue lost to returned items, per customer, top 20.
+    * Orders/customer unhinted (fact-sized); only nation (25 rows) is
+    * broadcast.
+    */
   def returnedItemRanking(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey")
@@ -266,8 +272,8 @@ object Analytics {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(

@@ -62,8 +62,11 @@ object Replay {
     val merged = eventual.unionByName(tail)
 
     // Global head state (purge cut + widest delete) over the full log —
-    // the HeadInfo branch of the read (Journals.scala:272-292). Tiny
-    // per-journal table, broadcast back.
+    // the HeadInfo branch of the read (Journals.scala:272-292). One row per
+    // journal — grows with the corpus (the reference provisions 10,000
+    // metajournal segments), so it must NOT be broadcast. The join key
+    // (topic, id) is the same key the dedup window shuffles on, so the
+    // unhinted join is co-partitioned with the stage that follows it.
     val heads = JournalOps
       .annotate(actions)
       .groupBy("topic", "id")
@@ -82,7 +85,7 @@ object Replay {
       .orderBy(col("koffset"))
 
     merged
-      .join(broadcast(heads), Seq("topic", "id"), "left")
+      .join(heads, Seq("topic", "id"), "left")
       .filter(
         (col("g_lp").isNull || col("koffset") > col("g_lp")) &&
           col("seq_nr") > coalesce(col("g_dt"), lit(0L))

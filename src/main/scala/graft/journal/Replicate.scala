@@ -69,9 +69,11 @@ object Replicate {
     * client-side clamp the reference enforces (Journals.scala:326-332).
     *
     * Plan shape: batch folds shuffle once on (topic, id); the existing
-    * journal joins per-key batch heads (one row per touched key —
-    * broadcast). On Delta/Iceberg this whole function is one MERGE INTO
-    * with the same guards.
+    * journal joins per-key batch heads (one row per touched key) on the
+    * same (topic, id) key — left to AQE, which broadcasts when the batch is
+    * genuinely small and shuffle-joins when a backfill touches millions of
+    * keys. On Delta/Iceberg this whole function is one MERGE INTO with the
+    * same guards.
     */
   def mergeBatch(store: Store, batch: DataFrame): Store = {
     // F7 offset guard vs replicated watermark
@@ -104,7 +106,7 @@ object Replicate {
 
     // existing journal rows survive unless purged or truncated by the batch
     val kept = store.journal
-      .join(broadcast(heads), Seq("topic", "id"), "left")
+      .join(heads, Seq("topic", "id"), "left")
       .filter(
         col("b_purge").isNull &&
           col("seq_nr") > coalesce(col("b_dt"), lit(0L))

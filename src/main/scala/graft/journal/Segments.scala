@@ -70,8 +70,11 @@ object Segments {
         max("seg").as("max_segment")
       )
       .withColumn(
+        // cast to long BEFORE the modulo, abs AFTER: the reference computes
+        // math.abs(hashCode.toLong % segments) (SegmentNr.scala:147-148), and
+        // abs on a 32-bit Int.MinValue hash would stay negative
         "meta_segment",
-        (abs(JavaStringHash.javaHash(lower(col("id")))) % metaSegments)
+        abs(JavaStringHash.javaHash(lower(col("id"))).cast("long") % metaSegments)
           .cast("int")
       )
       .select("topic", "id", "meta_segment", "n_segments", "max_segment")

@@ -124,32 +124,31 @@ object Dedup {
       sh: DataFrame,
       threshold: Double
   ): DataFrame = {
-    // restrict shingles to documents that appear in a candidate pair first
-    // (broadcast semi-join) — the intersection then joins two small sets,
-    // and set sizes aggregate only those docs, not the whole corpus
+    // restrict shingles to documents that appear in a candidate pair first —
+    // the intersection then joins two candidate-bounded sets, and set sizes
+    // aggregate only those docs, not the whole corpus. Candidate-pair volume
+    // scales with corpus size and boilerplate skew, so NOTHING here is
+    // broadcast-hinted: every join is keyed on doc_id / the pair key (the
+    // keys the legs are already partitioned on) and AQE handles skew
+    // splitting plus runtime broadcast when a side really is tiny.
     val docsInPairs = cand
       .select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
     val shc = sh
-      .join(broadcast(docsInPairs), Seq("doc_id"), "left_semi")
+      .join(docsInPairs, Seq("doc_id"), "left_semi")
       .distinct() // set semantics, applied to the candidate subset only
+      .cache() // read 3× below (sizes + both intersection legs); candidate-
+    //           bounded, so the cache is small even when the corpus isn't
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = shc
       .toDF("a", "shingle")
-      .join(broadcast(cand), "a")
+      .join(cand, "a")
       .join(shc.toDF("b", "shingle"), Seq("b", "shingle"))
     val pairStats = inter.groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    // pairStats is tiny — keep it the broadcast side against the per-doc
-    // size table (which scales with the corpus and must NOT be broadcast)
-    sizes
-      .toDF("b", "nb")
-      .join(
-        broadcast(
-          sizes.toDF("a", "na").join(broadcast(pairStats), "a")
-        ),
-        "b"
-      )
+    pairStats
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
       .withColumn(
         "jaccard",
         col("n_inter").cast("double") /

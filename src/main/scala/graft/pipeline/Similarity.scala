@@ -112,18 +112,16 @@ object Similarity {
     * pairs are then exactly scored. Candidate generation is a groupBy on
     * the bucket key — no all-pairs shuffle.
     */
-  def lshBuckets(
-      spark: SparkSession,
-      dir: String,
-      nBits: Int = 12
-  ): DataFrame = {
-    val corpus = emb(spark, dir)
-    // plane p, dim d: sign = +1 if xxhash64(p, d) even else -1
+  /** The sign-LSH bucket of one embedding column: `nBits` hyperplane sign
+    * bits packed into a long. Plane p, dim d: sign = +1 if xxhash64(p, d)
+    * even else -1 — deterministic, no stored model.
+    */
+  def signBucket(embedding: Column, nBits: Int = 12): Column = {
     val bits = (0 until nBits).map { p =>
       val proj = aggregate(
         zip_with(
-          col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
+          embedding,
+          sequence(lit(0), size(embedding) - 1),
           (v, i) =>
             v.cast("double") *
               when(xxhash64(lit(p), i) % 2 === 0, 1.0).otherwise(-1.0)
@@ -133,36 +131,62 @@ object Similarity {
       )
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
-    corpus.select(
-      col("vec_id"),
-      col("label"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("bucket")
-    )
+    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Embedding near-duplicate pairs: candidates restricted to the coarse
-    * bucket (label), exact double cosine above threshold. At 100 TB the
-    * label is an IVF cell / LSH bucket partition key, so the quadratic
-    * term is per-bucket, not per-corpus.
+  def lshBuckets(
+      spark: SparkSession,
+      dir: String,
+      nBits: Int = 12
+  ): DataFrame =
+    emb(spark, dir).select(
+      col("vec_id"),
+      col("label"),
+      signBucket(col("embedding"), nBits).as("bucket")
+    )
+
+  /** Embedding near-duplicate pairs: candidates come from the sign-LSH
+    * index ([[lshBuckets]]) — a pair is considered when the smaller-id
+    * vector's multiprobe set (own bucket + every 1-bit flip) contains the
+    * other vector's bucket, i.e. bucket Hamming distance ≤ 1. At cosine
+    * ≥ 0.99 the two vectors are nearly parallel, so all but the
+    * near-orthogonal hyperplanes vote identically — 1-bit multiprobe
+    * recovers the dominant miss mode. `label` is only an extra filter on
+    * candidates, never the candidate generator: a coarse 10-value column
+    * would make this O(n²/10) all-pairs at scale.
+    *
+    * Each probe value is distinct, so a pair matches at most one probe —
+    * no dedup needed. Candidate volume ∝ corpus × (nBits+1) / 2^nBits,
+    * linear in the corpus.
     */
   def embeddingNearDup(
       spark: SparkSession,
       dir: String,
-      threshold: Double = 0.99
+      threshold: Double = 0.99,
+      nBits: Int = 12
   ): DataFrame = {
     val corpus = emb(spark, dir)
-    val l = corpus.select(
+      .withColumn("bucket", signBucket(col("embedding"), nBits))
+    val probes = corpus.select(
       col("label"),
       col("vec_id").as("a"),
-      col("embedding").as("ea")
+      col("embedding").as("ea"),
+      explode(
+        array(
+          (col("bucket") +: (0 until nBits).map(i =>
+            col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*
+        )
+      ).as("bucket")
     )
-    val r = corpus.select(
-      col("label"),
+    val targets = corpus.select(
+      col("label").as("label_b"),
       col("vec_id").as("b"),
-      col("embedding").as("eb")
+      col("embedding").as("eb"),
+      col("bucket")
     )
-    l.join(r, Seq("label"))
-      .filter(col("a") < col("b"))
+    probes
+      .join(targets, Seq("bucket"))
+      .filter(col("a") < col("b") && col("label") === col("label_b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select("label", "a", "b", "sim")
@@ -182,8 +206,8 @@ object Similarity {
       k: Int = 5,
       nBits: Int = 12
   ): DataFrame = {
-    val buckets = lshBuckets(spark, dir, nBits)
-    val corpus = emb(spark, dir).join(buckets, "vec_id")
+    val corpus = emb(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), nBits))
     val queries = corpus
       .filter(col("vec_id") < nQueries)
       .select(

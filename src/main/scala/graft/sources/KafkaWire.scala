@@ -83,11 +83,25 @@ object KafkaWire {
     val classified = wire
       .withColumn("h", h)
       .withColumn(
+        // Missing/unparseable headers must STALL the stream (T4:
+        // stall-don't-skip), not silently classify as a no-op mark — so
+        // "mark" requires h.mark to be present and anything else raises.
         "action",
         when(col("h.append").isNotNull, "append")
           .when(col("h.delete").isNotNull, "delete")
           .when(col("h.purge").isNotNull, "purge")
-          .otherwise("mark")
+          .when(col("h.mark").isNotNull, "mark")
+          .otherwise(
+            raise_error(
+              concat(
+                lit("unparseable journal.action header: "),
+                coalesce(
+                  element_at(col("headers"), "journal.action"),
+                  lit("<missing>")
+                )
+              )
+            )
+          )
       )
     val appends = classified
       .filter(col("action") === "append")

@@ -30,16 +30,24 @@ object StreamingReplicator {
 
   /** Applies one micro-batch to the store directory (read-modify-write +
     * directory swap). Also the test seam: batches can be fed directly.
+    *
+    * Crash safety: a generation is only adoptable once its `_COMMITTED`
+    * marker exists, and the marker is written strictly before the swap
+    * moves begin. [[recoverCurrent]] makes every crash window recoverable —
+    * a missing `current/` never silently bootstraps an empty store (which
+    * would let the pointer2 offset guard discard all previously replicated
+    * state, breaking the exactly-once claim).
     */
   def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
-    val cur = Paths.get(storeDir, "current")
+    val cur = recoverCurrent(storeDir)
     val store =
       if (Files.exists(cur)) Replicate.read(spark, cur.toString)
       else Replicate.empty(spark, batch)
 
     val merged = Replicate.mergeBatch(store, batch)
 
-    // write to a fresh generation dir (reads the old files), then swap
+    // write to a fresh generation dir (reads the old files), mark it
+    // committed, then swap
     val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
     merged.journal.write.mode(SaveMode.Overwrite)
       .parquet(next.resolve("journal").toString)
@@ -47,6 +55,7 @@ object StreamingReplicator {
       .parquet(next.resolve("metajournal").toString)
     merged.pointer2.write.mode(SaveMode.Overwrite)
       .parquet(next.resolve("pointer2").toString)
+    Files.createFile(next.resolve(Committed))
 
     val old = if (Files.exists(cur)) {
       val o = Paths.get(storeDir, s"old-${System.nanoTime()}")
@@ -55,6 +64,52 @@ object StreamingReplicator {
     } else None
     Files.move(next, cur)
     old.foreach(deleteRecursively)
+  }
+
+  private val Committed = "_COMMITTED"
+
+  /** Resolves (and if necessary repairs) the store's `current/` directory.
+    *
+    * Crash windows of [[applyBatch]] and their recovery:
+    *   - during the generation write (no marker yet): `current/` intact —
+    *     the stale `gen-*` is garbage, swept here
+    *   - after the marker but before `move(current, old)`: `current/`
+    *     intact; the committed-but-unadopted `gen-*` is superseded garbage
+    *   - between `move(current, old)` and `move(gen, current)`: no
+    *     `current/`; the newest COMMITTED `gen-*` is adopted (the `old-*`
+    *     twin is swept)
+    *   - after `move(gen, current)` but before the old delete: `current/`
+    *     intact; the `old-*` leftover is swept
+    */
+  def recoverCurrent(storeDir: String): Path = {
+    val root = Paths.get(storeDir)
+    val cur = root.resolve("current")
+    if (!Files.exists(root)) return cur
+
+    def dirs(prefix: String): Seq[Path] = {
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(prefix))
+          .toSeq
+          .sortBy(_.getFileName.toString.stripPrefix(prefix).toLong)
+      } finally s.close()
+    }
+
+    if (!Files.exists(cur)) {
+      val committed = dirs("gen-").filter(g => Files.exists(g.resolve(Committed)))
+      committed.lastOption match {
+        case Some(g) => Files.move(g, cur)
+        case None =>
+          // no committed generation: only reachable if markers were removed
+          // externally; the newest old-* still holds the pre-batch store
+          dirs("old-").lastOption.foreach(o => Files.move(o, cur))
+      }
+    }
+    // sweep superseded generations and leftovers
+    (dirs("gen-") ++ dirs("old-")).foreach(deleteRecursively)
+    cur
   }
 
   private def deleteRecursively(p: Path): Unit =
