@@ -54,10 +54,12 @@ object Analytics {
       )
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 shape: unshipped-orders revenue top-10. Orders and customer
-    * are scale-factor tables, so neither gets a broadcast hint — AQE picks
-    * broadcast at small SF and sort-merge/shuffled-hash at 100 TB, where a
-    * forced broadcast would OOM the executors.
+  /** TPC-H Q3 shape: unshipped-orders revenue top-10. The filtered customer
+    * leg (one market segment, key-only projection) is the true dimension
+    * side and carries the only broadcast hint; orders and lineitem are
+    * fact-sized and stay unhinted — without the hint Catalyst's static
+    * stats pick the *filtered lineitem* as a broadcast build side, which is
+    * the wrong bet at every scale (slow locally, OOM at 100 TB).
     */
   def revenueTopK(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
@@ -70,7 +72,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(
-        ord.join(cust, col("o_custkey") === col("c_custkey")),
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey")
       )
       .groupBy("l_orderkey", "o_orderdate")

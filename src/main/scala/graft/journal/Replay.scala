@@ -62,13 +62,20 @@ object Replay {
     val merged = eventual.unionByName(tail)
 
     // Global head state (purge cut + widest delete) over the full log —
-    // the HeadInfo branch of the read (Journals.scala:272-292). One row per
-    // journal — grows with the corpus (the reference provisions 10,000
-    // metajournal segments), so it must NOT be broadcast. The join key
-    // (topic, id) is the same key the dedup window shuffles on, so the
-    // unhinted join is co-partitioned with the stage that follows it.
+    // the HeadInfo branch of the read (Journals.scala:272-292). Only
+    // delete/purge rows can contribute, so the log is filtered to that
+    // (small) control subset BEFORE the per-journal window — the filter
+    // pushes into the scan and the window sorts a fraction of the log.
+    // Restricting the subset preserves semantics: lp/after_purge/dt only
+    // ever compare delete/purge rows against each other, and journals with
+    // no control actions simply get no head row (the left join below
+    // null-handles them). One row per journal with a control action —
+    // still grows with the corpus, so it is NOT broadcast-hinted; AQE
+    // promotes it to a runtime broadcast when it really is small.
     val heads = JournalOps
-      .annotate(actions)
+      .annotate(
+        actions.filter(col("action") === "delete" || col("action") === "purge")
+      )
       .groupBy("topic", "id")
       .agg(
         max(when(col("action") === "purge", col("koffset"))).as("g_lp"),

@@ -79,6 +79,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
+    // cached: read once by the minhash aggregation and once by the Jaccard
+    // verification; released before return (Eager.materialized)
     val sh = shingles(docs(spark, dir)).cache()
 
     // minhash matrix: doc × perm -> min over shingles of xxhash64(perm, shingle)
@@ -98,9 +100,14 @@ object Dedup {
         ).as("bucket")
       )
     }
+    // cached: the self-join below reads the band index on BOTH legs — an
+    // uncached plan would run the whole shingle→minhash aggregation twice.
+    // Small (numBands rows per doc, no text), so the cache is cheap even
+    // when the corpus isn't.
     val banded = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .cache()
 
     val cand = banded
       .as("l")
@@ -113,40 +120,57 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
 
-    verifyJaccard(cand, sh, threshold)
+    // verifyJaccard materializes its result eagerly, so the caches can be
+    // dropped here without re-triggering their upstream
+    val verified = verifyJaccard(cand, sh, threshold)
+    sh.unpersist(false)
+    banded.unpersist(false)
+    verified
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| via a join on the
     * shingle, |A∪B| = |A| + |B| − |A∩B|.
+    *
+    * Hybrid strategy on the candidate list (same shape as [[components]]'
+    * driver/distributed branch): the pair list's size is MEASURED (cheap —
+    * it derives from the small cached band index), and below
+    * `broadcastThreshold` pairs the candidate/doc-id legs are broadcast so
+    * the corpus-sized shingle set is filtered map-side and never shuffled.
+    * Above the threshold (pathological boilerplate corpora) every join
+    * falls back to unhinted shuffles on doc_id / the pair key, where AQE
+    * handles skew splitting — the candidate list is the only thing ever
+    * broadcast, never a corpus-scaled relation.
     */
   def verifyJaccard(
-      cand: DataFrame,
+      cand0: DataFrame,
       sh: DataFrame,
-      threshold: Double
+      threshold: Double,
+      broadcastThreshold: Long = 1L << 20
   ): DataFrame = {
-    // restrict shingles to documents that appear in a candidate pair first —
-    // the intersection then joins two candidate-bounded sets, and set sizes
-    // aggregate only those docs, not the whole corpus. Candidate-pair volume
-    // scales with corpus size and boilerplate skew, so NOTHING here is
-    // broadcast-hinted: every join is keyed on doc_id / the pair key (the
-    // keys the legs are already partitioned on) and AQE handles skew
-    // splitting plus runtime broadcast when a side really is tiny.
+    // read 4× below (size probe, both union legs, intersection); released
+    // with the other intermediates at return
+    val cand = cand0.cache()
+    val candSmall = cand.limit(broadcastThreshold.toInt + 1).count() <=
+      broadcastThreshold
+    val hint: DataFrame => DataFrame =
+      if (candSmall) broadcast(_) else identity
     val docsInPairs = cand
       .select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id")))
       .distinct()
     val shc = sh
-      .join(docsInPairs, Seq("doc_id"), "left_semi")
+      .join(hint(docsInPairs), Seq("doc_id"), "left_semi")
       .distinct() // set semantics, applied to the candidate subset only
       .cache() // read 3× below (sizes + both intersection legs); candidate-
-    //           bounded, so the cache is small even when the corpus isn't
+    //           bounded, so the cache is small even when the corpus isn't —
+    //           and released before return (Eager.materialized)
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = shc
       .toDF("a", "shingle")
-      .join(cand, "a")
+      .join(hint(cand), "a")
       .join(shc.toDF("b", "shingle"), Seq("b", "shingle"))
     val pairStats = inter.groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    pairStats
+    val verified = pairStats
       .join(sizes.toDF("a", "na"), "a")
       .join(sizes.toDF("b", "nb"), "b")
       .withColumn(
@@ -157,6 +181,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "n_inter", "na", "nb", "jaccard")
       .orderBy("a", "b")
+    Eager.materialized(verified, shc, cand)
   }
 
   /** Connected components over near-duplicate pairs → cluster (canonical
@@ -190,6 +215,7 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
+      edges.unpersist(false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -213,6 +239,7 @@ object Dedup {
       .select(col("a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+      .cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -233,18 +260,22 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old"))
         .count()
+      // `changed` materialized `next`, so the previous round's labels cache
+      // has no remaining consumer — release it before the next round
+      labels.unpersist(false)
       labels = next
       iter += 1
     }
-    labels.orderBy("doc_id")
+    Eager.materialized(labels.orderBy("doc_id"), labels, edges)
   }
 
   /** End-to-end near-dup clustering: minhash pairs → components → cluster
     * assignment with keep/drop flag (keep = min doc_id of the cluster).
     */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the edge-list union scans the pair set twice
-    val pairs = minhashPairs(spark, dir).cache()
+    // minhashPairs returns an eagerly-materialized result, so the edge-list
+    // union's double scan re-reads blocks, not lineage — no extra cache
+    val pairs = minhashPairs(spark, dir)
     components(pairs)
       .withColumn("keep", col("doc_id") === col("label"))
       .orderBy("doc_id")
@@ -284,6 +315,9 @@ object Dedup {
           .as("sig")
       )
 
+    // cached: the self-join below reads the chunk index on BOTH legs — an
+    // uncached plan would run the word-explode bit-vote aggregation twice.
+    // 4 rows per doc, two longs each; released before return.
     val chunked = sig.select(
       col("doc_id"),
       col("sig"),
@@ -295,7 +329,7 @@ object Dedup {
           )
         }: _*)
       ).as("ck")
-    )
+    ).cache()
 
     val cand = chunked
       .as("l")
@@ -313,10 +347,11 @@ object Dedup {
       )
       .distinct()
 
-    cand
+    val out = cand
       .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
       .orderBy("a", "b")
+    Eager.materialized(out, chunked)
   }
 }

@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache lifecycle for multi-pass pipeline operators.
+  *
+  * The dedup/ANN operators reference intermediates (shingle sets, LSH
+  * indexes, edge lists) several times inside ONE logical result, so they
+  * `cache()` them — but a cache that outlives its query leaks executor
+  * storage into every later query of a long-lived session (at 100 TB that
+  * is eviction thrash mid-pipeline). The contract here: every cache an
+  * operator takes is released before the operator returns, by eagerly
+  * materializing the (small) final result and then unpersisting the
+  * (large) intermediates.
+  *
+  * `localCheckpoint(eager = true)` computes the result once and pins only
+  * the result blocks, whose lineage no longer references the caches; the
+  * blocks are freed by the ContextCleaner when the returned DataFrame is
+  * collected/written and dropped. On a real cluster a reliable
+  * `checkpoint()` directory (or writing the result table) replaces the
+  * local variant — the lifecycle is the same.
+  */
+private[pipeline] object Eager {
+
+  /** Materializes `result`, then releases `caches`. The returned DataFrame
+    * re-reads the materialized blocks — downstream consumers never re-run
+    * the lineage, so dropping the caches cannot re-trigger their upstream.
+    */
+  def materialized(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    out
+  }
+}

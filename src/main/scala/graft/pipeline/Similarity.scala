@@ -165,8 +165,13 @@ object Similarity {
       threshold: Double = 0.99,
       nBits: Int = 12
   ): DataFrame = {
+    // The self-join reads the bucketed corpus on BOTH legs; caching it
+    // computes the nBits×dim hyperplane projection ONCE per vector instead
+    // of once per leg. At 100 TB this cache is a persisted index table
+    // (lshBuckets written alongside the corpus); released before return.
     val corpus = emb(spark, dir)
       .withColumn("bucket", signBucket(col("embedding"), nBits))
+      .cache()
     val probes = corpus.select(
       col("label"),
       col("vec_id").as("a"),
@@ -184,13 +189,14 @@ object Similarity {
       col("embedding").as("eb"),
       col("bucket")
     )
-    probes
+    val out = probes
       .join(targets, Seq("bucket"))
       .filter(col("a") < col("b") && col("label") === col("label_b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select("label", "a", "b", "sim")
       .orderBy("a", "b")
+    Eager.materialized(out, corpus)
   }
 
   /** LSH-bucketed approximate kNN — the shuffle-free scale path: queries
@@ -208,8 +214,13 @@ object Similarity {
   ): DataFrame = {
     val corpus = emb(spark, dir)
       .withColumn("bucket", signBucket(col("embedding"), nBits))
-    val queries = corpus
+    // query leg filters BEFORE bucketing, so its projection runs on
+    // nQueries rows only — the corpus-side leg is the single full-scan
+    // bucket computation in this plan (no cache needed: each leg computes
+    // buckets for disjoint work, queries ≪ corpus)
+    val queries = emb(spark, dir)
       .filter(col("vec_id") < nQueries)
+      .withColumn("bucket", signBucket(col("embedding"), nBits))
       .select(
         col("vec_id").as("qid"),
         col("embedding").as("q"),
