@@ -40,8 +40,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_journal_scan" -> ((s, d) => JournalOps.journalScan(actions(s, d))),
     "a2_pointer" -> ((s, d) => JournalOps.pointer(actions(s, d))),
-    "s8_metajournal" -> ((s, d) =>
-      JournalOps.metajournal(actions(s, d)).orderBy("topic", "id")),
+    "s8_metajournal" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      JournalOps
+        .metajournal(actions(s, d))
+        // string-presented at the query layer: see JournalOracles.metajournal
+        .withColumn("expire_on", col("expire_on").cast("string"))
+        .orderBy("topic", "id")
+    }),
     "s9_pointer2" -> ((s, d) =>
       JournalOps.pointer2(actions(s, d)).orderBy("topic", "part_no")),
     "a5_topics" -> ((s, d) => JournalOps.topics(actions(s, d))),
@@ -57,9 +63,14 @@ object SparkEntry {
     }),
     "a3_batch_compaction" -> ((s, d) =>
       JournalOps.batchCompaction(actions(s, d))),
-    "j1_replay_merge" -> ((s, d) => Replay.mergedRead(actions(s, d))),
+    "j1_replay_merge" -> ((s, d) =>
+      // the merge carries the typed-payload/envelope columns; the oracle
+      // contract pins the six base replay columns
+      Replay
+        .mergedRead(actions(s, d))
+        .select("topic", "id", "seq_nr", "koffset", "ts", "payload")),
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
-    "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-01-20")),
+    "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-02-15")),
     "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
     "s2_key_tail_scan" -> ((s, d) =>
       JournalOps.keyTailScan(actions(s, d), Seq("1", "2", "3"), 5L)),
@@ -86,8 +97,37 @@ object SparkEntry {
     "s10b_snapshot_criteria" -> ((s, d) =>
       Snapshots.load(actions(s, d),
         Snapshots.Criteria(maxSeqNr = 40, minSeqNr = 15))),
+    // C2/F8 typed-payload wire roundtrip: every append's typed payload
+    // (json envelope / text / v1 binary frame), tags and metadata must
+    // survive actions → Kafka wire → actions byte-exactly; binary is
+    // hex-presented at the query layer for the oracle compare
+    "c7_payload_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, hex}
+      graft.sources.KafkaWire
+        .fromWire(graft.sources.KafkaWire.toWire(actions(s, d)))
+        .filter(col("action") === "append")
+        .select(
+          col("topic"), col("id"), col("seq_nr"), col("payload_type"),
+          col("payload_txt"), hex(col("payload_bin")).as("payload_bin_hex"),
+          col("tags_csv"), col("metadata")
+        )
+        .orderBy("topic", "id", "seq_nr")
+    }),
+    // S5 variant — tag-filtered replay (reference EventRecord tags,
+    // pekko Tagged events): scan survivors carrying a given tag
+    "s5b_tag_replay" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_contains, col, split}
+      JournalOps
+        .survivors(actions(s, d))
+        .filter(array_contains(split(col("tags_csv"), ","), "tag-b"))
+        .select(
+          col("topic"), col("id"), col("seq_nr"), col("koffset"),
+          split(col("tags_csv"), ",").as("tags"), col("payload_txt")
+        )
+        .orderBy("topic", "id", "seq_nr")
+    }),
     "a7b_purge_expired_apply" -> ((s, d) =>
-      Segments.purgeExpiredApply(actions(s, d), "2024-01-20")),
+      Segments.purgeExpiredApply(actions(s, d), "2024-02-15")),
     // analytics surface (SURVEY §2.2-§2.6 relational shapes at scale)
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_revenue_topk" -> (Analytics.revenueTopK _),
@@ -151,6 +191,8 @@ object SparkEntry {
     "c5_action_header" -> JournalOracles.actionHeader,
     "f8_wire_roundtrip" -> JournalOracles.actionCounts,
     "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
+    "c7_payload_roundtrip" -> JournalOracles.payloadRoundtrip,
+    "s5b_tag_replay" -> JournalOracles.tagReplay,
     "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,
     "q1_pricing_summary" -> AnalyticsOracles.pricingSummary,
     "q3_revenue_topk" -> AnalyticsOracles.revenueTopK,

@@ -36,15 +36,30 @@ final class Journal(
       .filter(col("seq_nr") >= fromSeqNr)
 
   /** Typed replay — `Dataset[EventRecord]`, the reference's
-    * `Stream[F, EventRecord[A]]` as a typed Dataset (EventRecord.scala:13-30).
+    * `Stream[F, EventRecord[A]]` as a typed Dataset (EventRecord.scala:13-30):
+    * the full envelope (tags / origin / version / metadata) plus the typed
+    * dual-column payload (PayloadType.scala:10-87 — Json/Text in
+    * `payload_txt`, Binary in `payload_bin`, both empty = payload-less).
+    * Absent envelope columns (a bare log) surface as None/empty.
     */
   def readTyped(topic: String, id: String, fromSeqNr: Long = 1L): org.apache.spark.sql.Dataset[EventRecord] = {
     implicit val enc: org.apache.spark.sql.Encoder[EventRecord] =
       org.apache.spark.sql.Encoders.product[EventRecord]
-    read(topic, id, fromSeqNr)
-      .select(
+    val r = read(topic, id, fromSeqNr)
+    def opt(name: String, typ: String) =
+      if (r.columns.contains(name)) col(name)
+      else lit(null).cast(typ).as(name)
+    r.select(
         col("topic"), col("id"), col("seq_nr"), col("koffset"),
-        col("ts"), col("payload")
+        col("ts"), col("payload"),
+        opt("payload_type", "string").as("payload_type"),
+        opt("payload_txt", "string").as("payload_txt"),
+        opt("payload_bin", "binary").as("payload_bin"),
+        coalesce(split(opt("tags_csv", "string"), ","), array())
+          .as("tags"),
+        opt("origin", "string").as("origin"),
+        opt("version", "string").as("version"),
+        opt("metadata", "string").as("metadata")
       )
       .as[EventRecord]
   }
@@ -62,9 +77,14 @@ final class Journal(
   def append(
       topic: String,
       id: String,
-      events: DataFrame, // (seq_nr LONG, ts TIMESTAMP, payload DOUBLE)
+      events: DataFrame, // (seq_nr LONG, ts TIMESTAMP, payload DOUBLE
+      //                    [, payload_type/payload_txt/payload_bin/tags_csv
+      //                       /metadata — typed envelope, optional])
       numPartitions: Int = 8
-  ): DataFrame =
+  ): DataFrame = {
+    def opt(name: String, typ: String): org.apache.spark.sql.Column =
+      if (events.columns.contains(name)) col(name)
+      else lit(null).cast(typ).as(name)
     events.select(
       lit(topic).as("topic"),
       (abs(hash(lit(id))) % numPartitions).cast("int").as("part_no"),
@@ -75,9 +95,17 @@ final class Journal(
       col("seq_nr"),
       lit(null).cast("long").as("delete_to"),
       col("payload"),
+      opt("payload_type", "string").as("payload_type"),
+      opt("payload_txt", "string").as("payload_txt"),
+      opt("payload_bin", "binary").as("payload_bin"),
+      opt("tags_csv", "string").as("tags_csv"),
+      lit("graft-client").as("origin"),
+      lit("1.0.0").as("version"),
+      opt("metadata", "string").as("metadata"),
       lit(0L).as("event_id"),
       lit("{}").as("props")
     )
+  }
 
   /** delete(to) clamped to the current pointer — reference
     * Journals.scala:326-332. Returns the action row to produce.
@@ -105,14 +133,24 @@ final class Journal(
     store.pointer2.filter(col("topic") === topic)
 }
 
-/** Typed event row (reference EventRecord.scala:13-30 projection). */
+/** Typed event row (reference EventRecord.scala:13-30 projection): the
+  * event + its envelope (tags, origin, version, metadata) and the typed
+  * dual-column payload (EventualPayloadAndType.scala:25-28).
+  */
 final case class EventRecord(
     topic: String,
     id: String,
     seq_nr: Long,
     koffset: Long,
     ts: java.sql.Timestamp,
-    payload: Option[Double]
+    payload: Option[Double],
+    payload_type: Option[String],
+    payload_txt: Option[String],
+    payload_bin: Option[Array[Byte]],
+    tags: Seq[String],
+    origin: Option[String],
+    version: Option[String],
+    metadata: Option[String]
 )
 
 object Journal {

@@ -132,7 +132,40 @@ object JournalOps {
         max("dt").as("delete_to"),
         min("ts").as("created"),
         to_date(min("ts")).as("created_date"),
-        max("ts").as("updated")
+        max("ts").as("updated"),
+        min("koffset").as("first_koffset"),
+        // struct-min/max = arg_min/arg_max on the unique koffset key:
+        // origin of the head's first action; metadata + ts of its LAST
+        // append (the reference's UpdateExpiry/DeleteExpiry merge:
+        // MetaJournalStatements.scala:369-473 — every append rewrites the
+        // expiry from its own metadata, absent expireAfter removes it)
+        min(struct(col("koffset").as("k"), col("origin").as("v"))).as("_or"),
+        max(when(isAppend, struct(col("koffset").as("k"), col("metadata").as("v"))))
+          .as("_pr"),
+        max(when(isAppend, struct(col("koffset").as("k"), col("ts").as("v"))))
+          .as("_lt")
+      )
+      .select(
+        col("topic"), col("id"), col("part_no"), col("koffset"),
+        col("seq_nr"), col("delete_to"), col("created"), col("created_date"),
+        col("updated"), col("first_koffset"),
+        // record_id rotates when the journal is purged and re-created (the
+        // reference's RecordId.scala:19-31 orphan-detection key): it is a
+        // pure function of the head's first surviving offset
+        md5(
+          concat(col("topic"), lit("|"), col("id"), lit("|"),
+            col("first_koffset").cast("string"))
+        ).as("record_id"),
+        col("_or.v").as("origin"),
+        col("_pr.k").as("last_append_koffset"),
+        col("_pr.v").as("properties"),
+        nullif(regexp_extract(col("_pr.v"), "[0-9]+", 0), lit(""))
+          .cast("int").as("expire_after_days"),
+        date_add(
+          to_date(col("_lt.v")),
+          nullif(regexp_extract(col("_pr.v"), "[0-9]+", 0), lit(""))
+            .cast("int")
+        ).as("expire_on")
       ) // unordered: callers in the merge path must not pay a sort; the
         // query surface adds ORDER BY explicitly
 
@@ -256,25 +289,17 @@ object JournalOps {
       )
       .orderBy("topic", "id")
 
-  /** A7 — expired journals: TTL scan (reference PurgeExpired.scala:53-69,
-    * ExpiryService.scala:37-60). expire_after derives from the journal's
-    * first surviving action's props (fixture stand-in for PayloadMetadata's
-    * expireAfter); expire_on = created_date + days.
+  /** A7 — expired journals: TTL scan over the metajournal's expiry state
+    * (reference PurgeExpired.scala:53-69 scans the `expire_on` index). The
+    * expiry itself is maintained by [[metajournal]] from append METADATA
+    * with the reference's merge behavior (ExpiryService.scala:37-60,
+    * MetaJournalStatements.scala:369-473): the last append's
+    * `metadata.expireAfter` sets the TTL (UpdateExpiry), a last append
+    * without one clears it (DeleteExpiry), and `expire_on` counts from that
+    * append's own timestamp (C3).
     */
   def expired(actions: DataFrame, asOf: String): DataFrame =
-    annotate(actions)
-      .filter(isUser && col("after_purge"))
-      .groupBy("topic", "id")
-      .agg(
-        to_date(min("ts")).as("created_date"),
-        (min(
-          regexp_extract(col("props"), "[0-9]+", 0).cast("int")
-        ) % 30).as("expire_after_days")
-      )
-      .withColumn(
-        "expire_on",
-        date_add(col("created_date"), col("expire_after_days"))
-      )
+    metajournal(actions)
       .filter(col("expire_on") <= lit(asOf).cast("date"))
       .select("topic", "id", "created_date", "expire_after_days", "expire_on")
       .orderBy("topic", "id")

@@ -34,11 +34,22 @@ object Replay {
     * the gap between them is the duplicated-delivery overlap the dedup must
     * resolve.
     */
+  /** Envelope/payload columns carried through the replay when the input
+    * log has them (hand-built spec fixtures may not — the projection
+    * adapts; the query contract's six base columns are always present).
+    */
+  private val carried = Seq(
+    "payload_type", "payload_txt", "payload_bin",
+    "tags_csv", "origin", "version", "metadata"
+  )
+
   def mergedRead(
       actions: DataFrame,
       wmFrac: Double = 0.8,
       tailFrac: Double = 0.6
   ): DataFrame = {
+    val outCols = Seq("topic", "id", "seq_nr", "koffset", "ts", "payload") ++
+      carried.filter(actions.columns.contains)
     val bounds = actions
       .groupBy("topic", "part_no")
       .agg(
@@ -51,13 +62,13 @@ object Replay {
     // computed over the replicated prefix only.
     val eventual = JournalOps
       .survivors(bounded.filter(col("koffset") <= col("wm")))
-      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .select(outCols.map(col): _*)
 
     // Tail leg: raw appends from the log above tail_from (overlaps the
     // replicated prefix — Kafka gives at-least-once).
     val tail = bounded
       .filter(col("koffset") > col("tail_from") && col("action") === "append")
-      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .select(outCols.map(col): _*)
 
     val merged = eventual.unionByName(tail)
 
@@ -99,7 +110,7 @@ object Replay {
       )
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
-      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .select(outCols.map(col): _*)
       .orderBy("topic", "id", "seq_nr")
   }
 

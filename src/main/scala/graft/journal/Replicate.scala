@@ -25,11 +25,23 @@ object Replicate {
       pointer2: DataFrame
   )
 
+  /** The journal-table projection of surviving appends: the reference's
+    * event-row schema (JournalStatements.scala:32-53) — dual-column typed
+    * payload, tags as a real ARRAY (SET<TEXT>), origin/version/metadata
+    * envelope columns.
+    */
+  private def journalRows(survivors: DataFrame): DataFrame =
+    survivors.select(
+      col("topic"), col("part_no"), col("id"), col("seq_nr"),
+      col("koffset"), col("ts"), col("payload"),
+      col("payload_type"), col("payload_txt"), col("payload_bin"),
+      split(col("tags_csv"), ",").as("tags"),
+      col("origin"), col("version"), col("metadata")
+    )
+
   /** Pure computation of the three store tables from an action log. */
   def compute(actions: DataFrame): Store = Store(
-    journal = JournalOps
-      .survivors(actions)
-      .select("topic", "part_no", "id", "seq_nr", "koffset", "ts", "payload"),
+    journal = journalRows(JournalOps.survivors(actions)),
     metajournal = JournalOps.metajournal(actions),
     pointer2 = JournalOps.pointer2(actions)
   )
@@ -114,9 +126,7 @@ object Replicate {
       .drop("b_purge", "b_dt")
 
     // batch appends surviving the batch's own fold state, deduped vs kept
-    val newRows = JournalOps
-      .survivors(guarded)
-      .select("topic", "part_no", "id", "seq_nr", "koffset", "ts", "payload")
+    val newRows = journalRows(JournalOps.survivors(guarded))
       .join(
         kept.select(col("topic"), col("id"), col("seq_nr")),
         Seq("topic", "id", "seq_nr"),
@@ -129,13 +139,31 @@ object Replicate {
     val bm = JournalOps.metajournal(guarded)
     val purgeKeys = heads.filter(col("b_purge").isNotNull).select("topic", "id")
     val base = store.metajournal.join(purgeKeys, Seq("topic", "id"), "left_anti")
+    // combine rules mirror the reference's per-statement update semantics
+    // (MetaJournalStatements.Update*):
+    //   - monotone watermarks (koffset/seq_nr/delete_to/updated): max
+    //   - creation-time facts (created/origin/first_koffset): the side that
+    //     saw the journal first (batches arrive in offset order, so that is
+    //     the existing side when both exist)
+    //   - expiry + properties (UpdateExpiry/DeleteExpiry): the side holding
+    //     the LATEST append rewrites them wholesale — they travel as a unit
+    //     with last_append_koffset
+    //   - record_id: pure function of first_koffset, recomputed over the
+    //     merged value (rotates after purge, when the anti-join dropped the
+    //     old row and the batch re-created the journal)
+    val bWins = col("b_lak").isNotNull &&
+      (col("e_lak").isNull || col("b_lak") >= col("e_lak"))
     val metajournal = base
       .select(
         col("topic"), col("id"),
         col("part_no").as("e_part"), col("koffset").as("e_koff"),
         col("seq_nr").as("e_seq"), col("delete_to").as("e_dt"),
         col("created").as("e_created"),
-        col("created_date").as("e_cd"), col("updated").as("e_upd")
+        col("created_date").as("e_cd"), col("updated").as("e_upd"),
+        col("first_koffset").as("e_first"), col("origin").as("e_origin"),
+        col("last_append_koffset").as("e_lak"),
+        col("properties").as("e_props"),
+        col("expire_after_days").as("e_ead"), col("expire_on").as("e_eon")
       )
       .join(
         bm.select(
@@ -143,7 +171,11 @@ object Replicate {
           col("part_no").as("b_part"), col("koffset").as("b_koff"),
           col("seq_nr").as("b_seq"), col("delete_to").as("b_dt2"),
           col("created").as("b_created"),
-          col("created_date").as("b_cd"), col("updated").as("b_upd")
+          col("created_date").as("b_cd"), col("updated").as("b_upd"),
+          col("first_koffset").as("b_first"), col("origin").as("b_origin"),
+          col("last_append_koffset").as("b_lak"),
+          col("properties").as("b_props"),
+          col("expire_after_days").as("b_ead"), col("expire_on").as("b_eon")
         ),
         Seq("topic", "id"),
         "full_outer"
@@ -157,7 +189,23 @@ object Replicate {
         greatest(col("e_dt"), col("b_dt2")).as("delete_to"),
         coalesce(col("e_created"), col("b_created")).as("created"),
         coalesce(col("e_cd"), col("b_cd")).as("created_date"),
-        greatest(col("e_upd"), col("b_upd")).as("updated")
+        greatest(col("e_upd"), col("b_upd")).as("updated"),
+        least(col("e_first"), col("b_first")).as("first_koffset"),
+        md5(
+          concat(col("topic"), lit("|"), col("id"), lit("|"),
+            least(col("e_first"), col("b_first")).cast("string"))
+        ).as("record_id"),
+        when(col("e_first").isNull, col("b_origin"))
+          .when(col("b_first").isNull, col("e_origin"))
+          .when(col("e_first") <= col("b_first"), col("e_origin"))
+          .otherwise(col("b_origin")).as("origin"),
+        greatest(col("e_lak"), col("b_lak")).as("last_append_koffset"),
+        when(bWins, col("b_props")).otherwise(col("e_props"))
+          .as("properties"),
+        when(bWins, col("b_ead")).otherwise(col("e_ead"))
+          .as("expire_after_days"),
+        when(bWins, col("b_eon")).otherwise(col("e_eon"))
+          .as("expire_on")
       )
 
     // pointer2: advance watermark, accumulate record count

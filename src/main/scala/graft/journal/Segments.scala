@@ -39,6 +39,13 @@ object Segments {
         lit(null).cast("long").as("seq_nr"),
         lit(null).cast("long").as("delete_to"),
         lit(null).cast("double").as("payload"),
+        lit(null).cast("string").as("payload_type"),
+        lit(null).cast("string").as("payload_txt"),
+        lit(null).cast("binary").as("payload_bin"),
+        lit(null).cast("string").as("tags_csv"),
+        lit("purge-expired").as("origin"),
+        lit("1.0.0").as("version"),
+        lit(null).cast("string").as("metadata"),
         lit(0L).as("event_id"),
         lit("{}").as("props")
       )

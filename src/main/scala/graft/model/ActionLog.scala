@@ -17,9 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ts        TIMESTAMP -- producer wall clock
   *   seq_nr    BIGINT    -- append only: 1-based per-journal sequence number
   *   delete_to BIGINT    -- delete only: inclusive truncation watermark
-  *   payload   DOUBLE    -- append only: stand-in event payload
+  *   payload   DOUBLE    -- append only: stand-in numeric payload (legacy)
+  *   payload_type STRING -- append only: 'json' | 'text' | 'binary' | NULL
+  *                          (NULL = payload-less append — the reference's
+  *                          Payload None; PayloadType.scala:10-87)
+  *   payload_txt  STRING -- json/text payloads (dual-column storage,
+  *                          EventualPayloadAndType.scala:25-28)
+  *   payload_bin  BINARY -- binary payloads
+  *   tags_csv  STRING    -- append only: comma-joined event tags (ARRAY in
+  *                          the store; Event.scala:9 tags Set[String])
+  *   origin    STRING    -- producing host tag (Origin.scala)
+  *   version   STRING    -- client version tag (Version.scala)
+  *   metadata  STRING    -- append only: RecordMetadata JSON; carries
+  *                          expireAfter (ExpireAfter.scala, drives C3 TTL)
   *   event_id  BIGINT    -- provenance of the synthetic derivation
-  *   props     STRING    -- JSON bag (drives TTL fixtures)
+  *   props     STRING    -- JSON bag (legacy TTL fixture)
   * }}}
   *
   * In production the log comes straight off `spark.read.format("kafka")`
@@ -59,6 +71,32 @@ object ActionLog {
            CASE WHEN kind = 'delete' AND aps > 0
                 THEN CAST(floor((aps + 1) / 2) AS BIGINT) END AS delete_to,
            CASE WHEN kind = 'append' THEN value END AS payload,
+           CASE WHEN kind = 'append' THEN
+             CASE CAST(event_id % 4 AS INT)
+               WHEN 0 THEN 'json' WHEN 1 THEN 'text' WHEN 2 THEN 'binary'
+             END
+           END AS payload_type,
+           CASE WHEN kind = 'append' AND event_id % 4 = 0
+                  THEN '{"e":' || CAST(event_id AS STRING) || '}'
+                WHEN kind = 'append' AND event_id % 4 = 1
+                  THEN 'p-' || CAST(event_id AS STRING)
+           END AS payload_txt,
+           CASE WHEN kind = 'append' AND event_id % 4 = 2
+             THEN CAST('b-' || CAST(event_id AS STRING) AS BINARY)
+           END AS payload_bin,
+           CASE WHEN kind = 'append' THEN
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN 'tag-a' WHEN 1 THEN 'tag-a,tag-b' ELSE ''
+             END
+           END AS tags_csv,
+           'origin-' || CAST(event_id % 3 AS STRING) AS origin,
+           '1.' || CAST(event_id % 2 AS STRING) || '.0' AS version,
+           CASE WHEN kind = 'append' THEN
+             CASE WHEN event_id % 5 < 3
+               THEN '{"expireAfter":"' || CAST(event_id % 30 AS STRING) || ' days"}'
+               ELSE '{}'
+             END
+           END AS metadata,
            event_id, props
     FROM (
       SELECT r.*,

@@ -47,7 +47,13 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
-  val metajournal: String = s"""$annCte
+  /** Metajournal head-row aggregation body (no ORDER BY), reused by the
+    * expiry queries. arg_min/arg_max on the unique koffset mirror the
+    * Spark side's struct-min/max; the expiry columns implement the
+    * reference's UpdateExpiry/DeleteExpiry merge (last append's metadata
+    * wins; an append without expireAfter clears it).
+    */
+  private val metaBody: String = """
     SELECT topic, id,
            MIN(part_no) AS part_no,
            MAX(koffset) AS koffset,
@@ -58,10 +64,38 @@ object JournalOracles {
            MAX(dt) AS delete_to,
            MIN(ts) AS created,
            CAST(MIN(ts) AS DATE) AS created_date,
-           MAX(ts) AS updated
+           MAX(ts) AS updated,
+           MIN(koffset) AS first_koffset,
+           md5(topic || '|' || id || '|' || CAST(MIN(koffset) AS STRING))
+             AS record_id,
+           arg_min(origin, koffset) AS origin,
+           MAX(CASE WHEN action = 'append' THEN koffset END)
+             AS last_append_koffset,
+           arg_max(metadata, koffset) FILTER (WHERE action = 'append')
+             AS properties,
+           CAST(NULLIF(regexp_extract(
+             arg_max(metadata, koffset) FILTER (WHERE action = 'append'),
+             '[0-9]+', 0), '') AS INT) AS expire_after_days,
+           CAST(arg_max(ts, koffset) FILTER (WHERE action = 'append') AS DATE)
+             + CAST(NULLIF(regexp_extract(
+                 arg_max(metadata, koffset) FILTER (WHERE action = 'append'),
+                 '[0-9]+', 0), '') AS INT) AS expire_on
     FROM ann3
     WHERE action <> 'mark' AND after_purge
     GROUP BY topic, id
+  """
+
+  // expire_on is presented as STRING at the query layer (the store column
+  // stays DATE): a nullable date column round-trips as NaT-bearing
+  // datetime64 on the oracle side and compares unequal to Spark's
+  // date-or-null objects even when the values agree
+  val metajournal: String = s"""$annCte,
+    meta AS ($metaBody)
+    SELECT topic, id, part_no, koffset, seq_nr, delete_to, created,
+           created_date, updated, first_koffset, record_id, origin,
+           last_append_koffset, properties, expire_after_days,
+           CAST(expire_on AS STRING) AS expire_on
+    FROM meta
     ORDER BY topic, id
   """
 
@@ -172,19 +206,11 @@ object JournalOracles {
     ORDER BY topic, id, seq_nr
   """
 
-  val expired: String = s"""$annCte
-    SELECT topic, id, created_date, expire_after_days,
-           created_date + expire_after_days AS expire_on
-    FROM (
-      SELECT topic, id,
-             CAST(MIN(ts) AS DATE) AS created_date,
-             MIN(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) % 30
-               AS expire_after_days
-      FROM ann2
-      WHERE action <> 'mark' AND after_purge
-      GROUP BY topic, id
-    ) m
-    WHERE created_date + expire_after_days <= DATE '2024-01-20'
+  val expired: String = s"""$annCte,
+    meta AS ($metaBody)
+    SELECT topic, id, created_date, expire_after_days, expire_on
+    FROM meta
+    WHERE expire_on <= DATE '2024-02-15'
     ORDER BY topic, id
   """
 
@@ -277,6 +303,27 @@ object JournalOracles {
     ORDER BY action
   """
 
+  /** C7 — the wire roundtrip must reproduce the IR's typed payload,
+    * tags and metadata exactly; the oracle reads them straight off the
+    * derivation (what went in must come out).
+    */
+  val payloadRoundtrip: String = s"""${ActionLog.oracleCte}
+    SELECT topic, id, seq_nr, payload_type, payload_txt,
+           hex(payload_bin) AS payload_bin_hex, tags_csv, metadata
+    FROM actions
+    WHERE action = 'append'
+    ORDER BY topic, id, seq_nr
+  """
+
+  val tagReplay: String = s"""$annCte
+    SELECT topic, id, seq_nr, koffset,
+           string_split(tags_csv, ',') AS tags, payload_txt
+    FROM ann3
+    WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+      AND list_contains(string_split(tags_csv, ','), 'tag-b')
+    ORDER BY topic, id, seq_nr
+  """
+
   val actionHeader: String = s"""${ActionLog.oracleCte}
     SELECT action, COUNT(*) AS n, TRUE AS header_ok
     FROM actions
@@ -308,18 +355,9 @@ object JournalOracles {
       SELECT DISTINCT topic, id FROM ann2
       WHERE action <> 'mark' AND after_purge
     ),
+    meta AS ($metaBody),
     expired AS (
-      SELECT topic, id
-      FROM (
-        SELECT topic, id,
-               CAST(MIN(ts) AS DATE) AS created_date,
-               MIN(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) % 30
-                 AS ead
-        FROM ann2
-        WHERE action <> 'mark' AND after_purge
-        GROUP BY topic, id
-      ) m
-      WHERE created_date + ead <= DATE '2024-01-20'
+      SELECT topic, id FROM meta WHERE expire_on <= DATE '2024-02-15'
     )
     SELECT topic, id FROM (
       SELECT topic, id FROM ids

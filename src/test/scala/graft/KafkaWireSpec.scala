@@ -32,14 +32,41 @@ class KafkaWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def actions = ActionLog.fromEvents(spark, sfDir)
 
   test("actions → kafka wire → actions is the identity") {
-    val a = actions
-      .select("topic", "part_no", "koffset", "id", "action", "ts",
-        "seq_nr", "delete_to", "payload")
-      .cache()
-    val back = KafkaWire.fromWire(KafkaWire.toWire(a))
+    // event_id/props are derivation provenance, not wire content
+    val a = actions.drop("event_id", "props").cache()
+    val back = KafkaWire
+      .fromWire(KafkaWire.toWire(a))
+      .select(a.columns.map(col).toIndexedSeq: _*)
     assert(back.exceptAll(a).count() == 0)
     assert(a.exceptAll(back).count() == 0)
     a.unpersist()
+  }
+
+  test("typed payloads ride their own wire format and roundtrip") {
+    val wire = KafkaWire.toWire(actions).cache()
+    // json/text/payload-less appends use the JSON envelope; binary the frame
+    val hdr = wire.select(
+      get_json_object(element_at(col("headers"), "journal.action"),
+        "$.append.payloadType").as("wpt")
+    )
+    assert(hdr.filter(col("wpt") === "json").count() > 0)
+    assert(hdr.filter(col("wpt") === "binary").count() > 0)
+    val back = KafkaWire.fromWire(wire).filter(col("action") === "append")
+    val byType = back
+      .groupBy("payload_type")
+      .count()
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("none") -> r.getLong(1))
+      .toMap
+    assert(Set("json", "text", "binary", "none").subsetOf(byType.keySet))
+    // dual-column storage discipline: txt XOR bin per type
+    assert(back.filter(col("payload_type") === "binary" &&
+      col("payload_txt").isNotNull).count() == 0)
+    assert(back.filter(col("payload_type").isin("json", "text") &&
+      col("payload_bin").isNotNull).count() == 0)
+    assert(back.filter(col("payload_type") === "json" &&
+      !col("payload_txt").startsWith("{")).count() == 0)
+    wire.unpersist()
   }
 
   test("header-only records carry delete_to through the wire") {
