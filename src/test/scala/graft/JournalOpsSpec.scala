@@ -51,6 +51,40 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("expiry merge: UpdateExpiry sets, DeleteExpiry clears (C3)") {
+    val sp = spark
+    import sp.implicits._
+    // one journal, three appends: set 10 days -> set 20 days -> clear
+    def row(k: Long, seq: Long, meta: String) =
+      ("t1", 0, k, "x", "append",
+        java.sql.Timestamp.valueOf(s"2024-01-0${k + 1} 00:00:00"),
+        Some(seq), Option.empty[Long], Some(1.0), meta, "o", "1.0.0")
+    def log(rows: Seq[(String, Int, Long, String, String,
+        java.sql.Timestamp, Option[Long], Option[Long], Option[Double],
+        String, String, String)]) =
+      rows.toDF("topic", "part_no", "koffset", "id", "action", "ts",
+        "seq_nr", "delete_to", "payload", "metadata", "origin", "version")
+
+    val set = log(Seq(
+      row(0, 1, """{"expireAfter":"10 days"}"""),
+      row(1, 2, """{"expireAfter":"20 days"}""")
+    ))
+    val m1 = JournalOps.metajournal(set)
+      .select("expire_after_days", "expire_on").head()
+    // the LAST append wins, counting from ITS timestamp (2024-01-02 + 20)
+    assert(m1.getInt(0) == 20)
+    assert(m1.getDate(1).toString == "2024-01-22")
+
+    val cleared = log(Seq(
+      row(0, 1, """{"expireAfter":"10 days"}"""),
+      row(1, 2, """{"expireAfter":"20 days"}"""),
+      row(2, 3, "{}") // DeleteExpiry: no expireAfter in the last append
+    ))
+    val m2 = JournalOps.metajournal(cleared)
+      .select("expire_after_days", "expire_on").head()
+    assert(m2.isNullAt(0) && m2.isNullAt(1))
+  }
+
   test("merged two-source read equals whole-log replay (J1 identity)") {
     val whole = JournalOps.journalScan(actions)
     // mergedRead additionally carries the typed-payload/envelope columns;
