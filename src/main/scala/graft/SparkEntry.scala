@@ -216,12 +216,16 @@ object SparkEntry {
     "p3_token_stats" -> PipelineOracles.tokenStats,
     "p4_corpus_stats" -> PipelineOracles.corpusStats,
     "d1_dedup_exact" -> PipelineOracles.dedupExact,
+    "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
+    "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
+    "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,
     "k2_knn_ivf" -> PipelineOracles.knnIvf,
+    "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,
+    "k4_knn_lsh" -> PipelineOracles.knnLsh,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
-    // d2_minhash_pairs / d3_simhash_pairs / k3_lsh_bucket_stats use Spark
-    // xxhash64 (not expressible in DuckDB) — covered by ScalaTest
-    // invariants; the driver records a rows-only check.
+    // every query now has a DuckDB oracle: the dedup/LSH operators hash
+    // with portable exact-integer arithmetic both engines replay
   )
 }

@@ -1,11 +1,221 @@
 package graft.oracle
 
-/** DuckDB oracles for the LLM-data-pipeline operators that are expressible
-  * in portable SQL (length/replace arithmetic, md5, double list math).
-  * MinHash/SimHash/LSH use Spark's xxhash64 and are covered by ScalaTest
-  * invariants instead (rows-only check driver-side).
+/** DuckDB oracles for the LLM-data-pipeline operators. ALL of them are
+  * expressible in portable SQL: the dedup/LSH operators hash with exact
+  * BIGINT arithmetic (polynomial char hashes, affine minhash permutations,
+  * LCG hyperplane signs — see graft.pipeline.Dedup/Similarity), so the
+  * oracle replays the same numbers bit-for-bit via list_reduce/bit ops and
+  * the driver hash-compares candidate pairs, clusters and kNN results
+  * end-to-end (previously rows-only: xxhash64 had no DuckDB equivalent).
   */
 object PipelineOracles {
+
+  private val M = 1000000007L
+
+  /** Polynomial char hash of a string expression — the exact fold
+    * graft.pipeline.Dedup.polyHash computes. */
+  private def charHash(expr: String, base: Long = 31L, mod: Long = M): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split($expr, ''),
+         c -> CAST(ascii(c) AS BIGINT))),
+       (a, b) -> (a * $base + b) % $mod)"""
+
+  /** MinHash+LSH verified pairs (graft.pipeline.Dedup.minhashPairs with
+    * default parameters: 3-word shingles, 16 permutations, 4 bands of 4,
+    * Jaccard >= 0.5). */
+  private val minhashPairsBody: String = {
+    val mhCols = (0 until 16)
+      .map(p => s"MIN((${2 * p + 1} * shingle + ${7919 * p + 12345}) % $M) AS mh_$p")
+      .mkString(",\n           ")
+    val bandCases = (0 until 4)
+      .map { b =>
+        val horner = (b * 4 until (b + 1) * 4)
+          .map(i => s"mh_$i")
+          .reduceLeft((acc, c) => s"(($acc) * 31 + $c) % $M")
+        s"WHEN $b THEN $horner"
+      }
+      .mkString(" ")
+    s"""
+    mh_words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             ${charHash("array_to_string(w[i:i+2], ' ')")} AS shingle
+      FROM mh_words, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) g
+    ),
+    mh AS (
+      SELECT doc_id,
+           $mhCols
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             CASE band $bandCases END AS bucket
+      FROM mh, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    shc AS (
+      SELECT DISTINCT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand) d
+        USING (doc_id)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shc sa ON sa.doc_id = c.a
+      JOIN shc sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    ),
+    verified AS (
+      SELECT i.a, i.b, i.n_inter, za.n_sh AS na, zb.n_sh AS nb,
+             CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+               AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.a
+      JOIN sizes zb ON zb.doc_id = i.b
+      WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+    )"""
+  }
+
+  val minhashPairs: String = s"""
+    WITH $minhashPairsBody
+    SELECT a, b, n_inter, na, nb, jaccard FROM verified ORDER BY a, b
+  """
+
+  /** d5 — connected components over the minhash pairs: recursive label
+    * reachability; a doc's label = min doc_id of its component. */
+  val nearDupClusters: String = s"""
+    WITH RECURSIVE $minhashPairsBody,
+    edges AS (
+      SELECT a, b FROM verified
+      UNION
+      SELECT b AS a, a AS b FROM verified
+    ),
+    cc(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.label FROM edges e JOIN cc c ON c.doc_id = e.b
+    )
+    SELECT doc_id, MIN(label) AS label, doc_id = MIN(label) AS keep
+    FROM cc
+    GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
+  /** d3 — simhash: 60-bit bit-vote signature from the dual polynomial word
+    * hash, 15-bit chunk candidate buckets, Hamming <= 8. */
+  val simhashPairs: String = {
+    val sigTerms = (0 until 60)
+      .map { i =>
+        s"""(CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"""
+      }
+      .mkString(" +\n             ")
+    s"""
+    WITH sw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wh AS (
+      SELECT doc_id,
+             ((123456789 * ${charHash("w", 31L, M)} + 987654321) % $M)
+               * 1073741824
+               + (362437 * ${charHash("w", 37L, 998244353L)} + 9876543)
+                 % 998244353 AS h
+      FROM sw
+    ),
+    sig AS (
+      SELECT doc_id,
+             $sigTerms AS sig
+      FROM wh GROUP BY doc_id
+    ),
+    chunked AS (
+      SELECT doc_id, sig, chunk, (sig >> (chunk * 15)) & 32767 AS key
+      FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+    ),
+    scand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.sig AS sa, r.sig AS sb
+      FROM chunked l JOIN chunked r
+        ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+    FROM scand
+    WHERE bit_count(xor(sa, sb)) <= 8
+    ORDER BY a, b
+  """
+  }
+
+  /** Sign-LSH bucket of a DOUBLE[] column `e` — the exact fold
+    * graft.pipeline.Similarity.signBucket computes (LCG-parity planes). */
+  private def bucketExpr(nBits: Int = 12): String =
+    (0 until nBits)
+      .map { p =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, len(e)),
+               d -> e[d] * (CASE WHEN ((1103515245 * (${131L * p} + (d - 1))
+                              + 12345) >> 16) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))),
+             (x, y) -> x + y) > 0
+           THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"""
+      }
+      .mkString(" +\n           ")
+
+  /** k3 — LSH bucket-size histogram. */
+  val lshBucketStats: String = s"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bk AS (SELECT vec_id, ${bucketExpr()} AS bucket FROM c),
+    per AS (SELECT bucket, COUNT(*) AS n_vectors FROM bk GROUP BY bucket)
+    SELECT n_vectors, COUNT(*) AS n_buckets
+    FROM per GROUP BY n_vectors ORDER BY n_vectors
+  """
+
+  /** k4 — multiprobe LSH kNN (own bucket + all 1-bit flips, exact rescore,
+    * top-5 per query). */
+  val knnLsh: String = {
+    val probeList = (-1 until 12).mkString("[", ", ", "]")
+    s"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cb AS (SELECT vec_id, e, ${bucketExpr()} AS bucket FROM c),
+    q AS (
+      SELECT vec_id AS qid, e AS qe, bucket AS qbucket
+      FROM cb WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT qid, qe,
+             CASE WHEN f.i = -1 THEN qbucket
+                  ELSE xor(qbucket, (CAST(1 AS BIGINT) << f.i)) END AS bucket
+      FROM q, LATERAL (SELECT unnest($probeList) AS i) f
+    ),
+    scored AS (
+      SELECT DISTINCT p.qid, t.vec_id,
+             list_dot_product(p.qe, t.e) /
+             (sqrt(list_dot_product(p.qe, p.qe)) *
+              sqrt(list_dot_product(t.e, t.e))) AS sim
+      FROM probes p JOIN cb t USING (bucket)
+      WHERE t.vec_id <> p.qid
+    )
+    SELECT qid, vec_id, rank, sim
+    FROM (
+      SELECT qid, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+               AS BIGINT) AS rank
+      FROM scored
+    ) r
+    WHERE rank <= 5
+    ORDER BY qid, rank
+  """
+  }
 
   private def occ(needle: String, len: Int): String =
     s"(length(text) - length(replace(text, '$needle', ''))) / $len"
@@ -174,18 +384,28 @@ object PipelineOracles {
     ORDER BY qid, rank
   """
 
+  /** d4's ground truth: EXACT all-pairs cosine per label over the SEEDED
+    * corpus (graft.pipeline.Similarity.seededCorpus — each low-id vector
+    * plus its ×2-scaled twin, cosine exactly 1.0). The LSH candidate
+    * generator must recover every exact pair — a non-vacuous recall check
+    * (the unseeded synthetic corpus has no pair above the threshold).
+    */
   val embeddingNearDup: String = s"""
+    WITH corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2)
+      FROM embeddings WHERE vec_id < 20
+    )
     SELECT label, a, b, sim
     FROM (
       SELECT l.label, l.vec_id AS a, r.vec_id AS b,
-             list_dot_product(CAST(l.embedding AS DOUBLE[]),
-                              CAST(r.embedding AS DOUBLE[])) /
-             (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]),
-                                    CAST(l.embedding AS DOUBLE[]))) *
-              sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
-                                    CAST(r.embedding AS DOUBLE[])))) AS sim
-      FROM embeddings l
-      JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+             list_dot_product(l.e, r.e) /
+             (sqrt(list_dot_product(l.e, l.e)) *
+              sqrt(list_dot_product(r.e, r.e))) AS sim
+      FROM corpus l
+      JOIN corpus r ON l.label = r.label AND l.vec_id < r.vec_id
     ) s
     WHERE sim >= 0.99
     ORDER BY a, b

@@ -41,12 +41,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word 3-gram shingles of a document, hashed to 64-bit ids immediately
-    * (downstream set operations shuffle longs, not strings — the shingle
-    * text never leaves the map side). One row per occurrence, NOT
-    * deduplicated: MinHash is duplicate-insensitive (min over repeats is
-    * the min), so the corpus-wide distinct shuffle is deliberately avoided;
-    * Jaccard verification dedups its (small) candidate subset itself.
+  /** All hashing in the dedup operators is PORTABLE arithmetic — a
+    * polynomial rolling hash mod 1e9+7 over the character stream, affine
+    * re-hashes for the minhash permutations, Horner combines for band
+    * buckets. Every step is exact BIGINT arithmetic expressible in both
+    * Spark and the DuckDB oracle, so d2/d3/d5 are hash-verifiable
+    * end-to-end instead of rows-only (xxhash64 had no oracle equivalent).
+    * Codegen'd higher-order functions, no UDF.
+    */
+  private[pipeline] val M = 1000000007L
+
+  /** Polynomial char hash: fold (acc*base + codepoint) % mod — the p5
+    * fingerprint idiom, proven byte-equal against DuckDB's list_reduce.
+    */
+  private[pipeline] def polyHash(
+      s: Column,
+      base: Long = 31L,
+      mod: Long = M
+  ): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * base + x) % mod
+    )
+
+  /** Word 3-gram shingles of a document, hashed to bounded longs
+    * immediately (downstream set operations shuffle longs, not strings —
+    * the shingle text never leaves the map side). One row per occurrence,
+    * NOT deduplicated: MinHash is duplicate-insensitive (min over repeats
+    * is the min), so the corpus-wide distinct shuffle is deliberately
+    * avoided; Jaccard verification dedups its (small) candidate subset
+    * itself.
     */
   def shingles(d: DataFrame, n: Int = 3): DataFrame = {
     val words = split(col("text"), " ")
@@ -56,7 +81,7 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-            i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n))))
+            i => polyHash(concat_ws(" ", slice(col("w"), i + 1, lit(n))))
           )
         ).as("shingle")
       )
@@ -83,21 +108,23 @@ object Dedup {
     // verification; released before return (Eager.materialized)
     val sh = shingles(docs(spark, dir)).cache()
 
-    // minhash matrix: doc × perm -> min over shingles of xxhash64(perm, shingle)
+    // minhash matrix: doc × perm -> min over shingles of the p-th affine
+    // re-hash (universal-hash family: (a_p·s + b_p) mod M, a_p odd)
     val perms = (0 until numPerms).map { p =>
-      min(xxhash64(lit(p), col("shingle"))).as(s"mh_$p")
+      min((lit(2L * p + 1) * col("shingle") + lit(7919L * p + 12345L)) % M)
+        .as(s"mh_$p")
     }
     val mh = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
 
-    // LSH bands: hash rowsPerBand consecutive minhashes per band
+    // LSH bands: Horner-combine rowsPerBand consecutive minhashes per band
     val numBands = numPerms / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(
-          (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"mh_$i")): _*
-        ).as("bucket")
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i"))
+          .reduceLeft((acc, c) => (acc * 31L + c) % M)
+          .as("bucket")
       )
     }
     // cached: the self-join below reads the band index on BOTH legs — an
@@ -281,23 +308,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup: 64-bit signature by bit-voting word-hash bits,
-    * bucketed by 16-bit chunks for candidate generation (pigeonhole: any
+  /** SimHash near-dup: 60-bit signature by bit-voting word-hash bits,
+    * bucketed by 15-bit chunks for candidate generation (pigeonhole: any
     * pair within Hamming distance 3 collides on ≥1 of the 4 chunks).
     * Output: candidate pairs with their Hamming distance ≤ maxDist.
+    *
+    * The 60-bit word hash is two independent polynomial char hashes (each
+    * < 2^30) packed as h1·2^30 + h2 — exact BIGINT arithmetic the DuckDB
+    * oracle replays bit-for-bit (xxhash64 had no oracle equivalent).
     */
   def simhashPairs(
       spark: SparkSession,
       dir: String,
       maxDist: Int = 8
   ): DataFrame = {
+    val nBits = 60
+    val chunkBits = 15
     val d = docs(spark, dir)
+    // affine post-scrambles (bijections mod each prime) spread the short
+    // words whose raw polynomial value is far below the modulus — without
+    // them the high bits of every common word vote identically and the
+    // signature loses most of its discrimination
     val words = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn(
+        "h",
+        ((lit(123456789L) * polyHash(col("w"), 31L, M) + 987654321L) % M) *
+          (1L << 30) +
+          (lit(362437L) * polyHash(col("w"), 37L, 998244353L) + 9876543L) %
+            998244353L
+      )
 
-    // bit-vote: for each of 64 bits, +1 if set else -1; sign of sum = bit
-    val bitCols = (0 until 64).map { i =>
+    // bit-vote: for each bit, +1 if set else -1; sign of sum = bit
+    val bitCols = (0 until nBits).map { i =>
       sum(
         when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)
       ).as(s"b_$i")
@@ -307,7 +350,7 @@ object Dedup {
       .agg(bitCols.head, bitCols.tail: _*)
       .select(
         col("doc_id"),
-        (0 until 64)
+        (0 until nBits)
           .map(i =>
             when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
           )
@@ -325,7 +368,8 @@ object Dedup {
         array((0 until 4).map { c =>
           struct(
             lit(c).as("chunk"),
-            shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("key")
+            shiftright(col("sig"), c * chunkBits)
+              .bitwiseAND((1L << chunkBits) - 1).as("key")
           )
         }: _*)
       ).as("ck")

@@ -106,15 +106,18 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Sign-LSH bucketing: `nBits` pseudo-random hyperplanes, derived
-    * deterministically from xxhash64(planeIdx, dimIdx) mapped to ±1.
+  /** Sign-LSH bucketing: `nBits` pseudo-random hyperplanes with ±1
+    * components derived deterministically from an LCG parity — exact
+    * integer arithmetic the DuckDB oracle replays, so the bucketed
+    * operators (k3/k4/d4) are hash-verifiable instead of rows-only.
     * Vectors sharing a bucket are near in angle with high probability;
     * pairs are then exactly scored. Candidate generation is a groupBy on
     * the bucket key — no all-pairs shuffle.
     */
   /** The sign-LSH bucket of one embedding column: `nBits` hyperplane sign
-    * bits packed into a long. Plane p, dim d: sign = +1 if xxhash64(p, d)
-    * even else -1 — deterministic, no stored model.
+    * bits packed into a long. Plane p, dim d: sign = +1 iff bit 16 of
+    * lcg(131·p + d) is 0 (classic rand() construction) — deterministic,
+    * no stored model, portable to any engine with 64-bit integers.
     */
   def signBucket(embedding: Column, nBits: Int = 12): Column = {
     val bits = (0 until nBits).map { p =>
@@ -122,9 +125,11 @@ object Similarity {
         zip_with(
           embedding,
           sequence(lit(0), size(embedding) - 1),
-          (v, i) =>
+          (v, i) => {
+            val lcg = lit(1103515245L) * (lit(131L * p) + i) + lit(12345L)
             v.cast("double") *
-              when(xxhash64(lit(p), i) % 2 === 0, 1.0).otherwise(-1.0)
+              when(shiftright(lcg, 16) % 2 === 0, 1.0).otherwise(-1.0)
+          }
         ),
         lit(0.0),
         (acc, v) => acc + v
@@ -132,6 +137,27 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** The d4 fixture corpus: the embeddings table plus one EXACT-angle
+    * near-duplicate per low-id vector (the same vector scaled by 2 — a
+    * power of two, so the scaled floats, every cosine, and every
+    * hyperplane sign are bit-identical between engines and the pair's
+    * similarity is 1.0 by construction). Gives the near-dup operator a
+    * non-empty ground truth: without seeds the synthetic corpus has no
+    * pair above 0.99 and the oracle check would pass vacuously.
+    */
+  def seededCorpus(spark: SparkSession, dir: String, nSeeds: Int = 20): DataFrame = {
+    val base = emb(spark, dir)
+    val seeds = base
+      .filter(col("vec_id") < nSeeds)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), v => (v * lit(2.0f)).cast("float"))
+          .as("embedding"),
+        col("label")
+      )
+    base.unionByName(seeds)
   }
 
   def lshBuckets(
@@ -164,12 +190,21 @@ object Similarity {
       dir: String,
       threshold: Double = 0.99,
       nBits: Int = 12
+  ): DataFrame =
+    // the seeded fixture corpus keeps the ground truth non-empty (and the
+    // oracle check non-vacuous); the operator itself is corpus-agnostic
+    embeddingNearDupOn(seededCorpus(spark, dir), threshold, nBits)
+
+  def embeddingNearDupOn(
+      input: DataFrame,
+      threshold: Double = 0.99,
+      nBits: Int = 12
   ): DataFrame = {
     // The self-join reads the bucketed corpus on BOTH legs; caching it
     // computes the nBits×dim hyperplane projection ONCE per vector instead
     // of once per leg. At 100 TB this cache is a persisted index table
     // (lshBuckets written alongside the corpus); released before return.
-    val corpus = emb(spark, dir)
+    val corpus = input
       .withColumn("bucket", signBucket(col("embedding"), nBits))
       .cache()
     val probes = corpus.select(
