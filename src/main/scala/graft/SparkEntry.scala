@@ -97,6 +97,8 @@ object SparkEntry {
     "s10b_snapshot_criteria" -> ((s, d) =>
       Snapshots.load(actions(s, d),
         Snapshots.Criteria(maxSeqNr = 40, minSeqNr = 15))),
+    "s10c_snapshot_lifecycle" -> ((s, d) =>
+      Snapshots.lifecycle(actions(s, d))),
     // C2/F8 typed-payload wire roundtrip: every append's typed payload
     // (json envelope / text / v1 binary frame), tags and metadata must
     // survive actions → Kafka wire → actions byte-exactly; binary is
@@ -191,6 +193,7 @@ object SparkEntry {
     "c5_action_header" -> JournalOracles.actionHeader,
     "f8_wire_roundtrip" -> JournalOracles.actionCounts,
     "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
+    "s10c_snapshot_lifecycle" -> JournalOracles.snapshotLifecycle,
     "c7_payload_roundtrip" -> JournalOracles.payloadRoundtrip,
     "s5b_tag_replay" -> JournalOracles.tagReplay,
     "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,

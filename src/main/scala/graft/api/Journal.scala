@@ -29,10 +29,24 @@ final class Journal(
   /** Events of one journal from `fromSeqNr`, replay order — the recovery
     * query (reference Journals.scala:194-301): merged store prefix + log
     * tail with dedup and delete/purge semantics.
+    *
+    * `strict` enables the F5 seqNr-uniqueness check on the replicated
+    * prefix (reference `seqNrUniqueness` config, Journal.scala:458-480):
+    * a store row surviving the merge with a duplicated seq_nr raises the
+    * reference's "Data integrity violated" error instead of being
+    * silently dropped.
     */
-  def read(topic: String, id: String, fromSeqNr: Long = 1L): DataFrame =
+  def read(
+      topic: String,
+      id: String,
+      fromSeqNr: Long = 1L,
+      strict: Boolean = false
+  ): DataFrame =
     Replay
-      .mergedRead(log.filter(col("topic") === topic && col("id") === id))
+      .mergedRead(
+        log.filter(col("topic") === topic && col("id") === id),
+        strictUniqueness = strict
+      )
       .filter(col("seq_nr") >= fromSeqNr)
 
   /** Typed replay — `Dataset[EventRecord]`, the reference's

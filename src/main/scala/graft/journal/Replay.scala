@@ -46,7 +46,8 @@ object Replay {
   def mergedRead(
       actions: DataFrame,
       wmFrac: Double = 0.8,
-      tailFrac: Double = 0.6
+      tailFrac: Double = 0.6,
+      strictUniqueness: Boolean = false
   ): DataFrame = {
     val outCols = Seq("topic", "id", "seq_nr", "koffset", "ts", "payload") ++
       carried.filter(actions.columns.contains)
@@ -59,10 +60,17 @@ object Replay {
     val bounded = actions.join(broadcast(bounds), Seq("topic", "part_no"))
 
     // Eventual leg: what the replicator materialized — delete/purge state
-    // computed over the replicated prefix only.
-    val eventual = JournalOps
-      .survivors(bounded.filter(col("koffset") <= col("wm")))
-      .select(outCols.map(col): _*)
+    // computed over the replicated prefix only. The F5 uniqueness check
+    // sits HERE (the reference checks on the eventual read,
+    // EventualCassandra.scala:170-191): duplicates in the replicated
+    // prefix are corruption; duplicates in the tail are redelivery, and
+    // the merge's F4 dedup handles those silently either way.
+    val eventual = withUniquenessCheck(
+      JournalOps
+        .survivors(bounded.filter(col("koffset") <= col("wm")))
+        .select(outCols.map(col): _*),
+      strictUniqueness
+    )
 
     // Tail leg: raw appends from the log above tail_from (overlaps the
     // replicated prefix — Kafka gives at-least-once).
@@ -113,6 +121,41 @@ object Replay {
       .select(outCols.map(col): _*)
       .orderBy("topic", "id", "seq_nr")
   }
+
+  /** F5 STRICT mode (reference EventualCassandra.scala:170-191 behind the
+    * `seqNrUniqueness` config, Journal.scala:458-480): the eventual store
+    * must never hold two events with the same (topic, id, seq_nr) — that
+    * is data corruption, not redelivery (redelivery dedup is F4 and
+    * happens on the log tail, before the store). In strict mode the scan
+    * RAISES the reference's "Data integrity violated" error on the first
+    * duplicate instead of silently deduplicating; with `strict = false`
+    * it is the identity.
+    *
+    * One window count over the same (topic, id) key family the read
+    * already shuffles on; the raise_error sits behind a when() so the
+    * happy path stays codegen'd and row-cheap.
+    */
+  def withUniquenessCheck(journal: DataFrame, strict: Boolean = true): DataFrame =
+    if (!strict) journal
+    else {
+      val w = Window.partitionBy("topic", "id", "seq_nr")
+      journal
+        .withColumn("_n", count(lit(1)).over(w))
+        .withColumn(
+          "_chk",
+          when(
+            col("_n") > 1,
+            raise_error(concat(
+              lit("Data integrity violated: duplicate seq_nr "),
+              col("seq_nr").cast("string"),
+              lit(" for journal "),
+              col("topic"), lit("/"), col("id")
+            ))
+          ).otherwise(lit(true))
+        )
+        .filter(col("_chk"))
+        .drop("_n", "_chk")
+    }
 
   /** F4/F5 — seq_nr dedup under duplicated delivery: replays a log whose
     * tail was delivered twice (at-least-once redelivery) and proves the

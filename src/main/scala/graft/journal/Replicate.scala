@@ -25,6 +25,18 @@ object Replicate {
       pointer2: DataFrame
   )
 
+  /** Physical bucketing of the journal store: `abs(javaHash(lower(id)))
+    * % n` — the reference's metajournal segmentation function
+    * (SegmentNr.scala:146-150) reused as the partition key, so one
+    * journal's rows always land in one (topic, bucket) partition and a
+    * batch touches only the partitions of the journals it contains.
+    */
+  val DefaultBuckets = 64
+
+  def bucketOf(id: org.apache.spark.sql.Column, n: Int = DefaultBuckets): org.apache.spark.sql.Column =
+    abs(graft.functions.JavaStringHash.javaHash(lower(id)).cast("long") % n)
+      .cast("int")
+
   /** The journal-table projection of surviving appends: the reference's
     * event-row schema (JournalStatements.scala:32-53) — dual-column typed
     * payload, tags as a real ARRAY (SET<TEXT>), origin/version/metadata

@@ -67,4 +67,46 @@ object Snapshots {
       .filter(!matches(c))
       .select("topic", "id", "buffer_nr", "seq_nr")
       .orderBy("topic", "id", "seq_nr")
+
+  /** The SAVE path: snapshots upsert into a per-journal ring buffer of
+    * `bufferSize` slots keyed `(topic, id, buffer_nr)` — the n-th save of
+    * a journal lands in slot `n % bufferSize`, overwriting the slot's
+    * previous occupant (BufferNr wraparound; reference BufferNr.scala:
+    * ring index, SnapshotStore.scala:11-62 save contract, slot column
+    * `buffer_idx` per BufferNrExtension.scala). The surviving state after
+    * a save sequence is therefore each journal's LAST `bufferSize`
+    * snapshots, tagged with their slot.
+    *
+    * Declarative batch formulation of the upsert fold: slot occupancy is
+    * a pure function of the save ordinal, so the final table needs no
+    * iteration — one window over (topic, id).
+    */
+  def ringUpsert(actions: DataFrame, bufferSize: Int = 3): DataFrame = {
+    val byJournal = Window.partitionBy("topic", "id")
+    val w = byJournal.orderBy("seq_nr")
+    JournalOps
+      .survivors(actions)
+      .filter(col("seq_nr") % 10 === 0)
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .withColumn("ordinal", row_number().over(w) - 1)
+      .withColumn("total", count(lit(1)).over(byJournal))
+      // a later save into the same slot overwrites: only the last
+      // bufferSize ordinals survive the ring
+      .filter(col("ordinal") >= col("total") - bufferSize)
+      .withColumn("buffer_nr", (col("ordinal") % bufferSize).cast("int"))
+  }
+
+  /** S10c — full lifecycle: save every fixture snapshot through the ring
+    * (wraparound), then delete-by-criteria (maxSeqNr box), report what
+    * remains per slot.
+    */
+  def lifecycle(
+      actions: DataFrame,
+      bufferSize: Int = 3,
+      deleteToSeqNr: Long = 20L
+  ): DataFrame =
+    ringUpsert(actions, bufferSize)
+      .filter(col("seq_nr") > deleteToSeqNr) // delete(criteria max=deleteTo)
+      .select("topic", "id", "buffer_nr", "seq_nr", "koffset", "payload")
+      .orderBy("topic", "id", "buffer_nr")
 }

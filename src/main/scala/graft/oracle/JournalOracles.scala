@@ -367,6 +367,31 @@ object JournalOracles {
     ORDER BY topic, id
   """
 
+  /** S10c — ring-buffer save path (bufferSize 3) + delete-by-criteria
+    * (maxSeqNr 20): slot = save-ordinal % size, later saves overwrite, so
+    * only each journal's last 3 snapshots survive; then the delete box.
+    */
+  val snapshotLifecycle: String = s"""$annCte,
+    snaps AS (
+      SELECT topic, id, seq_nr, koffset, payload
+      FROM ann3
+      WHERE action = 'append' AND after_purge
+        AND seq_nr > COALESCE(dt, 0) AND seq_nr % 10 = 0
+    ),
+    ord AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY topic, id ORDER BY seq_nr) - 1
+               AS ordinal,
+             COUNT(*) OVER (PARTITION BY topic, id) AS total
+      FROM snaps
+    )
+    SELECT topic, id, CAST(ordinal % 3 AS INT) AS buffer_nr,
+           seq_nr, koffset, payload
+    FROM ord
+    WHERE ordinal >= total - 3 AND seq_nr > 20
+    ORDER BY topic, id, buffer_nr
+  """
+
   val snapshotLoad: String = s"""$annCte
     SELECT topic, id, seq_nr, koffset, payload
     FROM (

@@ -16,8 +16,10 @@ import graft.journal.Replicate
   *
   * Source: file stream here (the container has no Kafka broker); swapping
   * in `readStream.format("kafka")` changes ONLY [[streamFrom]] — the merge
-  * body is source-agnostic. Sink: plain parquet read-modify-write with an
-  * atomic directory swap per micro-batch; on Delta/Iceberg the same logical
+  * body is source-agnostic. Sink: a `(topic, bucket)`-partitioned parquet
+  * journal mutated INCREMENTALLY (only the batch's touched partitions are
+  * read and rewritten — O(batch), not O(store)) plus small head tables
+  * behind an atomic generation swap; on Delta/Iceberg the same logical
   * plan is a transactional MERGE INTO (the 100 TB deployment shape —
   * documented as SURVEY §7.4 risk 1).
   *
@@ -28,42 +30,139 @@ import graft.journal.Replicate
   */
 object StreamingReplicator {
 
-  /** Applies one micro-batch to the store directory (read-modify-write +
-    * directory swap). Also the test seam: batches can be fed directly.
+  /** Applies one micro-batch to the store — O(batch), not O(store). Also
+    * the test seam: batches can be fed directly.
     *
-    * Crash safety: a generation is only adoptable once its `_COMMITTED`
-    * marker exists, and the marker is written strictly before the swap
-    * moves begin. [[recoverCurrent]] makes every crash window recoverable —
-    * a missing `current/` never silently bootstraps an empty store (which
-    * would let the pointer2 offset guard discard all previously replicated
-    * state, breaking the exactly-once claim).
+    * Layout: the journal lives at `storeDir/journal`, partitioned by
+    * `(topic, bucket)` ([[Replicate.bucketOf]] — one journal's rows are
+    * always in one partition). A batch reads ONLY the partitions of the
+    * journals it touches (partition pruning on the collected touched set)
+    * and rewrites ONLY those via dynamic partition overwrite — untouched
+    * partition files are never opened or rewritten, so per-batch cost
+    * scales with the batch's key locality, not the accumulated store. The
+    * metajournal/pointer2 head tables (one row per journal/partition —
+    * O(keys), small) still use the committed-generation swap.
+    *
+    * Crash safety: the pointer2 write (inside the generation swap, last)
+    * is the commit point. Any crash before it leaves the old pointer2, so
+    * the checkpointed batch is REDELIVERED and the merge re-applies — the
+    * journal partition rewrite is content-idempotent (appends dedup on
+    * (topic,id,seq_nr), deletes/purges are monotone), so half-written
+    * partitions converge. A missing `current/` never silently bootstraps
+    * an empty store ([[recoverCurrent]]) — that would let the offset
+    * guard discard all previously replicated state, breaking exactly-once.
     */
   def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
     val cur = recoverCurrent(storeDir)
-    val store =
-      if (Files.exists(cur)) Replicate.read(spark, cur.toString)
-      else Replicate.empty(spark, batch)
+    val journalDir = Paths.get(storeDir, "journal")
+    val batchC = batch.cache()
+    try {
+      val touched = batchC
+        .select(col("topic"), Replicate.bucketOf(col("id")).as("bucket"))
+        .distinct()
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+      if (touched.isEmpty) return
 
-    val merged = Replicate.mergeBatch(store, batch)
+      val bootstrap = Replicate.empty(spark, batchC)
+      val journalTouched =
+        if (Files.exists(journalDir)) {
+          val pred = touched
+            .map { case (t, b) => col("topic") === t && col("bucket") === b }
+            .reduce(_ || _)
+          spark.read.parquet(journalDir.toString).filter(pred).drop("bucket")
+        } else bootstrap.journal
+      val store =
+        if (Files.exists(cur))
+          Replicate.Store(
+            journal = journalTouched,
+            metajournal =
+              spark.read.parquet(cur.resolve("metajournal").toString),
+            pointer2 = spark.read.parquet(cur.resolve("pointer2").toString)
+          )
+        else bootstrap.copy(journal = journalTouched)
 
-    // write to a fresh generation dir (reads the old files), mark it
-    // committed, then swap
-    val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
-    merged.journal.write.mode(SaveMode.Overwrite)
-      .parquet(next.resolve("journal").toString)
-    merged.metajournal.write.mode(SaveMode.Overwrite)
-      .parquet(next.resolve("metajournal").toString)
-    merged.pointer2.write.mode(SaveMode.Overwrite)
-      .parquet(next.resolve("pointer2").toString)
-    Files.createFile(next.resolve(Committed))
+      val merged = Replicate.mergeBatch(store, batchC)
 
-    val old = if (Files.exists(cur)) {
-      val o = Paths.get(storeDir, s"old-${System.nanoTime()}")
-      Files.move(cur, o)
-      Some(o)
-    } else None
-    Files.move(next, cur)
-    old.foreach(deleteRecursively)
+      // journal: materialize the merged touched subset (breaks the plan's
+      // reference to journalDir — Spark refuses to overwrite a path it is
+      // reading from), then replace only the touched partitions
+      // schema sidecar: lets readStore serve an empty journal when every
+      // partition has been purged away (no parquet files left to infer from)
+      val schemaPath = Paths.get(storeDir, "journal_schema.json")
+      if (!Files.exists(schemaPath)) {
+        Files.createDirectories(schemaPath.getParent)
+        Files.write(schemaPath, merged.journal.schema.json.getBytes("UTF-8"))
+      }
+      val mj = merged.journal
+        .withColumn("bucket", Replicate.bucketOf(col("id")))
+        .localCheckpoint(true)
+      mj.write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("topic", "bucket")
+        .parquet(journalDir.toString)
+      // dynamic overwrite cannot emit an EMPTY partition: a touched
+      // partition whose journals were all purged keeps its stale dir —
+      // drop those explicitly (re-running after a crash converges: the
+      // redelivered purge deletes again)
+      val nonEmpty = mj
+        .select("topic", "bucket").distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      touched.filterNot(nonEmpty).foreach { case (t, b) =>
+        val dir = journalDir.resolve(s"topic=$t").resolve(s"bucket=$b")
+        if (Files.exists(dir)) deleteRecursively(dir)
+      }
+
+      // head tables: fresh committed generation, then swap (commit point)
+      val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
+      merged.metajournal.write.mode(SaveMode.Overwrite)
+        .parquet(next.resolve("metajournal").toString)
+      merged.pointer2.write.mode(SaveMode.Overwrite)
+        .parquet(next.resolve("pointer2").toString)
+      Files.createFile(next.resolve(Committed))
+
+      val old = if (Files.exists(cur)) {
+        val o = Paths.get(storeDir, s"old-${System.nanoTime()}")
+        Files.move(cur, o)
+        Some(o)
+      } else None
+      Files.move(next, cur)
+      old.foreach(deleteRecursively)
+    } finally batchC.unpersist(false)
+  }
+
+  /** Assembles the store from its on-disk layout (bucketed journal +
+    * current head-table generation), repairing crash leftovers first.
+    */
+  def readStore(spark: SparkSession, storeDir: String): Replicate.Store = {
+    val cur = recoverCurrent(storeDir)
+    val journalDir = Paths.get(storeDir, "journal")
+    def hasParquet: Boolean = {
+      val s = Files.walk(journalDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    val journal =
+      if (Files.exists(journalDir) && hasParquet)
+        spark.read.parquet(journalDir.toString).drop("bucket")
+      else {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(new String(
+            Files.readAllBytes(Paths.get(storeDir, "journal_schema.json")),
+            "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    Replicate.Store(
+      journal = journal,
+      metajournal = spark.read.parquet(cur.resolve("metajournal").toString),
+      pointer2 = spark.read.parquet(cur.resolve("pointer2").toString)
+    )
   }
 
   private val Committed = "_COMMITTED"

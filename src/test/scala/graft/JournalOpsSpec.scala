@@ -85,6 +85,43 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.isNullAt(0) && m2.isNullAt(1))
   }
 
+  test("F5 strict mode raises on duplicate seq_nr in the replicated prefix") {
+    val sp = spark
+    import sp.implicits._
+    // koffsets 0..3 all land below the 0.8 watermark cut except the max —
+    // the duplicate pair (seq_nr 2 at koffsets 1 and 2) is in the
+    // replicated prefix, which is corruption, not redelivery
+    val dup = Seq(
+      ("t1", 0, 0L, "x", "append", ts("2024-01-01"), Some(1L),
+        Option.empty[Long], Some(1.0)),
+      ("t1", 0, 1L, "x", "append", ts("2024-01-02"), Some(2L),
+        Option.empty[Long], Some(2.0)),
+      ("t1", 0, 2L, "x", "append", ts("2024-01-03"), Some(2L),
+        Option.empty[Long], Some(2.5)),
+      ("t1", 0, 3L, "x", "append", ts("2024-01-04"), Some(3L),
+        Option.empty[Long], Some(3.0)),
+      ("t1", 0, 4L, "x", "append", ts("2024-01-05"), Some(4L),
+        Option.empty[Long], Some(4.0))
+    ).toDF("topic", "part_no", "koffset", "id", "action", "ts",
+      "seq_nr", "delete_to", "payload")
+
+    // lax mode: silently dedups — first-offset copy wins (F4)
+    val lax = Replay.mergedRead(dup).collect()
+    assert(lax.count(_.getLong(2) == 2L) == 1)
+
+    // strict mode: the duplicate raises the integrity error
+    val err = intercept[Exception] {
+      Replay.mergedRead(dup, strictUniqueness = true).collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(err).exists(_.contains("Data integrity violated")))
+  }
+
+  private def ts(d: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"$d 00:00:00")
+
   test("merged two-source read equals whole-log replay (J1 identity)") {
     val whole = JournalOps.journalScan(actions)
     // mergedRead additionally carries the typed-payload/envelope columns;

@@ -83,6 +83,82 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("incremental sink rewrites only the touched journal partitions") {
+    import java.security.MessageDigest
+    val a = actions.cache()
+    val tmp = Files.createTempDirectory("graft-incremental").toString
+    val cs = chunks(a, 2)
+    StreamingReplicator.applyBatch(spark, tmp, cs(0))
+
+    // fingerprint every journal partition file (path -> md5)
+    def files(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp, "journal")
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = MessageDigest.getInstance("MD5")
+          root.relativize(p).toString ->
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }
+        .toMap
+      finally s.close()
+    }
+    val before = files()
+
+    // second batch restricted to ONE journal -> exactly one touched bucket
+    val oneKey = cs(1).filter(col("id") === "1")
+    assert(oneKey.count() > 0)
+    StreamingReplicator.applyBatch(spark, tmp, oneKey)
+    val after = files()
+
+    val touchedPrefix = {
+      val b = oneKey
+        .select(graft.journal.Replicate.bucketOf(col("id")).as("b"))
+        .head().getInt(0)
+      val t = oneKey.select("topic").head().getString(0)
+      s"topic=$t/bucket=$b"
+    }
+    // every file outside the touched partition is byte-identical (same
+    // path, same content); the touched partition was rewritten
+    val untouchedBefore = before.filterNot(_._1.startsWith(touchedPrefix))
+    val untouchedAfter = after.filterNot(_._1.startsWith(touchedPrefix))
+    assert(untouchedBefore == untouchedAfter)
+    assert(before.keys.exists(_.startsWith(touchedPrefix)))
+    assert(
+      before.view.filterKeys(_.startsWith(touchedPrefix)).toMap !=
+        after.view.filterKeys(_.startsWith(touchedPrefix)).toMap
+    )
+    a.unpersist()
+  }
+
+  test("purging a bucket's only journal removes its partition (no stale rows)") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = Files.createTempDirectory("graft-purge-part").toString
+    def row(k: Long, action: String, seq: Option[Long]) =
+      ("t9", 0, k, "solo", action,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        seq, Option.empty[Long], Some(1.0),
+        Option.empty[String], Option.empty[String], Option.empty[Array[Byte]],
+        Option.empty[String], "o", "1.0.0", Option.empty[String])
+    def df(rows: Seq[(String, Int, Long, String, String, java.sql.Timestamp,
+        Option[Long], Option[Long], Option[Double], Option[String],
+        Option[String], Option[Array[Byte]], Option[String], String, String,
+        Option[String])]) =
+      rows.toDF("topic", "part_no", "koffset", "id", "action", "ts",
+        "seq_nr", "delete_to", "payload", "payload_type", "payload_txt",
+        "payload_bin", "tags_csv", "origin", "version", "metadata")
+    StreamingReplicator.applyBatch(spark, tmp,
+      df(Seq(row(0, "append", Some(1L)), row(1, "append", Some(2L)))))
+    assert(StreamingReplicator.readStore(spark, tmp).journal.count() == 2)
+    StreamingReplicator.applyBatch(spark, tmp, df(Seq(row(2, "purge", None))))
+    val st = StreamingReplicator.readStore(spark, tmp)
+    assert(st.journal.count() == 0)
+    assert(st.metajournal.count() == 0)
+  }
+
   test("streaming resumes from checkpoint and ingests only new files") {
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-stream-resume").toString
@@ -103,7 +179,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = StreamingReplicator.streamFrom(
       spark, s"$inDir/chunk_*", storeDir, ckDir, schema)
     q2.awaitTermination(120000)
-    val got = Replicate.read(spark, s"$storeDir/current")
+    val got = StreamingReplicator.readStore(spark, storeDir)
     assertStoreEquals(got, Replicate.compute(a))
     a.unpersist()
   }
@@ -116,7 +192,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = StreamingReplicator.streamFromWire(
       spark, s"$tmp/in/w*", s"$tmp/store", s"$tmp/ck", wire.schema)
     q.awaitTermination(120000)
-    val got = Replicate.read(spark, s"$tmp/store/current")
+    val got = StreamingReplicator.readStore(spark, s"$tmp/store")
     // wire roundtrip drops event_id/props; compare store tables except the
     // props-derived columns are unaffected (journal/pointer2/metajournal
     // don't read props)
@@ -140,7 +216,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = StreamingReplicator.streamFrom(
       spark, s"$inDir/chunk_*", storeDir, ckDir, schema)
     q.awaitTermination(120000)
-    val got = Replicate.read(spark, s"$storeDir/current")
+    val got = StreamingReplicator.readStore(spark, storeDir)
     assertStoreEquals(got, Replicate.compute(a))
     a.unpersist()
   }
