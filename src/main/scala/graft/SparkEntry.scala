@@ -154,6 +154,7 @@ object SparkEntry {
     "p3_token_stats" -> (TextAnalysis.tokenStats _),
     "p4_corpus_stats" -> (TextAnalysis.corpusStats _),
     "d1_dedup_exact" -> (Dedup.exact _),
+    "p8_corpus_curation" -> ((s, d) => graft.pipeline.Curation.curate(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
     "p3_token_stats" -> PipelineOracles.tokenStats,
     "p4_corpus_stats" -> PipelineOracles.corpusStats,
     "d1_dedup_exact" -> PipelineOracles.dedupExact,
+    "p8_corpus_curation" -> PipelineOracles.curate,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,

@@ -304,6 +304,27 @@ object JournalOps {
       .select("topic", "id", "created_date", "expire_after_days", "expire_on")
       .orderBy("topic", "id")
 
+  /** F6 — orphan-event filter (reference EventualCassandra.scala:132-168):
+    * a store read keeps only rows whose stamped `meta_record_id` matches
+    * the journal head's CURRENT `record_id`. Rows that survive a crash
+    * window of a purged-and-recreated journal carry the old generation's
+    * id and are dropped (the reference logs them as orphans); unstamped
+    * legacy rows pass. Co-keyed (topic, id) join against the head table —
+    * one row per journal, broadcast/AQE territory.
+    */
+  def recordIdCorrelated(journal: DataFrame, metajournal: DataFrame): DataFrame =
+    journal
+      .join(
+        metajournal.select(col("topic"), col("id"), col("record_id")),
+        Seq("topic", "id"),
+        "left"
+      )
+      .filter(
+        col("meta_record_id").isNull ||
+          col("meta_record_id") === col("record_id")
+      )
+      .drop("record_id")
+
   /** S2 — per-key tail scan: one journal's actions from a given offset —
     * the reference's single-partition seek-and-filter consumer
     * (journal/.../ConsumeActionRecords.scala:13-58). Pure pushed-down

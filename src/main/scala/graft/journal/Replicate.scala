@@ -51,12 +51,30 @@ object Replicate {
       col("origin"), col("version"), col("metadata")
     )
 
+  /** Stamps each journal row with its head's record_id at write time
+    * (reference ReplicatedCassandra writes `meta_record_id` from the head
+    * it maintains; EventualCassandra.scala:132-168 correlates on read to
+    * drop orphans of purged-and-recreated journals). Co-keyed (topic, id)
+    * join against the per-journal head table — broadcast/AQE territory at
+    * any scale (one row per journal vs the event rows).
+    */
+  private def stamped(rows: DataFrame, metajournal: DataFrame): DataFrame =
+    rows.join(
+      metajournal.select(
+        col("topic"), col("id"), col("record_id").as("meta_record_id")),
+      Seq("topic", "id"),
+      "left"
+    )
+
   /** Pure computation of the three store tables from an action log. */
-  def compute(actions: DataFrame): Store = Store(
-    journal = journalRows(JournalOps.survivors(actions)),
-    metajournal = JournalOps.metajournal(actions),
-    pointer2 = JournalOps.pointer2(actions)
-  )
+  def compute(actions: DataFrame): Store = {
+    val meta = JournalOps.metajournal(actions)
+    Store(
+      journal = stamped(journalRows(JournalOps.survivors(actions)), meta),
+      metajournal = meta,
+      pointer2 = JournalOps.pointer2(actions)
+    )
+  }
 
   def write(store: Store, outDir: String): Unit = {
     store.journal.write
@@ -137,14 +155,16 @@ object Replicate {
       )
       .drop("b_purge", "b_dt")
 
-    // batch appends surviving the batch's own fold state, deduped vs kept
-    val newRows = journalRows(JournalOps.survivors(guarded))
+    // batch appends surviving the batch's own fold state, deduped vs kept;
+    // stamped with the post-merge head's record_id (kept rows retain the
+    // record_id they were written under — exactly what lets F6 spot
+    // orphans of a purged-and-recreated journal)
+    val newRows0 = journalRows(JournalOps.survivors(guarded))
       .join(
         kept.select(col("topic"), col("id"), col("seq_nr")),
         Seq("topic", "id", "seq_nr"),
         "left_anti"
       )
-    val journal = kept.unionByName(newRows)
 
     // metajournal combine (reference ReplicatedCassandra.scala:186-260):
     // purge deletes the head row; batch meta (post-purge) re-creates it
@@ -240,6 +260,8 @@ object Replicate {
         (coalesce(col("e_records"), lit(0L)) +
           coalesce(col("b_records"), lit(0L))).as("records")
       )
+
+    val journal = kept.unionByName(stamped(newRows0, metajournal))
 
     Store(journal, metajournal, pointer2)
   }

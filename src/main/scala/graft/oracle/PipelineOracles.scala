@@ -37,13 +37,17 @@ object PipelineOracles {
       .mkString(" ")
     s"""
     mh_words AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ${charHash("w")}) AS wh
+      FROM documents
     ),
     sh AS (
       SELECT doc_id,
-             ${charHash("array_to_string(w[i:i+2], ' ')")} AS shingle
+             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
+               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
       FROM mh_words, LATERAL (
-        SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) g
+        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
     ),
     mh AS (
       SELECT doc_id,
@@ -106,6 +110,41 @@ object PipelineOracles {
     SELECT doc_id, MIN(label) AS label, doc_id = MIN(label) AS keep
     FROM cc
     GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
+  /** p8 — curation composite: exact dedup > near-dup cluster > quality
+    * floor, one decision row per doc. */
+  val curate: String = s"""
+    WITH RECURSIVE $minhashPairsBody,
+    edges AS (
+      SELECT a, b FROM verified
+      UNION
+      SELECT b AS a, a AS b FROM verified
+    ),
+    cc(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.label FROM edges e JOIN cc c ON c.doc_id = e.b
+    ),
+    labels AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY doc_id),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+               AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, n_words, reason, reason = 'kept' AS kept
+    FROM (
+      SELECT ex.doc_id, ex.n_words,
+             CASE WHEN ex.doc_id <> ex.canonical_id THEN 'exact_dup'
+                  WHEN l.label IS NOT NULL AND l.label <> ex.doc_id
+                    THEN 'near_dup'
+                  WHEN ex.n_words < 25 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+      FROM ex LEFT JOIN labels l USING (doc_id)
+    ) t
     ORDER BY doc_id
   """
 

@@ -67,21 +67,29 @@ object Dedup {
 
   /** Word 3-gram shingles of a document, hashed to bounded longs
     * immediately (downstream set operations shuffle longs, not strings —
-    * the shingle text never leaves the map side). One row per occurrence,
-    * NOT deduplicated: MinHash is duplicate-insensitive (min over repeats
-    * is the min), so the corpus-wide distinct shuffle is deliberately
+    * the shingle text never leaves the map side). Each WORD is
+    * char-hashed once and the shingle is a Horner combine of its n word
+    * hashes — the character stream is touched once per word, not once per
+    * shingle (a word sits in n shingles). One row per occurrence, NOT
+    * deduplicated: MinHash is duplicate-insensitive (min over repeats is
+    * the min), so the corpus-wide distinct shuffle is deliberately
     * avoided; Jaccard verification dedups its (small) candidate subset
     * itself.
     */
   def shingles(d: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    d.select(col("doc_id"), words.as("w"))
+    val wordHashes = transform(split(col("text"), " "), w => polyHash(w))
+    d.select(col("doc_id"), wordHashes.as("wh"))
       .select(
         col("doc_id"),
         explode(
           transform(
-            sequence(lit(0), greatest(size(col("w")) - n, lit(0))),
-            i => polyHash(concat_ws(" ", slice(col("w"), i + 1, lit(n))))
+            sequence(lit(0), greatest(size(col("wh")) - n, lit(0))),
+            i =>
+              aggregate(
+                slice(col("wh"), i + 1, lit(n)),
+                lit(0L),
+                (acc, x) => (acc * 31L + x) % M
+              )
           )
         ).as("shingle")
       )

@@ -159,6 +159,27 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.metajournal.count() == 0)
   }
 
+  test("F6: read correlates meta_record_id and drops orphan rows") {
+    import org.apache.spark.sql.functions.lit
+    val a = actions.cache()
+    val st = Replicate.compute(a)
+    val n = st.journal.count()
+    // journal rows are stamped with their head's record_id
+    assert(st.journal.filter(col("meta_record_id").isNull).count() == 0)
+    // inject an orphan: one row carrying a stale (pre-purge) record_id
+    val orphan = st.journal.limit(1)
+      .withColumn("meta_record_id", lit("stale-generation"))
+    val corrupted = st.journal.unionByName(orphan)
+    val correlated =
+      JournalOps.recordIdCorrelated(corrupted, st.metajournal)
+    assert(correlated.count() == n)
+    assert(
+      correlated.filter(col("meta_record_id") === "stale-generation")
+        .count() == 0
+    )
+    a.unpersist()
+  }
+
   test("streaming resumes from checkpoint and ingests only new files") {
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-stream-resume").toString
