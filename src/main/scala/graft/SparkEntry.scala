@@ -147,7 +147,10 @@ object SparkEntry {
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
-    "d4_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    // d4 runs over the SEEDED harness corpus (exact-angle twin vectors) so
+    // the exact-all-pairs oracle has non-empty ground truth to recover
+    "d4_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupOn(Similarity.seededCorpus(s, d))),
     // LLM-data-pipeline operators over documents/embeddings
     "p1_text_quality" -> (TextAnalysis.quality _),
     "p2_langid_confusion" -> (TextAnalysis.langIdConfusion _),

@@ -69,8 +69,12 @@ final class Journal(
         opt("payload_type", "string").as("payload_type"),
         opt("payload_txt", "string").as("payload_txt"),
         opt("payload_bin", "binary").as("payload_bin"),
-        coalesce(split(opt("tags_csv", "string"), ","), array())
-          .as("tags"),
+        // '' encodes "no tags" in the IR — filter the phantom empty
+        // element so tag-less events get an empty Seq, not Seq("")
+        filter(
+          coalesce(split(opt("tags_csv", "string"), ","), array()),
+          t => t =!= ""
+        ).as("tags"),
         opt("origin", "string").as("origin"),
         opt("version", "string").as("version"),
         opt("metadata", "string").as("metadata")

@@ -159,12 +159,18 @@ object JournalOps {
         col("_or.v").as("origin"),
         col("_pr.k").as("last_append_koffset"),
         col("_pr.v").as("properties"),
-        nullif(regexp_extract(col("_pr.v"), "[0-9]+", 0), lit(""))
-          .cast("int").as("expire_after_days"),
+        // anchored to the expireAfter FIELD — a bare digit-run match would
+        // invent a TTL from any other numeric metadata content
+        nullif(
+          regexp_extract(col("_pr.v"), "\"expireAfter\":\"([0-9]+)", 1),
+          lit("")
+        ).cast("int").as("expire_after_days"),
         date_add(
           to_date(col("_lt.v")),
-          nullif(regexp_extract(col("_pr.v"), "[0-9]+", 0), lit(""))
-            .cast("int")
+          nullif(
+            regexp_extract(col("_pr.v"), "\"expireAfter\":\"([0-9]+)", 1),
+            lit("")
+          ).cast("int")
         ).as("expire_on")
       ) // unordered: callers in the merge path must not pay a sort; the
         // query surface adds ORDER BY explicitly

@@ -75,11 +75,11 @@ object JournalOracles {
              AS properties,
            CAST(NULLIF(regexp_extract(
              arg_max(metadata, koffset) FILTER (WHERE action = 'append'),
-             '[0-9]+', 0), '') AS INT) AS expire_after_days,
+             '"expireAfter":"([0-9]+)', 1), '') AS INT) AS expire_after_days,
            CAST(arg_max(ts, koffset) FILTER (WHERE action = 'append') AS DATE)
              + CAST(NULLIF(regexp_extract(
                  arg_max(metadata, koffset) FILTER (WHERE action = 'append'),
-                 '[0-9]+', 0), '') AS INT) AS expire_on
+                 '"expireAfter":"([0-9]+)', 1), '') AS INT) AS expire_on
     FROM ann3
     WHERE action <> 'mark' AND after_purge
     GROUP BY topic, id

@@ -321,6 +321,14 @@ object Dedup {
     * pair within Hamming distance 3 collides on ≥1 of the 4 chunks).
     * Output: candidate pairs with their Hamming distance ≤ maxDist.
     *
+    * RECALL CONTRACT: candidate generation is exhaustive only for
+    * distance ≤ 3 (the pigeonhole bound); pairs at distance 4..maxDist
+    * surface only when their differing bits happen to spare one chunk —
+    * the standard simhash chunking tradeoff (more chunks = more recall =
+    * more candidates). The DuckDB oracle replays the identical candidate
+    * generation, so the check pins the implementation, not exhaustive
+    * distance-8 recall.
+    *
     * The 60-bit word hash is two independent polynomial char hashes (each
     * < 2^30) packed as h1·2^30 + h2 — exact BIGINT arithmetic the DuckDB
     * oracle replays bit-for-bit (xxhash64 had no oracle equivalent).

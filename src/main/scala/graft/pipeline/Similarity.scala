@@ -139,16 +139,23 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** The d4 fixture corpus: the embeddings table plus one EXACT-angle
+  /** The d4 HARNESS corpus (used by the SparkEntry fixture, never baked
+    * into the operator): the embeddings table plus one EXACT-angle
     * near-duplicate per low-id vector (the same vector scaled by 2 — a
     * power of two, so the scaled floats, every cosine, and every
     * hyperplane sign are bit-identical between engines and the pair's
-    * similarity is 1.0 by construction). Gives the near-dup operator a
+    * similarity is 1.0 by construction). Gives the near-dup check a
     * non-empty ground truth: without seeds the synthetic corpus has no
-    * pair above 0.99 and the oracle check would pass vacuously.
+    * pair above 0.99 and the oracle check would pass vacuously. Seed ids
+    * offset by 1e6 — safe for the test corpora (ids ≪ 1e6), asserted
+    * here so a bigger fixture fails loudly instead of colliding.
     */
   def seededCorpus(spark: SparkSession, dir: String, nSeeds: Int = 20): DataFrame = {
     val base = emb(spark, dir)
+    require(
+      base.agg(max("vec_id")).head().getLong(0) < 1000000L,
+      "seed id offset collides with corpus vec_ids"
+    )
     val seeds = base
       .filter(col("vec_id") < nSeeds)
       .select(
@@ -191,9 +198,7 @@ object Similarity {
       threshold: Double = 0.99,
       nBits: Int = 12
   ): DataFrame =
-    // the seeded fixture corpus keeps the ground truth non-empty (and the
-    // oracle check non-vacuous); the operator itself is corpus-agnostic
-    embeddingNearDupOn(seededCorpus(spark, dir), threshold, nBits)
+    embeddingNearDupOn(emb(spark, dir), threshold, nBits)
 
   def embeddingNearDupOn(
       input: DataFrame,

@@ -95,12 +95,16 @@ object KafkaWire {
         lit("\"")
       )
     ).otherwise(lit("")) // payload-less append (reference Payload None)
+    // every fragment is null-guarded: a null tags_csv (client append with
+    // no tags column) or a text append with a null payload_txt must
+    // degrade to empty-tags / payload-less — concat() null-propagates,
+    // and a NULL record value would silently LOSE the event on decode
     concat(
       lit("{\"events\":[{\"seqNr\":"),
       col("seq_nr").cast("string"),
       lit(",\"tags\":"),
-      to_json(split(col("tags_csv"), ",")),
-      payloadFrag,
+      coalesce(to_json(split(col("tags_csv"), ",")), lit("[]")),
+      coalesce(payloadFrag, lit("")),
       lit("}],\"metadata\":"),
       coalesce(col("metadata"), lit("{}")),
       lit("}")
@@ -164,7 +168,19 @@ object KafkaWire {
         // stall-don't-skip), not silently classify as a no-op mark — so
         // "mark" requires h.mark to be present and anything else raises.
         "action",
-        when(col("h.append").isNotNull, "append")
+        // an append whose wire payloadType is absent or unknown is a
+        // poison record, not a silent drop: the reference REQUIRES the
+        // field ((json \ "payloadType").validate, ActionHeader.scala:37 —
+        // even the legacy fixtures carry it), so decode stalls (T4)
+        when(
+          col("h.append").isNotNull &&
+            !col("h.append.payloadType").isin("json", "binary"),
+          raise_error(concat(
+            lit("unsupported append payloadType: "),
+            coalesce(col("h.append.payloadType"), lit("<missing>"))
+          ))
+        )
+          .when(col("h.append").isNotNull, "append")
           .when(col("h.delete").isNotNull, "delete")
           .when(col("h.purge").isNotNull, "purge")
           .when(col("h.mark").isNotNull, "mark")

@@ -66,8 +66,11 @@ object StreamingReplicator {
       if (touched.isEmpty) return
 
       val bootstrap = Replicate.empty(spark, batchC)
+      // guard on actual parquet content, not directory existence: after a
+      // purge empties EVERY bucket only _SUCCESS remains and a bare read
+      // would fail schema inference, wedging the stream
       val journalTouched =
-        if (Files.exists(journalDir)) {
+        if (hasParquet(journalDir)) {
           val pred = touched
             .map { case (t, b) => col("topic") === t && col("bucket") === b }
             .reduce(_ || _)
@@ -136,18 +139,21 @@ object StreamingReplicator {
   /** Assembles the store from its on-disk layout (bucketed journal +
     * current head-table generation), repairing crash leftovers first.
     */
-  def readStore(spark: SparkSession, storeDir: String): Replicate.Store = {
-    val cur = recoverCurrent(storeDir)
-    val journalDir = Paths.get(storeDir, "journal")
-    def hasParquet: Boolean = {
-      val s = Files.walk(journalDir)
+  /** True iff the directory exists and holds at least one parquet file. */
+  private def hasParquet(dir: Path): Boolean =
+    Files.exists(dir) && {
+      val s = Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
       } finally s.close()
     }
+
+  def readStore(spark: SparkSession, storeDir: String): Replicate.Store = {
+    val cur = recoverCurrent(storeDir)
+    val journalDir = Paths.get(storeDir, "journal")
     val journal =
-      if (Files.exists(journalDir) && hasParquet)
+      if (hasParquet(journalDir))
         spark.read.parquet(journalDir.toString).drop("bucket")
       else {
         val schema = org.apache.spark.sql.types.DataType

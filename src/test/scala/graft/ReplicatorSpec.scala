@@ -157,6 +157,12 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = StreamingReplicator.readStore(spark, tmp)
     assert(st.journal.count() == 0)
     assert(st.metajournal.count() == 0)
+    // the stream must survive a FULLY-purged store (no parquet files left
+    // under journal/) and accept the next batch
+    StreamingReplicator.applyBatch(spark, tmp, df(Seq(row(3, "append", Some(1L)))))
+    val st2 = StreamingReplicator.readStore(spark, tmp)
+    assert(st2.journal.count() == 1)
+    assert(st2.metajournal.count() == 1)
   }
 
   test("F6: read correlates meta_record_id and drops orphan rows") {
