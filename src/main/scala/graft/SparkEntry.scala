@@ -142,6 +142,7 @@ object SparkEntry {
     "w3_event_ranks" -> (Analytics.eventRanks _),
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
+    "q14_promo_revenue" -> (Analytics.promoRevenue _),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -212,6 +213,7 @@ object SparkEntry {
     "w3_event_ranks" -> AnalyticsOracles.eventRanks,
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
+    "q14_promo_revenue" -> AnalyticsOracles.promoRevenue,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,

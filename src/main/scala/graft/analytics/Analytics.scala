@@ -343,6 +343,32 @@ object Analytics {
     spark.sql(graft.oracle.AnalyticsOracles.revenueRollup)
   }
 
+  /** TPC-H Q14 shape: promotion revenue share — lineitem joined to part
+    * (the one untouched testdata table), a conditional aggregate over the
+    * join, exact decimal arithmetic. Part scales with the corpus (its own
+    * SF multiplier), so the join is UNhinted: stats broadcast it at bench
+    * scale, sort-merge + AQE at 100 TB.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp")
+      )
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = t(spark, dir, "part").select("p_partkey", "p_type")
+    val disc = dec("l_extendedprice") *
+      (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "ECONOMY", disc).otherwise(
+          lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
+          sum(disc).cast("double")).as("promo_share_pct"),
+        sum(disc).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
   /** Top-k users by exact total value with deterministic tiebreak. */
   def topUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = ActionLog.normalizedEvents(spark, dir)

@@ -51,6 +51,19 @@ object AnalyticsOracles {
     ORDER BY revenue DESC, r_name, n_name
   """
 
+  val promoRevenue: String = s"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN $disc
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             * 100.0 /
+           CAST(SUM($disc) AS DOUBLE) AS promo_share_pct,
+           CAST(SUM($disc) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  """
+
   val orderPriority: String = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
