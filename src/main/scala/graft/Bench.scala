@@ -16,10 +16,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once
-    SparkEntry.queries.get("s5_journal_scan").foreach { q =>
-      try q(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // per table family (action log / documents / embeddings) — otherwise
+    // whichever query sorts first absorbs Janino + classloading for its
+    // whole input path and its number measures warmup, not the plan
+    Seq("s5_journal_scan", "p5_fingerprint", "k3_lsh_bucket_stats")
+      .flatMap(SparkEntry.queries.get)
+      .foreach { q =>
+        try q(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
 
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (isolated-measurement aid);
     // unset = the full contract the driver runs

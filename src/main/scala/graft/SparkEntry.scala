@@ -122,9 +122,11 @@ object SparkEntry {
       JournalOps
         .survivors(actions(s, d))
         .filter(array_contains(split(col("tags_csv"), ","), "tag-b"))
+        // tags presented CSV-joined: the driver's compare sorts column
+        // values with pandas, which cannot hash array cells
         .select(
           col("topic"), col("id"), col("seq_nr"), col("koffset"),
-          split(col("tags_csv"), ",").as("tags"), col("payload_txt")
+          col("tags_csv").as("tags"), col("payload_txt")
         )
         .orderBy("topic", "id", "seq_nr")
     }),

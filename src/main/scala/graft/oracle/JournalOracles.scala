@@ -317,7 +317,7 @@ object JournalOracles {
 
   val tagReplay: String = s"""$annCte
     SELECT topic, id, seq_nr, koffset,
-           string_split(tags_csv, ',') AS tags, payload_txt
+           tags_csv AS tags, payload_txt
     FROM ann3
     WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
       AND list_contains(string_split(tags_csv, ','), 'tag-b')

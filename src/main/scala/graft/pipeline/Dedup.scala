@@ -53,17 +53,16 @@ object Dedup {
 
   /** Polynomial char hash: fold (acc*base + codepoint) % mod — the p5
     * fingerprint idiom, proven byte-equal against DuckDB's list_reduce.
+    * Computed by the native [[graft.functions.PolyHash]] expression (one
+    * codegen'd pass, no per-character array cells — the declarative
+    * split/transform/aggregate form dominated the d2/d3 profiles).
     */
   private[pipeline] def polyHash(
       s: Column,
       base: Long = 31L,
       mod: Long = M
   ): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * base + x) % mod
-    )
+    graft.functions.PolyHash.polyHash(s, base, mod)
 
   /** Word 3-gram shingles of a document, hashed to bounded longs
     * immediately (downstream set operations shuffle longs, not strings —
@@ -115,7 +114,22 @@ object Dedup {
     // cached: read once by the minhash aggregation and once by the Jaccard
     // verification; released before return (Eager.materialized)
     val sh = shingles(docs(spark, dir)).cache()
+    val cand = minhashCandidates(sh, numPerms, rowsPerBand)
+    // verifyJaccard materializes its result eagerly, so the cache can be
+    // dropped here without re-triggering its upstream
+    val verified = verifyJaccard(cand, sh, threshold)
+    sh.unpersist(false)
+    verified
+  }
 
+  /** LSH band index of a shingled corpus: one (doc_id, band, bucket) row
+    * per document per band — minhash matrix → Horner band buckets.
+    */
+  def bandedIndex(
+      sh: DataFrame,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
     // minhash matrix: doc × perm -> min over shingles of the p-th affine
     // re-hash (universal-hash family: (a_p·s + b_p) mod M, a_p odd)
     val perms = (0 until numPerms).map { p =>
@@ -135,15 +149,24 @@ object Dedup {
           .as("bucket")
       )
     }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH candidate pairs of a shingled corpus (the stage before
+    * Jaccard verification — also the batch law [[graft.streaming.StreamingDedup]]
+    * is checked against).
+    */
+  def minhashCandidates(
+      sh: DataFrame,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
     // cached: the self-join below reads the band index on BOTH legs — an
     // uncached plan would run the whole shingle→minhash aggregation twice.
     // Small (numBands rows per doc, no text), so the cache is cheap even
-    // when the corpus isn't.
-    val banded = mh
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .cache()
-
+    // when the corpus isn't; released after the join materializes.
+    val banded = bandedIndex(sh, numPerms, rowsPerBand).cache()
     val cand = banded
       .as("l")
       .join(
@@ -154,13 +177,7 @@ object Dedup {
       )
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-
-    // verifyJaccard materializes its result eagerly, so the caches can be
-    // dropped here without re-triggering their upstream
-    val verified = verifyJaccard(cand, sh, threshold)
-    sh.unpersist(false)
-    banded.unpersist(false)
-    verified
+    Eager.materialized(cand, banded)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| via a join on the

@@ -119,25 +119,11 @@ object Similarity {
     * lcg(131·p + d) is 0 (classic rand() construction) — deterministic,
     * no stored model, portable to any engine with 64-bit integers.
     */
-  def signBucket(embedding: Column, nBits: Int = 12): Column = {
-    val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(
-          embedding,
-          sequence(lit(0), size(embedding) - 1),
-          (v, i) => {
-            val lcg = lit(1103515245L) * (lit(131L * p) + i) + lit(12345L)
-            v.cast("double") *
-              when(shiftright(lcg, 16) % 2 === 0, 1.0).otherwise(-1.0)
-          }
-        ),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def signBucket(embedding: Column, nBits: Int = 12): Column =
+    // native single-pass expression; bit-identical to the declarative
+    // per-plane aggregate(zip_with(...)) folds it replaces (same LCG
+    // parity planes, same sequential dim-order accumulation)
+    graft.functions.SignLshBucket.signBucket(embedding, nBits)
 
   /** The d4 HARNESS corpus (used by the SparkEntry fixture, never baked
     * into the operator): the embeddings table plus one EXACT-angle

@@ -109,19 +109,13 @@ object TextAnalysis {
 
   /** Document fingerprinting: polynomial rolling hash over the character
     * stream (mod 1e9+7), plus a 64-char-prefix fingerprint — the cheap
-    * content identity used for incremental re-crawl detection. Pure
-    * higher-order-function fold (split → transform → aggregate): stays in
-    * whole-stage codegen, no UDF, and DuckDB mirrors it with list_reduce.
+    * content identity used for incremental re-crawl detection. Computed by
+    * the native [[graft.functions.PolyHash]] expression (single codegen'd
+    * pass); DuckDB mirrors the identical arithmetic with list_reduce.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val p = 1000000007L
-    def roll(c: Column): Column =
-      aggregate(
-        transform(split(c, ""), ch => ascii(ch).cast("long")),
-        lit(0L),
-        (acc, x) => (acc * 31 + x) % p
-      )
+    def roll(c: Column): Column = graft.functions.PolyHash.polyHash(c)
     d.select(
         col("doc_id"),
         roll(col("text")).as("fp"),
