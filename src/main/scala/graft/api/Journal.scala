@@ -140,6 +140,42 @@ final class Journal(
     )
   }
 
+  /** Purge action row for a key — drops the whole journal (reference
+    * Journal.scala:20-40 puts `purge` at the same level as `delete`;
+    * Journals.scala:334-338 produces it unconditionally — purging an
+    * absent journal is an idempotent no-op at the replicator). Emits a
+    * FULL log-schema row (same column set as [[append]]) so the result
+    * unions straight onto the caller's log; `koffset` is null until the
+    * sink/broker assigns it, `ts` defaults to wall clock like the
+    * reference's producer stamp (Produce.scala:81-110).
+    */
+  def purge(
+      topic: String,
+      id: String,
+      ts: Option[java.sql.Timestamp] = None,
+      numPartitions: Int = 8
+  ): DataFrame =
+    spark.range(1).select(
+      lit(topic).as("topic"),
+      (abs(hash(lit(id))) % numPartitions).cast("int").as("part_no"),
+      lit(null).cast("long").as("koffset"),
+      lit(id).as("id"),
+      lit("purge").as("action"),
+      ts.map(lit(_)).getOrElse(current_timestamp()).as("ts"),
+      lit(null).cast("long").as("seq_nr"),
+      lit(null).cast("long").as("delete_to"),
+      lit(null).cast("double").as("payload"),
+      lit(null).cast("string").as("payload_type"),
+      lit(null).cast("string").as("payload_txt"),
+      lit(null).cast("binary").as("payload_bin"),
+      lit(null).cast("string").as("tags_csv"),
+      lit("graft-client").as("origin"),
+      lit("1.0.0").as("version"),
+      lit(null).cast("string").as("metadata"),
+      lit(0L).as("event_id"),
+      lit("{}").as("props")
+    )
+
   def ids(topic: String): DataFrame =
     JournalOps.ids(log.filter(col("topic") === topic)).select("id")
 

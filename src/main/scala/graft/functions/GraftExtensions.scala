@@ -16,6 +16,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Foldable literal argument of a SQL builder (base/mod/nBits must be
+    * constants — they parameterize the generated code, not the row).
+    */
+  private def longArg(e: Expression, what: String): Long = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int  => i.toLong
+        case l: Long => l
+        case other =>
+          throw new IllegalArgumentException(
+            s"$what must be an integer literal, got $other"
+          )
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a foldable literal, got $other"
+      )
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -25,6 +45,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "java_string_hash"
         ),
         (children: Seq[Expression]) => JavaStringHash(children.head)
+      )
+    )
+    // poly_hash(s[, base, mod]) — the portable polynomial string hash every
+    // dedup/fingerprint operator shares with its DuckDB oracle
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c) => PolyHash(c, 31L, 1000000007L)
+            case Seq(c, b, m) =>
+              PolyHash(c, longArg(b, "base"), longArg(m, "mod"))
+            case _ =>
+              throw new IllegalArgumentException(
+                "poly_hash takes (string) or (string, base, mod)"
+              )
+          }
+      )
+    )
+    // sign_lsh_bucket(vec[, nBits]) — the embedding sign-LSH bucket
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("sign_lsh_bucket"),
+        new ExpressionInfo(classOf[SignLshBucket].getName, "sign_lsh_bucket"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c) => SignLshBucket(c, 12)
+            case Seq(c, n) =>
+              SignLshBucket(c, longArg(n, "nBits").toInt)
+            case _ =>
+              throw new IllegalArgumentException(
+                "sign_lsh_bucket takes (array<float|double>) or (array, nBits)"
+              )
+          }
       )
     )
   }

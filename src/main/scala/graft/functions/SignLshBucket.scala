@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * bit-identical to the declarative form and the DuckDB oracle still
   * replays it exactly. Stays inside whole-stage codegen (`doGenCode`).
   *
-  * Null vector elements do not occur in any engine table (parquet float
-  * lists); a null element contributes 0 to each projection.
+  * Null ELEMENT semantics replicate the declarative fold exactly: a null
+  * element nullifies the `acc + v` fold, so every plane's projection goes
+  * null, `proj > 0` is null, every sign bit falls to 0 — bucket 0. (Engine
+  * tables never hold null elements; the contract matters so the expression
+  * stays a drop-in replacement for arbitrary inputs.)
   */
 final case class SignLshBucket(child: Expression, nBits: Int)
     extends UnaryExpression {
@@ -63,16 +66,18 @@ object SignLshBucket {
 
   /** One pass over the vector: accumulate all `nBits` projections, then
     * pack sign bits. Accumulation per plane is sequential in dim order —
-    * float-add order identical to the declarative fold it replaces.
+    * float-add order identical to the declarative fold it replaces. A null
+    * element null-propagates every plane's fold (declarative semantics):
+    * all sign bits force to 0, so the bucket is 0.
     */
   def bucket(arr: ArrayData, nBits: Int, isDouble: Boolean): Long = {
     val proj = new Array[Double](nBits)
     val n = arr.numElements()
     var d = 0
     while (d < n) {
+      if (arr.isNullAt(d)) return 0L
       val v =
-        if (arr.isNullAt(d)) 0.0
-        else if (isDouble) arr.getDouble(d)
+        if (isDouble) arr.getDouble(d)
         else arr.getFloat(d).toDouble
       var p = 0
       while (p < nBits) {

@@ -103,24 +103,42 @@ object Dedup {
     *
     * Every stage is a groupBy/join on derived keys — documents never
     * pairwise-compare outside shared buckets.
+    *
+    * MEMOIZED per (session, dir, params): d2, d5 (clusters) and p8
+    * (curation) all consume the same pair set — without the memo a full
+    * suite runs the shingle→minhash→band pipeline three times. The memo
+    * holds the eagerly-materialized (small) pair list, not any
+    * corpus-scaled intermediate; [[releaseMemo]] drops it for long-lived
+    * multi-tenant sessions.
     */
+  private val pairMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Double), DataFrame]
+
+  /** Drops memoized pair lists (their blocks are then freed by the
+    * ContextCleaner once unreferenced).
+    */
+  def releaseMemo(): Unit = pairMemo.clear()
+
   def minhashPairs(
       spark: SparkSession,
       dir: String,
       numPerms: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5
-  ): DataFrame = {
-    // cached: read once by the minhash aggregation and once by the Jaccard
-    // verification; released before return (Eager.materialized)
-    val sh = shingles(docs(spark, dir)).cache()
-    val cand = minhashCandidates(sh, numPerms, rowsPerBand)
-    // verifyJaccard materializes its result eagerly, so the cache can be
-    // dropped here without re-triggering its upstream
-    val verified = verifyJaccard(cand, sh, threshold)
-    sh.unpersist(false)
-    verified
-  }
+  ): DataFrame =
+    pairMemo.getOrElseUpdate(
+      (spark, dir, numPerms, rowsPerBand, threshold), {
+        // cached: read once by the minhash aggregation and once by the
+        // Jaccard verification; released before return (Eager.materialized)
+        val sh = shingles(docs(spark, dir)).cache()
+        val cand = minhashCandidates(sh, numPerms, rowsPerBand)
+        // verifyJaccard materializes its result eagerly, so the cache can
+        // be dropped here without re-triggering its upstream
+        val verified = verifyJaccard(cand, sh, threshold)
+        sh.unpersist(false)
+        verified
+      }
+    )
 
   /** LSH band index of a shingled corpus: one (doc_id, band, bucket) row
     * per document per band — minhash matrix → Horner band buckets.

@@ -41,6 +41,62 @@ class ExtensionsSpec extends AnyFunSuite {
         .head()
         .getInt(0)
       assert(viaColumn == "graft".hashCode)
+
+      // poly_hash reaches SQL and agrees with the engine's portable fold
+      val ph = spark
+        .sql(
+          "SELECT s, poly_hash(s) AS h, poly_hash(s, 37, 998244353) AS h2 " +
+            "FROM VALUES ('abc'), (''), ('kafka journal rows'), ('漢字') AS t(s)"
+        )
+        .collect()
+      def fold(s: String, base: Long, mod: Long): Long = {
+        var acc = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          acc = (acc * base + cp) % mod
+          i += Character.charCount(cp)
+        }
+        acc
+      }
+      ph.foreach { r =>
+        assert(r.getLong(1) == fold(r.getString(0), 31L, 1000000007L))
+        assert(r.getLong(2) == fold(r.getString(0), 37L, 998244353L))
+      }
+
+      // sign_lsh_bucket reaches SQL and matches the Column API
+      val viaSql = spark
+        .sql(
+          "SELECT sign_lsh_bucket(array(cast(0.5 as float), " +
+            "cast(-1.25 as float), cast(2.0 as float)), 12) AS b"
+        )
+        .head()
+        .getLong(0)
+      import org.apache.spark.sql.functions.{array, lit}
+      val viaCol = spark
+        .range(1)
+        .select(
+          graft.functions.SignLshBucket
+            .signBucket(
+              array(lit(0.5f), lit(-1.25f), lit(2.0f)),
+              12
+            )
+            .as("b")
+        )
+        .head()
+        .getLong(0)
+      assert(viaSql == viaCol)
+
+      // null elements null-propagate the fold like the declarative form:
+      // every sign bit forces to 0 → bucket 0
+      val nullBucket = spark
+        .sql(
+          "SELECT sign_lsh_bucket(array(cast(1.0 as double), " +
+            "cast(null as double)), 12) AS b"
+        )
+        .head()
+        .getLong(0)
+      assert(nullBucket == 0L)
     } finally spark.stop()
   }
 }

@@ -113,4 +113,42 @@ class KafkaWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clamped == ptr)
     log.unpersist()
   }
+
+  test("Journal API: append → purge → read-empty → re-create") {
+    val s = spark
+    import s.implicits._
+    val builder = Journal(spark, actions.filter(col("topic") === "none"))
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+    // append three events; the spec plays broker: koffsets assigned in order
+    val ev1 = Seq(
+      (1L, ts(1), 1.0), (2L, ts(2), 2.0), (3L, ts(3), 3.0)
+    ).toDF("seq_nr", "ts", "payload")
+    val log1 = builder.append("tp", "px", ev1)
+      .withColumn("koffset", col("seq_nr"))
+    assert(Journal(spark, log1).read("tp", "px").count() == 3)
+
+    // purge drops the whole journal: read empty, pointer empty
+    val purgeRow = builder.purge("tp", "px", Some(ts(4)))
+      .withColumn("koffset", lit(10L))
+    val log2 = log1.unionByName(purgeRow)
+    val j2 = Journal(spark, log2)
+    assert(j2.read("tp", "px").count() == 0)
+    assert(j2.pointer("tp", "px").count() == 0)
+
+    // purge is idempotent: a second purge of the (now absent) journal
+    // changes nothing
+    val log2b = log2.unionByName(
+      builder.purge("tp", "px", Some(ts(5))).withColumn("koffset", lit(11L)))
+    assert(Journal(spark, log2b).read("tp", "px").count() == 0)
+
+    // re-create: the journal restarts from seq_nr 1 with fresh payloads
+    val ev2 = Seq((1L, ts(6), 10.0), (2L, ts(7), 20.0))
+      .toDF("seq_nr", "ts", "payload")
+    val log3 = log2b.unionByName(
+      builder.append("tp", "px", ev2).withColumn("koffset", col("seq_nr") + 20L))
+    val replayed = Journal(spark, log3).read("tp", "px")
+      .select("seq_nr", "payload").as[(Long, Double)].collect().sortBy(_._1)
+    assert(replayed.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+  }
 }
