@@ -15,10 +15,20 @@ import graft.streaming.StreamingReplicator
   * time grew linearly with batch index).
   *
   *   sbt "runMain graft.IngestStress 8"
+  *
+  * `heads` mode stresses the HEAD tables specifically: every batch
+  * appends to thousands of FRESH journals (one head row each), confined
+  * to one `(topic, bucket)` partition per batch — the metajournal grows
+  * by `perBatch` keys every batch while per-batch time must stay flat
+  * (the pre-bucketed head sink rewrote all accumulated heads per batch,
+  * O(keys); the bucketed sink rewrites only the touched bucket's heads).
+  *
+  *   sbt "runMain graft.IngestStress 8 heads"
   */
 object IngestStress {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(8)
+    if (args.lift(1).contains("heads")) { headStress(n); return }
     val spark = GraftSession.local("graft-ingest-stress")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,6 +56,62 @@ object IngestStress {
     )
     val store = StreamingReplicator.readStore(spark, dir)
     println(s"[ingest] final journal rows: ${store.journal.count()}")
+    spark.stop()
+  }
+
+  /** Head-table scaling: N batches × `perBatch` fresh journals each, all
+    * of batch i landing in bucket i % DefaultBuckets. Flat per-batch time
+    * while the metajournal grows linearly proves the head rewrite is
+    * O(touched buckets), not O(accumulated keys).
+    */
+  private def headStress(n: Int, perBatch: Int = 20000): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.journal.Replicate
+    val spark = GraftSession.local("graft-head-stress")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"/tmp/graft_heads_$n-${System.nanoTime()}"
+
+    val times = (0 until n).map { i =>
+      val bucket = i % Replicate.DefaultBuckets
+      // oversample candidate ids, keep the ones hashing into this batch's
+      // bucket; koffset strictly advances across batches (offset guard)
+      val batch = spark.range(perBatch.toLong * Replicate.DefaultBuckets * 2)
+        .select(concat(lit(s"h$i-"), col("id")).as("id"), col("id").as("j"))
+        .filter(Replicate.bucketOf(col("id")) === bucket)
+        .limit(perBatch)
+        .select(
+          lit("heads").as("topic"),
+          lit(0).as("part_no"),
+          (lit(i.toLong) * perBatch * 200 + col("j")).as("koffset"),
+          col("id"),
+          lit("append").as("action"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+          lit(1L).as("seq_nr"),
+          lit(null).cast("long").as("delete_to"),
+          lit(1.0).as("payload"),
+          lit(null).cast("string").as("payload_type"),
+          lit(null).cast("string").as("payload_txt"),
+          lit(null).cast("binary").as("payload_bin"),
+          lit(null).cast("string").as("tags_csv"),
+          lit("stress").as("origin"),
+          lit("1.0.0").as("version"),
+          lit(null).cast("string").as("metadata")
+        )
+      val t0 = System.nanoTime()
+      StreamingReplicator.applyBatch(spark, dir, batch)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[heads] batch $i%2d: $sec%.2f s (bucket $bucket)")
+      sec
+    }
+    val firstHalf = times.take(n / 2).sum / (n / 2)
+    val secondHalf = times.drop(n / 2).sum / (n - n / 2)
+    println(
+      f"[heads] avg first half ${firstHalf}%.2f s, second half " +
+        f"${secondHalf}%.2f s, ratio ${secondHalf / firstHalf}%.2f " +
+        "(O(touched buckets) => ~1.0; O(keys) => grows with batch index)"
+    )
+    val heads = StreamingReplicator.readStore(spark, dir).metajournal.count()
+    println(s"[heads] final metajournal rows: $heads (expect ${n.toLong * perBatch})")
     spark.stop()
   }
 }

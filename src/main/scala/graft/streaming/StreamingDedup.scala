@@ -11,9 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * re-scanning the accumulated corpus per batch.
   *
   *   - [[exactDedup]]: per content-hash state holds the canonical (first
-  *     seen) doc_id; every arrival is emitted with its canonical assignment
-  *     and a dup flag. State is one row per DISTINCT content — the exact
-  *     analogue of the batch groupBy(md5) shuffle, kept by the state store.
+  *     seen) doc_id plus the doc_ids already emitted under that hash —
+  *     every NEW arrival is emitted with its canonical assignment and a
+  *     dup flag; a REDELIVERED doc_id is a no-op, so output is idempotent
+  *     under at-least-once delivery. State is one row per DISTINCT
+  *     content (seen-set size = that content's duplicate count) — the
+  *     exact analogue of the batch groupBy(md5) shuffle, kept by the
+  *     state store.
   *   - [[minhashCandidatePairs]]: per (band, bucket) state holds the
   *     doc_ids previously hashed into that LSH bucket; a new arrival emits
   *     one candidate pair per prior occupant. The per-document signature
@@ -30,14 +34,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     batch candidate set — bucket membership is arrival-order-independent,
   *     so this law holds for EVERY chunking, not just ordered ones.
   *
-  * Scale notes: state is partitioned by the group key (content hash /
-  * bucket), so it shards across executors like any shuffle; skewed buckets
-  * (boilerplate shingles) are the same keys the batch path hands to AQE
-  * skew splitting — here they surface as hot state keys, capped by
-  * `maxBucketOccupancy` (a bucket past the cap stops emitting pairs: at
-  * that occupancy it is boilerplate, not near-duplication — the standard
-  * LSH guard). Emissions may repeat across bands (batch runs `distinct`);
-  * downstream consumers dedup, keeping the operator append-only.
+  * Scale contract (100 TB continuous ingest):
+  *   - State is partitioned by the group key (content hash / bucket), so
+  *     it shards across executors like any shuffle; deploy with the
+  *     RocksDB state store (`spark.sql.streaming.stateStore.providerClass`
+  *     = `...RocksDBStateStoreProvider`) so per-executor state spills to
+  *     local disk instead of heap — exact dedup's one-row-per-distinct-
+  *     content state is corpus-sized and MUST NOT live on-heap.
+  *   - Occupant state is a SORTED array: the redelivery-guard membership
+  *     test is a binary search (O(log k), not the O(k) list scan) and the
+  *     cap check is O(1) on length. Skewed buckets (boilerplate shingles)
+  *     are the same keys the batch path hands to AQE skew splitting — here
+  *     they surface as hot state keys, capped by `maxBucketOccupancy` (a
+  *     bucket past the cap stops admitting occupants: at that occupancy it
+  *     is boilerplate, not near-duplication — the standard LSH guard; the
+  *     cap path is spec'd to leave prior state intact).
+  *   - Optional `ttl` arms `GroupStateTimeout.ProcessingTimeTimeout`:
+  *     groups idle past the horizon are evicted, bounding state on
+  *     unbounded streams at the cost of re-admitting (re-pairing) content
+  *     that returns after the horizon — the standard windowed-dedup
+  *     tradeoff; `None` keeps exact global semantics (the batch law).
+  *
+  * Emissions may repeat across bands (batch runs `distinct`); downstream
+  * consumers dedup, keeping the operator append-only.
   */
 object StreamingDedup {
 
@@ -46,7 +65,36 @@ object StreamingDedup {
   final case class CandPair(a: Long, b: Long)
   final case class BandedDoc(band: Int, bucket: Long, doc_id: Long)
 
+  /** Per-content exact-dedup state: first-seen canonical + every doc_id
+    * already emitted under this content hash (sorted for binary search).
+    */
+  final case class ExactState(canonical: Long, seen: Array[Long])
+
   private val M = 1000000007L
+
+  private def member(sorted: Array[Long], x: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, x) >= 0
+
+  /** Merges a sorted prior array with a batch of additions (sorted input)
+    * into a new sorted array — one O(k + n) pass per group per batch,
+    * replacing per-arrival insertion.
+    */
+  private def mergeSorted(prior: Array[Long], added: Array[Long]): Array[Long] = {
+    val out = new Array[Long](prior.length + added.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < prior.length && j < added.length) {
+      if (prior(i) <= added(j)) { out(k) = prior(i); i += 1 }
+      else { out(k) = added(j); j += 1 }
+      k += 1
+    }
+    while (i < prior.length) { out(k) = prior(i); i += 1; k += 1 }
+    while (j < added.length) { out(k) = added(j); j += 1; k += 1 }
+    out
+  }
+
+  private def timeoutOf(ttl: Option[java.time.Duration]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
 
   /** MD5 hex of the UTF-8 text — matches Spark's `md5()` column function
     * (lowercase hex), so state keys line up with the batch groupBy key.
@@ -60,27 +108,49 @@ object StreamingDedup {
   /** First-seen-wins exact dedup. With arrivals ordered by doc_id the
     * canonical is the min doc_id — the batch assignment. (The batch
     * `in_dup_group` flag is not emittable append-only: whether the FIRST
-    * copy has duplicates is unknown until later arrivals.)
+    * copy has duplicates is unknown until later arrivals.) Redelivered
+    * doc_ids are skipped (idempotent under at-least-once delivery);
+    * `ttl` evicts content idle past the horizon (see scale contract).
     */
-  def exactDedup(spark: SparkSession, docs: Dataset[Doc]): Dataset[ExactOut] = {
+  def exactDedup(
+      spark: SparkSession,
+      docs: Dataset[Doc],
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[ExactOut] = {
     import spark.implicits._
     docs
       .groupByKey(d => md5Hex(d.text))
-      .flatMapGroupsWithState[Long, ExactOut](
+      .flatMapGroupsWithState[ExactState, ExactOut](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
-      ) { (_: String, ds: Iterator[Doc], state: GroupState[Long]) =>
-        // micro-batch iterators are unordered; doc_id order keeps the
-        // law exact under chunked replay
-        val sorted = ds.toArray.sortBy(_.doc_id)
-        val out = Seq.newBuilder[ExactOut]
-        var canonical = state.getOption.getOrElse(-1L)
-        sorted.foreach { d =>
-          if (canonical < 0) canonical = d.doc_id
-          out += ExactOut(d.doc_id, canonical, d.doc_id != canonical)
+        timeoutOf(ttl)
+      ) { (_: String, ds: Iterator[Doc], state: GroupState[ExactState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          // micro-batch iterators are unordered; doc_id order keeps the
+          // law exact under chunked replay
+          val sorted = ds.toArray.sortBy(_.doc_id)
+          val prior = state.getOption.getOrElse(ExactState(-1L, Array.empty))
+          val out = Seq.newBuilder[ExactOut]
+          val added = Array.newBuilder[Long]
+          var canonical = prior.canonical
+          var lastAdded = Long.MinValue
+          sorted.foreach { d =>
+            // redelivery guard: already-emitted doc_ids are no-ops
+            if (!member(prior.seen, d.doc_id) && d.doc_id != lastAdded) {
+              if (canonical < 0) canonical = d.doc_id
+              out += ExactOut(d.doc_id, canonical, d.doc_id != canonical)
+              added += d.doc_id
+              lastAdded = d.doc_id
+            }
+          }
+          state.update(
+            ExactState(canonical, mergeSorted(prior.seen, added.result()))
+          )
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          out.result().iterator
         }
-        state.update(canonical)
-        out.result().iterator
       }
   }
 
@@ -144,14 +214,18 @@ object StreamingDedup {
   /** Incremental MinHash-LSH candidate pairs: new arrivals pair against
     * every prior occupant of any shared (band, bucket). Emits (min, max)
     * ordered pairs; repeats across bands — downstream dedups (batch runs
-    * `distinct` at the same spot).
+    * `distinct` at the same spot). State per bucket is the sorted occupant
+    * array (binary-search redelivery guard, O(1) cap check); a bucket at
+    * `maxBucketOccupancy` stops admitting occupants without touching
+    * prior state; `ttl` evicts buckets idle past the horizon.
     */
   def minhashCandidatePairs(
       spark: SparkSession,
       docs: Dataset[Doc],
       numPerms: Int = 16,
       rowsPerBand: Int = 4,
-      maxBucketOccupancy: Int = 10000
+      maxBucketOccupancy: Int = 10000,
+      ttl: Option[java.time.Duration] = None
   ): Dataset[CandPair] = {
     import spark.implicits._
     docs
@@ -159,24 +233,42 @@ object StreamingDedup {
         case (band, bucket) => BandedDoc(band, bucket, d.doc_id)
       })
       .groupByKey(bd => (bd.band, bd.bucket))
-      .flatMapGroupsWithState[List[Long], CandPair](
+      .flatMapGroupsWithState[Array[Long], CandPair](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
-      ) { (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[List[Long]]) =>
-        var occupants = state.getOption.getOrElse(Nil)
-        val out = Seq.newBuilder[CandPair]
-        rows.toArray.sortBy(_.doc_id).foreach { bd =>
-          // redelivered doc_ids are no-ops (idempotent under at-least-once)
-          if (occupants.size < maxBucketOccupancy &&
-              !occupants.contains(bd.doc_id)) {
-            occupants.foreach { prior =>
-              out += CandPair(math.min(prior, bd.doc_id), math.max(prior, bd.doc_id))
+        timeoutOf(ttl)
+      ) { (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[Array[Long]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val prior = state.getOption.getOrElse(Array.empty[Long])
+          val out = Seq.newBuilder[CandPair]
+          // batch newcomers, kept sorted by construction (arrivals are
+          // processed in doc_id order and appended monotonically)
+          val added = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.toArray.sortBy(_.doc_id).foreach { bd =>
+            val occupancy = prior.length + added.length
+            // O(1) cap check; O(log k) redelivery guard (sorted arrays)
+            if (occupancy < maxBucketOccupancy &&
+                !member(prior, bd.doc_id) &&
+                (added.isEmpty || added.last != bd.doc_id)) {
+              prior.foreach { p =>
+                out += CandPair(math.min(p, bd.doc_id), math.max(p, bd.doc_id))
+              }
+              added.foreach { p =>
+                out += CandPair(math.min(p, bd.doc_id), math.max(p, bd.doc_id))
+              }
+              added += bd.doc_id
             }
-            occupants = bd.doc_id :: occupants
           }
+          // unconditional update: setTimeoutDuration requires live state,
+          // and a group is only invoked when it received arrivals anyway
+          state.update(
+            if (added.nonEmpty) mergeSorted(prior, added.toArray) else prior
+          )
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          out.result().iterator
         }
-        state.update(occupants)
-        out.result().iterator
       }
   }
 }

@@ -16,12 +16,12 @@ import graft.journal.Replicate
   *
   * Source: file stream here (the container has no Kafka broker); swapping
   * in `readStream.format("kafka")` changes ONLY [[streamFrom]] — the merge
-  * body is source-agnostic. Sink: a `(topic, bucket)`-partitioned parquet
-  * journal mutated INCREMENTALLY (only the batch's touched partitions are
-  * read and rewritten — O(batch), not O(store)) plus small head tables
-  * behind an atomic generation swap; on Delta/Iceberg the same logical
-  * plan is a transactional MERGE INTO (the 100 TB deployment shape —
-  * documented as SURVEY §7.4 risk 1).
+  * body is source-agnostic. Sink: `(topic, bucket)`-partitioned parquet
+  * journal AND metajournal mutated INCREMENTALLY (only the batch's touched
+  * partitions are read and rewritten — O(batch), not O(store)) plus the
+  * tiny pointer2 table behind an atomic generation swap; on Delta/Iceberg
+  * the same logical plan is a transactional MERGE INTO (the 100 TB
+  * deployment shape — documented as SURVEY §7.4 risk 1).
   *
   * Exactly-once (T2) = at-least-once delivery (checkpoint replay) +
   * idempotent merge ([[Replicate.mergeBatch]]'s pointer2 offset guard):
@@ -33,29 +33,41 @@ object StreamingReplicator {
   /** Applies one micro-batch to the store — O(batch), not O(store). Also
     * the test seam: batches can be fed directly.
     *
-    * Layout: the journal lives at `storeDir/journal`, partitioned by
-    * `(topic, bucket)` ([[Replicate.bucketOf]] — one journal's rows are
-    * always in one partition). A batch reads ONLY the partitions of the
-    * journals it touches (partition pruning on the collected touched set)
-    * and rewrites ONLY those via dynamic partition overwrite — untouched
-    * partition files are never opened or rewritten, so per-batch cost
-    * scales with the batch's key locality, not the accumulated store. The
-    * metajournal/pointer2 head tables (one row per journal/partition —
-    * O(keys), small) still use the committed-generation swap.
+    * Layout: the journal AND the metajournal live at `storeDir/journal` /
+    * `storeDir/metajournal`, both partitioned by `(topic, bucket)`
+    * ([[Replicate.bucketOf]] — one journal's event rows and its single
+    * head row always share a partition key). A batch reads ONLY the
+    * partitions of the journals it touches (partition pruning on the
+    * collected touched set) and rewrites ONLY those via dynamic partition
+    * overwrite — untouched partition files are never opened or rewritten,
+    * so per-batch cost scales with the batch's key locality, not the
+    * accumulated store. At 10⁸–10⁹ journals the metajournal is itself a
+    * large table (the reference upserts exactly the touched keys,
+    * ReplicatedCassandra.scala:186-260); bucketing bounds each batch's
+    * head rewrite to the touched buckets' heads — the bucket count
+    * ([[Replicate.DefaultBuckets]], reference Segments.default=10000) is
+    * the granularity knob, and on Delta/Iceberg the same logical plan is
+    * an exact per-key MERGE INTO. Only pointer2 (one row per Kafka
+    * partition — genuinely tiny) stays whole behind the committed-
+    * generation swap.
     *
     * Crash safety: the pointer2 write (inside the generation swap, last)
     * is the commit point. Any crash before it leaves the old pointer2, so
     * the checkpointed batch is REDELIVERED and the merge re-applies — the
     * journal partition rewrite is content-idempotent (appends dedup on
-    * (topic,id,seq_nr), deletes/purges are monotone), so half-written
-    * partitions converge. A missing `current/` never silently bootstraps
-    * an empty store ([[recoverCurrent]]) — that would let the offset
-    * guard discard all previously replicated state, breaking exactly-once.
+    * (topic,id,seq_nr), deletes/purges are monotone) and so is the
+    * metajournal's ([[Replicate.mergeBatch]]'s head combine is monotone
+    * max/least/coalesce per column; purge-then-recreate reproduces the
+    * identical recreated row), so half-written partitions converge. A
+    * missing `current/` never silently bootstraps an empty store
+    * ([[recoverCurrent]]) — that would let the offset guard discard all
+    * previously replicated state, breaking exactly-once.
     */
   def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val cur = recoverCurrent(storeDir)
     val journalDir = Paths.get(storeDir, "journal")
+    val metaDir = Paths.get(storeDir, "metajournal")
     val batchC = batch.cache()
     try {
       val touched = batchC
@@ -66,62 +78,24 @@ object StreamingReplicator {
       if (touched.isEmpty) return
 
       val bootstrap = Replicate.empty(spark, batchC)
-      // guard on actual parquet content, not directory existence: after a
-      // purge empties EVERY bucket only _SUCCESS remains and a bare read
-      // would fail schema inference, wedging the stream
-      val journalTouched =
-        if (hasParquet(journalDir)) {
-          val pred = touched
-            .map { case (t, b) => col("topic") === t && col("bucket") === b }
-            .reduce(_ || _)
-          spark.read.parquet(journalDir.toString).filter(pred).drop("bucket")
-        } else bootstrap.journal
-      val store =
-        if (Files.exists(cur))
-          Replicate.Store(
-            journal = journalTouched,
-            metajournal =
-              spark.read.parquet(cur.resolve("metajournal").toString),
-            pointer2 = spark.read.parquet(cur.resolve("pointer2").toString)
-          )
-        else bootstrap.copy(journal = journalTouched)
+      val store = Replicate.Store(
+        journal = readTouched(spark, journalDir, touched, bootstrap.journal),
+        metajournal = readTouched(spark, metaDir, touched, bootstrap.metajournal),
+        pointer2 =
+          if (Files.exists(cur))
+            spark.read.parquet(cur.resolve("pointer2").toString)
+          else bootstrap.pointer2
+      )
 
       val merged = Replicate.mergeBatch(store, batchC)
 
-      // journal: materialize the merged touched subset (breaks the plan's
-      // reference to journalDir — Spark refuses to overwrite a path it is
-      // reading from), then replace only the touched partitions
-      // schema sidecar: lets readStore serve an empty journal when every
-      // partition has been purged away (no parquet files left to infer from)
-      val schemaPath = Paths.get(storeDir, "journal_schema.json")
-      if (!Files.exists(schemaPath)) {
-        Files.createDirectories(schemaPath.getParent)
-        Files.write(schemaPath, merged.journal.schema.json.getBytes("UTF-8"))
-      }
-      val mj = merged.journal
-        .withColumn("bucket", Replicate.bucketOf(col("id")))
-        .localCheckpoint(true)
-      mj.write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("topic", "bucket")
-        .parquet(journalDir.toString)
-      // dynamic overwrite cannot emit an EMPTY partition: a touched
-      // partition whose journals were all purged keeps its stale dir —
-      // drop those explicitly (re-running after a crash converges: the
-      // redelivered purge deletes again)
-      val nonEmpty = mj
-        .select("topic", "bucket").distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1))).toSet
-      touched.filterNot(nonEmpty).foreach { case (t, b) =>
-        val dir = journalDir.resolve(s"topic=$t").resolve(s"bucket=$b")
-        if (Files.exists(dir)) deleteRecursively(dir)
-      }
+      overwriteTouched(merged.journal, journalDir,
+        Paths.get(storeDir, "journal_schema.json"), touched)
+      overwriteTouched(merged.metajournal, metaDir,
+        Paths.get(storeDir, "metajournal_schema.json"), touched)
 
-      // head tables: fresh committed generation, then swap (commit point)
+      // pointer2: fresh committed generation, then swap (commit point)
       val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
-      merged.metajournal.write.mode(SaveMode.Overwrite)
-        .parquet(next.resolve("metajournal").toString)
       merged.pointer2.write.mode(SaveMode.Overwrite)
         .parquet(next.resolve("pointer2").toString)
       Files.createFile(next.resolve(Committed))
@@ -134,6 +108,67 @@ object StreamingReplicator {
       Files.move(next, cur)
       old.foreach(deleteRecursively)
     } finally batchC.unpersist(false)
+  }
+
+  /** Touched-partition subset of a `(topic, bucket)`-partitioned table —
+    * partition pruning on the collected touched set; the `bucket` column
+    * is physical layout only and dropped from the logical rows. Guards on
+    * actual parquet content, not directory existence: after a purge
+    * empties EVERY bucket only _SUCCESS remains and a bare read would
+    * fail schema inference, wedging the stream.
+    */
+  private def readTouched(
+      spark: SparkSession,
+      dir: Path,
+      touched: Array[(String, Int)],
+      bootstrap: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (hasParquet(dir)) {
+      val pred = touched
+        .map { case (t, b) => col("topic") === t && col("bucket") === b }
+        .reduce(_ || _)
+      spark.read.parquet(dir.toString).filter(pred).drop("bucket")
+    } else bootstrap
+  }
+
+  /** Replaces ONLY the touched `(topic, bucket)` partitions of a table
+    * with the merged rows. Materializes first (localCheckpoint) — the
+    * merged plan reads from `dir` and Spark refuses to overwrite a path
+    * it is reading from. The schema sidecar lets [[readStore]] serve an
+    * empty table when every partition has been purged away (no parquet
+    * files left to infer from).
+    */
+  private def overwriteTouched(
+      merged: DataFrame,
+      dir: Path,
+      schemaPath: Path,
+      touched: Array[(String, Int)]
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!Files.exists(schemaPath)) {
+      Files.createDirectories(schemaPath.getParent)
+      Files.write(schemaPath, merged.schema.json.getBytes("UTF-8"))
+    }
+    val m = merged
+      .withColumn("bucket", Replicate.bucketOf(col("id")))
+      .localCheckpoint(true)
+    m.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("topic", "bucket")
+      .parquet(dir.toString)
+    // dynamic overwrite cannot emit an EMPTY partition: a touched
+    // partition whose journals were all purged keeps its stale dir —
+    // drop those explicitly (re-running after a crash converges: the
+    // redelivered purge deletes again)
+    val nonEmpty = m
+      .select("topic", "bucket").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    touched.filterNot(nonEmpty).foreach { case (t, b) =>
+      val part = dir.resolve(s"topic=$t").resolve(s"bucket=$b")
+      if (Files.exists(part)) deleteRecursively(part)
+    }
   }
 
   /** Assembles the store from its on-disk layout (bucketed journal +
@@ -151,22 +186,23 @@ object StreamingReplicator {
 
   def readStore(spark: SparkSession, storeDir: String): Replicate.Store = {
     val cur = recoverCurrent(storeDir)
-    val journalDir = Paths.get(storeDir, "journal")
-    val journal =
-      if (hasParquet(journalDir))
-        spark.read.parquet(journalDir.toString).drop("bucket")
+    def bucketed(name: String): DataFrame = {
+      val dir = Paths.get(storeDir, name)
+      if (hasParquet(dir))
+        spark.read.parquet(dir.toString).drop("bucket")
       else {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(new String(
-            Files.readAllBytes(Paths.get(storeDir, "journal_schema.json")),
+            Files.readAllBytes(Paths.get(storeDir, s"${name}_schema.json")),
             "UTF-8"))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
+    }
     Replicate.Store(
-      journal = journal,
-      metajournal = spark.read.parquet(cur.resolve("metajournal").toString),
+      journal = bucketed("journal"),
+      metajournal = bucketed("metajournal"),
       pointer2 = spark.read.parquet(cur.resolve("pointer2").toString)
     )
   }

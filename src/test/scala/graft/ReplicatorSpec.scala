@@ -83,17 +83,17 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
-  test("incremental sink rewrites only the touched journal partitions") {
+  test("incremental sink rewrites only the touched journal+metajournal partitions") {
     import java.security.MessageDigest
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-incremental").toString
     val cs = chunks(a, 2)
     StreamingReplicator.applyBatch(spark, tmp, cs(0))
 
-    // fingerprint every journal partition file (path -> md5)
-    def files(): Map[String, String] = {
+    // fingerprint every partition file of a bucketed table (path -> md5)
+    def files(table: String): Map[String, String] = {
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(tmp, "journal")
+      val root = java.nio.file.Paths.get(tmp, table)
       val s = Files.walk(root)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -105,13 +105,13 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toMap
       finally s.close()
     }
-    val before = files()
+    val before = Map("journal" -> files("journal"),
+      "metajournal" -> files("metajournal"))
 
     // second batch restricted to ONE journal -> exactly one touched bucket
     val oneKey = cs(1).filter(col("id") === "1")
     assert(oneKey.count() > 0)
     StreamingReplicator.applyBatch(spark, tmp, oneKey)
-    val after = files()
 
     val touchedPrefix = {
       val b = oneKey
@@ -121,15 +121,22 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"topic=$t/bucket=$b"
     }
     // every file outside the touched partition is byte-identical (same
-    // path, same content); the touched partition was rewritten
-    val untouchedBefore = before.filterNot(_._1.startsWith(touchedPrefix))
-    val untouchedAfter = after.filterNot(_._1.startsWith(touchedPrefix))
-    assert(untouchedBefore == untouchedAfter)
-    assert(before.keys.exists(_.startsWith(touchedPrefix)))
-    assert(
-      before.view.filterKeys(_.startsWith(touchedPrefix)).toMap !=
-        after.view.filterKeys(_.startsWith(touchedPrefix)).toMap
-    )
+    // path, same content); the touched partition was rewritten — for BOTH
+    // bucketed tables (the metajournal head rewrite must be O(touched
+    // buckets) exactly like the journal, not O(keys))
+    for (table <- Seq("journal", "metajournal")) {
+      val b = before(table)
+      val after = files(table)
+      val untouchedBefore = b.filterNot(_._1.startsWith(touchedPrefix))
+      val untouchedAfter = after.filterNot(_._1.startsWith(touchedPrefix))
+      assert(untouchedBefore == untouchedAfter, s"$table: untouched changed")
+      assert(b.keys.exists(_.startsWith(touchedPrefix)), s"$table: no touched")
+      assert(
+        b.view.filterKeys(_.startsWith(touchedPrefix)).toMap !=
+          after.view.filterKeys(_.startsWith(touchedPrefix)).toMap,
+        s"$table: touched partition not rewritten"
+      )
+    }
     a.unpersist()
   }
 
