@@ -26,6 +26,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     batch [[graft.pipeline.Dedup.bandedIndex]] (law-checked in
   *     StreamingDedupSpec), so streaming and batch produce the same
   *     candidate set.
+  *   - [[embeddingNearDup]]: the streaming form of the batch sign-LSH
+  *     near-dup ([[graft.pipeline.Similarity.embeddingNearDupOn]], d4).
+  *     Each arriving vector fans out to its own sign bucket plus every
+  *     1-bit flip (multiprobe); per-bucket state holds the vectors whose
+  *     OWN bucket this is. A row pairs against the earlier-admitted
+  *     owners of its bucket, and only own rows are admitted — so every
+  *     Hamming≤1 pair is found exactly once (via the later arrival's
+  *     probe into the earlier arrival's own bucket), both vectors are in
+  *     hand, and the exact cosine is emitted directly: the output IS the
+  *     batch near-dup answer, not a candidate set.
   *
   * Chunked-stream ≡ batch laws (StreamingDedupSpec):
   *   - exact: arrivals ordered by doc_id → (canonical_id, is_dup) equals
@@ -265,6 +275,162 @@ object StreamingDedup {
           // and a group is only invoked when it received arrivals anyway
           state.update(
             if (added.nonEmpty) mergeSorted(prior, added.toArray) else prior
+          )
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          out.result().iterator
+        }
+      }
+  }
+
+  // ---- streaming embedding near-dup (the d4 plane, continuous form)
+
+  final case class Vec(vec_id: Long, label: Int, embedding: Array[Float])
+  final case class NearDupOut(label: Int, a: Long, b: Long, sim: Double)
+
+  /** One multiprobe fan-out row: `own` marks the vector's own sign bucket
+    * (admissible to state); flip probes only pair, never admit.
+    */
+  final case class ProbeRow(
+      bucket: Long,
+      vec_id: Long,
+      label: Int,
+      own: Boolean,
+      embedding: Array[Float]
+  )
+
+  final case class Owner(vec_id: Long, label: Int, embedding: Array[Float])
+
+  /** Per-bucket state: admitted owners (vectors whose own bucket this is)
+    * plus the sorted vec_ids of EVERY row already processed here — the
+    * redelivery guard must cover probe rows too, or a redelivered vector
+    * would re-pair against the owners its probes already saw.
+    */
+  final case class SignState(owners: Array[Owner], seen: Array[Long])
+
+  /** Scalar mirror of [[graft.functions.SignLshBucket.bucket]] for a float
+    * vector: same LCG parity planes, same sequential dim-order double
+    * accumulation — bit-identical buckets (law-checked in the spec).
+    */
+  def signBucketOf(vec: Array[Float], nBits: Int): Long = {
+    val proj = new Array[Double](nBits)
+    var d = 0
+    while (d < vec.length) {
+      val v = vec(d).toDouble
+      var p = 0
+      while (p < nBits) {
+        val lcg = 1103515245L * (131L * p + d) + 12345L
+        if (((lcg >> 16) & 1L) == 0L) proj(p) += v else proj(p) -= v
+        p += 1
+      }
+      d += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      if (proj(p) > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Scalar mirror of [[graft.pipeline.Similarity.cosine]]: double-cast
+    * products folded sequentially from 0.0 — the identical IEEE operation
+    * sequence of the `aggregate(zip_with(...))` form, so similarities are
+    * bit-identical. Unequal lengths yield NaN (the declarative form yields
+    * null) — both fail the threshold, so the pair drops either way.
+    */
+  def cosineOf(x: Array[Float], y: Array[Float]): Double = {
+    if (x.length != y.length) return Double.NaN
+    def dot(u: Array[Float], v: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < u.length) { acc += u(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+    dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+  }
+
+  /** Incremental embedding near-dup: emits the exact (label, a, b, sim)
+    * rows of the batch d4 operator as vectors arrive.
+    *
+    * Exactly-once pairing, no dedup needed downstream: a pair at bucket
+    * Hamming distance ≤ 1 shares exactly one (probe row → own bucket)
+    * incidence — the later arrival's probe set contains the earlier
+    * arrival's own bucket; the symmetric incidence (earlier probes later's
+    * bucket) never fires because the earlier probe row found no owner and
+    * was not admitted. Within a micro-batch the group's rows are processed
+    * in vec_id order with own rows admitted as they pass, which preserves
+    * the same single-incidence argument; a Hamming-0 pair meets once in the
+    * shared own bucket (the two flip-probe collisions are owner-less).
+    *
+    * Scale contract: state per bucket holds the owner VECTORS — the corpus
+    * itself, sharded by bucket key across the state store; this is the
+    * streaming analogue of the batch plan's persisted `lshBuckets` index
+    * and needs the RocksDB state backend at corpus scale. `maxBucketOccupancy`
+    * caps degenerate buckets (a bucket at cap admits no more owners but
+    * keeps pairing probes against the existing ones); `ttl` evicts idle
+    * buckets, trading global recall for bounded state.
+    */
+  def embeddingNearDup(
+      spark: SparkSession,
+      vecs: Dataset[Vec],
+      threshold: Double = 0.99,
+      nBits: Int = 12,
+      maxBucketOccupancy: Int = 10000,
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[NearDupOut] = {
+    import spark.implicits._
+    vecs
+      .flatMap { v =>
+        val own = signBucketOf(v.embedding, nBits)
+        ProbeRow(own, v.vec_id, v.label, own = true, v.embedding) +:
+          (0 until nBits).map(i =>
+            ProbeRow(own ^ (1L << i), v.vec_id, v.label, own = false, v.embedding)
+          )
+      }
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[SignState, NearDupOut](
+        OutputMode.Append(),
+        timeoutOf(ttl)
+      ) { (_: Long, rows: Iterator[ProbeRow], state: GroupState[SignState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val prior = state.getOption.getOrElse(
+            SignState(Array.empty, Array.empty)
+          )
+          val out = Seq.newBuilder[NearDupOut]
+          val newOwners = scala.collection.mutable.ArrayBuffer.empty[Owner]
+          val newSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.toArray.sortBy(_.vec_id).foreach { r =>
+            // redelivery guard over ALL rows (own and probe)
+            if (!member(prior.seen, r.vec_id) &&
+                (newSeen.isEmpty || newSeen.last != r.vec_id)) {
+              newSeen += r.vec_id
+              def pair(o: Owner): Unit =
+                if (o.label == r.label && o.vec_id != r.vec_id) {
+                  val sim = cosineOf(o.embedding, r.embedding)
+                  if (sim >= threshold)
+                    out += NearDupOut(
+                      r.label,
+                      math.min(o.vec_id, r.vec_id),
+                      math.max(o.vec_id, r.vec_id),
+                      sim
+                    )
+                }
+              prior.owners.foreach(pair)
+              newOwners.foreach(pair)
+              if (r.own &&
+                  prior.owners.length + newOwners.length < maxBucketOccupancy)
+                newOwners += Owner(r.vec_id, r.label, r.embedding)
+            }
+          }
+          state.update(
+            SignState(
+              prior.owners ++ newOwners,
+              mergeSorted(prior.seen, newSeen.toArray)
+            )
           )
           ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
           out.result().iterator

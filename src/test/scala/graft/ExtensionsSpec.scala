@@ -99,4 +99,37 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(nullBucket == 0L)
     } finally spark.stop()
   }
+
+  test("poly_hash and sign_lsh_bucket stay inside whole-stage codegen") {
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-codegen-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions.{array, col, lit}
+      val df = spark
+        .range(8)
+        .select(
+          graft.functions.PolyHash
+            .polyHash(col("id").cast("string"))
+            .as("h"),
+          // non-constant input: a literal array constant-folds away before
+          // codegen (the expression is foldable — itself worth knowing)
+          graft.functions.SignLshBucket
+            .signBucket(array(col("id").cast("float"), lit(-1.0f)), 12)
+            .as("b")
+        )
+      val gen = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      // doGenCode ran: the generated Java calls the static one-pass kernels.
+      // An interpreted fallback (eval) would leave no trace in the codegen.
+      assert(gen.contains("graft.functions.PolyHash.hash"), gen.take(500))
+      assert(gen.contains("graft.functions.SignLshBucket.bucket"), gen.take(500))
+      assert(!gen.contains("Found 0 WholeStageCodegen"), gen.take(200))
+    } finally spark.stop()
+  }
 }

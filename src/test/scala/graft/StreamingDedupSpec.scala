@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity}
 import graft.streaming.StreamingDedup
-import graft.streaming.StreamingDedup.Doc
+import graft.streaming.StreamingDedup.{Doc, Vec}
 
 /** Chunked-stream ≡ batch laws for the incremental dedup operators: a
   * document stream deduped as it arrives must agree with the batch dedup
@@ -124,6 +124,108 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(want.nonEmpty)
     assert(got == want)
+  }
+
+  private def seededVecs(): Seq[Vec] = {
+    val sp = spark
+    import sp.implicits._
+    Similarity
+      .seededCorpus(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[Vec]
+      .collect()
+      .toSeq
+      .sortBy(_.vec_id)
+  }
+
+  test("streaming embedding near-dup over arbitrary chunks equals batch d4") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = seededVecs()
+    // non-ordered chunking: seeds (high ids) land in different chunks than
+    // their twins, so pairs must be found across micro-batch boundaries
+    val chunks = vecs.groupBy(_.vec_id % 3).toSeq.sortBy(_._1).map(_._2)
+
+    val ms = MemoryStream[Vec]
+    val q = StreamingDedup
+      .embeddingNearDup(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sd_neardup")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark
+      .table("sd_neardup")
+      .as[(Int, Long, Long, Double)]
+      .collect()
+      .toSet
+    val want = Similarity
+      .embeddingNearDupOn(Similarity.seededCorpus(spark, sfDir))
+      .select(col("label"), col("a"), col("b"), col("sim"))
+      .as[(Int, Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(want.nonEmpty) // seeded twins guarantee ground truth
+    assert(got == want)   // exact, including bit-identical sims
+  }
+
+  test("redelivered vectors are no-ops (idempotent near-dup emission)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = seededVecs()
+
+    val ms = MemoryStream[Vec]
+    val q = StreamingDedup
+      .embeddingNearDup(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sd_neardup_redeliver")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(vecs); q.processAllAvailable()
+      val afterFirst = spark.table("sd_neardup_redeliver").count()
+      assert(afterFirst > 0)
+      ms.addData(vecs); q.processAllAvailable() // full redelivery
+      assert(spark.table("sd_neardup_redeliver").count() == afterFirst)
+    } finally q.stop()
+  }
+
+  test("bucket at maxBucketOccupancy stops admitting without corrupting state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical texts → every doc lands in the same (band, bucket) groups
+    val docs = (1L to 6L).map(i => Doc(i, "alpha beta gamma delta"))
+
+    val ms = MemoryStream[Doc]
+    val q = StreamingDedup
+      .minhashCandidatePairs(spark, ms.toDS(), maxBucketOccupancy = 3)
+      .writeStream
+      .format("memory")
+      .queryName("sd_cap")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(docs.take(4)); q.processAllAvailable()
+      // docs 1-3 admitted; doc 4 hits the cap in every bucket: the 4 bands
+      // emit pairs only among the first 3 → C(3,2)=3 pairs × 4 bands
+      val got1 = spark.table("sd_cap").as[(Long, Long)].collect()
+      assert(got1.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(got1.length == 12)
+      // prior state intact: later arrivals still pair against the SAME
+      // uncorrupted occupant set, and the capped bucket admits no one new
+      ms.addData(docs.drop(4)); q.processAllAvailable()
+      val got2 = spark.table("sd_cap").as[(Long, Long)].collect()
+      assert(got2.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(got2.length == 12)
+    } finally q.stop()
   }
 
   test("redelivered documents are no-ops (idempotent candidate emission)") {
