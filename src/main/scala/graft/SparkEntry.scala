@@ -164,6 +164,7 @@ object SparkEntry {
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "k3_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
@@ -230,6 +231,7 @@ object SparkEntry {
     "p8_corpus_curation" -> PipelineOracles.curate,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
+    "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,
     "k2_knn_ivf" -> PipelineOracles.knnIvf,

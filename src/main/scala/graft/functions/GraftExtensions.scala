@@ -65,6 +65,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    // ngram_poly_hash(s, n[, base, mod]) — every char n-gram's poly_hash in
+    // one rolling pass, as array<bigint>
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("ngram_poly_hash"),
+        new ExpressionInfo(classOf[NgramPolyHash].getName, "ngram_poly_hash"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c, n) =>
+              NgramPolyHash(c, longArg(n, "n").toInt, 31L, 1000000007L)
+            case Seq(c, n, b, m) =>
+              NgramPolyHash(
+                c,
+                longArg(n, "n").toInt,
+                longArg(b, "base"),
+                longArg(m, "mod")
+              )
+            case _ =>
+              throw new IllegalArgumentException(
+                "ngram_poly_hash takes (string, n) or (string, n, base, mod)"
+              )
+          }
+      )
+    )
     // sign_lsh_bucket(vec[, nBits]) — the embedding sign-LSH bucket
     ext.injectFunction(
       (

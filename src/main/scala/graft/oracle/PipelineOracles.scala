@@ -20,10 +20,11 @@ object PipelineOracles {
          c -> CAST(ascii(c) AS BIGINT))),
        (a, b) -> (a * $base + b) % $mod)"""
 
-  /** MinHash+LSH verified pairs (graft.pipeline.Dedup.minhashPairs with
-    * default parameters: 3-word shingles, 16 permutations, 4 bands of 4,
-    * Jaccard >= 0.5). */
-  private val minhashPairsBody: String = {
+  /** The shared LSH+Jaccard SQL skeleton: from a CTE chain ending in
+    * `sh(doc_id, shingle)` (any gram feature space), replay the banded
+    * minhash candidate generation and exact set-Jaccard verification of
+    * graft.pipeline.Dedup (16 permutations, 4 bands of 4). */
+  private def lshJaccardBody(gramCtes: String, threshold: Double): String = {
     val mhCols = (0 until 16)
       .map(p => s"MIN((${2 * p + 1} * shingle + ${7919 * p + 12345}) % $M) AS mh_$p")
       .mkString(",\n           ")
@@ -36,19 +37,7 @@ object PipelineOracles {
       }
       .mkString(" ")
     s"""
-    mh_words AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ' '),
-               w -> ${charHash("w")}) AS wh
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
-               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
-      FROM mh_words, LATERAL (
-        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
-    ),
+    $gramCtes,
     mh AS (
       SELECT doc_id,
            $mhCols
@@ -84,9 +73,49 @@ object PipelineOracles {
       FROM inter i
       JOIN sizes za ON za.doc_id = i.a
       JOIN sizes zb ON zb.doc_id = i.b
-      WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+      WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+        >= $threshold
     )"""
   }
+
+  /** MinHash+LSH verified pairs (graft.pipeline.Dedup.minhashPairs with
+    * default parameters: 3-word shingles, 16 permutations, 4 bands of 4,
+    * Jaccard >= 0.5). */
+  private val minhashPairsBody: String = lshJaccardBody(
+    s"""mh_words AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ${charHash("w")}) AS wh
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
+               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
+      FROM mh_words, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
+    )""",
+    threshold = 0.5
+  )
+
+  /** d6 — n-gram Jaccard (graft.pipeline.Dedup.ngramJaccardPairs with
+    * default parameters: character 7-grams, same banded-minhash candidate
+    * index, exact gram-set Jaccard >= 0.5). n=7 keeps the gram space
+    * distinctive: at n=5 the corpus's frequent grams dominate the minhash
+    * mins and one band collapses to ~40 buckets (measured — ~10⁶ candidate
+    * pairs at sf0.1); at n=7 max bucket occupancy is 17. */
+  val ngramJaccardPairs: String = s"""
+    WITH ${lshJaccardBody(
+      s"""sh AS (
+      SELECT doc_id, ${charHash("substr(text, i, 7)")} AS shingle
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(1, greatest(length(text) - 6, 1)))
+          AS i) g
+    )""",
+      threshold = 0.5
+    )}
+    SELECT a, b, n_inter, na, nb, jaccard FROM verified ORDER BY a, b
+  """
 
   val minhashPairs: String = s"""
     WITH $minhashPairsBody

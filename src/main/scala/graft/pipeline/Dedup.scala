@@ -94,6 +94,53 @@ object Dedup {
       )
   }
 
+  /** Character n-gram hashes of a document (one row per occurrence) — the
+    * tokenizer-free feature space for [[ngramJaccardPairs]]: every length-n
+    * substring, hashed by the portable polynomial fold. No whitespace
+    * assumption, so it catches near-dups word shingles miss (unsegmented
+    * scripts, markup, concatenated tokens). Texts shorter than n contribute
+    * their single partial gram (substr clamps), mirroring the short-doc
+    * slice of [[shingles]]. Computed by the native
+    * [[graft.functions.NgramPolyHash]] expression — ONE Rabin–Karp rolling
+    * pass per document (the declarative
+    * `transform(sequence, i -> poly_hash(substr))` form allocated a string
+    * per gram and re-folded every character n times; it benchmarked 14×
+    * slower than the word-shingle pipeline at sf0.1). The rolling
+    * recurrence emits the identical polynomial values, so the DuckDB
+    * oracle still replays substr+fold bit-for-bit.
+    */
+  def charNgrams(d: DataFrame, n: Int = 7): DataFrame =
+    d.select(
+      col("doc_id"),
+      explode(
+        graft.functions.NgramPolyHash.ngramHashes(col("text"), n)
+      ).as("shingle")
+    )
+
+  /** n-gram Jaccard near-dup pairs (d6): exact Jaccard over character
+    * n-gram SETS, with candidates from the same banded-minhash index the
+    * word-shingle operator uses — direct all-pairs n-gram Jaccard is
+    * O(n²) and never runs; the LSH index bounds the exact verification to
+    * bucket collisions, so the operator scales exactly like [[minhashPairs]]
+    * with a denser (per-character) feature space.
+    */
+  def ngramJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 7,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    // cached: read by the minhash aggregation and the Jaccard verification;
+    // released before return (verifyJaccard materializes eagerly)
+    val sh = charNgrams(docs(spark, dir), n).cache()
+    val cand = minhashCandidates(sh, numPerms, rowsPerBand)
+    val verified = verifyJaccard(cand, sh, threshold)
+    sh.unpersist(false)
+    verified
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * numPerms minhashes from one xxhash64 per (shingle, perm-seed); bands of

@@ -97,6 +97,29 @@ class ExtensionsSpec extends AnyFunSuite {
         .head()
         .getLong(0)
       assert(nullBucket == 0L)
+
+      // ngram_poly_hash reaches SQL; each element equals the per-window
+      // substr fold (the rolling recurrence must emit identical values —
+      // covers partial grams of short texts and surrogate pairs)
+      val ng = spark
+        .sql(
+          "SELECT s, ngram_poly_hash(s, 5) AS g FROM VALUES " +
+            "('the quick brown fox'), ('ab'), (''), ('ä😀漢字x😀y') AS t(s)"
+        )
+        .collect()
+      def foldWindow(s: String, from: Int, n: Int): Long = {
+        val cps = s.codePoints().toArray
+        val w = cps.slice(from, math.min(from + n, cps.length))
+        w.foldLeft(0L)((a, c) => (a * 31L + c) % 1000000007L)
+      }
+      ng.foreach { r =>
+        val s = r.getString(0)
+        val got = r.getSeq[Long](1)
+        val nCps = s.codePoints().count().toInt
+        val expect =
+          (0 until math.max(nCps - 4, 1)).map(i => foldWindow(s, i, 5))
+        assert(got == expect, s"'$s'")
+      }
     } finally spark.stop()
   }
 
