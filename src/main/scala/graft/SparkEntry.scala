@@ -161,6 +161,10 @@ object SparkEntry {
     "p4_corpus_stats" -> (TextAnalysis.corpusStats _),
     "d1_dedup_exact" -> (Dedup.exact _),
     "p8_corpus_curation" -> ((s, d) => graft.pipeline.Curation.curate(s, d)),
+    "p9_decontamination" -> ((s, d) =>
+      graft.pipeline.Decontamination.contaminationScan(s, d)),
+    "p10_weighted_sample" -> ((s, d) =>
+      graft.pipeline.Sampling.weightedSampleQuery(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -229,6 +233,8 @@ object SparkEntry {
     "p4_corpus_stats" -> PipelineOracles.corpusStats,
     "d1_dedup_exact" -> PipelineOracles.dedupExact,
     "p8_corpus_curation" -> PipelineOracles.curate,
+    "p9_decontamination" -> PipelineOracles.contaminationScan,
+    "p10_weighted_sample" -> PipelineOracles.weightedSample,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -364,6 +364,43 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** p9 — benchmark decontamination (graft.pipeline.Decontamination with
+    * default parameters: char 7-grams, eval set = doc_id % 50 == 0,
+    * contamination threshold 0.5). Same substr+fold gram hashing as the d6
+    * oracle; per-doc DISTINCT grams, hit = gram occurs anywhere in the
+    * eval slice. */
+  val contaminationScan: String = s"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, ${charHash("substr(text, i, 7)")} AS g
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(1, greatest(length(text) - 6, 1)))
+          AS i) x
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(e.g) AS n_hit,
+           CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) AS ratio,
+           CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) >= 0.5 AS contaminated
+    FROM train t LEFT JOIN eval_g e ON e.g = t.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+  """
+
+  /** p10 — deterministic weighted sample (graft.pipeline.Sampling
+    * .weightedSampleQuery: source srcK kept at rate (K mod 5)/4, gate =
+    * (poly_hash("graft:source:doc_id") · 6364136223 mod 10^9+7) mod 10^6
+    * < rate·10^6 — the finalizer and thresholds are exact BIGINT
+    * arithmetic, so the oracle replays the identical longs). */
+  val weightedSample: String = s"""
+    SELECT doc_id, source FROM documents
+    WHERE (${charHash("'graft:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+             * 6364136223) % 1000000007 % 1000000
+          < (CAST(substr(source, 4) AS BIGINT) % 5) * 250000
+    ORDER BY doc_id
+  """
+
   val lengthHistogram: String = """
     SELECT lang,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** p9 — benchmark decontamination: for every training document, the
+  * fraction of its DISTINCT character n-grams that also occur anywhere in
+  * a held-out evaluation set. This is the standard pre-training hygiene
+  * scan (strip benchmark passages out of the training corpus before they
+  * leak into the model) and the cross-corpus counterpart of
+  * [[Dedup.ngramJaccardPairs]]: d6 asks "which TRAIN pairs overlap",
+  * p9 asks "which train docs overlap the EVAL set at all".
+  *
+  * Scale shape (the part that must survive 100 TB): the eval side is a
+  * benchmark — megabytes, not terabytes — so its distinct gram dictionary
+  * is broadcast and the train corpus is touched in ONE pass:
+  * per-document distinct grams come from `array_distinct` on the
+  * [[graft.functions.NgramPolyHash]] rolling-hash array (map-side, no
+  * corpus-wide distinct shuffle), the membership probe is a broadcast
+  * left join, and the only shuffle is the per-doc count aggregation —
+  * partial-aggregated, one row per (doc, partition) on the wire. Nothing
+  * corpus-sized is ever broadcast, collected, or joined shuffle-to-shuffle.
+  *
+  * The eval set here is carved from the same table by `doc_id % evalMod`
+  * (the container has a single corpus); in deployment the eval frame is
+  * any (doc_id, text) benchmark table — the operator takes it as a
+  * DataFrame and never assumes it shares storage with the train side.
+  */
+object Decontamination {
+
+  /** Contamination scan of `train` against `eval`: one row per train doc
+    * with its distinct-gram count, eval-hit count, hit ratio, and the
+    * `contaminated` verdict at `threshold`.
+    */
+  def scan(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 7,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    def distinctGrams(d: DataFrame): DataFrame =
+      d.select(
+        col("doc_id"),
+        explode(
+          array_distinct(graft.functions.NgramPolyHash.ngramHashes(col("text"), n))
+        ).as("g")
+      )
+    // benchmark gram dictionary: small by construction -> broadcast
+    val evalGrams = distinctGrams(eval).select("g").distinct()
+    distinctGrams(train)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit")
+      )
+      .withColumn(
+        "ratio",
+        col("n_hit").cast("double") / col("n_grams").cast("double")
+      )
+      .withColumn("contaminated", col("ratio") >= threshold)
+  }
+
+  /** The canonical p9 query: eval set = `doc_id % evalMod == 0` of the
+    * documents table, train = the rest; ordered for the oracle compare.
+    */
+  def contaminationScan(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 7,
+      evalMod: Int = 50,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    scan(
+      d.filter(col("doc_id") % evalMod =!= 0),
+      d.filter(col("doc_id") % evalMod === 0),
+      n,
+      threshold
+    ).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** p10 — deterministic weighted sampling: the data-mixing step of a
+  * training pipeline (upsample wiki, downsample crawl) as a PURE FILTER.
+  *
+  * Each row's fate is a pure function of (salt, stratum, doc_id): keep iff
+  * `poly_hash(salt:stratum:doc_id) mod granularity < rate(stratum) ·
+  * granularity`. That buys, by construction, everything `rand()`-based
+  * sampling loses at cluster scale:
+  *
+  *   - reproducible: re-running the job, on any cluster layout, with any
+  *     partitioning, selects the SAME documents (rand() re-draws per task
+  *     attempt; a retried partition samples differently);
+  *   - monotone: raising a stratum's rate only ADDS documents (the gate is
+  *     `hash < threshold`), so 10%-sample experiments are strict subsets
+  *     of the 50% run and ablations nest;
+  *   - shuffle-free: a filter on a codegen'd hash of row-local columns —
+  *     pushdown-friendly, no repartition, no driver state, O(0) memory.
+  *
+  * Rates are snapped to integer parts-per-`granularity` on the driver so
+  * the gate is exact integer arithmetic (no float-rounding drift between
+  * engines — the DuckDB oracle replays the identical integers).
+  */
+object Sampling {
+
+  /** Multiplicative finalizer: the raw polynomial hash is affine in a
+    * key's trailing characters, so dense integer id spaces cluster mod
+    * `granularity` (measured: 0.31 achieved at a 0.25 target over 50k
+    * sequential ids). Multiplying by a fixed unit mod the prime is a
+    * bijection that scrambles that additive structure (0.2496 achieved),
+    * and stays exact-BIGINT arithmetic the SQL oracle replays:
+    * max product = (10^9+6)·FIN < 2^63.
+    */
+  private val M = 1000000007L
+  private val Fin = 6364136223L
+
+  /** The hash gate in [0, granularity): finalized portable polynomial
+    * hash of `salt:stratum:id`, replayable bit-for-bit in plain SQL.
+    */
+  def gate(salt: String, stratum: Column, id: Column, granularity: Long): Column =
+    pmod(
+      pmod(
+        graft.functions.PolyHash.polyHash(
+          concat_ws(":", lit(salt), stratum, id.cast("string"))
+        ) * lit(Fin),
+        lit(M)
+      ),
+      lit(granularity)
+    )
+
+  /** Weighted sample of `d`, stratified by column `by`: keep each row with
+    * probability `rates(stratum)` (strata absent from `rates` default to
+    * `defaultRate`). Deterministic in (salt, stratum, doc_id).
+    */
+  def weightedSample(
+      d: DataFrame,
+      rates: Map[String, Double],
+      by: String = "source",
+      salt: String = "graft",
+      defaultRate: Double = 1.0,
+      granularity: Long = 1000000L
+  ): DataFrame = {
+    // snap to integer thresholds driver-side: the executors compare longs
+    val thresholds: Map[String, Long] =
+      rates.map { case (k, v) => k -> math.round(v * granularity) }
+    val threshold = coalesce(
+      element_at(typedLit(thresholds), col(by)),
+      lit(math.round(defaultRate * granularity))
+    )
+    d.filter(gate(salt, col(by), col("doc_id"), granularity) < threshold)
+  }
+
+  /** The canonical p10 query: source `srcK` sampled at rate (K mod 5)/4 —
+    * 0, 25%, 50%, 75%, 100% — exercising both degenerate gates (0 drops a
+    * stratum entirely; 1 keeps it bit-for-bit).
+    */
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sources = d
+      .select("source")
+      .distinct()
+      .collect() // stratum list: bounded by the source vocabulary, tiny
+      .map(_.getString(0))
+    val rates = sources.map { s =>
+      s -> (s.stripPrefix("src").toLong % 5) * 0.25
+    }.toMap
+    weightedSample(d, rates)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Decontamination, Sampling}
+
+/** Laws for the corpus-hygiene operators: decontamination (p9) and
+  * deterministic weighted sampling (p10).
+  */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-corpus-ops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def df(rows: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontamination: verbatim eval copy is fully contaminated, disjoint text is clean") {
+    val eval = df(0L -> "the quick brown fox jumps over the lazy dog")
+    val train = df(
+      1L -> "the quick brown fox jumps over the lazy dog", // verbatim leak
+      2L -> "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz" // shares no 7-gram
+    )
+    val out = Decontamination
+      .scan(train, eval)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 2)
+    val leak = out(0)
+    assert(leak.getAs[Long]("doc_id") == 1L)
+    assert(leak.getAs[Long]("n_hit") == leak.getAs[Long]("n_grams"))
+    assert(leak.getAs[Double]("ratio") == 1.0)
+    assert(leak.getAs[Boolean]("contaminated"))
+    val clean = out(1)
+    assert(clean.getAs[Long]("n_hit") == 0L)
+    assert(clean.getAs[Double]("ratio") == 0.0)
+    assert(!clean.getAs[Boolean]("contaminated"))
+  }
+
+  test("decontamination: partial leak counts only the shared distinct grams") {
+    val eval = df(0L -> "shared benchmark passage here")
+    // half the train doc is the eval passage, half is novel
+    val train = df(1L -> "shared benchmark passage here xqjvkwpzy unrelated tail")
+    val out = Decontamination.scan(train, eval).collect()(0)
+    val (n, hit) = (out.getAs[Long]("n_grams"), out.getAs[Long]("n_hit"))
+    assert(hit > 0L && hit < n, s"expected partial overlap, got $hit/$n")
+    assert(out.getAs[Double]("ratio") == hit.toDouble / n.toDouble)
+  }
+
+  test("decontamination: short texts (< n chars) fall back to the single partial gram") {
+    val eval = df(0L -> "abc")
+    val train = df(1L -> "abc", 2L -> "abd")
+    val out = Decontamination.scan(train, eval).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 1L)
+    assert(out(0).getAs[Double]("ratio") == 1.0)
+    assert(out(1).getAs[Long]("n_hit") == 0L)
+  }
+
+  test("decontamination query: eval slice is excluded and ratios are well-formed") {
+    val out = Decontamination.contaminationScan(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("doc_id") % 50 === 0).count() == 0)
+      assert(
+        out
+          .filter(
+            col("n_hit") > col("n_grams") || col("ratio") < 0 || col("ratio") > 1
+          )
+          .count() == 0
+      )
+      val total = spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 50 =!= 0)
+        .count()
+      assert(out.count() == total)
+    } finally out.unpersist(false)
+  }
+
+  test("sampling: deterministic across invocations") {
+    val a = Sampling.weightedSampleQuery(spark, sfDir).collect().toSeq
+    val b = Sampling.weightedSampleQuery(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("sampling: rate-0 strata vanish, rate-1 strata survive bit-for-bit") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.weightedSampleQuery(spark, sfDir).cache()
+    try {
+      // srcK rate = (K%5)/4: K%5==0 -> dropped entirely, K%5==4 -> all kept
+      val zero = Seq("src0", "src5", "src10", "src15")
+      val full = Seq("src4", "src9", "src14", "src19")
+      assert(out.filter(col("source").isin(zero: _*)).count() == 0)
+      val fullTotal = d.filter(col("source").isin(full: _*)).count()
+      assert(out.filter(col("source").isin(full: _*)).count() == fullTotal)
+    } finally out.unpersist(false)
+  }
+
+  test("sampling: raising a rate only adds rows (monotone nesting)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lo = Sampling
+      .weightedSample(d, Map.empty, defaultRate = 0.25)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val hi = Sampling
+      .weightedSample(d, Map.empty, defaultRate = 0.5)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(lo.subsetOf(hi), s"${(lo -- hi).size} rows lost when raising the rate")
+    // and the achieved rates track the targets (this band FAILED before
+    // the gate's multiplicative finalizer: raw poly-hash clustering gave
+    // 0.43 at a 0.25 target on these 500 sequential ids)
+    val n = d.count().toDouble
+    assert(math.abs(lo.size / n - 0.25) < 0.1)
+    assert(math.abs(hi.size / n - 0.5) < 0.1)
+  }
+
+  test("sampling: a salt change redraws the sample") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Sampling
+      .weightedSample(d, Map.empty, defaultRate = 0.5, salt = "graft")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val b = Sampling
+      .weightedSample(d, Map.empty, defaultRate = 0.5, salt = "other")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(a != b)
+  }
+}
