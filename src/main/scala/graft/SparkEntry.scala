@@ -30,6 +30,17 @@ object SparkEntry {
       ActionLog.fromEvents(spark, dir).persist()
     )
 
+  /** Releases the per-(session, dir) action-log caches (and the dedup
+    * pipeline's memoized pair lists) — the hook a long-lived multi-tenant
+    * session calls when a tenant's tables are done; the bench/verify
+    * drivers deliberately never do (the cache IS their table contract).
+    */
+  def releaseCaches(): Unit = {
+    actionCache.values.foreach(_.unpersist(false))
+    actionCache.clear()
+    graft.pipeline.Dedup.releaseMemo()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's signature operation — merged two-source replay (J1).
     */
