@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Decontamination, Sampling}
+import graft.streaming.StreamingCuration
+import graft.streaming.StreamingDedup.Doc
+
+/** Laws for the streaming corpus-hygiene operators: the stateless
+  * row-local paths must agree with the batch p9/p10 operators exactly,
+  * under any micro-batch chunking.
+  */
+class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-streaming-curation-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus(): Seq[Doc] = {
+    val sp = spark
+    import sp.implicits._
+    spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[Doc]
+      .collect()
+      .toSeq
+      .sortBy(_.doc_id)
+  }
+
+  test("row-local hit counting agrees with the batch join-based p9 per doc") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val eval = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val dict = StreamingCuration.evalGramDictionary(eval)
+    val rowLocal = StreamingCuration
+      .contaminationScan(train.select("doc_id", "text"), dict)
+    val batch = Decontamination.scan(train, eval)
+    assert(rowLocal.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(rowLocal).count() == 0)
+  }
+
+  test("streaming contamination over chunks equals the batch operator") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dict =
+      StreamingCuration.evalGramDictionary(d.filter(col("doc_id") % 50 === 0))
+    val train = corpus().filter(_.doc_id % 50 != 0)
+    val chunks = train.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration
+      .contaminationScan(ms.toDS().toDF(), dict)
+      .writeStream
+      .format("memory")
+      .queryName("sc_contam")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("sc_contam")
+    val want = Decontamination.scan(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0)
+    )
+    assert(got.count() == train.size.toLong)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming sample over chunks equals the batch filter") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stratify by doc_id parity so the stream needs no source column
+    case class SDoc(doc_id: Long, source: String)
+    val rows = corpus().map(d =>
+      (d.doc_id, if (d.doc_id % 2 == 0) "even" else "odd"))
+    val chunks = rows.grouped(math.max(rows.size / 4, 1)).toSeq
+    val rates = Map("even" -> 0.3, "odd" -> 0.8)
+
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingCuration
+      .sampleStream(ms.toDS().toDF("doc_id", "source"), rates)
+      .writeStream
+      .format("memory")
+      .queryName("sc_sample")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("sc_sample")
+    val want = Sampling.weightedSample(
+      rows.toDF("doc_id", "source"),
+      rates
+    )
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    // and the redelivery story: re-sending a chunk adds only exact
+    // duplicates of rows already emitted (deterministic gate)
+    val before = got.count()
+    val q2 = StreamingCuration
+      .sampleStream(ms.toDS().toDF("doc_id", "source"), rates)
+      .writeStream
+      .format("memory")
+      .queryName("sc_sample2")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(chunks.head); q2.processAllAvailable()
+    } finally q2.stop()
+    val redelivered = spark.table("sc_sample2")
+    assert(redelivered.exceptAll(want).count() == 0)
+    assert(before == spark.table("sc_sample").count())
+  }
+
+  test("sorted_hit_count: null elements miss, empty dictionary hits nothing") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, null, 3L)),
+      (2L, Seq[java.lang.Long]())
+    ).toDF("id", "xs")
+    val withDict = df.select(
+      col("id"),
+      graft.functions.SortedHitCount
+        .hitCount(col("xs"), Array(3L, 1L, 99L)) // unsorted on purpose
+        .as("hits")
+    )
+    val got = withDict.orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L, 0L))
+    val empty = df.select(
+      graft.functions.SortedHitCount.hitCount(col("xs"), Array.empty[Long])
+    )
+    assert(empty.collect().map(_.getLong(0)).sum == 0L)
+  }
+}
