@@ -176,6 +176,8 @@ object SparkEntry {
       graft.pipeline.Decontamination.contaminationScan(s, d)),
     "p10_weighted_sample" -> ((s, d) =>
       graft.pipeline.Sampling.weightedSampleQuery(s, d)),
+    "p11_shard_assignment" -> ((s, d) =>
+      graft.pipeline.Sampling.shardAssignment(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -246,6 +248,7 @@ object SparkEntry {
     "p8_corpus_curation" -> PipelineOracles.curate,
     "p9_decontamination" -> PipelineOracles.contaminationScan,
     "p10_weighted_sample" -> PipelineOracles.weightedSample,
+    "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -401,6 +401,22 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** p11 — deterministic output sharding (graft.pipeline.Sampling
+    * .shardAssignment, 32 shards): per-shard doc count + summed BPE-ish
+    * token total, shard = finalized poly_hash("graft-shard::doc_id")
+    * mod 32 — identical BIGINT arithmetic to the p10 gate under a
+    * different salt. */
+  val shardAssignment: String = s"""
+    SELECT (${charHash("'graft-shard::' || CAST(doc_id AS VARCHAR)")}
+              * 6364136223) % 1000000007 % 32 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+  """
+
   val lengthHistogram: String = """
     SELECT lang,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,

@@ -73,6 +73,40 @@ object Sampling {
     d.filter(gate(salt, col(by), col("doc_id"), granularity) < threshold)
   }
 
+  /** p11 — deterministic output sharding: the write side of a training
+    * pipeline. Every document lands in `shard = finalized-hash(doc_id)
+    * mod nShards` — reproducible (re-runs and retries produce the same
+    * shard layout), stratum-free (the finalizer makes dense id ranges
+    * spread uniformly, so shards balance without a corpus-wide sort or
+    * repartition-by-range statistics pass), and composable with p10 (the
+    * gate and the shard use different salts, so sampling never biases
+    * shard membership). The canonical query emits the per-shard rollup —
+    * doc count and summed BPE-ish token count (p3's token definition) —
+    * which is also the artifact a training job actually consumes
+    * (per-shard token budgets); rollup rows are O(nShards) at any corpus
+    * size, and a single map-side-combined shuffle produces them.
+    */
+  def shardAssignment(
+      spark: SparkSession,
+      dir: String,
+      nShards: Int = 32
+  ): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = size(
+      regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    )
+    d.select(
+        gate("graft-shard", lit(""), col("doc_id"), nShards.toLong).as("shard"),
+        toks.cast("long").as("toks")
+      )
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens")
+      )
+      .orderBy("shard")
+  }
+
   /** The canonical p10 query: source `srcK` sampled at rate (K mod 5)/4 —
     * 0, 25%, 50%, 75%, 100% — exercising both degenerate gates (0 drops a
     * stratum entirely; 1 keeps it bit-for-bit).

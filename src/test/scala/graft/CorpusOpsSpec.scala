@@ -137,6 +137,46 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(hi.size / n - 0.5) < 0.1)
   }
 
+  test("sharding: every doc lands in exactly one shard, shards are balanced") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.shardAssignment(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(out.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 32))
+    // 500 docs over 32 shards ≈ 15.6 expected; the finalizer keeps dense
+    // ids from clustering, so no shard should be wildly off
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= 3 * counts.min + 10, s"imbalanced: ${counts.toSeq}")
+  }
+
+  test("sharding: assignment is independent of the sampling gate") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the p10 sample of each shard should hit roughly the global rate —
+    // i.e. shard membership must not correlate with the sample gate
+    val sampled = Sampling
+      .weightedSample(d, Map.empty, defaultRate = 0.5)
+      .select(
+        Sampling.gate("graft-shard", lit(""), col("doc_id"), 32L).as("shard")
+      )
+      .groupBy("shard")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val all = d
+      .select(
+        Sampling.gate("graft-shard", lit(""), col("doc_id"), 32L).as("shard")
+      )
+      .groupBy("shard")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val rates = all.map { case (s, n) => sampled.getOrElse(s, 0L).toDouble / n }
+    // wide band: ~15 docs per shard, but NO shard may be empty or full
+    // unless tiny — correlation would empty some shards entirely
+    assert(rates.count(r => r > 0.05 && r < 0.95) >= rates.size - 3)
+  }
+
   test("sampling: a salt change redraws the sample") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Sampling
