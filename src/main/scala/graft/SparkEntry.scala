@@ -178,6 +178,10 @@ object SparkEntry {
       graft.pipeline.Sampling.weightedSampleQuery(s, d)),
     "p11_shard_assignment" -> ((s, d) =>
       graft.pipeline.Sampling.shardAssignment(s, d)),
+    // k5 has NO oracleSql entry (float k-means is not portably SQL
+    // replayable): driver records rows-only; laws live in PipelineSpec
+    "k5_knn_ivf_trained" -> ((s, d) =>
+      graft.pipeline.Similarity.knnIvfTrained(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),

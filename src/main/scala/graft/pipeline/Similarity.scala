@@ -106,6 +106,130 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Nearest-centroid assignment of every corpus vector: broadcast
+    * nested-loop against the (tiny) centroid table, per-vector argmax by
+    * cosine with a lowest-cid tie-break. One corpus pass per call.
+    */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cid"),
+        cosine(col("embedding"), col("centroid")).as("csim")
+      )
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cid"), struct(col("csim"), (-col("cid")).cast("int"))).as("cid"),
+        first(col("embedding")).as("embedding")
+      )
+
+  /** Spherical k-means (Lloyd's) coarse quantizer: seeded from the
+    * `kCentroids` lowest vec_ids (deterministic — no rand()), each
+    * iteration assigns by cosine argmax and re-estimates every cell as
+    * its members' element-wise mean (direction is what matters under
+    * cosine, so the unnormalized mean serves). Empty cells keep their
+    * previous centroid. Per iteration: one corpus-×-centroids broadcast
+    * pass plus one (cid, dim)-keyed partial-aggregated shuffle; the only
+    * driver materialization is the kCentroids·dim mean table (bounded —
+    * 16·64 doubles here). At real scale training runs on a corpus SAMPLE
+    * (the standard IVF recipe) and only the final assignment pass touches
+    * everything — the sample is a `weightedSample`-style gate away.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Seq[(Int, Seq[Double])] = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .orderBy("vec_id")
+      .limit(kCentroids)
+      .select("embedding")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
+      .toSeq
+    var it = 0
+    while (it < iters) {
+      val means = assignCells(corpus, centroids.toDF("cid", "centroid"))
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col").cast("double")).as("v"))
+        .collect() // bounded: kCentroids × dim rows
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** k5 — IVF search with a TRAINED coarse quantizer (vs [[knnIvf]]'s
+    * label stand-in): k-means cells from [[trainCentroids]], then each
+    * query probes its `nprobe` nearest cells and exact-scores only their
+    * members. Probing all cells is EXACTLY brute force (assignment is a
+    * partition of the corpus — spec'd law); at scale the corpus is
+    * written partitioned by `cid` so a query's scan prunes to
+    * nprobe/kCentroids of the data. No SQL oracle: float k-means is not
+    * portably replayable — the driver records rows-only and the laws
+    * (all-probe ≡ brute, recall floor, partition coverage) live in
+    * PipelineSpec.
+    */
+  def knnIvfTrained(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val corpus = emb(spark, dir).select("vec_id", "embedding").cache()
+    try {
+      val centroids =
+        trainCentroids(corpus, kCentroids, iters).toDF("cid", "centroid")
+      val assigned = assignCells(corpus, centroids)
+      val queries = corpus
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+      val probes = queries
+        .crossJoin(broadcast(centroids))
+        .select(
+          col("qid"),
+          col("q"),
+          col("cid"),
+          cosine(col("q"), col("centroid")).as("csim")
+        )
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select("qid", "q", "cid")
+      val scored = assigned
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(
+          col("qid"),
+          col("vec_id"),
+          cosine(col("q"), col("embedding")).as("sim")
+        )
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("qid", "vec_id", "rank", "sim")
+        .orderBy("qid", "rank")
+    } finally corpus.unpersist(false)
+  }
+
   /** Sign-LSH bucketing: `nBits` pseudo-random hyperplanes with ±1
     * components derived deterministically from an LCG parity — exact
     * integer arithmetic the DuckDB oracle replays, so the bucketed

@@ -121,6 +121,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("sim") =!= col("bsim")).count() == 0)
   }
 
+  test("trained ivf probing every cell IS brute force (assignment partitions the corpus)") {
+    import org.apache.spark.sql.functions._
+    // probing all kCentroids cells covers every vector regardless of the
+    // learned centroid values, and both paths share scoring + tie-break,
+    // so the outputs must be row-identical — this also proves assignment
+    // is a partition (a dropped or doubled vector would break equality)
+    val all = Similarity
+      .knnIvfTrained(spark, sfDir, kCentroids = 8, iters = 2, nprobe = 8)
+    val brute = Similarity.knnBruteForce(spark, sfDir)
+    assert(all.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(all).count() == 0)
+  }
+
+  test("trained ivf at nprobe=2 keeps exact per-pair sims and real recall") {
+    import org.apache.spark.sql.functions._
+    val ivf = Similarity
+      .knnIvfTrained(spark, sfDir, kCentroids = 8, iters = 2, nprobe = 2)
+      .cache()
+    val brute = Similarity.knnBruteForce(spark, sfDir).cache()
+    try {
+      // reported sims are EXACT cosines (approximation is coverage only)
+      val exact = brute.select(
+        col("qid"), col("vec_id"), col("sim").as("bsim"))
+      assert(
+        ivf.join(exact, Seq("qid", "vec_id"))
+          .filter(col("sim") =!= col("bsim"))
+          .count() == 0
+      )
+      // recall floor: nprobe=2 of 8 cells must still find most of the
+      // true top-k (the corpus is clustered; a broken quantizer would
+      // send near-neighbors to unprobed cells and recall would collapse)
+      val hits = ivf
+        .select("qid", "vec_id")
+        .intersect(brute.select("qid", "vec_id"))
+        .count()
+      val total = brute.count()
+      assert(hits.toDouble / total >= 0.5, s"recall ${hits.toDouble / total}")
+    } finally { ivf.unpersist(false); brute.unpersist(false) }
+  }
+
   test("ivf knn results are a subset of brute-force candidate space") {
     val ivf = Similarity.knnIvf(spark, sfDir).select("qid", "vec_id")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
