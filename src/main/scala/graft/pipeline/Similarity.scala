@@ -106,9 +106,20 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
   /** Nearest-centroid assignment of every corpus vector: broadcast
     * nested-loop against the (tiny) centroid table, per-vector argmax by
-    * cosine with a lowest-cid tie-break. One corpus pass per call.
+    * cosine with a lowest-cid tie-break. One corpus pass per call. Both
+    * sides carry precomputed norms (`nrm`/`cnrm`), so each of the
+    * corpus×centroids pairs folds ONE dot product instead of three —
+    * sim = dot/(nrm·cnrm) is the identical arithmetic to [[cosine]]
+    * (sqrt(dot(a,a)) hoisted, not changed), so values stay bit-equal.
     */
   private def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus
@@ -116,14 +127,20 @@ object Similarity {
       .select(
         col("vec_id"),
         col("embedding"),
+        col("nrm"),
         col("cid"),
-        cosine(col("embedding"), col("centroid")).as("csim")
+        (dotD(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
+          .as("csim")
       )
       .groupBy("vec_id")
       .agg(
         max_by(col("cid"), struct(col("csim"), (-col("cid")).cast("int"))).as("cid"),
-        first(col("embedding")).as("embedding")
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm")
       )
+
+  private def withNorm(d: DataFrame, e: String, out: String): DataFrame =
+    d.withColumn(out, sqrt(dotD(col(e), col(e))))
 
   /** Spherical k-means (Lloyd's) coarse quantizer: seeded from the
     * `kCentroids` lowest vec_ids (deterministic — no rand()), each
@@ -144,6 +161,9 @@ object Similarity {
   ): Seq[(Int, Seq[Double])] = {
     val sp = corpus.sparkSession
     import sp.implicits._
+    val c =
+      if (corpus.columns.contains("nrm")) corpus
+      else withNorm(corpus, "embedding", "nrm")
     var centroids: Seq[(Int, Seq[Double])] = corpus
       .orderBy("vec_id")
       .limit(kCentroids)
@@ -154,7 +174,10 @@ object Similarity {
       .toSeq
     var it = 0
     while (it < iters) {
-      val means = assignCells(corpus, centroids.toDF("cid", "centroid"))
+      val means = assignCells(
+        c,
+        withNorm(centroids.toDF("cid", "centroid"), "centroid", "cnrm")
+      )
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(avg(col("col").cast("double")).as("v"))
@@ -193,33 +216,47 @@ object Similarity {
   ): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val corpus = emb(spark, dir).select("vec_id", "embedding").cache()
+    val corpus = withNorm(
+      emb(spark, dir).select("vec_id", "embedding"),
+      "embedding",
+      "nrm"
+    ).cache()
     try {
-      val centroids =
-        trainCentroids(corpus, kCentroids, iters).toDF("cid", "centroid")
+      val centroids = withNorm(
+        trainCentroids(corpus, kCentroids, iters).toDF("cid", "centroid"),
+        "centroid",
+        "cnrm"
+      )
       val assigned = assignCells(corpus, centroids)
       val queries = corpus
         .filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("q"))
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("q"),
+          col("nrm").as("qnrm")
+        )
       val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
       val probes = queries
         .crossJoin(broadcast(centroids))
         .select(
           col("qid"),
           col("q"),
+          col("qnrm"),
           col("cid"),
-          cosine(col("q"), col("centroid")).as("csim")
+          (dotD(col("q"), col("centroid")) / (col("qnrm") * col("cnrm")))
+            .as("csim")
         )
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= nprobe)
-        .select("qid", "q", "cid")
+        .select("qid", "q", "qnrm", "cid")
       val scored = assigned
         .join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(
           col("qid"),
           col("vec_id"),
-          cosine(col("q"), col("embedding")).as("sim")
+          (dotD(col("q"), col("embedding")) / (col("qnrm") * col("nrm")))
+            .as("sim")
         )
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
       scored

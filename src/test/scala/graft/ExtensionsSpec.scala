@@ -153,6 +153,24 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(gen.contains("graft.functions.PolyHash.hash"), gen.take(500))
       assert(gen.contains("graft.functions.SignLshBucket.bucket"), gen.take(500))
       assert(!gen.contains("Found 0 WholeStageCodegen"), gen.take(200))
+
+      // sorted_hit_count: the dictionary rides as a reference object and
+      // the generated Java calls the binary-search kernel per row
+      val hc = spark
+        .range(8)
+        .select(
+          graft.functions.SortedHitCount
+            .hitCount(
+              array(col("id"), (col("id") * 2).cast("long")),
+              Array(2L, 4L, 6L)
+            )
+            .as("hits")
+        )
+      val hcGen = org.apache.spark.sql.execution.debug
+        .codegenString(hc.queryExecution.executedPlan)
+      assert(hcGen.contains("graft.functions.SortedHitCount.count"), hcGen.take(500))
+      // per id: [id, 2id] vs {2,4,6} → hits 0,1,2,1,1,0,1,0 = 6
+      assert(hc.collect().map(_.getLong(0)).sum == 6L)
     } finally spark.stop()
   }
 }
