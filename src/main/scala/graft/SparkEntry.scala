@@ -182,6 +182,7 @@ object SparkEntry {
     // replayable): driver records rows-only; laws live in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
       graft.pipeline.Similarity.knnIvfTrained(s, d)),
+    "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "p9_decontamination" -> PipelineOracles.contaminationScan,
     "p10_weighted_sample" -> PipelineOracles.weightedSample,
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
+    "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -235,6 +235,30 @@ object PipelineOracles {
       }
       .mkString(" +\n           ")
 
+  /** k6 — symmetric int8 quantization codes (graft.pipeline.Similarity
+    * .quantize): scale = 127/max|v_i| per vector, code = floor(v·scale
+    * + 0.5), zero vectors → zero codes. All arithmetic is IEEE double +
+    * floor in both engines, so codes compare as exact integers. */
+  val quantizedCodes: String = """
+    WITH q AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(CASE WHEN max_abs = 0
+                     THEN 0
+                     ELSE floor(CAST(embedding[i] AS DOUBLE)
+                                * (127.0 / max_abs) + 0.5)
+                END AS BIGINT) AS code
+    FROM q, LATERAL (
+      SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    ORDER BY vec_id, pos
+  """
+
   /** k3 — LSH bucket-size histogram. */
   val lshBucketStats: String = s"""
     WITH c AS (

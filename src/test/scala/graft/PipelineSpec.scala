@@ -161,6 +161,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { ivf.unpersist(false); brute.unpersist(false) }
   }
 
+  test("int8 quantization: codes bounded, dequant error within half a step") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = d.select(
+      col("vec_id"),
+      col("embedding"),
+      Similarity.quantize(col("embedding")).as("codes")
+    )
+    // codes in [-127, 127]
+    val outOfRange = q
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127)
+    assert(outOfRange.count() == 0)
+    // |v - c/scale| <= step/2 + eps, step = max_abs/127
+    val err = q
+      .withColumn(
+        "max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      )
+      .withColumn(
+        "bad",
+        size(
+          filter(
+            zip_with(
+              col("embedding"),
+              col("codes"),
+              (v, c) =>
+                abs(v.cast("double") - c * (col("max_abs") / 127.0)) >
+                  (col("max_abs") / 127.0) * 0.5000001
+            ),
+            x => x
+          )
+        )
+      )
+      .filter(col("max_abs") > 0 && col("bad") > 0)
+    assert(err.count() == 0)
+  }
+
+  test("quantized knn keeps high overlap with exact float search") {
+    val exact = Similarity.knnBruteForce(spark, sfDir).select("qid", "vec_id")
+    val quant = Similarity.knnQuantized(spark, sfDir).select("qid", "vec_id")
+    val overlap = exact.intersect(quant).count().toDouble / exact.count()
+    assert(overlap >= 0.8, s"quantized recall $overlap")
+  }
+
   test("ivf knn results are a subset of brute-force candidate space") {
     val ivf = Similarity.knnIvf(spark, sfDir).select("qid", "vec_id")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
