@@ -178,6 +178,7 @@ object SparkEntry {
       graft.pipeline.Sampling.weightedSampleQuery(s, d)),
     "p11_shard_assignment" -> ((s, d) =>
       graft.pipeline.Sampling.shardAssignment(s, d)),
+    "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     // k5 has NO oracleSql entry (float k-means is not portably SQL
     // replayable): driver records rows-only; laws live in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
@@ -255,6 +256,7 @@ object SparkEntry {
     "p10_weighted_sample" -> PipelineOracles.weightedSample,
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
+    "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

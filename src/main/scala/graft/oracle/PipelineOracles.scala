@@ -441,6 +441,25 @@ object PipelineOracles {
     ORDER BY shard
   """
 
+  /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
+    * .vocabTopK, k=100): top words by occurrence with document
+    * frequency; ties broken by word. Spark split / DuckDB string_split
+    * agree on empty-segment behavior (both keep them; both sides filter
+    * '' explicitly). */
+  val vocabTopK: String = """
+    SELECT word,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ) w
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 100
+  """
+
   val lengthHistogram: String = """
     SELECT lang,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,

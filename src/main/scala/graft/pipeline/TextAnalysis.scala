@@ -137,6 +137,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "bucket")
 
+  /** p12 — corpus vocabulary heavy hitters: the top-k words by total
+    * occurrence with their document frequency (the stopword/vocab report
+    * a tokenizer or quality-filter design starts from). The classic
+    * wordcount shape at scale: explode → map-side-combined count per
+    * word, document frequency as a distinct (word, doc) pre-aggregation,
+    * and the global top-k compiles to TakeOrderedAndProject — each
+    * partition keeps only k candidates, the driver merges nPartitions·k
+    * rows; no global sort of the vocabulary ever materializes. Ties
+    * broken by word for determinism.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs")
+      )
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-source quality rollup: the feature averages a mix-weighting
     * pipeline consumes (exact integer sums divided in double).
     */
