@@ -179,6 +179,8 @@ object SparkEntry {
     "p11_shard_assignment" -> ((s, d) =>
       graft.pipeline.Sampling.shardAssignment(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    "d7_neardup_leaks" -> ((s, d) =>
+      graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     // k5 has NO oracleSql entry (float k-means is not portably SQL
     // replayable): driver records rows-only; laws live in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
@@ -257,6 +259,7 @@ object SparkEntry {
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
+    "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -412,6 +412,20 @@ object PipelineOracles {
     ORDER BY t.doc_id
   """
 
+  /** d7 — near-dup eval leakage (graft.pipeline.Decontamination
+    * .nearDupLeaks): the d2 verified pairs restricted to those crossing
+    * the train/eval boundary (exactly one side has doc_id % 50 = 0),
+    * oriented eval→train. */
+  val nearDupLeaks: String = s"""
+    WITH $minhashPairsBody
+    SELECT CASE WHEN a % 50 = 0 THEN a ELSE b END AS eval_id,
+           CASE WHEN a % 50 = 0 THEN b ELSE a END AS train_id,
+           jaccard
+    FROM verified
+    WHERE (a % 50 = 0) <> (b % 50 = 0)
+    ORDER BY eval_id, train_id
+  """
+
   /** p10 — deterministic weighted sample (graft.pipeline.Sampling
     * .weightedSampleQuery: source srcK kept at rate (K mod 5)/4, gate =
     * (poly_hash("graft:source:doc_id") · 6364136223 mod 10^9+7) mod 10^6

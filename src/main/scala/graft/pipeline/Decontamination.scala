@@ -61,6 +61,33 @@ object Decontamination {
       .withColumn("contaminated", col("ratio") >= threshold)
   }
 
+  /** d7 — NEAR-duplicate eval leakage: verified minhash near-dup pairs
+    * that CROSS the train/eval boundary. [[contaminationScan]] catches
+    * verbatim gram containment; this catches the paraphrased/perturbed
+    * leak — an eval document whose near-copy (Jaccard ≥ threshold on
+    * word shingles) sits in the training set. Reuses the d2 pair
+    * pipeline (same banded index, same memo — zero extra corpus passes
+    * in a suite that already ran d2) and keeps only pairs with exactly
+    * one side in the eval slice; `eval_id`/`train_id` orient each pair.
+    */
+  def nearDupLeaks(
+      spark: SparkSession,
+      dir: String,
+      evalMod: Int = 50
+  ): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, dir)
+    val aEval = col("a") % evalMod === 0
+    val bEval = col("b") % evalMod === 0
+    pairs
+      .filter(aEval =!= bEval)
+      .select(
+        when(aEval, col("a")).otherwise(col("b")).as("eval_id"),
+        when(aEval, col("b")).otherwise(col("a")).as("train_id"),
+        col("jaccard")
+      )
+      .orderBy("eval_id", "train_id")
+  }
+
   /** The canonical p9 query: eval set = `doc_id % evalMod == 0` of the
     * documents table, train = the rest; ordered for the oracle compare.
     */
