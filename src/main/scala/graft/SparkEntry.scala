@@ -181,6 +181,7 @@ object SparkEntry {
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
+    "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     // k5 has NO oracleSql entry (float k-means is not portably SQL
     // replayable): driver records rows-only; laws live in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
@@ -260,6 +261,7 @@ object SparkEntry {
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
+    "p13_normalize" -> PipelineOracles.normalize,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -474,6 +474,22 @@ object PipelineOracles {
     LIMIT 100
   """
 
+  /** p13 — text normalization (graft.pipeline.TextAnalysis.normalize):
+    * lowercase + space-run collapse + trim, fingerprinted with the
+    * portable polynomial hash. DuckDB regexp_replace needs the 'g' flag
+    * to match Spark's replace-all default. */
+  val normalize: String = {
+    val norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    s"""
+    SELECT doc_id,
+           ${charHash(norm)} AS norm_fp,
+           CAST(length($norm) AS BIGINT) AS n_chars_norm,
+           $norm <> text AS changed
+    FROM documents
+    ORDER BY doc_id
+  """
+  }
+
   val lengthHistogram: String = """
     SELECT lang,
            CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,

@@ -137,6 +137,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "bucket")
 
+  /** p13 — text normalization: lowercase, whitespace-run collapse, trim —
+    * the canonicalization pass that runs BEFORE dedup so that trivial
+    * formatting variants hash identically (d1's md5 and the shingle/gram
+    * hashes all key on exact bytes). Pure row-local projection, zero
+    * shuffle beyond the oracle's presentation sort. Emits the normalized
+    * fingerprint (portable poly_hash) rather than the normalized text —
+    * at corpus scale the downstream consumer wants the canonical
+    * identity, not a second copy of the corpus; `changed` marks docs the
+    * normalization actually touched.
+    */
+  def normalize(d: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    d.select(
+        col("doc_id"),
+        graft.functions.PolyHash.polyHash(norm).as("norm_fp"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed")
+      )
+      .orderBy("doc_id")
+  }
+
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    normalize(docs(spark, dir))
+
+  /** The normalized text itself (the fingerprint query above is the
+    * corpus-scale artifact; this is the transform a pipeline maps).
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(lower(c), " +", " "))
+
   /** p12 — corpus vocabulary heavy hitters: the top-k words by total
     * occurrence with their document frequency (the stopword/vocab report
     * a tokenizer or quality-filter design starts from). The classic

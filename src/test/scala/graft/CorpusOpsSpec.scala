@@ -177,6 +177,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rates.count(r => r > 0.05 && r < 0.95) >= rates.size - 3)
   }
 
+  test("normalization: canonicalizes case/spacing, is idempotent, unifies dedup keys") {
+    import graft.pipeline.TextAnalysis
+    // the testdata corpus is already canonical (spec'd here because the
+    // oracle query exercises only the no-op path there)
+    val d = df(
+      1L -> "The  Quick   Brown Fox ",
+      2L -> "the quick brown fox",
+      3L -> " THE QUICK BROWN FOX",
+      4L -> "something else"
+    )
+    val out = TextAnalysis.normalize(d).collect()
+    // 1-3 are formatting variants of one canonical string
+    assert(out.take(3).map(_.getAs[Long]("norm_fp")).distinct.length == 1)
+    assert(!out(1).getAs[Boolean]("changed")) // doc 2 already canonical
+    assert(out(0).getAs[Boolean]("changed") && out(2).getAs[Boolean]("changed"))
+    assert(out(3).getAs[Long]("norm_fp") != out(0).getAs[Long]("norm_fp"))
+    // idempotence: normalizing normalized text changes nothing
+    val once = d.select(
+      col("doc_id"),
+      TextAnalysis.normalizedText(col("text")).as("text")
+    )
+    val twice = TextAnalysis.normalize(once).collect()
+    assert(twice.forall(!_.getAs[Boolean]("changed")))
+    assert(
+      twice.map(_.getAs[Long]("norm_fp")).toSeq ==
+        out.map(_.getAs[Long]("norm_fp")).toSeq
+    )
+  }
+
   test("sampling: a salt change redraws the sample") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Sampling
