@@ -182,6 +182,8 @@ object SparkEntry {
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
+    "p14_curation_full" -> ((s, d) =>
+      graft.pipeline.Curation.curateFull(s, d)),
     // k5 has NO oracleSql entry (float k-means is not portably SQL
     // replayable): driver records rows-only; laws live in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
@@ -262,6 +264,7 @@ object SparkEntry {
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
+    "p14_curation_full" -> PipelineOracles.curateFull,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

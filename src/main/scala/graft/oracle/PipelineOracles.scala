@@ -177,6 +177,48 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** p14 — full curation (graft.pipeline.Curation.curateFull): p8's
+    * decision composition with the contamination stage spliced into the
+    * precedence — exact_dup > near_dup > contaminated > low_quality >
+    * kept — over the TRAIN slice only (the eval slice is the benchmark,
+    * not curated). Dedup structure stays corpus-wide, as in p8. */
+  val curateFull: String = s"""
+    WITH RECURSIVE $minhashPairsBody,
+    edges AS (
+      SELECT a, b FROM verified
+      UNION
+      SELECT b AS a, a AS b FROM verified
+    ),
+    cc(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.label FROM edges e JOIN cc c ON c.doc_id = e.b
+    ),
+    labels AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY doc_id),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+               AS BIGINT) AS n_words
+      FROM documents
+    ),
+    $contamCtes
+    SELECT doc_id, n_words, reason, reason = 'kept' AS kept
+    FROM (
+      SELECT ex.doc_id, ex.n_words,
+             CASE WHEN ex.doc_id <> ex.canonical_id THEN 'exact_dup'
+                  WHEN l.label IS NOT NULL AND l.label <> ex.doc_id
+                    THEN 'near_dup'
+                  WHEN c.contaminated THEN 'contaminated'
+                  WHEN ex.n_words < 25 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+      FROM ex
+      LEFT JOIN labels l USING (doc_id)
+      JOIN contam c USING (doc_id)
+    ) t
+    ORDER BY doc_id
+  """
+
   /** d3 — simhash: 60-bit bit-vote signature from the dual polynomial word
     * hash, 15-bit chunk candidate buckets, Hamming <= 8. */
   val simhashPairs: String = {
@@ -388,28 +430,38 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
-  /** p9 — benchmark decontamination (graft.pipeline.Decontamination with
-    * default parameters: char 7-grams, eval set = doc_id % 50 == 0,
-    * contamination threshold 0.5). Same substr+fold gram hashing as the d6
-    * oracle; per-doc DISTINCT grams, hit = gram occurs anywhere in the
-    * eval slice. */
-  val contaminationScan: String = s"""
-    WITH grams AS (
+  /** Shared contamination CTE chain: per-doc distinct 7-grams, the eval
+    * slice's gram dictionary, and each train doc's hit counts — the p9
+    * oracle and the p14 composite both splice this in. */
+  // lazy: curateFull is declared earlier in the file and splices this in
+  private lazy val contamCtes: String = s"""grams AS (
       SELECT DISTINCT doc_id, ${charHash("substr(text, i, 7)")} AS g
       FROM documents, LATERAL (
         SELECT unnest(generate_series(1, greatest(length(text) - 6, 1)))
           AS i) x
     ),
     eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
-    SELECT t.doc_id,
-           COUNT(*) AS n_grams,
-           COUNT(e.g) AS n_hit,
-           CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) AS ratio,
-           CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) >= 0.5 AS contaminated
-    FROM train t LEFT JOIN eval_g e ON e.g = t.g
-    GROUP BY t.doc_id
-    ORDER BY t.doc_id
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+    contam AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(e.g) AS n_hit,
+             CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) AS ratio,
+             CAST(COUNT(e.g) AS DOUBLE) / COUNT(*) >= 0.5 AS contaminated
+      FROM train t LEFT JOIN eval_g e ON e.g = t.g
+      GROUP BY t.doc_id
+    )"""
+
+  /** p9 — benchmark decontamination (graft.pipeline.Decontamination with
+    * default parameters: char 7-grams, eval set = doc_id % 50 == 0,
+    * contamination threshold 0.5). Same substr+fold gram hashing as the d6
+    * oracle; per-doc DISTINCT grams, hit = gram occurs anywhere in the
+    * eval slice. */
+  val contaminationScan: String = s"""
+    WITH $contamCtes
+    SELECT doc_id, n_grams, n_hit, ratio, contaminated
+    FROM contam
+    ORDER BY doc_id
   """
 
   /** d7 — near-dup eval leakage (graft.pipeline.Decontamination
