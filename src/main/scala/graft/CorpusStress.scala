@@ -23,6 +23,7 @@ import graft.streaming.StreamingCuration
 object CorpusStress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    require(factor >= 2, s"need factor >= 2 for a half/full comparison, got $factor")
     val spark = GraftSession.local("graft-corpus-stress")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -104,6 +105,15 @@ object CorpusStress {
         val perRowRatio = (fl / fFull) / (h / fHalf)
         println(f"[corpus] $name%-8s per-row cost ratio (full/half): $perRowRatio%.2f")
     }
+    // the amplified corpora are multi-GB at large factors: clean up
+    Seq(factor / 2, factor).foreach { f =>
+      deleteRecursively(new java.io.File(s"/tmp/graft_corpus_$f"))
+    }
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -275,7 +275,9 @@ object SparkEntry {
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
-    // every query now has a DuckDB oracle: the dedup/LSH operators hash
-    // with portable exact-integer arithmetic both engines replay
+    // every query EXCEPT k5_knn_ivf_trained has a DuckDB oracle (the
+    // dedup/LSH operators hash with portable exact-integer arithmetic
+    // both engines replay); k5 is rows-only by design — float k-means is
+    // not portably replayable, its laws live in PipelineSpec
   )
 }

@@ -435,10 +435,11 @@ object PipelineOracles {
     * oracle and the p14 composite both splice this in. */
   // lazy: curateFull is declared earlier in the file and splices this in
   private lazy val contamCtes: String = s"""grams AS (
-      SELECT DISTINCT doc_id, ${charHash("substr(text, i, 7)")} AS g
+      SELECT DISTINCT doc_id,
+             ${charHash("substr(coalesce(text, ''), i, 7)")} AS g
       FROM documents, LATERAL (
-        SELECT unnest(generate_series(1, greatest(length(text) - 6, 1)))
-          AS i) x
+        SELECT unnest(generate_series(1,
+          greatest(length(coalesce(text, '')) - 6, 1))) AS i) x
     ),
     eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
     train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
@@ -531,7 +532,7 @@ object PipelineOracles {
     * portable polynomial hash. DuckDB regexp_replace needs the 'g' flag
     * to match Spark's replace-all default. */
   val normalize: String = {
-    val norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     s"""
     SELECT doc_id,
            ${charHash(norm)} AS norm_fp,

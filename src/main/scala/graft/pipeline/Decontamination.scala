@@ -38,11 +38,18 @@ object Decontamination {
       n: Int = 7,
       threshold: Double = 0.5
   ): DataFrame = {
+    // null text ≡ empty text (its single partial gram): without the
+    // coalesce, explode of the null gram array silently DROPS the doc
+    // from the scan — and from any curation built on it — while the
+    // streaming row-local path and the SQL oracle keep it
     def distinctGrams(d: DataFrame): DataFrame =
       d.select(
         col("doc_id"),
         explode(
-          array_distinct(graft.functions.NgramPolyHash.ngramHashes(col("text"), n))
+          array_distinct(
+            graft.functions.NgramPolyHash
+              .ngramHashes(coalesce(col("text"), lit("")), n)
+          )
         ).as("g")
       )
     // benchmark gram dictionary: small by construction -> broadcast

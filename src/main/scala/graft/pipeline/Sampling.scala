@@ -92,9 +92,7 @@ object Sampling {
       nShards: Int = 32
   ): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val toks = size(
-      regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
-    )
+    val toks = TextAnalysis.bpeTokenCount(col("text"))
     d.select(
         gate("graft-shard", lit(""), col("doc_id"), nShards.toLong).as("shard"),
         toks.cast("long").as("toks")

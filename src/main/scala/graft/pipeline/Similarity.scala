@@ -113,31 +113,43 @@ object Similarity {
       (acc, v) => acc + v
     )
 
-  /** Nearest-centroid assignment of every corpus vector: broadcast
-    * nested-loop against the (tiny) centroid table, per-vector argmax by
-    * cosine with a lowest-cid tie-break. One corpus pass per call. Both
-    * sides carry precomputed norms (`nrm`/`cnrm`), so each of the
-    * corpus×centroids pairs folds ONE dot product instead of three —
-    * sim = dot/(nrm·cnrm) is the identical arithmetic to [[cosine]]
-    * (sqrt(dot(a,a)) hoisted, not changed), so values stay bit-equal.
+  /** Driver-side sqrt(Σx²) with the SAME sequential-fold order as
+    * [[dotD]], so centroid norms stay bit-equal to the column form. */
+  private def seqNorm(c: Seq[Double]): Double =
+    math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** Per-centroid (csim, −cid) structs against a row's embedding — the
+    * shared row-local kernel of assignment and probe selection. Struct
+    * ordering is lexicographic, so max/desc-sort = highest csim, ties to
+    * the LOWEST cid. One dot-product fold per cell (norms hoisted:
+    * dot/(nrm·cnrm) is [[cosine]]'s arithmetic with sqrt(dot(a,a))
+    * precomputed, values bit-equal).
     */
-  private def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus
-      .crossJoin(broadcast(centroids))
-      .select(
-        col("vec_id"),
-        col("embedding"),
-        col("nrm"),
-        col("cid"),
-        (dotD(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
-          .as("csim")
+  private def cellSims(
+      e: Column,
+      nrm: Column,
+      centroids: Seq[(Int, Seq[Double])]
+  ): Seq[Column] =
+    centroids.map { case (cid, c) =>
+      struct(
+        (dotD(e, typedLit(c)) / (nrm * lit(seqNorm(c)))).as("csim"),
+        lit(-cid).as("negCid")
       )
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cid"), struct(col("csim"), (-col("cid")).cast("int"))).as("cid"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm")
-      )
+    }
+
+  /** Nearest-centroid assignment as a ROW-LOCAL projection: the centroids
+    * are a driver-local constant (kCentroids×dim doubles), so every cell
+    * cosine and the argmax are plain columns — no crossJoin, no
+    * groupBy(vec_id), ZERO shuffle per assignment pass.
+    */
+  private def assignCells(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]
+  ): DataFrame = {
+    val sims = cellSims(col("embedding"), col("nrm"), centroids)
+    val best = if (sims.size == 1) sims.head else greatest(sims: _*)
+    corpus.withColumn("cid", -best.getField("negCid"))
+  }
 
   private def withNorm(d: DataFrame, e: String, out: String): DataFrame =
     d.withColumn(out, sqrt(dotD(col(e), col(e))))
@@ -147,20 +159,20 @@ object Similarity {
     * iteration assigns by cosine argmax and re-estimates every cell as
     * its members' element-wise mean (direction is what matters under
     * cosine, so the unnormalized mean serves). Empty cells keep their
-    * previous centroid. Per iteration: one corpus-×-centroids broadcast
-    * pass plus one (cid, dim)-keyed partial-aggregated shuffle; the only
-    * driver materialization is the kCentroids·dim mean table (bounded —
-    * 16·64 doubles here). At real scale training runs on a corpus SAMPLE
-    * (the standard IVF recipe) and only the final assignment pass touches
-    * everything — the sample is a `weightedSample`-style gate away.
+    * previous centroid. Per iteration: one ROW-LOCAL assignment
+    * projection (no shuffle — the centroids are plain column constants)
+    * plus one (cid, dim)-keyed partial-aggregated shuffle for the means;
+    * the only driver materialization is the kCentroids·dim mean table
+    * (bounded — 16·64 doubles here). At real scale training runs on a
+    * corpus SAMPLE (the standard IVF recipe) and only the final
+    * assignment pass touches everything — the sample is a
+    * `weightedSample`-style gate away.
     */
   def trainCentroids(
       corpus: DataFrame,
       kCentroids: Int = 16,
       iters: Int = 3
   ): Seq[(Int, Seq[Double])] = {
-    val sp = corpus.sparkSession
-    import sp.implicits._
     val c =
       if (corpus.columns.contains("nrm")) corpus
       else withNorm(corpus, "embedding", "nrm")
@@ -174,10 +186,7 @@ object Similarity {
       .toSeq
     var it = 0
     while (it < iters) {
-      val means = assignCells(
-        c,
-        withNorm(centroids.toDF("cid", "centroid"), "centroid", "cnrm")
-      )
+      val means = assignCells(c, centroids)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(avg(col("col").cast("double")).as("v"))
@@ -214,57 +223,57 @@ object Similarity {
       iters: Int = 3,
       nprobe: Int = 2
   ): DataFrame = {
-    val sp = spark
-    import sp.implicits._
     val corpus = withNorm(
       emb(spark, dir).select("vec_id", "embedding"),
       "embedding",
       "nrm"
     ).cache()
-    try {
-      val centroids = withNorm(
-        trainCentroids(corpus, kCentroids, iters).toDF("cid", "centroid"),
-        "centroid",
-        "cnrm"
+    val centroids = trainCentroids(corpus, kCentroids, iters)
+    val assigned = assignCells(corpus, centroids)
+    // probe selection is row-local too: per-cell (csim, −cid) structs,
+    // desc sort (ties → lowest cid), keep nprobe, explode
+    val probes = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("q"),
+        col("nrm").as("qnrm"),
+        explode(
+          slice(
+            sort_array(
+              array(cellSims(col("embedding"), col("nrm"), centroids): _*),
+              asc = false
+            ),
+            1,
+            nprobe
+          )
+        ).as("probe")
       )
-      val assigned = assignCells(corpus, centroids)
-      val queries = corpus
-        .filter(col("vec_id") < nQueries)
-        .select(
-          col("vec_id").as("qid"),
-          col("embedding").as("q"),
-          col("nrm").as("qnrm")
-        )
-      val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
-      val probes = queries
-        .crossJoin(broadcast(centroids))
-        .select(
-          col("qid"),
-          col("q"),
-          col("qnrm"),
-          col("cid"),
-          (dotD(col("q"), col("centroid")) / (col("qnrm") * col("cnrm")))
-            .as("csim")
-        )
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= nprobe)
-        .select("qid", "q", "qnrm", "cid")
-      val scored = assigned
-        .join(broadcast(probes), Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(
-          col("qid"),
-          col("vec_id"),
-          (dotD(col("q"), col("embedding")) / (col("qnrm") * col("nrm")))
-            .as("sim")
-        )
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select("qid", "vec_id", "rank", "sim")
-        .orderBy("qid", "rank")
-    } finally corpus.unpersist(false)
+      .select(
+        col("qid"),
+        col("q"),
+        col("qnrm"),
+        (-col("probe.negCid")).as("cid")
+      )
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        (dotD(col("q"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("sim")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "sim")
+      .orderBy("qid", "rank")
+    // materialize BEFORE dropping the cache: the returned frame is lazy,
+    // and an unpersist-on-return would force every leg to re-scan parquet
+    // and re-fold norms at action time (the Eager contract)
+    Eager.materialized(out, corpus)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

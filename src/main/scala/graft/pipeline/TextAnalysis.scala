@@ -93,10 +93,15 @@ object TextAnalysis {
     * (alpha runs / digit runs / single punctuation — the pre-tokenizer
     * shape GPT-style BPE vocabularies assume).
     */
+  /** The p3 BPE-ish token count — shared with p11's per-shard token
+    * budgets so the token definition cannot silently fork.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val toks =
-      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    val toks = bpeTokenCount(col("text"))
     d.select(
         col("doc_id"),
         col("lang"),
@@ -148,7 +153,7 @@ object TextAnalysis {
     * normalization actually touched.
     */
   def normalize(d: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    val norm = normalizedText(col("text"))
     d.select(
         col("doc_id"),
         graft.functions.PolyHash.polyHash(norm).as("norm_fp"),
@@ -163,9 +168,12 @@ object TextAnalysis {
 
   /** The normalized text itself (the fingerprint query above is the
     * corpus-scale artifact; this is the transform a pipeline maps).
+    * `\s+` so tab/newline formatting variants collapse too (Java and
+    * RE2 agree on the \s class: space, \t, \n, \x0B, \f, \r); the
+    * whitespace run becomes a single space, so plain trim finishes.
     */
   def normalizedText(c: Column): Column =
-    trim(regexp_replace(lower(c), " +", " "))
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** p12 — corpus vocabulary heavy hitters: the top-k words by total
     * occurrence with their document frequency (the stopword/vocab report

@@ -35,7 +35,10 @@ object StreamingCuration {
     eval
       .select(
         explode(
-          array_distinct(graft.functions.NgramPolyHash.ngramHashes(col("text"), n))
+          array_distinct(
+            graft.functions.NgramPolyHash
+              .ngramHashes(coalesce(col("text"), lit("")), n)
+          )
         ).as("g")
       )
       .distinct()
@@ -53,8 +56,12 @@ object StreamingCuration {
       n: Int = 7,
       threshold: Double = 0.5
   ): DataFrame = {
+    // null text ≡ empty text, matching the batch operator's coalesce
     val grams: Column =
-      array_distinct(graft.functions.NgramPolyHash.ngramHashes(col("text"), n))
+      array_distinct(
+        graft.functions.NgramPolyHash
+          .ngramHashes(coalesce(col("text"), lit("")), n)
+      )
     docs
       .withColumn("n_grams", size(grams).cast("long"))
       .withColumn(

@@ -182,13 +182,14 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the testdata corpus is already canonical (spec'd here because the
     // oracle query exercises only the no-op path there)
     val d = df(
-      1L -> "The  Quick   Brown Fox ",
+      1L -> "The \tQuick \n Brown Fox ",
       2L -> "the quick brown fox",
       3L -> " THE QUICK BROWN FOX",
       4L -> "something else"
     )
     val out = TextAnalysis.normalize(d).collect()
-    // 1-3 are formatting variants of one canonical string
+    // 1-3 are formatting variants (case, tabs, newlines, space runs) of
+    // one canonical string
     assert(out.take(3).map(_.getAs[Long]("norm_fp")).distinct.length == 1)
     assert(!out(1).getAs[Boolean]("changed")) // doc 2 already canonical
     assert(out(0).getAs[Boolean]("changed") && out(2).getAs[Boolean]("changed"))

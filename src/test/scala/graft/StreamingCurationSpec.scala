@@ -57,6 +57,28 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(rowLocal).count() == 0)
   }
 
+  test("null text scores as empty text in both batch and row-local paths") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, null: String), (2L, ""), (3L, "some text here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((0L, "")).toDF("doc_id", "text")
+    val dict = StreamingCuration.evalGramDictionary(eval)
+    val batch =
+      Decontamination.scan(train, eval).orderBy("doc_id").collect()
+    val rowLocal = StreamingCuration
+      .contaminationScan(train, dict)
+      .orderBy("doc_id")
+      .collect()
+    // the null-text doc must NOT be silently dropped, and both paths
+    // must emit the identical row for it (null ≡ empty: one partial
+    // gram, which hits the empty eval doc's gram)
+    assert(batch.length == 3 && rowLocal.length == 3)
+    assert(batch.toSeq == rowLocal.toSeq)
+    assert(batch(0).getAs[Long]("n_grams") == 1L)
+    assert(batch(0).getAs[Long]("n_hit") == 1L)
+  }
+
   test("streaming contamination over chunks equals the batch operator") {
     val sp = spark
     import sp.implicits._
