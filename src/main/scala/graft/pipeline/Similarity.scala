@@ -287,22 +287,38 @@ object Similarity {
     * banker's rounding), so the codes are exact-integer replayable in
     * the SQL oracle.
     */
-  def quantize(e: Column): Column = {
-    val maxAbs = array_max(transform(e, x => abs(x.cast("double"))))
+  private def maxAbsOf(e: Column): Column =
+    array_max(transform(e, x => abs(x.cast("double"))))
+
+  private def quantizeWith(e: Column, maxAbs: Column): Column =
     transform(
       e,
       x =>
         when(maxAbs === 0.0, 0L)
           .otherwise(floor(x.cast("double") * (lit(127.0) / maxAbs) + 0.5))
     )
-  }
+
+  /** Single-expression form: fine for literals/specs, but Catalyst does
+    * NOT common-subexpression-eliminate inside lambdas, so the inlined
+    * max|v| re-folds the array per ELEMENT — O(dim²) per vector. The
+    * DataFrame operators below hoist it into a projected column (one
+    * fold per vector); same arithmetic, bit-equal codes.
+    */
+  def quantize(e: Column): Column = quantizeWith(e, maxAbsOf(e))
+
+  /** The corpus with its int8 codes (`q8`), max|v| hoisted. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("max_abs", maxAbsOf(col("embedding")))
+      .withColumn("q8", quantizeWith(col("embedding"), col("max_abs")))
+      .drop("max_abs")
 
   /** k6 — the quantized corpus, exploded to (vec_id, pos, code) rows for
     * exact-integer oracle comparison.
     */
   def quantizedCodes(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir)
-      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+    quantized(spark, dir)
+      .select(col("vec_id"), posexplode(col("q8")))
       .select(
         col("vec_id"),
         col("pos").cast("long").as("pos"),
@@ -321,8 +337,7 @@ object Similarity {
       nQueries: Int = 10,
       k: Int = 5
   ): DataFrame = {
-    val corpus = emb(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q8"))
+    val corpus = quantized(spark, dir).select("vec_id", "q8")
     val queries = corpus
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q8").as("qq8"))
