@@ -106,5 +106,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    // sorted_hit_count(arr, dict) — dict must be a foldable array<bigint>
+    // (a literal dictionary); evaluated once at resolution into the
+    // expression's reference-object dictionary
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("sorted_hit_count"),
+        new ExpressionInfo(classOf[SortedHitCount].getName, "sorted_hit_count"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c, dict) if dict.foldable =>
+              val ad = dict.eval(null)
+              val arr =
+                if (ad == null) Array.empty[Long]
+                else
+                  ad.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                    .toLongArray()
+              SortedHitCount(c, arr)
+            case _ =>
+              throw new IllegalArgumentException(
+                "sorted_hit_count takes (array<bigint>, <foldable array<bigint>>)"
+              )
+          }
+      )
+    )
   }
 }

@@ -207,6 +207,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("sampling: gate laws hold across random salts, rates, granularities") {
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+      .cache()
+    try {
+      val rnd = new scala.util.Random(20260813L)
+      (1 to 8).foreach { _ =>
+        val salt = "s" + rnd.nextInt(1000000)
+        val g = Seq(1000L, 10000L, 1000000L)(rnd.nextInt(3))
+        val (lo, hi) = {
+          val a = rnd.nextDouble(); val b = rnd.nextDouble()
+          (math.min(a, b), math.max(a, b))
+        }
+        def ids(rate: Double): Set[Long] = Sampling
+          .weightedSample(d, Map.empty, salt = salt, defaultRate = rate,
+            granularity = g)
+          .select("doc_id")
+          .collect()
+          .map(_.getLong(0))
+          .toSet
+        val (sLo, sHi) = (ids(lo), ids(hi))
+        // monotone nesting at ANY parameters, and the exact 0/1 edges
+        assert(sLo.subsetOf(sHi), s"salt=$salt g=$g lo=$lo hi=$hi")
+        assert(ids(0.0).isEmpty)
+        assert(ids(1.0).size.toLong == d.count())
+      }
+    } finally d.unpersist(false)
+  }
+
   test("sampling: a salt change redraws the sample") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Sampling

@@ -120,6 +120,22 @@ class ExtensionsSpec extends AnyFunSuite {
           (0 until math.max(nCps - 4, 1)).map(i => foldWindow(s, i, 5))
         assert(got == expect, s"'$s'")
       }
+
+      // sorted_hit_count reaches SQL with a literal (foldable) dictionary
+      val hits = spark
+        .sql(
+          "SELECT sorted_hit_count(array(1L, 2L, 3L, 9L), array(9L, 2L)) AS h"
+        )
+        .head()
+        .getLong(0)
+      assert(hits == 2L)
+      val err = intercept[Exception] {
+        spark
+          .sql("SELECT sorted_hit_count(array(1L), array(id)) FROM range(1)")
+          .collect()
+      }
+      assert(err.getMessage.contains("foldable") ||
+        err.getMessage.toLowerCase.contains("sorted_hit_count"))
     } finally spark.stop()
   }
 
