@@ -113,7 +113,9 @@ object CorpusStress {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles is null on I/O error or if the path vanishes mid-walk
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Session-extension registration: makes the engine's custom Catalyst
   * expressions available to pure SQL users
@@ -116,12 +117,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) =>
           children match {
             case Seq(c, dict) if dict.foldable =>
+              // a bare SQL literal like array(1,2,3) resolves as array<int>:
+              // accept it by widening, and reject anything else cleanly
+              // instead of letting toLongArray throw a cast error
               val ad = dict.eval(null)
               val arr =
                 if (ad == null) Array.empty[Long]
-                else
-                  ad.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-                    .toLongArray()
+                else {
+                  val data = ad
+                    .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                  dict.dataType match {
+                    case ArrayType(LongType, _) => data.toLongArray()
+                    case ArrayType(IntegerType, _) =>
+                      data.toIntArray().map(_.toLong)
+                    case other =>
+                      throw new IllegalArgumentException(
+                        s"sorted_hit_count dictionary must be array<bigint> or array<int>, got $other"
+                      )
+                  }
+                }
               SortedHitCount(c, arr)
             case _ =>
               throw new IllegalArgumentException(

@@ -116,8 +116,12 @@ object Sampling {
       .distinct()
       .collect() // stratum list: bounded by the source vocabulary, tiny
       .map(_.getString(0))
-    val rates = sources.map { s =>
-      s -> (s.stripPrefix("src").toLong % 5) * 0.25
+    // testdata sources are shaped `srcN`; anything else (reuse on a real
+    // corpus) falls back to keep-all rather than throwing mid-plan
+    val SrcN = "src(\\d+)".r
+    val rates = sources.map {
+      case s @ SrcN(n) => s -> (n.toLong % 5) * 0.25
+      case s           => s -> 1.0
     }.toMap
     weightedSample(d, rates)
       .select("doc_id", "source")

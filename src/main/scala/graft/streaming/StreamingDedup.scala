@@ -370,6 +370,17 @@ object StreamingDedup {
     * caps degenerate buckets (a bucket at cap admits no more owners but
     * keeps pairing probes against the existing ones); `ttl` evicts idle
     * buckets, trading global recall for bounded state.
+    *
+    * The redelivery guard (`SignState.seen`) records every vec_id that
+    * visited the bucket — owners AND probes, so it grows ~(nBits+1)·N longs
+    * across the store even where `maxBucketOccupancy` caps the owners.
+    * `maxSeenPerBucket` bounds it: past the cap the OLDEST (smallest) ids
+    * are dropped, degrading the guard to a sliding window over the most
+    * recent arrivals. That is exact for Structured Streaming's failure
+    * model — a crash rolls the state store back with the source offsets, so
+    * only cross-batch source redelivery needs the guard, and that replays
+    * recent rows; a row redelivered from beyond the window re-pairs (dupes,
+    * never corruption — downstream dedup by (label,a,b) restores exactness).
     */
   def embeddingNearDup(
       spark: SparkSession,
@@ -377,7 +388,8 @@ object StreamingDedup {
       threshold: Double = 0.99,
       nBits: Int = 12,
       maxBucketOccupancy: Int = 10000,
-      ttl: Option[java.time.Duration] = None
+      ttl: Option[java.time.Duration] = None,
+      maxSeenPerBucket: Int = 100000
   ): Dataset[NearDupOut] = {
     import spark.implicits._
     vecs
@@ -426,10 +438,15 @@ object StreamingDedup {
                 newOwners += Owner(r.vec_id, r.label, r.embedding)
             }
           }
+          val mergedSeen = mergeSorted(prior.seen, newSeen.toArray)
           state.update(
             SignState(
               prior.owners ++ newOwners,
-              mergeSorted(prior.seen, newSeen.toArray)
+              // bound the guard: keep the newest (largest) ids — see the
+              // sliding-window contract in the scaladoc
+              if (mergedSeen.length > maxSeenPerBucket)
+                mergedSeen.takeRight(maxSeenPerBucket)
+              else mergedSeen
             )
           )
           ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
