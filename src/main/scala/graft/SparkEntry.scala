@@ -161,6 +161,8 @@ object SparkEntry {
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
+    // W5 — as-of join (operator Spark lacks; union+ordered-window plan)
+    "w5_asof_attribution" -> (Analytics.asofAttribution _),
     // d4 runs over the SEEDED harness corpus (exact-angle twin vectors) so
     // the exact-all-pairs oracle has non-empty ground truth to recover
     "d4_embedding_neardup" -> ((s, d) =>
@@ -250,6 +252,7 @@ object SparkEntry {
     "m3_frame_sample" -> PipelineOracles.frameSample,
     "m4_media_knn" -> PipelineOracles.mediaKnn,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
+    "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,
     "p2_langid_confusion" -> PipelineOracles.langIdConfusion,

@@ -369,6 +369,35 @@ object Analytics {
       )
   }
 
+  /** W5 — last-touch attribution via the as-of join ([[AsOf.joinAsOf]]):
+    * for each purchase, the latest click by the same user at or before the
+    * purchase instant. Purchases with no preceding click survive with null
+    * click columns (left-outer as-of). Times ride as unix micros (exact
+    * BIGINT — the timestamp discipline of the rest of this surface).
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("value").cast("double").as("purchase_value")
+      )
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us")
+      )
+    AsOf
+      .joinAsOf(purchases, clicks, Seq("user_id"), "purchase_us", "click_us")
+      .withColumn("lag_us", col("purchase_us") - col("click_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Top-k users by exact total value with deterministic tiebreak. */
   def topUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = ActionLog.normalizedEvents(spark, dir)

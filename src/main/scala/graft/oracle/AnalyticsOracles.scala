@@ -215,4 +215,25 @@ object AnalyticsOracles {
     ORDER BY total_value DESC, user_id
     LIMIT 20
   """
+
+  // DuckDB has a native ASOF JOIN; the Spark side re-expresses it as a
+  // union + ordered running window (AsOf.joinAsOf) — same inclusive (>=)
+  // pick-latest semantics, deterministic because (user_id, ts) is unique
+  val asofAttribution: String = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+             CAST(value AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS c_user, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_us, p.purchase_value,
+           c.click_id, c.click_us,
+           p.purchase_us - c.click_us AS lag_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.c_user AND p.purchase_us >= c.click_us
+    ORDER BY p.user_id, p.purchase_id
+  """
 }
