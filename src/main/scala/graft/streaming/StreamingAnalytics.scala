@@ -101,6 +101,86 @@ object StreamingAnalytics {
       }
   }
 
+  final case class AttrEv(
+      user_id: Long,
+      event_id: Long,
+      event_type: String,
+      tsUs: Long,
+      value: Double
+  )
+  final case class ClickState(clickId: Long, clickUs: Long)
+  final case class AttrOut(
+      user_id: Long,
+      purchase_id: Long,
+      purchase_us: Long,
+      purchase_value: Double,
+      click_id: Option[Long],
+      click_us: Option[Long],
+      lag_us: Option[Long]
+  )
+
+  /** Streaming last-touch attribution — the continuous form of the batch
+    * as-of join ([[graft.analytics.AsOf.joinAsOf]] / w5): each purchase is
+    * emitted with the latest click by the same user at or before it.
+    *
+    * State is O(1) per user (the single latest click), the minimal state
+    * any as-of stream needs — contrast the batch plan, which sees all rows
+    * and needs none. Within a micro-batch rows are processed in
+    * (tsUs, type) order with clicks before purchases at equal instants,
+    * matching the batch operator's inclusive (>=) tie semantics. Across
+    * batches the stream must deliver per-user rows in event-time order
+    * (Kafka per-partition order keyed by user, the reference's T4
+    * assumption); the monotone state guard makes redelivered CLICKS
+    * harmless — a redelivered older click never regresses the state — and
+    * the emit-time guard (`clickUs <= purchase`) keeps a disordered or
+    * replayed purchase from attributing to a click later than itself.
+    * Crash recovery is exact (state rolls back with the source offsets —
+    * Spark's checkpoint contract, T2); a purchase REDELIVERED BY THE
+    * SOURCE across committed batches re-emits at-least-once with its
+    * attribution possibly degraded to null if a later click superseded
+    * the state — downstream keep-first dedup by purchase_id restores
+    * exactly-once (the single-latest-click state cannot reconstruct
+    * history; that is the O(1)-state tradeoff, stated rather than hidden).
+    */
+  def attributionStateful(
+      spark: SparkSession,
+      events: Dataset[AttrEv]
+  ): Dataset[AttrOut] = {
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AttrOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (user: Long, evs: Iterator[AttrEv], state: GroupState[ClickState]) =>
+        // clicks sort before purchases at equal tsUs: inclusive semantics
+        val sorted = evs.toArray.sortBy(e => (e.tsUs, e.event_type != "click"))
+        var st = state.getOption.orNull
+        val out = Seq.newBuilder[AttrOut]
+        sorted.foreach { e =>
+          if (e.event_type == "click") {
+            if (st == null || e.tsUs >= st.clickUs)
+              st = ClickState(e.event_id, e.tsUs)
+          } else {
+            // emit guard: never attribute a click later than the purchase
+            val attr = Option(st).filter(_.clickUs <= e.tsUs)
+            out += AttrOut(
+              user,
+              e.event_id,
+              e.tsUs,
+              e.value,
+              attr.map(_.clickId),
+              attr.map(_.clickUs),
+              attr.map(s => e.tsUs - s.clickUs)
+            )
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Flush helper for tests: emits the still-open session per user from the
     * final state (batch mode has no timeout tick to close them).
     */

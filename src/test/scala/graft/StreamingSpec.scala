@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
@@ -99,5 +100,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(complete.exceptAll(declarative).count() == 0)
     assert(declarative.exceptAll(complete).count() == 0)
     ev.unpersist()
+  }
+
+  test("streaming attribution over ordered chunks equals the batch as-of join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.AttrEv
+
+    val evs = ActionLog
+      .normalizedEvents(spark, sfDir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("value").cast("double").as("value")
+      )
+      .as[AttrEv]
+      .collect()
+      .sortBy(_.tsUs)
+    // event-time-ordered chunks: the stream's delivery contract
+    val chunks = evs.grouped(math.max(evs.length / 4, 1)).toSeq
+
+    val ms = MemoryStream[AttrEv]
+    val q = StreamingAnalytics
+      .attributionStateful(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("attr_stream")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      // click redelivery: replaying old clicks must produce no output and
+      // never regress the state (monotone guard) — purchase redelivery is
+      // the documented at-least-once edge, not replayed here (crash
+      // recovery rolls state back with offsets, so batch replay is exact)
+      ms.addData(chunks.last.filter(_.event_type == "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark
+      .table("attr_stream")
+      .select(
+        "user_id", "purchase_id", "purchase_us", "purchase_value",
+        "click_id", "click_us", "lag_us"
+      )
+    val want = graft.analytics.Analytics.asofAttribution(spark, sfDir)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
   }
 }
