@@ -181,6 +181,7 @@ object SparkEntry {
     "p11_shard_assignment" -> ((s, d) =>
       graft.pipeline.Sampling.shardAssignment(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    "p15_repetition" -> (TextAnalysis.repetition _),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
+    "p15_repetition" -> PipelineOracles.repetition,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,

@@ -729,4 +729,52 @@ object PipelineOracles {
     GROUP BY media_type
     ORDER BY media_type
   """
+
+  /** p15 — repetition signals (graft.pipeline.TextAnalysis.repetition).
+    * DuckDB lists are 1-indexed; range(1, n) enumerates bigram starts and
+    * is empty for n <= 1, mirroring the Spark side's size guard. Fractions
+    * divide in DOUBLE on both engines (IEEE-identical). */
+  val repetition: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    wg AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS word FROM ws) x
+      GROUP BY doc_id, word
+    ),
+    wstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS distinct_words, MAX(c) AS top_word_count
+      FROM wg GROUP BY doc_id
+    ),
+    bgg AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM ws
+      ) x
+      GROUP BY doc_id, bg
+    ),
+    bstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS distinct_bigrams, MAX(c) AS top_bigram_count
+      FROM bgg GROUP BY doc_id
+    )
+    SELECT a.doc_id, n_words, distinct_words,
+           1.0 - CAST(distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS dup_word_frac,
+           CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS top_word_frac,
+           n_bigrams, distinct_bigrams,
+           1.0 - CAST(distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS dup_bigram_frac,
+           CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS top_bigram_frac
+    FROM wstat a JOIN bstat b ON a.doc_id = b.doc_id
+    ORDER BY a.doc_id
+  """
 }

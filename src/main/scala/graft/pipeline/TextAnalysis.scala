@@ -232,4 +232,75 @@ object TextAnalysis {
       )
       .orderBy("lang", "source")
   }
+
+  /** P15 — per-document repetition signals (the Gopher/MassiveText-class
+    * quality filters: a doc whose mass concentrates in few repeated words
+    * or word-2-grams is boilerplate/spam, not prose):
+    * duplicate-word and duplicate-bigram fractions, and the mass of the
+    * single most frequent word/bigram.
+    *
+    * The corpus has no newlines, so the line-level Gopher signals
+    * (duplicate-line fraction) are vacuous here — the word/bigram forms
+    * are the ones with discriminating power on this data.
+    *
+    * Shape: explode → two-level aggregate (map-side combine on
+    * (doc_id, gram), then per-doc) — both shuffles carry pre-aggregated
+    * counts, never text; the doc_id-keyed join of the two stat legs is
+    * co-partitioned by the same key.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d.select(
+      col("doc_id"),
+      expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+    )
+    val wordStats = words
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("distinct_words"),
+        max("c").as("top_word_count")
+      )
+    val bigramStats = words
+      .select(
+        col("doc_id"),
+        explode(
+          // guard: sequence(0, -1) would DESCEND for a 1-word doc
+          expr(
+            "CASE WHEN size(ws) >= 2 THEN " +
+              "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) " +
+              "ELSE array() END"
+          )
+        ).as("bg")
+      )
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max("c").as("top_bigram_count")
+      )
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / den.cast("double")
+    wordStats
+      .join(bigramStats, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("distinct_words"),
+        (lit(1.0) - frac(col("distinct_words"), col("n_words")))
+          .as("dup_word_frac"),
+        frac(col("top_word_count"), col("n_words")).as("top_word_frac"),
+        col("n_bigrams"),
+        col("distinct_bigrams"),
+        (lit(1.0) - frac(col("distinct_bigrams"), col("n_bigrams")))
+          .as("dup_bigram_frac"),
+        frac(col("top_bigram_count"), col("n_bigrams")).as("top_bigram_frac")
+      )
+      .orderBy("doc_id")
+  }
 }
