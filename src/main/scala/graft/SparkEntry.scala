@@ -182,6 +182,7 @@ object SparkEntry {
       graft.pipeline.Sampling.shardAssignment(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
+    "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "p15_repetition" -> PipelineOracles.repetition,
+    "p16_pii_scan" -> PipelineOracles.piiScan,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,

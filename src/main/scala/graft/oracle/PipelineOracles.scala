@@ -777,4 +777,45 @@ object PipelineOracles {
     FROM wstat a JOIN bstat b ON a.doc_id = b.doc_id
     ORDER BY a.doc_id
   """
+
+  /** p16 — PII scan (graft.pipeline.Pii): the seeded suffix and the four
+    * patterns are replayed verbatim (Java-regex ∩ RE2 dialect; DuckDB
+    * regexp_replace needs the 'g' flag to match Spark's replace-all). */
+  val piiScan: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    val phone = "555-[0-9]{4}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    s"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or admin@test.org today'
+               WHEN 1 THEN ' see https://example.com/page/'
+                 || CAST(doc_id AS VARCHAR) || ' and http://test.org/a'
+               WHEN 2 THEN ' call 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' or 555-9999'
+               WHEN 3 THEN ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.17 logged'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '$url', '<URL>', 'g'),
+                 '$email', '<EMAIL>', 'g'),
+               '$ip', '<IP>', 'g'),
+             '$phone', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    ORDER BY doc_id
+  """
+  }
 }
