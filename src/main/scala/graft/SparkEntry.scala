@@ -193,6 +193,7 @@ object SparkEntry {
     "k5_knn_ivf_trained" -> ((s, d) =>
       graft.pipeline.Similarity.knnIvfTrained(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
+    "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -272,6 +273,7 @@ object SparkEntry {
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,
+    "d8_semantic_dedup" -> PipelineOracles.semanticDedup,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

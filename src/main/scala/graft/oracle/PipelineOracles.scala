@@ -778,6 +778,45 @@ object PipelineOracles {
     ORDER BY a.doc_id
   """
 
+  /** d8 — semantic dedup drop-list (graft.pipeline.Similarity
+    * .semanticDedup): exact all-pairs within-label cosine on the seeded
+    * corpus, transitive closure by recursive min-label propagation,
+    * non-keeper members emitted with their keeper. */
+  val semanticDedup: String = """
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_transform(CAST(embedding AS DOUBLE[]), v -> v * 2)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               list_dot_product(l.e, r.e) /
+               (sqrt(list_dot_product(l.e, l.e)) *
+                sqrt(list_dot_product(r.e, r.e))) AS sim
+        FROM corpus l
+        JOIN corpus r ON l.label = r.label AND l.vec_id < r.vec_id
+      ) s WHERE sim >= 0.99
+    ),
+    edges AS (
+      SELECT a, b FROM pairs
+      UNION
+      SELECT b AS a, a AS b FROM pairs
+    ),
+    cc(vec_id, keeper) AS (
+      SELECT DISTINCT a AS vec_id, a AS keeper FROM edges
+      UNION
+      SELECT e.a AS vec_id, c.keeper FROM edges e JOIN cc c ON c.vec_id = e.b
+    )
+    SELECT vec_id, MIN(keeper) AS keeper
+    FROM cc
+    GROUP BY vec_id
+    HAVING vec_id <> MIN(keeper)
+    ORDER BY vec_id
+  """
+
   /** p16 — PII scan (graft.pipeline.Pii): the seeded suffix and the four
     * patterns are replayed verbatim (Java-regex ∩ RE2 dialect; DuckDB
     * regexp_replace needs the 'g' flag to match Spark's replace-all). */

@@ -475,6 +475,31 @@ object Similarity {
     Eager.materialized(out, corpus)
   }
 
+  /** D8 — semantic dedup drop-list (the SemDeDup shape: prune
+    * near-identical embeddings within a cluster cell, keep one canonical
+    * representative per duplicate group). Cells are the corpus's `label`
+    * column — the same trained-quantizer stand-in k2 uses — and candidate
+    * generation inside a cell rides the sign-LSH multiprobe index, so the
+    * plan never goes all-pairs even within a cell. Pairs at cosine ≥
+    * `threshold` are clustered by connected components (transitive: A≈B,
+    * B≈C drops both B and C even if A·C dips under the threshold — the
+    * standard SemDeDup grouping) and every non-minimal member is emitted
+    * with its keeper. Runs on the seeded harness corpus so ground truth
+    * is non-vacuous ([[seededCorpus]]).
+    */
+  def semanticDedup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.99
+  ): DataFrame = {
+    val pairs = embeddingNearDupOn(seededCorpus(spark, dir), threshold)
+    Dedup
+      .components(pairs.select("a", "b"))
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("vec_id"), col("label").as("keeper"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed approximate kNN — the shuffle-free scale path: queries
     * probe their own bucket plus every 1-bit-flip neighbor bucket
     * (multiprobe), then exact-score only those candidates. Candidate
