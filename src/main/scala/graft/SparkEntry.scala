@@ -194,6 +194,7 @@ object SparkEntry {
       graft.pipeline.Similarity.knnIvfTrained(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -274,6 +275,7 @@ object SparkEntry {
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,
     "d8_semantic_dedup" -> PipelineOracles.semanticDedup,
+    "d9_incremental_dedup" -> PipelineOracles.incrementalDedup,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,

@@ -122,6 +122,66 @@ object PipelineOracles {
     SELECT a, b, n_inter, na, nb, jaccard FROM verified ORDER BY a, b
   """
 
+  /** d9 — incremental dedup (graft.pipeline.Dedup.incrementalDedupQuery):
+    * the all-pairs LSH+Jaccard chain over the seeded corpus restricted to
+    * boundary-crossing pairs is semantically identical to the Spark
+    * side's incremental old-index × new-batch join (per-doc minhash is
+    * independent of the rest of the corpus). Split = integer 80% of the
+    * id space — integer arithmetic on both engines (DuckDB CAST of a
+    * DOUBLE rounds, so no float split math). */
+  val incrementalDedup: String = {
+    val body = lshJaccardBody(
+      s"""split AS (
+      SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
+    ),
+    docs9 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id < 10
+    ),
+    mh_words AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ${charHash("w")}) AS wh
+      FROM docs9
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
+               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
+      FROM mh_words, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
+    )""",
+      threshold = 0.5
+    )
+    s"""
+    WITH $body,
+    exact AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM docs9 n JOIN docs9 o ON md5(n.text) = md5(o.text)
+      WHERE n.doc_id >= (SELECT s FROM split)
+        AND o.doc_id < (SELECT s FROM split)
+    ),
+    near AS (
+      SELECT v.b AS new_id, v.a AS old_id, v.jaccard
+      FROM verified v
+      WHERE v.b >= (SELECT s FROM split)
+        AND v.a < (SELECT s FROM split)
+    )
+    SELECT new_id, old_id, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM exact
+    UNION ALL
+    SELECT n.new_id, n.old_id, 'near' AS kind, n.jaccard
+    FROM near n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM exact e
+      WHERE e.new_id = n.new_id AND e.old_id = n.old_id
+    )
+    ORDER BY new_id, old_id
+  """
+  }
+
   /** d5 — connected components over the minhash pairs: recursive label
     * reachability; a doc's label = min doc_id of its component. */
   val nearDupClusters: String = s"""

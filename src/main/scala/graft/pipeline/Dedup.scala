@@ -389,6 +389,87 @@ object Dedup {
   /** End-to-end near-dup clustering: minhash pairs → components → cluster
     * assignment with keep/drop flag (keep = min doc_id of the cluster).
     */
+  /** D9 — incremental dedup: a NEW crawl batch against the EXISTING
+    * corpus, the daily-ingest shape of d1+d2. The old side is hashed
+    * independently of the new side (per-doc minhash depends only on the
+    * doc's own shingles), so in production the old band index and shingle
+    * sets are PERSISTED tables written by the previous run — each
+    * increment hashes only the new batch and joins it against the stored
+    * index; nothing corpus-sized is ever recomputed or broadcast.
+    *
+    * Output: one (new_id, old_id, kind, jaccard) row per cross-boundary
+    * match; `exact` (byte-identical text, jaccard trivially 1.0) takes
+    * precedence over `near` (band-candidate pairs at set-Jaccard ≥
+    * threshold). New-vs-new duplicates are out of scope by design — the
+    * previous run's d1/d2 already covers intra-batch dedup.
+    */
+  def incrementalDedup(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val exact = newDocs
+      .select(md5(col("text")).as("h"), col("doc_id").as("new_id"))
+      .join(
+        oldDocs.select(md5(col("text")).as("h"), col("doc_id").as("old_id")),
+        Seq("h")
+      )
+      .select("new_id", "old_id")
+    // cached: band index + Jaccard verification each read the shingle sets;
+    // the old leg stands in for the persisted index of the previous run
+    val shOld = shingles(oldDocs).cache()
+    val shNew = shingles(newDocs).cache()
+    val cand = bandedIndex(shOld)
+      .toDF("a", "band", "bucket")
+      .join(
+        bandedIndex(shNew).toDF("b", "band_n", "bucket_n"),
+        col("band") === col("band_n") && col("bucket") === col("bucket_n")
+      )
+      .select("a", "b")
+      .distinct()
+    val near = verifyJaccard(cand, shOld.unionByName(shNew), threshold)
+    shOld.unpersist(false)
+    shNew.unpersist(false)
+    val nearOnly = near
+      .select(col("b").as("new_id"), col("a").as("old_id"), col("jaccard"))
+      .join(exact, Seq("new_id", "old_id"), "left_anti")
+    exact
+      .select(
+        col("new_id"),
+        col("old_id"),
+        lit("exact").as("kind"),
+        lit(1.0).as("jaccard")
+      )
+      .unionByName(
+        nearOnly.select(
+          col("new_id"),
+          col("old_id"),
+          lit("near").as("kind"),
+          col("jaccard")
+        )
+      )
+      .orderBy("new_id", "old_id")
+  }
+
+  /** The canonical d9 query: the top 20% of doc_ids play the new batch,
+    * seeded with verbatim copies of ten old docs (fresh ids +1e6) so the
+    * exact leg has non-vacuous ground truth — the corpus has no
+    * byte-identical cross-id text of its own.
+    */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val maxId = d.agg(max("doc_id")).head().getLong(0)
+    val split = (maxId + 1L) * 4L / 5L
+    val copies = d
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = d.unionByName(copies)
+    incrementalDedup(
+      all.filter(col("doc_id") < split),
+      all.filter(col("doc_id") >= split)
+    )
+  }
+
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // minhashPairs returns an eagerly-materialized result, so the edge-list
     // union's double scan re-reads blocks, not lineage — no extra cache
