@@ -276,6 +276,113 @@ object Similarity {
     Eager.materialized(out, corpus)
   }
 
+  /** Persist the trained IVF index — the train-once/query-many lifecycle
+    * of a production vector index: `$out/centroids` (the kCentroids×dim
+    * quantizer, tiny) and `$out/vectors` (vec_id, embedding, nrm)
+    * PARTITIONED BY cell id. The cid partitioning is the point: an
+    * nprobe query prunes its scan to nprobe/kCentroids of the corpus at
+    * the FILE level (PartitionFilters, no data read outside probed
+    * cells) — at 100 TB this is the difference between an index and a
+    * table scan. Norms are precomputed into the index so query-time
+    * scoring is one fold per candidate pair.
+    */
+  def writeIvfIndex(
+      spark: SparkSession,
+      dir: String,
+      out: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Unit = {
+    import spark.implicits._
+    val corpus = withNorm(
+      emb(spark, dir).select("vec_id", "embedding"),
+      "embedding",
+      "nrm"
+    ).cache()
+    val centroids = trainCentroids(corpus, kCentroids, iters)
+    centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
+    assignCells(corpus, centroids)
+      .select("vec_id", "embedding", "nrm", "cid")
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(s"$out/vectors")
+    corpus.unpersist(false)
+  }
+
+  /** IVF kNN over a PERSISTED index ([[writeIvfIndex]]) — no training at
+    * query time: centroids load from the index (bounded kCentroids×dim),
+    * probe cells resolve row-locally, and the vectors scan carries an
+    * explicit cid partition filter so only probed cells' files are read.
+    * Bit-identical to [[knnIvfTrained]] run with the same parameters
+    * (same seeding, same arithmetic; law-checked in IndexStoreSpec).
+    */
+  def knnIvfIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = spark.read
+      .parquet(s"$indexDir/centroids")
+      .collect() // bounded: kCentroids × dim
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+      .toSeq
+    val queries = withNorm(
+      emb(spark, dir)
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q")),
+      "q",
+      "qnrm"
+    )
+    val probes = queries
+      .select(
+        col("qid"),
+        col("q"),
+        col("qnrm"),
+        explode(
+          slice(
+            sort_array(
+              array(cellSims(col("q"), col("qnrm"), centroids): _*),
+              asc = false
+            ),
+            1,
+            nprobe
+          )
+        ).as("probe")
+      )
+      .select(col("qid"), col("q"), col("qnrm"), (-col("probe.negCid")).as("cid"))
+    // the probed-cell set is bounded by kCentroids: collecting it turns
+    // the index scan into a static partition-pruned read
+    val probeCids = probes
+      .select("cid")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val vectors = spark.read
+      .parquet(s"$indexDir/vectors")
+      .where(col("cid").isin(probeCids: _*))
+    val scored = vectors
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        (dotD(col("q"), col("embedding")) / (col("qnrm") * col("nrm")))
+          .as("sim")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = 127/max|v_i|, code_i = floor(v_i·scale + 0.5) ∈ [−127, 127] (the
     * all-zero vector maps to all-zero codes). This is the storage format

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Similarity
+
+/** Laws for the persisted IVF index: the train-once/query-many lifecycle
+  * must reproduce the in-memory trained search bit-for-bit, and the
+  * query-time scan must prune to the probed cells' partitions.
+  */
+class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-indexstore-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("persisted-index search is row-identical to in-memory trained search") {
+    val tmp = Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIvfIndex(spark, sfDir, tmp)
+
+    val fromIndex = Similarity
+      .knnIvfIndexed(spark, sfDir, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val inMemory = Similarity
+      .knnIvfTrained(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // bit-equality including sims: same seeding, same fold arithmetic,
+    // norms precomputed into the index by the identical expression
+    assert(fromIndex == inMemory)
+  }
+
+  test("query-time scan prunes to the probed cells' partitions") {
+    val tmp = Files.createTempDirectory("graft-ivf-prune").toString
+    Similarity.writeIvfIndex(spark, sfDir, tmp)
+
+    val nCells = spark.read.parquet(s"$tmp/centroids").count()
+    val out = Similarity.knnIvfIndexed(spark, sfDir, tmp, nprobe = 1)
+    // force execution, then count which cid partitions were touchable:
+    // with nprobe=1 the 10 queries probe at most 10 distinct cells
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("cid"))
+
+    // independent cross-check at the file level: re-derive the probed set
+    // and confirm it is a strict subset of all cells
+    val probed = out
+      .join(
+        spark.read.parquet(s"$tmp/vectors").select("vec_id", "cid"),
+        Seq("vec_id")
+      )
+      .select("cid")
+      .distinct()
+      .count()
+    assert(probed < nCells)
+  }
+}
