@@ -197,6 +197,51 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("seen-window cap: single delivery exact; beyond-window replay dupes, never corrupts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = seededVecs()
+    val chunks = vecs.groupBy(_.vec_id % 3).toSeq.sortBy(_._1).map(_._2)
+
+    val ms = MemoryStream[Vec]
+    // maxSeenPerBucket=1: the redelivery guard degrades to a 1-row window,
+    // the harshest setting — single-delivery output must be unaffected
+    // (the guard is never consulted for first arrivals)
+    val q = StreamingDedup
+      .embeddingNearDup(spark, ms.toDS(), maxSeenPerBucket = 1)
+      .writeStream
+      .format("memory")
+      .queryName("sd_seencap")
+      .outputMode("append")
+      .start()
+    val want = Similarity
+      .embeddingNearDupOn(Similarity.seededCorpus(spark, sfDir))
+      .select(col("label"), col("a"), col("b"), col("sim"))
+      .as[(Int, Long, Long, Double)]
+      .collect()
+      .toSet
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      val single = spark
+        .table("sd_seencap")
+        .as[(Int, Long, Long, Double)]
+        .collect()
+      assert(single.toSet == want) // exact under single delivery
+      // replay the FIRST chunk — far beyond the 1-row seen window: rows
+      // re-pair (at-least-once dupes) but the pair SET stays the batch
+      // set — no spurious pairs, no lost pairs, no corrupted sims
+      ms.addData(chunks.head)
+      q.processAllAvailable()
+      val replayed = spark
+        .table("sd_seencap")
+        .as[(Int, Long, Long, Double)]
+        .collect()
+      assert(replayed.length >= single.length)
+      assert(replayed.toSet == want)
+    } finally q.stop()
+  }
+
   test("bucket at maxBucketOccupancy stops admitting without corrupting state") {
     val sp = spark
     import sp.implicits._
