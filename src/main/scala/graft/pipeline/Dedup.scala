@@ -451,6 +451,92 @@ object Dedup {
       .orderBy("new_id", "old_id")
   }
 
+  /** Persist the dedup index of a corpus — the tables the NEXT
+    * [[incrementalDedup]] run consumes instead of re-hashing the corpus:
+    * `$out/bands` (doc_id, band, bucket), `$out/shingles`
+    * (doc_id, shingle) and `$out/hashes` (doc_id, h) for the exact leg.
+    * At 100 TB `bands` is bucketed by (band, bucket) so the candidate
+    * join co-locates; shingles are only ever read candidate-bounded
+    * (verifyJaccard's left-semi prune reaches the scan).
+    */
+  def writeDedupIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      out: String,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4
+  ): Unit = {
+    val sh = shingles(docs).cache()
+    bandedIndex(sh, numPerms, rowsPerBand).write
+      .mode("overwrite")
+      .parquet(s"$out/bands")
+    sh.write.mode("overwrite").parquet(s"$out/shingles")
+    sh.unpersist(false)
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/hashes")
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED index ([[writeDedupIndex]]):
+    * the old corpus never re-hashes — its bands/shingles/hashes stream
+    * from the stored tables; only the new batch is hashed fresh. Output
+    * contract identical to the in-memory form (law-checked in
+    * IndexStoreSpec).
+    */
+  def incrementalDedupFromIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newDocs: DataFrame,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val exact = newDocs
+      .select(md5(col("text")).as("h"), col("doc_id").as("new_id"))
+      .join(
+        spark.read
+          .parquet(s"$indexDir/hashes")
+          .select(col("h"), col("doc_id").as("old_id")),
+        Seq("h")
+      )
+      .select("new_id", "old_id")
+    val shNew = shingles(newDocs).cache()
+    val cand = spark.read
+      .parquet(s"$indexDir/bands")
+      .toDF("a", "band", "bucket")
+      .join(
+        bandedIndex(shNew).toDF("b", "band_n", "bucket_n"),
+        col("band") === col("band_n") && col("bucket") === col("bucket_n")
+      )
+      .select("a", "b")
+      .distinct()
+    val near = verifyJaccard(
+      cand,
+      spark.read.parquet(s"$indexDir/shingles").unionByName(shNew),
+      threshold
+    )
+    shNew.unpersist(false)
+    val nearOnly = near
+      .select(col("b").as("new_id"), col("a").as("old_id"), col("jaccard"))
+      .join(exact, Seq("new_id", "old_id"), "left_anti")
+    exact
+      .select(
+        col("new_id"),
+        col("old_id"),
+        lit("exact").as("kind"),
+        lit(1.0).as("jaccard")
+      )
+      .unionByName(
+        nearOnly.select(
+          col("new_id"),
+          col("old_id"),
+          lit("near").as("kind"),
+          col("jaccard")
+        )
+      )
+      .orderBy("new_id", "old_id")
+  }
+
   /** The canonical d9 query: the top 20% of doc_ids play the new batch,
     * seeded with verbatim copies of ten old docs (fresh ids +1e6) so the
     * exact leg has non-vacuous ground truth — the corpus has no

@@ -92,4 +92,15 @@ object StreamingCuration {
       defaultRate: Double = 1.0
   ): DataFrame =
     Sampling.weightedSample(docs, rates, by, salt, defaultRate)
+
+  /** PII scrubbing of a document stream — [[graft.pipeline.Pii.scan]] is
+    * streaming-safe as written (one codegen'd row-local pass, zero state,
+    * zero shuffles), re-exported so the streaming hygiene surface is
+    * explicit: scrub-on-ingest is where a production pipeline runs it,
+    * before anything downstream persists raw text. Row-locality gives the
+    * chunking-independence and redelivery-idempotence laws for free
+    * (StreamingCurationSpec).
+    */
+  def piiScanStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.pipeline.Pii.scan(docs, textCol)
 }

@@ -51,6 +51,35 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex == inMemory)
   }
 
+  test("incremental dedup from the persisted index equals the in-memory form") {
+    val tmp = Files.createTempDirectory("graft-dedup-index").toString
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = d.agg(max("doc_id")).head().getLong(0)
+    val split = (maxId + 1L) * 4L / 5L
+    val copies = d
+      .filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = d.unionByName(copies)
+    val oldDocs = all.filter(col("doc_id") < split)
+    val newDocs = all.filter(col("doc_id") >= split)
+
+    graft.pipeline.Dedup.writeDedupIndex(spark, oldDocs, tmp)
+    val fromIndex = graft.pipeline.Dedup
+      .incrementalDedupFromIndex(spark, tmp, newDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val inMemory = graft.pipeline.Dedup
+      .incrementalDedup(oldDocs, newDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == inMemory)
+  }
+
   test("query-time scan prunes to the probed cells' partitions") {
     val tmp = Files.createTempDirectory("graft-ivf-prune").toString
     Similarity.writeIvfIndex(spark, sfDir, tmp)

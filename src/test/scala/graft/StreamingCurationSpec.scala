@@ -111,6 +111,41 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming PII scrub over chunks plus redelivery equals the batch scan") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // seeded harness text (the batch p16 corpus) so matches are non-vacuous
+    val seeded = graft.pipeline.Pii
+      .seededText(spark, sfDir)
+      .as[Doc]
+      .collect()
+      .toSeq
+      .sortBy(_.doc_id)
+    val chunks = seeded.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration
+      .piiScanStream(ms.toDS().toDF())
+      .writeStream
+      .format("memory")
+      .queryName("sc_pii")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      // row-local => redelivery re-emits byte-identical rows
+      ms.addData(chunks.head)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sc_pii").distinct()
+    val want = graft.pipeline.Pii.scan(graft.pipeline.Pii.seededText(spark, sfDir))
+    assert(got.count() == seeded.size.toLong)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("streaming sample over chunks equals the batch filter") {
     val sp = spark
     import sp.implicits._
