@@ -183,6 +183,7 @@ object SparkEntry {
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
+    "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
+    "p17_token_windows" -> PipelineOracles.tokenWindows,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,

@@ -122,6 +122,34 @@ object PipelineOracles {
     SELECT a, b, n_inter, na, nb, jaccard FROM verified ORDER BY a, b
   """
 
+  /** p17 — sequence packing (graft.pipeline.Packing.tokenWindows): the
+    * oracle runs the ONE-level global cumsum directly — the Spark side's
+    * two-level contiguous-bucket prefix must compose to exactly this.
+    * DuckDB window SUM yields HUGEINT (cast back); `//` is BIGINT
+    * division like Spark's DIV. */
+  val tokenWindows: String = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_toks, start_tok,
+           start_tok // 512 AS first_window,
+           (start_tok + n_toks - 1) // 512 AS last_window,
+           (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1
+             AS n_windows
+    FROM c
+    ORDER BY doc_id
+  """
+
   /** d9 — incremental dedup (graft.pipeline.Dedup.incrementalDedupQuery):
     * the all-pairs LSH+Jaccard chain over the seeded corpus restricted to
     * boundary-crossing pairs is semantically identical to the Spark
