@@ -68,6 +68,9 @@ object CorpusStress {
         .count()
       Sampling.weightedSampleQuery(spark, d).count()
       Sampling.shardAssignment(spark, d).count()
+      graft.pipeline.TextAnalysis.repetition(spark, d).count()
+      graft.pipeline.Pii.piiScan(spark, d).count()
+      graft.pipeline.Packing.tokenWindows(spark, d).count()
     }
 
     val results = Seq(factor / 2, factor).map { f =>
@@ -96,11 +99,20 @@ object CorpusStress {
       val t11 = time("p11 shard rollup", rows) {
         Sampling.shardAssignment(spark, dir).count()
       }
-      (f, Seq(t9j, t9r, t10, t11))
+      val t15 = time("p15 repetition signals", rows) {
+        graft.pipeline.TextAnalysis.repetition(spark, dir).count()
+      }
+      val t16 = time("p16 pii scan", rows) {
+        graft.pipeline.Pii.piiScan(spark, dir).count()
+      }
+      val t17 = time("p17 token windows", rows) {
+        graft.pipeline.Packing.tokenWindows(spark, dir).count()
+      }
+      (f, Seq(t9j, t9r, t10, t11, t15, t16, t17))
     }
 
     val Seq((fHalf, half), (fFull, full)) = results
-    half.zip(full).zip(Seq("p9join", "p9row", "p10", "p11")).foreach {
+    half.zip(full).zip(Seq("p9join", "p9row", "p10", "p11", "p15", "p16", "p17")).foreach {
       case ((h, fl), name) =>
         val perRowRatio = (fl / fFull) / (h / fHalf)
         println(f"[corpus] $name%-8s per-row cost ratio (full/half): $perRowRatio%.2f")
