@@ -234,6 +234,38 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("wire entry point holds checkpoint restart + redelivery (T1/T2/T4)") {
+    val a = actions.cache()
+    val tmp = Files.createTempDirectory("graft-wire-resume").toString
+    val wire = graft.sources.KafkaWire.toWire(a).cache()
+    val parts = wire
+      .select("partition")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    val splitPart = parts(parts.length / 2)
+    val w1 = wire.filter(col("partition") <= splitPart)
+    val w2 = wire.filter(col("partition") > splitPart)
+    // run 1: the first partition range
+    w1.coalesce(1).write.parquet(s"$tmp/in/w0")
+    val q1 = StreamingReplicator.streamFromWire(
+      spark, s"$tmp/in/w*", s"$tmp/store", s"$tmp/ck", wire.schema)
+    q1.awaitTermination(120000)
+    // run 2, same checkpoint: the rest PLUS a redelivered copy of run 1's
+    // rows under a new filename — the kafka-shaped at-least-once case; the
+    // per-partition offset guard (F7) must no-op the duplicates
+    w2.coalesce(1).write.parquet(s"$tmp/in/w1")
+    w1.coalesce(1).write.parquet(s"$tmp/in/w2_redelivered")
+    val q2 = StreamingReplicator.streamFromWire(
+      spark, s"$tmp/in/w*", s"$tmp/store", s"$tmp/ck", wire.schema)
+    q2.awaitTermination(120000)
+    val got = StreamingReplicator.readStore(spark, s"$tmp/store")
+    assertStoreEquals(got, Replicate.compute(a))
+    wire.unpersist()
+    a.unpersist()
+  }
+
   test("structured-streaming replicator materializes the same store") {
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-stream").toString
