@@ -184,6 +184,7 @@ object SparkEntry {
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
+    "p18_distinct_sketch" -> ((s, d) => TextAnalysis.distinctSketch(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,
+    "p18_distinct_sketch" -> PipelineOracles.distinctSketch,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,

@@ -107,6 +107,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    // kmv_min_hashes(hv[, k]) — the KMV distinct sketch aggregate; the
+    // analyzer wraps the returned AggregateFunction in its
+    // AggregateExpression, so SQL GROUP BY usage works directly
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("kmv_min_hashes"),
+        new ExpressionInfo(classOf[KmvMinHashes].getName, "kmv_min_hashes"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c) => KmvMinHashes(c, 64)
+            case Seq(c, k) => KmvMinHashes(c, longArg(k, "k").toInt)
+            case _ =>
+              throw new IllegalArgumentException(
+                "kmv_min_hashes takes (bigint) or (bigint, k)"
+              )
+          }
+      )
+    )
     // sorted_hit_count(arr, dict) — dict must be a foldable array<bigint>
     // (a literal dictionary); evaluated once at resolution into the
     // expression's reference-object dictionary

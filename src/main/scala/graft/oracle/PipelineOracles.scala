@@ -122,6 +122,50 @@ object PipelineOracles {
     SELECT a, b, n_inter, na, nb, jaccard FROM verified ORDER BY a, b
   """
 
+  /** p18 — KMV distinct sketch (graft.pipeline.TextAnalysis
+    * .distinctSketch): the k-min set of the finalized polynomial bigram
+    * hashes is fully deterministic, so the ESTIMATE replays bit-for-bit —
+    * kth min via ROW_NUMBER over the distinct hash set. */
+  val distinctSketch: String = {
+    val k = 64
+    s"""
+    WITH ws AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM ws
+    ),
+    h AS (
+      SELECT DISTINCT lang, (${charHash("bg")} * 6364136223) % $M AS hv
+      FROM b
+    ),
+    r AS (
+      SELECT lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM h
+    ),
+    mins AS (
+      SELECT lang, COUNT(*) AS n_mins,
+             MAX(CASE WHEN rn = $k THEN hv END) AS kth
+      FROM r WHERE rn <= $k GROUP BY lang
+    ),
+    ex AS (SELECT lang, COUNT(DISTINCT bg) AS n_exact FROM b GROUP BY lang)
+    SELECT e.lang, e.n_exact, m.n_mins,
+           CASE WHEN m.n_mins < $k THEN CAST(m.n_mins AS DOUBLE)
+                ELSE ${k - 1}.0 * $M.0 / CAST(m.kth AS DOUBLE) END AS est,
+           abs(CASE WHEN m.n_mins < $k THEN CAST(m.n_mins AS DOUBLE)
+                    ELSE ${k - 1}.0 * $M.0 / CAST(m.kth AS DOUBLE) END
+               - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)
+             AS rel_err
+    FROM ex e JOIN mins m ON e.lang = m.lang
+    ORDER BY e.lang
+  """
+  }
+
   /** p17 — sequence packing (graft.pipeline.Packing.tokenWindows): the
     * oracle runs the ONE-level global cumsum directly — the Spark side's
     * two-level contiguous-bucket prefix must compose to exactly this.

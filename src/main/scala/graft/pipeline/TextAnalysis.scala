@@ -233,6 +233,61 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** P18 — sketched distinct counting: per-language distinct-bigram
+    * cardinality both EXACT (`countDistinct` — shuffles every distinct
+    * value) and via the KMV sketch
+    * ([[graft.functions.KmvMinHashes]] — shuffles k longs per group,
+    * the 100 TB path). The sketch hashes with the portable polynomial
+    * hash + multiplicative finalizer, so it is fully deterministic and
+    * the DuckDB oracle replays the estimate BIT-FOR-BIT — a property
+    * HLL-class sketches (register layouts implementation-private) cannot
+    * offer. Estimator: (k−1)·M / kth_min above k, exact below.
+    */
+  def distinctSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val M = 1000000007L
+    val d = docs(spark, dir)
+    val bigrams = d
+      .select(
+        col("lang"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+      )
+      .select(
+        col("lang"),
+        explode(
+          expr(
+            "CASE WHEN size(ws) >= 2 THEN " +
+              "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) " +
+              "ELSE array() END"
+          )
+        ).as("bg")
+      )
+      .withColumn(
+        "hv",
+        (graft.functions.PolyHash.polyHash(col("bg")) * lit(6364136223L)) % M
+      )
+    val agg = bigrams
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("bg")).as("n_exact"),
+        graft.functions.KmvMinHashes.kmvMinHashes(col("hv"), k).as("mins")
+      )
+    val est = when(size(col("mins")) < k, size(col("mins")).cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble) * lit(M.toDouble) /
+          try_element_at(col("mins"), lit(k)).cast("double")
+      )
+    agg
+      .select(
+        col("lang"),
+        col("n_exact"),
+        size(col("mins")).cast("long").as("n_mins"),
+        est.as("est"),
+        (abs(est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err")
+      )
+      .orderBy("lang")
+  }
+
   /** P15 — per-document repetition signals (the Gopher/MassiveText-class
     * quality filters: a doc whose mass concentrates in few repeated words
     * or word-2-grams is boilerplate/spam, not prose):

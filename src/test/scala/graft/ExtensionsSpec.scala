@@ -121,6 +121,18 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(got == expect, s"'$s'")
       }
 
+      // kmv_min_hashes reaches SQL as a GROUP BY aggregate (the analyzer
+      // wraps the injected AggregateFunction)
+      val kmv = spark
+        .sql(
+          "SELECT g, kmv_min_hashes(v, 3) AS mins FROM VALUES " +
+            "('a', 5L), ('a', 1L), ('a', 9L), ('a', 1L), ('a', 7L), ('b', 2L) " +
+            "AS t(g, v) GROUP BY g ORDER BY g"
+        )
+        .collect()
+      assert(kmv(0).getSeq[Long](1) == Seq(1L, 5L, 7L))
+      assert(kmv(1).getSeq[Long](1) == Seq(2L))
+
       // sorted_hit_count reaches SQL with a literal (foldable) dictionary
       val hits = spark
         .sql(

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvMinHashes.kmvMinHashes
+
+/** Laws for the KMV distinct sketch aggregate: partition-layout
+  * independence (merge associativity + determinism), k-min correctness
+  * vs a collected oracle, exactness below k, null handling, and
+  * estimator sanity on the real corpus.
+  */
+class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-kmv-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def hashed(rows: Seq[(String, Long)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("g", "hv")
+  }
+
+  test("result is independent of the partition layout (merge law)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000)(i =>
+      (s"g${i % 3}", math.abs(rnd.nextLong()) % 1000000007L))
+    def run(parts: Int) = hashed(rows)
+      .repartition(parts)
+      .groupBy("g")
+      .agg(kmvMinHashes(col("hv"), 32).as("mins"))
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSeq))
+      .toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("the buffer holds exactly the k smallest distinct values, sorted") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(2000)(_ =>
+      ("g", math.abs(rnd.nextLong()) % 100000L)) // forced collisions
+    val got = hashed(rows)
+      .groupBy("g")
+      .agg(kmvMinHashes(col("hv"), 16).as("mins"))
+      .select("mins")
+      .head()
+      .getSeq[Long](0)
+      .toSeq
+    val want = rows.map(_._2).distinct.sorted.take(16)
+    assert(got == want)
+  }
+
+  test("below k the sketch is exact; nulls are ignored") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq[(String, java.lang.Long)](
+      ("g", 5L), ("g", 3L), ("g", 5L), ("g", null), ("g", 9L)
+    ).toDF("g", "hv")
+    val got = rows
+      .groupBy("g")
+      .agg(kmvMinHashes(col("hv"), 16).as("mins"))
+      .select("mins")
+      .head()
+      .getSeq[Long](0)
+      .toSeq
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  test("estimator sanity on the corpus: real estimate, bounded error") {
+    val out = graft.pipeline.TextAnalysis
+      .distinctSketch(spark, sfDir)
+      .collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_mins")) == 64L) // k reached: estimating
+      assert(r.getDouble(r.fieldIndex("est")) > 0.0)
+      assert(r.getDouble(r.fieldIndex("rel_err")) < 0.5)
+    }
+  }
+}
