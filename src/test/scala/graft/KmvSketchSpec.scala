@@ -83,6 +83,46 @@ class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(3L, 5L, 9L))
   }
 
+  test("streaming-native: the sketch aggregates across micro-batches via state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(3000)(i =>
+      (s"g${i % 4}", math.abs(rnd.nextLong()) % 1000000007L))
+    val chunks = rows.grouped(1000).toSeq
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = ms
+      .toDS()
+      .toDF("g", "hv")
+      .groupBy("g")
+      .agg(kmvMinHashes(col("hv"), 32).as("mins"))
+      .writeStream
+      .format("memory")
+      .queryName("kmv_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark
+      .table("kmv_stream")
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSeq))
+      .toSeq
+    val want = hashed(rows)
+      .groupBy("g")
+      .agg(kmvMinHashes(col("hv"), 32).as("mins"))
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSeq))
+      .toSeq
+    assert(got == want)
+  }
+
   test("estimator sanity on the corpus: real estimate, bounded error") {
     val out = graft.pipeline.TextAnalysis
       .distinctSketch(spark, sfDir)
