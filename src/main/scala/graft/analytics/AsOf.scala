@@ -46,9 +46,16 @@ object AsOf {
     require(key.nonEmpty, "as-of join needs at least one key column")
     val lPayload = left.columns.filterNot(c => key.contains(c)).toSeq
     val rPayload = right.columns.filterNot(c => key.contains(c)).toSeq
+    // trades/quotes usually share the time column NAME — support that by
+    // suffixing the right time column in the output; any other collision
+    // is a genuine ambiguity the caller must resolve
+    val rOutNames = rPayload.map(c =>
+      if (c == rightTime && lPayload.contains(c)) s"${c}_right" else c
+    )
+    val clashes = lPayload.intersect(rOutNames)
     require(
-      lPayload.intersect(rPayload).isEmpty,
-      s"left/right payload columns clash: ${lPayload.intersect(rPayload).mkString(",")}"
+      clashes.isEmpty,
+      s"left/right payload columns clash: ${clashes.mkString(",")}"
     )
 
     val lStruct = struct(lPayload.map(col): _*)
@@ -88,7 +95,9 @@ object AsOf {
       .select(
         keyCols ++
           lPayload.map(c => col(s"__l.`$c`").as(c)) ++
-          rPayload.map(c => col(s"__m.`$c`").as(c)): _*
+          rPayload.zip(rOutNames).map { case (c, out) =>
+            col(s"__m.`$c`").as(out)
+          }: _*
       )
   }
 }

@@ -406,7 +406,9 @@ object Dedup {
   def incrementalDedup(
       oldDocs: DataFrame,
       newDocs: DataFrame,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4
   ): DataFrame = {
     val exact = newDocs
       .select(md5(col("text")).as("h"), col("doc_id").as("new_id"))
@@ -419,10 +421,11 @@ object Dedup {
     // the old leg stands in for the persisted index of the previous run
     val shOld = shingles(oldDocs).cache()
     val shNew = shingles(newDocs).cache()
-    val cand = bandedIndex(shOld)
+    val cand = bandedIndex(shOld, numPerms, rowsPerBand)
       .toDF("a", "band", "bucket")
       .join(
-        bandedIndex(shNew).toDF("b", "band_n", "bucket_n"),
+        bandedIndex(shNew, numPerms, rowsPerBand)
+          .toDF("b", "band_n", "bucket_n"),
         col("band") === col("band_n") && col("bucket") === col("bucket_n")
       )
       .select("a", "b")
@@ -466,6 +469,7 @@ object Dedup {
       numPerms: Int = 16,
       rowsPerBand: Int = 4
   ): Unit = {
+    import spark.implicits._
     val sh = shingles(docs).cache()
     bandedIndex(sh, numPerms, rowsPerBand).write
       .mode("overwrite")
@@ -477,13 +481,22 @@ object Dedup {
       .write
       .mode("overwrite")
       .parquet(s"$out/hashes")
+    // the index is self-describing: the banding parameters ride with it so
+    // a reader can never join bands computed under a different fold
+    Seq((numPerms, rowsPerBand))
+      .toDF("num_perms", "rows_per_band")
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/params")
   }
 
   /** [[incrementalDedup]] against a PERSISTED index ([[writeDedupIndex]]):
     * the old corpus never re-hashes — its bands/shingles/hashes stream
-    * from the stored tables; only the new batch is hashed fresh. Output
-    * contract identical to the in-memory form (law-checked in
-    * IndexStoreSpec).
+    * from the stored tables; only the new batch is hashed fresh, under
+    * the banding parameters READ FROM THE INDEX (band/bucket values from
+    * different folds would equi-join to nothing and silently drop every
+    * near-duplicate). Output contract identical to the in-memory form
+    * (law-checked in IndexStoreSpec).
     */
   def incrementalDedupFromIndex(
       spark: SparkSession,
@@ -500,12 +513,15 @@ object Dedup {
         Seq("h")
       )
       .select("new_id", "old_id")
+    val params = spark.read.parquet(s"$indexDir/params").head()
+    val numPerms = params.getAs[Int]("num_perms")
+    val rowsPerBand = params.getAs[Int]("rows_per_band")
     val shNew = shingles(newDocs).cache()
     val cand = spark.read
       .parquet(s"$indexDir/bands")
       .toDF("a", "band", "bucket")
       .join(
-        bandedIndex(shNew).toDF("b", "band_n", "bucket_n"),
+        bandedIndex(shNew, numPerms, rowsPerBand).toDF("b", "band_n", "bucket_n"),
         col("band") === col("band_n") && col("bucket") === col("bucket_n")
       )
       .select("a", "b")
@@ -537,23 +553,35 @@ object Dedup {
       .orderBy("new_id", "old_id")
   }
 
-  /** The canonical d9 query: the top 20% of doc_ids play the new batch,
-    * seeded with verbatim copies of ten old docs (fresh ids +1e6) so the
-    * exact leg has non-vacuous ground truth — the corpus has no
-    * byte-identical cross-id text of its own.
+  /** The canonical d9 corpus split: the top 20% of doc_ids play the new
+    * batch, seeded with verbatim copies of ten old docs (fresh ids +1e6)
+    * so the exact leg has non-vacuous ground truth — the corpus has no
+    * byte-identical cross-id text of its own. Shared by the query and the
+    * persisted-index law spec so the two can never drift apart.
     */
-  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalSplit(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) = {
     val d = docs(spark, dir).select("doc_id", "text")
     val maxId = d.agg(max("doc_id")).head().getLong(0)
+    require(
+      maxId < 1000000L,
+      "seed id offset collides with corpus doc_ids" // same guard as
+    ) // Similarity.seededCorpus: a silent collision would corrupt BOTH
+    //   the query and its oracle identically and pass the gate wrong
     val split = (maxId + 1L) * 4L / 5L
     val copies = d
       .filter(col("doc_id") < 10)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val all = d.unionByName(copies)
-    incrementalDedup(
-      all.filter(col("doc_id") < split),
-      all.filter(col("doc_id") >= split)
-    )
+    (all.filter(col("doc_id") < split), all.filter(col("doc_id") >= split))
+  }
+
+  /** The canonical d9 query over [[incrementalSplit]]. */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (oldDocs, newDocs) = incrementalSplit(spark, dir)
+    incrementalDedup(oldDocs, newDocs)
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {

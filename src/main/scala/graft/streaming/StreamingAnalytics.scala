@@ -141,10 +141,16 @@ object StreamingAnalytics {
     * the state — downstream keep-first dedup by purchase_id restores
     * exactly-once (the single-latest-click state cannot reconstruct
     * history; that is the O(1)-state tradeoff, stated rather than hidden).
+    *
+    * `ttl` bounds state over an open-ended user space: real attribution
+    * windows are finite (a 30-day-old click should not win anyway), so a
+    * processing-time timeout evicts idle users without changing semantics
+    * inside the window — same policy as the StreamingDedup operators.
     */
   def attributionStateful(
       spark: SparkSession,
-      events: Dataset[AttrEv]
+      events: Dataset[AttrEv],
+      ttl: Option[java.time.Duration] = None
   ): Dataset[AttrOut] = {
     import spark.implicits._
     events
@@ -152,8 +158,14 @@ object StreamingAnalytics {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ClickState, AttrOut](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
+        ttl
+          .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+          .getOrElse(GroupStateTimeout.NoTimeout())
       ) { (user: Long, evs: Iterator[AttrEv], state: GroupState[ClickState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
         // clicks sort before purchases at equal tsUs: inclusive semantics
         val sorted = evs.toArray.sortBy(e => (e.tsUs, e.event_type != "click"))
         var st = state.getOption.orNull
@@ -176,8 +188,12 @@ object StreamingAnalytics {
             )
           }
         }
-        if (st != null) state.update(st)
+        if (st != null) {
+          state.update(st)
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+        }
         out.result().iterator
+        }
       }
   }
 

@@ -374,13 +374,17 @@ object StreamingDedup {
     * The redelivery guard (`SignState.seen`) records every vec_id that
     * visited the bucket — owners AND probes, so it grows ~(nBits+1)·N longs
     * across the store even where `maxBucketOccupancy` caps the owners.
-    * `maxSeenPerBucket` bounds it: past the cap the OLDEST (smallest) ids
-    * are dropped, degrading the guard to a sliding window over the most
-    * recent arrivals. That is exact for Structured Streaming's failure
-    * model — a crash rolls the state store back with the source offsets, so
-    * only cross-batch source redelivery needs the guard, and that replays
-    * recent rows; a row redelivered from beyond the window re-pairs (dupes,
-    * never corruption — downstream dedup by (label,a,b) restores exactness).
+    * `maxSeenPerBucket` bounds it: past the cap the SMALLEST ids are
+    * dropped. Under the usual contract that vec_ids are assigned
+    * monotonically with arrival (Kafka-offset-derived, sequence-stamped),
+    * this is a sliding window over the most recent arrivals, and is exact
+    * for Structured Streaming's failure model — a crash rolls the state
+    * store back with the source offsets, so only cross-batch source
+    * redelivery needs the guard, and that replays recent rows. For
+    * NON-monotone id sources the evicted set is arbitrary rather than
+    * oldest-first, so the window guarantee weakens to best-effort; either
+    * way a row redelivered from beyond the window re-pairs (dupes, never
+    * corruption — downstream dedup by (label,a,b) restores exactness).
     */
   def embeddingNearDup(
       spark: SparkSession,

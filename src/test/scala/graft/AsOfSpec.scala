@@ -103,6 +103,20 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("shared time column name resolves with a _right suffix (trades/quotes shape)") {
+    val sp = spark
+    import sp.implicits._
+    val trades = Seq((1L, 10L, 99.5)).toDF("sym", "ts", "price")
+    val quotes = Seq((1L, 8L, 99.0), (1L, 12L, 98.0)).toDF("sym", "ts", "bid")
+    val out = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", "ts")
+    assert(out.columns.toSeq ==
+      Seq("sym", "ts", "price", "ts_right", "bid"))
+    val r = out.head()
+    assert(r.getLong(r.fieldIndex("ts")) == 10L)
+    assert(r.getLong(r.fieldIndex("ts_right")) == 8L)
+    assert(r.getDouble(r.fieldIndex("bid")) == 99.0)
+  }
+
   test("multi-column key joins on the full composite") {
     val sp = spark
     import sp.implicits._

@@ -53,26 +53,21 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("incremental dedup from the persisted index equals the in-memory form") {
     val tmp = Files.createTempDirectory("graft-dedup-index").toString
-    val d = spark.read
-      .parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
-    val maxId = d.agg(max("doc_id")).head().getLong(0)
-    val split = (maxId + 1L) * 4L / 5L
-    val copies = d
-      .filter(col("doc_id") < 10)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val all = d.unionByName(copies)
-    val oldDocs = all.filter(col("doc_id") < split)
-    val newDocs = all.filter(col("doc_id") >= split)
+    // the SAME corpus construction as the shipped d9 query — shared
+    // builder, so the law can't drift from what the query actually runs
+    val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
 
-    graft.pipeline.Dedup.writeDedupIndex(spark, oldDocs, tmp)
+    // non-default banding: the index is self-describing, the reader must
+    // band the new batch under the STORED parameters
+    graft.pipeline.Dedup
+      .writeDedupIndex(spark, oldDocs, tmp, numPerms = 12, rowsPerBand = 3)
     val fromIndex = graft.pipeline.Dedup
       .incrementalDedupFromIndex(spark, tmp, newDocs)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSeq
     val inMemory = graft.pipeline.Dedup
-      .incrementalDedup(oldDocs, newDocs)
+      .incrementalDedup(oldDocs, newDocs, numPerms = 12, rowsPerBand = 3)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSeq
