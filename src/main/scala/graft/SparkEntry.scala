@@ -185,6 +185,8 @@ object SparkEntry {
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
     "p18_distinct_sketch" -> ((s, d) => TextAnalysis.distinctSketch(s, d)),
+    "p19_split_manifest" -> ((s, d) =>
+      graft.pipeline.Sampling.splitManifest(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -275,6 +277,7 @@ object SparkEntry {
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,
     "p18_distinct_sketch" -> PipelineOracles.distinctSketch,
+    "p19_split_manifest" -> PipelineOracles.splitManifest,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
     "p14_curation_full" -> PipelineOracles.curateFull,

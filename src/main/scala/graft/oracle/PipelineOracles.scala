@@ -640,6 +640,29 @@ object PipelineOracles {
     ORDER BY shard
   """
 
+  /** p19 — deterministic train/val/test split manifest
+    * (graft.pipeline.Sampling.splitManifest): split = finalized
+    * poly_hash("graft-split::doc_id") mod 1000, <10 val, <20 test,
+    * else train — the identical BIGINT gate arithmetic of p10/p11 under
+    * its own salt. */
+  val splitManifest: String = s"""
+    SELECT CASE
+             WHEN g < 10 THEN 'val'
+             WHEN g < 20 THEN 'test'
+             ELSE 'train' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             (${charHash("'graft-split::' || CAST(doc_id AS VARCHAR)")}
+                * 6364136223) % 1000000007 % 1000 AS g
+      FROM documents
+    ) t
+    GROUP BY split, source
+    ORDER BY split, source
+  """
+
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document
     * frequency; ties broken by word. Spark split / DuckDB string_split

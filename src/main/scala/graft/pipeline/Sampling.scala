@@ -105,6 +105,43 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** P19 — deterministic train/val/test split: each doc's split is a pure
+    * function of (salt, doc_id) via the finalized hash gate — reproducible
+    * across cluster layouts, retries and re-runs (a `rand()` split is
+    * none of these), disjoint and exhaustive by construction, and
+    * independent of the p10 sample gate and the p11 shard salt (different
+    * salt ⇒ sampling/sharding never bias split membership — same argument
+    * as p11's spec). Default 98/1/1 in gate-space.
+    */
+  def assignSplits(
+      d: DataFrame,
+      valPerMille: Long = 10L,
+      testPerMille: Long = 10L,
+      salt: String = "graft-split"
+  ): DataFrame = {
+    val g = gate(salt, lit(""), col("doc_id"), 1000L)
+    d.withColumn(
+      "split",
+      when(g < valPerMille, "val")
+        .when(g < valPerMille + testPerMille, "test")
+        .otherwise("train")
+    )
+  }
+
+  /** The canonical p19 query: split sizes and char mass per (split,
+    * source) — the manifest a training job checks before consuming.
+    */
+  def splitManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    assignSplits(d)
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars")
+      )
+      .orderBy("split", "source")
+  }
+
   /** The canonical p10 query: source `srcK` sampled at rate (K mod 5)/4 —
     * 0, 25%, 50%, 75%, 100% — exercising both degenerate gates (0 drops a
     * stratum entirely; 1 keeps it bit-for-bit).

@@ -237,6 +237,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.unpersist(false)
   }
 
+  test("splits: disjoint-exhaustive, layout-independent, unbiased by the sample gate") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val s1 = Sampling.assignSplits(d).select("doc_id", "split")
+    // every doc gets exactly one split
+    assert(s1.count() == d.count())
+    assert(s1.select("doc_id").distinct().count() == d.count())
+    // deterministic across partition layouts
+    val s2 = Sampling.assignSplits(d.repartition(13)).select("doc_id", "split")
+    assert(s1.exceptAll(s2).count() == 0)
+    // independence: sampling half the corpus (different salt) keeps every
+    // sampled doc's split assignment identical
+    val sampled = Sampling.weightedSample(d, Map.empty, defaultRate = 0.5)
+    val s3 = Sampling.assignSplits(sampled).select("doc_id", "split")
+    assert(s3.exceptAll(s1).count() == 0)
+  }
+
   test("sampling: a salt change redraws the sample") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Sampling
