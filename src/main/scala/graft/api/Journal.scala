@@ -176,6 +176,39 @@ final class Journal(
       lit("{}").as("props")
     )
 
+  /** Marker action row — the read-barrier protocol (reference
+    * `Journal.scala:60` `mark(id)`): a mark is invisible to replay (every
+    * read filters non-user actions) but advances the journal's offset
+    * bound, letting a reader prove it has consumed the log up to the
+    * marker (F2 stream-bound termination, T6 staleness checks).
+    */
+  def mark(
+      topic: String,
+      id: String,
+      ts: Option[java.sql.Timestamp] = None,
+      numPartitions: Int = 8
+  ): DataFrame =
+    spark.range(1).select(
+      lit(topic).as("topic"),
+      (abs(hash(lit(id))) % numPartitions).cast("int").as("part_no"),
+      lit(null).cast("long").as("koffset"),
+      lit(id).as("id"),
+      lit("mark").as("action"),
+      ts.map(lit(_)).getOrElse(current_timestamp()).as("ts"),
+      lit(null).cast("long").as("seq_nr"),
+      lit(null).cast("long").as("delete_to"),
+      lit(null).cast("double").as("payload"),
+      lit(null).cast("string").as("payload_type"),
+      lit(null).cast("string").as("payload_txt"),
+      lit(null).cast("binary").as("payload_bin"),
+      lit(null).cast("string").as("tags_csv"),
+      lit("graft-client").as("origin"),
+      lit("1.0.0").as("version"),
+      lit(null).cast("string").as("metadata"),
+      lit(0L).as("event_id"),
+      lit("{}").as("props")
+    )
+
   def ids(topic: String): DataFrame =
     JournalOps.ids(log.filter(col("topic") === topic)).select("id")
 

@@ -150,5 +150,18 @@ class KafkaWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     val replayed = Journal(spark, log3).read("tp", "px")
       .select("seq_nr", "payload").as[(Long, Double)].collect().sortBy(_._1)
     assert(replayed.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+
+    // mark: invisible to replay, but advances the journal's offset bound
+    // (the read-barrier protocol — reference Journal.mark)
+    val log4 = log3.unionByName(
+      builder.mark("tp", "px", Some(ts(8))).withColumn("koffset", lit(30L)))
+    val j4 = Journal(spark, log4)
+    assert(j4.read("tp", "px").count() == 2) // replay unchanged
+    val maxOff = log4
+      .filter(col("topic") === "tp")
+      .agg(org.apache.spark.sql.functions.max("koffset"))
+      .head()
+      .getLong(0)
+    assert(maxOff == 30L) // the marker IS the new bound
   }
 }
