@@ -163,6 +163,8 @@ object SparkEntry {
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
     // W5 — as-of join (operator Spark lacks; union+ordered-window plan)
     "w5_asof_attribution" -> (Analytics.asofAttribution _),
+    // Q15 — exact median by rank selection (deterministic, vs approx)
+    "q15_price_median" -> (Analytics.priceMedian _),
     // d4 runs over the SEEDED harness corpus (exact-angle twin vectors) so
     // the exact-all-pairs oracle has non-empty ground truth to recover
     "d4_embedding_neardup" -> ((s, d) =>
@@ -261,6 +263,7 @@ object SparkEntry {
     "m4_media_knn" -> PipelineOracles.mediaKnn,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,
+    "q15_price_median" -> AnalyticsOracles.priceMedian,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,
     "p2_langid_confusion" -> PipelineOracles.langIdConfusion,

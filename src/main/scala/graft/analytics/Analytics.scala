@@ -398,6 +398,39 @@ object Analytics {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Q15 — EXACT distributed median by rank selection (vs
+    * `percentile_approx`'s sketch): per priority class, the median order
+    * price is the mean of the rank-⌈n/2⌉ and rank-⌈(n+1)/2⌉ values under
+    * a total order — integer rank arithmetic plus one IEEE mean, so the
+    * result is deterministic and oracle-replayable where interpolating
+    * percentile implementations are not. One keyed sort (the same shuffle
+    * any per-group window pays); the rank filter prunes to ≤2 rows per
+    * group before the final tiny aggregate.
+    */
+  def priceMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+    val w = Window
+      .partitionBy("o_orderpriority")
+      // o_orderkey tiebreak makes the order total: equal prices cannot
+      // make the rank selection nondeterministic
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val n = Window.partitionBy("o_orderpriority")
+    ord
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .filter(
+        col("rn") === expr("(cnt + 1) DIV 2") ||
+          col("rn") === expr("(cnt + 2) DIV 2")
+      )
+      .groupBy("o_orderpriority")
+      .agg(
+        avg("o_totalprice").as("median_price"),
+        max("cnt").as("n_orders")
+      )
+      .orderBy("o_orderpriority")
+  }
+
   /** Top-k users by exact total value with deterministic tiebreak. */
   def topUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = ActionLog.normalizedEvents(spark, dir)

@@ -216,6 +216,26 @@ object AnalyticsOracles {
     LIMIT 20
   """
 
+  /** q15 — exact median by rank selection (Analytics.priceMedian): the
+    * same integer rank arithmetic; AVG over <= 2 doubles is IEEE-stable
+    * in both engines (DuckDB interpolating quantile functions are NOT
+    * replayable — this formulation is). */
+  val priceMedian: String = """
+    SELECT o_orderpriority,
+           AVG(o_totalprice) AS median_price,
+           MAX(cnt) AS n_orders
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    ) t
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+  """
+
   // DuckDB has a native ASOF JOIN; the Spark side re-expresses it as a
   // union + ordered running window (AsOf.joinAsOf) — same inclusive (>=)
   // pick-latest semantics, deterministic because (user_id, ts) is unique
