@@ -197,6 +197,49 @@ object StreamingAnalytics {
       }
   }
 
+  /** Windowed attribution CANDIDATES via Spark's native stream-stream
+    * interval join — the engine's third attribution form, and the one
+    * that uses Spark's built-in join-state machinery rather than custom
+    * `flatMapGroupsWithState`:
+    *
+    *   - [[graft.analytics.AsOf.joinAsOf]] — batch, picks THE latest click
+    *   - [[attributionStateful]] — streaming, O(1) custom state, latest
+    *   - this — streaming, emits EVERY click within the lookback window
+    *     per purchase (the multi-touch candidate set a downstream
+    *     attribution model weighs), state bounded by the WATERMARK: rows
+    *     outside `lookback + watermark` are evicted by Spark itself.
+    *
+    * Both sides must carry event-time columns; the time-range condition
+    * (`p_ts - lookback <= c_ts <= p_ts`) is what lets Spark bound the
+    * join state — an unconstrained stream-stream join would buffer
+    * forever. Inner join: purchases with no in-window click drop (the
+    * candidate-set consumer outer-joins against purchases if it needs
+    * the zero-candidate rows).
+    */
+  def attributionCandidates(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookback: String = "1 hour",
+      watermark: String = "30 minutes"
+  ): DataFrame =
+    purchases
+      .withWatermark("p_ts", watermark)
+      .join(
+        clicks.withWatermark("c_ts", watermark),
+        expr(
+          s"user_id = c_user AND " +
+            s"c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"
+        )
+      )
+      .select(
+        col("user_id"),
+        col("purchase_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("click_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us")
+      )
+
   /** Flush helper for tests: emits the still-open session per user from the
     * final state (batch mode has no timeout tick to close them).
     */

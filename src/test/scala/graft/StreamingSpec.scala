@@ -102,6 +102,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     ev.unpersist()
   }
 
+  test("stream-stream interval join: windowed candidates equal the batch join") {
+    val sp = spark
+    import sp.implicits._
+    val ev = ActionLog.normalizedEvents(spark, sfDir).cache()
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("p_ts")
+      )
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        col("event_id").as("click_id"),
+        col("ts").as("c_ts")
+      )
+    purchases.coalesce(2).write.parquet(s"$tmp/p")
+    clicks.coalesce(2).write.parquet(s"$tmp/c")
+
+    val q = StreamingAnalytics
+      .attributionCandidates(
+        spark.readStream.schema(purchases.schema).parquet(s"$tmp/p"),
+        spark.readStream.schema(clicks.schema).parquet(s"$tmp/c")
+      )
+      .writeStream
+      .format("memory")
+      .queryName("attr_cand")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("attr_cand")
+    val want = StreamingAnalytics.attributionCandidates(purchases,
+      clicks.toDF("c_user", "click_id", "c_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    ev.unpersist()
+  }
+
   test("streaming attribution over ordered chunks equals the batch as-of join") {
     val sp = spark
     import sp.implicits._
