@@ -43,4 +43,27 @@ object Tables {
       case _ => w.save(path)
     }
   }
+
+  /** Write a table BUCKETED (and sorted) by its join key — the co-located
+    * join layout of SURVEY §7's design stance: two tables bucketed by the
+    * same key into the same bucket count join WITHOUT any exchange (and,
+    * when `sortBy` matches, without a sort), because every bucket file
+    * pair is already key-aligned. At 100 TB this removes the dominant
+    * shuffle from every fact-to-fact join that repeats a key — pay the
+    * layout cost once at write time, amortize over every downstream join.
+    * Bucketed tables need the session catalog (`saveAsTable`), so they
+    * address by NAME, not path.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 8
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
