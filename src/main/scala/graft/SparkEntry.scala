@@ -165,6 +165,10 @@ object SparkEntry {
     "w5_asof_attribution" -> (Analytics.asofAttribution _),
     // Q15 — exact median by rank selection (deterministic, vs approx)
     "q15_price_median" -> (Analytics.priceMedian _),
+    // W6 — range join via bin-bucketed equi-join (operator Spark lacks)
+    "w6_interval_join" -> (Analytics.intervalCandidates _),
+    // Q16 — exact per-group quantile vector by rank selection
+    "q16_length_quantiles" -> (Analytics.lengthQuantiles _),
     // d4 runs over the SEEDED harness corpus (exact-angle twin vectors) so
     // the exact-all-pairs oracle has non-empty ground truth to recover
     "d4_embedding_neardup" -> ((s, d) =>
@@ -182,6 +186,9 @@ object SparkEntry {
       graft.pipeline.Sampling.weightedSampleQuery(s, d)),
     "p11_shard_assignment" -> ((s, d) =>
       graft.pipeline.Sampling.shardAssignment(s, d)),
+    // p20 — token-budget data mixing (budgets, not rates; manifest nests)
+    "p20_budget_mix" -> ((s, d) =>
+      graft.pipeline.Sampling.budgetMixQuery(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
@@ -204,6 +211,8 @@ object SparkEntry {
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // d10 — verbatim duplicate-span mass (exact-substring dedup signal)
+    "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -264,6 +273,8 @@ object SparkEntry {
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,
     "q15_price_median" -> AnalyticsOracles.priceMedian,
+    "w6_interval_join" -> AnalyticsOracles.intervalCandidates,
+    "q16_length_quantiles" -> AnalyticsOracles.lengthQuantiles,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,
     "p2_langid_confusion" -> PipelineOracles.langIdConfusion,
@@ -273,6 +284,7 @@ object SparkEntry {
     "p8_corpus_curation" -> PipelineOracles.curate,
     "p9_decontamination" -> PipelineOracles.contaminationScan,
     "p10_weighted_sample" -> PipelineOracles.weightedSample,
+    "p20_budget_mix" -> PipelineOracles.budgetMix,
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
@@ -288,6 +300,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> PipelineOracles.incrementalDedup,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
+    "d10_dup_spans" -> PipelineOracles.dupSpans,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,

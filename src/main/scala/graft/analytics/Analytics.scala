@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -397,6 +397,118 @@ object Analytics {
       .withColumn("lag_us", col("purchase_us") - col("click_us"))
       .orderBy("user_id", "purchase_id")
   }
+
+  /** W6 — windowed attribution CANDIDATES as a batch range join: for each
+    * purchase, ALL clicks of the same user in the strictly-preceding 24 h
+    * window (w5's as-of keeps only the most recent click; multi-touch
+    * attribution needs the whole candidate set). Plans through
+    * [[RangeJoin.joinRange]]: 6 h bins, so each purchase window replicates
+    * to 5 bin rows and each click hash-joins only against same-user
+    * purchases in its own bin — an ordinary equi-join Catalyst can
+    * broadcast or AQE-skew-split, never the BroadcastNestedLoopJoin a raw
+    * inequality join degenerates to.
+    */
+  def intervalCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us")
+      )
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        (unix_micros(col("ts")) - lit(86400000000L)).as("win_lo"),
+        unix_micros(col("ts")).as("win_hi")
+      )
+    RangeJoin
+      .joinRange(
+        clicks,
+        purchases,
+        Seq("user_id"),
+        pointTime = "click_us",
+        lo = "win_lo",
+        hi = "win_hi",
+        binWidth = 6L * 3600L * 1000000L
+      )
+      .select(
+        col("user_id"),
+        col("purchase_id"),
+        col("click_id"),
+        col("click_us"),
+        (col("win_hi") - col("click_us")).as("lag_us")
+      )
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** Exact per-group quantile VECTOR by rank selection — q15's median
+    * generalized to arbitrary quantiles in one pass. Type-1 (lower)
+    * empirical quantiles: the value at rank `ceil(q·n)` under a total
+    * order, computed as `(num·n + den − 1) DIV den` — pure integer rank
+    * arithmetic, no interpolation, so every reported quantile is a value
+    * that EXISTS in the data and replays bit-for-bit on any engine
+    * (interpolating implementations differ in FP evaluation order;
+    * sketches like percentile_approx are not even deterministic across
+    * partition layouts). One keyed sort — the same shuffle any per-group
+    * window pays — then the rank filter prunes to ≤|quantiles| rows per
+    * group before the tiny conditional aggregate.
+    *
+    * `quantiles` are rationals (num, den, outName) with 0 < num <= den.
+    */
+  def groupQuantilesExact(
+      df: DataFrame,
+      group: Seq[String],
+      value: String,
+      tie: String,
+      quantiles: Seq[(Int, Int, String)]
+  ): DataFrame = {
+    require(group.nonEmpty && quantiles.nonEmpty)
+    require(
+      quantiles.forall { case (n, d, _) => n > 0 && n <= d },
+      "quantiles must satisfy 0 < num <= den"
+    )
+    val w = Window
+      .partitionBy(group.map(col): _*)
+      .orderBy(col(value), col(tie))
+    val g = Window.partitionBy(group.map(col): _*)
+    def rank(num: Int, den: Int): Column =
+      expr(s"(cnt * $num + ${den - 1}) DIV $den")
+    val picks = quantiles.map { case (n, d, _) => col("rn") === rank(n, d) }
+    df.select((group ++ Seq(value, tie)).map(col): _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(g))
+      .filter(picks.reduce(_ || _))
+      .groupBy(group.map(col): _*)
+      .agg(
+        max(col("cnt")).as("n_rows"),
+        quantiles.map { case (n, d, out) =>
+          max(when(col("rn") === rank(n, d), col(value))).as(out)
+        }: _*
+      )
+  }
+
+  /** Q16 — document-length distribution per source: exact p25/p50/p75/p90
+    * of `n_chars` (the corpus-curation view of where each source's length
+    * mass sits — length floors/caps per source come straight off this).
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    groupQuantilesExact(
+      t(spark, dir, "documents"),
+      group = Seq("source"),
+      value = "n_chars",
+      tie = "doc_id",
+      quantiles = Seq(
+        (1, 4, "p25"),
+        (1, 2, "p50"),
+        (3, 4, "p75"),
+        (9, 10, "p90")
+      )
+    ).withColumnRenamed("n_rows", "n_docs")
+      .orderBy("source")
 
   /** Q15 — EXACT distributed median by rank selection (vs
     * `percentile_approx`'s sketch): per priority class, the median order

@@ -236,6 +236,48 @@ object AnalyticsOracles {
     ORDER BY o_orderpriority
   """
 
+  // q16 — rank-selection quantiles; `//` is DuckDB's BIGINT division like
+  // Spark's DIV, so ranks are identical integer arithmetic on both sides
+  val lengthQuantiles: String = """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(cnt) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = (cnt * 1 + 3) // 4 THEN n_chars END) AS p25,
+           MAX(CASE WHEN rn = (cnt * 1 + 1) // 2 THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = (cnt * 3 + 3) // 4 THEN n_chars END) AS p75,
+           MAX(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_chars END) AS p90
+    FROM r
+    GROUP BY source
+    ORDER BY source
+  """
+
+  // The Spark side plans this as a binned equi-join (RangeJoin); the oracle
+  // states the raw inequality join — DuckDB's IEJoin handles it natively,
+  // which is exactly the dialect-level cross-check we want
+  val intervalCandidates: String = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS c_user, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id, c.click_us,
+           p.pus - c.click_us AS lag_us
+    FROM p JOIN c
+      ON p.user_id = c.c_user
+     AND c.click_us >= p.pus - 86400000000
+     AND c.click_us < p.pus
+    ORDER BY p.purchase_id, c.click_id
+  """
+
   // DuckDB has a native ASOF JOIN; the Spark side re-expresses it as a
   // union + ordered running window (AsOf.joinAsOf) — same inclusive (>=)
   // pick-latest semantics, deterministic because (user_id, ts) is unique

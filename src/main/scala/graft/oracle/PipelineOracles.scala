@@ -624,6 +624,36 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** p20 — token-budget mixing (graft.pipeline.Sampling.budgetMix): fill
+    * order = the finalized hash gate under salt "graft-mix" (identical
+    * BIGINT arithmetic to p10), running pre-doc totals via an ordered
+    * window, keep while cum_before < 800. DuckDB window SUM is HUGEINT —
+    * cast back. */
+  val budgetMix: String = s"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_toks,
+             (${charHash(
+      "'graft-mix:' || source || ':' || CAST(doc_id AS VARCHAR)"
+    )} * 6364136223) % 1000000007 % 1000000 AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+               ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY pri, doc_id) AS take_rank
+      FROM t
+    )
+    SELECT source, doc_id, take_rank, n_toks, cum_before
+    FROM c WHERE cum_before < 800
+    ORDER BY source, take_rank
+  """
+
   /** p11 — deterministic output sharding (graft.pipeline.Sampling
     * .shardAssignment, 32 shards): per-shard doc count + summed BPE-ish
     * token total, shard = finalized poly_hash("graft-shard::doc_id")
@@ -1012,4 +1042,39 @@ object PipelineOracles {
     ORDER BY doc_id
   """
   }
+
+  // d10 — duplicate-span mass. Same tokenization as the Spark side (space
+  // split, empties filtered); DuckDB list slices are 1-based inclusive like
+  // Spark's `slice(ws, i, L)` starting at i=1. nd counts rows at
+  // (doc, win) grain = distinct docs containing the window.
+  val dupSpans: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(w[g.i:g.i+9], ' ') AS win
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 9)) AS i) g
+      WHERE len(w) >= 10
+    ),
+    pdw AS (
+      SELECT doc_id, win, COUNT(*) AS c FROM wins GROUP BY doc_id, win
+    ),
+    pw AS (
+      SELECT win, COUNT(*) AS nd FROM pdw GROUP BY win
+    )
+    SELECT pdw.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           COUNT(*) AS distinct_windows,
+           CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_positions,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_distinct,
+           CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_frac
+    FROM pdw JOIN pw USING (win)
+    GROUP BY pdw.doc_id
+    ORDER BY pdw.doc_id
+  """
 }

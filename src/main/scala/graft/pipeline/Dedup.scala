@@ -691,4 +691,71 @@ object Dedup {
       .orderBy("a", "b")
     Eager.materialized(out, chunked)
   }
+
+  /** D10 — cross-document duplicate-SPAN mass: for each document, how many
+    * of its L-word windows also occur verbatim in at least one OTHER
+    * document. This is the signal behind exact-substring train-set dedup
+    * (suffix-array dedup a la Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): near-dup metrics (d2/d6) score whole
+    * documents, while a long verbatim span buried in an otherwise-unique
+    * page — a license block, a syndicated paragraph, a memorized quote —
+    * only shows up position-wise.
+    *
+    * Shape: explode each doc into its word windows, aggregate once at
+    * (doc_id, window) (map-side combine collapses in-doc repeats), once at
+    * (window) to count the DISTINCT docs containing it (a count of rows at
+    * (doc,window) grain — no countDistinct pass), then join the two legs on
+    * the window key — both sides arrive partitioned by that key, so the
+    * join adds no exchange — and roll up per doc.
+    *
+    * The window key shuffled here is the literal L-word text: exact by
+    * construction (this is the correctness oracle's form). At 100 TB the
+    * drop-in replacement is a 128-bit fingerprint (two independent portable
+    * poly-hashes of the window), which cuts shuffle width ~8x and makes a
+    * cross-corpus collision vanishingly unlikely (~1e-18 per pair) without
+    * changing the plan shape; the string form stays the reference
+    * semantics.
+    *
+    * Docs shorter than L words have no windows and drop out (n_windows = 0
+    * rows carry no signal). `dup_frac` is one IEEE division of two exact
+    * BIGINTs — oracle-replayable.
+    */
+  def dupSpans(spark: SparkSession, dir: String, spanWords: Int = 10): DataFrame = {
+    val wins = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+      )
+      .filter(size(col("ws")) >= spanWords)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(ws) - ${spanWords - 1}), " +
+              s"i -> array_join(slice(ws, i, $spanWords), ' '))"
+          )
+        ).as("win")
+      )
+    val perDocWin = wins
+      .groupBy("doc_id", "win")
+      .agg(count(lit(1)).as("c"))
+    val perWin = perDocWin
+      .groupBy("win")
+      .agg(count(lit(1)).as("nd"))
+    val out = perDocWin
+      .join(perWin, Seq("win"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_windows"),
+        count(lit(1)).as("distinct_windows"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("dup_positions"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_distinct")
+      )
+      .withColumn(
+        "dup_frac",
+        col("dup_positions").cast("double") / col("n_windows").cast("double")
+      )
+      .orderBy("doc_id")
+    out
+  }
 }

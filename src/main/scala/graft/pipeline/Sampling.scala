@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** p10 — deterministic weighted sampling: the data-mixing step of a
@@ -163,5 +164,69 @@ object Sampling {
     weightedSample(d, rates)
       .select("doc_id", "source")
       .orderBy("doc_id")
+  }
+
+  /** P20 — token-BUDGET data mixing: fill each stratum's token budget with
+    * a deterministic document sequence (rate-based mixing — p10 — keeps a
+    * fraction of DOCS; training mixes are specified in TOKENS per source,
+    * which a rate can only approximate when doc lengths differ across
+    * strata).
+    *
+    * Docs are ordered by the finalized hash gate (tiebreak doc_id), so the
+    * fill order is a uniform permutation that is reproducible across
+    * cluster layouts, retries and re-runs, and the manifest is MONOTONE in
+    * the budget: a bigger budget's take-set strictly extends a smaller
+    * one's — ablation runs nest, exactly the p10 guarantee transposed to
+    * budgets. The greedy fill keeps every doc whose running total BEFORE
+    * it is still under budget: the straddling doc is kept, so a nonzero
+    * budget never yields an empty stratum and the fill lands within one
+    * doc of the target.
+    *
+    * Cost: one keyed window (partition by stratum) over pre-aggregated
+    * (id, n_toks) rows — token counting happens in the scan projection;
+    * no text crosses the shuffle.
+    *
+    * Input `d` must carry (`doc_id`, `by`, `n_toks`).
+    */
+  def budgetMix(
+      d: DataFrame,
+      budgetTokens: Long,
+      by: String = "source",
+      salt: String = "graft-mix",
+      granularity: Long = 1000000L
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val w = Window
+      .partitionBy(col(by))
+      .orderBy(col("__pri"), col("doc_id"))
+    d.withColumn("__pri", gate(salt, col(by), col("doc_id"), granularity))
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)
+        )
+      )
+      .withColumn("take_rank", row_number().over(w))
+      .filter(col("cum_before") < budgetTokens)
+      .drop("__pri")
+  }
+
+  /** The canonical p20 query: every source filled to the same 800-token
+    * budget (the corpus averages ~1.4k tokens per source, so the gate is
+    * exercised on both sides — roughly half of each source's mass taken,
+    * half cut).
+    */
+  def budgetMixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_toks")
+      )
+    budgetMix(d, budgetTokens = 800L)
+      .select("source", "doc_id", "take_rank", "n_toks", "cum_before")
+      .orderBy("source", "take_rank")
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Analytics
+import graft.pipeline.Sampling
+
+/** Laws for p20 token-budget mixing and q16 exact group quantiles. */
+class MixQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-mixquantile-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus() = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new Random(7)
+    (0 until 200)
+      .map(i => (i.toLong, s"src${i % 4}", 10L + rnd.nextInt(90)))
+      .toDF("doc_id", "source", "n_toks")
+  }
+
+  private def takeSet(budget: Long) =
+    Sampling
+      .budgetMix(corpus(), budget)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+
+  test("budget mix nests: a bigger budget strictly extends a smaller one") {
+    val small = takeSet(300L)
+    val big = takeSet(900L)
+    assert(small.nonEmpty && big.size > small.size)
+    assert(small.subsetOf(big))
+  }
+
+  test("budget mix: straddling doc kept — budget 1 takes exactly one doc per stratum") {
+    val out = Sampling.budgetMix(corpus(), 1L)
+    assert(out.count() == 4)
+    assert(out.select("cum_before").collect().forall(_.getLong(0) == 0L))
+  }
+
+  test("budget mix: zero budget takes nothing; manifest is layout-independent") {
+    assert(takeSet(0L).isEmpty)
+    val a = Sampling
+      .budgetMix(corpus(), 500L)
+      .select("source", "doc_id", "take_rank", "cum_before")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val b = Sampling
+      .budgetMix(corpus().repartition(7), 500L)
+      .select("source", "doc_id", "take_rank", "cum_before")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(a == b)
+  }
+
+  test("budget mix fill lands within one doc of the budget per stratum") {
+    val budget = 400L
+    val last = Sampling
+      .budgetMix(corpus(), budget)
+      .groupBy("source")
+      .agg(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions
+            .col("cum_before") + org.apache.spark.sql.functions.col("n_toks")
+        ).as("filled")
+      )
+      .collect()
+    // every stratum reaches the budget (corpus has enough mass), and the
+    // overshoot is bounded by the straddling doc (< budget + max doc)
+    last.foreach { r =>
+      val filled = r.getLong(1)
+      assert(filled >= budget && filled < budget + 100L, r.toString)
+    }
+  }
+
+  test("group quantiles agree with a driver-side sort on random data") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new Random(11)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(1000).toLong)
+    )
+    val qs = Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (1, 1, "p100"))
+    val got = Analytics
+      .groupQuantilesExact(
+        rows.toDF("id", "g", "v"),
+        Seq("g"),
+        "v",
+        "id",
+        qs
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val expect = rows
+      .groupBy(_._2)
+      .map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._1)).map(_._3)
+        def pick(num: Int, den: Int) =
+          sorted((num * sorted.size + den - 1) / den - 1)
+        g -> (pick(1, 4), pick(1, 2), pick(3, 4), pick(1, 1))
+      }
+    assert(got == expect)
+  }
+
+  test("group quantiles: singleton group reports its only value everywhere") {
+    val sp = spark
+    import sp.implicits._
+    val out = Analytics
+      .groupQuantilesExact(
+        Seq((1L, "a", 42L)).toDF("id", "g", "v"),
+        Seq("g"),
+        "v",
+        "id",
+        Seq((1, 4, "p25"), (9, 10, "p90"))
+      )
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 1L) // n_rows
+    assert(out(0).getLong(2) == 42L && out(0).getLong(3) == 42L)
+  }
+}
