@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.pipeline.Sampling
 
@@ -103,4 +104,78 @@ object StreamingCuration {
     */
   def piiScanStream(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.pipeline.Pii.scan(docs, textCol)
+
+  final case class MixDoc(doc_id: Long, source: String, n_toks: Long)
+  final case class MixState(filled: Long, maxSeen: Long)
+  final case class MixOut(
+      doc_id: Long,
+      source: String,
+      n_toks: Long,
+      cum_before: Long
+  )
+
+  /** Streaming token-budget fill — the continuous form of
+    * [[Sampling.budgetMix]] (p20): admit documents per stratum until the
+    * running token total BEFORE a doc reaches the budget; the straddling
+    * doc is kept; everything after is dropped. The admission rule is
+    * IDENTICAL to the batch operator's — the semantic difference is the
+    * fill ORDER: batch fills in hash-gate order (a reproducible uniform
+    * permutation of a finished corpus); a stream has no finished corpus to
+    * permute, so the fill is arrival-order (the quota-enforcement shape:
+    * first-come-first-served until the stratum's budget closes). When
+    * arrivals happen to come in gate order the two manifests coincide.
+    *
+    * State per stratum is TWO longs — (filled, maxSeen) — the minimal
+    * budget state; strata count bounds the store (thousands of sources,
+    * not documents). Redelivery guard: the monotone-id contract used
+    * across this plane (doc_id non-decreasing across batches per stratum)
+    * — a redelivered doc_id ≤ maxSeen is a no-op, so at-least-once
+    * delivery re-emits nothing and never double-counts tokens toward the
+    * budget; crash recovery is exact anyway because state rolls back with
+    * the offsets (T2). Within a micro-batch the iterator is sorted by
+    * doc_id, so any chunking of an ordered stream yields the same
+    * manifest (spec'd). `ttl` arms processing-time eviction for
+    * long-dormant strata (a closed stratum's state is two longs — keeping
+    * it forever is also fine).
+    */
+  def budgetFillStream(
+      spark: SparkSession,
+      docs: Dataset[MixDoc],
+      budgetTokens: Long,
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[MixOut] = {
+    import spark.implicits._
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[MixState, MixOut](OutputMode.Append(), timeout) {
+        (source: String, ds: Iterator[MixDoc], state: GroupState[MixState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(MixState(0L, Long.MinValue))
+            var filled = prior.filled
+            var maxSeen = prior.maxSeen
+            val out = Seq.newBuilder[MixOut]
+            // micro-batch iterators are unordered; doc_id order keeps the
+            // manifest identical under any chunking of an ordered stream
+            ds.toArray.sortBy(_.doc_id).foreach { d =>
+              if (d.doc_id > maxSeen) {
+                maxSeen = d.doc_id
+                if (filled < budgetTokens) {
+                  out += MixOut(d.doc_id, source, d.n_toks, filled)
+                  filled += d.n_toks
+                }
+              }
+            }
+            state.update(MixState(filled, maxSeen))
+            ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -214,4 +214,101 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     assert(empty.collect().map(_.getLong(0)).sum == 0L)
   }
+
+  // --- budgetFillStream (streaming p20) ---
+
+  import graft.streaming.StreamingCuration.{MixDoc, MixOut}
+
+  private val mixCorpus: Seq[MixDoc] = {
+    val rnd = new scala.util.Random(13)
+    (0 until 120).map(i =>
+      MixDoc(i.toLong, s"src${i % 3}", 10L + rnd.nextInt(40))
+    )
+  }
+
+  /** The semantics source of truth: greedy fill in doc_id order. */
+  private def greedy(budget: Long): Seq[MixOut] = {
+    val filled = scala.collection.mutable.Map.empty[String, Long]
+    mixCorpus.sortBy(_.doc_id).flatMap { d =>
+      val f = filled.getOrElse(d.source, 0L)
+      if (f < budget) {
+        filled(d.source) = f + d.n_toks
+        Some(MixOut(d.doc_id, d.source, d.n_toks, f))
+      } else None
+    }
+  }
+
+  private def runFill(
+      chunks: Seq[Seq[MixDoc]],
+      budget: Long,
+      name: String
+  ): Seq[MixOut] = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[MixDoc]
+    val q = StreamingCuration
+      .budgetFillStream(spark, ms.toDS(), budget)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark
+      .table(name)
+      .as[MixOut]
+      .collect()
+      .toSeq
+      .sortBy(o => (o.source, o.doc_id))
+  }
+
+  test("budget fill: any chunking of an ordered stream equals the greedy batch fill") {
+    val budget = 600L
+    val want = greedy(budget).sortBy(o => (o.source, o.doc_id))
+    assert(want.nonEmpty && want.size < mixCorpus.size) // budget bites
+    val oneShot = runFill(Seq(mixCorpus), budget, "bf_one")
+    val chunked = runFill(mixCorpus.grouped(17).toSeq, budget, "bf_chunk")
+    assert(oneShot == want)
+    assert(chunked == want)
+  }
+
+  test("budget fill: straddling doc kept, then the stratum stays closed") {
+    val out = runFill(Seq(mixCorpus), 1L, "bf_straddle")
+    // budget 1: exactly the first doc of each stratum, cum_before = 0
+    assert(out.size == 3)
+    assert(out.forall(_.cum_before == 0L))
+    // zero budget admits nothing
+    assert(runFill(Seq(mixCorpus), 0L, "bf_zero").isEmpty)
+  }
+
+  test("budget fill: redelivered rows emit nothing and never double-count") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val budget = 600L
+    val ms = MemoryStream[MixDoc]
+    val q = StreamingCuration
+      .budgetFillStream(spark, ms.toDS(), budget)
+      .writeStream
+      .format("memory")
+      .queryName("bf_redeliver")
+      .outputMode("append")
+      .start()
+    val (first, rest) = mixCorpus.splitAt(40)
+    try {
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(first); q.processAllAvailable() // source-level redelivery
+      ms.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark
+      .table("bf_redeliver")
+      .as[MixOut]
+      .collect()
+      .toSeq
+      .sortBy(o => (o.source, o.doc_id))
+    assert(got == greedy(budget).sortBy(o => (o.source, o.doc_id)))
+  }
 }
