@@ -701,12 +701,16 @@ object Dedup {
     * page — a license block, a syndicated paragraph, a memorized quote —
     * only shows up position-wise.
     *
-    * Shape: explode each doc into its word windows, aggregate once at
-    * (doc_id, window) (map-side combine collapses in-doc repeats), once at
-    * (window) to count the DISTINCT docs containing it (a count of rows at
-    * (doc,window) grain — no countDistinct pass), then join the two legs on
-    * the window key — both sides arrive partitioned by that key, so the
-    * join adds no exchange — and roll up per doc.
+    * Shape: explode each doc into its word windows, aggregate at
+    * (doc_id, window) (map-side combine collapses in-doc repeats), then
+    * count each window's DISTINCT docs as a COUNT OVER (PARTITION BY
+    * window) — a row count at the already-collapsed grain, no
+    * countDistinct pass and, deliberately, no self-join: the two-leg
+    * join form makes Catalyst re-scan and re-aggregate the whole corpus
+    * for the per-window leg (no subplan reuse) and tempts a broadcast of
+    * the full window dictionary. The doc rollup then shuffles only
+    * (doc_id, count, dup-flag) rows — the window text never crosses the
+    * final exchange.
     *
     * The window key shuffled here is the literal L-word text: exact by
     * construction (this is the correctness oracle's form). At 100 TB the
@@ -739,11 +743,9 @@ object Dedup {
     val perDocWin = wins
       .groupBy("doc_id", "win")
       .agg(count(lit(1)).as("c"))
-    val perWin = perDocWin
-      .groupBy("win")
-      .agg(count(lit(1)).as("nd"))
     val out = perDocWin
-      .join(perWin, Seq("win"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
+      .select("doc_id", "c", "nd")
       .groupBy("doc_id")
       .agg(
         sum("c").as("n_windows"),
