@@ -71,6 +71,8 @@ object CorpusStress {
       graft.pipeline.TextAnalysis.repetition(spark, d).count()
       graft.pipeline.Pii.piiScan(spark, d).count()
       graft.pipeline.Packing.tokenWindows(spark, d).count()
+      graft.pipeline.Dedup.dupSpans(spark, d).count()
+      Sampling.budgetMixQuery(spark, d).count()
     }
 
     val results = Seq(factor / 2, factor).map { f =>
@@ -108,11 +110,19 @@ object CorpusStress {
       val t17 = time("p17 token windows", rows) {
         graft.pipeline.Packing.tokenWindows(spark, dir).count()
       }
-      (f, Seq(t9j, t9r, t10, t11, t15, t16, t17))
+      val td10 = time("d10 duplicate spans", rows) {
+        graft.pipeline.Dedup.dupSpans(spark, dir).count()
+      }
+      val t20 = time("p20 budget mix", rows) {
+        Sampling.budgetMixQuery(spark, dir).count()
+      }
+      (f, Seq(t9j, t9r, t10, t11, t15, t16, t17, td10, t20))
     }
 
     val Seq((fHalf, half), (fFull, full)) = results
-    half.zip(full).zip(Seq("p9join", "p9row", "p10", "p11", "p15", "p16", "p17")).foreach {
+    half.zip(full).zip(
+      Seq("p9join", "p9row", "p10", "p11", "p15", "p16", "p17", "d10", "p20")
+    ).foreach {
       case ((h, fl), name) =>
         val perRowRatio = (fl / fFull) / (h / fHalf)
         println(f"[corpus] $name%-8s per-row cost ratio (full/half): $perRowRatio%.2f")
