@@ -213,6 +213,8 @@ object SparkEntry {
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // d10 — verbatim duplicate-span mass (exact-substring dedup signal)
     "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // k7 — product quantization codes (sampled codebook, exact-int argmin)
+    "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -301,6 +303,7 @@ object SparkEntry {
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d10_dup_spans" -> PipelineOracles.dupSpans,
+    "k7_pq_codes" -> PipelineOracles.pqCodes,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,

@@ -433,6 +433,48 @@ object PipelineOracles {
     ORDER BY vec_id, pos
   """
 
+  /** k7 — product quantization (graft.pipeline.Similarity.pqCodes):
+    * int8 codes (k6 arithmetic) split into 4 subvectors of 16; code =
+    * argmin over the sampled codebook (vec_id < 16) by exact BIGINT
+    * squared-difference distance, (dist, cid) tiebreak. DuckDB list
+    * slices are 1-based inclusive; list_sum yields HUGEINT — cast. */
+  val pqCodes: String = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    sv AS (
+      SELECT vec_id, g.s AS sub, q8[g.s*16+1 : g.s*16+16] AS sv
+      FROM q, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) g
+    ),
+    cb AS (
+      SELECT sub AS cb_sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 16
+    ),
+    d AS (
+      SELECT sv.vec_id, sv.sub, cb.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               i -> (sv.sv[i] - cb.cv[i]) * (sv.sv[i] - cb.cv[i])))
+               AS BIGINT) AS dist
+      FROM sv JOIN cb ON sv.sub = cb.cb_sub
+    ),
+    a AS (
+      SELECT vec_id, sub, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code, dist
+    FROM a WHERE rn = 1
+    ORDER BY vec_id, sub
+  """
+
   /** k3 — LSH bucket-size histogram. */
   val lshBucketStats: String = s"""
     WITH c AS (

@@ -674,4 +674,70 @@ object Similarity {
       .groupBy("n_vectors")
       .agg(count(lit(1)).as("n_buckets"))
       .orderBy("n_vectors")
+
+  /** K7 — product quantization (PQ): the compression step past scalar
+    * int8 (k6). The int8 vector splits into `subspaces` equal subvectors;
+    * each is stored as the id of its nearest codebook entry, so a D-dim
+    * vector compresses to `subspaces` small codes and asymmetric-distance
+    * search scans per-subspace lookup tables instead of vectors — the
+    * IVF-PQ layout every billion-scale ANN store uses.
+    *
+    * The codebook is the deterministic SAMPLED one: per subspace, the
+    * subvectors of the `codebookSize` lowest-vec_id vectors. That keeps
+    * codebook construction exactly replayable in the SQL oracle (k5
+    * already demonstrates trained k-means; its centroids would slot in
+    * unchanged). Assignment distance is an exact BIGINT sum of squared
+    * int8-code differences with a (dist, cid) tiebreak — bit-replayable,
+    * no FP anywhere.
+    *
+    * Scale shape: the codebook (subspaces x codebookSize subvectors) is
+    * broadcast; assignment is `groupBy(vec_id, sub).min(struct(dist,
+    * cid))` — partial-aggregable (map-side combine collapses the
+    * codebook fan-out before any shuffle), no window, no all-pairs
+    * beyond the k-entries-per-row scan any PQ encoder pays by definition.
+    */
+  def pqCodes(
+      spark: SparkSession,
+      dir: String,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val q = quantized(spark, dir).select(col("vec_id"), col("q8"))
+    val rows = q
+      .select(
+        col("vec_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, ${subspaces - 1}), " +
+              s"s -> slice(q8, s * (size(q8) DIV $subspaces) + 1, " +
+              s"size(q8) DIV $subspaces))"
+          )
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("pos").cast("long").as("sub"),
+        col("col").as("sv")
+      )
+    val codebook = rows
+      .filter(col("vec_id") < codebookSize)
+      .select(col("sub").as("cb_sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+    rows
+      .join(broadcast(codebook), col("sub") === col("cb_sub"))
+      .select(col("vec_id"), col("sub"), col("cid"), dist.as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(
+        col("vec_id"),
+        col("sub"),
+        col("m.cid").as("code"),
+        col("m.dist").as("dist")
+      )
+      .orderBy("vec_id", "sub")
+  }
 }

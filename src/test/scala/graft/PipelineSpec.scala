@@ -220,4 +220,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("nl") =!= col("ql"))
     assert(bad.count() == 0)
   }
+
+  test("pq: codebook vectors code to themselves at distance zero") {
+    val pq = Similarity.pqCodes(spark, sfDir)
+    val self = pq.filter(col("vec_id") < 16).collect()
+    assert(self.length == 16 * 4)
+    assert(self.forall(r => r.getAs[Long]("code") == r.getAs[Long]("vec_id")))
+    assert(self.forall(_.getAs[Long]("dist") == 0L))
+  }
+
+  test("pq assignment is the true argmin: chosen dist <= every codebook dist") {
+    // recompute all (vec, sub, cid) distances driver-side for a sample
+    val pq = Similarity.pqCodes(spark, sfDir)
+      .filter(col("vec_id") < 60)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("code"), r.getAs[Long]("dist"))
+      )
+      .toMap
+    val q8 = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q8"))
+      .filter(col("vec_id") < 60)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val subDim = q8.head._2.length / 4
+    def sub(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (v <- q8.keys; s <- 0 until 4) {
+      val dists = (0L until 16L)
+        .map(c => (d2(sub(q8(v), s), sub(q8(c), s)), c))
+        .sorted
+      assert(pq((v, s.toLong)) == ((dists.head._2, dists.head._1)), s"v=$v s=$s")
+    }
+  }
 }
