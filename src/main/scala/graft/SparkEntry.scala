@@ -215,6 +215,8 @@ object SparkEntry {
     "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     // k7 — product quantization codes (sampled codebook, exact-int argmin)
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
+    "k8_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -304,6 +306,7 @@ object SparkEntry {
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d10_dup_spans" -> PipelineOracles.dupSpans,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
+    "k8_knn_pq" -> PipelineOracles.knnPq,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,

@@ -438,8 +438,8 @@ object PipelineOracles {
     * argmin over the sampled codebook (vec_id < 16) by exact BIGINT
     * squared-difference distance, (dist, cid) tiebreak. DuckDB list
     * slices are 1-based inclusive; list_sum yields HUGEINT — cast. */
-  val pqCodes: String = """
-    WITH q AS (
+  private lazy val pqChain: String = """
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CASE WHEN mx = 0 THEN 0
@@ -469,10 +469,41 @@ object PipelineOracles {
              ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                 ORDER BY dist, cid) AS rn
       FROM d
-    )
+    )"""
+
+  lazy val pqCodes: String = s"""
+    WITH $pqChain
     SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code, dist
     FROM a WHERE rn = 1
     ORDER BY vec_id, sub
+  """
+
+  /** k8 — ADC search over the PQ codes: LUT = the precomputed (query
+    * subvector -> codebook entry) distances (a restriction of `d`),
+    * approximate distance = SUM of lookups selected by stored codes.
+    * All BIGINT; (adist, vec_id) tiebreak. */
+  lazy val knnPq: String = s"""
+    WITH $pqChain,
+    codes AS (SELECT vec_id, sub, cid AS code FROM a WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS qid, sub AS q_sub, cid, dist AS pdist
+      FROM d WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT qid, c.vec_id, CAST(SUM(pdist) AS BIGINT) AS adist
+      FROM codes c JOIN lut ON c.sub = lut.q_sub AND c.code = lut.cid
+      WHERE c.vec_id <> lut.qid
+      GROUP BY qid, c.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adist, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, adist
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
   """
 
   /** k3 — LSH bucket-size histogram. */

@@ -696,12 +696,15 @@ object Similarity {
     * codebook fan-out before any shuffle), no window, no all-pairs
     * beyond the k-entries-per-row scan any PQ encoder pays by definition.
     */
-  def pqCodes(
+  /** (per-vector subspace rows, per-subspace codebook) — the two legs
+    * every PQ operator composes.
+    */
+  private def pqParts(
       spark: SparkSession,
       dir: String,
-      subspaces: Int = 4,
-      codebookSize: Int = 16
-  ): DataFrame = {
+      subspaces: Int,
+      codebookSize: Int
+  ): (DataFrame, DataFrame) = {
     val q = quantized(spark, dir).select(col("vec_id"), col("q8"))
     val rows = q
       .select(
@@ -722,14 +725,32 @@ object Similarity {
     val codebook = rows
       .filter(col("vec_id") < codebookSize)
       .select(col("sub").as("cb_sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    val dist = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+    (rows, codebook)
+  }
+
+  /** Exact BIGINT squared distance between two code subvectors. */
+  private def subDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L),
       (acc, x) => acc + x
     )
+
+  def pqCodes(
+      spark: SparkSession,
+      dir: String,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
     rows
       .join(broadcast(codebook), col("sub") === col("cb_sub"))
-      .select(col("vec_id"), col("sub"), col("cid"), dist.as("dist"))
+      .select(
+        col("vec_id"),
+        col("sub"),
+        col("cid"),
+        subDist(col("sv"), col("cv")).as("dist")
+      )
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(
@@ -739,5 +760,53 @@ object Similarity {
         col("m.dist").as("dist")
       )
       .orderBy("vec_id", "sub")
+  }
+
+  /** K8 — asymmetric-distance (ADC) kNN over the PQ codes: the search
+    * half of product quantization. Each query keeps its EXACT (int8)
+    * subvectors and precomputes a per-subspace lookup table of distances
+    * to every codebook entry (`nQueries x subspaces x codebookSize` rows
+    * — hundreds, broadcast); a corpus vector's approximate distance is
+    * then the SUM of table lookups selected by its stored codes — the
+    * scan never touches vectors, only (vec_id, sub, code) rows.
+    *
+    * Plan: codes ⋈ broadcast(LUT) on (sub, code) → partial-aggregable
+    * SUM per (qid, vec_id) → per-query top-k (TakeOrderedAndProject
+    * shape). Everything BIGINT; ties break on vec_id — bit-replayable.
+    */
+  def knnPq(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
+    val codes = pqCodes(spark, dir, subspaces, codebookSize)
+      .select("vec_id", "sub", "code")
+    val lut = rows
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"), col("sv"))
+      .join(broadcast(codebook), col("q_sub") === col("cb_sub"))
+      .select(
+        col("qid"),
+        col("q_sub"),
+        col("cid"),
+        subDist(col("sv"), col("cv")).as("pdist")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    codes
+      .join(
+        broadcast(lut),
+        col("sub") === col("q_sub") && col("code") === col("cid")
+      )
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("pdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "adist")
+      .orderBy("qid", "rank")
   }
 }

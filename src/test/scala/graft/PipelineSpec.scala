@@ -256,4 +256,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pq((v, s.toLong)) == ((dists.head._2, dists.head._1)), s"v=$v s=$s")
     }
   }
+
+  test("adc knn reports the true bottom-k of the lookup-table distance") {
+    val q8 = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q8"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val subDim = q8.head._2.length / 4
+    def sub(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver-side PQ: codes then ADC distances
+    def code(v: Long, s: Int): Long =
+      (0L until 16L).map(c => (d2(sub(q8(v), s), sub(q8(c), s)), c)).min._2
+    def adist(q: Long, v: Long): Long =
+      (0 until 4).map(s => d2(sub(q8(q), s), sub(q8(code(v, s).toLong), s))).sum
+    val got = Similarity
+      .knnPq(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every reported distance decomposes exactly, and rank r's distance is
+    // the r-th smallest over the whole corpus (ties by vec_id)
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val all = q8.keys.filter(_ != q).map(v => (adist(q, v), v)).toSeq.sorted
+      rows.sortBy(_._3).zip(all.take(rows.length)).foreach {
+        case ((_, v, _, ad), (wantD, wantV)) =>
+          assert(v == wantV && ad == wantD, s"q=$q")
+      }
+    }
+  }
 }
