@@ -169,6 +169,8 @@ object SparkEntry {
     "w6_interval_join" -> (Analytics.intervalCandidates _),
     // Q16 — exact per-group quantile vector by rank selection
     "q16_length_quantiles" -> (Analytics.lengthQuantiles _),
+    // W7 — anti range join: points contained in no interval
+    "w7_window_orphans" -> (Analytics.windowOrphans _),
     // d4 runs over the SEEDED harness corpus (exact-angle twin vectors) so
     // the exact-all-pairs oracle has non-empty ground truth to recover
     "d4_embedding_neardup" -> ((s, d) =>
@@ -279,6 +281,7 @@ object SparkEntry {
     "q15_price_median" -> AnalyticsOracles.priceMedian,
     "w6_interval_join" -> AnalyticsOracles.intervalCandidates,
     "q16_length_quantiles" -> AnalyticsOracles.lengthQuantiles,
+    "w7_window_orphans" -> AnalyticsOracles.windowOrphans,
     "d4_embedding_neardup" -> PipelineOracles.embeddingNearDup,
     "p1_text_quality" -> PipelineOracles.quality,
     "p2_langid_confusion" -> PipelineOracles.langIdConfusion,

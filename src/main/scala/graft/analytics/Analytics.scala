@@ -445,6 +445,45 @@ object Analytics {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** W7 — window ORPHANS: clicks that precede no purchase of their user
+    * within the attribution horizon (w6's anti mode — the rows a
+    * multi-touch model can never credit; in a curation pipeline the same
+    * shape is "rows outside every window" decontamination). Identical
+    * binned plan with a left_anti join — the range predicate rides the
+    * join condition, and the not-exists semantics come from the join
+    * type, not a distinct/except pass.
+    */
+  def windowOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us")
+      )
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        (unix_micros(col("ts")) - lit(86400000000L)).as("win_lo"),
+        unix_micros(col("ts")).as("win_hi")
+      )
+    RangeJoin
+      .joinRange(
+        clicks,
+        purchases,
+        Seq("user_id"),
+        pointTime = "click_us",
+        lo = "win_lo",
+        hi = "win_hi",
+        binWidth = 6L * 3600L * 1000000L,
+        mode = "anti"
+      )
+      .select("user_id", "click_id", "click_us")
+      .orderBy("click_id")
+  }
+
   /** Exact per-group quantile VECTOR by rank selection — q15's median
     * generalized to arbitrary quantiles in one pass. Type-1 (lower)
     * empirical quantiles: the value at rank `ceil(q·n)` under a total

@@ -48,6 +48,15 @@ object RangeJoin {
   private def floorDiv(name: String, w: Long): Column =
     expr(s"(`$name` - ((`$name` % $w) + $w) % $w) DIV $w")
 
+  /** `mode`: "inner" (all matching pairs), "leftouter" (every point
+    * survives; interval columns null when no window contains it), "anti"
+    * (points contained in NO interval — the orphan/decontamination
+    * shape). The outer/anti forms ride the same binned equality: the
+    * range predicate moves INTO the join condition (a post-join filter
+    * would eat the null rows), and since a point owns exactly one bin, a
+    * qualifying pair is still tested exactly once — no dedup, and
+    * left-outer emits exactly one null row for an unmatched point.
+    */
   def joinRange(
       points: DataFrame,
       intervals: DataFrame,
@@ -56,10 +65,15 @@ object RangeJoin {
       lo: String,
       hi: String,
       binWidth: Long,
-      halfOpen: Boolean = true
+      halfOpen: Boolean = true,
+      mode: String = "inner"
   ): DataFrame = {
     require(key.nonEmpty, "range join needs at least one key column")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(
+      Set("inner", "leftouter", "anti").contains(mode),
+      s"unsupported mode: $mode"
+    )
     val clashes = points.columns.toSeq
       .filterNot(key.contains)
       .intersect(intervals.columns.toSeq.filterNot(key.contains))
@@ -85,6 +99,35 @@ object RangeJoin {
     val refine =
       if (halfOpen) col(pointTime) >= col(lo) && col(pointTime) < col(hi)
       else col(pointTime) >= col(lo) && col(pointTime) <= col(hi)
-    p.join(i, key :+ "__bin", "inner").filter(refine).drop("__bin")
+    mode match {
+      case "inner" =>
+        p.join(i, key :+ "__bin", "inner").filter(refine).drop("__bin")
+      case _ =>
+        val pa = p.as("p")
+        val ia = i.as("i")
+        val cond = (key :+ "__bin")
+          .map(c => col(s"p.`$c`") === col(s"i.`$c`"))
+          .reduce(_ && _) &&
+          {
+            val t = col(s"p.`$pointTime`")
+            val bound =
+              if (halfOpen) t < col(s"i.`$hi`") else t <= col(s"i.`$hi`")
+            t >= col(s"i.`$lo`") && bound
+          }
+        if (mode == "anti")
+          pa.join(ia, cond, "left_anti").drop("__bin")
+        else {
+          val iPayload =
+            intervals.columns.toSeq.filterNot(c => key.contains(c))
+          pa.join(ia, cond, "left_outer")
+            .select(
+              key.map(c => col(s"p.`$c`").as(c)) ++
+                points.columns.toSeq
+                  .filterNot(key.contains)
+                  .map(c => col(s"p.`$c`").as(c)) ++
+                iPayload.map(c => col(s"i.`$c`").as(c)): _*
+            )
+        }
+    }
   }
 }

@@ -278,6 +278,27 @@ object AnalyticsOracles {
     ORDER BY p.purchase_id, c.click_id
   """
 
+  // w7 — the anti form: NOT EXISTS over the same inequality
+  val windowOrphans: String = """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.click_id, c.click_us
+    FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id
+        AND c.click_us >= p.pus - 86400000000
+        AND c.click_us < p.pus
+    )
+    ORDER BY c.click_id
+  """
+
   // DuckDB has a native ASOF JOIN; the Spark side re-expresses it as a
   // union + ordered running window (AsOf.joinAsOf) — same inclusive (>=)
   // pick-latest semantics, deterministic because (user_id, ts) is unique

@@ -168,6 +168,63 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("clash"))
   }
 
+  test("anti mode is exactly points-minus-matched; leftouter keeps every point") {
+    val rnd = new Random(99)
+    val p = (0 until 150).map(n =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(300).toLong, n.toLong)
+    )
+    val i = (0 until 40).map { n =>
+      val lo = rnd.nextInt(300).toLong
+      (rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(50).toLong, n.toLong)
+    }
+    val matched = naive(p, i, halfOpen = true).map(_._1)
+    val anti = RangeJoin
+      .joinRange(
+        points(p: _*),
+        intervals(i: _*),
+        Seq("k"),
+        "t",
+        "lo",
+        "hi",
+        16L,
+        halfOpen = true,
+        mode = "anti"
+      )
+      .select("pid")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(anti == p.map(_._3).toSet -- matched)
+
+    val outer = RangeJoin
+      .joinRange(
+        points(p: _*),
+        intervals(i: _*),
+        Seq("k"),
+        "t",
+        "lo",
+        "hi",
+        16L,
+        halfOpen = true,
+        mode = "leftouter"
+      )
+    val rows = outer.collect()
+    // every point appears; unmatched points appear exactly once with null
+    // interval payload; matched pairs equal the inner set
+    assert(rows.map(_.getLong(rows.head.fieldIndex("pid"))).toSet == p.map(_._3).toSet)
+    val nullRows = rows.filter(_.isNullAt(rows.head.fieldIndex("iid")))
+    assert(nullRows.map(_.getLong(rows.head.fieldIndex("pid"))).toSet ==
+      p.map(_._3).toSet -- matched)
+    val pairRows = rows
+      .filterNot(_.isNullAt(rows.head.fieldIndex("iid")))
+      .map(r =>
+        (r.getLong(rows.head.fieldIndex("pid")),
+         r.getLong(rows.head.fieldIndex("iid")))
+      )
+      .toSet
+    assert(pairRows == naive(p, i, halfOpen = true))
+  }
+
   test("plan is an equi-join on (key, bin) — no nested-loop join") {
     val plan = RangeJoin
       .joinRange(
