@@ -408,7 +408,17 @@ object Analytics {
     * broadcast or AQE-skew-split, never the BroadcastNestedLoopJoin a raw
     * inequality join degenerates to.
     */
-  def intervalCandidates(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared w6/w7 prep: (clicks as points, purchase windows as
+    * intervals) — ONE definition of the attribution horizon and bin
+    * width, so the inner (w6) and anti (w7) forms cannot drift apart.
+    */
+  private val attributionHorizonUs = 86400000000L // 24 h
+  private val attributionBinUs = 6L * 3600L * 1000000L // 6 h
+
+  private def clicksAndWindows(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) = {
     val ev = ActionLog.normalizedEvents(spark, dir)
     val clicks = ev
       .filter(col("event_type") === "click")
@@ -422,9 +432,14 @@ object Analytics {
       .select(
         col("user_id"),
         col("event_id").as("purchase_id"),
-        (unix_micros(col("ts")) - lit(86400000000L)).as("win_lo"),
+        (unix_micros(col("ts")) - lit(attributionHorizonUs)).as("win_lo"),
         unix_micros(col("ts")).as("win_hi")
       )
+    (clicks, purchases)
+  }
+
+  def intervalCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = clicksAndWindows(spark, dir)
     RangeJoin
       .joinRange(
         clicks,
@@ -433,7 +448,7 @@ object Analytics {
         pointTime = "click_us",
         lo = "win_lo",
         hi = "win_hi",
-        binWidth = 6L * 3600L * 1000000L
+        binWidth = attributionBinUs
       )
       .select(
         col("user_id"),
@@ -454,30 +469,16 @@ object Analytics {
     * type, not a distinct/except pass.
     */
   def windowOrphans(spark: SparkSession, dir: String): DataFrame = {
-    val ev = ActionLog.normalizedEvents(spark, dir)
-    val clicks = ev
-      .filter(col("event_type") === "click")
-      .select(
-        col("user_id"),
-        col("event_id").as("click_id"),
-        unix_micros(col("ts")).as("click_us")
-      )
-    val purchases = ev
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("user_id"),
-        (unix_micros(col("ts")) - lit(86400000000L)).as("win_lo"),
-        unix_micros(col("ts")).as("win_hi")
-      )
+    val (clicks, purchases) = clicksAndWindows(spark, dir)
     RangeJoin
       .joinRange(
         clicks,
-        purchases,
+        purchases.drop("purchase_id"),
         Seq("user_id"),
         pointTime = "click_us",
         lo = "win_lo",
         hi = "win_hi",
-        binWidth = 6L * 3600L * 1000000L,
+        binWidth = attributionBinUs,
         mode = "anti"
       )
       .select("user_id", "click_id", "click_us")
@@ -510,9 +511,12 @@ object Analytics {
       quantiles.forall { case (n, d, _) => n > 0 && n <= d },
       "quantiles must satisfy 0 < num <= den"
     )
+    // nulls LAST to match the oracle dialect: DuckDB sorts nulls last
+    // under ASC, Spark first — on nullable value columns the rank picks
+    // would silently diverge (and a low quantile could report null)
     val w = Window
       .partitionBy(group.map(col): _*)
-      .orderBy(col(value), col(tie))
+      .orderBy(col(value).asc_nulls_last, col(tie))
     val g = Window.partitionBy(group.map(col): _*)
     def rank(num: Int, den: Int): Column =
       expr(s"(cnt * $num + ${den - 1}) DIV $den")

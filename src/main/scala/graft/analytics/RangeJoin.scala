@@ -81,6 +81,11 @@ object RangeJoin {
       clashes.isEmpty,
       s"point/interval payload columns clash: ${clashes.mkString(",")}"
     )
+    // withColumn would silently OVERWRITE a caller's __bin on either side
+    require(
+      !points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not carry a __bin column (internal bin key)"
+    )
 
     val p = points.withColumn("__bin", floorDiv(pointTime, binWidth))
     // hi < lo can match nothing, but unguarded `sequence` would DESCEND

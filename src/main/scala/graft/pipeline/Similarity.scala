@@ -736,13 +736,11 @@ object Similarity {
       (acc, x) => acc + x
     )
 
-  def pqCodes(
-      spark: SparkSession,
-      dir: String,
-      subspaces: Int = 4,
-      codebookSize: Int = 16
-  ): DataFrame = {
-    val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
+  /** Argmin code assignment over pre-built (rows, codebook) legs — shared
+    * by [[pqCodes]] and [[knnPq]] so the quantize/explode pipeline is
+    * constructed once per query (Catalyst does no subplan reuse).
+    */
+  private def codesFrom(rows: DataFrame, codebook: DataFrame): DataFrame =
     rows
       .join(broadcast(codebook), col("sub") === col("cb_sub"))
       .select(
@@ -759,7 +757,15 @@ object Similarity {
         col("m.cid").as("code"),
         col("m.dist").as("dist")
       )
-      .orderBy("vec_id", "sub")
+
+  def pqCodes(
+      spark: SparkSession,
+      dir: String,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
+    codesFrom(rows, codebook).orderBy("vec_id", "sub")
   }
 
   /** K8 — asymmetric-distance (ADC) kNN over the PQ codes: the search
@@ -783,8 +789,7 @@ object Similarity {
       codebookSize: Int = 16
   ): DataFrame = {
     val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
-    val codes = pqCodes(spark, dir, subspaces, codebookSize)
-      .select("vec_id", "sub", "code")
+    val codes = codesFrom(rows, codebook).select("vec_id", "sub", "code")
     val lut = rows
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("sub").as("q_sub"), col("sv"))

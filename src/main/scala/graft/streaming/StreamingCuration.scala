@@ -134,9 +134,15 @@ object StreamingCuration {
     * budget; crash recovery is exact anyway because state rolls back with
     * the offsets (T2). Within a micro-batch the iterator is sorted by
     * doc_id, so any chunking of an ordered stream yields the same
-    * manifest (spec'd). `ttl` arms processing-time eviction for
-    * long-dormant strata (a closed stratum's state is two longs — keeping
-    * it forever is also fine).
+    * manifest (spec'd). `ttl` arms processing-time eviction for DORMANT
+    * OPEN strata only: a closed stratum (budget spent) is deliberately
+    * kept forever — evicting it would silently reopen its budget on a
+    * late arrival, and its state is two longs. Evicting an open stratum
+    * forgets its partial fill, so a post-eviction arrival can overshoot
+    * by up to one budget and redelivered rows older than the eviction
+    * re-emit — the guarantees above hold within the TTL horizon; with
+    * `ttl = None` (the default) they are unconditional. State is bounded
+    * by the stratum count either way.
     */
   def budgetFillStream(
       spark: SparkSession,
@@ -154,7 +160,11 @@ object StreamingCuration {
       .flatMapGroupsWithState[MixState, MixOut](OutputMode.Append(), timeout) {
         (source: String, ds: Iterator[MixDoc], state: GroupState[MixState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // evict only OPEN strata: forgetting a spent budget would
+            // reopen it; a closed stratum's two longs stay forever
+            if (state.getOption.exists(_.filled >= budgetTokens))
+              ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            else state.remove()
             Iterator.empty
           } else {
             val prior = state.getOption.getOrElse(MixState(0L, Long.MinValue))
