@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -169,6 +171,78 @@ object StreamingReplicator {
       val part = dir.resolve(s"topic=$t").resolve(s"bucket=$b")
       if (Files.exists(part)) deleteRecursively(part)
     }
+  }
+
+  /** Store MAINTENANCE: compact the small files incremental ingest
+    * accumulates. Every micro-batch's dynamic partition overwrite rewrites
+    * each touched `(topic, bucket)` partition as fresh file(s), so a hot
+    * bucket ingesting across many batches collects many small parquet
+    * files — the canonical operational failure of incremental sinks at
+    * 100 TB (namenode/listing metadata pressure, seek-bound scans). The
+    * reference's Cassandra compacts SSTables for exactly this reason; a
+    * parquet store needs the job run explicitly (on Delta/Iceberg this is
+    * OPTIMIZE / rewrite_data_files).
+    *
+    * Only partitions whose file count exceeds `maxFiles` are touched:
+    * their rows are read back (partition-pruned), re-sorted on the
+    * replay key, and rewritten via the SAME dynamic-partition-overwrite
+    * path ingest uses — one file per partition afterwards, row-identical
+    * data, untouched partitions never opened (spec'd byte-identical).
+    * Safe to run between batches; a crash mid-compaction leaves standard
+    * dynamic-overwrite semantics (the partition has either old or new
+    * files, both row-identical). Returns per-table compacted-partition
+    * counts (zero = already compact; idempotent).
+    */
+  def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      maxFiles: Int = 4
+  ): Map[String, Int] = {
+    import org.apache.spark.sql.functions.col
+    Seq("journal", "metajournal").map { table =>
+      val dir = Paths.get(storeDir, table)
+      val over: Seq[(String, Int)] =
+        if (!Files.exists(dir)) Seq.empty
+        else {
+          val parts = Files.list(dir).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("topic="))
+            .flatMap { t =>
+              Files.list(t).iterator().asScala
+                .filter(p => p.getFileName.toString.startsWith("bucket="))
+            }
+            .toSeq
+          parts.flatMap { p =>
+            val nFiles = Files.list(p).iterator().asScala.count { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+            }
+            if (nFiles > maxFiles) {
+              val topic = p.getParent.getFileName.toString.stripPrefix("topic=")
+              val bucket =
+                p.getFileName.toString.stripPrefix("bucket=").toInt
+              Some((topic, bucket))
+            } else None
+          }
+        }
+      if (over.nonEmpty) {
+        val pred = over
+          .map { case (t, b) => col("topic") === t && col("bucket") === b }
+          .reduce(_ || _)
+        val m = spark.read
+          .parquet(dir.toString)
+          .filter(pred)
+          .localCheckpoint(true)
+          // one task owns all rows of a partition value => one output file
+          .repartition(col("topic"), col("bucket"))
+          .sortWithinPartitions("id")
+        m.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("topic", "bucket")
+          .parquet(dir.toString)
+      }
+      table -> over.size
+    }.toMap
   }
 
   /** Assembles the store from its on-disk layout (bucketed journal +
