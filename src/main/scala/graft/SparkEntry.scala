@@ -219,6 +219,8 @@ object SparkEntry {
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
     "k8_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
+    // k9 — IVF-PQ: cell-pruned ADC search (the billion-scale layout)
+    "k9_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -310,6 +312,7 @@ object SparkEntry {
     "d10_dup_spans" -> PipelineOracles.dupSpans,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
+    "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,

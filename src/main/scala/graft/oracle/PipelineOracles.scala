@@ -506,6 +506,39 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** k9 — IVF-PQ: the k8 ADC search restricted to the query's coarse
+    * cell (label). */
+  lazy val knnIvfPq: String = s"""
+    WITH $pqChain,
+    codes AS (
+      SELECT a.vec_id, a.sub, a.cid AS code, e.label
+      FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+      WHERE a.rn = 1
+    ),
+    lut AS (
+      SELECT d.vec_id AS qid, d.sub AS q_sub, d.cid, d.dist AS pdist,
+             e.label AS qlabel
+      FROM d JOIN embeddings e ON d.vec_id = e.vec_id
+      WHERE d.vec_id < 10
+    ),
+    scored AS (
+      SELECT qid, c.vec_id, CAST(SUM(pdist) AS BIGINT) AS adist
+      FROM codes c JOIN lut
+        ON c.sub = lut.q_sub AND c.code = lut.cid AND c.label = lut.qlabel
+      WHERE c.vec_id <> lut.qid
+      GROUP BY qid, c.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adist, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, adist
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** k3 — LSH bucket-size histogram. */
   val lshBucketStats: String = s"""
     WITH c AS (

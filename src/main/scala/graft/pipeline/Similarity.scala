@@ -814,4 +814,59 @@ object Similarity {
       .select("qid", "vec_id", "rank", "adist")
       .orderBy("qid", "rank")
   }
+
+  /** K9 — IVF-PQ, the composed billion-scale ANN layout: coarse cells
+    * (`label`, the trained-quantizer stand-in k2 probes) partition the
+    * corpus; within the probed cell, ranking runs on ADC lookup distance
+    * over the PQ codes (k8). Both reductions compound at 10⁹ vectors —
+    * the cell prune cuts the candidate scan to corpus/nCells rows, and
+    * ADC cuts each comparison to `subspaces` table lookups on
+    * 16x-compressed codes; vectors stay in cold storage. In a store the
+    * codes table is PARTITIONED BY cell (the k5 index-persistence layout
+    * — `writeIvfIndex`), so the probe is file-level partition pruning.
+    * Same exact-BIGINT arithmetic as k7/k8 — the oracle hash-replays the
+    * whole composed search.
+    */
+  def knnIvfPq(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val (rows, codebook) = pqParts(spark, dir, subspaces, codebookSize)
+    val labels = emb(spark, dir).select(col("vec_id"), col("label"))
+    val codes = codesFrom(rows, codebook)
+      .select("vec_id", "sub", "code")
+      .join(labels, "vec_id")
+    val lut = rows
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub").as("q_sub"), col("sv"))
+      .join(broadcast(codebook), col("q_sub") === col("cb_sub"))
+      .select(
+        col("qid"),
+        col("q_sub"),
+        col("cid"),
+        subDist(col("sv"), col("cv")).as("pdist")
+      )
+      .join(
+        broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))),
+        "qid"
+      )
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    codes
+      .join(
+        broadcast(lut),
+        col("sub") === col("q_sub") && col("code") === col("cid") &&
+          col("label") === col("qlabel")
+      )
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("pdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "adist")
+      .orderBy("qid", "rank")
+  }
 }

@@ -289,4 +289,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("ivf-pq is exactly the adc search restricted to the query's cell") {
+    val base = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        col("label"),
+        Similarity.quantize(col("embedding")).as("q8")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2).toArray))
+      .toMap
+    val subDim = base.head._2._2.length / 4
+    def sub(v: Array[Long], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Long, s: Int): Long =
+      (0L until 16L).map(c => (d2(sub(base(v)._2, s), sub(base(c)._2, s)), c)).min._2
+    def adist(q: Long, v: Long): Long =
+      (0 until 4)
+        .map(s => d2(sub(base(q)._2, s), sub(base(code(v, s).toLong)._2, s)))
+        .sum
+    val got = Similarity
+      .knnIvfPq(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val cell = base(q)._1
+      val want = base.keys
+        .filter(v => v != q && base(v)._1 == cell)
+        .map(v => (adist(q, v), v))
+        .toSeq
+        .sorted
+      rows.sortBy(_._3).zip(want.take(rows.length)).foreach {
+        case ((_, v, _, ad), (wantD, wantV)) =>
+          assert(v == wantV && ad == wantD, s"q=$q cell=$cell")
+      }
+    }
+  }
 }
