@@ -56,6 +56,21 @@ object IngestStress {
     )
     val store = StreamingReplicator.readStore(spark, dir)
     println(s"[ingest] final journal rows: ${store.journal.count()}")
+
+    // maintenance leg: after N batches the hot partitions hold up to N
+    // files each; compaction must be bounded by the hot-partition volume
+    // (and a second run must find nothing to do)
+    val t0 = System.nanoTime()
+    val compacted = StreamingReplicator.compactStore(spark, dir, maxFiles = 1)
+    val cSec = (System.nanoTime() - t0) / 1e9
+    println(
+      f"[ingest] compaction: $cSec%.2f s, partitions " +
+        s"${compacted("journal")} journal / ${compacted("metajournal")} meta"
+    )
+    val again = StreamingReplicator.compactStore(spark, dir, maxFiles = 1)
+    println(s"[ingest] recompaction (must be 0): ${again.values.sum}")
+    val after = StreamingReplicator.readStore(spark, dir)
+    println(s"[ingest] post-compaction journal rows: ${after.journal.count()}")
     spark.stop()
   }
 
