@@ -123,6 +123,59 @@ class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("kmv inside a watermarked event-time window aggregation (append mode)") {
+    // the T5 composition: the sketch's buffers must survive windowed
+    // state (append output, watermark-driven eviction) and each CLOSED
+    // window's sketch must equal the batch computation over its rows
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // two 1-minute windows of data, then a far-future row to close them
+    val winA = Seq.tabulate(400)(i =>
+      (ts(0), s"g${i % 3}", math.abs(rnd.nextLong()) % 1000000007L))
+    val winB = Seq.tabulate(400)(i =>
+      (ts(1), s"g${i % 3}", math.abs(rnd.nextLong()) % 1000000007L))
+    val closer = Seq((ts(60), "g0", 1L))
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = ms
+      .toDS()
+      .toDF("ts", "g", "hv")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("g"))
+      .agg(kmvMinHashes(col("hv"), 32).as("mins"))
+      .writeStream
+      .format("memory")
+      .queryName("kmv_win")
+      .outputMode("append")
+      .start()
+    try {
+      Seq(winA, winB, closer).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark
+      .table("kmv_win")
+      .select(col("window.start").cast("long").as("w"), col("g"), col("mins"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    // both 1-minute windows are past the watermark -> emitted exactly once
+    val batch = (winA ++ winB).toDF("ts", "g", "hv")
+      .groupBy(window(col("ts"), "1 minute"), col("g"))
+      .agg(kmvMinHashes(col("hv"), 32).as("mins"))
+      .select(col("window.start").cast("long").as("w"), col("g"), col("mins"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    assert(got.keySet == batch.keySet)
+    assert(got == batch)
+  }
+
   test("estimator sanity on the corpus: real estimate, bounded error") {
     val out = graft.pipeline.TextAnalysis
       .distinctSketch(spark, sfDir)
