@@ -73,6 +73,35 @@ object SkewStress {
     time("headinfo_single_task")(HeadInfo.perJournal(spark, rows).count())
     time("headinfo_salted")(
       HeadInfo.perJournalSalted(spark, rows, chunkSize = 100000L).count())
+
+    // range-join skew: ONE hot key owns most points AND most intervals.
+    // The binned plan's claim is that skew is ordinary equi-join skew —
+    // AQE splits the hot (key, bin) bucket like any other. points spread
+    // across bins (they carry distinct times), so the worst cell is
+    // hot-key x one-bin, not hot-key x everything.
+    val nPts = hotRows / 4
+    val pts = spark
+      .range(nPts)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000)
+          .as("k"),
+        (col("id") * 13L % 1000000L).as("t"),
+        col("id").as("pid")
+      )
+    val ivs = spark
+      .range(nPts / 50)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000)
+          .as("k"),
+        (col("id") * 37L % 1000000L).as("lo"),
+        (col("id") * 37L % 1000000L + 500L).as("hi"),
+        col("id").as("iid")
+      )
+    time("range_join_skewed")(
+      graft.analytics.RangeJoin
+        .joinRange(pts, ivs, Seq("k"), "t", "lo", "hi", binWidth = 1000L)
+        .count()
+    )
     spark.stop()
   }
 }
