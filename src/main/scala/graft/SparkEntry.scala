@@ -191,6 +191,9 @@ object SparkEntry {
     // p20 — token-budget data mixing (budgets, not rates; manifest nests)
     "p20_budget_mix" -> ((s, d) =>
       graft.pipeline.Sampling.budgetMixQuery(s, d)),
+    // p21 — shuffled sequence packing (hash-permuted pack order)
+    "p21_shuffled_windows" -> ((s, d) =>
+      graft.pipeline.Packing.shuffledTokenWindows(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
@@ -294,6 +297,7 @@ object SparkEntry {
     "p9_decontamination" -> PipelineOracles.contaminationScan,
     "p10_weighted_sample" -> PipelineOracles.weightedSample,
     "p20_budget_mix" -> PipelineOracles.budgetMix,
+    "p21_shuffled_windows" -> PipelineOracles.shuffledTokenWindows,
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,

@@ -760,6 +760,35 @@ object PipelineOracles {
     ORDER BY source, take_rank
   """
 
+  /** p21 — shuffled sequence packing (graft.pipeline.Packing
+    * .shuffledTokenWindows): the oracle runs the ONE-level global cumsum
+    * over the hash-permuted order (pri, doc_id) directly — the Spark
+    * side's two-level pri-quantized-bucket prefix must compose to
+    * exactly this. */
+  val shuffledTokenWindows: String = s"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_toks,
+             (${charHash(
+      "'graft-pack:doc:' || CAST(doc_id AS VARCHAR)"
+    )} * 6364136223) % 1000000007 % 1000000 AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, pri, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, pri, n_toks, start_tok,
+           start_tok // 512 AS first_window,
+           (start_tok + n_toks - 1) // 512 AS last_window
+    FROM c
+    ORDER BY doc_id
+  """
+
   /** p11 — deterministic output sharding (graft.pipeline.Sampling
     * .shardAssignment, 32 shards): per-shard doc count + summed BPE-ish
     * token total, shard = finalized poly_hash("graft-shard::doc_id")

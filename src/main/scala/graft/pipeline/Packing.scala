@@ -78,4 +78,74 @@ object Packing {
       )
       .orderBy("doc_id")
   }
+
+  /** P21 — SHUFFLED sequence packing: the p17 manifest under a
+    * deterministic hash permutation of the corpus (training pipelines
+    * pack a shuffled doc order, not doc_id order — adjacent ids are
+    * usually same-source/same-crawl, and a window spanning doc
+    * boundaries should mix sources). The permutation is the finalized
+    * hash gate (reproducible across layouts/retries; reshuffling =
+    * changing `salt`), and the scalable prefix sum generalizes: the
+    * two-level trick needs buckets CONTIGUOUS IN THE ORDER, so buckets
+    * quantize the gate value itself (`pri DIV (granularity/nBuckets)` —
+    * monotone in the sort order (pri, doc_id)) instead of the doc_id
+    * range. Same shape as p17 otherwise: bucket totals aggregate
+    * map-side, the ONE ordered window runs over bucket rows, per-doc
+    * starts come from a keyed window. The gate is uniform, so buckets
+    * balance regardless of corpus id layout.
+    */
+  def shuffledTokenWindows(
+      spark: SparkSession,
+      dir: String,
+      windowTokens: Long = 512L,
+      nBuckets: Long = 64L,
+      salt: String = "graft-pack"
+  ): DataFrame = {
+    val granularity = 1000000L
+    val d = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_toks")
+      )
+      .withColumn(
+        "pri",
+        graft.pipeline.Sampling
+          .gate(salt, lit("doc"), col("doc_id"), granularity)
+      )
+      .withColumn("bkt", expr(s"pri DIV ${granularity / nBuckets}"))
+
+    val bktOffsets = d
+      .groupBy("bkt")
+      .agg(sum("n_toks").as("bt"))
+      .withColumn(
+        "bkt_off",
+        coalesce(
+          sum("bt").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select("bkt", "bkt_off")
+
+    val inBkt = Window
+      .partitionBy("bkt")
+      .orderBy("pri", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(bktOffsets), Seq("bkt"))
+      .withColumn(
+        "start_tok",
+        col("bkt_off") + coalesce(sum("n_toks").over(inBkt), lit(0L))
+      )
+      .select(
+        col("doc_id"),
+        col("pri"),
+        col("n_toks"),
+        col("start_tok"),
+        expr(s"start_tok DIV $windowTokens").as("first_window"),
+        expr(s"(start_tok + n_toks - 1) DIV $windowTokens").as("last_window")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -125,6 +125,30 @@ class MixQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("shuffled packing: salts permute the order but preserve the stream") {
+    val sfDir = "/root/testdata/sf0.001"
+    def manifest(salt: String) = graft.pipeline.Packing
+      .shuffledTokenWindows(spark, sfDir, salt = salt)
+      .select("doc_id", "n_toks", "start_tok")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = manifest("graft-pack")
+    val b = manifest("graft-pack-2")
+    // same docs, same per-doc token counts, same total stream length
+    assert(a.map(x => (x._1, x._2)).toSet == b.map(x => (x._1, x._2)).toSet)
+    assert(
+      a.map(x => x._2 + x._3).max == b.map(x => x._2 + x._3).max
+    )
+    // the permutation is real: offsets differ between salts
+    assert(a.map(x => (x._1, x._3)).toSet != b.map(x => (x._1, x._3)).toSet)
+    // starts are a dense exact packing: sorted starts tile the stream
+    val sorted = a.sortBy(_._3)
+    sorted.sliding(2).foreach {
+      case Array((_, t1, s1), (_, _, s2)) => assert(s1 + t1 == s2)
+      case _                              => ()
+    }
+  }
+
   test("group quantiles: singleton group reports its only value everywhere") {
     val sp = spark
     import sp.implicits._
