@@ -83,9 +83,17 @@ object AsOf {
       ): _*
     )
 
+    // The trailing __r key is a deterministic tiebreak: with DUPLICATE
+    // right rows at the same (key, rightTime), (__t, __side) alone leaves
+    // their relative order to the (unstable) shuffle layout, and last()
+    // would match a layout-dependent payload. Ordering the ties by the
+    // payload struct itself (lexicographic; nulls — the left rows — sort
+    // first within their side) makes the match the MAX payload among the
+    // tied right rows, on every run. Rows tied on all three keys are
+    // byte-identical, so any pick is the same pick.
     val w = Window
       .partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val keyCols: Seq[Column] = key.map(col)

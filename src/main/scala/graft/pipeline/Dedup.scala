@@ -431,12 +431,10 @@ object Dedup {
       .select("a", "b")
       .distinct()
     val near = verifyJaccard(cand, shOld.unionByName(shNew), threshold)
-    shOld.unpersist(false)
-    shNew.unpersist(false)
     val nearOnly = near
       .select(col("b").as("new_id"), col("a").as("old_id"), col("jaccard"))
       .join(exact, Seq("new_id", "old_id"), "left_anti")
-    exact
+    val result = exact
       .select(
         col("new_id"),
         col("old_id"),
@@ -452,6 +450,9 @@ object Dedup {
         )
       )
       .orderBy("new_id", "old_id")
+    // materialize BEFORE unpersisting — an unpersist on the still-lazy
+    // result would drop the cache before it ever served a read
+    Eager.materialized(result, shOld, shNew)
   }
 
   /** Persist the dedup index of a corpus — the tables the NEXT
@@ -531,11 +532,10 @@ object Dedup {
       spark.read.parquet(s"$indexDir/shingles").unionByName(shNew),
       threshold
     )
-    shNew.unpersist(false)
     val nearOnly = near
       .select(col("b").as("new_id"), col("a").as("old_id"), col("jaccard"))
       .join(exact, Seq("new_id", "old_id"), "left_anti")
-    exact
+    val result = exact
       .select(
         col("new_id"),
         col("old_id"),
@@ -551,6 +551,7 @@ object Dedup {
         )
       )
       .orderBy("new_id", "old_id")
+    Eager.materialized(result, shNew)
   }
 
   /** The canonical d9 corpus split: the top 20% of doc_ids play the new

@@ -851,7 +851,14 @@ object Similarity {
         subDist(col("sv"), col("cv")).as("pdist")
       )
       .join(
-        broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))),
+        // Bound to the query set BEFORE the broadcast: `labels` is
+        // corpus-sized (10⁹ rows at scale) but the join key set here is
+        // at most `nQueries` — only those rows may cross to executors.
+        broadcast(
+          labels
+            .filter(col("vec_id") < nQueries)
+            .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        ),
         "qid"
       )
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))

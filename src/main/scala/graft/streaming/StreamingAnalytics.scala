@@ -210,7 +210,9 @@ object StreamingAnalytics {
     *     outside `lookback + watermark` are evicted by Spark itself.
     *
     * Both sides must carry event-time columns; the time-range condition
-    * (`p_ts - lookback <= c_ts <= p_ts`) is what lets Spark bound the
+    * (`p_ts - lookback <= c_ts < p_ts`, half-open like batch w6 so the
+    * two candidate surfaces share one tie semantics) is what lets Spark
+    * bound the
     * join state — an unconstrained stream-stream join would buffer
     * forever. Inner join: purchases with no in-window click drop (the
     * candidate-set consumer outer-joins against purchases if it needs
@@ -228,7 +230,10 @@ object StreamingAnalytics {
         clicks.withWatermark("c_ts", watermark),
         expr(
           s"user_id = c_user AND " +
-            s"c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"
+            // half-open upper bound — the SAME tie semantics as the batch
+            // w6 interval join (click strictly before the purchase), so
+            // the two candidate surfaces agree on boundary rows
+            s"c_ts >= p_ts - INTERVAL $lookback AND c_ts < p_ts"
         )
       )
       .select(

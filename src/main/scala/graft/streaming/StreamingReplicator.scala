@@ -201,18 +201,24 @@ object StreamingReplicator {
     import org.apache.spark.sql.functions.col
     Seq("journal", "metajournal").map { table =>
       val dir = Paths.get(storeDir, table)
+      // Files.list streams hold a directory handle until closed — drain
+      // each eagerly or repeated maintenance runs leak file descriptors
+      def children(p: Path): Seq[Path] = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq
+        finally s.close()
+      }
       val over: Seq[(String, Int)] =
         if (!Files.exists(dir)) Seq.empty
         else {
-          val parts = Files.list(dir).iterator().asScala
+          val parts = children(dir)
             .filter(p => p.getFileName.toString.startsWith("topic="))
             .flatMap { t =>
-              Files.list(t).iterator().asScala
+              children(t)
                 .filter(p => p.getFileName.toString.startsWith("bucket="))
             }
-            .toSeq
           parts.flatMap { p =>
-            val nFiles = Files.list(p).iterator().asScala.count { f =>
+            val nFiles = children(p).count { f =>
               val n = f.getFileName.toString
               n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
             }

@@ -329,4 +329,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("ivf-pq plan never broadcasts the unfiltered corpus") {
+    // At 10⁹ vectors any broadcast whose input is the whole embeddings
+    // table is a scale-killer. Disable size-based auto-broadcast so the
+    // only BroadcastExchanges left are the ones knnIvfPq *hints* — each
+    // must scan embeddings under a pushed vec_id bound (query set or
+    // codebook prefix), never the bare corpus.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.knnIvfPq(spark, sfDir)
+      val broadcasts = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(broadcasts.nonEmpty)
+      broadcasts.foreach { b =>
+        val sub = b.child.toString
+        if (sub.contains("embeddings")) {
+          assert(
+            sub.contains("LessThan(vec_id"),
+            s"broadcast subtree scans embeddings without a vec_id bound:\n$sub"
+          )
+        }
+      }
+      // and the bounded plan still produces the oracle-checked result
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
