@@ -713,19 +713,31 @@ object Dedup {
     * (doc_id, count, dup-flag) rows — the window text never crosses the
     * final exchange.
     *
-    * The window key shuffled here is the literal L-word text: exact by
-    * construction (this is the correctness oracle's form). At 100 TB the
-    * drop-in replacement is a 128-bit fingerprint (two independent portable
-    * poly-hashes of the window), which cuts shuffle width ~8x and makes a
-    * cross-corpus collision vanishingly unlikely (~1e-18 per pair) without
-    * changing the plan shape; the string form stays the reference
-    * semantics.
+    * The window key shuffled is, by default, the literal L-word text:
+    * exact by construction (this is the correctness oracle's form). With
+    * `fingerprint = true` the key becomes a dual independent portable
+    * poly-hash of the window (two coprime base/modulus pairs, ~2⁶⁰ joint
+    * space packed in one 16-byte struct) computed in the codegen'd
+    * [[graft.functions.PolyHash]] pass — the 100 TB form: it cuts the
+    * shuffled key from the L-word string (~80 B at L=10) to 16 B and
+    * makes a cross-corpus collision vanishingly unlikely (~1e-18 per
+    * pair) without changing the plan shape or any downstream column. The
+    * PipelineSpec law pins the two forms row-identical on the
+    * test corpus (collision-free there by construction); the canonical
+    * d10 query runs the text form because the fingerprint is
+    * xxhash-free but still not expressible as the oracle's exact
+    * window-text semantics.
     *
     * Docs shorter than L words have no windows and drop out (n_windows = 0
     * rows carry no signal). `dup_frac` is one IEEE division of two exact
     * BIGINTs — oracle-replayable.
     */
-  def dupSpans(spark: SparkSession, dir: String, spanWords: Int = 10): DataFrame = {
+  def dupSpans(
+      spark: SparkSession,
+      dir: String,
+      spanWords: Int = 10,
+      fingerprint: Boolean = false
+  ): DataFrame = {
     val wins = docs(spark, dir)
       .select(
         col("doc_id"),
@@ -741,7 +753,17 @@ object Dedup {
           )
         ).as("win")
       )
-    val perDocWin = wins
+    val keyed =
+      if (!fingerprint) wins
+      else
+        wins.select(
+          col("doc_id"),
+          struct(
+            graft.functions.PolyHash.polyHash(col("win"), 31L, 1000000007L).as("h1"),
+            graft.functions.PolyHash.polyHash(col("win"), 131L, 998244353L).as("h2")
+          ).as("win")
+        )
+    val perDocWin = keyed
       .groupBy("doc_id", "win")
       .agg(count(lit(1)).as("c"))
     val out = perDocWin

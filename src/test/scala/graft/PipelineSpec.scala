@@ -330,6 +330,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d10 fingerprint shuffle is row-identical to the window-text form") {
+    // the 100 TB form shuffles a 16-byte dual poly-hash struct instead of
+    // the L-word window text; on this corpus (collision-free by
+    // construction) every output row must be bit-identical
+    def rows(fp: Boolean) = Dedup
+      .dupSpans(spark, sfDir, fingerprint = fp)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))
+      )
+      .toSeq
+    val text = rows(fp = false)
+    val hashed = rows(fp = true)
+    assert(text.nonEmpty)
+    assert(hashed == text)
+  }
+
   test("ivf-pq plan never broadcasts the unfiltered corpus") {
     // At 10⁹ vectors any broadcast whose input is the whole embeddings
     // table is a scale-killer. Disable size-based auto-broadcast so the
