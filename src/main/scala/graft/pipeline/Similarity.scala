@@ -292,10 +292,29 @@ object Similarity {
       out: String,
       kCentroids: Int = 16,
       iters: Int = 3
+  ): Unit =
+    writeIvfIndexOf(
+      spark,
+      emb(spark, dir).select("vec_id", "embedding"),
+      out,
+      kCentroids,
+      iters
+    )
+
+  /** [[writeIvfIndex]] over an explicit (vec_id, embedding) corpus — the
+    * form the incremental lifecycle needs (train on the initial ingest,
+    * then [[appendToIvfIndex]] daily batches).
+    */
+  def writeIvfIndexOf(
+      spark: SparkSession,
+      vectors: DataFrame,
+      out: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
   ): Unit = {
     import spark.implicits._
     val corpus = withNorm(
-      emb(spark, dir).select("vec_id", "embedding"),
+      vectors.select("vec_id", "embedding"),
       "embedding",
       "nrm"
     ).cache()
@@ -308,6 +327,48 @@ object Similarity {
       .partitionBy("cid")
       .parquet(s"$out/vectors")
     corpus.unpersist(false)
+  }
+
+  /** Incremental index maintenance — the ANN-plane counterpart of the d9
+    * dedup lifecycle (train once, ingest daily): assigns `newVectors`
+    * (vec_id, embedding) to the STORED centroids — no retraining, the
+    * quantizer is the index's identity — and APPENDS them into the
+    * cid-partitioned vectors table. Assignment is the same row-local
+    * projection as the initial build (centroids are a bounded
+    * kCentroids×dim driver constant), so an append touches only the new
+    * batch: nothing corpus-sized is re-read, re-hashed, or rewritten —
+    * existing cell files stay byte-identical (spec-checked) and the new
+    * batch lands as additional files inside its cells' partitions.
+    *
+    * Laws (IndexStoreSpec): append is batch-insensitive — two appends ≡
+    * one append of the union, searches bit-identical — and complete: a
+    * probe-all [[knnIvfIndexed]] over (initial ∪ appended) equals
+    * [[knnBruteForce]] over the union corpus, because cell assignment
+    * partitions the corpus whatever the centroids are.
+    *
+    * Caller contract: vec_ids in `newVectors` must be new (an id already
+    * in the index would rank twice — dedup upstream is d9's job), and the
+    * embedding column must carry the index's element type/dimension.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      newVectors: DataFrame,
+      indexDir: String
+  ): Unit = {
+    val centroids: Seq[(Int, Seq[Double])] = spark.read
+      .parquet(s"$indexDir/centroids")
+      .collect() // bounded: kCentroids × dim
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+      .toSeq
+    val withN =
+      withNorm(newVectors.select("vec_id", "embedding"), "embedding", "nrm")
+    assignCells(withN, centroids)
+      .select("vec_id", "embedding", "nrm", "cid")
+      .write
+      .mode("append")
+      .partitionBy("cid")
+      .parquet(s"$indexDir/vectors")
   }
 
   /** IVF kNN over a PERSISTED index ([[writeIvfIndex]]) — no training at

@@ -75,6 +75,69 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex == inMemory)
   }
 
+  test("incremental append: old files untouched, batch-insensitive, probe-all complete") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val idxA = Files.createTempDirectory("graft-ivf-append-a").toString
+    val idxB = Files.createTempDirectory("graft-ivf-append-b").toString
+    val all = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val split = all.agg(max("vec_id")).head().getLong(0) * 4L / 5L
+    val initial = all.filter(col("vec_id") <= split)
+    val batch = all.filter(col("vec_id") > split)
+
+    def files(root: String): Set[(String, Long)] = {
+      val s = Files.walk(Paths.get(root))
+      try s
+        .iterator()
+        .asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (Paths.get(root).relativize(p).toString, Files.size(p)))
+        .toSet
+      finally s.close()
+    }
+    def search(idx: String, nprobe: Int = 2) = Similarity
+      .knnIvfIndexed(spark, sfDir, idx, nprobe = nprobe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    // append assigns to the STORED centroids and only ADDS files: every
+    // pre-append file survives byte-identical (name + size), nothing
+    // corpus-sized is rewritten
+    Similarity.writeIvfIndexOf(spark, initial, idxA)
+    val before = files(s"$idxA/vectors")
+    Similarity.appendToIvfIndex(spark, batch, idxA)
+    val after = files(s"$idxA/vectors")
+    assert(before.subsetOf(after), "append rewrote existing cell files")
+    assert(after.size > before.size)
+
+    // batch-insensitive: training is deterministic on the initial corpus,
+    // so idxB carries the SAME centroids; the union appended in ONE batch
+    // must search bit-identically to the two-batch index
+    Similarity.writeIvfIndexOf(spark, initial, idxB)
+    val vecDir = Paths.get(idxB, "vectors")
+    val w = Files.walk(vecDir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .iterator()
+      .asScala
+      .foreach(Files.delete)
+    finally w.close()
+    Similarity.appendToIvfIndex(spark, all, idxB)
+    assert(search(idxA) == search(idxB))
+
+    // complete: assignment partitions the corpus whatever the centroids,
+    // so probing every cell of the appended index IS brute force over the
+    // union — bit-equal sims, same ranking
+    val brute = Similarity
+      .knnBruteForce(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(search(idxA, nprobe = 16) == brute)
+  }
+
   test("query-time scan prunes to the probed cells' partitions") {
     val tmp = Files.createTempDirectory("graft-ivf-prune").toString
     Similarity.writeIvfIndex(spark, sfDir, tmp)
