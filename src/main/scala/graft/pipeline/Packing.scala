@@ -17,33 +17,44 @@ import org.apache.spark.sql.functions._
   *
   *   1. contiguous id-range buckets (`doc_id DIV bucketSize`) aggregate
   *      their token totals — map-side combined, one bounded shuffle
-  *   2. bucket offsets = running sum over the AGGREGATED bucket rows
-  *      (corpus/bucketSize rows of 16 bytes — the only ordered window,
-  *      at 10⁹ docs that is ~10⁷ tiny rows; a third level folds it again
-  *      if ever needed)
+  *   2. bucket offsets = running sum over the AGGREGATED bucket rows —
+  *      the only ordered window, and its size is GRANULARITY-CONTROLLED
+  *      (see below), not corpus-controlled
   *   3. each doc's start = its bucket's offset + the within-bucket
   *      running sum (keyed window, fully parallel)
   *
-  * Exactness vs the global cumsum is the oracle's check (DuckDB runs the
-  * one-level form directly — bucketing by CONTIGUOUS ranges makes the
-  * two-level composition exact, not approximate).
+  * Granularity scales with the corpus: by default (`bucketSize = 0`) the
+  * bucket width is derived from the row count so the bucket table stays
+  * ~[[Packing.TargetBucketRows]] rows (10⁴–10⁵ band) at ANY corpus size —
+  * at 10⁹ docs the single-task ordered window sorts ~3×10⁴ 16-byte rows,
+  * not 10⁷ as a fixed width would give. The bucket-offset join is
+  * broadcast only while the bucket table is provably small
+  * ([[Packing.BroadcastBucketLimit]]); an explicit tiny width on a huge
+  * corpus falls back to a shuffle join instead of a multi-GB broadcast.
+  * Exactness is granularity-INDEPENDENT (bucketing by contiguous ranges
+  * makes the two-level composition exact, not approximate): the oracle
+  * runs the one-level global cumsum in DuckDB, and MixQuantileSpec
+  * re-checks the law at two non-default granularities.
   */
 object Packing {
 
-  def tokenWindows(
-      spark: SparkSession,
-      dir: String,
-      windowTokens: Long = 512L,
-      bucketSize: Long = 64L
-  ): DataFrame = {
-    val d = spark.read
-      .parquet(s"$dir/documents.parquet")
-      .select(
-        col("doc_id"),
-        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_toks")
-      )
-      .withColumn("bkt", expr(s"doc_id DIV $bucketSize"))
+  /** Target size of the bucket-offset table — the one ordered window runs
+    * over ~this many 16-byte rows whatever the corpus count.
+    */
+  val TargetBucketRows = 32768L
 
+  /** Above this many bucket rows the offsets join stops hinting broadcast
+    * (≈64 MB of (bkt, bkt_off) pairs) and lets the planner shuffle-join.
+    */
+  val BroadcastBucketLimit = 1L << 22
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1L) / b
+
+  /** Running sum over the aggregated bucket rows + offsets join, with the
+    * broadcast hint dropped once the bucket table outgrows
+    * [[BroadcastBucketLimit]].
+    */
+  private def withBucketOffsets(d: DataFrame, bucketRows: Long): DataFrame = {
     val bktOffsets = d
       .groupBy("bkt")
       .agg(sum("n_toks").as("bt"))
@@ -57,12 +68,36 @@ object Packing {
         )
       )
       .select("bkt", "bkt_off")
+    if (bucketRows <= BroadcastBucketLimit)
+      d.join(broadcast(bktOffsets), Seq("bkt"))
+    else d.join(bktOffsets, Seq("bkt"))
+  }
+
+  def tokenWindows(
+      spark: SparkSession,
+      dir: String,
+      windowTokens: Long = 512L,
+      bucketSize: Long = 0L
+  ): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // row count from the parquet footers (no column read) — sizes the
+    // bucket width so the offset table stays in the target band
+    val n = docs.count()
+    val bs =
+      if (bucketSize > 0L) bucketSize
+      else math.max(64L, ceilDiv(n, TargetBucketRows))
+    val d = docs
+      .select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_toks")
+      )
+      .withColumn("bkt", expr(s"doc_id DIV $bs"))
 
     val inBkt = Window
       .partitionBy("bkt")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    d.join(broadcast(bktOffsets), Seq("bkt"))
+    withBucketOffsets(d, ceilDiv(math.max(n, 1L), bs))
       .withColumn(
         "start_tok",
         col("bkt_off") + coalesce(sum("n_toks").over(inBkt), lit(0L))
@@ -92,18 +127,24 @@ object Packing {
     * range. Same shape as p17 otherwise: bucket totals aggregate
     * map-side, the ONE ordered window runs over bucket rows, per-doc
     * starts come from a keyed window. The gate is uniform, so buckets
-    * balance regardless of corpus id layout.
+    * balance regardless of corpus id layout — and `nBuckets = 0` (the
+    * default) scales the count with the corpus exactly like p17's width
+    * derivation, capped by the gate granularity.
     */
   def shuffledTokenWindows(
       spark: SparkSession,
       dir: String,
       windowTokens: Long = 512L,
-      nBuckets: Long = 64L,
+      nBuckets: Long = 0L,
       salt: String = "graft-pack"
   ): DataFrame = {
     val granularity = 1000000L
-    val d = spark.read
-      .parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val nb =
+      if (nBuckets > 0L) math.min(nBuckets, granularity)
+      else math.min(granularity, math.max(64L, ceilDiv(n, TargetBucketRows)))
+    val d = docs
       .select(
         col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_toks")
@@ -113,27 +154,13 @@ object Packing {
         graft.pipeline.Sampling
           .gate(salt, lit("doc"), col("doc_id"), granularity)
       )
-      .withColumn("bkt", expr(s"pri DIV ${granularity / nBuckets}"))
-
-    val bktOffsets = d
-      .groupBy("bkt")
-      .agg(sum("n_toks").as("bt"))
-      .withColumn(
-        "bkt_off",
-        coalesce(
-          sum("bt").over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-          ),
-          lit(0L)
-        )
-      )
-      .select("bkt", "bkt_off")
+      .withColumn("bkt", expr(s"pri DIV ${granularity / nb}"))
 
     val inBkt = Window
       .partitionBy("bkt")
       .orderBy("pri", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    d.join(broadcast(bktOffsets), Seq("bkt"))
+    withBucketOffsets(d, nb)
       .withColumn(
         "start_tok",
         col("bkt_off") + coalesce(sum("n_toks").over(inBkt), lit(0L))

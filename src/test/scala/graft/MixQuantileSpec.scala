@@ -165,4 +165,39 @@ class MixQuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getLong(1) == 1L) // n_rows
     assert(out(0).getLong(2) == 42L && out(0).getLong(3) == 42L)
   }
+
+  test("packing two-level prefix sum is granularity-independent = one-level cumsum") {
+    val sfDir = "/root/testdata/sf0.001"
+    def p17(bs: Long) = graft.pipeline.Packing
+      .tokenWindows(spark, sfDir, bucketSize = bs)
+      .select("doc_id", "n_toks", "start_tok")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // one-level reference: the global cumsum in doc_id order, driver-side
+    val base = p17(64L)
+    var acc = 0L
+    val starts = base.sortBy(_._1).map { case (id, t, _) =>
+      val s = acc; acc += t; (id, s)
+    }.toMap
+    assert(base.forall { case (id, _, s) => starts(id) == s })
+    // two other granularities, including the scale-aware default (0)
+    assert(p17(7L) == base)
+    assert(p17(0L) == base)
+
+    def p21(nb: Long) = graft.pipeline.Packing
+      .shuffledTokenWindows(spark, sfDir, nBuckets = nb)
+      .select("doc_id", "pri", "n_toks", "start_tok")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val sBase = p21(64L)
+    var acc2 = 0L
+    val sStarts = sBase.sortBy(r => (r._2, r._1)).map { case (id, _, t, _) =>
+      val s = acc2; acc2 += t; (id, s)
+    }.toMap
+    assert(sBase.forall { case (id, _, _, s) => sStarts(id) == s })
+    assert(p21(13L) == sBase)
+    assert(p21(0L) == sBase)
+  }
 }
