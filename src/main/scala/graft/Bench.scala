@@ -47,7 +47,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log-tail artifact truncates long runs, hiding the
+    // alphabetically-first queries' timings; persist the full line so
+    // round-over-round comparison never depends on tail luck
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8")
+    )
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

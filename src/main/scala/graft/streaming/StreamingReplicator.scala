@@ -64,6 +64,17 @@ object StreamingReplicator {
     * missing `current/` never silently bootstraps an empty store
     * ([[recoverCurrent]]) — that would let the offset guard discard all
     * previously replicated state, breaking exactly-once.
+    *
+    * Isolation contract (SINGLE WRITER assumed — the reference's
+    * equivalent lock is CassandraSync; two concurrent appliers would race
+    * the rename pair): a reader resolving the store through
+    * [[recoverCurrent]] at ANY point of the swap sees exactly one
+    * committed generation — the old one until `current/` is moved aside,
+    * the new one after — never an uncommitted, partial, or mixed
+    * pointer2 (ReplicatorSpec walks every intermediate on-disk state).
+    * On Delta/Iceberg this paragraph is the table format's snapshot
+    * isolation; here it is the pair of atomic directory renames around
+    * the `_COMMITTED` marker.
     */
   def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col

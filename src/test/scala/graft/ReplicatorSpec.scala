@@ -334,4 +334,102 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.values.sum == 0)
     a.unpersist()
   }
+
+  test("generation swap isolation: every reader-visible state is exactly one committed generation") {
+    // The swap protocol's isolation contract, demonstrated state by state:
+    // applyBatch (single writer — the store's concurrency assumption)
+    // passes through four on-disk states between two committed
+    // generations, and a reader (readStore → recoverCurrent, the repair
+    // path every reader takes) lands on EXACTLY the old or the new
+    // committed pointer2 at each of them — never an uncommitted, partial,
+    // or mixed generation.
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+
+    def copyTree(src: Path, dst: Path): Unit = {
+      val s = Files.walk(src)
+      try s.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      finally s.close()
+    }
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator()
+        .asScala
+        .foreach(Files.delete)
+      finally s.close()
+    }
+
+    val tmp = Files.createTempDirectory("graft-swap-iso")
+    val Seq(c1, c2) = chunks(actions, 2)
+    StreamingReplicator.applyBatch(spark, tmp.toString, c1)
+    def p2Rows(dir: String): Seq[String] =
+      StreamingReplicator
+        .readStore(spark, dir)
+        .pointer2
+        .collect()
+        .map(_.mkString("|"))
+        .sorted
+        .toSeq
+    val oldRows = p2Rows(tmp.toString)
+
+    // reference: batch 2 fully applied (journal/metajournal overwrite
+    // precedes the swap in the real protocol, so the mid-swap states
+    // below carry the POST-batch tables — faithful reconstruction)
+    val ref = Files.createTempDirectory("graft-swap-ref")
+    copyTree(tmp, ref)
+    StreamingReplicator.applyBatch(spark, ref.toString, c2)
+    val newRows = p2Rows(ref.toString)
+    assert(oldRows != newRows, "fixture: batch 2 must move the pointer")
+
+    // builds a store frozen at one protocol state; `build` arranges the
+    // generation dirs from oldGen (= batch-1 current) and newGen
+    def state(build: (Path, Path, Path) => Unit): Seq[String] = {
+      val d = Files.createTempDirectory("graft-swap-state")
+      copyTree(ref, d)
+      deleteTree(d.resolve("current"))
+      val oldGen = tmp.resolve("current")
+      val newGen = ref.resolve("current")
+      build(d, oldGen, newGen)
+      p2Rows(d.toString)
+    }
+
+    // S1 — next generation written, no _COMMITTED marker yet: the reader
+    // must IGNORE it (uncommitted) and stay on the old generation
+    val s1 = state { (d, oldGen, newGen) =>
+      copyTree(oldGen, d.resolve("current"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
+    }
+    assert(s1 == oldRows)
+
+    // S2 — marker exists but current/ not yet moved aside: current wins
+    // (the committed-but-unadopted gen is superseded garbage; a crash
+    // here redelivers the batch and the idempotent merge re-applies)
+    val s2 = state { (d, oldGen, newGen) =>
+      copyTree(oldGen, d.resolve("current"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
+      Files.createFile(Paths.get(s"$d/gen-1/_COMMITTED"))
+    }
+    assert(s2 == oldRows)
+
+    // S3 — mid-swap: current moved to old-*, committed gen not yet
+    // adopted. The reader adopts the committed generation — new rows
+    val s3 = state { (d, oldGen, newGen) =>
+      copyTree(oldGen, d.resolve("old-2"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
+      Files.createFile(Paths.get(s"$d/gen-1/_COMMITTED"))
+    }
+    assert(s3 == newRows)
+
+    // S4 — adopted but the superseded old-* not yet swept: new rows
+    val s4 = state { (d, oldGen, newGen) =>
+      copyTree(newGen, d.resolve("current"))
+      copyTree(oldGen, d.resolve("old-2"))
+    }
+    assert(s4 == newRows)
+  }
 }
