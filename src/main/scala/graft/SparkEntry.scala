@@ -206,10 +206,11 @@ object SparkEntry {
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "p14_curation_full" -> ((s, d) =>
       graft.pipeline.Curation.curateFull(s, d)),
-    // k5 has NO oracleSql entry (float k-means is not portably SQL
-    // replayable): driver records rows-only; laws live in PipelineSpec
+    // k5 runs the EXACT-INTEGER trained quantizer (fixed-point cosine
+    // key, SUM-DIV-count means) so training itself is oracle-replayable;
+    // the float variant keeps its law specs in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
-      graft.pipeline.Similarity.knnIvfTrained(s, d)),
+      graft.pipeline.Similarity.knnIvfTrainedExact(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
@@ -323,11 +324,11 @@ object SparkEntry {
     "k2_knn_ivf" -> PipelineOracles.knnIvf,
     "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
+    "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
-    // every query EXCEPT k5_knn_ivf_trained has a DuckDB oracle (the
-    // dedup/LSH operators hash with portable exact-integer arithmetic
-    // both engines replay); k5 is rows-only by design — float k-means is
-    // not portably replayable, its laws live in PipelineSpec
+    // EVERY query now has a DuckDB oracle: the dedup/LSH operators hash
+    // with portable exact-integer arithmetic, and k5's trained quantizer
+    // runs in fixed-point BIGINT so even its k-means training replays
   )
 }

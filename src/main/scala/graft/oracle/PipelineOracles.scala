@@ -433,6 +433,119 @@ object PipelineOracles {
     ORDER BY vec_id, pos
   """
 
+  /** One Lloyd's iteration of the exact-integer spherical k-means
+    * (graft.pipeline.Similarity.trainCentroidsExact): assignment by the
+    * fixed-point cosine key (sign(dot)·dot²·2²⁰ // ‖c‖², ties → lowest
+    * cid), re-estimation SUM // COUNT per (cid, pos), empty cells keep
+    * the previous centroid. `n` is the iteration index: reads c{n},
+    * emits c{n+1}; the assignment CTEs a{n} are reused by the final
+    * search pass.
+    */
+  private def kmeansIter(n: Int): String = s"""
+    d$n AS (
+      SELECT k.vec_id, c.cid, CAST(SUM(k.code * c.code) AS BIGINT) AS dot
+      FROM icodes k JOIN c$n c ON k.pos = c.pos
+      GROUP BY k.vec_id, c.cid),
+    cn$n AS (
+      SELECT cid, CAST(SUM(code * code) AS BIGINT) AS n2c
+      FROM c$n GROUP BY cid),
+    s$n AS (
+      SELECT d.vec_id, d.cid,
+             CASE WHEN cn.n2c = 0 THEN 0
+                  WHEN d.dot >= 0 THEN (d.dot * d.dot * 1048576) // cn.n2c
+                  ELSE -((d.dot * d.dot * 1048576) // cn.n2c) END AS skey
+      FROM d$n d JOIN cn$n cn USING (cid)),
+    a$n AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY skey DESC, cid) AS rn
+        FROM s$n) WHERE rn = 1),
+    m$n AS (
+      SELECT a.cid, k.pos,
+             CAST(SUM(k.code) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS code
+      FROM icodes k JOIN a$n a USING (vec_id)
+      GROUP BY a.cid, k.pos),
+    c${n + 1} AS (
+      SELECT c.cid, c.pos, COALESCE(m.code, c.code) AS code
+      FROM c$n c LEFT JOIN m$n m ON c.cid = m.cid AND c.pos = m.pos)"""
+
+  /** k5 — IVF search with the EXACT-INTEGER trained quantizer
+    * (graft.pipeline.Similarity.knnIvfTrainedExact): k6 quantization →
+    * three unrolled integer spherical k-means iterations (seeded from
+    * the 16 lowest vec_ids, bit-replayable — every step is BIGINT
+    * +−× and truncating //) → per-query nprobe=2 cell probe → members
+    * ranked by the same fixed-point cosine key, ties to vec_id.
+    */
+  lazy val knnIvfTrained: String = s"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    icodes AS (
+      SELECT vec_id, g.i - 1 AS pos, q8[g.i] AS code
+      FROM q, LATERAL (
+        SELECT unnest(generate_series(1, len(q8))) AS i) g
+    ),
+    iv2 AS (
+      SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS n2
+      FROM icodes GROUP BY vec_id
+    ),
+    seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM icodes ORDER BY vec_id LIMIT 16)
+    ),
+    c0 AS (
+      SELECT s.cid, k.pos, k.code FROM seed s JOIN icodes k USING (vec_id)
+    ),
+    ${kmeansIter(0)},
+    ${kmeansIter(1)},
+    ${kmeansIter(2)},
+    ${kmeansIter(3)},
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY skey DESC, cid) AS rn
+        FROM s3 WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
+      WHERE a.vec_id <> p.qid
+    ),
+    pd AS (
+      SELECT c.qid, c.vec_id,
+             CAST(SUM(kq.code * kv.code) AS BIGINT) AS dot
+      FROM cand c
+      JOIN icodes kq ON kq.vec_id = c.qid
+      JOIN icodes kv ON kv.vec_id = c.vec_id AND kv.pos = kq.pos
+      GROUP BY c.qid, c.vec_id
+    ),
+    ps AS (
+      SELECT pd.qid, pd.vec_id,
+             CASE WHEN v.n2 = 0 THEN 0
+                  WHEN pd.dot >= 0 THEN (pd.dot * pd.dot * 1048576) // v.n2
+                  ELSE -((pd.dot * pd.dot * 1048576) // v.n2) END AS score
+      FROM pd JOIN iv2 v ON v.vec_id = pd.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM ps
+    )
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** k7 — product quantization (graft.pipeline.Similarity.pqCodes):
     * int8 codes (k6 arithmetic) split into 4 subvectors of 16; code =
     * argmin over the sampled codebook (vec_id < 16) by exact BIGINT

@@ -276,6 +276,167 @@ object Similarity {
     Eager.materialized(out, corpus)
   }
 
+  /** Fixed-point scale of the integer cosine key: within one query (or
+    * one code row, for assignment) cosine ordering is the ordering of
+    * sign(dot)·dot²/‖other‖² — the query-side norm is a common positive
+    * factor — so the key is that rational truncated to 2²⁰ fixed-point,
+    * entirely in BIGINT: |dot| ≤ 64·127² ≈ 1.03e6, so dot²·2²⁰ ≤ 1.2e18
+    * < 2⁶³. Truncation only coarsens ties, and ties break on cid/vec_id
+    * deterministically in BOTH engines — bit-replayable.
+    */
+  private val CosKeyScale = 1L << 20
+
+  /** sign(dot)·((dot²·2²⁰) DIV nrm2) with the zero-norm guard — `div` is
+    * truncating integer division in Spark (IntegralDivide) and DuckDB
+    * (`//`) alike, including on negatives.
+    */
+  private def cosKey(dot: Column, nrm2: Column): Column = {
+    val mag = call_function("div", dot * dot * lit(CosKeyScale), nrm2)
+    when(nrm2 === 0L, lit(0L))
+      .otherwise(when(dot >= 0L, mag).otherwise(-mag))
+  }
+
+  private def dotL(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+
+  /** Per-centroid (skey, −cid) structs against a row's integer codes —
+    * the exact-arithmetic kernel of [[trainCentroidsExact]]: the
+    * fixed-point cosine key against each centroid (scale-invariant, like
+    * the float [[cellSims]]), struct max = highest key with ties to the
+    * LOWEST cid.
+    */
+  private def cellScoresInt(
+      e: Column,
+      centroids: Seq[(Int, Seq[Long])]
+  ): Seq[Column] =
+    centroids.map { case (cid, c) =>
+      val nrm2 = c.map(x => x * x).sum
+      struct(
+        cosKey(dotL(e, typedLit(c)), lit(nrm2)).as("skey"),
+        lit(-cid.toLong).as("negCid")
+      )
+    }
+
+  /** Row-local nearest-centroid assignment on integer codes (`q8`) — the
+    * exact analog of [[assignCells]]: centroids are a bounded driver
+    * constant, the argmax is `greatest` over (skey, −cid) structs, zero
+    * shuffle per pass.
+    */
+  private def assignCellsInt(
+      codes: DataFrame,
+      centroids: Seq[(Int, Seq[Long])]
+  ): DataFrame = {
+    val ds = cellScoresInt(col("q8"), centroids)
+    val best = if (ds.size == 1) ds.head else greatest(ds: _*)
+    codes.withColumn("cid", -best.getField("negCid"))
+  }
+
+  /** EXACT-INTEGER spherical k-means (Lloyd's) over the int8 codes: same
+    * seeding, assignment geometry (cosine argmax — scale-invariant, so
+    * the per-vector quantization scales cancel) and iteration structure
+    * as [[trainCentroids]], but every quantity is a BIGINT — the cosine
+    * comparisons run on the fixed-point [[cosKey]] and centroid
+    * re-estimation is `SUM DIV count` (truncating integer division,
+    * identical in Spark and DuckDB) instead of a float mean. Nothing
+    * transcendental, nothing order-sensitive: the whole training run is
+    * bit-replayable in the SQL oracle, which is the point — the float
+    * variant's training (k5) can only ever be law-spec'd. Empty cells
+    * keep their previous centroid. Same shuffle shape as the float form:
+    * per iteration one row-local assignment + one (cid, pos)-keyed
+    * partial-aggregated shuffle, driver state bounded at kCentroids×dim
+    * longs.
+    */
+  def trainCentroidsExact(
+      codes: DataFrame,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Seq[(Int, Seq[Long])] = {
+    var centroids: Seq[(Int, Seq[Long])] = codes
+      .orderBy("vec_id")
+      .limit(kCentroids)
+      .select("q8")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](0).toSeq }
+      .toSeq
+    var it = 0
+    while (it < iters) {
+      val means = assignCellsInt(codes, centroids)
+        .select(col("cid"), posexplode(col("q8")))
+        .groupBy("cid", "pos")
+        .agg(expr("sum(col) DIV count(1)").as("v"))
+        .collect() // bounded: kCentroids × dim rows
+        .groupBy(_.getLong(0).toInt)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      centroids = centroids.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** K5 — IVF search with the EXACT-INTEGER trained quantizer: the same
+    * train → probe-nprobe-cells → score-members shape as
+    * [[knnIvfTrained]], with every number a BIGINT (codes from the k6
+    * quantization, ranking on the fixed-point cosine key with ties to
+    * vec_id). The whole pipeline — training included — replays
+    * bit-for-bit in DuckDB, so this variant carries the k5 hash oracle;
+    * the float-cosine variant remains for callers that want unquantized
+    * similarity and keeps its law specs. Recall vs float brute-force
+    * cosine is measured in PipelineSpec (the key is scale-invariant and
+    * monotone in cosine up to 2⁻²⁰ truncation, so the integer ranking
+    * tracks the float one).
+    */
+  def knnIvfTrainedExact(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
+    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val assigned = assignCellsInt(codes, centroids)
+    val probes = codes
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("q8").as("q"),
+        explode(
+          slice(
+            sort_array(
+              array(cellScoresInt(col("q8"), centroids): _*),
+              asc = false
+            ),
+            1,
+            nprobe
+          )
+        ).as("probe")
+      )
+      .select(col("qid"), col("q"), (-col("probe.negCid")).as("cid"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
+          .as("score")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "score")
+      .orderBy("qid", "rank")
+    Eager.materialized(out, codes)
+  }
+
   /** Persist the trained IVF index — the train-once/query-many lifecycle
     * of a production vector index: `$out/centroids` (the kCentroids×dim
     * quantizer, tiny) and `$out/vectors` (vec_id, embedding, nrm)

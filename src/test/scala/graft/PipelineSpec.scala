@@ -330,6 +330,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-integer trained ivf: probe-all = integer brute force, recall tracks float") {
+    // ground truth: driver-side integer brute force over the q8 codes
+    val q8 = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q8"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    // the fixed-point cosine key, replayed driver-side: within a query,
+    // cosine order = order of sign(dot)·dot²·2²⁰ DIV ‖v‖² (query norm is
+    // a common positive factor; truncation only coarsens ties)
+    def key(q: Array[Long], v: Array[Long]): Long = {
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      if (n2 == 0L) 0L
+      else {
+        val m = dot * dot * (1L << 20) / n2
+        if (dot >= 0L) m else -m
+      }
+    }
+    def bruteInt(q: Long, k: Int): Seq[Long] =
+      q8.keys.filter(_ != q).map(v => (-key(q8(q), q8(v)), v)).toSeq.sorted
+        .take(k).map(_._2)
+
+    // probing every cell IS integer brute force (assignment partitions
+    // the corpus whatever the centroids) — exact rows, scores included
+    val all = Similarity
+      .knnIvfTrainedExact(spark, sfDir, nprobe = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(all.nonEmpty)
+    all.groupBy(_._1).foreach { case (q, rows) =>
+      val want = bruteInt(q, rows.length)
+      rows.sortBy(_._3).map(_._2).zip(want).foreach { case (got, exp) =>
+        assert(got == exp, s"q=$q")
+      }
+      rows.foreach { case (_, v, _, s) => assert(s == key(q8(q), q8(v))) }
+    }
+
+    // recall floor at the canonical nprobe=2, against FLOAT brute cosine —
+    // the same gate the float variant carries; measured values land in
+    // NOTES for the k5 oracle-graduation decision
+    val bruteCos = Similarity
+      .knnBruteForce(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallOf(rows: Array[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val hits = bruteCos.toSeq.map { case (q, want) =>
+        byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }
+      hits.sum / hits.size
+    }
+    val intRecall = recallOf(
+      Similarity
+        .knnIvfTrainedExact(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    )
+    val floatRecall = recallOf(
+      Similarity
+        .knnIvfTrained(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    )
+    info(f"recall@5 vs float brute cosine: int=$intRecall%.3f float=$floatRecall%.3f")
+    assert(intRecall >= 0.5)
+  }
+
   test("d10 fingerprint shuffle is row-identical to the window-text form") {
     // the 100 TB form shuffles a 16-byte dual poly-hash struct instead of
     // the L-word window text; on this corpus (collision-free by
