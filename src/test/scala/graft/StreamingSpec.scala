@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -196,5 +196,150 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0)
     assert(want.exceptAll(got).count() == 0)
+  }
+
+  private val horizonUs = 86400000000L // the w6 attribution horizon (24 h)
+  private val binUs = 6L * 3600L * 1000000L
+
+  private def tsOf(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L
+      )
+    )
+
+  final case class Pt(c_user: Long, click_id: Long, c_ts: java.sql.Timestamp)
+  final case class Iv(
+      p_user: Long,
+      purchase_id: Long,
+      win_lo: java.sql.Timestamp,
+      win_hi: java.sql.Timestamp
+  )
+
+  test("streaming range join over chunks equals the batch w6 binned join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = ActionLog.normalizedEvents(spark, sfDir).cache()
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us")
+      )
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        (unix_micros(col("ts")) - lit(horizonUs)).as("win_lo"),
+        unix_micros(col("ts")).as("win_hi")
+      )
+    val pts = clicks
+      .collect()
+      .map(r => Pt(r.getLong(0), r.getLong(1), tsOf(r.getLong(2))))
+      .sortBy(_.c_ts.getTime)
+    val ivs = purchases
+      .collect()
+      .map(r => Iv(r.getLong(0), r.getLong(1), tsOf(r.getLong(2)), tsOf(r.getLong(3))))
+      .sortBy(_.win_lo.getTime)
+    val maxUs = (pts.map(p => p.c_ts.getTime * 1000L) ++
+      ivs.map(i => i.win_hi.getTime * 1000L)).max
+    val dayUs = 86400000000L
+    // each side in ITS OWN event-time order (the per-partition delivery
+    // contract, T4), cut into 4 chunks — the law is that the cut points
+    // don't matter
+    val pChunks = pts.grouped(math.max(pts.length / 4, 1)).toSeq
+    val iChunks = ivs.grouped(math.max(ivs.length / 4, 1)).toSeq
+
+    def runMode(mode: String): DataFrame = {
+      val msP = MemoryStream[Pt]
+      val msI = MemoryStream[Iv]
+      val joined = graft.streaming.StreamingRangeJoin.streamJoinRange(
+        msP.toDF().withColumnRenamed("c_user", "p_user_pt"),
+        msI.toDF(),
+        pointKey = Seq("p_user_pt"),
+        intervalKey = Seq("p_user"),
+        pointTime = "c_ts",
+        lo = "win_lo",
+        hi = "win_hi",
+        maxSpan = "24 hours",
+        watermark = "30 minutes",
+        mode = mode
+      )
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(s"srj_$mode")
+        .outputMode("append")
+        .start()
+      try {
+        pChunks.zipAll(iChunks, Array.empty[Pt], Array.empty[Iv]).foreach {
+          case (pc, ic) =>
+            msP.addData(pc.toSeq)
+            msI.addData(ic.toSeq)
+            q.processAllAvailable()
+        }
+        // two sentinel rounds push the watermark past every real row so
+        // left-outer's provably-unmatched nulls flush (the second round
+        // makes the advanced watermark take effect in a batch)
+        Seq(1L, 2L).foreach { k =>
+          msP.addData(Pt(-1L, -k, tsOf(maxUs + k * dayUs)))
+          msI.addData(
+            Iv(-1L, -k, tsOf(maxUs + k * dayUs), tsOf(maxUs + k * dayUs + 1000L))
+          )
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(s"srj_$mode").filter(col("p_user_pt") =!= -1L)
+    }
+
+    // INNER ≡ the oracle-checked w6 plan (binned batch range join)
+    val gotInner = runMode("inner").select(
+      col("p_user_pt").as("user_id"),
+      col("purchase_id"),
+      col("click_id"),
+      unix_micros(col("c_ts")).as("click_us"),
+      (unix_micros(col("win_hi")) - unix_micros(col("c_ts"))).as("lag_us")
+    )
+    val wantInner = graft.analytics.Analytics
+      .intervalCandidates(spark, sfDir)
+      .select("user_id", "purchase_id", "click_id", "click_us", "lag_us")
+    assert(gotInner.count() > 0)
+    assert(gotInner.exceptAll(wantInner).count() == 0)
+    assert(wantInner.exceptAll(gotInner).count() == 0)
+
+    // LEFTOUTER ≡ batch leftouter joinRange: every click exactly once per
+    // match, or once with null purchase columns
+    val gotOuter = runMode("leftouter").select(
+      col("p_user_pt").as("user_id"),
+      col("click_id"),
+      col("purchase_id")
+    )
+    val wantOuter = graft.analytics.RangeJoin
+      .joinRange(
+        clicks,
+        purchases,
+        Seq("user_id"),
+        pointTime = "click_us",
+        lo = "win_lo",
+        hi = "win_hi",
+        binWidth = binUs,
+        mode = "leftouter"
+      )
+      .select("user_id", "click_id", "purchase_id")
+    assert(gotOuter.exceptAll(wantOuter).count() == 0)
+    assert(wantOuter.exceptAll(gotOuter).count() == 0)
+
+    // LEFTSEMI ≡ the distinct matched points of the inner form (the
+    // in-flight decontamination gate)
+    val gotSemi = runMode("leftsemi")
+      .select(col("p_user_pt").as("user_id"), col("click_id"))
+    val wantSemi = wantInner.select("user_id", "click_id").distinct()
+    assert(gotSemi.exceptAll(wantSemi).count() == 0)
+    assert(wantSemi.exceptAll(gotSemi).count() == 0)
+    ev.unpersist()
   }
 }
