@@ -201,6 +201,10 @@ object SparkEntry {
     "p18_distinct_sketch" -> ((s, d) => TextAnalysis.distinctSketch(s, d)),
     "p19_split_manifest" -> ((s, d) =>
       graft.pipeline.Sampling.splitManifest(s, d)),
+    // p22 — hashed-feature linear quality model: row-local fold per doc,
+    // zero shuffle (the model-based filtering scale path)
+    "p22_quality_model" -> ((s, d) =>
+      graft.pipeline.QualityModel.qualityModel(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -211,6 +215,12 @@ object SparkEntry {
     // the float variant keeps its law specs in PipelineSpec
     "k5_knn_ivf_trained" -> ((s, d) =>
       graft.pipeline.Similarity.knnIvfTrainedExact(s, d)),
+    // k10 — incremental-index lifecycle: train on the initial ingest
+    // only, assign the appended batch to the frozen quantizer, search
+    // the union (the oracle-checked form of the write→append→search
+    // parquet lifecycle)
+    "k10_index_lifecycle" -> ((s, d) =>
+      graft.pipeline.Similarity.knnIndexLifecycleExact(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
@@ -325,6 +335,8 @@ object SparkEntry {
     "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
+    "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
+    "p22_quality_model" -> PipelineOracles.qualityModel,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
     // EVERY query now has a DuckDB oracle: the dedup/LSH operators hash

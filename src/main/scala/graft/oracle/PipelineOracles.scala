@@ -439,12 +439,14 @@ object PipelineOracles {
     * cid), re-estimation SUM // COUNT per (cid, pos), empty cells keep
     * the previous centroid. `n` is the iteration index: reads c{n},
     * emits c{n+1}; the assignment CTEs a{n} are reused by the final
-    * search pass.
+    * search pass. `src` is the codes CTE the pass reads — `icodes` (the
+    * full corpus, k5) or `tcodes` (the initial-ingest subset, k10's
+    * frozen-quantizer training).
     */
-  private def kmeansIter(n: Int): String = s"""
+  private def kmeansIter(n: Int, src: String = "icodes"): String = s"""
     d$n AS (
       SELECT k.vec_id, c.cid, CAST(SUM(k.code * c.code) AS BIGINT) AS dot
-      FROM icodes k JOIN c$n c ON k.pos = c.pos
+      FROM $src k JOIN c$n c ON k.pos = c.pos
       GROUP BY k.vec_id, c.cid),
     cn$n AS (
       SELECT cid, CAST(SUM(code * code) AS BIGINT) AS n2c
@@ -509,6 +511,86 @@ object PipelineOracles {
     ${kmeansIter(1)},
     ${kmeansIter(2)},
     ${kmeansIter(3)},
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY skey DESC, cid) AS rn
+        FROM s3 WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
+      WHERE a.vec_id <> p.qid
+    ),
+    pd AS (
+      SELECT c.qid, c.vec_id,
+             CAST(SUM(kq.code * kv.code) AS BIGINT) AS dot
+      FROM cand c
+      JOIN icodes kq ON kq.vec_id = c.qid
+      JOIN icodes kv ON kv.vec_id = c.vec_id AND kv.pos = kq.pos
+      GROUP BY c.qid, c.vec_id
+    ),
+    ps AS (
+      SELECT pd.qid, pd.vec_id,
+             CASE WHEN v.n2 = 0 THEN 0
+                  WHEN pd.dot >= 0 THEN (pd.dot * pd.dot * 1048576) // v.n2
+                  ELSE -((pd.dot * pd.dot * 1048576) // v.n2) END AS score
+      FROM pd JOIN iv2 v ON v.vec_id = pd.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM ps
+    )
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** k10 — the incremental-index lifecycle
+    * (graft.pipeline.Similarity.knnIndexLifecycleExact): k-means trains
+    * ONLY on the initial ingest (`vec_id % 4 < 3`, seeded from its 16
+    * lowest ids), the remaining quarter is assigned to the FROZEN
+    * centroids (the append path — iteration 3 scores the full corpus
+    * against c3 without feeding means back), and the nprobe search runs
+    * over the union. Same exact-BIGINT arithmetic as k5 end to end.
+    */
+  lazy val indexLifecycle: String = s"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    icodes AS (
+      SELECT vec_id, g.i - 1 AS pos, q8[g.i] AS code
+      FROM q, LATERAL (
+        SELECT unnest(generate_series(1, len(q8))) AS i) g
+    ),
+    tcodes AS (
+      SELECT * FROM icodes WHERE vec_id % 4 < 3
+    ),
+    iv2 AS (
+      SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS n2
+      FROM icodes GROUP BY vec_id
+    ),
+    seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM tcodes ORDER BY vec_id LIMIT 16)
+    ),
+    c0 AS (
+      SELECT s.cid, k.pos, k.code FROM seed s JOIN tcodes k USING (vec_id)
+    ),
+    ${kmeansIter(0, "tcodes")},
+    ${kmeansIter(1, "tcodes")},
+    ${kmeansIter(2, "tcodes")},
+    ${kmeansIter(3, "icodes")},
     probes AS (
       SELECT vec_id AS qid, cid FROM (
         SELECT vec_id, cid,
@@ -916,6 +998,44 @@ object PipelineOracles {
     FROM documents
     GROUP BY shard
     ORDER BY shard
+  """
+
+  /** p22 — hashed-feature linear quality model
+    * (graft.pipeline.QualityModel.qualityModel): each BPE-ish token (the
+    * p3/p11 segmentation) maps to a bucket via the finalized poly hash of
+    * "graft-qm:tok" mod 512; bucket weight = ((b+1)·2654435761 mod
+    * 1000003) mod 201 − 100; score = Σ weights (term frequency), mean =
+    * one IEEE division, keep at threshold 0. Zero-token documents keep a
+    * row (LEFT JOIN — Spark's row-local fold never drops them). */
+  val qualityModel: String = s"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      FROM documents
+    ),
+    fb AS (
+      SELECT doc_id,
+             (((${charHash("'graft-qm:' || tok")})
+                * 6364136223) % 1000000007) % 512 AS b
+      FROM tk
+    ),
+    sc AS (
+      SELECT doc_id,
+             COUNT(*) AS n,
+             CAST(SUM((((b + 1) * 2654435761) % 1000003) % 201 - 100)
+                  AS BIGINT) AS s
+      FROM fb GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_toks,
+           CAST(COALESCE(sc.s, 0) AS BIGINT) AS score,
+           CASE WHEN COALESCE(sc.n, 0) = 0 THEN 0.0
+                ELSE CAST(sc.s AS DOUBLE) / sc.n END AS mean_w,
+           (CASE WHEN COALESCE(sc.n, 0) = 0 THEN 0.0
+                 ELSE CAST(sc.s AS DOUBLE) / sc.n END) >= 0 AS keep
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id
   """
 
   /** p19 — deterministic train/val/test split manifest

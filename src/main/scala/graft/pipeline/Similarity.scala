@@ -322,7 +322,7 @@ object Similarity {
     * constant, the argmax is `greatest` over (skey, −cid) structs, zero
     * shuffle per pass.
     */
-  private def assignCellsInt(
+  private[graft] def assignCellsInt(
       codes: DataFrame,
       centroids: Seq[(Int, Seq[Long])]
   ): DataFrame = {
@@ -401,8 +401,54 @@ object Similarity {
   ): DataFrame = {
     val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
     val centroids = trainCentroidsExact(codes, kCentroids, iters)
-    val assigned = assignCellsInt(codes, centroids)
-    val probes = codes
+    val out = searchCellsExact(assignCellsInt(codes, centroids), codes, centroids, nQueries, k, nprobe)
+    Eager.materialized(out, codes)
+  }
+
+  /** K10 — the incremental-index LIFECYCLE as a single oracle-replayable
+    * query: the quantizer is trained ONLY on the initial ingest
+    * (`vec_id % 4 < 3` — the day-1 corpus at any scale factor), the
+    * remaining quarter plays the appended daily batch and is assigned to
+    * those STORED centroids without retraining, and the nprobe search
+    * runs over the union — exactly what [[appendToIvfIndex]] +
+    * [[knnIvfIndexedExact]] produce through parquet, but expressed as
+    * one plan so the whole lifecycle (training included) hash-replays in
+    * DuckDB. Law (IndexStoreSpec): bit-identical to assigning the two
+    * batches in separate passes and to the persisted write → append →
+    * search path — appends never disturb existing assignments because
+    * cell assignment is row-local in the frozen quantizer.
+    */
+  def knnIndexLifecycleExact(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
+    val initial = codes.filter(col("vec_id") % 4 < 3)
+    val centroids = trainCentroidsExact(initial, kCentroids, iters)
+    val out = searchCellsExact(assignCellsInt(codes, centroids), codes, centroids, nQueries, k, nprobe)
+    Eager.materialized(out, codes)
+  }
+
+  /** The shared probe → score → top-k tail of the exact-integer IVF
+    * searches: nprobe cells per query by the fixed-point cosine key,
+    * candidates from the assigned corpus, ranked by the same key with
+    * ties to vec_id. `assigned` must carry (vec_id, q8, cid); `queries`
+    * supplies the query vectors (filtered to the nQueries lowest ids).
+    */
+  private[graft] def searchCellsExact(
+      assigned: DataFrame,
+      queries: DataFrame,
+      centroids: Seq[(Int, Seq[Long])],
+      nQueries: Int,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val probes = queries
       .filter(col("vec_id") < nQueries)
       .select(
         col("vec_id").as("qid"),
@@ -429,12 +475,11 @@ object Similarity {
           .as("score")
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
-    val out = scored
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "rank", "score")
       .orderBy("qid", "rank")
-    Eager.materialized(out, codes)
   }
 
   /** Persist the trained IVF index — the train-once/query-many lifecycle
@@ -636,7 +681,7 @@ object Similarity {
   def quantize(e: Column): Column = quantizeWith(e, maxAbsOf(e))
 
   /** The corpus with its int8 codes (`q8`), max|v| hoisted. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
       .withColumn("max_abs", maxAbsOf(col("embedding")))
       .withColumn("q8", quantizeWith(col("embedding"), col("max_abs")))

@@ -138,6 +138,52 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(search(idxA, nprobe = 16) == brute)
   }
 
+  test("k10 lifecycle: frozen-quantizer append is pass-insensitive and survives the cid-partitioned store") {
+    val tmp = Files.createTempDirectory("graft-ivf-exact").toString + "/vectors"
+    val codes = Similarity.quantized(spark, sfDir).select("vec_id", "q8")
+    val initial = codes.filter(col("vec_id") % 4 < 3)
+    val batch = codes.filter(col("vec_id") % 4 === 3)
+    val cents = Similarity.trainCentroidsExact(initial)
+
+    // the append path is just a second row-local assignment pass against
+    // the FROZEN quantizer: per-batch passes unioned ≡ one pass over the
+    // union (so appending can never disturb existing assignments)
+    val onePass = Similarity.assignCellsInt(codes, cents)
+    val twoPass = Similarity
+      .assignCellsInt(initial, cents)
+      .unionByName(Similarity.assignCellsInt(batch, cents))
+    assert(onePass.exceptAll(twoPass).isEmpty)
+    assert(twoPass.exceptAll(onePass).isEmpty)
+
+    // write-initial → append-batch through a cid-partitioned parquet
+    // store, then search the store: bit-identical to the single-plan k10
+    // query (exact-integer arithmetic has no roundtrip hazard — this
+    // pins the store layout, not float luck)
+    Similarity
+      .assignCellsInt(initial, cents)
+      .write
+      .partitionBy("cid")
+      .parquet(tmp)
+    Similarity
+      .assignCellsInt(batch, cents)
+      .write
+      .mode("append")
+      .partitionBy("cid")
+      .parquet(tmp)
+    val fromStore = Similarity
+      .searchCellsExact(spark.read.parquet(tmp), codes, cents, 10, 5, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val direct = Similarity
+      .knnIndexLifecycleExact(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(fromStore.nonEmpty)
+    assert(fromStore == direct)
+  }
+
   test("query-time scan prunes to the probed cells' partitions") {
     val tmp = Files.createTempDirectory("graft-ivf-prune").toString
     Similarity.writeIvfIndex(spark, sfDir, tmp)
