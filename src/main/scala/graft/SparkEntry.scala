@@ -160,6 +160,8 @@ object SparkEntry {
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
+    // m5 — binary content dedup: digests shuffle, payloads don't
+    "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
     // W5 — as-of join (operator Spark lacks; union+ordered-window plan)
     "w5_asof_attribution" -> (Analytics.asofAttribution _),
@@ -292,6 +294,7 @@ object SparkEntry {
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,
     "m4_media_knn" -> PipelineOracles.mediaKnn,
+    "m5_media_dedup" -> PipelineOracles.mediaDedup,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,
     "q15_price_median" -> AnalyticsOracles.priceMedian,

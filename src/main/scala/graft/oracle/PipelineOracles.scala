@@ -1252,6 +1252,26 @@ object PipelineOracles {
     ORDER BY qid, rank
   """
 
+  /** m5 — binary content dedup (graft.pipeline.Multimodal.mediaDedup):
+    * md5 over the payload bytes (the UTF-8 text — both engines hash the
+    * same bytes and print lowercase hex), canonical = min doc_id within
+    * (media_type, digest). */
+  val mediaDedup: String = """
+    SELECT doc_id, media_type, content_md5,
+           MIN(doc_id) OVER (PARTITION BY media_type, content_md5)
+             AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY media_type, content_md5)
+             AS is_dup
+    FROM (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             md5(text) AS content_md5
+      FROM documents
+    ) m
+    ORDER BY doc_id
+  """
+
   val frameSample: String = """
     SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
     FROM (

@@ -159,6 +159,29 @@ object Multimodal {
       .orderBy("qid", "rank")
   }
 
+  /** m5 — exact content dedup on the BINARY plane: group identical
+    * payloads by (media_type, md5 digest) and elect the lowest doc_id as
+    * canonical. The 100 TB shape is the point: the digest is computed in
+    * the scan pass (one codegen'd hash per row, payload never leaves its
+    * partition) and only 16-byte digests shuffle — deduping a petabyte of
+    * video costs one exchange of digests, not payloads. Byte-identical
+    * copies under DIFFERENT media types stay separate on purpose (an
+    * image and a video that share bytes are not the same asset).
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_type", "content_md5")
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        md5(col("payload")).as("content_md5")
+      )
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** Rollup per media type — the "what's in this corpus" report. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir)
