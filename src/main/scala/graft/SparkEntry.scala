@@ -156,6 +156,10 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
     "q14_promo_revenue" -> (Analytics.promoRevenue _),
+    "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
+    "q18_large_orders" -> (Analytics.largeOrders _),
+    "q19_disjunctive_revenue" -> (Analytics.disjunctiveRevenue _),
+    "q22_idle_balance" -> (Analytics.idleBalance _),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -290,6 +294,10 @@ object SparkEntry {
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
     "q14_promo_revenue" -> AnalyticsOracles.promoRevenue,
+    "q17_small_qty_revenue" -> AnalyticsOracles.smallQtyRevenue,
+    "q18_large_orders" -> AnalyticsOracles.largeOrders,
+    "q19_disjunctive_revenue" -> AnalyticsOracles.disjunctiveRevenue,
+    "q22_idle_balance" -> AnalyticsOracles.idleBalance,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,

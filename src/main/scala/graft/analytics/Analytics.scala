@@ -369,6 +369,132 @@ object Analytics {
       )
   }
 
+  /** TPC-H Q17 shape: revenue impact of small-quantity orders for one
+    * brand. The classic plan re-aggregates all of lineitem for the
+    * per-part average; this one prunes FIRST — join lineitem to the
+    * brand-filtered part slice (tiny → broadcast), then compute the
+    * per-part count/sum as a WINDOW over the surviving rows (one shuffle
+    * on l_partkey over 1/N of the corpus, no second lineitem scan). The
+    * 0.2·avg predicate is cleared of division: qty < 0.2·(sum/cnt) ⇔
+    * 5·qty·cnt < sum in exact integer units (quantities are integral).
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#12")
+      .select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice")
+      )
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    li.withColumn("part_cnt", count(lit(1)).over(w))
+      .withColumn("part_qty", sum("qty").over(w))
+      .filter(lit(5L) * col("qty") * col("part_cnt") < col("part_qty"))
+      .agg(
+        (sum(dec("l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — customers whose single order
+    * exceeds a quantity threshold. The HAVING-filtered orderkey set is
+    * tiny relative to lineitem, so AQE turns the orders/customer joins
+    * into broadcasts at any scale; the only big shuffle is the one
+    * partial-aggregated groupBy on l_orderkey. Top-100 by price with an
+    * orderkey tiebreak keeps the limit deterministic.
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 200L)
+    qty
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"),
+        col("c_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        col("sum_qty")
+      )
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: revenue under disjunctive brand/size/quantity
+    * predicates — the OR-pushdown case. The join stays a plain equi-join
+    * on partkey (so it hashes, never BNLJ); the disjunction sits in a
+    * post-join filter where Catalyst can still prune part-side rows via
+    * the derived `p_size <= 15` superset predicate. Exact decimal sum.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"),
+        col("l_discount")
+      )
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val pred =
+      (col("p_brand") === "Brand#12" && col("qty").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("qty").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("qty").between(20, 30) &&
+          col("p_size").between(1, 15))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** TPC-H Q22 shape: well-funded customers who LAPSED — no order since
+    * the cutoff epoch (every testdata customer has some order, so the
+    * classic never-ordered form is vacuous; the lapsed form keeps the
+    * same plan with a pushed-down date filter on the anti side). The
+    * positive-balance average is a 1-row aggregate broadcast over the
+    * corpus (a scalar subquery's physical form); "no recent order" is a
+    * LEFT ANTI join on custkey — the decorrelated NOT EXISTS. The single
+    * sum/count division is one exactly-rounded IEEE op both engines
+    * agree on; everything else is exact decimal.
+    */
+  def idleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val avgBal = cust
+      .filter(col("c_acctbal") > 0.0)
+      .agg(
+        (sum(dec("c_acctbal")).cast("double") / count(lit(1)))
+          .as("avg_bal")
+      )
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(
+        t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(dec("c_acctbal")).cast("double").as("total_bal")
+      )
+      .orderBy("c_mktsegment")
+  }
+
   /** W5 — last-touch attribution via the as-of join ([[AsOf.joinAsOf]]):
     * for each purchase, the latest click by the same user at or before the
     * purchase instant. Purchases with no preceding click survive with null

@@ -64,6 +64,85 @@ object AnalyticsOracles {
       AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
   """
 
+  /** q17 — small-quantity revenue (graft.analytics.Analytics
+    * .smallQtyRevenue): the 0.2·avg gate cleared of division
+    * (5·qty·cnt < sum in exact BIGINT units), window form. */
+  val smallQtyRevenue: String = s"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS part_cnt,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_partkey) AS part_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#12'
+    ) s
+    WHERE 5 * qty * part_cnt < part_qty
+  """
+
+  /** q18 — large-volume orders (graft.analytics.Analytics.largeOrders):
+    * orders whose lineitem quantity sum exceeds 200, top-100 by price
+    * with an orderkey tiebreak. */
+  val largeOrders: String = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+    ) q
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+  """
+
+  /** q19 — disjunctive-predicate revenue (graft.analytics.Analytics
+    * .disjunctiveRevenue). */
+  val disjunctiveRevenue: String = s"""
+    SELECT CAST(SUM($disc) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT l_extendedprice, l_discount,
+             CAST(l_quantity AS BIGINT) AS qty, p_brand, p_size
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ) s
+    WHERE (p_brand = 'Brand#12' AND qty BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND qty BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND qty BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15)
+  """
+
+  /** q22 — well-funded lapsed customers (graft.analytics.Analytics
+    * .idleBalance): scalar-subquery average over positive balances,
+    * NOT EXISTS over the date-filtered orders as the anti join. */
+  val idleBalance: String = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+  """
+
   val orderPriority: String = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
