@@ -211,6 +211,9 @@ object SparkEntry {
     // zero shuffle (the model-based filtering scale path)
     "p22_quality_model" -> ((s, d) =>
       graft.pipeline.QualityModel.qualityModel(s, d)),
+    // p23 — count-min heavy hitters: native partial-aggregable sketch,
+    // 8 KB buffers merge instead of token streams shuffling
+    "p23_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -348,6 +351,7 @@ object SparkEntry {
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "p22_quality_model" -> PipelineOracles.qualityModel,
+    "p23_heavy_hitters" -> PipelineOracles.heavyHitters,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
     // EVERY query now has a DuckDB oracle: the dedup/LSH operators hash

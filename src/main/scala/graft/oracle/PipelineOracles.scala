@@ -1000,6 +1000,54 @@ object PipelineOracles {
     ORDER BY shard
   """
 
+  /** p23 — count-min heavy hitters (graft.pipeline.TextAnalysis
+    * .heavyHitters): replays the d=4 × w=256 COUNTER MATRIX itself —
+    * each sketch row is a bucket rollup under its fixed affine hash —
+    * then estimates the exact top-20 tokens as the min over their four
+    * buckets. All BIGINT; DuckDB SUM → HUGEINT cast back. */
+  lazy val heavyHitters: String = {
+    val rowCtes = (0 until 4)
+      .map { i =>
+        val a = graft.functions.CmsCounters.A(i)
+        val b = graft.functions.CmsCounters.B(i)
+        s"""r$i AS (
+      SELECT (($a * x + $b) % 1000000007) % 256 AS bkt,
+             CAST(SUM(n) AS BIGINT) AS v
+      FROM cnt GROUP BY 1)"""
+      }
+      .mkString(",\n    ")
+    val joins = (0 until 4)
+      .map { i =>
+        val a = graft.functions.CmsCounters.A(i)
+        val b = graft.functions.CmsCounters.B(i)
+        s"JOIN r$i ON r$i.bkt = (($a * t.x + $b) % 1000000007) % 256"
+      }
+      .mkString("\n    ")
+    s"""
+    WITH tk AS (
+      SELECT unnest(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT tok, ${charHash("tok")} AS x FROM tk
+    ),
+    cnt AS (
+      SELECT tok, x, COUNT(*) AS n FROM th GROUP BY tok, x
+    ),
+    $rowCtes,
+    top AS (
+      SELECT tok, x, n FROM cnt ORDER BY n DESC, tok LIMIT 20
+    )
+    SELECT t.tok,
+           CAST(t.n AS BIGINT) AS n_exact,
+           LEAST(r0.v, r1.v, r2.v, r3.v) AS n_cms
+    FROM top t
+    $joins
+    ORDER BY n_exact DESC, tok
+  """
+  }
+
   /** p22 — hashed-feature linear quality model
     * (graft.pipeline.QualityModel.qualityModel): each BPE-ish token (the
     * p3/p11 segmentation) maps to a bucket via the finalized poly hash of

@@ -288,6 +288,56 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** P23 — heavy hitters via the native count-min sketch
+    * ([[graft.functions.CmsCounters]]): one scan builds the d×w counter
+    * matrix (partial-aggregable — tasks merge 8 KB buffers, never token
+    * streams), and the top-`topK` exact tokens are then estimated from
+    * the sketch, demonstrating the overcount-bounded accuracy
+    * (`n_cms >= n_exact`, spec-asserted as a law for EVERY token).
+    *
+    * The exact-count leg exists to anchor the oracle and measure sketch
+    * error; at 100 TB you'd keep only the sketch pass (one scan, no
+    * token shuffle) and feed candidates from a sampled pre-pass — the
+    * exact leg here is the yardstick, not the operator.
+    */
+  def heavyHitters(
+      spark: SparkSession,
+      dir: String,
+      topK: Int = 20,
+      depth: Int = 4,
+      width: Int = 256
+  ): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(
+        explode(
+          regexp_extract_all(
+            lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
+            lit(0)
+          )
+        ).as("tok")
+      )
+      .withColumn("x", graft.functions.PolyHash.polyHash(col("tok")))
+    val sketch = toks.agg(
+      graft.functions.CmsCounters.cmsCounters(col("x"), depth, width).as("sk")
+    )
+    val top = toks
+      .groupBy("tok", "x")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(topK)
+    top
+      .crossJoin(broadcast(sketch))
+      .select(
+        col("tok"),
+        col("n_exact"),
+        graft.functions.CmsCounters
+          .cmsEstimate(col("sk"), col("x"), depth, width)
+          .as("n_cms")
+      )
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** P15 — per-document repetition signals (the Gopher/MassiveText-class
     * quality filters: a doc whose mass concentrates in few repeated words
     * or word-2-grams is boilerplate/spam, not prose):
