@@ -159,6 +159,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
     "q18_large_orders" -> (Analytics.largeOrders _),
     "q19_disjunctive_revenue" -> (Analytics.disjunctiveRevenue _),
+    "q21_waiting_suppliers" -> (Analytics.waitingSuppliers _),
     "q22_idle_balance" -> (Analytics.idleBalance _),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
@@ -300,6 +301,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> AnalyticsOracles.smallQtyRevenue,
     "q18_large_orders" -> AnalyticsOracles.largeOrders,
     "q19_disjunctive_revenue" -> AnalyticsOracles.disjunctiveRevenue,
+    "q21_waiting_suppliers" -> AnalyticsOracles.waitingSuppliers,
     "q22_idle_balance" -> AnalyticsOracles.idleBalance,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,

@@ -495,6 +495,63 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting —
+    * the correlated EXISTS / NOT EXISTS pair decorrelated into ONE
+    * partial-aggregable rollup. Classic Q21 scans lineitem four times
+    * (self-joins for "another supplier exists" and "no OTHER supplier was
+    * late"); here the per-order facts — distinct suppliers, distinct LATE
+    * suppliers, and (when exactly one) that supplier's id via max over
+    * the late subset — come out of a single groupBy(l_orderkey), so the
+    * whole query costs the grain-nested shuffles plus two broadcast dim
+    * joins. Distinct-counting goes through an explicit per-(order,
+    * supplier) rollup rather than countDistinct — two multi-distinct
+    * aggregates would plan as an Expand that triples every lineitem row
+    * before the first partial agg; the nested form collapses to supplier
+    * grain map-side first, so the second shuffle moves only collapsed
+    * rows. Lateness is shipdate > orderdate + 60 days (this testdata
+    * carries no commit/receipt dates). Top-25 with an s_name tiebreak
+    * keeps the limit deterministic.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(
+        max(
+          when(
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1L
+          ).otherwise(0L)
+        ).as("late")
+      )
+    val perOrder = perSupp
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("culprit")
+      )
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    perOrder
+      .join(
+        broadcast(t(spark, dir, "supplier")),
+        col("culprit") === col("s_suppkey")
+      )
+      .join(
+        broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
   /** W5 — last-touch attribution via the as-of join ([[AsOf.joinAsOf]]):
     * for each purchase, the latest click by the same user at or before the
     * purchase instant. Purchases with no preceding click survive with null

@@ -143,6 +143,33 @@ object AnalyticsOracles {
     ORDER BY c_mktsegment
   """
 
+  /** q21 — waiting suppliers (graft.analytics.Analytics
+    * .waitingSuppliers): the EXISTS / NOT-EXISTS pair as one per-order
+    * rollup; when exactly one supplier was late, MAX over the late
+    * subset IS that supplier. Lateness = shipdate > orderdate + 60 days.
+    */
+  val waitingSuppliers: String = """
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM (
+      SELECT MAX(CASE WHEN late THEN l_suppkey END) AS culprit
+      FROM (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+      ) j
+      GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2
+         AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+    ) p
+    JOIN supplier ON culprit = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+  """
+
   val orderPriority: String = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
