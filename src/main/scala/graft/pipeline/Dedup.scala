@@ -305,15 +305,22 @@ object Dedup {
     * document) assignment — the step that turns pairwise similarity into
     * keep/drop decisions for a training corpus.
     *
-    * Iterative min-label propagation: every doc starts as its own label;
-    * each round propagates the minimum label across edges; converges in
-    * O(diameter) rounds (near-dup clusters are tiny, so 2-4 rounds). Each
-    * round is two shuffles on bounded keys — the standard large-graph CC
-    * shape (no driver-side graph).
+    * Distributed path: alternating small-star / large-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round re-points high nodes at their neighborhood
+    * minimum, converging to per-component stars rooted at the component
+    * MIN id in O(log² n) rounds regardless of graph diameter. That
+    * diameter independence is the 100 TB property: a corpus of
+    * incrementally-shifted near-dups forms a long CHAIN, where min-label
+    * propagation needs O(chain length) rounds while star contraction
+    * still finishes in a handful. Both star ops are expressed as
+    * groupBy-min + equi-join (two keyed shuffles each, map-side partial
+    * min) — NOT as collect_list neighborhoods, so a mega-cluster's root
+    * never materializes its full neighbor set in one task.
     */
   def components(
       pairs: DataFrame,
-      maxIters: Int = 10,
+      maxIters: Int = 30,
       localThreshold: Long = 1L << 20
   ): DataFrame = {
     // undirected edge list
@@ -352,38 +359,64 @@ object Dedup {
       val labels = parent.keys.map(k => (k, find(k))).toSeq
       return labels.toDF("doc_id", "label").orderBy("doc_id")
     }
-    var labels = edges
-      .select(col("a").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .cache()
-    var changed = 1L
+    // Large-star: every neighbor ABOVE u re-points at min(Γ⁺(u)). Each
+    // undirected edge is emitted by exactly its smaller endpoint, so the
+    // output is again a plain (larger → smaller-or-equal-min) edge list.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e
+        .select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym
+        .groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // Small-star: orient edges high→low; every low neighbor AND the high
+    // node itself re-point at the neighborhood minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(
+        greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v")
+      )
+      val mins = ori.groupBy("u").agg(min("v").as("m"))
+      ori
+        .join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // Iterate with lineage TRUNCATION, not just caching: each round's plan
+    // references the previous round's ~6 times, so an uncut logical plan
+    // grows 6^rounds and kills the driver during analysis long before any
+    // data does. localCheckpoint materializes the round and restarts the
+    // lineage from a LogicalRDD — the standard iterative-graph pattern.
+    var cur = edges.select(col("a"), col("b")).localCheckpoint()
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "b")
-          .withColumnRenamed("label", "nb_label"), "b")
-        .groupBy(col("a").as("doc_id"))
-        .agg(min("nb_label").as("prop_label"))
-      val next = labels
-        .join(prop, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("label"), coalesce(col("prop_label"), col("label")))
-            .as("label")
-        )
-        .cache()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      // `changed` materialized `next`, so the previous round's labels cache
-      // has no remaining consumer — release it before the next round
-      labels.unpersist(false)
-      labels = next
+    while (!converged && iter < maxIters) {
+      val next = largeStar(smallStar(cur)).localCheckpoint()
+      // star fixpoint = identical edge sets (both sides are distinct'd)
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur.unpersist(false)
+      cur = next
       iter += 1
     }
-    Eager.materialized(labels.orderBy("doc_id"), labels, edges)
+    // At the star fixpoint every non-root points at its component min;
+    // roots label themselves.
+    val labels = cur
+      .select(col("a").as("doc_id"), col("b").as("label"))
+      .unionByName(
+        cur.select(col("b").as("doc_id"), col("b").as("label")).distinct()
+      )
+    Eager.materialized(labels.orderBy("doc_id"), cur, edges)
   }
 
   /** End-to-end near-dup clustering: minhash pairs → components → cluster

@@ -85,6 +85,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("star-contraction CC collapses a 300-node chain (diameter >> rounds)") {
+    val sp = spark
+    import sp.implicits._
+    // a path graph is the adversarial case for label propagation
+    // (O(diameter) rounds); large-star/small-star must still converge
+    // within the default iteration budget, labels = chain min
+    val base = 1000L
+    val pairs =
+      (0L until 299L).map(i => (base + i, base + i + 1)).toDF("a", "b")
+    val got = graft.pipeline.Dedup
+      .components(pairs, localThreshold = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.size == 300)
+    assert(got.values.forall(_ == base))
+  }
+
   test("near-dup clusters keep exactly one doc per cluster") {
     val cl = graft.pipeline.Dedup.nearDupClusters(spark, sfDir).cache()
     assert(cl.count() > 0)
