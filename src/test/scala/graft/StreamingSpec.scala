@@ -198,6 +198,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test(
+    "watermarked as-of over DISORDERED chunks equals the batch as-of join"
+  ) {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingAsOf.AsofEv
+
+    val evs = ActionLog
+      .normalizedEvents(spark, sfDir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        col("ts"),
+        col("value").cast("double").as("value")
+      )
+      .as[AsofEv]
+      .collect()
+      .sortBy(e => e.ts.getTime)
+    // chunk in global event-time order (so nothing falls below the
+    // watermark), then SHUFFLE each chunk: within-batch disorder is the
+    // case attributionStateful's order contract forbids and this
+    // operator must absorb
+    val rnd = new scala.util.Random(41)
+    val chunks = evs
+      .grouped(math.max(evs.length / 5, 1))
+      .map(c => rnd.shuffle(c.toSeq))
+      .toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+
+    val ms = MemoryStream[AsofEv]
+    val q = graft.streaming.StreamingAsOf
+      .asofWatermarked(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("asof_wm")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      // sentinel rounds: push the watermark past every real purchase so
+      // the final pendings flush (second round lets the advanced
+      // watermark take effect in a batch)
+      Seq(1L, 2L).foreach { k =>
+        ms.addData(
+          AsofEv(-1L, -k, "click",
+            new java.sql.Timestamp(maxTs + k * 86400000L), 0.0)
+        )
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark
+      .table("asof_wm")
+      .filter(col("user_id") =!= -1L)
+      .select(
+        "user_id", "purchase_id", "purchase_us", "purchase_value",
+        "click_id", "click_us", "lag_us"
+      )
+    val want = graft.analytics.Analytics.asofAttribution(spark, sfDir)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   private val horizonUs = 86400000000L // the w6 attribution horizon (24 h)
   private val binUs = 6L * 3600L * 1000000L
 
