@@ -215,6 +215,10 @@ object SparkEntry {
     // p23 — count-min heavy hitters: native partial-aggregable sketch,
     // 8 KB buffers merge instead of token streams shuffling
     "p23_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // p24 — cluster-balanced sampling: exact-integer k-means + hash-gate
+    // top-k per cluster, fully hash-replayable including training
+    "p24_cluster_balance" -> ((s, d) =>
+      graft.pipeline.Sampling.clusterBalancedSample(s, d)),
     "d7_neardup_leaks" -> ((s, d) =>
       graft.pipeline.Decontamination.nearDupLeaks(s, d)),
     "p13_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
@@ -354,6 +358,7 @@ object SparkEntry {
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "p22_quality_model" -> PipelineOracles.qualityModel,
     "p23_heavy_hitters" -> PipelineOracles.heavyHitters,
+    "p24_cluster_balance" -> PipelineOracles.clusterBalance,
     "m1_media_meta" -> PipelineOracles.mediaMeta,
     "m2_media_stats" -> PipelineOracles.mediaStats
     // EVERY query now has a DuckDB oracle: the dedup/LSH operators hash

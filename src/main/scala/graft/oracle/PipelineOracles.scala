@@ -628,6 +628,57 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p24 — cluster-balanced sampling (graft.pipeline.Sampling
+    * .clusterBalancedSample): the k5 integer k-means chain through the
+    * final assignment a3, then the finalized hash gate as within-cluster
+    * priority — the perCluster gate-smallest vectors per cluster.
+    * Training, assignment and gate are all exact BIGINT, so the whole
+    * composition hash-replays. */
+  lazy val clusterBalance: String = s"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    icodes AS (
+      SELECT vec_id, g.i - 1 AS pos, q8[g.i] AS code
+      FROM q, LATERAL (
+        SELECT unnest(generate_series(1, len(q8))) AS i) g
+    ),
+    seed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM icodes ORDER BY vec_id LIMIT 16)
+    ),
+    c0 AS (
+      SELECT s.cid, k.pos, k.code FROM seed s JOIN icodes k USING (vec_id)
+    ),
+    ${kmeansIter(0)},
+    ${kmeansIter(1)},
+    ${kmeansIter(2)},
+    ${kmeansIter(3)},
+    hg AS (
+      SELECT a.vec_id, a.cid,
+             ((${charHash(
+      "'graft-balance::' || CAST(a.vec_id AS VARCHAR)"
+    )}) * 6364136223) % $M % 1000000 AS h
+      FROM a3 a
+    ),
+    r AS (
+      SELECT cid, vec_id, h,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h, vec_id) AS rk
+      FROM hg
+    )
+    SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, h
+    FROM r WHERE rk <= 40
+    ORDER BY cid, rk
+  """
+
   /** k7 — product quantization (graft.pipeline.Similarity.pqCodes):
     * int8 codes (k6 arithmetic) split into 4 subvectors of 16; code =
     * argmin over the sampled codebook (vec_id < 16) by exact BIGINT

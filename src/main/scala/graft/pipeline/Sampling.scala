@@ -229,4 +229,57 @@ object Sampling {
       .select("source", "doc_id", "take_rank", "n_toks", "cum_before")
       .orderBy("source", "take_rank")
   }
+
+  /** P24 — cluster-balanced corpus sampling: equal-size samples per
+    * SEMANTIC cluster, the curation step that rebalances a topically
+    * skewed crawl (source-stratified sampling — p10 — can't see topic
+    * skew inside one source; SemDeDup-style pipelines follow dedup with
+    * exactly this). Composes two exact-integer components so the whole
+    * thing — training included — replays bit-for-bit in the oracle:
+    *
+    *   1. [[Similarity.trainCentroidsExact]] — integer spherical k-means
+    *      over the k6 codes (driver state bounded at kCentroids×dim
+    *      longs, one partial-aggregated shuffle per iteration);
+    *   2. [[Similarity.assignCellsInt]] — row-local frozen-quantizer
+    *      assignment, zero shuffle;
+    *   3. the finalized hash gate as the within-cluster priority: take
+    *      the `perCluster` gate-smallest vectors per cluster. The gate is
+    *      the SAME uniform-permutation device as p10/p20 — reproducible
+    *      across layouts and retries, nested across budgets (a bigger
+    *      `perCluster` take-set extends a smaller one's), and independent
+    *      of the sample/shard/split salts.
+    *
+    * Cost: training passes + ONE (cid)-keyed window whose input is
+    * (vec_id, cid, h) rows — no embeddings cross the shuffle, and the
+    * rank<=k filter plans as WindowGroupLimit (top-k pushdown), so a
+    * cluster's surplus never materializes.
+    */
+  def clusterBalancedSample(
+      spark: SparkSession,
+      dir: String,
+      perCluster: Int = 40,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      salt: String = "graft-balance",
+      granularity: Long = 1000000L
+  ): DataFrame = {
+    val codes = Similarity
+      .quantized(spark, dir)
+      .select(col("vec_id"), col("q8"))
+      .cache()
+    val centroids = Similarity.trainCentroidsExact(codes, kCentroids, iters)
+    val w = Window.partitionBy("cid").orderBy(col("h"), col("vec_id"))
+    val out = Similarity
+      .assignCellsInt(codes, centroids)
+      .select(
+        col("cid"),
+        col("vec_id"),
+        gate(salt, lit(""), col("vec_id"), granularity).as("h")
+      )
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCluster)
+      .select("cid", "rk", "vec_id", "h")
+      .orderBy("cid", "rk")
+    Eager.materialized(out, codes)
+  }
 }

@@ -137,6 +137,59 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(hi.size / n - 0.5) < 0.1)
   }
 
+  test("cluster-balanced sample: per-cluster cap, budget nesting, WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    val big = Sampling.clusterBalancedSample(spark, sfDir, perCluster = 40)
+    val bigRows = big.collect()
+    // every vector appears at most once; per-cluster count never exceeds
+    // the cap; ranks are dense 1..count within each cluster
+    val perCluster =
+      bigRows.groupBy(_.getAs[Long]("cid")).view.mapValues(_.length).toMap
+    assert(bigRows.map(_.getAs[Long]("vec_id")).distinct.length == bigRows.length)
+    assert(perCluster.values.forall(_ <= 40))
+    bigRows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, rows) =>
+      assert(
+        rows.map(_.getAs[Long]("rk")).sorted.toSeq ==
+          (1L to rows.length.toLong),
+        s"ranks not dense in cluster $cid"
+      )
+    }
+    // budget nesting: the 20-per-cluster take-set is a strict prefix of
+    // the 40-per-cluster one (same gate order), so ablations nest — the
+    // p10/p20 guarantee transposed to clusters
+    val small = Sampling
+      .clusterBalancedSample(spark, sfDir, perCluster = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id")))
+      .toSet
+    val bigSet =
+      bigRows.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id"))).toSet
+    assert(small.subsetOf(bigSet))
+    // the rank<=k filter must plan as a WindowGroupLimit pushdown, not a
+    // full window materialization — asserted on the operator's tail
+    // pre-materialization (Eager.materialized returns a LogicalRDD, so
+    // the returned frame's plan is just the checkpoint scan)
+    val codes = graft.pipeline.Similarity
+      .quantized(spark, sfDir)
+      .select(col("vec_id"), col("q8"))
+    val cents = graft.pipeline.Similarity.trainCentroidsExact(codes, 16, 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid")
+      .orderBy(col("h"), col("vec_id"))
+    val tail = graft.pipeline.Similarity
+      .assignCellsInt(codes, cents)
+      .select(
+        col("cid"),
+        col("vec_id"),
+        Sampling.gate("graft-balance", lit(""), col("vec_id"), 1000000L)
+          .as("h")
+      )
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 40)
+    val plan = tail.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("sharding: every doc lands in exactly one shard, shards are balanced") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = Sampling.shardAssignment(spark, sfDir).collect()
