@@ -159,6 +159,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (Analytics.smallQtyRevenue _),
     "q18_large_orders" -> (Analytics.largeOrders _),
     "q19_disjunctive_revenue" -> (Analytics.disjunctiveRevenue _),
+    "q7b_nation_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
+    "q8b_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q21_waiting_suppliers" -> (Analytics.waitingSuppliers _),
     "q22_idle_balance" -> (Analytics.idleBalance _),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
@@ -305,6 +307,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> AnalyticsOracles.smallQtyRevenue,
     "q18_large_orders" -> AnalyticsOracles.largeOrders,
     "q19_disjunctive_revenue" -> AnalyticsOracles.disjunctiveRevenue,
+    "q7b_nation_volume" -> AnalyticsOracles.nationVolume,
+    "q8b_market_share" -> AnalyticsOracles.marketShare,
     "q21_waiting_suppliers" -> AnalyticsOracles.waitingSuppliers,
     "q22_idle_balance" -> AnalyticsOracles.idleBalance,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,

@@ -552,6 +552,112 @@ object Analytics {
       .limit(25)
   }
 
+  /** TPC-H Q7 shape: cross-nation trade volume — revenue shipped from
+    * suppliers in one nation to customers in the other, by year, both
+    * directions. The nation pair is a two-row broadcast against the small
+    * supplier/customer dims; the supplier leg (supplier × nation, tiny at
+    * any scale) broadcasts into lineitem, and the customer leg reduces
+    * orders to (orderkey → cust_nation) before the single fact-fact join
+    * on orderkey — at 100 TB that's one sort-merge/AQE join between the
+    * two fact projections, with both disjunct filters pushed into the dim
+    * scans. Year extraction is exact integer calendar arithmetic both
+    * engines share.
+    */
+  def nationVolume(
+      spark: SparkSession,
+      dir: String,
+      nationA: String = "NATION_3",
+      nationB: String = "NATION_19"
+  ): DataFrame = {
+    val nations = t(spark, dir, "nation")
+      .filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year")
+      )
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: national market share — of one region's revenue in
+    * one part type, the fraction supplied by a given nation, per year.
+    * The share is sum(CASE)·/·sum over EXACT decimal sums with ONE final
+    * double division per year row (the single exactly-rounded IEEE op
+    * both engines agree on — the q22 discipline). Part (type-filtered)
+    * and the region's customer set prune before the fact joins; the only
+    * corpus-scale shuffle is lineitem↔orders on orderkey.
+    */
+  def marketShare(
+      spark: SparkSession,
+      dir: String,
+      supplierNation: String = "NATION_3",
+      region: String = "EUROPE",
+      partType: String = "PROMO"
+  ): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_type") === partType)
+      .select("p_partkey")
+    val custInRegion = t(spark, dir, "customer")
+      .join(
+        broadcast(
+          t(spark, dir, "nation")
+            .join(
+              broadcast(
+                t(spark, dir, "region").filter(col("r_name") === region)
+              ),
+              col("n_regionkey") === col("r_regionkey")
+            )
+            .select("n_nationkey")
+        ),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .select("c_custkey")
+    val supp = t(spark, dir, "supplier")
+      .join(
+        broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = t(spark, dir, "orders")
+      .join(custInRegion, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val vol = dec("l_extendedprice") *
+      (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === supplierNation, vol)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy("o_year")
+  }
+
   /** W5 — last-touch attribution via the as-of join ([[AsOf.joinAsOf]]):
     * for each purchase, the latest click by the same user at or before the
     * purchase instant. Purchases with no preceding click survive with null

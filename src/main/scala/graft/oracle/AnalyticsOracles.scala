@@ -143,6 +143,56 @@ object AnalyticsOracles {
     ORDER BY c_mktsegment
   """
 
+  /** q7b — cross-nation trade volume (graft.analytics.Analytics
+    * .nationVolume): revenue between NATION_3 and NATION_19, both
+    * directions, by shipment year. */
+  val nationVolume: String = s"""
+    SELECT supp_nation, cust_nation, CAST(y AS BIGINT) AS l_year,
+           CAST(SUM($disc) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS y, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_19')
+        AND n2.n_name IN ('NATION_3', 'NATION_19')
+        AND n1.n_name <> n2.n_name
+    ) s
+    GROUP BY supp_nation, cust_nation, y
+    ORDER BY supp_nation, cust_nation, y
+  """
+
+  /** q8b — national market share (graft.analytics.Analytics
+    * .marketShare): NATION_3's share of EUROPE's PROMO-part revenue per
+    * order year; exact decimal sums, one final double division. */
+  val marketShare: String = s"""
+    SELECT CAST(y AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN $disc
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM($disc) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT year(o_orderdate) AS y, n1.n_name AS supp_nation,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+    ) s
+    GROUP BY y
+    ORDER BY y
+  """
+
   /** q21 — waiting suppliers (graft.analytics.Analytics
     * .waitingSuppliers): the EXISTS / NOT-EXISTS pair as one per-order
     * rollup; when exactly one supplier was late, MAX over the late
