@@ -52,12 +52,19 @@ object Bench {
     println(line)
     // the driver's log-tail artifact truncates long runs, hiding the
     // alphabetically-first queries' timings; persist the full line so
-    // round-over-round comparison never depends on tail luck
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8")
-    )
-    catch { case _: Throwable => () }
+    // round-over-round comparison never depends on tail luck. Path is
+    // overridable / cwd-relative (not a hardcoded absolute checkout
+    // path), and a write failure is REPORTED — silently comparing a
+    // stale file from a previous run would be worse than no file
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      )
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] full-results write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -33,10 +33,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 final class CmsBuffer(val depth: Int, val width: Int) {
   val counters = new Array[Long](depth * width)
   def insert(x: Long): Unit = {
+    // reduce the key into [0, P) FIRST: an out-of-contract key (negative
+    // or >= P — e.g. xxhash64 instead of the engine's poly hash) must
+    // neither index out of range here nor overflow A(i)·x — under ANSI
+    // mode the Column-side estimate would THROW on that overflow while
+    // JVM arithmetic silently wraps, so the reduction is what keeps the
+    // two sides in the same bucket for every possible long
+    val xr = java.lang.Math.floorMod(x, CmsCounters.P)
     var i = 0
     while (i < depth) {
       val bkt =
-        (((CmsCounters.A(i) * x + CmsCounters.B(i)) % CmsCounters.P) %
+        (((CmsCounters.A(i) * xr + CmsCounters.B(i)) % CmsCounters.P) %
           width).toInt
       counters(i * width + bkt) += 1L
       i += 1
@@ -144,11 +151,18 @@ object CmsCounters {
       depth: Int = 4,
       width: Int = 256
   ): Column = {
+    require(
+      depth >= 1 && depth <= A.length,
+      s"cms_estimate depth must be in [1, ${A.length}], got $depth"
+    )
+    require(width >= 2, s"cms_estimate needs width >= 2, got $width")
     import org.apache.spark.sql.functions._
+    // same key reduction as CmsBuffer.insert — see the comment there
+    val xr = pmod(x, lit(P))
     val cells = (0 until depth).map { i =>
       element_at(
         sketch,
-        (pmod(pmod(lit(A(i)) * x + lit(B(i)), lit(P)), lit(width.toLong)) +
+        (pmod(pmod(lit(A(i)) * xr + lit(B(i)), lit(P)), lit(width.toLong)) +
           lit(i.toLong * width) + lit(1L)).cast("int")
       )
     }

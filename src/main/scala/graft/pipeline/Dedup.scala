@@ -405,7 +405,7 @@ object Dedup {
       // star fixpoint = identical edge sets (both sides are distinct'd)
       converged = next.count() == cur.count() &&
         next.exceptAll(cur).isEmpty
-      cur.unpersist(false)
+      Eager.releaseCheckpoint(cur)
       cur = next
       iter += 1
     }
@@ -416,7 +416,9 @@ object Dedup {
       .unionByName(
         cur.select(col("b").as("doc_id"), col("b").as("label")).distinct()
       )
-    Eager.materialized(labels.orderBy("doc_id"), cur, edges)
+    val out = Eager.materialized(labels.orderBy("doc_id"), edges)
+    Eager.releaseCheckpoint(cur)
+    out
   }
 
   /** End-to-end near-dup clustering: minhash pairs → components → cluster

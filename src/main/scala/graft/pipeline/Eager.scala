@@ -20,7 +20,7 @@ import org.apache.spark.sql.DataFrame
   * `checkpoint()` directory (or writing the result table) replaces the
   * local variant — the lifecycle is the same.
   */
-private[pipeline] object Eager {
+private[graft] object Eager {
 
   /** Materializes `result`, then releases `caches`. The returned DataFrame
     * re-reads the materialized blocks — downstream consumers never re-run
@@ -31,4 +31,20 @@ private[pipeline] object Eager {
     caches.foreach(_.unpersist(false))
     out
   }
+
+  /** Frees the storage blocks behind a `localCheckpoint`'d DataFrame NOW.
+    * `Dataset.unpersist` is a NO-OP for checkpointed frames — it routes
+    * through the CacheManager, which has no entry for the LogicalRDD a
+    * checkpoint plans to — so without this the blocks linger until the
+    * driver GCs the RDD reference and the ContextCleaner fires. Iterative
+    * operators (star-contraction CC) and per-micro-batch materializations
+    * (the replicator sink) call this as each round's/batch's frame is
+    * superseded; the blocks released are exactly the checkpoint's own.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd
+      }
+      .foreach(_.unpersist(false))
 }

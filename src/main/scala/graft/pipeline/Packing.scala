@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *      running sum (keyed window, fully parallel)
   *
   * Granularity scales with the corpus: by default (`bucketSize = 0`) the
-  * bucket width is derived from the row count so the bucket table stays
-  * ~[[Packing.TargetBucketRows]] rows (10⁴–10⁵ band) at ANY corpus size —
+  * bucket width is derived from the doc_id RANGE (which, unlike the row
+  * count, bounds the bucket-table size at any id density) so the bucket
+  * table stays ~[[Packing.TargetBucketRows]] rows (10⁴–10⁵ band) at ANY
+  * corpus size —
   * at 10⁹ docs the single-task ordered window sorts ~3×10⁴ 16-byte rows,
   * not 10⁷ as a fixed width would give. The bucket-offset join is
   * broadcast only while the bucket table is provably small
@@ -80,12 +82,21 @@ object Packing {
       bucketSize: Long = 0L
   ): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // row count from the parquet footers (no column read) — sizes the
-    // bucket width so the offset table stays in the target band
-    val n = docs.count()
+    // Size the bucket width from the ID RANGE, not the row count: the
+    // bucket table has one row per distinct `doc_id DIV bs` value, which
+    // the row count only bounds when ids are dense — a sparse id space
+    // (hashed ids, or the keep-set of an upstream curation filter) would
+    // blow a count-derived width past both the target band and the
+    // broadcast guard. max(doc_id)+1 bounds the bucket count at
+    // TargetBucketRows for ANY density (footer-stats max, one cheap
+    // single-column pass at worst).
+    val idSpan = docs
+      .agg(coalesce(max("doc_id"), lit(-1L)).as("m"))
+      .head()
+      .getLong(0) + 1L
     val bs =
       if (bucketSize > 0L) bucketSize
-      else math.max(64L, ceilDiv(n, TargetBucketRows))
+      else math.max(64L, ceilDiv(math.max(idSpan, 1L), TargetBucketRows))
     val d = docs
       .select(
         col("doc_id"),
@@ -97,7 +108,7 @@ object Packing {
       .partitionBy("bkt")
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    withBucketOffsets(d, ceilDiv(math.max(n, 1L), bs))
+    withBucketOffsets(d, ceilDiv(math.max(idSpan, 1L), bs))
       .withColumn(
         "start_tok",
         col("bkt_off") + coalesce(sum("n_toks").over(inBkt), lit(0L))

@@ -64,12 +64,7 @@ object QualityModel {
     * threshold.
     */
   def qualityModel(spark: SparkSession, dir: String): DataFrame = {
-    val toks =
-      regexp_extract_all(
-        lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
-        lit(0)
-      )
+    val toks = TextAnalysis.bpeTokens(col("text"))
     docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .select(

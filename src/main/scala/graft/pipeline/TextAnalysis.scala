@@ -93,11 +93,22 @@ object TextAnalysis {
     * (alpha runs / digit runs / single punctuation — the pre-tokenizer
     * shape GPT-style BPE vocabularies assume).
     */
+  /** THE token definition — alpha runs / digit runs / single
+    * punctuation over the lowered text. Every operator that tokenizes
+    * (p3 stats, p11 shard budgets, p22 model features, p23 heavy
+    * hitters) and every matching oracle assumes this one regex; a
+    * per-site copy would let the definition silently fork.
+    */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** The BPE-ish token array of a text column. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(BpeTokenRegex), lit(0))
+
   /** The p3 BPE-ish token count — shared with p11's per-shard token
     * budgets so the token definition cannot silently fork.
     */
-  def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -308,15 +319,7 @@ object TextAnalysis {
       width: Int = 256
   ): DataFrame = {
     val toks = docs(spark, dir)
-      .select(
-        explode(
-          regexp_extract_all(
-            lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
-            lit(0)
-          )
-        ).as("tok")
-      )
+      .select(explode(bpeTokens(col("text"))).as("tok"))
       .withColumn("x", graft.functions.PolyHash.polyHash(col("tok")))
     val sketch = toks.agg(
       graft.functions.CmsCounters.cmsCounters(col("x"), depth, width).as("sk")

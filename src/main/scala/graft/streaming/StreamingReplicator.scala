@@ -182,6 +182,9 @@ object StreamingReplicator {
       val part = dir.resolve(s"topic=$t").resolve(s"bucket=$b")
       if (Files.exists(part)) deleteRecursively(part)
     }
+    // checkpoint blocks die with the batch, not with a later GC cycle
+    // (Dataset.unpersist is a no-op for checkpointed frames)
+    graft.pipeline.Eager.releaseCheckpoint(m)
   }
 
   /** Store MAINTENANCE: compact the small files incremental ingest
@@ -245,18 +248,19 @@ object StreamingReplicator {
         val pred = over
           .map { case (t, b) => col("topic") === t && col("bucket") === b }
           .reduce(_ || _)
-        val m = spark.read
+        val cp = spark.read
           .parquet(dir.toString)
           .filter(pred)
           .localCheckpoint(true)
-          // one task owns all rows of a partition value => one output file
-          .repartition(col("topic"), col("bucket"))
+        // one task owns all rows of a partition value => one output file
+        cp.repartition(col("topic"), col("bucket"))
           .sortWithinPartitions("id")
-        m.write
+          .write
           .mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("topic", "bucket")
           .parquet(dir.toString)
+        graft.pipeline.Eager.releaseCheckpoint(cp)
       }
       table -> over.size
     }.toMap

@@ -46,9 +46,10 @@ class CmsSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   ): Seq[Long] = {
     val m = new Array[Long](depth * width)
     xs.foreach { x =>
+      val xr = java.lang.Math.floorMod(x, CmsCounters.P)
       (0 until depth).foreach { i =>
         val b =
-          (((CmsCounters.A(i) * x + CmsCounters.B(i)) % CmsCounters.P) %
+          (((CmsCounters.A(i) * xr + CmsCounters.B(i)) % CmsCounters.P) %
             width).toInt
         m(i * width + b) += 1L
       }
@@ -124,6 +125,26 @@ class CmsSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loose = perTok.filter(col("n_cms") > col("n_exact") * 2).count()
     val total = perTok.count()
     assert(loose < total / 2, s"estimates too loose: $loose of $total")
+  }
+
+  test("negative keys bucket consistently between insert and estimate") {
+    val sp = spark
+    import sp.implicits._
+    // keys OUTSIDE the poly-hash contract (negative, |x| > 2^32): insert
+    // must not throw, and must land each key in the same bucket
+    // cmsEstimate reads (shared floorMod + shared 64-bit wrap), so the
+    // overcount bound still holds for every key
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(2000)(_ => rnd.nextLong()).map(x => ("g", x))
+    val df = rows.toDF("g", "x")
+    val sk = df.agg(cmsCounters(col("x"), 4, 64).as("sk"))
+    val under = df
+      .groupBy("x")
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sk))
+      .filter(cmsEstimate(col("sk"), col("x"), 4, 64) < col("n_exact"))
+      .count()
+    assert(under == 0L)
   }
 
   test("plans as ObjectHashAggregate with a partial merge side") {
