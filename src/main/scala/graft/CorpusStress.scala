@@ -73,6 +73,8 @@ object CorpusStress {
       graft.pipeline.Packing.tokenWindows(spark, d).count()
       graft.pipeline.Dedup.dupSpans(spark, d).count()
       Sampling.budgetMixQuery(spark, d).count()
+      graft.pipeline.QualityModel.qualityModel(spark, d).count()
+      graft.pipeline.TextAnalysis.heavyHitters(spark, d).count()
     }
 
     val results = Seq(factor / 2, factor).map { f =>
@@ -116,12 +118,19 @@ object CorpusStress {
       val t20 = time("p20 budget mix", rows) {
         Sampling.budgetMixQuery(spark, dir).count()
       }
-      (f, Seq(t9j, t9r, t10, t11, t15, t16, t17, td10, t20))
+      val t22 = time("p22 quality model", rows) {
+        graft.pipeline.QualityModel.qualityModel(spark, dir).count()
+      }
+      val t23 = time("p23 heavy hitters (cms)", rows) {
+        graft.pipeline.TextAnalysis.heavyHitters(spark, dir).count()
+      }
+      (f, Seq(t9j, t9r, t10, t11, t15, t16, t17, td10, t20, t22, t23))
     }
 
     val Seq((fHalf, half), (fFull, full)) = results
     half.zip(full).zip(
-      Seq("p9join", "p9row", "p10", "p11", "p15", "p16", "p17", "d10", "p20")
+      Seq("p9join", "p9row", "p10", "p11", "p15", "p16", "p17", "d10", "p20",
+        "p22", "p23")
     ).foreach {
       case ((h, fl), name) =>
         val perRowRatio = (fl / fFull) / (h / fHalf)
