@@ -251,6 +251,8 @@ object SparkEntry {
     "k8_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     // k9 — IVF-PQ: cell-pruned ADC search (the billion-scale layout)
     "k9_knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(s, d)),
+    // k11 — two-stage retrieval: IVF-PQ shortlist, exact int8 re-rank
+    "k11_knn_rerank" -> ((s, d) => Similarity.knnIvfPqRerank(s, d)),
     "d6_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "k1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -352,6 +354,7 @@ object SparkEntry {
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
     "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,
+    "k11_knn_rerank" -> PipelineOracles.knnIvfPqRerank,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,

@@ -785,6 +785,73 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** k11 — two-stage retrieval
+    * (graft.pipeline.Similarity.knnIvfPqRerank): the k9 IVF-PQ ADC
+    * search widened to a 20-candidate shortlist per query, then the
+    * shortlist alone re-ranked by the exact fixed-point cosine key over
+    * the full int8 codes ((dot²·2²⁰) DIV ‖cand‖², signed). All BIGINT;
+    * (score DESC, vec_id) tiebreak. */
+  lazy val knnIvfPqRerank: String = s"""
+    WITH $pqChain,
+    codes AS (
+      SELECT a.vec_id, a.sub, a.cid AS code, e.label
+      FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+      WHERE a.rn = 1
+    ),
+    lut AS (
+      SELECT d.vec_id AS qid, d.sub AS q_sub, d.cid, d.dist AS pdist,
+             e.label AS qlabel
+      FROM d JOIN embeddings e ON d.vec_id = e.vec_id
+      WHERE d.vec_id < 10
+    ),
+    scored AS (
+      SELECT qid, c.vec_id, CAST(SUM(pdist) AS BIGINT) AS adist
+      FROM codes c JOIN lut
+        ON c.sub = lut.q_sub AND c.code = lut.cid AND c.label = lut.qlabel
+      WHERE c.vec_id <> lut.qid
+      GROUP BY qid, c.vec_id
+    ),
+    shortlist AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 20
+    ),
+    icodes AS (
+      SELECT vec_id, g.i AS pos, q8[g.i] AS code
+      FROM q, LATERAL (SELECT unnest(generate_series(1, len(q8))) AS i) g
+    ),
+    iv2 AS (
+      SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS n2
+      FROM icodes GROUP BY vec_id
+    ),
+    pd AS (
+      SELECT s.qid, s.vec_id,
+             CAST(SUM(kq.code * kv.code) AS BIGINT) AS dot
+      FROM shortlist s
+      JOIN icodes kq ON kq.vec_id = s.qid
+      JOIN icodes kv ON kv.vec_id = s.vec_id AND kv.pos = kq.pos
+      GROUP BY s.qid, s.vec_id
+    ),
+    ps AS (
+      SELECT pd.qid, pd.vec_id,
+             CASE WHEN v.n2 = 0 THEN 0
+                  WHEN pd.dot >= 0 THEN (pd.dot * pd.dot * 1048576) // v.n2
+                  ELSE -((pd.dot * pd.dot * 1048576) // v.n2) END AS score
+      FROM pd JOIN iv2 v ON v.vec_id = pd.vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM ps
+    )
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** k3 — LSH bucket-size histogram. */
   val lshBucketStats: String = s"""
     WITH c AS (

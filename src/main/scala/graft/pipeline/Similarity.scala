@@ -1143,4 +1143,53 @@ object Similarity {
       .select("qid", "vec_id", "rank", "adist")
       .orderBy("qid", "rank")
   }
+
+  /** K11 — two-stage retrieval: the IVF-PQ ADC search ([[knnIvfPq]])
+    * produces a `shortlist`-sized candidate set per query, then the
+    * shortlist alone is RE-RANKED by the exact integer cosine key over
+    * the full int8 codes — the standard production ANN layout (FAISS's
+    * IVFPQR / "refine" stage): ADC's subspace quantization error decides
+    * only who makes the shortlist, never the final order.
+    *
+    * Scale shape: stage 1 is k9's audited plan (cell prune + broadcast
+    * LUT + partial-agg ADC sum); stage 2 touches full vectors for ONLY
+    * nQueries × shortlist rows — the candidate set (with its query codes
+    * attached) broadcasts into a single scan of the codes table, and the
+    * per-query top-k is a WindowGroupLimit. The expensive exact kernel
+    * runs on thousands of rows where the corpus has billions; the corpus
+    * itself is only ever touched through codes.
+    *
+    * Exact BIGINT end-to-end (ADC distances and the fixed-point cosine
+    * key), so the full two-stage pipeline hash-replays in DuckDB.
+    */
+  def knnIvfPqRerank(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      shortlist: Int = 20,
+      subspaces: Int = 4,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = knnIvfPq(spark, dir, nQueries, shortlist, subspaces, codebookSize)
+      .select(col("qid"), col("vec_id"))
+    val q = quantized(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q8").as("q"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    quantized(spark, dir)
+      .select(col("vec_id"), col("q8"))
+      .join(broadcast(cand.join(broadcast(q), "qid")), Seq("vec_id"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
+          .as("score")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
 }

@@ -469,4 +469,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("k11 rerank = exact cosine-key order over the ivf-pq shortlist") {
+    val q8 = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q8"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    def key(q: Array[Long], v: Array[Long]): Long = {
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      if (n2 == 0L) 0L
+      else {
+        val m = dot * dot * (1L << 20) / n2
+        if (dot >= 0L) m else -m
+      }
+    }
+    // stage 1 replay: the shortlist IS knnIvfPq at k = shortlist
+    val short = Similarity
+      .knnIvfPq(spark, sfDir, k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Similarity
+      .knnIvfPqRerank(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      // every returned row comes from the shortlist, scored by the
+      // exact integer key (ADC decided membership, never the order)
+      rows.foreach { case (_, v, _, s) =>
+        assert(short(q).contains(v), s"q=$q v=$v not in shortlist")
+        assert(s == key(q8(q), q8(v)), s"q=$q v=$v score mismatch")
+      }
+      // and the order is the exact-key order over the WHOLE shortlist
+      val want = short(q).toSeq
+        .map(v => (-key(q8(q), q8(v)), v))
+        .sorted
+        .take(rows.length)
+        .map(_._2)
+      assert(rows.sortBy(_._3).map(_._2).toSeq == want, s"q=$q")
+    }
+  }
 }
