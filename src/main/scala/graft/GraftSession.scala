@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver testdata stores naive (isAdjustedToUTC=false) micros;
+      // read them as TIMESTAMP so epoch extraction matches the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

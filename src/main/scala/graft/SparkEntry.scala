@@ -208,6 +208,8 @@ object SparkEntry {
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
     "p18_distinct_sketch" -> ((s, d) => TextAnalysis.distinctSketch(s, d)),
+    // p25 — bottom-k-by-hash quantile sketch (mergeable uniform sample)
+    "p25_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
     "p19_split_manifest" -> ((s, d) =>
       graft.pipeline.Sampling.splitManifest(s, d)),
     // p22 — hashed-feature linear quality model: row-local fold per doc,
@@ -242,6 +244,8 @@ object SparkEntry {
     "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
+    // d11 — quality-aware canonical selection (keep the best cluster member)
+    "d11_canonical_selection" -> (Dedup.canonicalSelection _),
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // d10 — verbatim duplicate-span mass (exact-substring dedup signal)
     "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
@@ -342,6 +346,7 @@ object SparkEntry {
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,
     "p18_distinct_sketch" -> PipelineOracles.distinctSketch,
+    "p25_quantile_sketch" -> PipelineOracles.quantileSketch,
     "p19_split_manifest" -> PipelineOracles.splitManifest,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
@@ -357,6 +362,7 @@ object SparkEntry {
     "k11_knn_rerank" -> PipelineOracles.knnIvfPqRerank,
     "d6_ngram_jaccard" -> PipelineOracles.ngramJaccardPairs,
     "d5_neardup_clusters" -> PipelineOracles.nearDupClusters,
+    "d11_canonical_selection" -> PipelineOracles.canonicalSelection,
     "k1_knn_brute" -> PipelineOracles.knnBruteForce,
     "k2_knn_ivf" -> PipelineOracles.knnIvf,
     "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,

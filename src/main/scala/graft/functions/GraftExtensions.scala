@@ -125,6 +125,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    // bottom_k_sample(hv, v[, k]) — the mergeable uniform-sample quantile
+    // sketch; same analyzer wrapping as kmv_min_hashes
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("bottom_k_sample"),
+        new ExpressionInfo(classOf[BottomKSample].getName, "bottom_k_sample"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(h, v) => BottomKSample(h, v, 128)
+            case Seq(h, v, k) =>
+              BottomKSample(h, v, longArg(k, "k").toInt)
+            case _ =>
+              throw new IllegalArgumentException(
+                "bottom_k_sample takes (bigint, bigint) or (bigint, bigint, k)"
+              )
+          }
+      )
+    )
     // sorted_hit_count(arr, dict) — dict must be a foldable array<bigint>
     // (a literal dictionary); evaluated once at resolution into the
     // expression's reference-object dictionary

@@ -166,6 +166,38 @@ object PipelineOracles {
   """
   }
 
+  /** p25 — bottom-k-by-hash quantile sketch (graft.pipeline.TextAnalysis
+    * .quantileSketch): the sample is the k rows with the smallest affine
+    * doc_id hashes per language (deterministic — the affine map is a
+    * bijection mod M, so hashes are collision-free here), quantiles are
+    * the sample's order statistics at rank 1 + floor(q·(n−1)). */
+  val quantileSketch: String = {
+    val k = 128
+    s"""
+    WITH h AS (
+      SELECT lang, n_chars, (doc_id * 48271 + 11) % $M AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM h
+    ),
+    smp AS (
+      SELECT lang, list(n_chars ORDER BY n_chars) AS s
+      FROM r WHERE rn <= $k GROUP BY lang
+    )
+    SELECT lang,
+           CAST(len(s) AS BIGINT) AS n_sample,
+           s[1 + CAST(floor(0.25 * (len(s) - 1)) AS INT)] AS q25,
+           s[1 + CAST(floor(0.5 * (len(s) - 1)) AS INT)] AS q50,
+           s[1 + CAST(floor(0.75 * (len(s) - 1)) AS INT)] AS q75,
+           s[1 + CAST(floor(0.9 * (len(s) - 1)) AS INT)] AS q90
+    FROM smp
+    ORDER BY lang
+  """
+  }
+
   /** p17 — sequence packing (graft.pipeline.Packing.tokenWindows): the
     * oracle runs the ONE-level global cumsum directly — the Spark side's
     * two-level contiguous-bucket prefix must compose to exactly this.
@@ -271,6 +303,45 @@ object PipelineOracles {
     SELECT doc_id, MIN(label) AS label, doc_id = MIN(label) AS keep
     FROM cc
     GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
+  /** d11 — quality-aware canonical selection
+    * (graft.pipeline.Dedup.canonicalSelection): recursive CC over the
+    * minhash pairs, then every doc (clustered or singleton) resolves its
+    * cluster's argmax-quality member — word count desc, doc_id asc — via
+    * first_value over the same deterministic total order Spark uses.
+    */
+  val canonicalSelection: String = s"""
+    WITH RECURSIVE $minhashPairsBody,
+    edges AS (
+      SELECT a, b FROM verified
+      UNION
+      SELECT b AS a, a AS b FROM verified
+    ),
+    cc(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.label FROM edges e JOIN cc c ON c.doc_id = e.b
+    ),
+    labels AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(l.label, d.doc_id) AS label,
+             CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+               AS BIGINT) AS n_words
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    win AS (
+      SELECT doc_id, label, n_words,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY label ORDER BY n_words DESC, doc_id
+             ) AS canonical_id
+      FROM scored
+    )
+    SELECT doc_id, label, n_words, canonical_id,
+           doc_id = canonical_id AS kept
+    FROM win
     ORDER BY doc_id
   """
 

@@ -629,6 +629,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D11 — quality-aware canonical selection: the materialization step a
+    * curation pipeline runs AFTER clustering. d5 keeps each cluster's
+    * min-id member (an arbitrary survivor); real pipelines keep the BEST
+    * member — here the longest document (word count, ties to the lower
+    * doc_id), the deterministic stand-in for a quality model's score
+    * (swap in p22's scorer unchanged: any integer quality key works).
+    * Docs outside every cluster are their own canonical.
+    *
+    * Scale shape: the cluster labels carry only (doc_id, label); quality
+    * is computed row-local on the corpus scan, and the argmax is one
+    * window over `label` shuffling (id, label, n_words) — never text.
+    * Cluster sizes bound the per-task work exactly as d5's contraction
+    * already does; mostly-singleton partitions make the window cheap.
+    */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val labels = components(pairs)
+    val scored = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        (length(col("text")) -
+          length(replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long")
+          .as("n_words")
+      )
+      .join(labels.select("doc_id", "label"), Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    // first_value over the (quality desc, id asc) order = the per-cluster
+    // argmax; the default running frame starts at the partition head, so
+    // every row of the cluster sees the same winner
+    val w = Window
+      .partitionBy("label")
+      .orderBy(col("n_words").desc, col("doc_id"))
+    scored
+      .withColumn("canonical_id", first("doc_id").over(w))
+      .withColumn("kept", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "label", "n_words", "canonical_id", "kept")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup: 60-bit signature by bit-voting word-hash bits,
     * bucketed by 15-bit chunks for candidate generation (pigeonhole: any
     * pair within Hamming distance 3 collides on ≥1 of the 4 chunks).

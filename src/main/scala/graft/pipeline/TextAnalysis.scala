@@ -299,6 +299,55 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** P25 — sketched quantiles via the native bottom-k-by-hash sample
+    * ([[graft.functions.BottomKSample]]) — the quantile member of the
+    * sketch plane (KMV = distinct, CMS = frequency, this = rank): per
+    * language, the k docs whose affine-hashed ids are smallest form a
+    * deterministic mergeable uniform sample, and the length quantiles
+    * are the sample's order statistics. Only k (hash, value) pairs per
+    * group cross the shuffle — an exact quantile sorts the whole group,
+    * `percentile_approx` has no replayable oracle. Groups at or below k
+    * are sampled whole, so their quantiles are exact; the spec measures
+    * rank error above k and the merge/layout laws.
+    */
+  def quantileSketch(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 128
+  ): DataFrame = {
+    val M = 1000000007L
+    val d = docs(spark, dir)
+      .select(
+        col("lang"),
+        col("n_chars"),
+        ((col("doc_id") * lit(48271L) + lit(11L)) % lit(M)).as("hv")
+      )
+    val agg = d
+      .groupBy("lang")
+      .agg(
+        graft.functions.BottomKSample
+          .bottomKSample(col("hv"), col("n_chars"), k)
+          .as("smp")
+      )
+    // order statistic at rank 1 + floor(q·(n−1)) — plain IEEE-double
+    // index arithmetic both engines compute identically
+    def qAt(q: Double): Column =
+      element_at(
+        col("smp"),
+        (lit(1) + floor(lit(q) * (size(col("smp")) - 1))).cast("int")
+      )
+    agg
+      .select(
+        col("lang"),
+        size(col("smp")).cast("long").as("n_sample"),
+        qAt(0.25).as("q25"),
+        qAt(0.5).as("q50"),
+        qAt(0.75).as("q75"),
+        qAt(0.9).as("q90")
+      )
+      .orderBy("lang")
+  }
+
   /** P23 — heavy hitters via the native count-min sketch
     * ([[graft.functions.CmsCounters]]): one scan builds the d×w counter
     * matrix (partial-aggregable — tasks merge 8 KB buffers, never token

@@ -27,6 +27,9 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-bucketed-join-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver testdata stores naive (isAdjustedToUTC=false) micros;
+      // read them as TIMESTAMP so epoch extraction matches the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", wh)
       // forces the join to prove itself without broadcast or AQE rewrites

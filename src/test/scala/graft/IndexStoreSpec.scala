@@ -25,6 +25,9 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-indexstore-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver testdata stores naive (isAdjustedToUTC=false) micros;
+      // read them as TIMESTAMP so epoch extraction matches the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-pipeline-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver testdata stores naive (isAdjustedToUTC=false) micros;
+      // read them as TIMESTAMP so epoch extraction matches the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,6 +113,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val perCluster = cl.groupBy("label")
       .agg(sum(col("keep").cast("int")).as("keepers"))
     assert(perCluster.filter(col("keepers") =!= 1).count() == 0)
+  }
+
+  test("canonical selection keeps the argmax-quality member per cluster") {
+    import org.apache.spark.sql.functions._
+    val sel = graft.pipeline.Dedup.canonicalSelection(spark, sfDir).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // covers every doc exactly once
+    assert(sel.count() == docs.count())
+    // exactly one kept doc per cluster, and it is in the cluster
+    val perCluster = sel
+      .groupBy("label")
+      .agg(
+        sum(col("kept").cast("int")).as("keepers"),
+        max(struct(col("n_words"), -col("doc_id"))).as("best"),
+        first(when(col("kept"), struct(col("n_words"), -col("doc_id"))),
+          ignoreNulls = true).as("chosen")
+      )
+    assert(perCluster.filter(col("keepers") =!= 1).count() == 0)
+    // the kept member is the cluster's (n_words desc, doc_id asc) argmax
+    assert(perCluster.filter(col("best") =!= col("chosen")).count() == 0)
+    // cluster structure agrees with d5 (same labels), only the survivor
+    // choice differs
+    val d5 = graft.pipeline.Dedup.nearDupClusters(spark, sfDir)
+      .select(col("doc_id"), col("label").as("l5"))
+    val joined = sel.join(d5, "doc_id")
+    assert(joined.filter(col("label") =!= col("l5")).count() == 0)
+    sel.unpersist(false)
   }
 
   test("simhash: hamming distance 0 pairs are exact-signature matches") {
