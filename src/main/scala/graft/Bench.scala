@@ -8,12 +8,30 @@ import org.apache.spark.sql.SparkSession
   * A short untimed warmup absorbs one-time JVM/codegen/classloading cost so
   * the per-query numbers measure plans, not Janino compilation of the first
   * query to run.
+  *
+  * Contention instrumentation: wall-clock alone cannot distinguish "the
+  * plan got slower" from "the sandbox was busy" (two rounds of phantom
+  * regressions proved this). Each query therefore also records the
+  * PROCESS CPU seconds it consumed (`OperatingSystemMXBean
+  * .getProcessCpuTime` delta) and the 1-minute system load average at its
+  * finish line. Reading the artifact: `cpu ≈ wall × used-cores` on an idle
+  * box; `wall` inflated while `cpu` holds steady and `load` far exceeds
+  * the core count is external contention, not a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _                                           => None // non-HotSpot: cpu reported as -1
+    }
+    def procCpuNs: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def loadAvg: Double = osBean.map(_.getSystemLoadAverage).getOrElse(-1.0)
+    val cores = Runtime.getRuntime.availableProcessors()
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once
     // per table family (action log / documents / embeddings) — otherwise
@@ -34,33 +52,51 @@ object Bench {
     }
     // a query that throws reports -1.0 (distinguishable from a fast
     // success) and lands in "failed", never in the total
+    val t0run = System.nanoTime()
+    val cpu0run = procCpuNs
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = procCpuNs
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0)
+      val cpuSec = if (c0 < 0) -1.0 else (procCpuNs - c0) / 1e9
+      (name, if (ok) sec else -1.0, cpuSec, loadAvg)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val wallTotal = (System.nanoTime() - t0run) / 1e9
+    val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
+
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val cpus = results.map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, _, _, l) => "\"" + k + "\":" + fmt(l) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""cpu_sec":$cpus,"load_avg":$loads,"failed":$failed,""" +
+        s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
+        s""""cores":$cores,"sf":"$sfDir"}"""
     println(line)
-    // the driver's log-tail artifact truncates long runs, hiding the
-    // alphabetically-first queries' timings; persist the full line so
-    // round-over-round comparison never depends on tail luck. Path is
-    // overridable / cwd-relative (not a hardcoded absolute checkout
-    // path), and a write failure is REPORTED — silently comparing a
-    // stale file from a previous run would be worse than no file
+    // Persist the full line to a RUN-STAMPED path: the round-6/7 driver
+    // artifacts were contention-corrupted and the builder's uncontended
+    // counter-evidence got overwritten by the driver's later run of the
+    // same default path. A unique path per invocation makes each run's
+    // evidence immutable; SPARK_GRAFT_BENCH_OUT still pins an exact path
+    // when a caller wants one. A write failure is REPORTED — silently
+    // comparing a stale file from a previous run would be worse than none.
     try {
+      val stamped = s"BENCH_FULL_${System.currentTimeMillis()}.json"
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stamped)
       )
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full results -> $out")
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] full-results write failed: $e")

@@ -8,26 +8,44 @@ import graft.functions.{EventsCodec, JavaStringHash}
 /** C1/C6 — segmentation + codec operators. */
 object Segments {
 
-  /** A7 end-to-end — purge-expired pipeline (reference replicator/.../
-    * PurgeExpired.scala:53-69): scan for journals whose TTL elapsed,
-    * synthesize a Purge action for each at its partition's end offset, fold
-    * them through the replication merge, and report the journals that
-    * remain. The output is provably `ids ∖ expired`, which the oracle
-    * asserts set-algebraically.
+  /** A7 end-to-end, ORACLE form — purge-expired pipeline derived from the
+    * raw action log (reference replicator/.../PurgeExpired.scala:53-69):
+    * materialize the store, then delegate to the store-based production
+    * path below. Kept because the driver's DuckDB oracle replays the whole
+    * derivation from `actions`; the output is provably `ids ∖ expired`,
+    * which the oracle asserts set-algebraically.
     */
-  def purgeExpiredApply(actions: DataFrame, asOf: String): DataFrame = {
+  def purgeExpiredApply(actions: DataFrame, asOf: String): DataFrame =
+    purgeExpiredApply(Replicate.compute(actions), asOf)
+
+  /** A7 PRODUCTION form — TTL purge against the MATERIALIZED store. The
+    * reference's purge job scans the metajournal's `expire_on` index and
+    * never re-reads the log (PurgeExpired.scala:53-69 reads
+    * `IdsByTopicAndExpireOn`); likewise this form touches only the three
+    * maintained store tables ([[graft.streaming.StreamingReplicator]]
+    * keeps them current):
+    *
+    *   - expired journals: one pushed-down filter on `metajournal.expire_on`
+    *     (at 100 TB: a date-partitioned index scan, no log access)
+    *   - purge offsets: allocated past `pointer2.next_offset` (the
+    *     replicated watermark — identical to max(koffset)+1 over the log
+    *     by the pointer2 invariant, without scanning the log)
+    *   - apply: one [[Replicate.mergeBatch]] whose batch is |expired| rows
+    *
+    * Law (spec): this form over a written+re-read store ≡ the actions
+    * form over the same log. Plan contract (spec): with a parquet-backed
+    * store the physical plan's file scans read ONLY the store directories
+    * — the action log never appears.
+    */
+  def purgeExpiredApply(store: Replicate.Store, asOf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val store = Replicate.compute(actions)
-    val expired = JournalOps.expired(actions, asOf).select("topic", "id")
-    val ends = actions
-      .groupBy("topic", "part_no")
-      .agg((max("koffset") + 1L).as("base"))
+    val expired = store.metajournal
+      .filter(col("expire_on") <= lit(asOf).cast("date"))
+      .select("topic", "id", "part_no")
+    val ends = store.pointer2
+      .select(col("topic"), col("part_no"), col("next_offset").as("base"))
     val w = Window.partitionBy("topic", "part_no").orderBy("id")
     val purges = expired
-      .join(
-        store.metajournal.select("topic", "id", "part_no"),
-        Seq("topic", "id")
-      )
       .join(broadcast(ends), Seq("topic", "part_no"))
       .select(
         col("topic"),

@@ -65,20 +65,41 @@ object StreamingReplicator {
     * ([[recoverCurrent]]) — that would let the offset guard discard all
     * previously replicated state, breaking exactly-once.
     *
-    * Isolation contract (SINGLE WRITER assumed — the reference's
-    * equivalent lock is CassandraSync; two concurrent appliers would race
-    * the rename pair): a reader resolving the store through
-    * [[recoverCurrent]] at ANY point of the swap sees exactly one
-    * committed generation — the old one until `current/` is moved aside,
-    * the new one after — never an uncommitted, partial, or mixed
-    * pointer2 (ReplicatorSpec walks every intermediate on-disk state).
-    * On Delta/Iceberg this paragraph is the table format's snapshot
-    * isolation; here it is the pair of atomic directory renames around
-    * the `_COMMITTED` marker.
+    * Isolation + concurrency contract (MULTI-WRITER safe): the committed
+    * generation lives in an EPOCH-NAMED directory (`current-<E>`), so
+    * adopting epoch E+1 requires atomically renaming `current-<E>` away —
+    * a filesystem compare-and-swap only one writer can win; a stale
+    * writer (one that snapshotted epoch E after the store advanced) finds
+    * no `current-<E>` to move and fails cleanly
+    * ([[ConcurrentStoreWriteException]]) without publishing anything.
+    * Ahead of the data writes, writers take a lease-style CLAIM on the
+    * epoch they intend to produce (`claim-<E+1>`, created atomically —
+    * the analogue of the reference's expiring CassandraSync lock,
+    * cassandra/.../CassandraSync.scala): a second writer targeting the
+    * same epoch fails fast, before touching the bucketed tables; a claim
+    * whose holder died is breakable after `leaseMs` (rename-to-unique
+    * break, itself race-safe). A zombie holder resumed past its broken
+    * lease may still write bucket files, but its COMMIT is fenced by the
+    * epoch CAS — those files are exactly crash leftovers, converged by
+    * the redelivered batch's idempotent merge. A reader resolving the
+    * store through [[recoverCurrent]] at ANY point sees exactly one
+    * committed generation — never an uncommitted, partial, or mixed
+    * pointer2 (ReplicatorSpec walks every intermediate on-disk state AND
+    * the two-writer race). On Delta/Iceberg this paragraph is the table
+    * format's optimistic-concurrency commit; here it is atomic directory
+    * renames around the `_COMMITTED` marker.
     */
-  def applyBatch(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
+  def applyBatch(
+      spark: SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      leaseMs: Long = DefaultLeaseMs
+  ): Unit = {
     import org.apache.spark.sql.functions.col
-    val cur = recoverCurrent(storeDir)
+    val (cur, epoch) = resolveCurrent(storeDir)
+    val root = Paths.get(storeDir)
+    Files.createDirectories(root)
+    claimEpoch(root, epoch + 1, leaseMs)
     val journalDir = Paths.get(storeDir, "journal")
     val metaDir = Paths.get(storeDir, "metajournal")
     val batchC = batch.cache()
@@ -88,7 +109,7 @@ object StreamingReplicator {
         .distinct()
         .collect()
         .map(r => (r.getString(0), r.getInt(1)))
-      if (touched.isEmpty) return
+      if (touched.isEmpty) { Files.deleteIfExists(root.resolve(s"claim-${epoch + 1}")); return }
 
       val bootstrap = Replicate.empty(spark, batchC)
       val store = Replicate.Store(
@@ -107,20 +128,104 @@ object StreamingReplicator {
       overwriteTouched(merged.metajournal, metaDir,
         Paths.get(storeDir, "metajournal_schema.json"), touched)
 
-      // pointer2: fresh committed generation, then swap (commit point)
-      val next = Paths.get(storeDir, s"gen-${System.nanoTime()}")
-      merged.pointer2.write.mode(SaveMode.Overwrite)
-        .parquet(next.resolve("pointer2").toString)
-      Files.createFile(next.resolve(Committed))
-
-      val old = if (Files.exists(cur)) {
-        val o = Paths.get(storeDir, s"old-${System.nanoTime()}")
-        Files.move(cur, o)
-        Some(o)
-      } else None
-      Files.move(next, cur)
-      old.foreach(deleteRecursively)
+      commitGeneration(root, epoch, merged.pointer2)
+    } catch {
+      // a failure BEFORE the commit leaves the claim held; release it so a
+      // peer need not wait out the lease (crash = lease expiry handles it)
+      case e: Throwable =>
+        if (!e.isInstanceOf[ConcurrentStoreWriteException])
+          Files.deleteIfExists(root.resolve(s"claim-${epoch + 1}"))
+        throw e
     } finally batchC.unpersist(false)
+  }
+
+  /** Stages `pointer2` as generation `basedOnEpoch + 1` and adopts it via
+    * the epoch CAS. Throws [[ConcurrentStoreWriteException]] — publishing
+    * nothing — if another writer advanced the store first.
+    */
+  def commitGeneration(
+      root: Path,
+      basedOnEpoch: Long,
+      pointer2: DataFrame
+  ): Unit = {
+    val nextEpoch = basedOnEpoch + 1
+    // a dead claimant of THIS epoch may have left a committed-but-unadopted
+    // gen; the live claim holder owns the epoch exclusively, so sweep it
+    genDirs(root).filter(_._2 == nextEpoch).foreach(g => deleteRecursively(g._1))
+    val next = root.resolve(s"gen-$nextEpoch-${System.nanoTime()}")
+    pointer2.write.mode(SaveMode.Overwrite)
+      .parquet(next.resolve("pointer2").toString)
+    Files.createFile(next.resolve(Committed))
+    adoptGeneration(root, basedOnEpoch, next)
+  }
+
+  /** The commit CAS: move `current-<E>` aside (only one writer can — the
+    * rename fails for everyone else), then adopt the staged generation as
+    * `current-<E+1>`. On loss the staged directory is deleted; the caller
+    * sees [[ConcurrentStoreWriteException]] and must re-read the store
+    * before retrying (its merge was based on a superseded snapshot).
+    */
+  private def adoptGeneration(root: Path, basedOnEpoch: Long, staged: Path): Unit = {
+    val nextEpoch = basedOnEpoch + 1
+    val cur = root.resolve(s"current-$basedOnEpoch")
+    val old =
+      if (basedOnEpoch == 0L) None
+      else {
+        val o = root.resolve(s"old-$basedOnEpoch-${System.nanoTime()}")
+        try { Files.move(cur, o); Some(o) }
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            deleteRecursively(staged)
+            throw new ConcurrentStoreWriteException(
+              s"epoch $basedOnEpoch already superseded — another writer " +
+                "committed first; re-read the store and retry")
+        }
+      }
+    try Files.move(staged, root.resolve(s"current-$nextEpoch"))
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        // only reachable if a reader's crash-repair adopted our own staged
+        // gen concurrently (the epoch lease admits no second writer): the
+        // generation IS current — success
+        if (!Files.exists(root.resolve(s"current-$nextEpoch"))) throw e
+    }
+    old.foreach(deleteRecursively)
+    // claims at or below the adopted epoch are spent
+    claimFiles(root).filter(_._2 <= nextEpoch).foreach(c => Files.deleteIfExists(c._1))
+  }
+
+  /** Takes the lease-style claim on `epoch`: atomic create of
+    * `claim-<epoch>` (content: writer id + wall millis). An existing live
+    * claim → [[ConcurrentStoreWriteException]] (fail fast, before any
+    * data write). An expired claim (holder presumed dead after `leaseMs`)
+    * is broken by an atomic rename to a unique tombstone — two breakers
+    * cannot both win — and then re-created.
+    */
+  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): Unit = {
+    val claim = root.resolve(s"claim-$epoch")
+    val me =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+        s"${Thread.currentThread().getId} ${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try { Files.write(claim, me.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryCreate()) {
+      val stampedAt =
+        try new String(Files.readAllBytes(claim), "UTF-8").trim
+          .split(" ").last.toLong
+        catch { case _: Exception => Long.MaxValue } // being written right now: live
+      val expired = System.currentTimeMillis() - stampedAt > leaseMs
+      val broke = expired && {
+        try { Files.move(claim,
+          root.resolve(s"claim-$epoch.broken-${System.nanoTime()}")); true }
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      }
+      if (!(broke && tryCreate()))
+        throw new ConcurrentStoreWriteException(
+          s"epoch $epoch is claimed by a live writer — concurrent " +
+            "replication detected; retry after it commits or its lease expires")
+    }
   }
 
   /** Touched-partition subset of a `(topic, bucket)`-partitioned table —
@@ -304,48 +409,105 @@ object StreamingReplicator {
 
   private val Committed = "_COMMITTED"
 
-  /** Resolves (and if necessary repairs) the store's `current/` directory.
+  /** Multi-writer loss signal: the store advanced past the snapshot this
+    * writer merged against (or a live peer holds the epoch claim). The
+    * loser has published NOTHING to the committed generation; re-read the
+    * store and re-apply — with Structured Streaming the failed batch is
+    * simply redelivered and the idempotent merge converges.
+    */
+  final class ConcurrentStoreWriteException(msg: String)
+      extends RuntimeException(msg)
+
+  /** How long a writer's epoch claim is honored after its last stamp —
+    * past this it is presumed dead and its claim breakable (the
+    * reference's CassandraSync lock expiry analogue).
+    */
+  val DefaultLeaseMs: Long = 10L * 60 * 1000
+
+  /** `(path, epoch[, stamp])` views of the generation-protocol entries. */
+  private def named(root: Path, prefix: String): Seq[(Path, Long)] = {
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix))
+            n.stripPrefix(prefix).split("[-.]")(0).toLongOption.map(p -> _)
+          else None
+        }
+        .toSeq
+    } finally s.close()
+  }
+  private def genDirs(root: Path): Seq[(Path, Long)] = named(root, "gen-")
+  private def claimFiles(root: Path): Seq[(Path, Long)] =
+    named(root, "claim-")
+
+  /** Back-compat name: resolves (and if necessary repairs) the committed
+    * generation, returning its directory.
+    */
+  def recoverCurrent(storeDir: String): Path = resolveCurrent(storeDir)._1
+
+  /** Resolves (and if necessary repairs) the committed generation:
+    * `(current-<E> path, E)`; epoch 0 = virgin store (path won't exist).
     *
     * Crash windows of [[applyBatch]] and their recovery:
-    *   - during the generation write (no marker yet): `current/` intact —
-    *     the stale `gen-*` is garbage, swept here
-    *   - after the marker but before `move(current, old)`: `current/`
-    *     intact; the committed-but-unadopted `gen-*` is superseded garbage
-    *   - between `move(current, old)` and `move(gen, current)`: no
-    *     `current/`; the newest COMMITTED `gen-*` is adopted (the `old-*`
-    *     twin is swept)
-    *   - after `move(gen, current)` but before the old delete: `current/`
-    *     intact; the `old-*` leftover is swept
+    *   - during a generation write (no marker yet): `current-<E>` intact —
+    *     the unmarked `gen-*` belongs to a dead OR LIVE writer; left for
+    *     the epoch's claim holder to sweep ([[commitGeneration]])
+    *   - staged + marker, `current-<E>` not yet moved aside: reader stays
+    *     on `current-<E>` (the commit POINT is the adoption CAS, not the
+    *     marker); the stale gen is swept by the next claimant of E+1
+    *   - between `move(current-<E>, old)` and `move(gen, current-<E+1>)`:
+    *     no `current-*`; the newest COMMITTED `gen-*` is adopted under its
+    *     own epoch name (its `old-*` twin is then garbage)
+    *   - adopted but `old-*`/spent claims unswept: swept here
+    *
+    * Legacy (pre-epoch) layout: a bare `current/` migrates to
+    * `current-1`.
     */
-  def recoverCurrent(storeDir: String): Path = {
+  def resolveCurrent(storeDir: String): (Path, Long) = {
     val root = Paths.get(storeDir)
-    val cur = root.resolve("current")
-    if (!Files.exists(root)) return cur
+    if (!Files.exists(root)) return (root.resolve("current-0"), 0L)
 
-    def dirs(prefix: String): Seq[Path] = {
-      val s = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(prefix))
-          .toSeq
-          .sortBy(_.getFileName.toString.stripPrefix(prefix).toLong)
-      } finally s.close()
-    }
+    val legacy = root.resolve("current")
+    if (Files.exists(legacy)) Files.move(legacy, root.resolve("current-1"))
 
-    if (!Files.exists(cur)) {
-      val committed = dirs("gen-").filter(g => Files.exists(g.resolve(Committed)))
-      committed.lastOption match {
-        case Some(g) => Files.move(g, cur)
-        case None =>
-          // no committed generation: only reachable if markers were removed
-          // externally; the newest old-* still holds the pre-batch store
-          dirs("old-").lastOption.foreach(o => Files.move(o, cur))
-      }
+    named(root, "current-").maxByOption(_._2) match {
+      case Some((p, e)) =>
+        // old-* below the committed epoch and gens at/below it are spent
+        named(root, "old-").filter(_._2 <= e).foreach(o => deleteRecursively(o._1))
+        genDirs(root)
+          .filter { case (g, ge) => ge <= e && Files.exists(g.resolve(Committed)) }
+          .foreach(g => deleteRecursively(g._1))
+        claimFiles(root).filter(_._2 <= e).foreach(c => Files.deleteIfExists(c._1))
+        (p, e)
+      case None =>
+        val committed = genDirs(root)
+          .filter { case (g, _) => Files.exists(g.resolve(Committed)) }
+          .sortBy { case (g, e) => (e, g.getFileName.toString) }
+        committed.lastOption match {
+          case Some((g, e)) =>
+            try Files.move(g, root.resolve(s"current-$e"))
+            catch {
+              // a concurrent repair beat us to the same adoption — fine
+              case _: java.nio.file.FileSystemException
+                  if Files.exists(root.resolve(s"current-$e")) =>
+            }
+            resolveCurrent(storeDir)
+          case None =>
+            // no committed generation anywhere: only reachable if markers
+            // were removed externally; the newest old-* still holds the
+            // last committed store (re-adopted under its epoch name)
+            named(root, "old-").sortBy(_._2).lastOption match {
+              case Some((o, e)) =>
+                Files.move(o, root.resolve(s"current-$e"))
+                resolveCurrent(storeDir)
+              case None => (root.resolve("current-0"), 0L)
+            }
+        }
     }
-    // sweep superseded generations and leftovers
-    (dirs("gen-") ++ dirs("old-")).foreach(deleteRecursively)
-    cur
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -340,12 +340,12 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("generation swap isolation: every reader-visible state is exactly one committed generation") {
     // The swap protocol's isolation contract, demonstrated state by state:
-    // applyBatch (single writer — the store's concurrency assumption)
-    // passes through four on-disk states between two committed
-    // generations, and a reader (readStore → recoverCurrent, the repair
-    // path every reader takes) lands on EXACTLY the old or the new
+    // a committing writer passes through four on-disk states between two
+    // committed generations, and a reader (readStore → recoverCurrent, the
+    // repair path every reader takes) lands on EXACTLY the old or the new
     // committed pointer2 at each of them — never an uncommitted, partial,
-    // or mixed generation.
+    // or mixed generation. (Multi-writer races over these same states are
+    // covered by the concurrent-writers spec below.)
     import java.nio.file.{Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
 
@@ -390,13 +390,16 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oldRows != newRows, "fixture: batch 2 must move the pointer")
 
     // builds a store frozen at one protocol state; `build` arranges the
-    // generation dirs from oldGen (= batch-1 current) and newGen
+    // generation dirs from oldGen (= batch-1 current, epoch 1) and newGen
+    // (= batch-2 current, epoch 2)
     def state(build: (Path, Path, Path) => Unit): Seq[String] = {
       val d = Files.createTempDirectory("graft-swap-state")
       copyTree(ref, d)
-      deleteTree(d.resolve("current"))
-      val oldGen = tmp.resolve("current")
-      val newGen = ref.resolve("current")
+      deleteTree(d.resolve("current-2"))
+      val oldGen = tmp.resolve("current-1")
+      val newGen = ref.resolve("current-2")
+      assert(Files.exists(oldGen) && Files.exists(newGen),
+        "fixture: applyBatch must produce epoch-named generations")
       build(d, oldGen, newGen)
       p2Rows(d.toString)
     }
@@ -404,35 +407,136 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // S1 — next generation written, no _COMMITTED marker yet: the reader
     // must IGNORE it (uncommitted) and stay on the old generation
     val s1 = state { (d, oldGen, newGen) =>
-      copyTree(oldGen, d.resolve("current"))
-      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
+      copyTree(oldGen, d.resolve("current-1"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-2-1/pointer2"))
     }
     assert(s1 == oldRows)
 
-    // S2 — marker exists but current/ not yet moved aside: current wins
-    // (the committed-but-unadopted gen is superseded garbage; a crash
+    // S2 — marker exists but current-1 not yet moved aside: current wins
+    // (the commit POINT is the adoption CAS, not the marker; a crash
     // here redelivers the batch and the idempotent merge re-applies)
     val s2 = state { (d, oldGen, newGen) =>
-      copyTree(oldGen, d.resolve("current"))
-      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
-      Files.createFile(Paths.get(s"$d/gen-1/_COMMITTED"))
+      copyTree(oldGen, d.resolve("current-1"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-2-1/pointer2"))
+      Files.createFile(Paths.get(s"$d/gen-2-1/_COMMITTED"))
     }
     assert(s2 == oldRows)
 
-    // S3 — mid-swap: current moved to old-*, committed gen not yet
+    // S3 — mid-swap: current-1 moved to old-1-*, committed gen not yet
     // adopted. The reader adopts the committed generation — new rows
     val s3 = state { (d, oldGen, newGen) =>
-      copyTree(oldGen, d.resolve("old-2"))
-      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-1/pointer2"))
-      Files.createFile(Paths.get(s"$d/gen-1/_COMMITTED"))
+      copyTree(oldGen, d.resolve("old-1-2"))
+      copyTree(newGen.resolve("pointer2"), Paths.get(s"$d/gen-2-1/pointer2"))
+      Files.createFile(Paths.get(s"$d/gen-2-1/_COMMITTED"))
     }
     assert(s3 == newRows)
 
     // S4 — adopted but the superseded old-* not yet swept: new rows
     val s4 = state { (d, oldGen, newGen) =>
-      copyTree(newGen, d.resolve("current"))
-      copyTree(oldGen, d.resolve("old-2"))
+      copyTree(newGen, d.resolve("current-2"))
+      copyTree(oldGen, d.resolve("old-1-2"))
     }
     assert(s4 == newRows)
+
+    // S5 — legacy pre-epoch layout: a bare `current/` store resolves (and
+    // is migrated) without losing its committed pointer
+    val s5 = state { (d, oldGen, _) =>
+      copyTree(oldGen, d.resolve("current"))
+    }
+    assert(s5 == oldRows)
+  }
+
+  test("two concurrent writers: one loses cleanly, no interleaved generation") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
+    val a = actions.cache()
+    val Seq(c1, c2, c3) = chunks(a, 3)
+    val tmp = Files.createTempDirectory("graft-mw").toString
+    val root = Paths.get(tmp)
+    StreamingReplicator.applyBatch(spark, tmp, c1) // epoch 1
+
+    def p2Rows(): Seq[String] =
+      StreamingReplicator.readStore(spark, tmp)
+        .pointer2.collect().map(_.mkString("|")).sorted.toSeq
+    val afterC1 = p2Rows()
+
+    // Writer A mid-flight: epoch-2 claim taken, nothing committed yet
+    val (_, e1) = StreamingReplicator.resolveCurrent(tmp)
+    assert(e1 == 1L)
+    StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+
+    // Writer B fails FAST at the claim — before any data write; the
+    // committed generation is untouched
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.applyBatch(spark, tmp, c2, leaseMs = 600000L)
+    }
+    assert(p2Rows() == afterC1, "loser must publish nothing")
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
+
+    // A dies; its lease expires (simulated by back-dating the stamp). B
+    // breaks the claim and commits epoch 2.
+    Files.write(root.resolve("claim-2"),
+      s"dead-writer/0 ${System.currentTimeMillis() - 3600000L}".getBytes("UTF-8"))
+    StreamingReplicator.applyBatch(spark, tmp, c2, leaseMs = 600000L)
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 2L)
+    val afterC2 = p2Rows()
+    assert(afterC2 != afterC1)
+
+    // Zombie A resumes with its stale epoch-1 snapshot and tries to
+    // commit: the epoch CAS fences it — clean loss, store unchanged
+    val stale = StreamingReplicator.readStore(spark, tmp).pointer2
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.commitGeneration(root, basedOnEpoch = 1L, stale)
+    }
+    assert(p2Rows() == afterC2, "fenced zombie must publish nothing")
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 2L)
+    // and its staged generation was cleaned up — no gen-* debris remains
+    assert(!Files.list(root).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("gen-")))
+
+    // Loser-retry convergence: the next writer proceeds normally and the
+    // final store equals the sequential application of all three chunks
+    StreamingReplicator.applyBatch(spark, tmp, c3)
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 3L)
+    assertStoreEquals(
+      StreamingReplicator.readStore(spark, tmp),
+      Replicate.compute(a)
+    )
+    a.unpersist()
+  }
+
+  test("store-based purgeExpiredApply ≡ actions-based, and scans only the store") {
+    import graft.journal.Segments
+    val a = actions.cache()
+    val asOf = "2024-02-15"
+    val viaActions = Segments.purgeExpiredApply(a, asOf)
+
+    // materialize the store the way production would (write + re-read)
+    val tmp = Files.createTempDirectory("graft-purge-store").toString
+    Replicate.write(Replicate.compute(a), tmp)
+    val store = Replicate.read(spark, tmp)
+    val viaStore = Segments.purgeExpiredApply(store, asOf)
+
+    // law: the production path over the materialized store produces the
+    // exact rows of the oracle path over the raw log
+    assert(viaStore.exceptAll(viaActions).count() == 0, "store path: extra rows")
+    assert(viaActions.exceptAll(viaStore).count() == 0, "store path: missing rows")
+
+    // plan contract: with a parquet-backed store, every relation the purge
+    // reads is a store table — the action log (events parquet) is absent,
+    // i.e. no full-log recompute hides anywhere in the plan
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = viaStore.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case fs: HadoopFsRelation =>
+      fs.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty, "expected parquet scans in the store-path plan")
+    assert(
+      roots.forall(_.contains(tmp)),
+      s"purge plan reads outside the materialized store: $roots"
+    )
+    a.unpersist()
   }
 }
