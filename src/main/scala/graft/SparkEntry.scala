@@ -163,6 +163,12 @@ object SparkEntry {
     "q8b_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q21_waiting_suppliers" -> (Analytics.waitingSuppliers _),
     "q22_idle_balance" -> (Analytics.idleBalance _),
+    // partsupp family (synthetic partsupp, identical derivation in both
+    // engines): the four classic decorrelation shapes
+    "q2_min_cost_supplier" -> ((s, d) => Analytics.minCostSupplier(s, d)),
+    "q11_inventory_value" -> ((s, d) => Analytics.inventoryValue(s, d)),
+    "q16b_supplier_counts" -> (Analytics.supplierCounts _),
+    "q20_excess_stock" -> ((s, d) => Analytics.excessStockSuppliers(s, d)),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -317,6 +323,10 @@ object SparkEntry {
     "q8b_market_share" -> AnalyticsOracles.marketShare,
     "q21_waiting_suppliers" -> AnalyticsOracles.waitingSuppliers,
     "q22_idle_balance" -> AnalyticsOracles.idleBalance,
+    "q2_min_cost_supplier" -> AnalyticsOracles.minCostSupplier,
+    "q11_inventory_value" -> AnalyticsOracles.inventoryValue,
+    "q16b_supplier_counts" -> AnalyticsOracles.supplierCounts,
+    "q20_excess_stock" -> AnalyticsOracles.excessStockSuppliers,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,

@@ -888,4 +888,225 @@ object Analytics {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(20)
   }
+
+  // ---- partsupp-family shapes (q2 / q11 / q16 / q20) -------------------
+  //
+  // The driver testdata ships no partsupp table; it is SYNTHESIZED here
+  // and in the DuckDB oracle by the same pure-integer derivation, so both
+  // engines hold the identical table (AnalyticsOracles.partsuppCte is the
+  // byte-for-byte SQL twin of [[partsupp]]).
+
+  /** Synthetic partsupp: 4 supplier rows per part via the TPC-H dbgen
+    * supplier-rotation idea (TPC-H spec §4.2.3 — partkey plus a stride
+    * per replica), adapted to this testdata's 0-based keys with stride
+    * `S/4 + 1` (coprime-enough: `k·(S/4+1) mod S ≠ 0` for k=1..3 at every
+    * shipped supplier count, so the four replicas are distinct).
+    * `ps_availqty` / `ps_supplycost_cents` are fixed affine hashes of
+    * (part, supplier) — exact BIGINT end-to-end, so sums and comparisons
+    * hash-match the oracle regardless of partition merge order. Cost is
+    * kept in CENTS; a consumer wanting dollars divides at presentation.
+    *
+    * Plan shape: one scan of `part` × a 4-element explode — no shuffle,
+    * no join (the supplier COUNT is a broadcast single-row cross join).
+    * At 100 TB partsupp would be a real table; everything downstream
+    * consumes it as a DataFrame either way.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val nSupp = t(spark, dir, "supplier")
+      .agg(count(lit(1)).cast("long").as("n_supp"))
+    t(spark, dir, "part")
+      .select(col("p_partkey"))
+      .crossJoin(broadcast(nSupp))
+      .select(
+        col("p_partkey"),
+        col("n_supp"),
+        explode(array((0L until 4L).map(lit): _*)).as("i")
+      )
+      .selectExpr(
+        "p_partkey AS ps_partkey",
+        "(p_partkey + i * (n_supp DIV 4 + 1)) % n_supp AS ps_suppkey"
+      )
+      .selectExpr(
+        "ps_partkey",
+        "ps_suppkey",
+        "(ps_partkey * 13 + ps_suppkey * 7) % 9998 + 1 AS ps_availqty",
+        "(ps_partkey * 29 + ps_suppkey * 31) % 99900 + 100 AS ps_supplycost_cents"
+      )
+  }
+
+  /** Suppliers of one region with their nation name — the broadcast dim
+    * leg all four partsupp shapes share (supplier scales at TPC-H's small
+    * multiplier; nation/region are fixed 25/5 rows).
+    */
+  private def regionSuppliers(
+      spark: SparkSession,
+      dir: String,
+      region: String
+  ): DataFrame =
+    t(spark, dir, "supplier")
+      .join(
+        broadcast(
+          t(spark, dir, "nation")
+            .join(
+              t(spark, dir, "region").filter(col("r_name") === region),
+              col("n_regionkey") === col("r_regionkey")
+            )
+            .select("n_nationkey", "n_name")
+        ),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+  /** TPC-H Q2 shape: min-cost supplier per part in a region. The classic
+    * formulation is a correlated scalar subquery (per part: MIN supply
+    * cost among the region's suppliers); decorrelated here into one
+    * per-part aggregate joined back on the SAME key — the groupBy and the
+    * join share the ps_partkey shuffle, so the whole query is one
+    * exchange over the (already part-filtered) partsupp leg plus
+    * broadcast dims. Ties (two suppliers at the min cost) keep both rows,
+    * exactly like the SQL's equality filter.
+    */
+  def minCostSupplier(
+      spark: SparkSession,
+      dir: String,
+      region: String = "EUROPE",
+      maxSize: Int = 10,
+      ptype: String = "STANDARD"
+  ): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_size") <= maxSize && col("p_type") === ptype)
+      .select("p_partkey", "p_brand")
+    val eligible = partsupp(spark, dir)
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .join(
+        broadcast(regionSuppliers(spark, dir, region)),
+        col("ps_suppkey") === col("s_suppkey")
+      )
+    val minCost = eligible
+      .groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost_cents").as("min_cents"))
+    eligible
+      .join(
+        minCost,
+        col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost_cents") === col("min_cents")
+      )
+      .select(
+        col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey"), col("p_brand"), col("ps_supplycost_cents")
+      )
+      .orderBy(
+        col("s_acctbal").desc, col("n_name"), col("s_name"), col("ps_partkey")
+      )
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape: per-part inventory value held by one region's
+    * suppliers, keeping parts whose value exceeds 1.5× the mean part
+    * value — the group-by + GLOBAL-scalar HAVING pattern. The scalar
+    * (total value and group count) is a single-row aggregate broadcast
+    * into the per-part rows; the threshold compare is pure BIGINT
+    * cross-multiplication (`value · n · 2 > total · 3`), so no float
+    * enters the plan and the HAVING is exact at any scale.
+    */
+  def inventoryValue(
+      spark: SparkSession,
+      dir: String,
+      region: String = "EUROPE"
+  ): DataFrame = {
+    val perPart = partsupp(spark, dir)
+      .join(
+        broadcast(regionSuppliers(spark, dir, region).select("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey")
+      )
+      .groupBy("ps_partkey")
+      .agg(
+        sum(col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents")
+      )
+    val totals = perPart.agg(
+      sum("value_cents").as("total_cents"),
+      count(lit(1)).as("n_parts")
+    )
+    perPart
+      .crossJoin(broadcast(totals))
+      .filter(col("value_cents") * col("n_parts") * 2 > col("total_cents") * 3)
+      .select("ps_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    * with a NOT-IN supplier exclusion. The NOT IN decorrelates to a
+    * broadcast left-anti join (the excluded set — suppliers in the red —
+    * is tiny); the single countDistinct plans as a two-level aggregate
+    * with NO Expand (only multi-distinct aggregates trigger the Expand
+    * row-tripling this family avoids).
+    */
+  def supplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 23, 36, 45, 49)
+    val parts = t(spark, dir, "part")
+      .filter(
+        col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(sizes: _*)
+      )
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    partsupp(spark, dir)
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(
+        col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size")
+      )
+  }
+
+  /** TPC-H Q20 shape: suppliers in a region holding excess stock of a
+    * part family — the semi-join chain part → partsupp → lineitem-agg →
+    * supplier. The correlated quantity subquery decorrelates to one
+    * groupBy over the shipdate-filtered lineitem on (partkey, suppkey),
+    * LEFT-joined so a never-shipped partsupp row qualifies against zero;
+    * the final contraction to suppliers is a distinct-projection
+    * broadcast into the supplier dim. One fact shuffle total.
+    */
+  def excessStockSuppliers(
+      spark: SparkSession,
+      dir: String,
+      region: String = "EUROPE",
+      namePrefix: String = "red",
+      year: Int = 1996
+  ): DataFrame = {
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    val shipped = t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp")
+      )
+      .groupBy(
+        col("l_partkey").as("sq_partkey"), col("l_suppkey").as("sq_suppkey")
+      )
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val qualified = partsupp(spark, dir)
+      .join(redParts, col("ps_partkey") === col("p_partkey"))
+      .join(
+        shipped,
+        col("ps_partkey") === col("sq_partkey") &&
+          col("ps_suppkey") === col("sq_suppkey"),
+        "left"
+      )
+      .filter(col("ps_availqty") * 2 > coalesce(col("qty"), lit(0L)))
+      .select("ps_suppkey")
+      .distinct()
+    regionSuppliers(spark, dir, region)
+      .join(
+        broadcast(qualified),
+        col("s_suppkey") === col("ps_suppkey"),
+        "left_semi"
+      )
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
 }

@@ -475,4 +475,104 @@ object AnalyticsOracles {
       ON p.user_id = c.c_user AND p.purchase_us >= c.click_us
     ORDER BY p.user_id, p.purchase_id
   """
+
+  /** Shared CTE — the byte-for-byte SQL twin of `Analytics.partsupp`
+    * (synthetic partsupp: testdata ships none; pure-integer derivation so
+    * both engines hold the identical table). Queries append further CTEs
+    * after the trailing paren with a comma, or follow with SELECT.
+    */
+  private val partsuppCte: String = """
+    WITH ps0 AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (n_supp // 4 + 1)) % n_supp AS ps_suppkey
+      FROM part
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier) sc
+      CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) gi
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 13 + ps_suppkey * 7) % 9998 + 1 AS ps_availqty,
+             (ps_partkey * 29 + ps_suppkey * 31) % 99900 + 100
+               AS ps_supplycost_cents
+      FROM ps0
+    )
+  """
+
+  /** Q2 kept in its CLASSIC correlated-scalar-subquery form — DuckDB
+    * decorrelates it the same way the Spark side does explicitly.
+    */
+  val minCostSupplier: String = s"""$partsuppCte
+    SELECT s_acctbal, s_name, n_name, ps.ps_partkey AS ps_partkey, p_brand,
+           ps.ps_supplycost_cents AS ps_supplycost_cents
+    FROM partsupp ps
+    JOIN part ON ps.ps_partkey = p_partkey
+    JOIN supplier ON ps.ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND ps.ps_supplycost_cents = (
+        SELECT MIN(ps2.ps_supplycost_cents)
+        FROM partsupp ps2
+        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, ps_partkey
+    LIMIT 100
+  """
+
+  val inventoryValue: String = s"""$partsuppCte,
+    per_part AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY ps_partkey
+    ),
+    totals AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+             COUNT(*) AS n_parts
+      FROM per_part
+    )
+    SELECT ps_partkey, value_cents
+    FROM per_part, totals
+    WHERE value_cents * n_parts * 2 > total_cents * 3
+    ORDER BY value_cents DESC, ps_partkey
+  """
+
+  val supplierCounts: String = s"""$partsuppCte
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+  """
+
+  val excessStockSuppliers: String = s"""$partsuppCte
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty * 2 > (
+            SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'))
+    ORDER BY s_name
+  """
 }
