@@ -591,6 +591,30 @@ object Similarity {
       nQueries: Int = 10,
       k: Int = 5,
       nprobe: Int = 2
+  ): DataFrame =
+    knnIvfIndexedOf(
+      spark,
+      emb(spark, dir)
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q")),
+      indexDir,
+      k,
+      nprobe
+    )
+
+  /** [[knnIvfIndexed]] over an EXPLICIT query frame `(qid, q)` — the form
+    * the continuous search plane consumes per micro-batch
+    * ([[graft.streaming.StreamingSimilarity.searchStream]]): queries are
+    * independent rows, so searching them in arriving chunks against the
+    * frozen index is row-for-row identical to one batch search (the
+    * stream ≡ batch law in IndexStoreSpec).
+    */
+  def knnIvfIndexedOf(
+      spark: SparkSession,
+      queryVecs: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      nprobe: Int = 2
   ): DataFrame = {
     val centroids: Seq[(Int, Seq[Double])] = spark.read
       .parquet(s"$indexDir/centroids")
@@ -599,9 +623,7 @@ object Similarity {
       .sortBy(_._1)
       .toSeq
     val queries = withNorm(
-      emb(spark, dir)
-        .filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("q")),
+      queryVecs.select(col("qid"), col("q")),
       "q",
       "qnrm"
     )

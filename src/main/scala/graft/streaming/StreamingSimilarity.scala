@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Similarity
+
+/** Continuous ANN search — the streaming form of the persisted-IVF-index
+  * plane, completing batch/streaming parity for the last plane that lacked
+  * it (dedup, curation, as-of, range join, and the sketches all have both).
+  *
+  * Shape: query vectors ARRIVE (a stream of `(qid, q)` rows); the index is
+  * the FROZEN side ([[Similarity.writeIvfIndex]] /
+  * [[Similarity.appendToIvfIndex]] maintain it between batches, exactly the
+  * train-once/ingest-daily lifecycle k10 demonstrates). Each micro-batch is
+  * scored with [[Similarity.knnIvfIndexedOf]] — centroids load bounded
+  * (kCentroids×dim), probe cells resolve row-locally, and the vectors scan
+  * is partition-pruned to the batch's probed cells, so per-batch cost is
+  * O(batch × probed cells), never O(index).
+  *
+  * Law (IndexStoreSpec): queries streamed in chunks ≡ one batch search,
+  * row-for-row. This holds STRUCTURALLY — queries are independent rows and
+  * the index is immutable during a run — which is why `foreachBatch` (T1
+  * commit-after-write ordering, checkpointed offsets) is the whole
+  * machinery: no cross-batch state exists to manage. Contrast the dedup
+  * stream, where cross-batch state is the operator.
+  *
+  * At 100 TB: the index's cid partitioning is what keeps the continuous
+  * form viable — each arriving batch touches only its probed cells' files;
+  * a brute-force streaming scorer would re-scan the corpus per batch.
+  */
+object StreamingSimilarity {
+
+  /** Starts the continuous search: `queries` is a STREAMING frame with
+    * columns `(qid: Long, q: Array[Double])`; each micro-batch's top-k
+    * results (qid, vec_id, rank, sim) are handed to `sink` with the batch
+    * id. `checkpointDir` makes delivery resumable (a replayed batch
+    * re-scores the same queries — idempotent for any sink keyed on qid).
+    */
+  def searchStream(
+      queries: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      nprobe: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Similarity.knnIvfIndexedOf(
+            batch.sparkSession,
+            batch,
+            indexDir,
+            k,
+            nprobe
+          ),
+          batchId
+        )
+      }
+      .start()
+}

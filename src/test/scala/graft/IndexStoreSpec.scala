@@ -187,6 +187,63 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromStore == direct)
   }
 
+  test("streaming IVF search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ivf-stream").toString
+    val ck = Files.createTempDirectory("graft-ivf-stream-ck").toString
+    Similarity.writeIvfIndex(spark, sfDir, tmp)
+
+    val queryRows: Seq[(Long, Seq[Float])] = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = graft.streaming.StreamingSimilarity.searchStream(
+      ms.toDF().toDF("qid", "q"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rows = res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      buf.synchronized { buf ++= rows: Unit }
+    }
+    try
+      queryRows.grouped(3).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val batch = Similarity
+      .knnIvfIndexedOf(
+        spark,
+        spark
+          .createDataset(queryRows)
+          .toDF("qid", "q"),
+        tmp
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    // row-for-row (bit-equal sims): queries are independent and the index
+    // frozen, so chunked continuous search IS the batch search
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+  }
+
   test("query-time scan prunes to the probed cells' partitions") {
     val tmp = Files.createTempDirectory("graft-ivf-prune").toString
     Similarity.writeIvfIndex(spark, sfDir, tmp)

@@ -265,6 +265,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0)
     assert(want.exceptAll(got).count() == 0)
+    // LEFT-OUTER emission, explicitly: purchases with no click at-or-
+    // before them are emitted with null click columns once the watermark
+    // proves no match can arrive — the same rows the batch LEFT as-of
+    // yields (the exceptAll pair above already implies it; this pins the
+    // outer path non-vacuously)
+    val gotOuter = got.filter(col("click_id").isNull).count()
+    assert(gotOuter == want.filter(col("click_id").isNull).count())
+    assert(gotOuter > 0,
+      "fixture must exercise the outer path (some purchase precedes " +
+        "every click of its user)")
   }
 
   private val horizonUs = 86400000000L // the w6 attribution horizon (24 h)
