@@ -131,10 +131,24 @@ final case class BottomKSample(
 
 object BottomKSample {
 
+  /** p25's sampling parameters — the ONE definition both the pipeline
+    * (TextAnalysis.quantileSketch) and its DuckDB oracle string
+    * (PipelineOracles.quantileSketch) interpolate, so the two copies
+    * cannot drift. The affine map `x → (A·x + B) mod M` is a bijection on
+    * [0, M) (A coprime to the prime M), so DISTINCT ids below M hash
+    * collision-free — the precondition under which this buffer's
+    * hash-keyed dedup matches the oracle's ROW_NUMBER multiplicity (see
+    * the class note on collisions).
+    */
+  val DefaultK = 128
+  val AffineA = 48271L
+  val AffineB = 11L
+  val AffineM = 1000000007L
+
   /** Column API: value-sorted array of the k rows with the smallest hash
     * keys — a deterministic mergeable uniform sample of the group.
     */
-  def bottomKSample(hash: Column, value: Column, k: Int = 128): Column =
+  def bottomKSample(hash: Column, value: Column, k: Int = DefaultK): Column =
     ColumnBridge.column(
       BottomKSample(
         ColumnBridge.expression(hash),

@@ -169,13 +169,17 @@ object PipelineOracles {
   /** p25 — bottom-k-by-hash quantile sketch (graft.pipeline.TextAnalysis
     * .quantileSketch): the sample is the k rows with the smallest affine
     * doc_id hashes per language (deterministic — the affine map is a
-    * bijection mod M, so hashes are collision-free here), quantiles are
-    * the sample's order statistics at rank 1 + floor(q·(n−1)). */
+    * bijection mod M, so DISTINCT doc_ids below M hash collision-free,
+    * the precondition making ROW_NUMBER here equal the aggregate's
+    * hash-keyed sample), quantiles are the sample's order statistics at
+    * rank 1 + floor(q·(n−1)). k and the affine constants interpolate
+    * from the ONE shared definition (BottomKSample companion). */
   val quantileSketch: String = {
-    val k = 128
+    import graft.functions.BottomKSample.{AffineA, AffineB, AffineM}
+    val k = graft.functions.BottomKSample.DefaultK
     s"""
     WITH h AS (
-      SELECT lang, n_chars, (doc_id * 48271 + 11) % $M AS hv
+      SELECT lang, n_chars, (doc_id * $AffineA + $AffineB) % $AffineM AS hv
       FROM documents
     ),
     r AS (

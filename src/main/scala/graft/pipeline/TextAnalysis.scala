@@ -307,20 +307,28 @@ object TextAnalysis {
     * are the sample's order statistics. Only k (hash, value) pairs per
     * group cross the shuffle — an exact quantile sorts the whole group,
     * `percentile_approx` has no replayable oracle. Groups at or below k
-    * are sampled whole, so their quantiles are exact; the spec measures
-    * rank error above k and the merge/layout laws.
+    * are sampled whole, so their quantiles are exact; BottomKSampleSpec
+    * measures rank error above k and the merge/layout laws.
+    *
+    * Precondition (BottomKSample.AffineM doc): doc_ids are distinct and
+    * below M, so the affine hash is collision-free and the aggregate's
+    * hash-keyed sample matches the oracle's ROW_NUMBER multiplicity.
+    * Sampling parameters come from ONE shared definition
+    * ([[graft.functions.BottomKSample]] companion) interpolated by both
+    * this pipeline and the oracle string — no drift possible.
     */
   def quantileSketch(
       spark: SparkSession,
       dir: String,
-      k: Int = 128
+      k: Int = graft.functions.BottomKSample.DefaultK
   ): DataFrame = {
-    val M = 1000000007L
+    import graft.functions.BottomKSample.{AffineA, AffineB, AffineM}
     val d = docs(spark, dir)
       .select(
         col("lang"),
         col("n_chars"),
-        ((col("doc_id") * lit(48271L) + lit(11L)) % lit(M)).as("hv")
+        ((col("doc_id") * lit(AffineA) + lit(AffineB)) % lit(AffineM))
+          .as("hv")
       )
     val agg = d
       .groupBy("lang")
@@ -330,11 +338,17 @@ object TextAnalysis {
           .as("smp")
       )
     // order statistic at rank 1 + floor(q·(n−1)) — plain IEEE-double
-    // index arithmetic both engines compute identically
+    // index arithmetic both engines compute identically. The size guard
+    // covers the degenerate empty-sample group (all-null inputs): DuckDB's
+    // s[0] yields NULL where Spark's element_at(_, 0) would throw — the
+    // guard makes Spark yield the same NULL instead
     def qAt(q: Double): Column =
-      element_at(
-        col("smp"),
-        (lit(1) + floor(lit(q) * (size(col("smp")) - 1))).cast("int")
+      when(
+        size(col("smp")) > 0,
+        element_at(
+          col("smp"),
+          (lit(1) + floor(lit(q) * (size(col("smp")) - 1))).cast("int")
+        )
       )
     agg
       .select(
