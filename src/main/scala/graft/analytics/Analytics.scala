@@ -959,12 +959,14 @@ object Analytics {
 
   /** TPC-H Q2 shape: min-cost supplier per part in a region. The classic
     * formulation is a correlated scalar subquery (per part: MIN supply
-    * cost among the region's suppliers); decorrelated here into one
-    * per-part aggregate joined back on the SAME key — the groupBy and the
-    * join share the ps_partkey shuffle, so the whole query is one
-    * exchange over the (already part-filtered) partsupp leg plus
-    * broadcast dims. Ties (two suppliers at the min cost) keep both rows,
-    * exactly like the SQL's equality filter.
+    * cost among the region's suppliers); decorrelated here into a
+    * per-part WINDOW min + equality filter — strictly better than the
+    * aggregate-and-rejoin decorrelation, which plans the eligible subtree
+    * twice and sort-merge-joins the copies (measured: Spark's exchange
+    * reuse does not unify them): the window form computes the subtree
+    * ONCE and spends one ps_partkey exchange total. Ties (two suppliers
+    * at the min cost) keep both rows, exactly like the SQL's equality
+    * filter.
     */
   def minCostSupplier(
       spark: SparkSession,
@@ -982,15 +984,10 @@ object Analytics {
         broadcast(regionSuppliers(spark, dir, region)),
         col("ps_suppkey") === col("s_suppkey")
       )
-    val minCost = eligible
-      .groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min("ps_supplycost_cents").as("min_cents"))
+    val w = Window.partitionBy("ps_partkey")
     eligible
-      .join(
-        minCost,
-        col("ps_partkey") === col("mc_partkey") &&
-          col("ps_supplycost_cents") === col("min_cents")
-      )
+      .withColumn("min_cents", min("ps_supplycost_cents").over(w))
+      .filter(col("ps_supplycost_cents") === col("min_cents"))
       .select(
         col("s_acctbal"), col("s_name"), col("n_name"),
         col("ps_partkey"), col("p_brand"), col("ps_supplycost_cents")
@@ -1008,6 +1005,13 @@ object Analytics {
     * into the per-part rows; the threshold compare is pure BIGINT
     * cross-multiplication (`value · n · 2 > total · 3`), so no float
     * enters the plan and the HAVING is exact at any scale.
+    *
+    * Plan note: the perPart subtree is computed twice (once per leg) —
+    * a window-based single pass would funnel every per-part row through
+    * ONE partition for the global total, which is the worse trade at
+    * scale. The duplicated work is dimension-bounded (partsupp derives
+    * from `part`, never a fact table) and both legs reduce map-side to
+    * one row per part before their exchanges.
     */
   def inventoryValue(
       spark: SparkSession,
