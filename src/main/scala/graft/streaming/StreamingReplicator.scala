@@ -99,7 +99,7 @@ object StreamingReplicator {
     val (cur, epoch) = resolveCurrent(storeDir)
     val root = Paths.get(storeDir)
     Files.createDirectories(root)
-    claimEpoch(root, epoch + 1, leaseMs)
+    val claimToken = claimEpoch(root, epoch + 1, leaseMs)
     val journalDir = Paths.get(storeDir, "journal")
     val metaDir = Paths.get(storeDir, "metajournal")
     val batchC = batch.cache()
@@ -109,7 +109,10 @@ object StreamingReplicator {
         .distinct()
         .collect()
         .map(r => (r.getString(0), r.getInt(1)))
-      if (touched.isEmpty) { Files.deleteIfExists(root.resolve(s"claim-${epoch + 1}")); return }
+      if (touched.isEmpty) {
+        releaseClaim(root, epoch + 1, claimToken)
+        return
+      }
 
       val bootstrap = Replicate.empty(spark, batchC)
       val store = Replicate.Store(
@@ -131,10 +134,13 @@ object StreamingReplicator {
       commitGeneration(root, epoch, merged.pointer2)
     } catch {
       // a failure BEFORE the commit leaves the claim held; release it so a
-      // peer need not wait out the lease (crash = lease expiry handles it)
+      // peer need not wait out the lease (crash = lease expiry handles it).
+      // Owner-checked: if our own lease expired mid-write and a breaker
+      // already re-claimed this epoch, the file now carries THEIR token —
+      // deleting it would unserialize two live writers' data writes
       case e: Throwable =>
         if (!e.isInstanceOf[ConcurrentStoreWriteException])
-          Files.deleteIfExists(root.resolve(s"claim-${epoch + 1}"))
+          releaseClaim(root, epoch + 1, claimToken)
         throw e
     } finally batchC.unpersist(false)
   }
@@ -201,7 +207,7 @@ object StreamingReplicator {
     * is broken by an atomic rename to a unique tombstone — two breakers
     * cannot both win — and then re-created.
     */
-  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): Unit = {
+  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String = {
     val claim = root.resolve(s"claim-$epoch")
     val me =
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
@@ -226,6 +232,19 @@ object StreamingReplicator {
           s"epoch $epoch is claimed by a live writer — concurrent " +
             "replication detected; retry after it commits or its lease expires")
     }
+    me
+  }
+
+  /** Deletes `claim-<epoch>` ONLY if it still carries `token` — a holder
+    * must never remove a claim that a lease-breaker has since re-issued
+    * under its own token.
+    */
+  def releaseClaim(root: Path, epoch: Long, token: String): Unit = {
+    val claim = root.resolve(s"claim-$epoch")
+    try {
+      if (new String(Files.readAllBytes(claim), "UTF-8") == token)
+        Files.deleteIfExists(claim): Unit
+    } catch { case _: java.io.IOException => () } // already gone / unreadable
   }
 
   /** Touched-partition subset of a `(topic, bucket)`-partitioned table —
