@@ -169,6 +169,7 @@ object SparkEntry {
     "q11_inventory_value" -> ((s, d) => Analytics.inventoryValue(s, d)),
     "q16b_supplier_counts" -> (Analytics.supplierCounts _),
     "q20_excess_stock" -> ((s, d) => Analytics.excessStockSuppliers(s, d)),
+    "q9_product_profit" -> ((s, d) => Analytics.productProfit(s, d)),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -216,6 +217,9 @@ object SparkEntry {
     "p18_distinct_sketch" -> ((s, d) => TextAnalysis.distinctSketch(s, d)),
     // p25 — bottom-k-by-hash quantile sketch (mergeable uniform sample)
     "p25_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
+    // p26 — DSIR-style target-affinity ranking, integer-exact weights
+    "p26_target_affinity" -> ((s, d) =>
+      graft.pipeline.Sampling.targetAffinity(s, d)),
     "p19_split_manifest" -> ((s, d) =>
       graft.pipeline.Sampling.splitManifest(s, d)),
     // p22 — hashed-feature linear quality model: row-local fold per doc,
@@ -255,6 +259,8 @@ object SparkEntry {
     "d3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // d10 — verbatim duplicate-span mass (exact-substring dedup signal)
     "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // d12 — duplicate-span removal: the corpus rewrite d10 only measures
+    "d12_dup_span_removal" -> ((s, d) => Dedup.removeDupSpans(s, d)),
     // k7 — product quantization codes (sampled codebook, exact-int argmin)
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
@@ -327,6 +333,7 @@ object SparkEntry {
     "q11_inventory_value" -> AnalyticsOracles.inventoryValue,
     "q16b_supplier_counts" -> AnalyticsOracles.supplierCounts,
     "q20_excess_stock" -> AnalyticsOracles.excessStockSuppliers,
+    "q9_product_profit" -> AnalyticsOracles.productProfit,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,
@@ -357,6 +364,7 @@ object SparkEntry {
     "p17_token_windows" -> PipelineOracles.tokenWindows,
     "p18_distinct_sketch" -> PipelineOracles.distinctSketch,
     "p25_quantile_sketch" -> PipelineOracles.quantileSketch,
+    "p26_target_affinity" -> PipelineOracles.targetAffinity,
     "p19_split_manifest" -> PipelineOracles.splitManifest,
     "d7_neardup_leaks" -> PipelineOracles.nearDupLeaks,
     "p13_normalize" -> PipelineOracles.normalize,
@@ -366,6 +374,7 @@ object SparkEntry {
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d10_dup_spans" -> PipelineOracles.dupSpans,
+    "d12_dup_span_removal" -> PipelineOracles.removeDupSpans,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
     "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,

@@ -1113,4 +1113,65 @@ object Analytics {
       .select("s_name", "s_acctbal")
       .orderBy("s_name")
   }
+
+  /** TPC-H Q9 shape: product-type profit by supplier nation and order
+    * year — the five-way star over BOTH fact tables (lineitem joined to
+    * partsupp on the COMPOUND (partkey, suppkey) key, then part /
+    * supplier / nation dims and orders for the year). Profit is exact
+    * BIGINT in 1/10000-dollar units: the revenue leg is the decimal
+    * product scaled by 10⁴ (integral by construction, so the BIGINT cast
+    * is lossless in both engines), the cost leg is `cents × qty × 100` —
+    * no float touches any aggregate, so sums hash-match at any partition
+    * merge order.
+    *
+    * Plan shape: the name-filtered part leg broadcasts and prunes
+    * partsupp BEFORE the fact join, so the compound-key join against
+    * lineitem sees only the surviving family (AQE broadcasts it at small
+    * SF; at 100 TB it is the one fact-side shuffle together with the
+    * orderkey join to orders). Supplier→nation is a fixed-size broadcast.
+    */
+  def productProfit(
+      spark: SparkSession,
+      dir: String,
+      nameFragment: String = "gear"
+  ): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_name").contains(nameFragment))
+      .select("p_partkey")
+    val ps = partsupp(spark, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val suppNation = t(spark, dir, "supplier")
+      .join(
+        broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val revenueE4 =
+      (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount")) *
+        lit(10000)).cast("long")
+    val costE4 =
+      col("ps_supplycost_cents") * col("l_quantity").cast("long") * lit(100L)
+    t(spark, dir, "lineitem")
+      .join(
+        ps,
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey")
+      )
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy(
+        col("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year")
+      )
+      .agg(
+        sum(revenueE4 - costE4).as("sum_profit_e4"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

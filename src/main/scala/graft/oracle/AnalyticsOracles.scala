@@ -575,4 +575,30 @@ object AnalyticsOracles {
               AND l_shipdate < DATE '1997-01-01'))
     ORDER BY s_name
   """
+
+  /** Q9 in its classic star form; profit in exact 1/10000-dollar BIGINTs
+    * (revenue leg: decimal product × 10⁴, integral before the cast; cost
+    * leg: cents × qty × 100) — the same arithmetic
+    * [[graft.analytics.Analytics.productProfit]] runs.
+    */
+  val productProfit: String = s"""$partsuppCte
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(12,2)) -
+                   CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+             - ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100
+           ) AS BIGINT) AS sum_profit_e4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN part ON ps_partkey = p_partkey
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+  """
 }

@@ -1706,4 +1706,98 @@ object PipelineOracles {
     GROUP BY pdw.doc_id
     ORDER BY pdw.doc_id
   """
+
+  /** d12 — duplicate-span removal (graft.pipeline.Dedup.removeDupSpans,
+    * L = 10). Same tokenization and window grain as d10; a position is
+    * removed iff any of the ≤ L windows containing it is a dup window
+    * (≥ 2 distinct docs), i.e. a windowed MAX of the start flag over
+    * ROWS 9 PRECEDING; the cleaned text is the ordered string_agg of the
+    * surviving words. Docs shorter than 10 words pass through verbatim.
+    */
+  val removeDupSpans: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, g.i AS i, array_to_string(w[g.i:g.i+9], ' ') AS win
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 9)) AS i) g
+      WHERE len(w) >= 10
+    ),
+    pdw AS (
+      SELECT doc_id, win, list(i) AS starts FROM wins GROUP BY doc_id, win
+    ),
+    pw AS (
+      SELECT win, COUNT(*) AS nd FROM pdw GROUP BY win
+    ),
+    dupstart AS (
+      SELECT doc_id, unnest(starts) AS i
+      FROM pdw JOIN pw USING (win) WHERE nd >= 2
+    ),
+    words AS (
+      SELECT doc_id, g.p AS p, w[g.p] AS word, len(w) AS n
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w))) AS p) g
+      WHERE len(w) >= 1
+    ),
+    flags AS (
+      SELECT wd.doc_id, wd.p, wd.word, wd.n,
+             CASE WHEN ds.i IS NOT NULL THEN 1 ELSE 0 END AS s
+      FROM words wd LEFT JOIN dupstart ds
+        ON ds.doc_id = wd.doc_id AND ds.i = wd.p
+    ),
+    cov AS (
+      SELECT doc_id, p, word, n,
+             MAX(s) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+      FROM flags
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_words,
+           CAST(SUM(covered) AS BIGINT) AS n_removed,
+           COALESCE(
+             string_agg(CASE WHEN covered = 0 THEN word END, ' ' ORDER BY p),
+             '') AS cleaned_text
+    FROM cov
+    GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
+  /** p26 — target-affinity selection (graft.pipeline.Sampling
+    * .targetAffinity, target source 'src18', 8192 buckets, top 100).
+    * Integer-exact DSIR surrogate: per-bucket weight
+    * (10⁶·(t_cnt+1)) // (r_cnt+1), doc score = sum of its tokens'
+    * bucket weights, ranked by length-normalized integer average.
+    */
+  val targetAffinity: String = s"""
+    WITH toks AS (
+      SELECT doc_id, source, ${charHash("g.w")} % 8192 AS b
+      FROM documents, LATERAL (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS w) g
+    ),
+    profile AS (
+      SELECT b, COUNT(*) AS r_cnt,
+             CAST(SUM(CASE WHEN source = 'src18' THEN 1 ELSE 0 END)
+               AS BIGINT) AS t_cnt
+      FROM toks GROUP BY b
+    ),
+    wgt AS (
+      SELECT b, CAST((1000000 * (t_cnt + 1)) // (r_cnt + 1) AS BIGINT)
+               AS wgt
+      FROM profile
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(wgt) AS BIGINT) AS score
+      FROM toks JOIN wgt USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score,
+           CAST(score // n_tokens AS BIGINT) AS avg_w
+    FROM scored
+    ORDER BY avg_w DESC, doc_id
+    LIMIT 100
+  """
 }

@@ -858,4 +858,110 @@ object Dedup {
       .orderBy("doc_id")
     out
   }
+
+  /** D12 — duplicate-span REMOVAL: the actionable form of [[dupSpans]].
+    * d10 measures how much of each document sits inside cross-document
+    * verbatim L-word windows; this operator REWRITES the corpus with those
+    * positions cut out — the Spark analogue of exact-substring train-set
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": remove every substring shared verbatim across documents,
+    * keep the unique remainder).
+    *
+    * Semantics: a word position is removed iff it is COVERED by at least
+    * one window (length L words, any start) whose text occurs in ≥ 2
+    * distinct documents. Coverage of position p = OR over the ≤ L window
+    * starts i ∈ [p−L+1, p] of dup(i) — computed as a windowed MAX over a
+    * per-position start flag, ROWS L−1 PRECEDING. Documents shorter than L
+    * words have no windows and pass through verbatim.
+    *
+    * Plan shape (two bounded shuffles, both O(corpus words)):
+    *  1. window grain — the d10 aggregation at (doc_id, win) with the
+    *     start POSITIONS carried as a packed array (in-doc repeats
+    *     collapse into one row, so the per-window COUNT OVER row count IS
+    *     the distinct-doc count, the d10 trick: no countDistinct, no
+    *     self-join). Only dup windows explode their starts back out.
+    *  2. doc grain — word rows left-join the dup starts on (doc_id, pos)
+    *     (a co-partitioned equi-join: both sides hash on the same compound
+    *     key), one per-doc ordered window pass marks coverage, and one
+    *     final groupBy reassembles the kept words via a sorted
+    *     struct-collect (order restored by position, not by arrival).
+    * The window TEXT never reaches the doc-grain stages — it dies inside
+    * stage 1; at 100 TB the [[dupSpans]] fingerprint idiom (16-byte dual
+    * poly-hash keys) applies to stage 1 unchanged.
+    */
+  def removeDupSpans(
+      spark: SparkSession,
+      dir: String,
+      spanWords: Int = 10
+  ): DataFrame = {
+    val L = spanWords
+    val ws = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+      )
+      .filter(size(col("ws")) >= 1)
+
+    // stage 1: dup-window starts, at (doc_id, win) grain (d10's collapse)
+    val wins = ws
+      .filter(size(col("ws")) >= L)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(ws) - ${L - 1}), " +
+              s"i -> struct(i AS i, array_join(slice(ws, i, $L), ' ') AS win))"
+          )
+        ).as("x")
+      )
+      .select(col("doc_id"), col("x.i").as("i"), col("x.win").as("win"))
+    val dupStarts = wins
+      .groupBy("doc_id", "win")
+      .agg(collect_list(col("i")).as("starts"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), explode(col("starts")).as("i"))
+
+    // stage 2: per-position coverage and reassembly
+    val words = ws.select(
+      col("doc_id"),
+      size(col("ws")).as("n"),
+      posexplode(col("ws")).as(Seq("p0", "word"))
+    ).withColumn("p", col("p0") + 1)
+    val covered = words
+      .join(
+        dupStarts,
+        words("doc_id") === dupStarts("doc_id") && col("p") === col("i"),
+        "left"
+      )
+      .select(
+        words("doc_id"),
+        col("n"), col("p"), col("word"),
+        when(col("i").isNotNull, 1).otherwise(0).as("s")
+      )
+      .withColumn(
+        "covered",
+        max(col("s")).over(
+          Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(L - 1), 0)
+        )
+      )
+    covered
+      .groupBy("doc_id")
+      .agg(
+        max(col("n")).as("n_words"),
+        sum(col("covered")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("covered") === 0, struct(col("p"), col("word")))
+              )
+            ),
+            x => x.getField("word")
+          ),
+          " "
+        ).as("cleaned_text")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -282,4 +282,64 @@ object Sampling {
       .orderBy("cid", "rk")
     Eager.materialized(out, codes)
   }
+
+  /** P26 — target-affinity selection: hashed-n-gram importance ranking
+    * toward a target domain, the DSIR recipe (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling") in integer-exact
+    * form. DSIR learns bucketed n-gram importance weights
+    * w(b) ∝ P_target(b)/P_raw(b) from a small in-domain set and ranks the
+    * raw corpus by the summed weights of each document's tokens; the
+    * float log-ratio is replaced here by the monotone integer surrogate
+    * `(SCALE·(t_cnt+1)) DIV (r_cnt+1)` (add-one smoothing; SCALE=10⁶) so
+    * every weight, score, and the final ranking replay bit-for-bit in the
+    * oracle — no float enters any aggregate.
+    *
+    * Plan shape: ONE token pass builds the B-bucket profile (groupBy on
+    * the codegen'd hash bucket, map-side combine collapses each
+    * partition to ≤ B rows), the ≤ B-row weight table BROADCASTS back
+    * into a second token pass, and the doc rollup is one doc-keyed
+    * partial agg. The profile is O(B) driver-side regardless of corpus
+    * size; token rows never shuffle (both groupBys combine map-side to
+    * their small key spaces). At extreme corpus sizes (t_cnt approaching
+    * SCALE⁻¹·2⁶³) shrink SCALE or sample the profile pass — the gate
+    * stays monotone either way.
+    */
+  def targetAffinity(
+      spark: SparkSession,
+      dir: String,
+      targetSource: String = "src18",
+      buckets: Long = 8192L,
+      topN: Int = 100
+  ): DataFrame = {
+    val toks = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w")
+      )
+      .withColumn(
+        "b",
+        pmod(graft.functions.PolyHash.polyHash(col("w")), lit(buckets))
+      )
+      .select("doc_id", "source", "b")
+    val weights = toks
+      .groupBy("b")
+      .agg(
+        count(lit(1)).as("r_cnt"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("t_cnt")
+      )
+      .select(
+        col("b"),
+        expr("(1000000L * (t_cnt + 1L)) DIV (r_cnt + 1L)").as("wgt")
+      )
+    toks
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("score"))
+      .withColumn("avg_w", expr("score DIV n_tokens"))
+      .orderBy(col("avg_w").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

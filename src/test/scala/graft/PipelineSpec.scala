@@ -544,4 +544,116 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.sortBy(_._3).map(_._2).toSeq == want, s"q=$q")
     }
   }
+
+  test("d12 removal invariants: word accounting and short-doc passthrough") {
+    val out = Dedup.removeDupSpans(spark, sfDir).cache()
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+      )
+    // every doc with at least one word appears exactly once
+    assert(out.count() == docs.filter(size(col("ws")) >= 1).count())
+    // n_removed + surviving words == n_words, for every doc (kept words
+    // counted from the cleaned string itself)
+    val bad = out
+      .withColumn(
+        "kept",
+        size(expr("filter(split(cleaned_text, ' '), x -> x <> '')"))
+      )
+      .filter(col("kept") + col("n_removed") =!= col("n_words"))
+    assert(bad.count() == 0)
+    // docs shorter than L have no windows: pass through verbatim
+    val short = out
+      .join(docs, "doc_id")
+      .filter(size(col("ws")) < 10)
+      .filter(
+        col("n_removed") =!= 0L ||
+          col("cleaned_text") =!= array_join(col("ws"), " ")
+      )
+    assert(short.count() == 0)
+    // the corpus contains planted near-dups: something must be removed
+    assert(out.filter(col("n_removed") > 0).count() > 0)
+    out.unpersist()
+  }
+
+  test("d12 removes exactly the cross-doc shared span, not its context") {
+    // two docs share a verbatim 12-word sentence inside distinct contexts:
+    // dup windows are exactly the 3 starts inside the span, so coverage is
+    // exactly the 12 shared positions — contexts survive untouched
+    val span = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-d12")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, s"alpha beta gamma $span tail one two", "en", "srcA", 0L),
+      (2L, s"delta epsilon $span coda three four five", "en", "srcB", 0L),
+      (3L, "totally unrelated words only here once", "en", "srcA", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = Dedup
+      .removeDupSpans(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((12L, "alpha beta gamma tail one two")))
+    assert(out(2L) == ((12L, "delta epsilon coda three four five")))
+    assert(out(3L) == ((0L, "totally unrelated words only here once")))
+  }
+
+  test("d12 coverage agrees with d10's dup-position signal") {
+    // a doc loses words iff d10 sees dup window positions in it
+    val removed = Dedup
+      .removeDupSpans(spark, sfDir)
+      .select(col("doc_id"), (col("n_removed") > 0).as("any_removed"))
+    val spans = Dedup
+      .dupSpans(spark, sfDir)
+      .select(col("doc_id"), (col("dup_positions") > 0).as("any_dup"))
+    // d10 drops docs shorter than L; join on the common support
+    val joined = removed.join(spans, "doc_id")
+    assert(joined.filter(col("any_removed") =!= col("any_dup")).count() == 0)
+  }
+
+  test("p26 affinity ranks the target source above its corpus share") {
+    val top = graft.pipeline.Sampling.targetAffinity(spark, sfDir).cache()
+    assert(top.count() == 100)
+    // integer accounting holds on every row
+    assert(
+      top.filter(expr("avg_w <> score DIV n_tokens")).count() == 0
+    )
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val srcShare = docs.filter(col("source") === "src18").count().toDouble /
+      docs.count()
+    val topShare = top
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("source") === "src18")
+      .count()
+      .toDouble / 100.0
+    // the importance weights must pull the target domain up — strictly
+    // above its base rate (DSIR's whole point), not marginally
+    assert(
+      topShare > srcShare * 2,
+      s"topShare=$topShare srcShare=$srcShare"
+    )
+    top.unpersist()
+  }
+
+  test("p26 is invariant to input partitioning") {
+    val a = graft.pipeline.Sampling
+      .targetAffinity(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = graft.pipeline.Sampling
+      .targetAffinity(spark2, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq)
+  }
 }
