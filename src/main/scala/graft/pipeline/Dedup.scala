@@ -892,43 +892,91 @@ object Dedup {
   def removeDupSpans(
       spark: SparkSession,
       dir: String,
-      spanWords: Int = 10
-  ): DataFrame = {
-    val L = spanWords
-    val ws = docs(spark, dir)
-      .select(
-        col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("ws")
-      )
-      .filter(size(col("ws")) >= 1)
+      spanWords: Int = 10,
+      fingerprint: Boolean = false
+  ): DataFrame =
+    removeDupSpansOf(
+      docs(spark, dir).select("doc_id", "text"),
+      spanWords,
+      fingerprint
+    )
 
+  /** [[removeDupSpans]] over an explicit (doc_id, text) frame. */
+  def removeDupSpansOf(
+      d: DataFrame,
+      spanWords: Int = 10,
+      fingerprint: Boolean = false
+  ): DataFrame = {
+    val ws = tokenized(d)
     // stage 1: dup-window starts, at (doc_id, win) grain (d10's collapse)
-    val wins = ws
-      .filter(size(col("ws")) >= L)
-      .select(
-        col("doc_id"),
-        explode(
-          expr(
-            s"transform(sequence(1, size(ws) - ${L - 1}), " +
-              s"i -> struct(i AS i, array_join(slice(ws, i, $L), ' ') AS win))"
-          )
-        ).as("x")
-      )
-      .select(col("doc_id"), col("x.i").as("i"), col("x.win").as("win"))
-    val dupStarts = wins
+    val dupStarts = spanWindows(ws, spanWords, fingerprint)
       .groupBy("doc_id", "win")
       .agg(collect_list(col("i")).as("starts"))
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
       .filter(col("nd") >= 2)
       .select(col("doc_id"), explode(col("starts")).as("i"))
+    applySpanRemoval(ws, dupStarts, spanWords)
+  }
 
-    // stage 2: per-position coverage and reassembly
+  /** (doc_id, ws) word arrays — the shared d10/d12 tokenization. */
+  private def tokenized(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      expr("filter(split(text, ' '), x -> x <> '')").as("ws")
+    ).filter(size(col("ws")) >= 1)
+
+  /** One row per L-word window occurrence: (doc_id, i, win) with `win`
+    * either the literal window text (oracle form) or the 16-byte dual
+    * poly-hash struct (the 100 TB shuffle key — d10's fingerprint idiom,
+    * law-pinned row-identical to the text form).
+    */
+  private def spanWindows(
+      ws: DataFrame,
+      spanWords: Int,
+      fingerprint: Boolean
+  ): DataFrame = {
+    val wins = ws
+      .filter(size(col("ws")) >= spanWords)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(ws) - ${spanWords - 1}), " +
+              s"i -> struct(i AS i, " +
+              s"array_join(slice(ws, i, $spanWords), ' ') AS win))"
+          )
+        ).as("x")
+      )
+      .select(col("doc_id"), col("x.i").as("i"), col("x.win").as("win"))
+    if (!fingerprint) wins
+    else
+      wins.select(
+        col("doc_id"),
+        col("i"),
+        struct(
+          graft.functions.PolyHash.polyHash(col("win"), 31L, 1000000007L)
+            .as("h1"),
+          graft.functions.PolyHash.polyHash(col("win"), 131L, 998244353L)
+            .as("h2")
+        ).as("win")
+      )
+  }
+
+  /** Stage 2 of span removal: given (doc_id, i) dup-window starts, mark
+    * coverage (windowed MAX, ROWS L−1 PRECEDING) and reassemble the
+    * surviving words in position order.
+    */
+  private def applySpanRemoval(
+      ws: DataFrame,
+      dupStarts: DataFrame,
+      spanWords: Int
+  ): DataFrame = {
     val words = ws.select(
       col("doc_id"),
-      size(col("ws")).as("n"),
+      size(col("ws")).cast("long").as("n"),
       posexplode(col("ws")).as(Seq("p0", "word"))
     ).withColumn("p", col("p0") + 1)
-    val covered = words
+    words
       .join(
         dupStarts,
         words("doc_id") === dupStarts("doc_id") && col("p") === col("i"),
@@ -942,10 +990,10 @@ object Dedup {
       .withColumn(
         "covered",
         max(col("s")).over(
-          Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(L - 1), 0)
+          Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(-(spanWords - 1), 0)
         )
       )
-    covered
       .groupBy("doc_id")
       .agg(
         max(col("n")).as("n_words"),
@@ -963,5 +1011,70 @@ object Dedup {
         ).as("cleaned_text")
       )
       .orderBy("doc_id")
+  }
+
+  /** Persist the span index of a corpus: the DISTINCT window fingerprints
+    * the next [[removeDupSpansAgainstIndex]] run consumes instead of
+    * re-windowing the old corpus. Presence is all the incremental form
+    * needs (one old occurrence + one new occurrence already makes a
+    * cross-doc dup), so counts are deliberately not stored and appends
+    * stay idempotent. Self-describing: spanWords rides with the index so
+    * a reader can never join windows of a different length.
+    */
+  def writeSpanIndex(
+      spark: SparkSession,
+      d: DataFrame,
+      out: String,
+      spanWords: Int = 10
+  ): Unit = {
+    import spark.implicits._
+    spanWindows(tokenized(d), spanWords, fingerprint = true)
+      .select("win")
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/windows")
+    Seq(spanWords).toDF("span_words").write
+      .mode("overwrite")
+      .parquet(s"$out/params")
+  }
+
+  /** D12 incremental form: clean a NEW batch against a PERSISTED span
+    * index ([[writeSpanIndex]]) — the old corpus never re-windows. A new
+    * doc's position is removed iff a window containing it either exists
+    * in the index (≥ 1 old occurrence ⇒ cross-doc dup with the new one)
+    * or occurs in ≥ 2 distinct docs of the new batch itself.
+    *
+    * Law (IndexStoreSpec): equal, row for row including cleaned text, to
+    * [[removeDupSpansOf]] over (old ∪ new) restricted to the new ids —
+    * presence-only index suffices because batch coverage only ever asks
+    * "≥ 2 distinct docs", never "how many".
+    *
+    * Scale: the index join is an equi-join on the 16-byte fingerprint —
+    * new-batch windows against a bucketed windows table; the old corpus
+    * contributes O(distinct windows) storage and no recompute.
+    */
+  def removeDupSpansAgainstIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newDocs: DataFrame
+  ): DataFrame = {
+    val spanWords =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("span_words")
+    val ws = tokenized(newDocs)
+    val grouped = spanWindows(ws, spanWords, fingerprint = true)
+      .groupBy("doc_id", "win")
+      .agg(collect_list(col("i")).as("starts"))
+    val dupStarts = grouped
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
+      .join(
+        spark.read.parquet(s"$indexDir/windows")
+          .select(col("win").as("iw"), lit(1).as("in_index")),
+        col("win") === col("iw"),
+        "left"
+      )
+      .filter(col("nd") >= 2 || col("in_index").isNotNull)
+      .select(col("doc_id"), explode(col("starts")).as("i"))
+    applySpanRemoval(ws, dupStarts, spanWords)
   }
 }

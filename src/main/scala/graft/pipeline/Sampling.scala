@@ -311,19 +311,33 @@ object Sampling {
       buckets: Long = 8192L,
       topN: Int = 100
   ): DataFrame = {
-    val toks = spark.read
-      .parquet(s"$dir/documents.parquet")
-      .select(
-        col("doc_id"),
-        col("source"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w")
-      )
-      .withColumn(
-        "b",
-        pmod(graft.functions.PolyHash.polyHash(col("w")), lit(buckets))
-      )
-      .select("doc_id", "source", "b")
-    val weights = toks
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = affinityTokens(d, buckets)
+    toks
+      .join(broadcast(affinityProfileOf(toks, targetSource)), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("score"))
+      .withColumn("avg_w", expr("score DIV n_tokens"))
+      .orderBy(col("avg_w").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Exploded (doc_id, source, b) token-bucket rows of a documents frame. */
+  private def affinityTokens(d: DataFrame, buckets: Long): DataFrame =
+    d.select(
+      col("doc_id"),
+      col("source"),
+      explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w")
+    ).withColumn(
+      "b",
+      pmod(graft.functions.PolyHash.polyHash(col("w")), lit(buckets))
+    ).select("doc_id", "source", "b")
+
+  private def affinityProfileOf(
+      toks: DataFrame,
+      targetSource: String
+  ): DataFrame =
+    toks
       .groupBy("b")
       .agg(
         count(lit(1)).as("r_cnt"),
@@ -334,12 +348,53 @@ object Sampling {
         col("b"),
         expr("(1000000L * (t_cnt + 1L)) DIV (r_cnt + 1L)").as("wgt")
       )
-    toks
-      .join(broadcast(weights), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("score"))
+
+  /** The trained affinity profile as a dense bucket-indexed weight array —
+    * the driver-side artifact the streaming scorer carries (B longs,
+    * ~64 KB at B=8192; bounded by construction like the eval-gram
+    * dictionary). Buckets no token ever hit get the smoothed floor weight
+    * `10⁶ DIV (0+1)·…` — i.e. (10⁶·1) DIV 1 with t=r=0 — exactly what the
+    * join-based form would have computed had a token hit them.
+    */
+  def affinityWeights(
+      spark: SparkSession,
+      d: DataFrame,
+      targetSource: String = "src18",
+      buckets: Int = 8192
+  ): Array[Long] = {
+    val w = new Array[Long](buckets)
+    java.util.Arrays.fill(w, 1000000L) // (10⁶·(0+1)) DIV (0+1)
+    affinityProfileOf(affinityTokens(d, buckets.toLong), targetSource)
+      .collect()
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** Row-LOCAL affinity scoring against a frozen weight array: the whole
+    * computation is one codegen'd HOF fold over the document's own token
+    * array — zero shuffle, zero state — so it applies unchanged to a
+    * STREAMING frame (the p26 continuous form; see
+    * [[graft.streaming.StreamingCuration.affinityScoreStream]]). Law
+    * (PipelineSpec): equal to the join-based scoring on every doc.
+    */
+  def affinityScoreLocal(d: DataFrame, weights: Array[Long]): DataFrame = {
+    val b = weights.length.toLong
+    val wlit = lit(weights)
+    val bucketArr = transform(
+      expr("filter(split(text, ' '), x -> x <> '')"),
+      w => pmod(graft.functions.PolyHash.polyHash(w), lit(b))
+    )
+    d.select(col("doc_id"), bucketArr.as("bs"))
+      .filter(size(col("bs")) >= 1)
+      .select(
+        col("doc_id"),
+        size(col("bs")).cast("long").as("n_tokens"),
+        aggregate(
+          col("bs"),
+          lit(0L),
+          (acc, bk) => acc + element_at(wlit, (bk + 1).cast("int"))
+        ).as("score")
+      )
       .withColumn("avg_w", expr("score DIV n_tokens"))
-      .orderBy(col("avg_w").desc, col("doc_id"))
-      .limit(topN)
   }
 }

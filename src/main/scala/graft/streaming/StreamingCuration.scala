@@ -105,6 +105,22 @@ object StreamingCuration {
   def piiScanStream(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.pipeline.Pii.scan(docs, textCol)
 
+  /** P26 continuous form — score arriving documents against a FROZEN
+    * affinity profile ([[graft.pipeline.Sampling.affinityWeights]],
+    * trained offline on the reference corpus). The scorer is one
+    * codegen'd row-local HOF fold over each document's own token array
+    * (the weight array rides as a ~64 KB plan literal), so like the other
+    * hygiene streams there is no state store, no shuffle, and chunking
+    * independence + redelivery idempotence hold by row-locality
+    * (StreamingCurationSpec law: any micro-batch slicing ≡ the batch
+    * scorer row-for-row). Global top-N selection stays a batch/periodic
+    * concern — a streaming global rank would be unbounded state by
+    * definition; production selects by a score THRESHOLD on the stream
+    * (monotone in the same integer weights) and ranks offline.
+    */
+  def affinityScoreStream(docs: DataFrame, weights: Array[Long]): DataFrame =
+    Sampling.affinityScoreLocal(docs, weights)
+
   final case class MixDoc(doc_id: Long, source: String, n_toks: Long)
   final case class MixState(filled: Long, maxSeen: Long)
   final case class MixOut(

@@ -78,6 +78,30 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex == inMemory)
   }
 
+  test("span removal against the persisted index equals the batch rewrite") {
+    val tmp = Files.createTempDirectory("graft-span-index").toString
+    // same canonical old/new split as d9 — the seeded verbatim copies
+    // guarantee cross-corpus span dups so the law is non-vacuous
+    val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
+    // non-default L: the index is self-describing, the reader must
+    // window the new batch under the STORED span length
+    graft.pipeline.Dedup.writeSpanIndex(spark, oldDocs, tmp, spanWords = 8)
+    val fromIndex = graft.pipeline.Dedup
+      .removeDupSpansAgainstIndex(spark, tmp, newDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.pipeline.Dedup
+      .removeDupSpansOf(oldDocs.unionByName(newDocs), spanWords = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(t => newIds.contains(t._1))
+      .toSeq
+    assert(fromIndex.exists(_._3 > 0)) // the copies force real removals
+    assert(fromIndex == batch)
+  }
+
   test("incremental append: old files untouched, batch-insensitive, probe-all complete") {
     import java.nio.file.Paths
     import scala.jdk.CollectionConverters._

@@ -606,6 +606,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((0L, "totally unrelated words only here once")))
   }
 
+  test("d12 fingerprint keys are row-identical to the text form") {
+    // the 16-byte dual poly-hash shuffle key must not change a single
+    // output row — cleaned TEXT included (collision-free on this corpus
+    // by construction, the same d10 guarantee)
+    val txt = Dedup.removeDupSpans(spark, sfDir).collect().toSeq
+    val fp = Dedup
+      .removeDupSpans(spark, sfDir, fingerprint = true)
+      .collect()
+      .toSeq
+    assert(txt == fp)
+  }
+
   test("d12 coverage agrees with d10's dup-position signal") {
     // a doc loses words iff d10 sees dup window positions in it
     val removed = Dedup
@@ -641,6 +653,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"topShare=$topShare srcShare=$srcShare"
     )
     top.unpersist()
+  }
+
+  test("p26 row-local scorer reproduces the join-based ranking exactly") {
+    // the streaming-form scorer (frozen dense weight array, one HOF fold
+    // per row, zero shuffle) must induce the same top-100 as the
+    // join-based query — weights, scores, ordering, everything
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val weights = graft.pipeline.Sampling.affinityWeights(spark, d)
+    val local = graft.pipeline.Sampling
+      .affinityScoreLocal(d, weights)
+      .orderBy(col("avg_w").desc, col("doc_id"))
+      .limit(100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val joined = graft.pipeline.Sampling
+      .targetAffinity(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(local == joined)
   }
 
   test("p26 is invariant to input partitioning") {

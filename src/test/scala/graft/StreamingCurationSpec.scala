@@ -314,4 +314,33 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(o => (o.source, o.doc_id))
     assert(got == greedy(budget).sortBy(o => (o.source, o.doc_id)))
   }
+
+  test("streaming affinity scoring over chunks equals the batch scorer") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // profile trained offline on the reference corpus, then FROZEN
+    val weights = Sampling.affinityWeights(spark, d)
+    val docs = corpus()
+    val chunks = docs.groupBy(_.doc_id % 4).toSeq.sortBy(_._1).map(_._2)
+
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration
+      .affinityScoreStream(ms.toDS().toDF(), weights)
+      .writeStream
+      .format("memory")
+      .queryName("sc_affinity")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("sc_affinity")
+    val want = Sampling.affinityScoreLocal(d, weights)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
 }
