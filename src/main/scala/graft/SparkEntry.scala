@@ -170,6 +170,7 @@ object SparkEntry {
     "q16b_supplier_counts" -> (Analytics.supplierCounts _),
     "q20_excess_stock" -> ((s, d) => Analytics.excessStockSuppliers(s, d)),
     "q9_product_profit" -> ((s, d) => Analytics.productProfit(s, d)),
+    "q15b_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
     "q10_returned_items" -> (Analytics.returnedItemRanking _),
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -334,6 +335,7 @@ object SparkEntry {
     "q16b_supplier_counts" -> AnalyticsOracles.supplierCounts,
     "q20_excess_stock" -> AnalyticsOracles.excessStockSuppliers,
     "q9_product_profit" -> AnalyticsOracles.productProfit,
+    "q15b_top_supplier" -> AnalyticsOracles.topSupplier,
     "q10_returned_items" -> AnalyticsOracles.returnedItemRanking,
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,

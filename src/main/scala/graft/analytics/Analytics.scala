@@ -1038,6 +1038,53 @@ object Analytics {
       .orderBy(col("value_cents").desc, col("ps_partkey"))
   }
 
+  /** TPC-H Q15 shape: top-revenue supplier of a quarter — the classic
+    * view + correlated global-scalar-MAX pattern (revenue per supplier,
+    * keep those equal to the maximum). Decorrelated the q11 way: the
+    * quarter-filtered per-supplier aggregate is computed ONCE, its
+    * single-row MAX broadcasts back via crossJoin, and the equality
+    * filter runs on EXACT decimal sums (ties keep every top supplier,
+    * exactly like the SQL). The only fact-side work is one
+    * shipdate-pruned scan with map-side partial aggregation to the
+    * supplier grain; the supplier dim joins broadcast. The double
+    * subtree of aggregate-and-rejoin never appears — `rev` feeds both
+    * legs of one exchange-reused plan (supplier-grain rows, dimension
+    * bounded).
+    */
+  def topSupplier(
+      spark: SparkSession,
+      dir: String,
+      quarterStart: String = "1996-01-01",
+      quarterEnd: String = "1996-04-01"
+  ): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit(quarterStart).cast("timestamp") &&
+          col("l_shipdate") < lit(quarterEnd).cast("timestamp")
+      )
+      .groupBy("l_suppkey")
+      .agg(
+        sum(
+          dec("l_extendedprice") *
+            (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).as("total_rev")
+      )
+    val mx = rev.agg(max("total_rev").as("mx"))
+    rev
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(
+        broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey")
+      )
+      .select(
+        col("s_suppkey"),
+        col("s_name"),
+        col("total_rev").cast("double").as("total_revenue")
+      )
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
     * with a NOT-IN supplier exclusion. The NOT IN decorrelates to a
     * broadcast left-anti join (the excluded set — suppliers in the red —

@@ -576,6 +576,27 @@ object AnalyticsOracles {
     ORDER BY s_name
   """
 
+  /** Q15 in its classic correlated-scalar-MAX form; revenue compared as
+    * EXACT decimal sums (ties keep every top supplier), cast to double
+    * only at presentation.
+    */
+  val topSupplier: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+  """
+
   /** Q9 in its classic star form; profit in exact 1/10000-dollar BIGINTs
     * (revenue leg: decimal product × 10⁴, integral before the cast; cost
     * leg: cents × qty × 100) — the same arithmetic

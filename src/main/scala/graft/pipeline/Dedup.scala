@@ -1039,6 +1039,38 @@ object Dedup {
       .parquet(s"$out/params")
   }
 
+  /** Append a batch's windows to a persisted span index: only windows the
+    * index does not already hold are written (left-anti against the stored
+    * set), so the index stays DISTINCT by construction — the contract
+    * [[removeDupSpansAgainstIndex]]'s equi-join relies on (a duplicated
+    * stored window would duplicate dup-start rows). Append-only parquet;
+    * single writer (the streaming dedup loop), same posture as the IVF
+    * index's `appendToIvfIndex`.
+    */
+  def appendToSpanIndex(
+      spark: SparkSession,
+      indexDir: String,
+      d: DataFrame
+  ): Unit = {
+    val spanWords =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("span_words")
+    // materialize the novel set BEFORE appending: the anti-join reads the
+    // same directory the append writes — checkpointing pins the result so
+    // the write job can't re-list the target mid-append
+    val novel = Eager.materialized(
+      spanWindows(tokenized(d), spanWords, fingerprint = true)
+        .select("win")
+        .distinct()
+        .join(
+          spark.read.parquet(s"$indexDir/windows"),
+          Seq("win"),
+          "left_anti"
+        )
+    )
+    novel.write.mode("append").parquet(s"$indexDir/windows")
+    Eager.releaseCheckpoint(novel)
+  }
+
   /** D12 incremental form: clean a NEW batch against a PERSISTED span
     * index ([[writeSpanIndex]]) — the old corpus never re-windows. A new
     * doc's position is removed iff a window containing it either exists

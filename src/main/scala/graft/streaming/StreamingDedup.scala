@@ -458,4 +458,64 @@ object StreamingDedup {
         }
       }
   }
+
+  /** D12 continuous form — exact-substring span dedup over continuous
+    * ingest: each micro-batch is CLEANED against the persisted span index
+    * ([[graft.pipeline.Dedup.removeDupSpansAgainstIndex]]: stored-window
+    * hits OR in-batch cross-doc dups), handed to `sink`, and then its own
+    * windows are appended to the index
+    * ([[graft.pipeline.Dedup.appendToSpanIndex]] — anti-joined, so the
+    * stored set stays distinct). Like the batch incremental form the old
+    * corpus never re-windows; per-batch cost is O(batch windows) plus one
+    * fingerprint equi-join against the stored set.
+    *
+    * Semantics are PREFIX-dependent by design (the honest production
+    * shape): a span's SECOND arrival is cleaned, its first — already
+    * emitted — is not retroactively rewritten. The law
+    * (StreamingDedupSpec) pins the stream to the sequential fold of the
+    * batch APIs over the same chunks, and the cross-chunk case
+    * non-vacuously: a chunk-2 doc duplicating a chunk-1 doc loses its
+    * span.
+    *
+    * Clean-then-append inside one `foreachBatch` tick gives T1 ordering:
+    * a replayed batch re-cleans against an index that already holds its
+    * windows — its own windows now hit the index, BUT only windows shared
+    * with ANOTHER doc were ever removed on first delivery… so replay
+    * could remove MORE (a self-only window now reads as "stored"). Sinks
+    * keyed on doc_id must therefore keep the FIRST emission per doc
+    * (at-most-once adoption), the same contract as the replicator's
+    * redelivery no-op.
+    */
+  def spanDedupStream(
+      docs: org.apache.spark.sql.DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      // continuous micro-batches: unlike searchStream this loop LIVES
+      // across deliveries (AvailableNow would stop after the backlog)
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // the batch source frame is consumed twice (clean + append):
+        // pin it so the second pass can't re-pull the source
+        val pinned = batch.localCheckpoint(true)
+        // materialize the cleaned rows BEFORE the append mutates the
+        // index — a lazy frame evaluated by the sink after the append
+        // would read the batch's own windows as "stored"
+        val cleaned = graft.pipeline.Eager.materialized(
+          graft.pipeline.Dedup
+            .removeDupSpansAgainstIndex(spark, indexDir, pinned)
+        )
+        sink(cleaned, batchId)
+        graft.pipeline.Dedup.appendToSpanIndex(spark, indexDir, pinned)
+        graft.pipeline.Eager.releaseCheckpoint(cleaned)
+        graft.pipeline.Eager.releaseCheckpoint(pinned)
+      }
+      .start()
 }

@@ -297,4 +297,55 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("sd_redeliver").count() == afterFirst)
     } finally q.stop()
   }
+
+  test("streaming span dedup folds chunks exactly like the batch APIs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-span-stream").toString
+    // old corpus seeds the index; the stream delivers two chunks, the
+    // second containing a verbatim copy of a CHUNK-1 doc (ids offset so
+    // nothing collides) — the cross-chunk dup must lose its span
+    val all = corpus()
+    val oldDocs = all.filter(_.doc_id < 300)
+    val chunk1 = all.filter(d => d.doc_id >= 300 && d.doc_id < 400)
+    val chunk2 = all.filter(_.doc_id >= 400) ++
+      chunk1.take(5).map(d => Doc(d.doc_id + 2000000L, d.text))
+    graft.pipeline.Dedup.writeSpanIndex(
+      spark, oldDocs.toDF(), s"$base/index", spanWords = 8)
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val ms = MemoryStream[Doc]
+    val q = graft.streaming.StreamingDedup.spanDedupStream(
+      ms.toDS().toDF(), s"$base/index", s"$base/ckpt"
+    ) { (cleaned, _) =>
+      collected ++= cleaned
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    try {
+      ms.addData(chunk1); q.processAllAvailable()
+      ms.addData(chunk2); q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential fold of the batch APIs over the SAME chunks and a
+    // freshly seeded index
+    graft.pipeline.Dedup.writeSpanIndex(
+      spark, oldDocs.toDF(), s"$base/index2", spanWords = 8)
+    val want = Seq(chunk1, chunk2).flatMap { c =>
+      val out = graft.pipeline.Dedup
+        .removeDupSpansAgainstIndex(spark, s"$base/index2", c.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      graft.pipeline.Dedup.appendToSpanIndex(spark, s"$base/index2", c.toDF())
+      out
+    }
+    assert(collected.toSeq == want)
+    // non-vacuous: every copied doc arrives after its chunk-1 original
+    // and must lose (at least) its whole span coverage
+    val copies = collected.filter(_._1 >= 2000000L)
+    assert(copies.size == 5 && copies.forall(_._3 > 0))
+  }
 }
