@@ -78,6 +78,8 @@ object HeavyTailStress {
       Similarity.knnIvfTrainedExact(spark, d).count()
       Similarity.knnIndexLifecycleExact(spark, d).count()
       Sampling.clusterBalancedSample(spark, d).count()
+      Dedup.removeDupSpans(spark, d).count()
+      Sampling.targetAffinity(spark, d).count()
       Dedup.releaseMemo()
     }
 
@@ -102,6 +104,16 @@ object HeavyTailStress {
       val td9 = time("d9 incremental dedup", docRows) {
         Dedup.incrementalDedupQuery(spark, dir).count()
       }
+      // the amplified corpus is d12's worst case: every doc has f−1
+      // verbatim twins, so EVERY window is a dup window and every
+      // position is covered — dup-start explosion and the word-grain
+      // coverage pass both run at their maximum density
+      val td12 = time("d12 span removal", docRows) {
+        Dedup.removeDupSpansOf(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "text")
+        ).count()
+      }
       val tk5 = time("k5 exact k-means train", vecRows) {
         Similarity.knnIvfTrainedExact(spark, dir).count()
       }
@@ -111,8 +123,11 @@ object HeavyTailStress {
       val tp24 = time("p24 cluster-balanced", vecRows) {
         Sampling.clusterBalancedSample(spark, dir).count()
       }
+      val tp26 = time("p26 target affinity", docRows) {
+        Sampling.targetAffinity(spark, dir).count()
+      }
       Dedup.releaseMemo()
-      (f, Seq(td6, td9, td2, td11, tk5, tk10, tp24))
+      (f, Seq(td6, td9, td2, td11, td12, tk5, tk10, tp24, tp26))
     }
 
     // Two ratios per operator. Per-INPUT-row is the headline linearity
@@ -124,7 +139,7 @@ object HeavyTailStress {
     // generation added no term beyond the pairs themselves.
     val Seq((fHalf, half), (fFull, full)) = results
     half.zip(full).zip(
-      Seq("d6", "d9", "d2memo", "d11", "k5", "k10", "p24")
+      Seq("d6", "d9", "d2memo", "d11", "d12", "k5", "k10", "p24", "p26")
     ).foreach { case (((hs, hn), (fs, fn)), name) =>
       val perIn = (fs / fFull) / (hs / fHalf)
       val perOut = (fs / fn.max(1L)) / (hs / hn.max(1L))

@@ -1071,6 +1071,42 @@ object Dedup {
     Eager.releaseCheckpoint(novel)
   }
 
+  /** Compact a span index in place: the streaming loop appends one file
+    * set per micro-batch, so a long-lived index accretes small files and
+    * every per-batch join pays the listing/open overhead. Rewrites the
+    * (distinct by construction) window set into `targetFiles` parquet
+    * files and swaps directories — a maintenance job for the index's
+    * single writer to run between batches (same single-writer posture as
+    * the append; the replicator's compaction job is the journal-plane
+    * analogue). The set itself is untouched: readers see identical
+    * windows before and after (spec'd, including an incremental clean).
+    */
+  def compactSpanIndex(
+      spark: SparkSession,
+      indexDir: String,
+      targetFiles: Int = 8
+  ): Unit = {
+    val windows = s"$indexDir/windows"
+    val tmp = s"$indexDir/windows.compact-${System.nanoTime()}"
+    spark.read
+      .parquet(windows)
+      .repartition(targetFiles)
+      .write
+      .parquet(tmp)
+    val old = new java.io.File(s"$indexDir/windows.old-${System.nanoTime()}")
+    require(new java.io.File(windows).renameTo(old), s"cannot move $windows")
+    require(
+      new java.io.File(tmp).renameTo(new java.io.File(windows)),
+      s"cannot adopt $tmp"
+    )
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(old)
+  }
+
   /** D12 incremental form: clean a NEW batch against a PERSISTED span
     * index ([[writeSpanIndex]]) — the old corpus never re-windows. A new
     * doc's position is removed iff a window containing it either exists

@@ -102,6 +102,35 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex == batch)
   }
 
+  test("span-index compaction shrinks files, preserves the set and results") {
+    val tmp = Files.createTempDirectory("graft-span-compact").toString
+    val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
+    graft.pipeline.Dedup.writeSpanIndex(spark, oldDocs, tmp, spanWords = 8)
+    // two appends accrete extra file sets, the streaming loop's pattern
+    val (n1, n2) = (newDocs.filter(col("doc_id") % 2 === 0),
+      newDocs.filter(col("doc_id") % 2 =!= 0))
+    graft.pipeline.Dedup.appendToSpanIndex(spark, tmp, n1)
+    graft.pipeline.Dedup.appendToSpanIndex(spark, tmp, n2)
+
+    def files(): Int = Option(new java.io.File(s"$tmp/windows").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    def winSet(): Set[(Long, Long)] = spark.read.parquet(s"$tmp/windows")
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+      .toSet
+    val probe = oldDocs.limit(20)
+    def cleaned(): Seq[(Long, Long, Long, String)] = graft.pipeline.Dedup
+      .removeDupSpansAgainstIndex(spark, tmp, probe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+
+    val (filesBefore, setBefore, cleanBefore) = (files(), winSet(), cleaned())
+    graft.pipeline.Dedup.compactSpanIndex(spark, tmp, targetFiles = 2)
+    assert(files() == 2 && filesBefore > 2)
+    assert(winSet() == setBefore)
+    assert(cleaned() == cleanBefore)
+  }
+
   test("incremental append: old files untouched, batch-insensitive, probe-all complete") {
     import java.nio.file.Paths
     import scala.jdk.CollectionConverters._
