@@ -811,7 +811,8 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       spanWords: Int = 10,
-      fingerprint: Boolean = false
+      fingerprint: Boolean = false,
+      skewSafe: Boolean = false
   ): DataFrame = {
     val wins = docs(spark, dir)
       .select(
@@ -841,8 +842,8 @@ object Dedup {
     val perDocWin = keyed
       .groupBy("doc_id", "win")
       .agg(count(lit(1)).as("c"))
-    val out = perDocWin
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
+    val (flagged, cached) = withWinCount(perDocWin, skewSafe)
+    val out = flagged
       .select("doc_id", "c", "nd")
       .groupBy("doc_id")
       .agg(
@@ -856,8 +857,49 @@ object Dedup {
         col("dup_positions").cast("double") / col("n_windows").cast("double")
       )
       .orderBy("doc_id")
-    out
+    cached.fold(out)(c => Eager.materialized(out, c))
   }
+
+  /** Attach `nd` (distinct-doc count of the window) to collapsed
+    * (doc_id, win, …) rows.
+    *
+    * Default: `COUNT OVER (PARTITION BY win)` — one exchange, zero
+    * recompute, the form the oracle replays. A window function has no
+    * skew mitigation, so a boilerplate span (license block, syndicated
+    * footer) concentrates its rows on one task — but at the COLLAPSED
+    * grain that task does a single spill-safe sorted scan of one narrow
+    * row per containing doc, linear and bounded; SpanSkewStress measured
+    * it FASTER than the alternative at every reachable occupancy
+    * (planted universal-boilerplate corpus, 5×/10×/20×: the window form
+    * held ~flat while the decomposed form paid cache + a second
+    * win-keyed shuffle — 2.6–3.3× slower for d10, more for d12 whose
+    * cached rows carry start arrays).
+    *
+    * `skewSafe` is the measured-and-kept escape hatch for the extreme
+    * tail (occupancy ~10⁸+, where a single-task sort becomes a
+    * straggler): nd as a two-level groupBy — map-side combine REDUCES
+    * the hot key to one partial row per task instead of gathering it —
+    * joined back under AQE skew-join splitting. Law (PipelineSpec): both
+    * forms row-identical; the skewSafe cache is released by the caller's
+    * materialization. Returns (flagged rows, the cache to release).
+    */
+  private def withWinCount(
+      perDocWin: DataFrame,
+      skewSafe: Boolean
+  ): (DataFrame, Option[DataFrame]) =
+    if (!skewSafe)
+      (
+        perDocWin
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy("win"))),
+        None
+      )
+    else {
+      // cached: the groupBy leg and the join probe leg both read it —
+      // uncached, Catalyst re-scans and re-aggregates the corpus twice
+      val cached = perDocWin.cache()
+      val nd = cached.groupBy("win").agg(count(lit(1)).as("nd"))
+      (cached.join(nd, "win"), Some(cached))
+    }
 
   /** D12 — duplicate-span REMOVAL: the actionable form of [[dupSpans]].
     * d10 measures how much of each document sits inside cross-document
@@ -893,29 +935,36 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       spanWords: Int = 10,
-      fingerprint: Boolean = false
+      fingerprint: Boolean = false,
+      skewSafe: Boolean = false
   ): DataFrame =
     removeDupSpansOf(
       docs(spark, dir).select("doc_id", "text"),
       spanWords,
-      fingerprint
+      fingerprint,
+      skewSafe
     )
 
   /** [[removeDupSpans]] over an explicit (doc_id, text) frame. */
   def removeDupSpansOf(
       d: DataFrame,
       spanWords: Int = 10,
-      fingerprint: Boolean = false
+      fingerprint: Boolean = false,
+      skewSafe: Boolean = false
   ): DataFrame = {
     val ws = tokenized(d)
     // stage 1: dup-window starts, at (doc_id, win) grain (d10's collapse)
-    val dupStarts = spanWindows(ws, spanWords, fingerprint)
-      .groupBy("doc_id", "win")
-      .agg(collect_list(col("i")).as("starts"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
+    val (flagged, cached) = withWinCount(
+      spanWindows(ws, spanWords, fingerprint)
+        .groupBy("doc_id", "win")
+        .agg(collect_list(col("i")).as("starts")),
+      skewSafe
+    )
+    val dupStarts = flagged
       .filter(col("nd") >= 2)
       .select(col("doc_id"), explode(col("starts")).as("i"))
-    applySpanRemoval(ws, dupStarts, spanWords)
+    val out = applySpanRemoval(ws, dupStarts, spanWords)
+    cached.fold(out)(c => Eager.materialized(out, c))
   }
 
   /** (doc_id, ws) word arrays — the shared d10/d12 tokenization. */

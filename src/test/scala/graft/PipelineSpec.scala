@@ -618,6 +618,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txt == fp)
   }
 
+  test("skew-safe window counting is row-identical for d10 and d12") {
+    // the agg+join nd (AQE-splittable at a boilerplate hot key) must not
+    // change a single row of either operator vs the COUNT OVER form
+    val d10a = Dedup.dupSpans(spark, sfDir).collect().toSeq
+    val d10b = Dedup.dupSpans(spark, sfDir, skewSafe = true).collect().toSeq
+    assert(d10a == d10b)
+    val d12a = Dedup.removeDupSpans(spark, sfDir).collect().toSeq
+    val d12b =
+      Dedup.removeDupSpans(spark, sfDir, skewSafe = true).collect().toSeq
+    assert(d12a == d12b)
+  }
+
   test("d12 coverage agrees with d10's dup-position signal") {
     // a doc loses words iff d10 sees dup window positions in it
     val removed = Dedup
