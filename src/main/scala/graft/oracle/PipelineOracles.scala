@@ -1771,11 +1771,19 @@ object PipelineOracles {
     * bucket weights, ranked by length-normalized integer average.
     */
   val targetAffinity: String = s"""
-    WITH toks AS (
-      SELECT doc_id, source, ${charHash("g.w")} % 8192 AS b
-      FROM documents, LATERAL (
-        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-          AS w) g
+    WITH wsh AS (
+      SELECT doc_id, source,
+             list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> ${charHash("w")}) AS wh
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, g.h % 8192 AS b
+      FROM wsh, LATERAL (
+        SELECT unnest(list_concat(wh,
+          list_transform(generate_series(1, len(wh) - 1),
+            i -> (wh[i] * 31 + wh[i + 1]) % 1000000007))) AS h) g
     ),
     profile AS (
       SELECT b, COUNT(*) AS r_cnt,

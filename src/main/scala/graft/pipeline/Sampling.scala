@@ -323,15 +323,36 @@ object Sampling {
   }
 
   /** Exploded (doc_id, source, b) token-bucket rows of a documents frame. */
-  private def affinityTokens(d: DataFrame, buckets: Long): DataFrame =
-    d.select(
-      col("doc_id"),
-      col("source"),
-      explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w")
-    ).withColumn(
-      "b",
-      pmod(graft.functions.PolyHash.polyHash(col("w")), lit(buckets))
-    ).select("doc_id", "source", "b")
+  /** DSIR's feature space: hashed word UNIGRAMS ∪ BIGRAMS. Each word is
+    * char-hashed once ([[graft.functions.PolyHash]]); a bigram is the
+    * Horner combine of its two word hashes (base 31 mod 10⁹+7 — the
+    * shingle arithmetic of the dedup plane), so the character stream is
+    * touched once per word, not once per feature. Both gram kinds reduce
+    * mod `buckets` into ONE shared profile, exactly as the paper hashes
+    * them into one table. All row-local (two array HOFs + one explode).
+    */
+  private def affinityTokens(d: DataFrame, buckets: Long): DataFrame = {
+    val M = 1000000007L
+    val wh = transform(
+      expr("filter(split(text, ' '), x -> x <> '')"),
+      w => graft.functions.PolyHash.polyHash(w)
+    )
+    d.select(col("doc_id"), col("source"), wh.as("wh"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          concat(
+            col("wh"),
+            expr(s"zip_with(slice(wh, 1, greatest(size(wh) - 1, 0)), " +
+              s"slice(wh, 2, greatest(size(wh) - 1, 0)), " +
+              s"(a, b) -> (a * 31L + b) % ${M}L)")
+          )
+        ).as("h")
+      )
+      .withColumn("b", pmod(col("h"), lit(buckets)))
+      .select("doc_id", "source", "b")
+  }
 
   private def affinityProfileOf(
       toks: DataFrame,
@@ -379,12 +400,23 @@ object Sampling {
     */
   def affinityScoreLocal(d: DataFrame, weights: Array[Long]): DataFrame = {
     val b = weights.length.toLong
+    val M = 1000000007L
     val wlit = lit(weights)
-    val bucketArr = transform(
+    val wh = transform(
       expr("filter(split(text, ' '), x -> x <> '')"),
-      w => pmod(graft.functions.PolyHash.polyHash(w), lit(b))
+      w => graft.functions.PolyHash.polyHash(w)
     )
-    d.select(col("doc_id"), bucketArr.as("bs"))
+    val bucketArr = transform(
+      concat(
+        col("wh"),
+        expr(s"zip_with(slice(wh, 1, greatest(size(wh) - 1, 0)), " +
+          s"slice(wh, 2, greatest(size(wh) - 1, 0)), " +
+          s"(a, b) -> (a * 31L + b) % ${M}L)")
+      ),
+      h => pmod(h, lit(b))
+    )
+    d.select(col("doc_id"), wh.as("wh"))
+      .select(col("doc_id"), bucketArr.as("bs"))
       .filter(size(col("bs")) >= 1)
       .select(
         col("doc_id"),
