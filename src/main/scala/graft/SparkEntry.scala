@@ -262,6 +262,9 @@ object SparkEntry {
     "d10_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
     // d12 — duplicate-span removal: the corpus rewrite d10 only measures
     "d12_dup_span_removal" -> ((s, d) => Dedup.removeDupSpans(s, d)),
+    // d13 — within-doc self-repetition removal (keep first occurrence)
+    "d13_self_repetition_removal" ->
+      ((s, d) => Dedup.removeRepeatedSpans(s, d)),
     // k7 — product quantization codes (sampled codebook, exact-int argmin)
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
@@ -377,6 +380,7 @@ object SparkEntry {
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d10_dup_spans" -> PipelineOracles.dupSpans,
     "d12_dup_span_removal" -> PipelineOracles.removeDupSpans,
+    "d13_self_repetition_removal" -> PipelineOracles.removeRepeatedSpans,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
     "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,

@@ -1764,6 +1764,60 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** d13 — within-doc self-repetition removal (graft.pipeline.Dedup
+    * .removeRepeatedSpans, L = 3, keep-first). Same tokenization and
+    * coverage machinery as d12, but the dup decision is doc-local:
+    * repeat starts are every sorted start after the first of a window
+    * occurring ≥ 2 times in the SAME document.
+    */
+  val removeRepeatedSpans: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, g.i AS i, array_to_string(w[g.i:g.i+2], ' ') AS win
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+    ),
+    pdw AS (
+      SELECT doc_id, list_sort(list(i)) AS starts
+      FROM wins GROUP BY doc_id, win
+      HAVING COUNT(*) >= 2
+    ),
+    dupstart AS (
+      SELECT doc_id, unnest(starts[2:]) AS i FROM pdw
+    ),
+    words AS (
+      SELECT doc_id, g.p AS p, w[g.p] AS word, len(w) AS n
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w))) AS p) g
+      WHERE len(w) >= 1
+    ),
+    flags AS (
+      SELECT wd.doc_id, wd.p, wd.word, wd.n,
+             CASE WHEN ds.i IS NOT NULL THEN 1 ELSE 0 END AS s
+      FROM words wd LEFT JOIN dupstart ds
+        ON ds.doc_id = wd.doc_id AND ds.i = wd.p
+    ),
+    cov AS (
+      SELECT doc_id, p, word, n,
+             MAX(s) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+      FROM flags
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_words,
+           CAST(SUM(covered) AS BIGINT) AS n_removed,
+           COALESCE(
+             string_agg(CASE WHEN covered = 0 THEN word END, ' ' ORDER BY p),
+             '') AS cleaned_text
+    FROM cov
+    GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
   /** p26 — target-affinity selection (graft.pipeline.Sampling
     * .targetAffinity, target source 'src18', 8192 buckets, top 100).
     * Integer-exact DSIR surrogate: per-bucket weight

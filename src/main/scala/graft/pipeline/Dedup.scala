@@ -1120,6 +1120,43 @@ object Dedup {
     Eager.releaseCheckpoint(novel)
   }
 
+  /** D13 — WITHIN-doc self-repetition removal, keep-first: positions
+    * covered by a later occurrence of an L-word window that already
+    * occurred earlier in the SAME document are cut; the first occurrence
+    * (and everything non-repeated) survives. The within-doc complement of
+    * [[removeDupSpansOf]] (cross-doc) and the actionable form of p15's
+    * repetition DETECTION — the C4-style cleanup for pages that loop
+    * their own boilerplate (menus repeated per section, pagination
+    * echoes, chat logs quoting themselves).
+    *
+    * Plan shape: strictly cheaper than d12 — the dup decision is
+    * doc-LOCAL (a window's repeat starts are `starts` minus its earliest
+    * element, straight out of the same (doc_id, win) collapse), so there
+    * is NO corpus-wide window grain at all: one (doc_id, win) groupBy,
+    * one doc-keyed coverage pass, perfectly parallel per document at any
+    * corpus size. No hot keys exist by construction (a window's group is
+    * bounded by its repeats within ONE doc).
+    */
+  def removeRepeatedSpans(
+      spark: SparkSession,
+      dir: String,
+      spanWords: Int = 3
+  ): DataFrame = {
+    val ws = tokenized(docs(spark, dir).select("doc_id", "text"))
+    val dupStarts = spanWindows(ws, spanWords, fingerprint = false)
+      .groupBy("doc_id", "win")
+      .agg(collect_list(col("i")).as("starts"))
+      .filter(size(col("starts")) >= 2)
+      // every start except the earliest is a repeat
+      .select(
+        col("doc_id"),
+        explode(
+          expr("slice(array_sort(starts), 2, size(starts) - 1)")
+        ).as("i")
+      )
+    applySpanRemoval(ws, dupStarts, spanWords)
+  }
+
   /** Compact a span index in place: the streaming loop appends one file
     * set per micro-batch, so a long-lived index accretes small files and
     * every per-batch join pays the listing/open overhead. Rewrites the

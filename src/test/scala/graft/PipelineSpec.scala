@@ -618,6 +618,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txt == fp)
   }
 
+  test("d13 keeps the first occurrence and cuts only later repeats") {
+    // "menu" block repeated twice inside one doc: the SECOND copy's span
+    // is removed, the first survives with its context; cross-doc repeats
+    // are NOT d13's business (doc 2 shares doc 1's block, untouched)
+    val block = "home about products contact"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-d13")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, s"intro $block middle words here $block outro", "en", "s", 0L),
+      (2L, s"other page $block different tail", "en", "s", 0L),
+      (3L, "no repeats at all in this one", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = Dedup
+      .removeRepeatedSpans(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(
+      out(1L) ==
+        ((4L, s"intro $block middle words here outro"))
+    )
+    assert(out(2L) == ((0L, s"other page $block different tail")))
+    assert(out(3L) == ((0L, "no repeats at all in this one")))
+    // invariant on the real corpus: accounting holds and the op is
+    // non-vacuous at L=3
+    val corpus = Dedup.removeRepeatedSpans(spark, sfDir).cache()
+    val bad = corpus
+      .withColumn(
+        "kept",
+        size(expr("filter(split(cleaned_text, ' '), x -> x <> '')"))
+      )
+      .filter(col("kept") + col("n_removed") =!= col("n_words"))
+    assert(bad.count() == 0)
+    assert(corpus.filter(col("n_removed") > 0).count() > 0)
+    corpus.unpersist()
+  }
+
   test("skew-safe window counting is row-identical for d10 and d12") {
     // the agg+join nd (AQE-splittable at a boilerplate hot key) must not
     // change a single row of either operator vs the COUNT OVER form
