@@ -1141,8 +1141,17 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       spanWords: Int = 3
-  ): DataFrame = {
-    val ws = tokenized(docs(spark, dir).select("doc_id", "text"))
+  ): DataFrame =
+    removeRepeatedSpansOf(docs(spark, dir).select("doc_id", "text"), spanWords)
+
+  /** [[removeRepeatedSpans]] over an explicit (doc_id, text) frame. The
+    * semantics are PER-DOCUMENT — no cross-doc term anywhere — which is
+    * what makes the streaming form
+    * ([[graft.streaming.StreamingCuration.selfRepetitionStream]])
+    * chunking-independent by construction.
+    */
+  def removeRepeatedSpansOf(d: DataFrame, spanWords: Int = 3): DataFrame = {
+    val ws = tokenized(d)
     val dupStarts = spanWindows(ws, spanWords, fingerprint = false)
       .groupBy("doc_id", "win")
       .agg(collect_list(col("i")).as("starts"))

@@ -121,6 +121,37 @@ object StreamingCuration {
   def affinityScoreStream(docs: DataFrame, weights: Array[Long]): DataFrame =
     Sampling.affinityScoreLocal(docs, weights)
 
+  /** D13 continuous form — within-doc self-repetition removal on ingest.
+    * The batch operator's semantics are PER-DOCUMENT (no cross-doc term),
+    * so a stream needs no state store and no index: each micro-batch is
+    * rewritten independently via `foreachBatch` (the operator's internal
+    * doc-keyed aggregation would be unbounded state as a native streaming
+    * agg — the usual reason the hygiene planes run batch kernels inside
+    * foreachBatch). Chunking independence and redelivery idempotence are
+    * structural: a doc's rewrite depends only on its own text
+    * (StreamingCurationSpec law: any slicing ≡ the batch operator
+    * row-for-row).
+    */
+  def selfRepetitionStream(
+      docs: DataFrame,
+      checkpointDir: String,
+      spanWords: Int = 3,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.pipeline.Dedup.removeRepeatedSpansOf(batch, spanWords),
+          batchId
+        )
+      }
+      .start()
+
   final case class MixDoc(doc_id: Long, source: String, n_toks: Long)
   final case class MixState(filled: Long, maxSeen: Long)
   final case class MixOut(

@@ -315,6 +315,42 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == greedy(budget).sortBy(o => (o.source, o.doc_id)))
   }
 
+  test("streaming self-repetition removal over chunks equals the batch op") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus()
+    val chunks = docs.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-d13-stream").toString
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration.selfRepetitionStream(
+      ms.toDS().toDF(), s"$base/ckpt"
+    ) { (cleaned, _) =>
+      collected ++= cleaned
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val want = graft.pipeline.Dedup
+      .removeRepeatedSpansOf(
+        spark.read
+          .parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(collected.exists(_._3 > 0)) // non-vacuous at L=3
+    assert(collected.toSeq.sortBy(_._1) == want.sortBy(_._1))
+  }
+
   test("streaming affinity scoring over chunks equals the batch scorer") {
     val sp = spark
     import sp.implicits._
