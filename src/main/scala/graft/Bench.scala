@@ -67,7 +67,10 @@ object Bench {
     val wallTotal = (System.nanoTime() - t0run) / 1e9
     val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would emit invalid JSON ("0,123")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cpus = results.map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }

@@ -85,9 +85,6 @@ object SpanSkewStress {
     spark.stop()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }

@@ -1101,6 +1101,7 @@ object Dedup {
       indexDir: String,
       d: DataFrame
   ): Unit = {
+    repairSpanIndex(indexDir)
     val spanWords =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("span_words")
     // materialize the novel set BEFORE appending: the anti-join reads the
@@ -1181,25 +1182,56 @@ object Dedup {
       indexDir: String,
       targetFiles: Int = 8
   ): Unit = {
-    val windows = s"$indexDir/windows"
-    val tmp = s"$indexDir/windows.compact-${System.nanoTime()}"
+    repairSpanIndex(indexDir) // also sweeps leftovers of a crashed compact
+    val root = java.nio.file.Paths.get(indexDir)
+    val windows = root.resolve("windows")
+    val tmp = root.resolve(s"windows.compact-${System.nanoTime()}")
     spark.read
-      .parquet(windows)
+      .parquet(windows.toString)
       .repartition(targetFiles)
       .write
-      .parquet(tmp)
-    val old = new java.io.File(s"$indexDir/windows.old-${System.nanoTime()}")
-    require(new java.io.File(windows).renameTo(old), s"cannot move $windows")
-    require(
-      new java.io.File(tmp).renameTo(new java.io.File(windows)),
-      s"cannot adopt $tmp"
-    )
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+      .parquet(tmp.toString)
+    val old = root.resolve(s"windows.old-${System.nanoTime()}")
+    java.nio.file.Files.move(windows, old)
+    java.nio.file.Files.move(tmp, windows)
+    graft.util.Fs.deleteRecursively(old)
+  }
+
+  /** Crash repair for the span index's compaction swap — the swap is two
+    * renames, and a crash between them leaves no `windows` directory. The
+    * repair adopts the newest COMPLETE compacted copy (`windows.compact-*`
+    * carrying Spark's `_SUCCESS` marker — it holds the full set by
+    * construction, having been written before the swap began) or, absent
+    * one, moves the newest `windows.old-*` back; stale leftovers are then
+    * swept. Called by every index consumer (clean / append / compact), so
+    * a crashed maintenance job can never brick the streaming loop.
+    * Single-maintainer posture like the append itself.
+    */
+  def repairSpanIndex(indexDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(indexDir)
+    val windows = root.resolve("windows")
+    def listPrefixed(prefix: String): Seq[java.nio.file.Path] = {
+      if (!Files.exists(root)) return Seq.empty
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .toSeq
+          .sortBy(_.getFileName.toString)
+      } finally s.close()
     }
-    rm(old)
+    if (!Files.exists(windows)) {
+      val complete = listPrefixed("windows.compact-")
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
+      val fallback = listPrefixed("windows.old-")
+      (complete.lastOption orElse fallback.lastOption).foreach { chosen =>
+        Files.move(chosen, windows)
+      }
+    }
+    (listPrefixed("windows.compact-") ++ listPrefixed("windows.old-"))
+      .foreach(p => graft.util.Fs.deleteRecursively(p))
   }
 
   /** D12 incremental form: clean a NEW batch against a PERSISTED span
@@ -1222,6 +1254,7 @@ object Dedup {
       indexDir: String,
       newDocs: DataFrame
   ): DataFrame = {
+    repairSpanIndex(indexDir)
     val spanWords =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("span_words")
     val ws = tokenized(newDocs)

@@ -331,28 +331,37 @@ object Sampling {
     * mod `buckets` into ONE shared profile, exactly as the paper hashes
     * them into one table. All row-local (two array HOFs + one explode).
     */
-  private def affinityTokens(d: DataFrame, buckets: Long): DataFrame = {
-    val M = 1000000007L
+  private val AffinityM = 1000000007L
+
+  /** The single definition of the feature array for a `text` column —
+    * unigram word hashes followed by bigram Horner combines. Batch
+    * profile, batch scorer, and streaming scorer all build on THIS column
+    * (the oracle SQL is its one deliberate twin), so the feature space
+    * cannot drift between the trained profile and any scorer.
+    */
+  private def affinityGramHashes(text: Column): Column = {
     val wh = transform(
-      expr("filter(split(text, ' '), x -> x <> '')"),
+      filter(split(text, " "), w => w =!= lit("")),
       w => graft.functions.PolyHash.polyHash(w)
     )
-    d.select(col("doc_id"), col("source"), wh.as("wh"))
-      .select(
-        col("doc_id"),
-        col("source"),
-        explode(
-          concat(
-            col("wh"),
-            expr(s"zip_with(slice(wh, 1, greatest(size(wh) - 1, 0)), " +
-              s"slice(wh, 2, greatest(size(wh) - 1, 0)), " +
-              s"(a, b) -> (a * 31L + b) % ${M}L)")
-          )
-        ).as("h")
+    val len = greatest(size(wh) - 1, lit(0))
+    concat(
+      wh,
+      zip_with(
+        slice(wh, lit(1), len),
+        slice(wh, lit(2), len),
+        (a, b) => (a * lit(31L) + b) % lit(AffinityM)
       )
-      .withColumn("b", pmod(col("h"), lit(buckets)))
-      .select("doc_id", "source", "b")
+    )
   }
+
+  private def affinityTokens(d: DataFrame, buckets: Long): DataFrame =
+    d.select(
+      col("doc_id"),
+      col("source"),
+      explode(affinityGramHashes(col("text"))).as("h")
+    ).withColumn("b", pmod(col("h"), lit(buckets)))
+      .select("doc_id", "source", "b")
 
   private def affinityProfileOf(
       toks: DataFrame,
@@ -400,23 +409,10 @@ object Sampling {
     */
   def affinityScoreLocal(d: DataFrame, weights: Array[Long]): DataFrame = {
     val b = weights.length.toLong
-    val M = 1000000007L
     val wlit = lit(weights)
-    val wh = transform(
-      expr("filter(split(text, ' '), x -> x <> '')"),
-      w => graft.functions.PolyHash.polyHash(w)
-    )
-    val bucketArr = transform(
-      concat(
-        col("wh"),
-        expr(s"zip_with(slice(wh, 1, greatest(size(wh) - 1, 0)), " +
-          s"slice(wh, 2, greatest(size(wh) - 1, 0)), " +
-          s"(a, b) -> (a * 31L + b) % ${M}L)")
-      ),
-      h => pmod(h, lit(b))
-    )
-    d.select(col("doc_id"), wh.as("wh"))
-      .select(col("doc_id"), bucketArr.as("bs"))
+    val bucketArr =
+      transform(affinityGramHashes(col("text")), h => pmod(h, lit(b)))
+    d.select(col("doc_id"), bucketArr.as("bs"))
       .filter(size(col("bs")) >= 1)
       .select(
         col("doc_id"),

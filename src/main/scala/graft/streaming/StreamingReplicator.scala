@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
@@ -78,10 +77,18 @@ object StreamingReplicator {
     * cassandra/.../CassandraSync.scala): a second writer targeting the
     * same epoch fails fast, before touching the bucketed tables; a claim
     * whose holder died is breakable after `leaseMs` (rename-to-unique
-    * break, itself race-safe). A zombie holder resumed past its broken
-    * lease may still write bucket files, but its COMMIT is fenced by the
-    * epoch CAS — those files are exactly crash leftovers, converged by
-    * the redelivered batch's idempotent merge. A reader resolving the
+    * break, itself race-safe); a LIVE holder running a long batch
+    * heartbeats via [[renewClaim]] (CREATE_NEW side-files, no in-place
+    * rewrite to race the breaker's tombstone), so slow ≠ dead. A zombie
+    * holder resumed past its broken lease is fenced BEFORE each
+    * shared-table mutation ([[verifyClaim]] precedes every
+    * overwriteTouched and the commit) and its COMMIT is fenced by the
+    * epoch CAS (including the virgin-store epoch-0→1 adoption, which
+    * CASes on the staged generation's `_WRITER` tag since there is no
+    * `current-0` to rename). The residual window — a break landing inside
+    * an in-flight overwrite job — leaves exactly crash-shaped leftovers,
+    * converged by the redelivered batch's idempotent merge; a
+    * transactional table format closes even that. A reader resolving the
     * store through [[recoverCurrent]] at ANY point sees exactly one
     * committed generation — never an uncommitted, partial, or mixed
     * pointer2 (ReplicatorSpec walks every intermediate on-disk state AND
@@ -126,12 +133,18 @@ object StreamingReplicator {
 
       val merged = Replicate.mergeBatch(store, batchC)
 
+      // heartbeat + ownership fence before EACH shared-table mutation: a
+      // writer whose lease was broken during the (possibly long) merge
+      // fails here, before clobbering the breaker's bucket files
+      renewClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.journal, journalDir,
         Paths.get(storeDir, "journal_schema.json"), touched)
+      verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.metajournal, metaDir,
         Paths.get(storeDir, "metajournal_schema.json"), touched)
 
-      commitGeneration(root, epoch, merged.pointer2)
+      verifyClaim(root, epoch + 1, claimToken)
+      commitGeneration(root, epoch, merged.pointer2, claimToken)
     } catch {
       // a failure BEFORE the commit leaves the claim held; release it so a
       // peer need not wait out the lease (crash = lease expiry handles it).
@@ -152,7 +165,8 @@ object StreamingReplicator {
   def commitGeneration(
       root: Path,
       basedOnEpoch: Long,
-      pointer2: DataFrame
+      pointer2: DataFrame,
+      writerToken: String = ""
   ): Unit = {
     val nextEpoch = basedOnEpoch + 1
     // a dead claimant of THIS epoch may have left a committed-but-unadopted
@@ -161,8 +175,11 @@ object StreamingReplicator {
     val next = root.resolve(s"gen-$nextEpoch-${System.nanoTime()}")
     pointer2.write.mode(SaveMode.Overwrite)
       .parquet(next.resolve("pointer2").toString)
+    // the writer identity rides with the staged gen: the virgin-store
+    // adoption (no current-0 to CAS on) fences on it — see adoptGeneration
+    Files.write(next.resolve(WriterTag), writerToken.getBytes("UTF-8"))
     Files.createFile(next.resolve(Committed))
-    adoptGeneration(root, basedOnEpoch, next)
+    adoptGeneration(root, basedOnEpoch, next, writerToken)
   }
 
   /** The commit CAS: move `current-<E>` aside (only one writer can — the
@@ -170,8 +187,23 @@ object StreamingReplicator {
     * `current-<E+1>`. On loss the staged directory is deleted; the caller
     * sees [[ConcurrentStoreWriteException]] and must re-read the store
     * before retrying (its merge was based on a superseded snapshot).
+    *
+    * Virgin store (basedOnEpoch = 0): there is no `current-0` to move, so
+    * the CAS is the `move(staged, current-1)` itself — if `current-1`
+    * already exists the move fails, and whether that is success or loss
+    * is decided by the `_WRITER` tag inside it: OUR token means a
+    * reader's crash-repair adopted our own staged gen (success); any
+    * other token means a lease-breaking peer committed first (loss —
+    * without this fence a zombie would silently report success for a
+    * batch the peer actually committed, and the zombie's batch would be
+    * checkpoint-acked without ever reaching the store).
     */
-  private def adoptGeneration(root: Path, basedOnEpoch: Long, staged: Path): Unit = {
+  private def adoptGeneration(
+      root: Path,
+      basedOnEpoch: Long,
+      staged: Path,
+      writerToken: String
+  ): Unit = {
     val nextEpoch = basedOnEpoch + 1
     val cur = root.resolve(s"current-$basedOnEpoch")
     val old =
@@ -190,15 +222,28 @@ object StreamingReplicator {
     try Files.move(staged, root.resolve(s"current-$nextEpoch"))
     catch {
       case e: java.nio.file.FileSystemException =>
-        // only reachable if a reader's crash-repair adopted our own staged
-        // gen concurrently (the epoch lease admits no second writer): the
-        // generation IS current — success
-        if (!Files.exists(root.resolve(s"current-$nextEpoch"))) throw e
+        val adopted = root.resolve(s"current-$nextEpoch")
+        if (!Files.exists(adopted)) throw e
+        if (!readTag(adopted).contains(writerToken)) {
+          // a DIFFERENT writer's generation sits at our target epoch —
+          // only reachable on the virgin-store path (old CAS passed
+          // vacuously); publish nothing and surface the loss
+          deleteRecursively(staged)
+          throw new ConcurrentStoreWriteException(
+            s"epoch $nextEpoch already committed by another writer — " +
+              "re-read the store and retry")
+        }
+        // our own staged gen was adopted by a reader's crash-repair:
+        // the generation IS current — success
     }
     old.foreach(deleteRecursively)
     // claims at or below the adopted epoch are spent
     claimFiles(root).filter(_._2 <= nextEpoch).foreach(c => Files.deleteIfExists(c._1))
   }
+
+  private def readTag(gen: Path): Option[String] =
+    try Some(new String(Files.readAllBytes(gen.resolve(WriterTag)), "UTF-8"))
+    catch { case _: java.io.IOException => None }
 
   /** Takes the lease-style claim on `epoch`: atomic create of
     * `claim-<epoch>` (content: writer id + wall millis). An existing live
@@ -217,10 +262,17 @@ object StreamingReplicator {
         java.nio.file.StandardOpenOption.CREATE_NEW); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!tryCreate()) {
-      val stampedAt =
-        try new String(Files.readAllBytes(claim), "UTF-8").trim
-          .split(" ").last.toLong
-        catch { case _: Exception => Long.MaxValue } // being written right now: live
+      val holder =
+        try Some(new String(Files.readAllBytes(claim), "UTF-8"))
+        catch { case _: java.io.IOException => None } // being written: live
+      val stampedAt = holder
+        .map { h =>
+          val base =
+            try h.trim.split(" ").last.toLong
+            catch { case _: Exception => Long.MaxValue }
+          math.max(base, newestRenewal(root, epoch, h))
+        }
+        .getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
       val broke = expired && {
         try { Files.move(claim,
@@ -235,15 +287,86 @@ object StreamingReplicator {
     me
   }
 
+  /** Newest renewal stamp for `holderToken`'s claim on `epoch` (renewals
+    * by superseded holders are ignored: their token no longer matches).
+    */
+  private def newestRenewal(
+      root: Path,
+      epoch: Long,
+      holderToken: String
+  ): Long = {
+    val s = Files.list(root)
+    try {
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"claim-$epoch.r-"))
+        .flatMap { p =>
+          try {
+            val content = new String(Files.readAllBytes(p), "UTF-8")
+            if (content.startsWith(holderToken + " renew "))
+              content.split(" ").lastOption.flatMap(_.toLongOption)
+            else None
+          } catch { case _: java.io.IOException => None }
+        }
+        .foldLeft(Long.MinValue)(math.max)
+    } finally s.close()
+  }
+
+  /** Verifies this writer still holds the claim on `epoch` — called
+    * immediately before every shared-table mutation, so a writer whose
+    * lease was broken while it stalled fails BEFORE clobbering the
+    * breaker's bucket files instead of after. (The residual window — a
+    * breaker landing between this check and the write job's commit — is
+    * the irreducible cost of lease-based fencing on a plain filesystem;
+    * shrinking it to per-write granularity plus [[renewClaim]] heartbeats
+    * makes it a crash-scale event, converged like any crash leftover. A
+    * table format with transactional commits closes it entirely.)
+    */
+  def verifyClaim(root: Path, epoch: Long, token: String): Unit = {
+    val held =
+      try new String(
+        Files.readAllBytes(root.resolve(s"claim-$epoch")), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+    if (!held)
+      throw new ConcurrentStoreWriteException(
+        s"claim on epoch $epoch was lease-broken while this writer " +
+          "stalled — publishing nothing; the batch redelivers")
+  }
+
+  /** Heartbeat for slow batches: extends the holder's lease so a
+    * legitimately long merge is not presumed dead at `leaseMs`. A renewal
+    * is a CREATE_NEW side-file (`claim-<E>.r-<nano>`, content
+    * `token renew <millis>`) — no in-place rewrite, so it cannot race a
+    * breaker's tombstone rename; [[claimEpoch]]'s expiry check reads the
+    * newest renewal carrying the CURRENT holder's token. The renewal is
+    * verified against the base claim AFTER it lands: if the base was
+    * broken in the meantime the renewal is void and the (now fenced)
+    * holder learns immediately.
+    */
+  def renewClaim(root: Path, epoch: Long, token: String): Unit = {
+    Files.write(
+      root.resolve(s"claim-$epoch.r-${System.nanoTime()}"),
+      s"$token renew ${System.currentTimeMillis()}".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW
+    )
+    verifyClaim(root, epoch, token)
+  }
+
   /** Deletes `claim-<epoch>` ONLY if it still carries `token` — a holder
     * must never remove a claim that a lease-breaker has since re-issued
-    * under its own token.
+    * under its own token. The holder's own renewal side-files go with it.
     */
   def releaseClaim(root: Path, epoch: Long, token: String): Unit = {
     val claim = root.resolve(s"claim-$epoch")
     try {
-      if (new String(Files.readAllBytes(claim), "UTF-8") == token)
+      if (new String(Files.readAllBytes(claim), "UTF-8") == token) {
         Files.deleteIfExists(claim): Unit
+        val s = Files.list(root)
+        try {
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"claim-$epoch.r-"))
+            .foreach(p => Files.deleteIfExists(p): Unit)
+        } finally s.close()
+      }
     } catch { case _: java.io.IOException => () } // already gone / unreadable
   }
 
@@ -427,6 +550,7 @@ object StreamingReplicator {
   }
 
   private val Committed = "_COMMITTED"
+  private val WriterTag = "_WRITER"
 
   /** Multi-writer loss signal: the store advanced past the snapshot this
     * writer merged against (or a live peer holds the epoch claim). The
@@ -491,14 +615,24 @@ object StreamingReplicator {
     if (!Files.exists(root)) return (root.resolve("current-0"), 0L)
 
     val legacy = root.resolve("current")
-    if (Files.exists(legacy)) Files.move(legacy, root.resolve("current-1"))
+    if (Files.exists(legacy)) {
+      try Files.move(legacy, root.resolve("current-1"))
+      catch {
+        // a concurrent resolver migrated it first — the layout is
+        // epoch-named either way (read paths must never crash on this)
+        case _: java.nio.file.FileSystemException if !Files.exists(legacy) =>
+      }
+    }
 
     named(root, "current-").maxByOption(_._2) match {
       case Some((p, e)) =>
-        // old-* below the committed epoch and gens at/below it are spent
+        // old-* below the committed epoch and gens at/below it are spent.
+        // Unmarked gens at/below e are swept too: epoch ge <= e was won
+        // (by someone), so a marker-less gen-<ge> is a dead writer's
+        // partial staging that no claimant will ever sweep otherwise
         named(root, "old-").filter(_._2 <= e).foreach(o => deleteRecursively(o._1))
         genDirs(root)
-          .filter { case (g, ge) => ge <= e && Files.exists(g.resolve(Committed)) }
+          .filter { case (_, ge) => ge <= e }
           .foreach(g => deleteRecursively(g._1))
         claimFiles(root).filter(_._2 <= e).foreach(c => Files.deleteIfExists(c._1))
         (p, e)
@@ -529,10 +663,10 @@ object StreamingReplicator {
     }
   }
 
+  // shared tolerant delete: concurrent sweepers (any resolver may sweep
+  // spent dirs under the multi-writer contract) race on the same trees
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f =>
-      Files.deleteIfExists(f): Unit
-    )
+    graft.util.Fs.deleteRecursively(p)
 
   /** Runs the replicator over a stream of KAFKA-SHAPED records (key /
     * value bytes / `journal.action` header — the exact columns

@@ -1,0 +1,42 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Shared filesystem helpers for the store/index maintenance paths.
+  *
+  * [[deleteRecursively]] is CONCURRENCY-TOLERANT by contract: the
+  * multi-writer store lets any resolver sweep spent `old-*`/`gen-*`
+  * directories, so two sweepers (or a sweeper and the adopting writer)
+  * can race on the same tree — a path that vanishes mid-walk means the
+  * other party already did the work, not an error. Four call sites used
+  * to carry private copies of this helper (one of them walk-based and
+  * crash-prone under exactly that race); this is the single shared
+  * definition.
+  */
+object Fs {
+
+  /** Best-effort recursive delete; silently succeeds if the tree (or any
+    * entry of it) is concurrently deleted by another process.
+    */
+  def deleteRecursively(p: Path): Unit =
+    try
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+        try Files.deleteIfExists(f): Unit
+        catch {
+          // another sweeper emptied/removed it first, or re-created a
+          // child under it mid-race: either way not this sweep's problem
+          case _: java.nio.file.NoSuchFileException      => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
+      }
+    catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+        ()
+    }
+
+  def deleteRecursively(f: java.io.File): Unit =
+    deleteRecursively(f.toPath)
+}

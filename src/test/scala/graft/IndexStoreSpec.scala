@@ -129,6 +129,27 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files() == 2 && filesBefore > 2)
     assert(winSet() == setBefore)
     assert(cleaned() == cleanBefore)
+
+    // crash repair: a kill between the swap's two renames leaves no
+    // windows dir — every consumer must adopt the surviving copy instead
+    // of failing. Case 1: only the moved-aside original exists.
+    val w = java.nio.file.Paths.get(s"$tmp/windows")
+    java.nio.file.Files.move(
+      w, java.nio.file.Paths.get(s"$tmp/windows.old-999"))
+    assert(cleaned() == cleanBefore) // repair adopted the original
+    assert(winSet() == setBefore)
+    // Case 2: a COMPLETE compacted copy (with _SUCCESS) outranks old-*
+    java.nio.file.Files.move(
+      w, java.nio.file.Paths.get(s"$tmp/windows.compact-999"))
+    assert(cleaned() == cleanBefore)
+    assert(winSet() == setBefore)
+    // and the leftovers were swept by the repair
+    assert(files() > 0)
+    val leftovers = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("windows.old-") ||
+        f.getName.startsWith("windows.compact-"))
+    assert(leftovers.isEmpty)
   }
 
   test("incremental append: old files untouched, batch-insensitive, probe-all complete") {

@@ -506,6 +506,71 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("virgin-store race: the epoch-0→1 adoption is writer-fenced") {
+    import java.nio.file.Paths
+    import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
+    val a = actions.cache()
+    val Seq(c1, c2) = chunks(a, 2)
+    val tmp = Files.createTempDirectory("graft-mw0").toString
+    val root = Paths.get(tmp)
+    Files.createDirectories(root)
+    // writer B commits epoch 1 first (its own token)
+    val p2b = Replicate.compute(c2).pointer2
+    StreamingReplicator.commitGeneration(root, 0L, p2b, writerToken = "B")
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
+    def p2Now(): Seq[String] = spark.read
+      .parquet(StreamingReplicator.resolveCurrent(tmp)._1
+        .resolve("pointer2").toString)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val committed = p2Now()
+    // zombie A (lease-broken while stalled on the virgin store) tries the
+    // same epoch: without the _WRITER fence the old code reported SUCCESS
+    // here and A's batch would be checkpoint-acked without ever landing
+    val p2a = Replicate.compute(c1).pointer2
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.commitGeneration(root, 0L, p2a, writerToken = "A")
+    }
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
+    assert(p2Now() == committed, "B's committed generation must be untouched")
+    a.unpersist()
+  }
+
+  test("claim lease: renewal extends it, break voids renewal, verify fences writes") {
+    import java.nio.file.Paths
+    import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
+    val tmp = Files.createTempDirectory("graft-lease").toString
+    val root = Paths.get(tmp)
+    Files.createDirectories(root)
+
+    // an aged claim whose holder keeps renewing is LIVE: a peer must not
+    // break it even though the base stamp is expired
+    val staleStamp = System.currentTimeMillis() - 3600000L
+    val holder = s"slow-writer/1 $staleStamp"
+    Files.write(root.resolve("claim-2"), holder.getBytes("UTF-8"))
+    StreamingReplicator.renewClaim(root, 2L, holder) // heartbeat
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+    }
+
+    // without a fresh renewal the same aged claim IS breakable
+    val tmp2 = Files.createTempDirectory("graft-lease2").toString
+    val root2 = Paths.get(tmp2)
+    Files.createDirectories(root2)
+    Files.write(root2.resolve("claim-2"), holder.getBytes("UTF-8"))
+    val breaker = StreamingReplicator.claimEpoch(root2, 2L, leaseMs = 600000L)
+
+    // the broken holder's world is fenced: verify fails before any
+    // shared-table write, and a late renewal is void
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.verifyClaim(root2, 2L, holder)
+    }
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.renewClaim(root2, 2L, holder)
+    }
+    // the breaker itself still verifies clean
+    StreamingReplicator.verifyClaim(root2, 2L, breaker)
+  }
+
   test("store-based purgeExpiredApply ≡ actions-based, and scans only the store") {
     import graft.journal.Segments
     val a = actions.cache()
