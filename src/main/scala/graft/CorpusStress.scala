@@ -143,10 +143,6 @@ object CorpusStress {
     spark.stop()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // listFiles is null on I/O error or if the path vanishes mid-walk
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }

@@ -1219,7 +1219,13 @@ object Dedup {
         s.iterator().asScala
           .filter(_.getFileName.toString.startsWith(prefix))
           .toSeq
-          .sortBy(_.getFileName.toString)
+          // NUMERIC suffix order — a lexicographic sort of nanoTime
+          // suffixes misorders across digit counts / JVM restarts and
+          // could adopt a stale copy
+          .sortBy(p =>
+            p.getFileName.toString.stripPrefix(prefix).toLongOption
+              .getOrElse(Long.MinValue)
+          )
       } finally s.close()
     }
     if (!Files.exists(windows)) {

@@ -333,17 +333,23 @@ object Sampling {
     */
   private val AffinityM = 1000000007L
 
-  /** The single definition of the feature array for a `text` column —
-    * unigram word hashes followed by bigram Horner combines. Batch
-    * profile, batch scorer, and streaming scorer all build on THIS column
-    * (the oracle SQL is its one deliberate twin), so the feature space
-    * cannot drift between the trained profile and any scorer.
+  /** The single definition of the feature space, in two stages that
+    * every consumer shares: [[affinityWordHashes]] (one pass over the
+    * character stream) is PROJECTED as a named column first, and
+    * [[affinityGramsOf]] builds unigrams ∪ bigram Horner combines from
+    * that column REFERENCE — the word array is computed once per row, not
+    * re-evaluated per slice (HOF subtrees carrying lambda variables are
+    * excluded from Spark's subexpression elimination, so an inline
+    * single-expression form would split/filter/hash every word 3-4×).
+    * The oracle SQL is the one deliberate twin of this arithmetic.
     */
-  private def affinityGramHashes(text: Column): Column = {
-    val wh = transform(
+  private def affinityWordHashes(text: Column): Column =
+    transform(
       filter(split(text, " "), w => w =!= lit("")),
       w => graft.functions.PolyHash.polyHash(w)
     )
+
+  private def affinityGramsOf(wh: Column): Column = {
     val len = greatest(size(wh) - 1, lit(0))
     concat(
       wh,
@@ -359,7 +365,11 @@ object Sampling {
     d.select(
       col("doc_id"),
       col("source"),
-      explode(affinityGramHashes(col("text"))).as("h")
+      affinityWordHashes(col("text")).as("wh")
+    ).select(
+      col("doc_id"),
+      col("source"),
+      explode(affinityGramsOf(col("wh"))).as("h")
     ).withColumn("b", pmod(col("h"), lit(buckets)))
       .select("doc_id", "source", "b")
 
@@ -410,19 +420,40 @@ object Sampling {
   def affinityScoreLocal(d: DataFrame, weights: Array[Long]): DataFrame = {
     val b = weights.length.toLong
     val wlit = lit(weights)
-    val bucketArr =
-      transform(affinityGramHashes(col("text")), h => pmod(h, lit(b)))
-    d.select(col("doc_id"), bucketArr.as("bs"))
-      .filter(size(col("bs")) >= 1)
-      .select(
-        col("doc_id"),
-        size(col("bs")).cast("long").as("n_tokens"),
-        aggregate(
-          col("bs"),
-          lit(0L),
-          (acc, bk) => acc + element_at(wlit, (bk + 1).cast("int"))
-        ).as("score")
-      )
+    // single-element transform() as a LET binding: a projected alias gets
+    // re-inlined into every reference by CollapseProject (measured: the
+    // word array was split+hashed 6× per row), but a lambda variable is
+    // bound to its evaluated element exactly ONCE by HOF semantics — so
+    // `wh` and the bucket array each compute once per row, guaranteed by
+    // construction rather than by optimizer mood
+    val scored = element_at(
+      transform(
+        array(affinityWordHashes(col("text"))),
+        wh =>
+          element_at(
+            transform(
+              array(transform(affinityGramsOf(wh), h => pmod(h, lit(b)))),
+              bs =>
+                struct(
+                  size(bs).cast("long").as("n_tokens"),
+                  aggregate(
+                    bs,
+                    lit(0L),
+                    (acc, bk) => acc + element_at(wlit, (bk + 1).cast("int"))
+                  ).as("score")
+                )
+            ),
+            lit(1)
+          )
+      ),
+      lit(1)
+    )
+    // inline(array(struct)) = one output row per input row through a
+    // Generate node — a project-collapse BARRIER, so the struct (and the
+    // whole HOF chain inside it) evaluates exactly once even though two
+    // of its fields are consumed downstream
+    d.select(col("doc_id"), inline(array(scored)))
+      .filter(col("n_tokens") >= 1)
       .withColumn("avg_w", expr("score DIV n_tokens"))
   }
 }

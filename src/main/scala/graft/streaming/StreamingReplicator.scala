@@ -110,6 +110,26 @@ object StreamingReplicator {
     val journalDir = Paths.get(storeDir, "journal")
     val metaDir = Paths.get(storeDir, "metajournal")
     val batchC = batch.cache()
+    // lease heartbeat for the WHOLE batch — the long phases are the two
+    // overwrite jobs and the commit, which a single pre-write renewal
+    // would not cover: a healthy-but-slow writer would read as dead at
+    // leaseMs and two contending slow writers would break each other
+    // forever. A renewal failure means the lease was already broken; the
+    // next verifyClaim fences the mutation, so the heartbeat only stops.
+    val heartbeat = new java.util.concurrent.ScheduledThreadPoolExecutor(
+      1,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-claim-heartbeat"); t.setDaemon(true); t
+      }
+    )
+    heartbeat.scheduleAtFixedRate(
+      () =>
+        try renewClaim(root, epoch + 1, claimToken)
+        catch { case _: Throwable => () },
+      math.max(leaseMs / 3, 1L),
+      math.max(leaseMs / 3, 1L),
+      java.util.concurrent.TimeUnit.MILLISECONDS
+    )
     try {
       val touched = batchC
         .select(col("topic"), Replicate.bucketOf(col("id")).as("bucket"))
@@ -133,10 +153,11 @@ object StreamingReplicator {
 
       val merged = Replicate.mergeBatch(store, batchC)
 
-      // heartbeat + ownership fence before EACH shared-table mutation: a
-      // writer whose lease was broken during the (possibly long) merge
-      // fails here, before clobbering the breaker's bucket files
-      renewClaim(root, epoch + 1, claimToken)
+      // ownership fence before EACH shared-table mutation: a writer whose
+      // lease was broken anyway (heartbeat lost the race, or the process
+      // stalled long enough for renewals to stop) fails here, before
+      // clobbering the breaker's bucket files
+      verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.journal, journalDir,
         Paths.get(storeDir, "journal_schema.json"), touched)
       verifyClaim(root, epoch + 1, claimToken)
@@ -155,7 +176,10 @@ object StreamingReplicator {
         if (!e.isInstanceOf[ConcurrentStoreWriteException])
           releaseClaim(root, epoch + 1, claimToken)
         throw e
-    } finally batchC.unpersist(false)
+    } finally {
+      heartbeat.shutdownNow()
+      batchC.unpersist(false)
+    }
   }
 
   /** Stages `pointer2` as generation `basedOnEpoch + 1` and adopts it via
@@ -166,8 +190,14 @@ object StreamingReplicator {
       root: Path,
       basedOnEpoch: Long,
       pointer2: DataFrame,
-      writerToken: String = ""
+      writerToken: String
   ): Unit = {
+    require(
+      writerToken.nonEmpty,
+      "writerToken must identify the committing writer — the virgin-store " +
+        "adoption fence compares it (an empty token would make two racing " +
+        "epoch-0 writers indistinguishable and re-open the silent-loss bug)"
+    )
     val nextEpoch = basedOnEpoch + 1
     // a dead claimant of THIS epoch may have left a committed-but-unadopted
     // gen; the live claim holder owns the epoch exclusively, so sweep it

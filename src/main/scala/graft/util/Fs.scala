@@ -9,7 +9,7 @@ import java.util.Comparator
   * multi-writer store lets any resolver sweep spent `old-*`/`gen-*`
   * directories, so two sweepers (or a sweeper and the adopting writer)
   * can race on the same tree — a path that vanishes mid-walk means the
-  * other party already did the work, not an error. Four call sites used
+  * other party already did the work, not an error. Five call sites used
   * to carry private copies of this helper (one of them walk-based and
   * crash-prone under exactly that race); this is the single shared
   * definition.
@@ -19,9 +19,11 @@ object Fs {
   /** Best-effort recursive delete; silently succeeds if the tree (or any
     * entry of it) is concurrently deleted by another process.
     */
-  def deleteRecursively(p: Path): Unit =
-    try
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+  def deleteRecursively(p: Path): Unit = {
+    var walk: java.util.stream.Stream[Path] = null
+    try {
+      walk = Files.walk(p)
+      walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
         try Files.deleteIfExists(f): Unit
         catch {
           // another sweeper emptied/removed it first, or re-created a
@@ -30,12 +32,15 @@ object Fs {
           case _: java.nio.file.DirectoryNotEmptyException => ()
         }
       }
-    catch {
+    } catch {
       case _: java.nio.file.NoSuchFileException => ()
       case e: java.io.UncheckedIOException
           if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
         ()
-    }
+    } finally if (walk != null) walk.close() // the walker holds OPEN
+    // directory streams; leaking them on the tolerated race path would
+    // bleed fds in a long-lived streaming loop
+  }
 
   def deleteRecursively(f: java.io.File): Unit =
     deleteRecursively(f.toPath)

@@ -487,7 +487,8 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // commit: the epoch CAS fences it — clean loss, store unchanged
     val stale = StreamingReplicator.readStore(spark, tmp).pointer2
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.commitGeneration(root, basedOnEpoch = 1L, stale)
+      StreamingReplicator.commitGeneration(root, basedOnEpoch = 1L, stale,
+        writerToken = "zombie-A")
     }
     assert(p2Rows() == afterC2, "fenced zombie must publish nothing")
     assert(StreamingReplicator.resolveCurrent(tmp)._2 == 2L)
