@@ -265,6 +265,8 @@ object SparkEntry {
     // d13 — within-doc self-repetition removal (keep first occurrence)
     "d13_self_repetition_removal" ->
       ((s, d) => Dedup.removeRepeatedSpans(s, d)),
+    // p27 — per-source dedup audit report (d1 × d10 composition)
+    "p27_dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     // k7 — product quantization codes (sampled codebook, exact-int argmin)
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
@@ -381,6 +383,7 @@ object SparkEntry {
     "d10_dup_spans" -> PipelineOracles.dupSpans,
     "d12_dup_span_removal" -> PipelineOracles.removeDupSpans,
     "d13_self_repetition_removal" -> PipelineOracles.removeRepeatedSpans,
+    "p27_dedup_report" -> PipelineOracles.dedupReport,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
     "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,

@@ -1764,6 +1764,67 @@ object PipelineOracles {
     ORDER BY doc_id
   """
 
+  /** p27 — per-source dedup audit report (graft.pipeline.Dedup
+    * .dedupReport): d1's exact-dup grain and d10's span grain rolled up
+    * to `source`, exact-integer aggregates, one IEEE division per row.
+    */
+  val dedupReport: String = """
+    WITH ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) <> doc_id AS is_dup,
+             COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS in_dup_group
+      FROM documents
+    ),
+    exs AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups,
+             CAST(SUM(CASE WHEN in_dup_group THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_dup_groups
+      FROM ex JOIN documents USING (doc_id)
+      GROUP BY source
+    ),
+    ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(w[g.i:g.i+9], ' ') AS win
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 9)) AS i) g
+      WHERE len(w) >= 10
+    ),
+    pdw AS (
+      SELECT doc_id, win, COUNT(*) AS c FROM wins GROUP BY doc_id, win
+    ),
+    pw AS (
+      SELECT win, COUNT(*) AS nd FROM pdw GROUP BY win
+    ),
+    spans AS (
+      SELECT pdw.doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_positions
+      FROM pdw JOIN pw USING (win)
+      GROUP BY pdw.doc_id
+    ),
+    sps AS (
+      SELECT source,
+             CAST(SUM(n_windows) AS BIGINT) AS span_windows,
+             CAST(SUM(dup_positions) AS BIGINT) AS span_dup_positions
+      FROM spans JOIN documents USING (doc_id)
+      GROUP BY source
+    )
+    SELECT exs.source, n_docs, n_exact_dups, n_in_dup_groups,
+           COALESCE(span_windows, 0) AS span_windows,
+           COALESCE(span_dup_positions, 0) AS span_dup_positions,
+           CAST(COALESCE(span_dup_positions, 0) AS DOUBLE) /
+             CAST(GREATEST(COALESCE(span_windows, 0), 1) AS DOUBLE)
+             AS span_dup_frac
+    FROM exs LEFT JOIN sps ON exs.source = sps.source
+    ORDER BY exs.source
+  """
+
   /** d13 — within-doc self-repetition removal (graft.pipeline.Dedup
     * .removeRepeatedSpans, L = 3, keep-first). Same tokenization and
     * coverage machinery as d12, but the dup decision is doc-local:

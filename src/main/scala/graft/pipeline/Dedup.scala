@@ -1167,6 +1167,54 @@ object Dedup {
     applySpanRemoval(ws, dupStarts, spanWords)
   }
 
+  /** P27 — per-source dedup AUDIT report: the observability view a
+    * production pipeline monitors after every dedup run — for each
+    * source, how much of its corpus is exact-duplicate and how much of
+    * its text mass sits inside cross-document spans. Composes the d1 and
+    * d10 planes at the `source` grain (a report, not a new mechanism —
+    * which is the point: the planes must compose without re-deriving
+    * anything).
+    *
+    * All aggregates are exact integers; the one ratio per source is a
+    * single IEEE division of two exact sums (the q22 discipline), so the
+    * report hash-replays in the oracle. Plan: d1's hash window + d10's
+    * window grain feed two source-grain rollups joined on the tiny
+    * source dimension — nothing new shuffles at corpus scale.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select("doc_id", "source")
+    val exactBySrc = exact(spark, dir)
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("in_dup_group"), 1L).otherwise(0L)).as("n_in_dup_groups")
+      )
+    val spansBySrc = dupSpans(spark, dir)
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        sum("n_windows").as("span_windows"),
+        sum("dup_positions").as("span_dup_positions")
+      )
+    exactBySrc
+      .join(spansBySrc, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_exact_dups"),
+        col("n_in_dup_groups"),
+        coalesce(col("span_windows"), lit(0L)).as("span_windows"),
+        coalesce(col("span_dup_positions"), lit(0L))
+          .as("span_dup_positions"),
+        (coalesce(col("span_dup_positions"), lit(0L)).cast("double") /
+          greatest(coalesce(col("span_windows"), lit(0L)), lit(1L))
+            .cast("double")).as("span_dup_frac")
+      )
+      .orderBy("source")
+  }
+
   /** Compact a span index in place: the streaming loop appends one file
     * set per micro-batch, so a long-lived index accretes small files and
     * every per-batch join pays the listing/open overhead. Rewrites the
