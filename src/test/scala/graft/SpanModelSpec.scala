@@ -135,4 +135,53 @@ class SpanModelSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == modelSelfRepeat(docs, l), s"seed=$seed docs=$docs")
     }
   }
+
+  /** d10's measurement grain against the same independent model: windows
+    * with multiplicities, distinct-doc counts, and the dup-position mass.
+    */
+  private def modelDupSpans(
+      docs: Map[Long, Seq[String]],
+      l: Int
+  ): Map[Long, (Long, Long, Long, Long)] = {
+    val winDocs: Map[String, Set[Long]] = docs.toSeq
+      .flatMap { case (id, ws) => windows(ws, l).map(w => (w._2, id)) }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    docs.collect {
+      case (id, ws) if ws.size >= l =>
+        val occ = windows(ws, l).groupBy(_._2).view.mapValues(_.size).toMap
+        val nWindows = occ.values.sum.toLong
+        val distinct = occ.size.toLong
+        val dupPos =
+          occ.collect { case (w, c) if winDocs(w).size >= 2 => c }.sum.toLong
+        val dupDistinct =
+          occ.count { case (w, _) => winDocs(w).size >= 2 }.toLong
+        id -> ((nWindows, distinct, dupPos, dupDistinct))
+    }
+  }
+
+  test("d10 dup-span mass equals the brute-force model") {
+    // d10 reads from a directory, so the random corpus round-trips
+    // through parquet like the real operator input
+    for ((seed, docs) <- samples(10) if docs.values.exists(_.size >= 4)) {
+      val l = 4
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-d10-model-$seed").toString
+      val sp = spark
+      import sp.implicits._
+      docs.toSeq
+        .map { case (id, ws) => (id, ws.mkString(" "), "en", "s", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Dedup
+        .dupSpans(spark, tmp, spanWords = l)
+        .collect()
+        .map(r =>
+          r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        )
+        .toMap
+      assert(got == modelDupSpans(docs, l), s"seed=$seed docs=$docs")
+    }
+  }
 }
