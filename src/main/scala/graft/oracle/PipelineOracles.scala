@@ -1672,12 +1672,13 @@ object PipelineOracles {
   """
   }
 
-  // d10 — duplicate-span mass. Same tokenization as the Spark side (space
-  // split, empties filtered); DuckDB list slices are 1-based inclusive like
-  // Spark's `slice(ws, i, L)` starting at i=1. nd counts rows at
-  // (doc, win) grain = distinct docs containing the window.
-  val dupSpans: String = """
-    WITH ws AS (
+  /** Shared d10-grain windowing CTEs (ws → wins → pdw → pw): ONE copy of
+    * the tokenization / L=10 window / collapse / distinct-doc-count
+    * derivation, interpolated by both the d10 oracle and p27's span leg
+    * so the two can never drift (the Spark side composes the same way —
+    * dedupReport CALLS dupSpans).
+    */
+  private val spanMassCtes: String = """ws AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
     ),
@@ -1692,7 +1693,14 @@ object PipelineOracles {
     ),
     pw AS (
       SELECT win, COUNT(*) AS nd FROM pdw GROUP BY win
-    )
+    )"""
+
+  // d10 — duplicate-span mass. Same tokenization as the Spark side (space
+  // split, empties filtered); DuckDB list slices are 1-based inclusive like
+  // Spark's `slice(ws, i, L)` starting at i=1. nd counts rows at
+  // (doc, win) grain = distinct docs containing the window.
+  val dupSpans: String = s"""
+    WITH $spanMassCtes
     SELECT pdw.doc_id,
            CAST(SUM(c) AS BIGINT) AS n_windows,
            COUNT(*) AS distinct_windows,
@@ -1768,7 +1776,7 @@ object PipelineOracles {
     * .dedupReport): d1's exact-dup grain and d10's span grain rolled up
     * to `source`, exact-integer aggregates, one IEEE division per row.
     */
-  val dedupReport: String = """
+  val dedupReport: String = s"""
     WITH ex AS (
       SELECT doc_id,
              MIN(doc_id) OVER (PARTITION BY md5(text)) <> doc_id AS is_dup,
@@ -1784,22 +1792,7 @@ object PipelineOracles {
       FROM ex JOIN documents USING (doc_id)
       GROUP BY source
     ),
-    ws AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-      FROM documents
-    ),
-    wins AS (
-      SELECT doc_id, array_to_string(w[g.i:g.i+9], ' ') AS win
-      FROM ws, LATERAL (
-        SELECT unnest(generate_series(1, len(w) - 9)) AS i) g
-      WHERE len(w) >= 10
-    ),
-    pdw AS (
-      SELECT doc_id, win, COUNT(*) AS c FROM wins GROUP BY doc_id, win
-    ),
-    pw AS (
-      SELECT win, COUNT(*) AS nd FROM pdw GROUP BY win
-    ),
+    $spanMassCtes,
     spans AS (
       SELECT pdw.doc_id,
              CAST(SUM(c) AS BIGINT) AS n_windows,

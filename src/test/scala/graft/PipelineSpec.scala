@@ -661,6 +661,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     corpus.unpersist()
   }
 
+  test("p27 report counts planted exact dups and span mass; short-only source zeroes") {
+    // the gate corpora contain ZERO exact duplicates, so the d1-plane
+    // columns are vacuously 0 in every oracle run — this fixture is the
+    // non-vacuous check: a source with a verbatim pair (exact dup AND
+    // full span dup) and a source whose docs are all shorter than L
+    // (exercising the left-join-miss / coalesce path)
+    val a = (1 to 15).map(i => s"w$i").mkString(" ") // 15 words → 6 windows
+    val b = (1 to 12).map(i => s"u$i").mkString(" ") // 12 words → 3 windows
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p27")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, a, "en", "dup", 0L),
+      (2L, a, "en", "dup", 0L), // exact duplicate of 1
+      (3L, b, "en", "dup", 0L),
+      (4L, "tiny doc", "en", "short", 0L),
+      (5L, "another small one", "en", "short", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = Dedup
+      .dedupReport(spark, tmp)
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))
+      )
+      .toMap
+    // dup: 3 docs, 1 non-canonical copy, 2 in the dup group; docs 1+2
+    // contribute 6 windows each (all cross-doc dup), doc 3 adds 3 unique
+    assert(got("dup") == ((3L, 1L, 2L, 15L, 12L, 12.0 / 15.0)))
+    // short: no doc reaches L=10 words → span side is the coalesced zero
+    assert(got("short") == ((2L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("skew-safe window counting is row-identical for d10 and d12") {
     // the agg+join nd (AQE-splittable at a boilerplate hot key) must not
     // change a single row of either operator vs the COUNT OVER form
