@@ -697,6 +697,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("dup") == ((3L, 1L, 2L, 15L, 12L, 12.0 / 15.0)))
     // short: no doc reaches L=10 words → span side is the coalesced zero
     assert(got("short") == ((2L, 0L, 0L, 0L, 0L, 0.0)))
+    // the same vacuity applies to d1 itself on the gate corpora (zero
+    // byte-identical texts there): pin its per-row assignment on the
+    // planted pair — min-id canonical, only the later copy flagged
+    val d1 = Dedup
+      .exact(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(d1(1L) == ((1L, true, false)))  // canonical of the dup group
+    assert(d1(2L) == ((1L, true, true)))   // the non-canonical copy
+    assert(d1(3L) == ((3L, false, false)))
+    assert(d1(4L) == ((4L, false, false)))
   }
 
   test("skew-safe window counting is row-identical for d10 and d12") {
