@@ -267,6 +267,13 @@ object SparkEntry {
       ((s, d) => Dedup.removeRepeatedSpans(s, d)),
     // p27 — per-source dedup audit report (d1 × d10 composition)
     "p27_dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
+    // d14 — paragraph-grain keep-first dedup (CCNet chunk hash grain)
+    "d14_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    // p28 — per-source document caps (domain-cap selection)
+    "p28_source_caps" -> ((s, d) => graft.pipeline.Sampling.sourceCaps(s, d)),
+    // p29 — surgical decontamination (eval-overlapping spans cut out)
+    "p29_decontamination_removal" ->
+      ((s, d) => graft.pipeline.Decontamination.decontaminationRemoval(s, d)),
     // k7 — product quantization codes (sampled codebook, exact-int argmin)
     "k7_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // k8 — ADC kNN over PQ codes (lookup-table scan, no vectors touched)
@@ -384,6 +391,9 @@ object SparkEntry {
     "d12_dup_span_removal" -> PipelineOracles.removeDupSpans,
     "d13_self_repetition_removal" -> PipelineOracles.removeRepeatedSpans,
     "p27_dedup_report" -> PipelineOracles.dedupReport,
+    "d14_paragraph_dedup" -> PipelineOracles.paragraphDedup,
+    "p28_source_caps" -> PipelineOracles.sourceCaps,
+    "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,
     "k9_knn_ivfpq" -> PipelineOracles.knnIvfPq,

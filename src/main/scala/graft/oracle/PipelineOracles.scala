@@ -1916,4 +1916,113 @@ object PipelineOracles {
     ORDER BY avg_w DESC, doc_id
     LIMIT 100
   """
+
+  /** p28 — per-source document caps (graft.pipeline.Sampling
+    * .sourceCaps): top 20 docs per source by (n_chars DESC, doc_id ASC).
+    */
+  val sourceCaps: String = """
+    SELECT doc_id, source, score, rnk FROM (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ) r
+    WHERE rnk <= 20
+    ORDER BY source, rnk
+  """
+
+  /** d14 — paragraph-grain keep-first dedup (graft.pipeline.Dedup
+    * .paragraphDedup, chunkWords = 20). The global first occurrence of
+    * a paragraph value is the minimal (doc_id, j) — exactly
+    * ROW_NUMBER() = 1 under that order. DuckDB slices are 1-based
+    * inclusive and clipped at len(w), matching Spark's
+    * `slice(ws, j*20+1, 20)`.
+    */
+  val paragraphDedup: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(w) AS n, g.j AS j,
+             array_to_string(w[g.j*20+1 : g.j*20+20], ' ') AS chunk
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(0, (len(w) - 1) // 20)) AS j) g
+      WHERE len(w) >= 1
+    ),
+    ranked AS (
+      SELECT doc_id, n, j, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+               ORDER BY doc_id ASC, j ASC) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_words,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY j),
+             '') AS cleaned_text
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+  """
+
+  /** p29 — surgical decontamination (graft.pipeline.Decontamination
+    * .decontaminationRemoval, L = 4, eval = doc_id % 50 = 0): d12's
+    * coverage-removal shape with the dup decision swapped to membership
+    * in the eval slice's distinct window set.
+    */
+  val decontaminationRemoval: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    ew AS (
+      SELECT DISTINCT array_to_string(w[g.i:g.i+3], ' ') AS win
+      FROM (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 50 = 0
+      ) e, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 3)) AS i) g
+      WHERE len(w) >= 4
+    ),
+    wins AS (
+      SELECT doc_id, g.i AS i, array_to_string(w[g.i:g.i+3], ' ') AS win
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 3)) AS i) g
+      WHERE len(w) >= 4
+    ),
+    dupstart AS (
+      SELECT doc_id, i FROM wins JOIN ew USING (win)
+    ),
+    words AS (
+      SELECT doc_id, g.p AS p, w[g.p] AS word, len(w) AS n
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w))) AS p) g
+      WHERE len(w) >= 1
+    ),
+    flags AS (
+      SELECT wd.doc_id, wd.p, wd.word, wd.n,
+             CASE WHEN ds.i IS NOT NULL THEN 1 ELSE 0 END AS s
+      FROM words wd LEFT JOIN dupstart ds
+        ON ds.doc_id = wd.doc_id AND ds.i = wd.p
+    ),
+    cov AS (
+      SELECT doc_id, p, word, n,
+             MAX(s) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS covered
+      FROM flags
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_words,
+           CAST(SUM(covered) AS BIGINT) AS n_removed,
+           COALESCE(
+             string_agg(CASE WHEN covered = 0 THEN word END, ' ' ORDER BY p),
+             '') AS cleaned_text
+    FROM cov
+    GROUP BY doc_id
+    ORDER BY doc_id
+  """
 }

@@ -113,4 +113,66 @@ object Decontamination {
       threshold
     ).orderBy("doc_id")
   }
+
+  /** P29 — SURGICAL decontamination: rewrite each training document with
+    * every position covered by an eval-overlapping `spanWords`-word
+    * window cut out. [[scan]] (p9) SCORES contamination and the curation
+    * built on it DROPS whole documents; this is the OLMo-style middle
+    * path — a long document that happens to quote one benchmark passage
+    * keeps everything except the quoted span. Exactly d12's
+    * coverage-removal semantics ([[Dedup.removeDupSpansOf]]) with the
+    * dup decision swapped from "occurs in ≥ 2 corpus docs" to "occurs
+    * anywhere in the eval set", and it shares d12's stage-2 machinery
+    * verbatim so the two rewrite paths cannot drift.
+    *
+    * Scale shape — strictly LIGHTER than d12: the eval side is a
+    * benchmark (megabytes), so its distinct window set is broadcast and
+    * the dup decision is a map-side broadcast semi-join; there is NO
+    * corpus-wide window-valued shuffle at all. The only exchanges are
+    * doc-keyed (coverage window + reassembly groupBy), perfectly
+    * parallel per document at any corpus size. `fingerprint = true`
+    * broadcasts 16-byte dual poly-hashes instead of window text — the
+    * eval dictionary shrinks ~spanWords·avgWordLen/16× and the probe
+    * key is fixed-width (same collision posture as d10/d12's
+    * fingerprint mode; law-pinned row-identical in PipelineSpec).
+    */
+  def removeEvalSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      spanWords: Int = 4,
+      fingerprint: Boolean = false
+  ): DataFrame = {
+    val ws = Dedup.tokenized(train)
+    val evalWins = Dedup
+      .spanWindows(Dedup.tokenized(eval), spanWords, fingerprint)
+      .select("win")
+      .distinct()
+    // one row per (doc_id, start): spanWindows emits each start once and
+    // the eval set is distinct, so the inner join cannot duplicate starts
+    val dupStarts = Dedup
+      .spanWindows(ws, spanWords, fingerprint)
+      .join(broadcast(evalWins), Seq("win"))
+      .select("doc_id", "i")
+    Dedup.applySpanRemoval(ws, dupStarts, spanWords)
+  }
+
+  /** The canonical p29 query: same eval carve as p9 (`doc_id % evalMod
+    * == 0`), L = 4 words (non-vacuous on the shipped corpus: the eval
+    * slice shares 4-word spans with dozens of train docs; at L = 5 the
+    * overlap collapses to the verbatim-dup pair, at L = 3 it touches
+    * half the corpus).
+    */
+  def decontaminationRemoval(
+      spark: SparkSession,
+      dir: String,
+      spanWords: Int = 4,
+      evalMod: Int = 50
+  ): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    removeEvalSpans(
+      d.filter(col("doc_id") % evalMod =!= 0),
+      d.filter(col("doc_id") % evalMod === 0),
+      spanWords
+    )
+  }
 }

@@ -968,7 +968,7 @@ object Dedup {
   }
 
   /** (doc_id, ws) word arrays — the shared d10/d12 tokenization. */
-  private def tokenized(d: DataFrame): DataFrame =
+  private[pipeline] def tokenized(d: DataFrame): DataFrame =
     d.select(
       col("doc_id"),
       expr("filter(split(text, ' '), x -> x <> '')").as("ws")
@@ -979,7 +979,7 @@ object Dedup {
     * poly-hash struct (the 100 TB shuffle key — d10's fingerprint idiom,
     * law-pinned row-identical to the text form).
     */
-  private def spanWindows(
+  private[pipeline] def spanWindows(
       ws: DataFrame,
       spanWords: Int,
       fingerprint: Boolean
@@ -1015,7 +1015,7 @@ object Dedup {
     * coverage (windowed MAX, ROWS L−1 PRECEDING) and reassemble the
     * surviving words in position order.
     */
-  private def applySpanRemoval(
+  private[pipeline] def applySpanRemoval(
       ws: DataFrame,
       dupStarts: DataFrame,
       spanWords: Int
@@ -1326,5 +1326,137 @@ object Dedup {
       .filter(col("nd") >= 2 || col("in_index").isNotNull)
       .select(col("doc_id"), explode(col("starts")).as("i"))
     applySpanRemoval(ws, dupStarts, spanWords)
+  }
+
+  /** D14 — PARAGRAPH-grain dedup, cross-document keep-first: the CCNet
+    * cleanup step (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data" dedups crawl text at the
+    * paragraph hash grain before anything else touches it). Each
+    * document is segmented into fixed-`chunkWords` paragraphs (this
+    * corpus carries no newline structure, so the deterministic
+    * fixed-width segmentation stands in for the paragraph splitter — a
+    * real corpus swaps in `split(text, '\n')` upstream and nothing else
+    * changes); every occurrence of a paragraph EXCEPT the globally first
+    * (minimal (doc_id, position), the processing order of a sequential
+    * CCNet pass) is cut, and each document is reassembled from its
+    * surviving paragraphs.
+    *
+    * Where it sits in the plane: d1 drops whole duplicate DOCUMENTS,
+    * d12 cuts duplicated sliding WINDOWS wherever they occur (removing
+    * every copy), d13 is within-doc; d14 is the between-doc keep-first
+    * at a coarse grain — boilerplate paragraphs (headers, license
+    * blocks, nav text) survive exactly once in the corpus instead of
+    * zero or N times.
+    *
+    * Plan shape: the chunk grain has n/chunkWords rows per doc (~20×
+    * fewer than d12's per-position window grain), ONE corpus-wide
+    * shuffle keyed by the paragraph value picks winners (min-struct
+    * window — no countDistinct, no self-join), and the doc-keyed
+    * reassembly is the same sorted conditional-collect as d12's stage 2.
+    * `fingerprint = true` is the 100 TB form: the corpus-wide shuffle
+    * key becomes the 16-byte dual poly-hash and the paragraph TEXT never
+    * leaves its map task — winners rejoin the map-side chunk rows on
+    * (doc_id, j) (law-pinned row-identical in CorpusOpsSpec, same
+    * collision posture as d10/d12's fingerprint mode).
+    */
+  def paragraphDedup(
+      spark: SparkSession,
+      dir: String,
+      chunkWords: Int = 20,
+      fingerprint: Boolean = false
+  ): DataFrame =
+    paragraphDedupOf(
+      docs(spark, dir).select("doc_id", "text"),
+      chunkWords,
+      fingerprint
+    )
+
+  /** [[paragraphDedup]] over an explicit (doc_id, text) frame. */
+  def paragraphDedupOf(
+      d: DataFrame,
+      chunkWords: Int = 20,
+      fingerprint: Boolean = false
+  ): DataFrame = {
+    val ws = tokenized(d)
+    val chunks = ws
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n"),
+        explode(
+          expr(
+            s"transform(sequence(0, (size(ws) - 1) div $chunkWords), " +
+              s"j -> struct(j AS j, " +
+              s"array_join(slice(ws, j * $chunkWords + 1, $chunkWords), ' ')" +
+              s" AS chunk))"
+          )
+        ).as("x")
+      )
+      .select(
+        col("doc_id"),
+        col("n"),
+        col("x.j").as("j"),
+        col("x.chunk").as("chunk")
+      )
+    val byChunk = Window.partitionBy("key")
+    val first = min(struct(col("doc_id"), col("j"))).over(byChunk)
+    val marked =
+      if (!fingerprint)
+        chunks
+          .withColumn("key", col("chunk"))
+          .withColumn("first", first)
+          .withColumn(
+            "keep",
+            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
+          )
+          .select("doc_id", "n", "j", "chunk", "keep")
+      else {
+        // the corpus-wide shuffle carries (doc_id, j, 16-byte key) only;
+        // winners rejoin the map-side chunk rows on the (doc_id, j)
+        // compound key, so the paragraph text never crosses the hot
+        // chunk-valued exchange
+        val winners = chunks
+          .select(
+            col("doc_id"),
+            col("j"),
+            struct(
+              graft.functions.PolyHash.polyHash(col("chunk"), 31L, 1000000007L)
+                .as("h1"),
+              graft.functions.PolyHash.polyHash(col("chunk"), 131L, 998244353L)
+                .as("h2")
+            ).as("key")
+          )
+          .withColumn("first", first)
+          .filter(
+            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
+          )
+          .select(col("doc_id").as("kd"), col("j").as("kj"))
+        chunks
+          .join(
+            winners,
+            col("doc_id") === col("kd") && col("j") === col("kj"),
+            "left"
+          )
+          .withColumn("keep", col("kd").isNotNull)
+          .select("doc_id", "n", "j", "chunk", "keep")
+      }
+    marked
+      .groupBy("doc_id")
+      .agg(
+        max(col("n")).as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("keep"), struct(col("j"), col("chunk")))
+              )
+            ),
+            x => x.getField("chunk")
+          ),
+          " "
+        ).as("cleaned_text")
+      )
+      .orderBy("doc_id")
   }
 }

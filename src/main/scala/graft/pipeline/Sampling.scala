@@ -456,4 +456,48 @@ object Sampling {
       .filter(col("n_tokens") >= 1)
       .withColumn("avg_w", expr("score DIV n_tokens"))
   }
+
+  /** P28 — per-source document caps: the RefinedWeb/C4-style "domain
+    * cap" selection step. A handful of sources (in the web-crawl case,
+    * domains) dominate any raw corpus; capping each source at its `cap`
+    * best documents bounds every source's contribution and is the
+    * standard guard against a single boilerplate-heavy domain swamping
+    * the mixture. "Best" is a quality rank — score descending with
+    * doc_id as the deterministic tie-break — so the survivors are stable
+    * across runs and cluster layouts (a `rand()`-ordered cap is
+    * neither).
+    *
+    * Scale shape: ONE shuffle on `source`, and the rank<=cap filter
+    * plans as a WindowGroupLimit pushdown (spec-asserted) — each task
+    * keeps a cap-sized heap per source group and the surplus rows die
+    * map-side before the sort ever materializes, so the cost is
+    * O(corpus) scan + O(sources · cap) surviving rows no matter how
+    * skewed the per-source counts are. A truly pathological single-hot
+    * -source corpus shuffles that source's rows to one task, but the
+    * group-limit heap keeps its memory at O(cap); at 100 TB the
+    * pre-aggregation form (per-partition top-cap, then global top-cap —
+    * the same two-level idiom as p17's packing) drops in unchanged
+    * because the rank function is duplicate-insensitive on the
+    * (score, doc_id) total order.
+    */
+  def sourceCapsOf(d: DataFrame, score: Column, cap: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    d.select(col("doc_id"), col("source"), score.cast("long").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+      .orderBy("source", "rnk")
+  }
+
+  /** The canonical p28 query: stored `n_chars` as the quality surrogate
+    * (any score column — p1's composite, p22's model score — drops into
+    * [[sourceCapsOf]] unchanged), cap = 20 per source.
+    */
+  def sourceCaps(spark: SparkSession, dir: String, cap: Int = 20): DataFrame =
+    sourceCapsOf(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("n_chars"),
+      cap
+    )
 }

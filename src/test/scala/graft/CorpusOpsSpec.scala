@@ -325,4 +325,82 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(a != b)
   }
+
+  test("p28 source caps: exact top-cap per source vs an independent model, WindowGroupLimit") {
+    val cap = 5
+    val out = Sampling.sourceCaps(spark, sfDir, cap).collect()
+    // independent model: plain Scala sort per source over the raw table
+    val raw = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = raw
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (_, rows) =>
+        rows
+          .sortBy { case (id, _, nc) => (-nc, id) }
+          .take(cap)
+          .zipWithIndex
+          .map { case ((id, src, nc), i) => (id, src, nc, i + 1L) }
+      }
+      .toSet
+    assert(
+      out.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      ).toSet == want
+    )
+    // caps bound every source and ranks are dense
+    val bySrc = out.groupBy(_.getString(1))
+    assert(bySrc.values.forall(_.length <= cap))
+    bySrc.foreach { case (src, rows) =>
+      assert(
+        rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length.toLong),
+        s"ranks not dense in source $src"
+      )
+    }
+    // the rank<=cap filter plans as a WindowGroupLimit pushdown: the
+    // surplus rows of a hot source die map-side in a cap-sized heap
+    val plan = Sampling
+      .sourceCaps(spark, sfDir, cap)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("p29 removes exactly the eval-overlapping span, not its context") {
+    val sp = spark
+    import sp.implicits._
+    val eval = Seq((0L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 w1 w2 w3 w4 y1"), // one eval window inside a context
+      (2L, "clean words that never overlap anything"),
+      (3L, "w1 w2 w3") // shorter than L: no windows, verbatim
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .removeEvalSpans(train, eval, spanWords = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((4L, "x1 x2 y1")))
+    assert(out(2L) == ((0L, "clean words that never overlap anything")))
+    assert(out(3L) == ((0L, "w1 w2 w3")))
+  }
+
+  test("p29 fingerprint probe is row-identical to the window-text form") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val eval = d.filter(col("doc_id") % 50 === 0)
+    val txt =
+      Decontamination.removeEvalSpans(train, eval).collect().toSeq
+    val fp = Decontamination
+      .removeEvalSpans(train, eval, fingerprint = true)
+      .collect()
+      .toSeq
+    assert(txt == fp)
+    // non-vacuous on the shipped corpus: the eval slice really overlaps
+    assert(txt.exists(_.getAs[Long]("n_removed") > 0))
+  }
 }

@@ -794,4 +794,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("d14 keeps the globally first paragraph occurrence, cuts every later one") {
+    val sp = spark
+    import sp.implicits._
+    // chunkWords = 4 fixture: doc 1 owns chunk B at j=1; doc 2 repeats it
+    // at j=0 (loses — doc 1 is globally first); doc 3 is a verbatim copy
+    // of doc 1 (keeps NOTHING); doc 4 repeats its own chunk in-doc (the
+    // later copy loses to the earlier j); doc 5's 1-word tail chunk
+    // survives alongside its full head chunk
+    val d = Seq(
+      (1L, "a1 a2 a3 a4 b1 b2 b3 b4"),
+      (2L, "b1 b2 b3 b4 c1 c2 c3 c4"),
+      (3L, "a1 a2 a3 a4 b1 b2 b3 b4"),
+      (4L, "d1 d2 d3 d4 d1 d2 d3 d4"),
+      (5L, "e1 e2 e3 e4 e5")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedupOf(d, chunkWords = 4)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))
+      )
+      .toMap
+    assert(out(1L) == ((2L, 2L, "a1 a2 a3 a4 b1 b2 b3 b4")))
+    assert(out(2L) == ((2L, 1L, "c1 c2 c3 c4")))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((2L, 1L, "d1 d2 d3 d4")))
+    assert(out(5L) == ((2L, 2L, "e1 e2 e3 e4 e5")))
+  }
+
+  test("d14 kept paragraphs are globally distinct and account exactly") {
+    val out = Dedup.paragraphDedup(spark, sfDir).cache()
+    // every tokenizable doc appears exactly once
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) >= 1)
+    assert(out.count() == docs.count())
+    // sum(n_kept) == corpus-wide distinct paragraph count: keep-first
+    // retains exactly one occurrence per distinct paragraph value
+    val distinctChunks = docs
+      .select(
+        explode(
+          expr(
+            "transform(sequence(0, (size(ws) - 1) div 20), " +
+              "j -> array_join(slice(ws, j * 20 + 1, 20), ' '))"
+          )
+        ).as("chunk")
+      )
+      .distinct()
+      .count()
+    val kept =
+      out.agg(sum(col("n_kept"))).head().getLong(0)
+    assert(kept == distinctChunks)
+    // the corpus has planted duplicate docs: something must be cut
+    assert(out.filter(col("n_kept") < col("n_chunks")).count() > 0)
+    out.unpersist()
+  }
+
+  test("d14 fingerprint mode is row-identical to the paragraph-text form") {
+    val txt = Dedup.paragraphDedup(spark, sfDir).collect().toSeq
+    val fp =
+      Dedup.paragraphDedup(spark, sfDir, fingerprint = true).collect().toSeq
+    assert(txt == fp)
+  }
 }
