@@ -253,6 +253,10 @@ object SparkEntry {
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
+    // d9b — the stored-index read path with batch-built bloom runtime
+    // filters pruning the index scans (row-identical to d9 by law)
+    "d9b_incremental_bloom" ->
+      ((s, d) => Dedup.incrementalDedupGatedQuery(s, d)),
     "d2_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "d5_neardup_clusters" -> (Dedup.nearDupClusters _),
     // d11 — quality-aware canonical selection (keep the best cluster member)
@@ -385,6 +389,8 @@ object SparkEntry {
     "p14_curation_full" -> PipelineOracles.curateFull,
     "d8_semantic_dedup" -> PipelineOracles.semanticDedup,
     "d9_incremental_dedup" -> PipelineOracles.incrementalDedup,
+    // same oracle as d9: the bloom gate is row-invisible by construction
+    "d9b_incremental_bloom" -> PipelineOracles.incrementalDedup,
     "d2_minhash_pairs" -> PipelineOracles.minhashPairs,
     "d3_simhash_pairs" -> PipelineOracles.simhashPairs,
     "d10_dup_spans" -> PipelineOracles.dupSpans,

@@ -526,6 +526,31 @@ object Dedup {
       .parquet(s"$out/params")
   }
 
+  /** Runtime bloom gate: build a bloom filter over `small`'s keys
+    * (bounded — a batch, not a corpus) and prune `big` with a codegen'd
+    * [[graft.functions.BloomMightContain]] predicate BEFORE any join.
+    * No false negatives, so a gated join is row-identical to the ungated
+    * one (law in IndexStoreSpec); false positives only cost superfluous
+    * probes at `fpp` rate. At 100 TB this is the difference between
+    * shuffling the whole stored index into the equi-join and shuffling
+    * ~|batch keys| · (1+fpp) of it — the filter travels to the scan as a
+    * task-local object, the stored side dies partition-locally.
+    */
+  private[graft] def gateByBloom(
+      big: DataFrame,
+      bigKey: org.apache.spark.sql.Column,
+      small: DataFrame,
+      smallKey: org.apache.spark.sql.Column,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val keys = small.select(smallKey.as("k"))
+    val n = math.max(keys.count(), 64L)
+    val bytes = graft.functions.BloomMightContain.serialize(
+      keys.stat.bloomFilter("k", n, fpp)
+    )
+    big.filter(graft.functions.BloomMightContain.mightContain(bigKey, bytes))
+  }
+
   /** [[incrementalDedup]] against a PERSISTED index ([[writeDedupIndex]]):
     * the old corpus never re-hashes — its bands/shingles/hashes stream
     * from the stored tables; only the new batch is hashed fresh, under
@@ -533,31 +558,57 @@ object Dedup {
     * different folds would equi-join to nothing and silently drop every
     * near-duplicate). Output contract identical to the in-memory form
     * (law-checked in IndexStoreSpec).
+    *
+    * `bloomGate = true` is the 100 TB read path (d9b): the stored hashes
+    * and bands scans are pruned by [[gateByBloom]] runtime filters built
+    * from the NEW batch's keys, so the two index joins touch
+    * O(batch · (1+fpp)) stored rows instead of the whole index — the
+    * batch is always the small side of a daily increment. Row-identical
+    * to the ungated form by the no-false-negative law.
     */
   def incrementalDedupFromIndex(
       spark: SparkSession,
       indexDir: String,
       newDocs: DataFrame,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      bloomGate: Boolean = false,
+      fpp: Double = 0.01
   ): DataFrame = {
-    val exact = newDocs
+    val newHashed = newDocs
       .select(md5(col("text")).as("h"), col("doc_id").as("new_id"))
-      .join(
-        spark.read
-          .parquet(s"$indexDir/hashes")
-          .select(col("h"), col("doc_id").as("old_id")),
-        Seq("h")
-      )
+    val storedHashes = {
+      val raw = spark.read.parquet(s"$indexDir/hashes")
+      if (!bloomGate) raw
+      else gateByBloom(raw, xxhash64(col("h")), newHashed, xxhash64(col("h")), fpp)
+    }
+    val exact = newHashed
+      .join(storedHashes.select(col("h"), col("doc_id").as("old_id")), Seq("h"))
       .select("new_id", "old_id")
     val params = spark.read.parquet(s"$indexDir/params").head()
     val numPerms = params.getAs[Int]("num_perms")
     val rowsPerBand = params.getAs[Int]("rows_per_band")
     val shNew = shingles(newDocs).cache()
-    val cand = spark.read
-      .parquet(s"$indexDir/bands")
-      .toDF("a", "band", "bucket")
+    val newBands = {
+      val nb =
+        bandedIndex(shNew, numPerms, rowsPerBand).toDF("b", "band_n", "bucket_n")
+      // gating reads the band set twice (bloom build + join): cache it
+      if (bloomGate) nb.cache() else nb
+    }
+    val storedBands = {
+      val raw = spark.read.parquet(s"$indexDir/bands").toDF("a", "band", "bucket")
+      if (!bloomGate) raw
+      else
+        gateByBloom(
+          raw,
+          xxhash64(col("band"), col("bucket")),
+          newBands,
+          xxhash64(col("band_n"), col("bucket_n")),
+          fpp
+        )
+    }
+    val cand = storedBands
       .join(
-        bandedIndex(shNew, numPerms, rowsPerBand).toDF("b", "band_n", "bucket_n"),
+        newBands,
         col("band") === col("band_n") && col("bucket") === col("bucket_n")
       )
       .select("a", "b")
@@ -586,7 +637,20 @@ object Dedup {
         )
       )
       .orderBy("new_id", "old_id")
-    Eager.materialized(result, shNew)
+    Eager.materialized(result, (Seq(shNew) ++ Option.when(bloomGate)(newBands)): _*)
+  }
+
+  /** The canonical d9b query: the same split and oracle as d9, with the
+    * old corpus persisted as a stored index and the stored-side scans
+    * pruned by the batch-built runtime blooms — the production daily-
+    * increment read path, end to end.
+    */
+  def incrementalDedupGatedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (oldDocs, newDocs) = incrementalSplit(spark, dir)
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft-d9b-index").toString
+    writeDedupIndex(spark, oldDocs, tmp)
+    incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true)
   }
 
   /** The canonical d9 corpus split: the top 20% of doc_ids play the new

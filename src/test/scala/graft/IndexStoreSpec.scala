@@ -78,6 +78,68 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex == inMemory)
   }
 
+  test("bloom-gated index read is row-identical to the ungated one (no false negatives)") {
+    val tmp = Files.createTempDirectory("graft-dedup-bloom").toString
+    val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
+    graft.pipeline.Dedup.writeDedupIndex(spark, oldDocs, tmp)
+    def run(gate: Boolean) = graft.pipeline.Dedup
+      .incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = gate)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val gated = run(gate = true)
+    assert(gated.nonEmpty)
+    assert(gated == run(gate = false))
+    // and even at an absurd fpp the law holds — the gate can only pass
+    // MORE stored rows to the exact joins, never fewer
+    val sloppy = graft.pipeline.Dedup
+      .incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true, fpp = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(sloppy == gated)
+  }
+
+  test("bloom gate prunes the stored scans in-plan and the predicate is codegen-true") {
+    val sp = spark
+    import sp.implicits._
+    // expression law vs the builder it must pair with (stat.bloomFilter):
+    // every inserted key probes true — the no-false-negative contract the
+    // gated-join law rests on
+    val keys = (1L to 5000L).map(_ * 2654435761L)
+    val bloom = keys.toDF("k").stat.bloomFilter("k", 5000L, 0.01)
+    val bytes = graft.functions.BloomMightContain.serialize(bloom)
+    val probed = keys
+      .toDF("k")
+      .withColumn(
+        "hit",
+        graft.functions.BloomMightContain.mightContain(col("k"), bytes)
+      )
+    assert(probed.filter(!col("hit")).count() == 0)
+    // interpreted eval agrees with codegen (no silent fallback drift)
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(keys.head),
+      bytes
+    )
+    assert(expr.eval(null) == true)
+    // the gated plan carries the predicate as a Filter over the stored
+    // parquet relations — the prune happens BEFORE the join, not after
+    val tmp = Files.createTempDirectory("graft-dedup-bloomplan").toString
+    val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
+    graft.pipeline.Dedup.writeDedupIndex(spark, oldDocs, tmp)
+    val plan = graft.pipeline.Dedup
+      .gateByBloom(
+        spark.read.parquet(s"$tmp/bands"),
+        xxhash64(col("band"), col("bucket")),
+        spark.read.parquet(s"$tmp/bands").limit(10),
+        xxhash64(col("band"), col("bucket"))
+      )
+      .queryExecution
+      .optimizedPlan
+      .toString
+    assert(plan.contains("bloom_might_contain"), plan.take(1500))
+  }
+
   test("span removal against the persisted index equals the batch rewrite") {
     val tmp = Files.createTempDirectory("graft-span-index").toString
     // same canonical old/new split as d9 — the seeded verbatim copies
