@@ -141,12 +141,41 @@ object Decontamination {
       eval: DataFrame,
       spanWords: Int = 4,
       fingerprint: Boolean = false
-  ): DataFrame = {
-    val ws = Dedup.tokenized(train)
-    val evalWins = Dedup
+  ): DataFrame =
+    removeEvalSpansAgainst(
+      train,
+      preparedEvalWindows(eval, spanWords, fingerprint),
+      spanWords
+    )
+
+  /** The frozen benchmark window dictionary [[removeEvalSpansAgainst]]
+    * probes — computed ONCE per benchmark (cache it for a streaming
+    * loop; it is megabytes by construction).
+    */
+  def preparedEvalWindows(
+      eval: DataFrame,
+      spanWords: Int = 4,
+      fingerprint: Boolean = false
+  ): DataFrame =
+    Dedup
       .spanWindows(Dedup.tokenized(eval), spanWords, fingerprint)
       .select("win")
       .distinct()
+
+  /** [[removeEvalSpans]] against a pre-built window dictionary (text or
+    * fingerprint keyed — the train side keys itself the same way by
+    * probing the dictionary's column type). Doc-local given the frozen
+    * dictionary, which is what makes the streaming form chunking-
+    * independent by construction.
+    */
+  def removeEvalSpansAgainst(
+      train: DataFrame,
+      evalWins: DataFrame,
+      spanWords: Int = 4
+  ): DataFrame = {
+    val ws = Dedup.tokenized(train)
+    val fingerprint =
+      evalWins.schema("win").dataType != org.apache.spark.sql.types.StringType
     // one row per (doc_id, start): spanWindows emits each start once and
     // the eval set is distinct, so the inner join cannot duplicate starts
     val dupStarts = Dedup

@@ -1435,15 +1435,11 @@ object Dedup {
       fingerprint
     )
 
-  /** [[paragraphDedup]] over an explicit (doc_id, text) frame. */
-  def paragraphDedupOf(
-      d: DataFrame,
-      chunkWords: Int = 20,
-      fingerprint: Boolean = false
-  ): DataFrame = {
-    val ws = tokenized(d)
-    val chunks = ws
-      .select(
+  /** One row per fixed-width paragraph: (doc_id, n, j, chunk) — the
+    * shared d14 segmentation (tail chunk may run short).
+    */
+  private[pipeline] def chunkRows(ws: DataFrame, chunkWords: Int): DataFrame =
+    ws.select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n"),
         explode(
@@ -1461,48 +1457,21 @@ object Dedup {
         col("x.j").as("j"),
         col("x.chunk").as("chunk")
       )
-    val byChunk = Window.partitionBy("key")
-    val first = min(struct(col("doc_id"), col("j"))).over(byChunk)
-    val marked =
-      if (!fingerprint)
-        chunks
-          .withColumn("key", col("chunk"))
-          .withColumn("first", first)
-          .withColumn(
-            "keep",
-            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
-          )
-          .select("doc_id", "n", "j", "chunk", "keep")
-      else {
-        // the corpus-wide shuffle carries (doc_id, j, 16-byte key) only;
-        // winners rejoin the map-side chunk rows on the (doc_id, j)
-        // compound key, so the paragraph text never crosses the hot
-        // chunk-valued exchange
-        val winners = chunks
-          .select(
-            col("doc_id"),
-            col("j"),
-            struct(
-              graft.functions.PolyHash.polyHash(col("chunk"), 31L, 1000000007L)
-                .as("h1"),
-              graft.functions.PolyHash.polyHash(col("chunk"), 131L, 998244353L)
-                .as("h2")
-            ).as("key")
-          )
-          .withColumn("first", first)
-          .filter(
-            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
-          )
-          .select(col("doc_id").as("kd"), col("j").as("kj"))
-        chunks
-          .join(
-            winners,
-            col("doc_id") === col("kd") && col("j") === col("kj"),
-            "left"
-          )
-          .withColumn("keep", col("kd").isNotNull)
-          .select("doc_id", "n", "j", "chunk", "keep")
-      }
+
+  /** The 16-byte dual poly-hash fingerprint — d10/d12's shuffle-key idiom
+    * at the paragraph grain.
+    */
+  private[pipeline] def chunkFp(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    struct(
+      graft.functions.PolyHash.polyHash(c, 31L, 1000000007L).as("h1"),
+      graft.functions.PolyHash.polyHash(c, 131L, 998244353L).as("h2")
+    )
+
+  /** Stage 2 of paragraph dedup: reassemble each doc from its kept
+    * chunks (`marked` carries doc_id, n, j, chunk, keep).
+    */
+  private def reassembleChunks(marked: DataFrame): DataFrame =
     marked
       .groupBy("doc_id")
       .agg(
@@ -1522,5 +1491,139 @@ object Dedup {
         ).as("cleaned_text")
       )
       .orderBy("doc_id")
+
+  /** [[paragraphDedup]] over an explicit (doc_id, text) frame. */
+  def paragraphDedupOf(
+      d: DataFrame,
+      chunkWords: Int = 20,
+      fingerprint: Boolean = false
+  ): DataFrame = {
+    val chunks = chunkRows(tokenized(d), chunkWords)
+    val byChunk = Window.partitionBy("key")
+    val first = min(struct(col("doc_id"), col("j"))).over(byChunk)
+    val marked =
+      if (!fingerprint)
+        chunks
+          .withColumn("key", col("chunk"))
+          .withColumn("first", first)
+          .withColumn(
+            "keep",
+            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
+          )
+          .select("doc_id", "n", "j", "chunk", "keep")
+      else {
+        // the corpus-wide shuffle carries (doc_id, j, 16-byte key) only;
+        // winners rejoin the map-side chunk rows on the (doc_id, j)
+        // compound key, so the paragraph text never crosses the hot
+        // chunk-valued exchange
+        val winners = chunks
+          .select(col("doc_id"), col("j"), chunkFp(col("chunk")).as("key"))
+          .withColumn("first", first)
+          .filter(
+            col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
+          )
+          .select(col("doc_id").as("kd"), col("j").as("kj"))
+        chunks
+          .join(
+            winners,
+            col("doc_id") === col("kd") && col("j") === col("kj"),
+            "left"
+          )
+          .withColumn("keep", col("kd").isNotNull)
+          .select("doc_id", "n", "j", "chunk", "keep")
+      }
+    reassembleChunks(marked)
+  }
+
+  /** Persist the paragraph index of a corpus: the DISTINCT chunk
+    * fingerprints later [[paragraphDedupAgainstIndex]] runs consume.
+    * Presence-only suffices for keep-first across batches — a stored
+    * fingerprint means the paragraph's first occurrence is already kept
+    * somewhere upstream, so every later occurrence loses. Same directory
+    * layout as the span index (`windows` + `params`), so
+    * [[compactSpanIndex]] / [[repairSpanIndex]] apply unchanged.
+    */
+  def writeParagraphIndex(
+      spark: SparkSession,
+      d: DataFrame,
+      out: String,
+      chunkWords: Int = 20
+  ): Unit = {
+    import spark.implicits._
+    chunkRows(tokenized(d), chunkWords)
+      .select(chunkFp(col("chunk")).as("win"))
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/windows")
+    Seq(chunkWords).toDF("chunk_words").write
+      .mode("overwrite")
+      .parquet(s"$out/params")
+  }
+
+  /** Append a batch's chunk fingerprints to a persisted paragraph index
+    * (left-anti against the stored set — the index stays DISTINCT by
+    * construction, appends are idempotent). Mirrors [[appendToSpanIndex]].
+    */
+  def appendToParagraphIndex(
+      spark: SparkSession,
+      indexDir: String,
+      d: DataFrame
+  ): Unit = {
+    repairSpanIndex(indexDir)
+    val chunkWords =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("chunk_words")
+    val novel = Eager.materialized(
+      chunkRows(tokenized(d), chunkWords)
+        .select(chunkFp(col("chunk")).as("win"))
+        .distinct()
+        .join(
+          spark.read.parquet(s"$indexDir/windows"),
+          Seq("win"),
+          "left_anti"
+        )
+    )
+    novel.write.mode("append").parquet(s"$indexDir/windows")
+    Eager.releaseCheckpoint(novel)
+  }
+
+  /** D14 incremental form: keep-first paragraph dedup of a NEW batch
+    * against a PERSISTED index — a chunk occurrence survives iff it is
+    * the batch's first occurrence AND its fingerprint is absent from the
+    * index. For batches arriving in doc_id order (the append-only crawl
+    * shape; the same monotonicity [[incrementalSplit]] encodes), the
+    * sequential fold over batches equals the global [[paragraphDedupOf]]
+    * restricted to each batch's ids — law-checked in IndexStoreSpec.
+    * Scale: the index join is a fingerprint equi-join; the batch-local
+    * winner pass is one batch-sized window.
+    */
+  def paragraphDedupAgainstIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newDocs: DataFrame
+  ): DataFrame = {
+    repairSpanIndex(indexDir)
+    val chunkWords =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("chunk_words")
+    val chunks = chunkRows(tokenized(newDocs), chunkWords)
+    val byChunk = Window.partitionBy("key")
+    val first = min(struct(col("doc_id"), col("j"))).over(byChunk)
+    val marked = chunks
+      .withColumn("key", chunkFp(col("chunk")))
+      .withColumn("first", first)
+      .join(
+        spark.read
+          .parquet(s"$indexDir/windows")
+          .select(col("win").as("iw"), lit(1).as("in_index")),
+        col("key") === col("iw"),
+        "left"
+      )
+      .withColumn(
+        "keep",
+        col("in_index").isNull &&
+          col("first.doc_id") === col("doc_id") && col("first.j") === col("j")
+      )
+      .select("doc_id", "n", "j", "chunk", "keep")
+    reassembleChunks(marked)
   }
 }

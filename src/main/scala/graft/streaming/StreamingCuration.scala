@@ -152,6 +152,43 @@ object StreamingCuration {
       }
       .start()
 
+  /** P29's continuous form — surgical decontamination as documents
+    * arrive: the benchmark window dictionary is frozen (and cached) once
+    * at stream start, each micro-batch is rewritten against it with
+    * [[graft.pipeline.Decontamination.removeEvalSpansAgainst]]. The
+    * cleaning is doc-local given the frozen dictionary (a broadcast
+    * probe + per-doc coverage pass, no cross-doc term), so ANY chunking
+    * of the stream yields exactly the batch rewrite row-for-row
+    * (law in StreamingCurationSpec) — the same argument as
+    * [[selfRepetitionStream]]. Fingerprint keys keep the broadcast at
+    * 16 bytes per benchmark window.
+    */
+  def decontaminationStream(
+      docs: DataFrame,
+      eval: DataFrame,
+      checkpointDir: String,
+      spanWords: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val evalWins = graft.pipeline.Decontamination
+      .preparedEvalWindows(eval, spanWords, fingerprint = true)
+      .cache()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.pipeline.Decontamination
+            .removeEvalSpansAgainst(batch, evalWins, spanWords),
+          batchId
+        )
+      }
+      .start()
+  }
+
   final case class MixDoc(doc_id: Long, source: String, n_toks: Long)
   final case class MixState(filled: Long, maxSeen: Long)
   final case class MixOut(

@@ -518,4 +518,40 @@ object StreamingDedup {
         graft.pipeline.Eager.releaseCheckpoint(pinned)
       }
       .start()
+
+  /** D14's continuous form — keep-first paragraph dedup as documents
+    * arrive: per micro-batch, clean against the persisted paragraph
+    * index ([[graft.pipeline.Dedup.paragraphDedupAgainstIndex]] — batch
+    * winners kept, index hits cut), emit, then append the batch's chunk
+    * fingerprints so later batches lose to this one. Same
+    * clean-then-append discipline (and the same materialize-before-
+    * mutate hazard) as [[spanDedupStream]]; for doc_id-monotone arrivals
+    * the fold equals the global batch keep-first, chunk boundaries
+    * invisible (law in StreamingDedupSpec).
+    */
+  def paragraphDedupStream(
+      docs: org.apache.spark.sql.DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pinned = batch.localCheckpoint(true)
+        val cleaned = graft.pipeline.Eager.materialized(
+          graft.pipeline.Dedup
+            .paragraphDedupAgainstIndex(spark, indexDir, pinned)
+        )
+        sink(cleaned, batchId)
+        graft.pipeline.Dedup.appendToParagraphIndex(spark, indexDir, pinned)
+        graft.pipeline.Eager.releaseCheckpoint(cleaned)
+        graft.pipeline.Eager.releaseCheckpoint(pinned)
+      }
+      .start()
 }

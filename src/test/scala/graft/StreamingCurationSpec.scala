@@ -315,6 +315,41 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == greedy(budget).sortBy(o => (o.source, o.doc_id)))
   }
 
+  test("streaming surgical decontamination over arbitrary chunks equals batch p29") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val eval = all.filter(col("doc_id") % 50 === 0)
+    val train = corpus().filter(_.doc_id % 50 != 0)
+    // UNORDERED chunking — doc-locality makes any split legal
+    val chunks = train.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-p29-stream").toString
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration.decontaminationStream(
+      ms.toDS().toDF(), eval, s"$base/ckpt"
+    ) { (cleaned, _) =>
+      collected ++= cleaned
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val want = graft.pipeline.Decontamination
+      .decontaminationRemoval(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(collected.exists(_._3 > 0)) // eval really overlaps the stream
+    assert(collected.toSeq.sortBy(_._1) == want.sortBy(_._1))
+  }
+
   test("streaming self-repetition removal over chunks equals the batch op") {
     val sp = spark
     import sp.implicits._

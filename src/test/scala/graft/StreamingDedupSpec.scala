@@ -348,4 +348,64 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val copies = collected.filter(_._1 >= 2000000L)
     assert(copies.size == 5 && copies.forall(_._3 > 0))
   }
+
+  test("streaming paragraph dedup folds chunks exactly like the batch APIs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-para-stream").toString
+    // same delivery shape as the span-stream law: an old corpus seeds the
+    // index, two chunks arrive in doc_id order, the second carrying
+    // verbatim copies of chunk-1 docs — their paragraphs must lose to the
+    // index while first-seen paragraphs survive exactly once
+    val all = corpus()
+    val oldDocs = all.filter(_.doc_id < 300)
+    val chunk1 = all.filter(d => d.doc_id >= 300 && d.doc_id < 400)
+    val chunk2 = all.filter(_.doc_id >= 400) ++
+      chunk1.take(5).map(d => Doc(d.doc_id + 2000000L, d.text))
+    graft.pipeline.Dedup.writeParagraphIndex(
+      spark, oldDocs.toDF(), s"$base/index")
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, String)]
+    def grab(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      )
+    val ms = MemoryStream[Doc]
+    val q = graft.streaming.StreamingDedup.paragraphDedupStream(
+      ms.toDS().toDF(), s"$base/index", s"$base/ckpt"
+    ) { (cleaned, _) => collected ++= grab(cleaned) }
+    try {
+      ms.addData(chunk1); q.processAllAvailable()
+      ms.addData(chunk2); q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential fold of the batch APIs over the same chunks
+    graft.pipeline.Dedup.writeParagraphIndex(
+      spark, oldDocs.toDF(), s"$base/index2")
+    val want = Seq(chunk1, chunk2).flatMap { c =>
+      val out = grab(
+        graft.pipeline.Dedup
+          .paragraphDedupAgainstIndex(spark, s"$base/index2", c.toDF())
+      )
+      graft.pipeline.Dedup.appendToParagraphIndex(spark, s"$base/index2", c.toDF())
+      out
+    }
+    assert(collected.toSeq == want)
+    // and the fold equals the GLOBAL keep-first over old ∪ all chunks,
+    // restricted to the streamed ids — doc_id-monotone arrival makes the
+    // batch boundary invisible
+    val streamedIds = (chunk1 ++ chunk2).map(_.doc_id).toSet
+    val global = grab(
+      graft.pipeline.Dedup
+        .paragraphDedupOf((oldDocs ++ chunk1 ++ chunk2).toDF())
+    ).filter(r => streamedIds.contains(r._1))
+    assert(collected.toSeq.sortBy(_._1) == global.toSeq.sortBy(_._1))
+    // non-vacuous: every copied doc lost every paragraph
+    val copies = collected.filter(_._1 >= 2000000L)
+    assert(copies.size == 5 && copies.forall(_._4 == 0L))
+  }
 }
