@@ -291,6 +291,11 @@ object SparkEntry {
     "k2_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "k3_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
     "k4_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
+    // k12 — recall@k of every approximate index vs exact brute force
+    "k12_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    // p30 — leakage-free split: p19's gate keyed by d5's cluster label
+    "p30_leakfree_split" ->
+      ((s, d) => graft.pipeline.Sampling.leakFreeSplit(s, d)),
     "m1_media_meta" -> (Multimodal.mediaMeta _),
     "m2_media_stats" -> (Multimodal.mediaStats _)
   )
@@ -411,6 +416,8 @@ object SparkEntry {
     "k2_knn_ivf" -> PipelineOracles.knnIvf,
     "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
+    "k12_recall_report" -> PipelineOracles.knnRecallReport,
+    "p30_leakfree_split" -> PipelineOracles.leakFreeSplit,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "p22_quality_model" -> PipelineOracles.qualityModel,

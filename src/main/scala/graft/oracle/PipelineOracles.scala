@@ -1302,6 +1302,53 @@ object PipelineOracles {
     ORDER BY split, source
   """
 
+  /** p30 — leakage-free split (graft.pipeline.Sampling.leakFreeSplit):
+    * recursive CC over the minhash pairs gives each doc its cluster
+    * label (singletons label themselves); the p19 gate arithmetic runs
+    * once keyed by the label (the assignment) and once keyed by the
+    * doc_id (the naive split it replaces), 300/300/400 per-mille.
+    */
+  val leakFreeSplit: String = {
+    def g(key: String) =
+      s"(${charHash(s"'graft-split::' || CAST($key AS VARCHAR)")} " +
+        s"* 6364136223) % 1000000007 % 1000"
+    def split(gate: String) = s"""CASE
+             WHEN $gate < 300 THEN 'val'
+             WHEN $gate < 600 THEN 'test'
+             ELSE 'train' END"""
+    s"""
+    WITH RECURSIVE $minhashPairsBody,
+    edges AS (
+      SELECT a, b FROM verified
+      UNION
+      SELECT b AS a, a AS b FROM verified
+    ),
+    cc(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.label FROM edges e JOIN cc c ON c.doc_id = e.b
+    ),
+    lab AS (SELECT doc_id, MIN(label) AS label FROM cc GROUP BY doc_id),
+    alld AS (
+      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label
+      FROM documents d LEFT JOIN lab l USING (doc_id)
+    )
+    SELECT doc_id, label, split, split_naive, split <> split_naive AS moved
+    FROM (
+      SELECT doc_id, label,
+             ${split("gl")} AS split,
+             ${split("gd")} AS split_naive
+      FROM (
+        SELECT doc_id, label,
+               ${g("label")} AS gl,
+               ${g("doc_id")} AS gd
+        FROM alld
+      ) gs
+    ) s
+    ORDER BY doc_id
+  """
+  }
+
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document
     * frequency; ties broken by word. Spark split / DuckDB string_split
@@ -1423,6 +1470,38 @@ object PipelineOracles {
     ) r
     WHERE rank <= 5
     ORDER BY qid, rank
+  """
+
+  /** k12 — retrieval recall report (graft.pipeline.Similarity
+    * .recallReport): each approximate family's top-k — the k2/k9/k4/k8
+    * oracles verbatim, as parenthesized subqueries — LEFT-joined to the
+    * exact brute-force top-k (k1's oracle). Counts are exact BIGINTs;
+    * the one recall division runs from the same integers on both
+    * engines.
+    */
+  lazy val knnRecallReport: String = s"""
+    WITH brute AS (SELECT qid, vec_id FROM ($knnBruteForce) b0),
+    approx AS (
+      SELECT 'ivf' AS method, qid, vec_id FROM ($knnIvf) x1
+      UNION ALL
+      SELECT 'ivfpq' AS method, qid, vec_id FROM ($knnIvfPq) x2
+      UNION ALL
+      SELECT 'lsh' AS method, qid, vec_id FROM ($knnLsh) x3
+      UNION ALL
+      SELECT 'pq' AS method, qid, vec_id FROM ($knnPq) x4
+    ),
+    tot AS (SELECT COUNT(*) AS n_truth FROM brute)
+    SELECT a.method,
+           COUNT(DISTINCT a.qid) AS n_queries,
+           COUNT(*) AS n_retrieved,
+           COUNT(b.vec_id) AS n_hits,
+           (SELECT n_truth FROM tot) AS n_truth,
+           CAST(COUNT(b.vec_id) AS DOUBLE) / (SELECT n_truth FROM tot)
+             AS recall
+    FROM approx a
+    LEFT JOIN brute b ON a.qid = b.qid AND a.vec_id = b.vec_id
+    GROUP BY a.method
+    ORDER BY a.method
   """
 
   /** d4's ground truth: EXACT all-pairs cosine per label over the SEEDED

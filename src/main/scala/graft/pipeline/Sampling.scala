@@ -119,14 +119,23 @@ object Sampling {
       valPerMille: Long = 10L,
       testPerMille: Long = 10L,
       salt: String = "graft-split"
-  ): DataFrame = {
-    val g = gate(salt, lit(""), col("doc_id"), 1000L)
-    d.withColumn(
-      "split",
-      when(g < valPerMille, "val")
-        .when(g < valPerMille + testPerMille, "test")
-        .otherwise("train")
-    )
+  ): DataFrame =
+    d.withColumn("split", splitOf(col("doc_id"), valPerMille, testPerMille, salt))
+
+  /** The split gate as a column: val/test/train by the finalized hash of
+    * `key` — shared by the doc-keyed p19 assignment and the
+    * cluster-keyed p30 assignment so the two can never drift.
+    */
+  def splitOf(
+      key: Column,
+      valPerMille: Long = 10L,
+      testPerMille: Long = 10L,
+      salt: String = "graft-split"
+  ): Column = {
+    val g = gate(salt, lit(""), key, 1000L)
+    when(g < valPerMille, "val")
+      .when(g < valPerMille + testPerMille, "test")
+      .otherwise("train")
   }
 
   /** The canonical p19 query: split sizes and char mass per (split,
@@ -141,6 +150,49 @@ object Sampling {
         sum("n_chars").as("total_chars")
       )
       .orderBy("split", "source")
+  }
+
+  /** P30 — leakage-free train/eval split: p19's deterministic hash gate
+    * keyed by the NEAR-DUP CLUSTER label (d5's connected components over
+    * the minhash pairs) instead of the doc_id, so every member of a
+    * near-duplicate cluster lands in the SAME split — the train→eval
+    * leakage d7 merely DETECTS after the fact is prevented at assignment
+    * time. Singleton docs keep label = doc_id, so outside the clustered
+    * mass the assignment coincides with p19 bit-for-bit; only clustered
+    * docs can move, and `moved` records exactly which did.
+    *
+    * Scale shape: the label frame carries (doc_id, label) only — d5's
+    * star-contraction already bounds that plane — and attaches with one
+    * doc_id-keyed join; the gate itself is row-local exact-BIGINT
+    * arithmetic on the label, so the whole assignment adds no shuffle
+    * beyond the clustering it reuses. The canonical query runs an
+    * eval-heavy 40/30/30 gate so cluster reassignment is non-vacuous at
+    * spec scale; production uses p19's 98/1/1 defaults unchanged.
+    */
+  def leakFreeSplit(
+      spark: SparkSession,
+      dir: String,
+      valPerMille: Long = 300L,
+      testPerMille: Long = 300L,
+      salt: String = "graft-split"
+  ): DataFrame = {
+    val labels = Dedup
+      .components(Dedup.minhashPairs(spark, dir))
+      .select(col("doc_id"), col("label"))
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .select(
+        col("doc_id"),
+        col("label"),
+        splitOf(col("label"), valPerMille, testPerMille, salt).as("split"),
+        splitOf(col("doc_id"), valPerMille, testPerMille, salt)
+          .as("split_naive")
+      )
+      .withColumn("moved", col("split") =!= col("split_naive"))
+      .orderBy("doc_id")
   }
 
   /** The canonical p10 query: source `srcK` sampled at rate (K mod 5)/4 —

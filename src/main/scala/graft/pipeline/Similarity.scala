@@ -1214,4 +1214,58 @@ object Similarity {
       .select("qid", "vec_id", "rank", "score")
       .orderBy("qid", "rank")
   }
+
+  /** K12 — retrieval-quality report: recall@k of every approximate index
+    * family (IVF, IVF-PQ, sign-LSH, PQ/ADC) against the exact
+    * brute-force top-k on the same query set — the monitoring job a
+    * production ANN deployment runs after each index rebuild, as a
+    * first-class operator.
+    *
+    * Protocol (the standard one): ground truth is exact kNN for a
+    * SAMPLED query set only — `nQueries` rows — so the quadratic leg is
+    * bounded by the sample while every index leg keeps its own scale
+    * shape (cell pruning, LUT scans, bucket probes) unchanged; recall is
+    * |approx ∩ truth| / |truth| per method. At 100 TB the truth set is
+    * nQueries × k rows regardless of corpus size, so it broadcasts into
+    * the union of the method outputs and the report needs one
+    * O(methods)-row aggregation — no new corpus pass beyond the four
+    * searches themselves.
+    *
+    * Counts are exact BIGINTs; the single recall division is the only
+    * double, computed from the same integers on both engines.
+    */
+  def recallReport(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5
+  ): DataFrame = {
+    val truth = knnBruteForce(spark, dir, nQueries, k)
+      .select(col("qid"), col("vec_id"), lit(1L).as("bhit"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> knnIvf(spark, dir, nQueries, k),
+      "ivfpq" -> knnIvfPq(spark, dir, nQueries, k),
+      "lsh" -> knnLsh(spark, dir, nQueries, k),
+      "pq" -> knnPq(spark, dir, nQueries, k)
+    )
+    val approx = methods
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("qid"), col("vec_id"))
+      }
+      .reduce(_.unionByName(_))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    approx
+      .join(broadcast(truth), Seq("qid", "vec_id"), "left")
+      .groupBy("method")
+      .agg(
+        // single countDistinct = two HashAggregate levels, zero Expand
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_retrieved"),
+        count(col("bhit")).as("n_hits")
+      )
+      .crossJoin(broadcast(nTruth)) // single-row total
+      .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
+      .select("method", "n_queries", "n_retrieved", "n_hits", "n_truth", "recall")
+      .orderBy("method")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity}
 
 /** Invariant specs for the pipeline operators whose hash-oracle can't be
   * expressed in DuckDB (xxhash64-based MinHash/SimHash/LSH).
@@ -859,5 +859,81 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp =
       Dedup.paragraphDedup(spark, sfDir, fingerprint = true).collect().toSeq
     assert(txt == fp)
+  }
+
+  test("k12 recall report matches an independent set-based recomputation") {
+    val report = Similarity
+      .recallReport(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5))
+      )
+      .toMap
+    val truth = Similarity
+      .knnBruteForce(spark, sfDir)
+      .select("qid", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val methods = Map(
+      "ivf" -> Similarity.knnIvf(spark, sfDir),
+      "ivfpq" -> Similarity.knnIvfPq(spark, sfDir),
+      "lsh" -> Similarity.knnLsh(spark, sfDir),
+      "pq" -> Similarity.knnPq(spark, sfDir)
+    )
+    assert(report.keySet == methods.keySet)
+    for ((m, df) <- methods) {
+      val got = df
+        .select("qid", "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size) // each method emits distinct rows
+      val hits = got.count(truth.contains)
+      val (nq, nr, nh, nt, rec) = report(m)
+      assert(nq == got.map(_._1).distinct.length.toLong)
+      assert(nr == got.length.toLong)
+      assert(nh == hits.toLong)
+      assert(nt == truth.size.toLong)
+      assert(rec == hits.toDouble / truth.size)
+      assert(rec > 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("p30 split is constant within clusters and moves only clustered docs") {
+    val out = Sampling.leakFreeSplit(spark, sfDir).cache()
+    // no cluster straddles splits
+    assert(
+      out
+        .groupBy("label")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") =!= 1)
+        .count() == 0
+    )
+    // split_naive IS the p19 assignment at the same per-milles
+    val naive = Sampling
+      .assignSplits(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"),
+        valPerMille = 300L,
+        testPerMille = 300L
+      )
+      .withColumnRenamed("split", "p19_split")
+    assert(
+      out
+        .join(naive, Seq("doc_id"))
+        .filter(col("split_naive") =!= col("p19_split"))
+        .count() == 0
+    )
+    // self-labeled docs coincide with the naive split; movers are exactly
+    // the docs whose cluster label differs from their id AND whose label
+    // gates into a different split — and some exist (non-vacuous)
+    assert(
+      out
+        .filter(col("label") === col("doc_id") && col("moved"))
+        .count() == 0
+    )
+    assert(out.filter(col("moved")).count() > 0)
+    out.unpersist()
   }
 }
