@@ -293,9 +293,15 @@ object SparkEntry {
     "k4_knn_lsh" -> ((s, d) => Similarity.knnLsh(s, d)),
     // k12 — recall@k of every approximate index vs exact brute force
     "k12_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    // k13 — trained-IVF cell occupancy/cohesion (index health report)
+    "k13_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
     // p30 — leakage-free split: p19's gate keyed by d5's cluster label
     "p30_leakfree_split" ->
       ((s, d) => graft.pipeline.Sampling.leakFreeSplit(s, d)),
+    // p30b — split stability: old splits frozen, new docs adopt their
+    // cluster's split; cross-split merges reported, never repaired
+    "p30b_split_stability" ->
+      ((s, d) => graft.pipeline.Sampling.leakFreeSplitIncremental(s, d)),
     "m1_media_meta" -> (Multimodal.mediaMeta _),
     "m2_media_stats" -> (Multimodal.mediaStats _)
   )
@@ -417,7 +423,9 @@ object SparkEntry {
     "k3_lsh_bucket_stats" -> PipelineOracles.lshBucketStats,
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
     "k12_recall_report" -> PipelineOracles.knnRecallReport,
+    "k13_cell_stats" -> PipelineOracles.ivfCellStats,
     "p30_leakfree_split" -> PipelineOracles.leakFreeSplit,
+    "p30b_split_stability" -> PipelineOracles.leakFreeSplitIncremental,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "p22_quality_model" -> PipelineOracles.qualityModel,

@@ -554,8 +554,13 @@ object PipelineOracles {
     * +−× and truncating //) → per-query nprobe=2 cell probe → members
     * ranked by the same fixed-point cosine key, ties to vec_id.
     */
-  lazy val knnIvfTrained: String = s"""
-    WITH q AS (
+  /** The shared k5 training chain: k6 quantization → exploded integer
+    * codes → full-corpus-seeded exact k-means through iteration 3
+    * (`s3`/`a3` = the final per-pair keys and assignment, `c3` the final
+    * centroids). Interpolated verbatim by the k5 search oracle AND the
+    * k13 cell-stats oracle so the two replay the identical training run.
+    */
+  private lazy val ivfTrainedChain: String = s"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CASE WHEN mx = 0 THEN 0
@@ -585,7 +590,10 @@ object PipelineOracles {
     ${kmeansIter(0)},
     ${kmeansIter(1)},
     ${kmeansIter(2)},
-    ${kmeansIter(3)},
+    ${kmeansIter(3)}"""
+
+  lazy val knnIvfTrained: String = s"""
+    WITH $ivfTrainedChain,
     probes AS (
       SELECT vec_id AS qid, cid FROM (
         SELECT vec_id, cid,
@@ -621,6 +629,38 @@ object PipelineOracles {
     SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
     FROM r WHERE rnk <= 5
     ORDER BY qid, rnk
+  """
+
+  /** k13 — trained-IVF cell-balance report (graft.pipeline.Similarity
+    * .ivfCellStats): the k5 training chain verbatim, then the final
+    * assignment (a3) joined back to its own-cell fixed-point cosine key
+    * (s3) and rolled up per cell — occupancy in exact ppm, min/mean
+    * cohesion as BIGINTs (`SUM // COUNT`); empty cells survive via the
+    * LEFT join from the seeded cell list.
+    */
+  lazy val ivfCellStats: String = s"""
+    WITH $ivfTrainedChain,
+    cells AS (SELECT DISTINCT cid FROM c0),
+    asg AS (
+      SELECT a.vec_id, a.cid, s.skey
+      FROM a3 a JOIN s3 s ON s.vec_id = a.vec_id AND s.cid = a.cid
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM asg),
+    st AS (
+      SELECT cid, COUNT(*) AS n_vectors,
+             MIN(skey) AS min_cohesion,
+             CAST(SUM(skey) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS mean_cohesion
+      FROM asg GROUP BY cid
+    )
+    SELECT c.cid,
+           COALESCE(st.n_vectors, 0) AS n_vectors,
+           (COALESCE(st.n_vectors, 0) * 1000000) // (SELECT n_total FROM tot)
+             AS occupancy_ppm,
+           st.min_cohesion, st.mean_cohesion,
+           (SELECT n_total FROM tot) AS n_total
+    FROM cells c LEFT JOIN st USING (cid)
+    ORDER BY c.cid
   """
 
   /** k10 — the incremental-index lifecycle
@@ -1346,6 +1386,112 @@ object PipelineOracles {
       ) gs
     ) s
     ORDER BY doc_id
+  """
+  }
+
+  /** p30b — split stability under corpus growth
+    * (graft.pipeline.Sampling.leakFreeSplitIncremental): the d9 seeded
+    * corpus and pair chain verbatim; old-only CC (pairs restricted to
+    * both-below-boundary — pair-local, so identical to clustering the
+    * old corpus alone) freezes history; full CC anchors each new doc's
+    * adoption at its component's min-id OLD doc; conflicts = full
+    * components whose old members straddle frozen splits.
+    */
+  val leakFreeSplitIncremental: String = {
+    val body = lshJaccardBody(
+      s"""split AS (
+      SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
+    ),
+    docs9 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id < 10
+    ),
+    mh_words AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> ${charHash("w")}) AS wh
+      FROM docs9
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
+               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
+      FROM mh_words, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
+    )""",
+      threshold = 0.5
+    )
+    def g(key: String) =
+      s"(${charHash(s"'graft-split::' || CAST($key AS VARCHAR)")} " +
+        s"* 6364136223) % 1000000007 % 1000"
+    def splitCase(key: String) = s"""CASE
+           WHEN ${g(key)} < 300 THEN 'val'
+           WHEN ${g(key)} < 600 THEN 'test'
+           ELSE 'train' END"""
+    s"""
+    WITH RECURSIVE $body,
+    pold AS (
+      SELECT a, b FROM verified
+      WHERE a < (SELECT s FROM split) AND b < (SELECT s FROM split)
+    ),
+    eold AS (SELECT a, b FROM pold UNION SELECT b AS a, a AS b FROM pold),
+    cco(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM eold
+      UNION
+      SELECT e.a AS doc_id, c.label FROM eold e JOIN cco c ON c.doc_id = e.b
+    ),
+    labo AS (SELECT doc_id, MIN(label) AS label FROM cco GROUP BY doc_id),
+    oassign AS (
+      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS label,
+             ${splitCase("COALESCE(l.label, d.doc_id)")} AS split
+      FROM (SELECT doc_id FROM docs9
+            WHERE doc_id < (SELECT s FROM split)) d
+      LEFT JOIN labo l USING (doc_id)
+    ),
+    eall AS (
+      SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified
+    ),
+    cca(doc_id, label) AS (
+      SELECT DISTINCT a AS doc_id, a AS label FROM eall
+      UNION
+      SELECT e.a AS doc_id, c.label FROM eall e JOIN cca c ON c.doc_id = e.b
+    ),
+    laba AS (SELECT doc_id, MIN(label) AS label FROM cca GROUP BY doc_id),
+    flab AS (
+      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS full_label
+      FROM docs9 d LEFT JOIN laba l USING (doc_id)
+    ),
+    conf AS (
+      SELECT f.full_label, COUNT(DISTINCT o.split) > 1 AS conflict
+      FROM flab f JOIN oassign o USING (doc_id)
+      GROUP BY f.full_label
+    ),
+    anchor AS (
+      SELECT doc_id AS full_label, split AS anchor_split FROM oassign
+    ),
+    new_rows AS (
+      SELECT f.doc_id, f.full_label AS label,
+             COALESCE(a.anchor_split, ${splitCase("f.full_label")}) AS split,
+             TRUE AS is_new,
+             a.anchor_split IS NOT NULL AS adopted
+      FROM flab f LEFT JOIN anchor a USING (full_label)
+      WHERE f.doc_id >= (SELECT s FROM split)
+    ),
+    old_rows AS (
+      SELECT doc_id, label, split, FALSE AS is_new, FALSE AS adopted
+      FROM oassign
+    ),
+    rows0 AS (
+      SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows
+    )
+    SELECT r.doc_id, r.label, r.split, r.is_new, r.adopted,
+           COALESCE(c.conflict, FALSE) AS conflict
+    FROM rows0 r
+    JOIN flab f ON f.doc_id = r.doc_id
+    LEFT JOIN conf c ON c.full_label = f.full_label
+    ORDER BY r.doc_id
   """
   }
 

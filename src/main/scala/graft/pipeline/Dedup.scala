@@ -174,18 +174,31 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame =
     pairMemo.getOrElseUpdate(
-      (spark, dir, numPerms, rowsPerBand, threshold), {
-        // cached: read once by the minhash aggregation and once by the
-        // Jaccard verification; released before return (Eager.materialized)
-        val sh = shingles(docs(spark, dir)).cache()
-        val cand = minhashCandidates(sh, numPerms, rowsPerBand)
-        // verifyJaccard materializes its result eagerly, so the cache can
-        // be dropped here without re-triggering its upstream
-        val verified = verifyJaccard(cand, sh, threshold)
-        sh.unpersist(false)
-        verified
-      }
+      (spark, dir, numPerms, rowsPerBand, threshold),
+      pairsOf(docs(spark, dir), numPerms, rowsPerBand, threshold)
     )
+
+  /** MinHash+LSH verified pairs over an arbitrary (doc_id, text) frame —
+    * [[minhashPairs]] without the corpus binding or the session memo
+    * (p30b runs it over the seeded incremental corpus). The result is
+    * eagerly materialized; intermediates are released before return.
+    */
+  def pairsOf(
+      d: DataFrame,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    // cached: read once by the minhash aggregation and once by the
+    // Jaccard verification; released before return (Eager.materialized)
+    val sh = shingles(d).cache()
+    val cand = minhashCandidates(sh, numPerms, rowsPerBand)
+    // verifyJaccard materializes its result eagerly, so the cache can
+    // be dropped here without re-triggering its upstream
+    val verified = verifyJaccard(cand, sh, threshold)
+    sh.unpersist(false)
+    verified
+  }
 
   /** LSH band index of a shingled corpus: one (doc_id, band, bucket) row
     * per document per band — minhash matrix → Horner band buckets.
@@ -659,18 +672,36 @@ object Dedup {
     * byte-identical cross-id text of its own. Shared by the query and the
     * persisted-index law spec so the two can never drift apart.
     */
-  def incrementalSplit(
-      spark: SparkSession,
-      dir: String
-  ): (DataFrame, DataFrame) = {
-    val d = docs(spark, dir).select("doc_id", "text")
-    val maxId = d.agg(max("doc_id")).head().getLong(0)
+  /** The id boundary of [[incrementalSplit]]: ids below it play the old
+    * corpus. Exposed so consumers (d9's split, p30b's frozen-history
+    * lookup) share one derivation.
+    */
+  def incrementalBoundary(spark: SparkSession, dir: String): Long = {
+    val maxId =
+      docs(spark, dir).agg(max("doc_id")).head().getLong(0)
     require(
       maxId < 1000000L,
       "seed id offset collides with corpus doc_ids" // same guard as
     ) // Similarity.seededCorpus: a silent collision would corrupt BOTH
     //   the query and its oracle identically and pass the gate wrong
-    val split = (maxId + 1L) * 4L / 5L
+    (maxId + 1L) * 4L / 5L
+  }
+
+  def incrementalSplit(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) =
+    incrementalSplitAt(spark, dir, incrementalBoundary(spark, dir))
+
+  /** [[incrementalSplit]] with the boundary precomputed — callers that
+    * also need the boundary itself (p30b) avoid a second id-max scan.
+    */
+  def incrementalSplitAt(
+      spark: SparkSession,
+      dir: String,
+      split: Long
+  ): (DataFrame, DataFrame) = {
+    val d = docs(spark, dir).select("doc_id", "text")
     val copies = d
       .filter(col("doc_id") < 10)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))

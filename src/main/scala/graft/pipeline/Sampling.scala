@@ -195,6 +195,102 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** P30b — split STABILITY under corpus growth: the lifecycle form of
+    * p30. When a new batch arrives, old documents' splits are FROZEN
+    * (eval sets must stay stable across crawls — retroactively moving a
+    * doc out of eval invalidates every benchmark run against it); each
+    * new document either ADOPTS the frozen split of the cluster it joins
+    * (any near-dup link to history, exact or near — so a near-copy of a
+    * train doc can never enter eval, even across batches) or, if its
+    * cluster touches no history, gates on its own cluster label exactly
+    * as the batch p30 would.
+    *
+    * The adoption anchor is deterministic: old ids all precede new ids,
+    * so a mixed component's min-id label IS an old doc, and the new
+    * members adopt that doc's frozen split. A new doc bridging two old
+    * clusters with DIFFERENT frozen splits cannot repair history — the
+    * old docs stay pinned — so the residual cross-split linkage is
+    * REPORTED per component in `conflict` (the audit a pipeline alarms
+    * on) instead of silently rewriting eval membership.
+    *
+    * Scale shape: one shingle→LSH pass over old ∪ new produces the pair
+    * set; the old-only subset is a pure filter of it (candidate
+    * generation and Jaccard verification are pair-local, so
+    * restricting the corpus commutes with restricting the pairs); both
+    * component planes carry (doc_id, label) only; every join is keyed
+    * by doc_id or label. In production the old assignment and pair
+    * index are read from the store (d9's persisted-index layout), not
+    * re-derived — the oracle re-derives so the whole lifecycle replays.
+    */
+  def leakFreeSplitIncremental(
+      spark: SparkSession,
+      dir: String,
+      valPerMille: Long = 300L,
+      testPerMille: Long = 300L,
+      salt: String = "graft-split"
+  ): DataFrame = {
+    val boundary = Dedup.incrementalBoundary(spark, dir)
+    val (oldDocs, newDocs) = Dedup.incrementalSplitAt(spark, dir, boundary)
+    val pairs = Dedup.pairsOf(oldDocs.unionByName(newDocs))
+    val pairsOld =
+      pairs.filter(col("a") < boundary && col("b") < boundary)
+    def labelled(ids: DataFrame, p: DataFrame): DataFrame =
+      ids
+        .join(Dedup.components(p).select("doc_id", "label"), Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), col("doc_id")))
+    // frozen history: batch-p30 assignment over the old corpus alone
+    val oldAssign = labelled(oldDocs.select("doc_id"), pairsOld)
+      .select(
+        col("doc_id"),
+        col("label"),
+        splitOf(col("label"), valPerMille, testPerMille, salt).as("split")
+      )
+    // full-graph labels for every doc (conflict grain + adoption anchor)
+    val fullLab = labelled(
+      oldDocs.select("doc_id").unionByName(newDocs.select("doc_id")),
+      pairs
+    )
+    val conflicts = fullLab
+      .join(oldAssign.select(col("doc_id"), col("split").as("old_split")), Seq("doc_id"))
+      .groupBy("label")
+      .agg((countDistinct(col("old_split")) > 1).as("conflict"))
+    val anchor = oldAssign
+      .select(col("doc_id").as("label"), col("split").as("anchor_split"))
+    val newRows = fullLab
+      .filter(col("doc_id") >= boundary)
+      .join(anchor, Seq("label"), "left")
+      .select(
+        col("doc_id"),
+        col("label"),
+        coalesce(
+          col("anchor_split"),
+          splitOf(col("label"), valPerMille, testPerMille, salt)
+        ).as("split"),
+        lit(true).as("is_new"),
+        col("anchor_split").isNotNull.as("adopted")
+      )
+    val oldRows = oldAssign
+      .select(
+        col("doc_id"),
+        col("label"),
+        col("split"),
+        lit(false).as("is_new"),
+        lit(false).as("adopted")
+      )
+    oldRows
+      .unionByName(newRows)
+      // conflict lives at the FULL-graph component grain for every row
+      .join(fullLab.withColumnRenamed("label", "full_label"), Seq("doc_id"))
+      .join(
+        conflicts.withColumnRenamed("label", "full_label"),
+        Seq("full_label"),
+        "left"
+      )
+      .withColumn("conflict", coalesce(col("conflict"), lit(false)))
+      .select("doc_id", "label", "split", "is_new", "adopted", "conflict")
+      .orderBy("doc_id")
+  }
+
   /** The canonical p10 query: source `srcK` sampled at rate (K mod 5)/4 —
     * 0, 25%, 50%, 75%, 100% — exercising both degenerate gates (0 drops a
     * stratum entirely; 1 keeps it bit-for-bit).

@@ -1215,6 +1215,62 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** K13 — trained-IVF cell-balance report: per-cell occupancy and
+    * cohesion of the exact-integer quantizer (k5's trainer), the index
+    * health view an ANN deployment watches between rebuilds. Cell SKEW
+    * is the operative 100 TB risk for IVF — a hot cell turns every probe
+    * that touches it into a near-full scan — and this report is how the
+    * operator sees it coming: occupancy in exact parts-per-million
+    * against the corpus, plus each cell's min and mean fixed-point
+    * cosine key to its OWN centroid (cohesion — a falling mean flags a
+    * cell the quantizer no longer represents, the retrain signal).
+    *
+    * Scale shape: assignment is row-local against broadcast centroids
+    * (zero shuffle), the rollup is one map-side-combined aggregation to
+    * kCentroids rows, and empty cells survive via a right join against
+    * the kCentroids-row cell list. Everything BIGINT (`SUM DIV count`
+    * mean), so the report — training included — hash-replays in DuckDB.
+    */
+  def ivfCellStats(
+      spark: SparkSession,
+      dir: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
+    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val ds = cellScoresInt(col("q8"), centroids)
+    val best = if (ds.size == 1) ds.head else greatest(ds: _*)
+    val assigned = codes.select(
+      col("vec_id"),
+      (-best.getField("negCid")).as("cid"),
+      best.getField("skey").as("skey")
+    )
+    val stats = assigned
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min("skey").as("min_cohesion"),
+        // exact-integer mean; |skey| ≤ 2²⁰·‖v‖² ≈ 2.7e11 at dim 16, so
+        // the per-cell sum stays in BIGINT up to ~3e7 members per cell
+        expr("sum(skey) DIV count(1)").as("mean_cohesion")
+      )
+    val cells =
+      spark.range(0, kCentroids.toLong).select(col("id").as("cid"))
+    val totals = assigned.agg(count(lit(1)).as("n_total"))
+    val out = cells
+      .join(stats, Seq("cid"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .crossJoin(broadcast(totals)) // single-row total
+      .withColumn("occupancy_ppm", expr("(n_vectors * 1000000) DIV n_total"))
+      .select(
+        "cid", "n_vectors", "occupancy_ppm",
+        "min_cohesion", "mean_cohesion", "n_total"
+      )
+      .orderBy("cid")
+    Eager.materialized(out, codes)
+  }
+
   /** K12 — retrieval-quality report: recall@k of every approximate index
     * family (IVF, IVF-PQ, sign-LSH, PQ/ADC) against the exact
     * brute-force top-k on the same query set — the monitoring job a

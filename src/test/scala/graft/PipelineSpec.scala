@@ -901,6 +901,105 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("k13 cell stats equal an independent in-memory recomputation") {
+    val report = Similarity
+      .ivfCellStats(spark, sfDir)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> (
+          r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5)
+        )
+      }
+      .toMap
+    // independent model: same trained centroids, but assignment, cohesion
+    // keys and the rollup recomputed in plain Scala from the raw codes
+    val codesDf =
+      Similarity.quantized(spark, sfDir).select(col("vec_id"), col("q8"))
+    val cents = Similarity.trainCentroidsExact(codesDf, 16, 3)
+    val codes = codesDf
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector)
+    def key(v: Vector[Long], c: Seq[Long]): Long = {
+      val dot = v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
+      val n2 = c.map(x => x * x).sum
+      if (n2 == 0L) 0L
+      else {
+        val mag = dot * dot * (1L << 20) / n2
+        if (dot >= 0L) mag else -mag
+      }
+    }
+    val assigned = codes.map { case (_, v) =>
+      cents
+        .map { case (cid, c) => (key(v, c), -cid.toLong) }
+        .max // max key, ties to the LOWEST cid via -cid
+    }
+    val byCell = assigned.groupBy { case (_, negCid) => -negCid }
+    val nTotal = codes.length.toLong
+    for (cid <- 0L until 16L) {
+      val (nv, ppm, mn, mean, nt) = report(cid)
+      byCell.get(cid) match {
+        case Some(ks) =>
+          assert(nv == ks.length.toLong)
+          assert(mn.contains(ks.map(_._1).min))
+          assert(mean.contains(ks.map(_._1).sum / ks.length))
+        case None =>
+          assert(nv == 0L && mn.isEmpty && mean.isEmpty)
+      }
+      assert(ppm == nv * 1000000L / nTotal)
+      assert(nt == nTotal)
+    }
+    assert(report.values.map(_._1).sum == nTotal)
+  }
+
+  test("p30b freezes old splits and adopts new docs into their clusters") {
+    val out = Sampling.leakFreeSplitIncremental(spark, sfDir).cache()
+    val (oldDocs, _) = Dedup.incrementalSplit(spark, sfDir)
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    // stability: the old rows equal the assignment computed from the OLD
+    // corpus alone (exercises pair-locality: restricting the combined
+    // pair set to old ids ≡ running LSH on the old corpus by itself)
+    val oldAlone = {
+      val labels = Dedup
+        .components(Dedup.pairsOf(oldDocs))
+        .select(col("doc_id"), col("label"))
+      oldDocs
+        .select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          col("label"),
+          Sampling.splitOf(col("label"), 300L, 300L).as("split")
+        )
+    }
+    val oldRows = out
+      .filter(!col("is_new"))
+      .select("doc_id", "label", "split")
+    assert(oldRows.exceptAll(oldAlone).count() == 0)
+    assert(oldAlone.exceptAll(oldRows).count() == 0)
+    // the planted seed copies (ids >= 1e6) are verbatim dups of old docs
+    // 0..9: all adopted, and absent a reported conflict their split IS
+    // the frozen split of their source doc
+    val seeds = out.filter(col("doc_id") >= 1000000L).collect()
+    assert(seeds.length == 10 && seeds.forall(_.getAs[Boolean]("adopted")))
+    val oldSplit = oldRows
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    for (s <- seeds if !s.getAs[Boolean]("conflict"))
+      assert(s.getString(2) == oldSplit(s.getLong(0) - 1000000L))
+    // old docs are never flagged adopted; every doc appears exactly once
+    assert(out.filter(!col("is_new") && col("adopted")).count() == 0)
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.filter(col("doc_id") < boundary).count() ==
+      oldDocs.count())
+    out.unpersist()
+  }
+
   test("p30 split is constant within clusters and moves only clustered docs") {
     val out = Sampling.leakFreeSplit(spark, sfDir).cache()
     // no cluster straddles splits
