@@ -80,6 +80,9 @@ object HeavyTailStress {
       Sampling.clusterBalancedSample(spark, d).count()
       Dedup.removeDupSpans(spark, d).count()
       Sampling.targetAffinity(spark, d).count()
+      Dedup.paragraphDedup(spark, d).count()
+      Sampling.leakFreeSplitIncremental(spark, d).count()
+      Similarity.ivfCellStats(spark, d).count()
       Dedup.releaseMemo()
     }
 
@@ -126,8 +129,35 @@ object HeavyTailStress {
       val tp26 = time("p26 target affinity", docRows) {
         Sampling.targetAffinity(spark, dir).count()
       }
+      val td14 = time("d14 paragraph dedup", docRows) {
+        Dedup.paragraphDedup(spark, dir).count()
+      }
+      // p30b split: the pair PLANE is a d2-class quadratic-output
+      // producer on this duplication-amplified corpus (every doc gains
+      // f−1 twins), so it is measured separately from the assignment
+      // layer, which is linear in docs whatever the pair count did
+      val boundary = Dedup.incrementalBoundary(spark, dir)
+      val (oldD, newD) = Dedup.incrementalSplitAt(spark, dir, boundary)
+      var p30Pairs: org.apache.spark.sql.DataFrame = null
+      val tp30p = time("p30b pair plane", docRows) {
+        p30Pairs = Dedup.pairsOf(oldD.unionByName(newD))
+        p30Pairs.count()
+      }
+      // the assignment layer's dominant input is the PAIR plane (two CC
+      // passes over it), so its linearity denominator is the pair count
+      // this corpus just produced — docs would misread the quadratic
+      // amplification of pairs as the operator's own super-linearity
+      val tp30 = time("p30b assign (marginal)", tp30p._2) {
+        Sampling
+          .leakFreeSplitIncrementalFrom(boundary, oldD, newD, p30Pairs)
+          .count()
+      }
+      val tk13 = time("k13 cell stats", vecRows) {
+        Similarity.ivfCellStats(spark, dir).count()
+      }
       Dedup.releaseMemo()
-      (f, Seq(td6, td9, td2, td11, td12, tk5, tk10, tp24, tp26))
+      (f, Seq(td6, td9, td2, td11, td12, tk5, tk10, tp24, tp26,
+        td14, tp30p, tp30, tk13))
     }
 
     // Two ratios per operator. Per-INPUT-row is the headline linearity
@@ -139,7 +169,8 @@ object HeavyTailStress {
     // generation added no term beyond the pairs themselves.
     val Seq((fHalf, half), (fFull, full)) = results
     half.zip(full).zip(
-      Seq("d6", "d9", "d2memo", "d11", "d12", "k5", "k10", "p24", "p26")
+      Seq("d6", "d9", "d2memo", "d11", "d12", "k5", "k10", "p24", "p26",
+        "d14", "p30b-pairs", "p30b-assign", "k13")
     ).foreach { case (((hs, hn), (fs, fn)), name) =>
       val perIn = (fs / fFull) / (hs / fHalf)
       val perOut = (fs / fn.max(1L)) / (hs / hn.max(1L))

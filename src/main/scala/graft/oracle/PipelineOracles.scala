@@ -237,9 +237,13 @@ object PipelineOracles {
     * independent of the rest of the corpus). Split = integer 80% of the
     * id space — integer arithmetic on both engines (DuckDB CAST of a
     * DOUBLE rounds, so no float split math). */
-  val incrementalDedup: String = {
-    val body = lshJaccardBody(
-      s"""split AS (
+  /** The d9 seeded-corpus pair chain (split boundary, docs9 = corpus ∪
+    * verbatim seed copies, word shingles, banded LSH + Jaccard) — the
+    * ONE definition interpolated by the d9 oracle and the p30b oracle,
+    * mirroring Dedup.incrementalSplit + pairsOf.
+    */
+  private lazy val docs9PairsBody: String = lshJaccardBody(
+    s"""split AS (
       SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
     ),
     docs9 AS (
@@ -261,10 +265,12 @@ object PipelineOracles {
       FROM mh_words, LATERAL (
         SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
     )""",
-      threshold = 0.5
-    )
+    threshold = 0.5
+  )
+
+  val incrementalDedup: String = {
     s"""
-    WITH $body,
+    WITH $docs9PairsBody,
     exact AS (
       SELECT n.doc_id AS new_id, o.doc_id AS old_id
       FROM docs9 n JOIN docs9 o ON md5(n.text) = md5(o.text)
@@ -1398,31 +1404,6 @@ object PipelineOracles {
     * components whose old members straddle frozen splits.
     */
   val leakFreeSplitIncremental: String = {
-    val body = lshJaccardBody(
-      s"""split AS (
-      SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
-    ),
-    docs9 AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents
-      WHERE doc_id < 10
-    ),
-    mh_words AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ' '),
-               w -> ${charHash("w")}) AS wh
-      FROM docs9
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+2]),
-               (sa, sb) -> (sa * 31 + sb) % $M) AS shingle
-      FROM mh_words, LATERAL (
-        SELECT unnest(generate_series(1, greatest(len(wh) - 2, 1))) AS i) g
-    )""",
-      threshold = 0.5
-    )
     def g(key: String) =
       s"(${charHash(s"'graft-split::' || CAST($key AS VARCHAR)")} " +
         s"* 6364136223) % 1000000007 % 1000"
@@ -1431,7 +1412,7 @@ object PipelineOracles {
            WHEN ${g(key)} < 600 THEN 'test'
            ELSE 'train' END"""
     s"""
-    WITH RECURSIVE $body,
+    WITH RECURSIVE $docs9PairsBody,
     pold AS (
       SELECT a, b FROM verified
       WHERE a < (SELECT s FROM split) AND b < (SELECT s FROM split)

@@ -231,7 +231,31 @@ object Sampling {
   ): DataFrame = {
     val boundary = Dedup.incrementalBoundary(spark, dir)
     val (oldDocs, newDocs) = Dedup.incrementalSplitAt(spark, dir, boundary)
-    val pairs = Dedup.pairsOf(oldDocs.unionByName(newDocs))
+    leakFreeSplitIncrementalFrom(
+      boundary,
+      oldDocs,
+      newDocs,
+      Dedup.pairsOf(oldDocs.unionByName(newDocs)),
+      valPerMille,
+      testPerMille,
+      salt
+    )
+  }
+
+  /** [[leakFreeSplitIncremental]] with the pair plane supplied — the
+    * production entry point (a stored pair index instead of a fresh LSH
+    * pass) and the stress harness's separation of the quadratic pair
+    * producer from the linear assignment layer.
+    */
+  def leakFreeSplitIncrementalFrom(
+      boundary: Long,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      pairs: DataFrame,
+      valPerMille: Long = 300L,
+      testPerMille: Long = 300L,
+      salt: String = "graft-split"
+  ): DataFrame = {
     val pairsOld =
       pairs.filter(col("a") < boundary && col("b") < boundary)
     def labelled(ids: DataFrame, p: DataFrame): DataFrame =

@@ -1239,28 +1239,69 @@ object Similarity {
   ): DataFrame = {
     val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
     val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val out =
+      presentCellStats(spark, cellStatsRaw(codes, centroids), kCentroids)
+    Eager.materialized(out, codes)
+  }
+
+  /** The MERGEABLE core of k13: (cid, n_vectors, sum_cohesion,
+    * min_cohesion) of a codes frame against FROZEN centroids. Because
+    * assignment is row-local in a frozen quantizer, these stats are
+    * ADDITIVE over any row partition of the corpus (counts and sums add,
+    * mins min — CellStats merge law in PipelineSpec): a daily append's
+    * delta folds into the running index-health view with
+    * [[mergeCellStats]], no rescan of history. |skey| ≤ 2²⁰·‖v‖² ≈
+    * 2.7e11 at dim 16, so the per-cell sum stays in BIGINT up to ~3e7
+    * members per cell.
+    */
+  def cellStatsRaw(
+      codes: DataFrame,
+      centroids: Seq[(Int, Seq[Long])]
+  ): DataFrame = {
     val ds = cellScoresInt(col("q8"), centroids)
     val best = if (ds.size == 1) ds.head else greatest(ds: _*)
-    val assigned = codes.select(
-      col("vec_id"),
-      (-best.getField("negCid")).as("cid"),
-      best.getField("skey").as("skey")
-    )
-    val stats = assigned
+    codes
+      .select(
+        (-best.getField("negCid")).as("cid"),
+        best.getField("skey").as("skey")
+      )
       .groupBy("cid")
       .agg(
         count(lit(1)).as("n_vectors"),
-        min("skey").as("min_cohesion"),
-        // exact-integer mean; |skey| ≤ 2²⁰·‖v‖² ≈ 2.7e11 at dim 16, so
-        // the per-cell sum stays in BIGINT up to ~3e7 members per cell
-        expr("sum(skey) DIV count(1)").as("mean_cohesion")
+        sum("skey").as("sum_cohesion"),
+        min("skey").as("min_cohesion")
       )
+  }
+
+  /** Cell-wise addition of two raw stats frames. */
+  def mergeCellStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("cid")
+      .agg(
+        sum("n_vectors").as("n_vectors"),
+        sum("sum_cohesion").as("sum_cohesion"),
+        min("min_cohesion").as("min_cohesion")
+      )
+
+  /** The k13 report from raw stats: exact-ppm occupancy, integer mean,
+    * empty cells kept via the kCentroids-row cell list.
+    */
+  def presentCellStats(
+      spark: SparkSession,
+      raw: DataFrame,
+      kCentroids: Int = 16
+  ): DataFrame = {
     val cells =
       spark.range(0, kCentroids.toLong).select(col("id").as("cid"))
-    val totals = assigned.agg(count(lit(1)).as("n_total"))
-    val out = cells
-      .join(stats, Seq("cid"), "left")
+    val totals =
+      raw.agg(coalesce(sum("n_vectors"), lit(0L)).as("n_total"))
+    cells
+      .join(raw, Seq("cid"), "left")
       .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .withColumn(
+        "mean_cohesion",
+        when(col("n_vectors") > 0, expr("sum_cohesion DIV n_vectors"))
+      )
       .crossJoin(broadcast(totals)) // single-row total
       .withColumn("occupancy_ppm", expr("(n_vectors * 1000000) DIV n_total"))
       .select(
@@ -1268,7 +1309,6 @@ object Similarity {
         "min_cohesion", "mean_cohesion", "n_total"
       )
       .orderBy("cid")
-    Eager.materialized(out, codes)
   }
 
   /** K12 — retrieval-quality report: recall@k of every approximate index

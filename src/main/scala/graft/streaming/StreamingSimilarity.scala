@@ -61,4 +61,31 @@ object StreamingSimilarity {
         )
       }
       .start()
+
+  /** Continuous index-health monitoring — k13's streaming form: arriving
+    * vector batches `(vec_id, q8)` are assigned to the FROZEN integer
+    * quantizer and each micro-batch's raw cell-stats DELTA (cid,
+    * n_vectors, sum_cohesion, min_cohesion) is handed to `sink`, which
+    * folds it into the running view with [[Similarity.mergeCellStats]] —
+    * correct in any batch order because the raw stats are additive over
+    * row partitions under frozen centroids (the CellStats merge law).
+    * Per-batch cost is O(batch × kCentroids) row-local work + one
+    * kCentroids-row aggregation; history is never rescanned. Same
+    * stateless foreachBatch shape as [[searchStream]]: a replayed batch
+    * re-emits the same delta, so a sink keyed on batchId stays
+    * idempotent through T1 redelivery.
+    */
+  def cellStatsStream(
+      vectors: DataFrame,
+      centroids: Seq[(Int, Seq[Long])],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.cellStatsRaw(batch, centroids), batchId)
+      }
+      .start()
 }

@@ -404,4 +404,71 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(probed < nCells)
   }
+
+  private def rawMap(
+      df: org.apache.spark.sql.DataFrame
+  ): Map[Long, (Long, Long, Long)] =
+    df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("k13 raw cell stats are additive over row partitions (merge law)") {
+    val codes =
+      Similarity.quantized(spark, sfDir).select(col("vec_id"), col("q8")).cache()
+    val cents = Similarity.trainCentroidsExact(codes, 16, 3)
+    val whole = Similarity.cellStatsRaw(codes, cents)
+    val parts = (0 until 4).map(i =>
+      Similarity.cellStatsRaw(codes.filter(col("vec_id") % 4 === i), cents)
+    )
+    val merged = parts.reduce(Similarity.mergeCellStats)
+    assert(rawMap(merged) == rawMap(whole))
+    // and the presented report is identical through the merge
+    val a = Similarity.presentCellStats(spark, merged).collect().toSeq
+    val b = Similarity.presentCellStats(spark, whole).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    codes.unpersist()
+  }
+
+  test("streaming cell-stats deltas fold into the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val ck = Files.createTempDirectory("graft-cellstats-ck").toString
+    val codes =
+      Similarity.quantized(spark, sfDir).select(col("vec_id"), col("q8")).cache()
+    val cents = Similarity.trainCentroidsExact(codes, 16, 3)
+    val rows: Seq[(Long, Seq[Long])] =
+      codes.as[(Long, Seq[Long])].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, Seq[Long])]
+    // the running health view: deltas fold in additively, batch by batch
+    val running =
+      scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val q = graft.streaming.StreamingSimilarity.cellStatsStream(
+      ms.toDF().toDF("vec_id", "q8"),
+      cents,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (delta, _) =>
+      running.synchronized {
+        rawMap(delta).foreach { case (cid, (n, s, mn)) =>
+          val (pn, psum, pmin) =
+            running.getOrElse(cid, (0L, 0L, Long.MaxValue))
+          running(cid) = (pn + n, psum + s, math.min(pmin, mn))
+        }
+      }
+    }
+    try
+      rows.grouped(137).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    assert(running.nonEmpty)
+    assert(running.toMap == rawMap(Similarity.cellStatsRaw(codes, cents)))
+    codes.unpersist()
+  }
 }
