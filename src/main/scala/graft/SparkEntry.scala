@@ -212,6 +212,8 @@ object SparkEntry {
     "p21_shuffled_windows" -> ((s, d) =>
       graft.pipeline.Packing.shuffledTokenWindows(s, d)),
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    // p31 — BPE-style phrase-merge learning (word2phrase merge table)
+    "p31_phrase_merges" -> ((s, d) => TextAnalysis.phraseMerges(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
@@ -388,6 +390,7 @@ object SparkEntry {
     "p11_shard_assignment" -> PipelineOracles.shardAssignment,
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
+    "p31_phrase_merges" -> PipelineOracles.phraseMerges,
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,

@@ -1476,6 +1476,91 @@ object PipelineOracles {
   """
   }
 
+  /** One BPE round of the p31 oracle: from state t{r-1} (doc_id, toks),
+    * count adjacent pairs, pick the (count desc, lhs, rhs) argmax
+    * (b$r), and apply the merge with leftmost-first-with-consumption
+    * semantics expressed declaratively: inside each maximal run of
+    * consecutive pair-match positions (runs longer than 1 occur only
+    * when lhs = rhs, e.g. "x x x x"), merges land at alternating
+    * offsets from the run start — exactly what the Spark side's
+    * sequential fold produces (equivalence pinned by PipelineSpec's
+    * independent model).
+    */
+  private def bpeIter(r: Int): String = s"""p$r AS (
+      SELECT t1, t2, COUNT(*) AS n
+      FROM (
+        SELECT toks[g.i] AS t1, toks[g.i + 1] AS t2
+        FROM t${r - 1}, LATERAL (
+          SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+      )
+      GROUP BY t1, t2
+    ),
+    b$r AS MATERIALIZED (
+      SELECT t1, t2, n FROM p$r ORDER BY n DESC, t1, t2 LIMIT 1),
+    pos$r AS (
+      SELECT doc_id, g.i AS i, toks[g.i] AS t,
+             (toks[g.i] = (SELECT t1 FROM b$r)
+              AND g.i < len(toks)
+              AND toks[g.i + 1] = (SELECT t2 FROM b$r)) AS m
+      FROM t${r - 1}, LATERAL (
+        SELECT unnest(generate_series(1, len(toks))) AS i) g
+    ),
+    run$r AS (
+      SELECT doc_id, i, t, m,
+             CASE WHEN m THEN MIN(i) OVER (PARTITION BY doc_id, grp)
+                  END AS rs
+      FROM (
+        SELECT doc_id, i, t, m,
+               CASE WHEN m THEN i - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id, m ORDER BY i) END AS grp
+        FROM pos$r)
+    ),
+    mk$r AS (
+      SELECT doc_id, i, t,
+             m AND ((i - rs) % 2 = 0) AS mrg,
+             LAG(m AND ((i - rs) % 2 = 0)) OVER (
+               PARTITION BY doc_id ORDER BY i) AS pmrg,
+             LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS nt
+      FROM run$r
+    ),
+    t$r AS MATERIALIZED (
+      SELECT doc_id, list(tok ORDER BY i) AS toks
+      FROM (
+        SELECT doc_id, i,
+               CASE WHEN mrg THEN t || ' ' || nt
+                    WHEN COALESCE(pmrg, FALSE) THEN NULL
+                    ELSE t END AS tok
+        FROM mk$r)
+      WHERE tok IS NOT NULL
+      GROUP BY doc_id
+    )"""
+
+  /** p31 — BPE-style phrase-merge learning
+    * (graft.pipeline.TextAnalysis.phraseMerges, 8 merges): eight
+    * unrolled count → argmax → merge rounds over word tokens; the merge
+    * table is the output. All counting exact BIGINT; string ops only.
+    */
+  lazy val phraseMerges: String = {
+    val iters = (1 to 8).map(bpeIter).mkString(",\n    ")
+    val rows = (1 to 8)
+      .map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS step, t1 AS lhs, t2 AS rhs,
+           t1 || ' ' || t2 AS merged, n AS n_pairs FROM b$r""")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    $iters
+    SELECT step, lhs, rhs, merged, n_pairs FROM (
+      $rows
+    )
+    ORDER BY step
+  """
+  }
+
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document
     * frequency; ties broken by word. Spark split / DuckDB string_split

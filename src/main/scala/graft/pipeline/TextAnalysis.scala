@@ -474,4 +474,113 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** P31 — BPE-style phrase-merge learning at the word grain (the
+    * word2phrase analogue of byte-pair encoding: the same
+    * count-pairs → merge-the-argmax → recount loop every tokenizer
+    * trainer runs, over word tokens so the corpus stays readable).
+    * Output is the learned merge table: (step, lhs, rhs, merged,
+    * n_pairs), deterministic via the (count desc, lhs, rhs) tie-break.
+    *
+    * Per round: pair counting is one map-side-combined aggregation to
+    * the pair grain (token text never shuffles per-occurrence beyond
+    * that), the global argmax is a TakeOrdered of 1, and the merge
+    * APPLY is a row-local `aggregate` fold — leftmost-first with
+    * consumption, the standard BPE semantics: inside a run of equal
+    * tokens ("x x x x x" under merge (x,x)) pairs merge at alternating
+    * positions. Zero shuffle in the apply; the iteration count is the
+    * operator's inherent cost (a production trainer additionally keeps
+    * pair-count deltas instead of recounting — the recount form here is
+    * what the oracle can replay bit-for-bit, and each round's recount
+    * is one aggregation either way).
+    *
+    * The DuckDB oracle replays the identical loop DECLARATIVELY
+    * (run-parity window logic instead of a fold); the fold ≡ run-parity
+    * equivalence is additionally pinned by PipelineSpec against an
+    * independent in-memory model, including the equal-token-run case.
+    */
+  def phraseMerges(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = 8
+  ): DataFrame =
+    phraseMergesOf(
+      spark,
+      spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")),
+      nMerges
+    )
+
+  def phraseMergesOf(
+      spark: SparkSession,
+      d: DataFrame,
+      nMerges: Int
+  ): DataFrame = {
+    import spark.implicits._
+    var state = d
+      .select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks")
+      )
+      .cache()
+    // round N's state is a localCheckpoint whose blocks unpersist() can't
+    // free (Eager.releaseCheckpoint contract) — track which release applies
+    var stateIsCheckpoint = false
+    def releaseState(): Unit =
+      if (stateIsCheckpoint) Eager.releaseCheckpoint(state)
+      else { state.unpersist(false): Unit }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val nm1 = greatest(size(col("toks")) - 1, lit(0))
+      val best = state
+        .select(
+          explode(
+            zip_with(
+              slice(col("toks"), lit(1), nm1),
+              slice(col("toks"), lit(2), nm1),
+              (a, b) => struct(a.as("a"), b.as("b"))
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1) // TakeOrdered: the global argmax, no full sort
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val n = best(0).getLong(2)
+        val m = a + " " + b
+        merges += ((step.toLong, a, b, m, n))
+        // row-local leftmost-first merge fold (consumed pairs can't
+        // re-merge: the accumulator's last element becomes `m`)
+        val folded = aggregate(
+          col("toks"),
+          typedLit(Seq.empty[String]),
+          (acc, t) =>
+            when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && t === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m)))
+            ).otherwise(concat(acc, array(t)))
+        )
+        val next =
+          Eager.materialized(state.select(col("doc_id"), folded.as("toks")))
+        releaseState()
+        state = next
+        stateIsCheckpoint = true
+      }
+      step += 1
+    }
+    releaseState()
+    merges.toSeq
+      .toDF("step", "lhs", "rhs", "merged", "n_pairs")
+      .orderBy("step")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Sampling, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Invariant specs for the pipeline operators whose hash-oracle can't be
   * expressed in DuckDB (xxhash64-based MinHash/SimHash/LSH).
@@ -998,6 +998,87 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("doc_id") < boundary).count() ==
       oldDocs.count())
     out.unpersist()
+  }
+
+  // independent model of the p31 loop: plain-Scala pair counting and the
+  // sequential leftmost-first fold — no Spark expressions, no SQL
+  private def bpeModel(
+      docs: Seq[Seq[String]],
+      nMerges: Int
+  ): Seq[(Long, String, String, String, Long)] = {
+    var st = docs
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      st.foreach(ts =>
+        ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      )
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) =
+          counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((step.toLong, a, b, a + " " + b, n))
+        st = st.map { ts =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          ts.foreach { t =>
+            if (acc.nonEmpty && acc.last == a && t == b)
+              acc(acc.size - 1) = a + " " + b
+            else acc += t
+          }
+          acc.toSeq
+        }
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
+  test("p31 merge table equals an independent in-memory BPE model") {
+    val corpus = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("text")
+      .collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+      .toSeq
+    val want = bpeModel(corpus, 8)
+    val got = TextAnalysis
+      .phraseMerges(spark, sfDir)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))
+      )
+      .toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("p31 fold merges equal-token runs at alternating positions") {
+    val ss = spark
+    import ss.implicits._
+    val docs =
+      Seq((0L, "x x x x x"), (1L, "x x"), (2L, "y x x y"))
+    val got = TextAnalysis
+      .phraseMergesOf(spark, docs.toDF("doc_id", "text"), 2)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))
+      )
+      .toSeq
+    // round 1: (x,x) appears 4+1+1=6 times; "x x x x x" folds to
+    // [x x, x x, x] (alternating positions, last x survives)
+    // round 2: all pairs count 1; ("x x","x") wins the lexicographic
+    // tie-break over ("x x","x x"), ("x x","y"), ("y","x x")
+    assert(got == Seq(
+      (1L, "x", "x", "x x", 6L),
+      (2L, "x x", "x", "x x x", 1L)
+    ))
+    assert(got == bpeModel(docs.map(_._2.split(" ").toSeq), 2))
   }
 
   test("p30 split is constant within clusters and moves only clustered docs") {
