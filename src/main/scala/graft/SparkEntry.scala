@@ -214,6 +214,10 @@ object SparkEntry {
     "p12_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     // p31 — BPE-style phrase-merge learning (word2phrase merge table)
     "p31_phrase_merges" -> ((s, d) => TextAnalysis.phraseMerges(s, d)),
+    // p32 — the inference side: apply the learned merges, report the
+    // per-doc token compression (pins the full trained state)
+    "p32_phrase_compression" ->
+      ((s, d) => TextAnalysis.phraseCompression(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
@@ -391,6 +395,7 @@ object SparkEntry {
     "k6_quantized_codes" -> PipelineOracles.quantizedCodes,
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "p31_phrase_merges" -> PipelineOracles.phraseMerges,
+    "p32_phrase_compression" -> PipelineOracles.phraseCompression,
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,

@@ -1540,26 +1540,50 @@ object PipelineOracles {
     * unrolled count → argmax → merge rounds over word tokens; the merge
     * table is the output. All counting exact BIGINT; string ops only.
     */
-  lazy val phraseMerges: String = {
+  /** The shared p31/p32 chain: initial tokenization + the eight
+    * unrolled BPE rounds.
+    */
+  private lazy val bpeChain: String = {
     val iters = (1 to 8).map(bpeIter).mkString(",\n    ")
+    s"""t0 AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    $iters"""
+  }
+
+  lazy val phraseMerges: String = {
     val rows = (1 to 8)
       .map(r =>
         s"""SELECT CAST($r AS BIGINT) AS step, t1 AS lhs, t2 AS rhs,
            t1 || ' ' || t2 AS merged, n AS n_pairs FROM b$r""")
       .mkString("\n      UNION ALL\n      ")
     s"""
-    WITH t0 AS MATERIALIZED (
-      SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x != '') AS toks
-      FROM documents
-    ),
-    $iters
+    WITH $bpeChain
     SELECT step, lhs, rhs, merged, n_pairs FROM (
       $rows
     )
     ORDER BY step
   """
   }
+
+  /** p32 — phrase-merge compression report
+    * (graft.pipeline.TextAnalysis.phraseCompression): the same eight
+    * trained rounds; the final state t8 IS the merged corpus, so the
+    * per-doc report is one join of initial vs final token counts.
+    * Empty-token docs drop out of the round states (no positions) —
+    * their count coalesces back to the initial 0.
+    */
+  lazy val phraseCompression: String = s"""
+    WITH $bpeChain
+    SELECT t0.doc_id,
+           len(t0.toks) AS n_before,
+           COALESCE(len(t8.toks), len(t0.toks)) AS n_after,
+           len(t0.toks) - COALESCE(len(t8.toks), len(t0.toks)) AS n_merged
+    FROM t0 LEFT JOIN t8 USING (doc_id)
+    ORDER BY t0.doc_id
+  """
 
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document

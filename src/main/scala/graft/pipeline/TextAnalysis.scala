@@ -518,6 +518,54 @@ object TextAnalysis {
       nMerges: Int
   ): DataFrame = {
     import spark.implicits._
+    val (merges, _, releaseState) = phraseTrain(spark, d, nMerges)
+    releaseState()
+    merges.toDF("step", "lhs", "rhs", "merged", "n_pairs").orderBy("step")
+  }
+
+  /** P32 — the INFERENCE side of p31: train the merge table, apply it
+    * (the training loop's final state IS the fully-merged corpus — each
+    * round's apply is the same row-local fold a deployed tokenizer
+    * runs), and report per-document token compression. This pins the
+    * entire trained STATE per document against the oracle, not just the
+    * 8 merge-table rows — a coincidentally-equal argmax could not hide
+    * a divergent corpus state.
+    */
+  def phraseCompression(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = 8
+  ): DataFrame = {
+    val d = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (_, state, releaseState) = phraseTrain(spark, d, nMerges)
+    val before = d.select(
+      col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("long")
+        .as("n_before")
+    )
+    val out = before
+      .join(
+        state.select(col("doc_id"), size(col("toks")).cast("long").as("n_after")),
+        Seq("doc_id")
+      )
+      .withColumn("n_merged", col("n_before") - col("n_after"))
+      .orderBy("doc_id")
+    val res = Eager.materialized(out)
+    releaseState()
+    res
+  }
+
+  /** The shared p31/p32 training loop: returns the merge table rows, the
+    * final token state (doc_id, toks), and the state's release hook.
+    */
+  private def phraseTrain(
+      spark: SparkSession,
+      d: DataFrame,
+      nMerges: Int
+  ): (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) = {
     var state = d
       .select(
         col("doc_id"),
@@ -578,9 +626,6 @@ object TextAnalysis {
       }
       step += 1
     }
-    releaseState()
-    merges.toSeq
-      .toDF("step", "lhs", "rhs", "merged", "n_pairs")
-      .orderBy("step")
+    (merges.toSeq, state, () => releaseState())
   }
 }

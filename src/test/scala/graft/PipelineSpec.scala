@@ -1057,6 +1057,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty && got == want)
   }
 
+  test("p32 per-doc compression equals the model's final state") {
+    // replay the model loop but keep the final corpus state
+    def modelState(
+        docs: Seq[Seq[String]],
+        nMerges: Int
+    ): Seq[Seq[String]] = {
+      var st = docs
+      for (_ <- 1 to nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        st.foreach(ts =>
+          ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        )
+        if (counts.nonEmpty) {
+          val ((a, b), _) =
+            counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+          st = st.map { ts =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            ts.foreach { t =>
+              if (acc.nonEmpty && acc.last == a && t == b)
+                acc(acc.size - 1) = a + " " + b
+              else acc += t
+            }
+            acc.toSeq
+          }
+        }
+      }
+      st
+    }
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .sortBy(_._1)
+    val toks = docs.map(_._2.split(" ").filter(_.nonEmpty).toSeq)
+    val finalState = modelState(toks.toSeq, 8)
+    val want = docs.map(_._1).zip(toks.map(_.size.toLong)).zip(
+      finalState.map(_.size.toLong)
+    ).map { case ((id, nb), na) => (id, nb, na, nb - na) }.toSeq
+    val got = TextAnalysis
+      .phraseCompression(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.map(_._4).sum > 0) // the corpus actually compresses
+  }
+
   test("p31 fold merges equal-token runs at alternating positions") {
     val ss = spark
     import ss.implicits._
