@@ -155,9 +155,12 @@ object HeavyTailStress {
       val tk13 = time("k13 cell stats", vecRows) {
         Similarity.ivfCellStats(spark, dir).count()
       }
+      val tp31 = time("p31 phrase merges", docRows) {
+        graft.pipeline.TextAnalysis.phraseMerges(spark, dir).count()
+      }
       Dedup.releaseMemo()
       (f, Seq(td6, td9, td2, td11, td12, tk5, tk10, tp24, tp26,
-        td14, tp30p, tp30, tk13))
+        td14, tp30p, tp30, tk13, tp31))
     }
 
     // Two ratios per operator. Per-INPUT-row is the headline linearity
@@ -170,7 +173,7 @@ object HeavyTailStress {
     val Seq((fHalf, half), (fFull, full)) = results
     half.zip(full).zip(
       Seq("d6", "d9", "d2memo", "d11", "d12", "k5", "k10", "p24", "p26",
-        "d14", "p30b-pairs", "p30b-assign", "k13")
+        "d14", "p30b-pairs", "p30b-assign", "k13", "p31")
     ).foreach { case (((hs, hn), (fs, fn)), name) =>
       val perIn = (fs / fFull) / (hs / fHalf)
       val perOut = (fs / fn.max(1L)) / (hs / hn.max(1L))
