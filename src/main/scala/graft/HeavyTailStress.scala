@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Sampling, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scaling harness for the round's HEAVY TAIL — the operators that
   * dominate the bench suite's runtime: the n-gram/minhash dedup plane
-  * (d6, d9, d2-memo + d11) and the exact-integer k-means training passes
-  * (k5, k10, p24). CorpusStress covers the light hygiene operators; this
-  * covers the expensive ones, at half and full amplification of the
-  * sf0.1 documents AND embeddings tables.
+  * (d6, d9, d2-memo + d11), the exact-integer k-means training passes
+  * (k5, k10, p24) and the BPE trainer (p31). CorpusStress covers the
+  * light hygiene operators; this covers the expensive ones, at half and
+  * full amplification of the sf0.1 documents AND embeddings tables.
   *
   * The claim under test is LINEAR (no super-linear term): per-row cost
   * must stay flat as the corpus doubles. Each of these is bucketed /
@@ -25,9 +25,22 @@ import graft.pipeline.{Dedup, Sampling, Similarity}
   * memo is billed to whichever query runs first in a suite, so the two
   * are separated here to see each component's own scaling.
   *
+  * p31 is timed in THREE forms: the recount trainer (the oracle's
+  * replayable twin — one full pair aggregation per round), the
+  * delta-counted trainer at the same 8 rounds, and the delta trainer at
+  * 64 rounds. The claim: delta(64)/delta(8) ≪ 8 — the per-round marginal
+  * cost is NOT a corpus recount (tail merges gate down to few docs), so
+  * training depth scales sub-O(rounds × corpus).
+  *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.HeavyTailStress 10"
   */
 object HeavyTailStress {
+
+  /** One measurement: wall seconds, the linearity DENOMINATOR (the
+    * operator's true input rows — docs, vectors, or pairs), output rows.
+    */
+  private final case class M(sec: Double, inRows: Long, outRows: Long)
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 2, s"need factor >= 2 for a half/full comparison, got $factor")
@@ -60,12 +73,12 @@ object HeavyTailStress {
       dir
     }
 
-    def time(name: String, rows: Long)(f: => Long): (Double, Long) = {
+    def time(name: String, rows: Long)(f: => Long): M = {
       val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[heavytail] $name%-26s $sec%7.2f s  ($n out-rows, ${rows / sec}%.0f in-rows/s)")
-      (sec, n)
+      M(sec, rows, n)
     }
 
     // untimed warmup at base scale (JIT + codegen + parquet footers)
@@ -83,7 +96,9 @@ object HeavyTailStress {
       Dedup.paragraphDedup(spark, d).count()
       Sampling.leakFreeSplitIncremental(spark, d).count()
       Similarity.ivfCellStats(spark, d).count()
+      TextAnalysis.phraseMerges(spark, d).count()
       Dedup.releaseMemo()
+      TextAnalysis.releasePhraseMemo()
     }
 
     val results = Seq(factor / 2, factor).map { f =>
@@ -135,7 +150,11 @@ object HeavyTailStress {
       // p30b split: the pair PLANE is a d2-class quadratic-output
       // producer on this duplication-amplified corpus (every doc gains
       // f−1 twins), so it is measured separately from the assignment
-      // layer, which is linear in docs whatever the pair count did
+      // layer, which is linear in its own input — the PAIR plane (two CC
+      // passes over it). Its linearity denominator is therefore the pair
+      // count this corpus just produced, not docs: docs would misread
+      // the quadratic pair amplification as the operator's own
+      // super-linearity.
       val boundary = Dedup.incrementalBoundary(spark, dir)
       val (oldD, newD) = Dedup.incrementalSplitAt(spark, dir, boundary)
       var p30Pairs: org.apache.spark.sql.DataFrame = null
@@ -143,11 +162,7 @@ object HeavyTailStress {
         p30Pairs = Dedup.pairsOf(oldD.unionByName(newD))
         p30Pairs.count()
       }
-      // the assignment layer's dominant input is the PAIR plane (two CC
-      // passes over it), so its linearity denominator is the pair count
-      // this corpus just produced — docs would misread the quadratic
-      // amplification of pairs as the operator's own super-linearity
-      val tp30 = time("p30b assign (marginal)", tp30p._2) {
+      val tp30 = time("p30b assign (marginal)", tp30p.outRows) {
         Sampling
           .leakFreeSplitIncrementalFrom(boundary, oldD, newD, p30Pairs)
           .count()
@@ -155,31 +170,56 @@ object HeavyTailStress {
       val tk13 = time("k13 cell stats", vecRows) {
         Similarity.ivfCellStats(spark, dir).count()
       }
-      val tp31 = time("p31 phrase merges", docRows) {
-        graft.pipeline.TextAnalysis.phraseMerges(spark, dir).count()
+      // p31 trainer forms — see the scaladoc: recount (oracle twin) vs
+      // delta at the same depth, then delta at 8× the depth
+      def train(
+          t: (Seq[(Long, String, String, String, Long)],
+            org.apache.spark.sql.DataFrame, () => Unit)
+      ): Long = { val (m, _, rel) = t; rel(); m.size.toLong }
+      val docsDf = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val tp31r = time("p31 recount (8)", docRows) {
+        train(TextAnalysis.phraseTrain(spark, docsDf, 8))
       }
+      val tp31d = time("p31 delta (8)", docRows) {
+        train(TextAnalysis.phraseTrainDelta(spark, docsDf, 8))
+      }
+      val tp31d64 = time("p31 delta (64)", docRows) {
+        train(TextAnalysis.phraseTrainDelta(spark, docsDf, 64))
+      }
+      println(
+        f"[heavytail] p31 depth scaling: delta(64)/delta(8) = " +
+          f"${tp31d64.sec / tp31d.sec}%.2f (linear-in-rounds would be 8.00); " +
+          f"delta(8)/recount(8) = ${tp31d.sec / tp31r.sec}%.2f")
       Dedup.releaseMemo()
-      (f, Seq(td6, td9, td2, td11, td12, tk5, tk10, tp24, tp26,
-        td14, tp30p, tp30, tk13, tp31))
+      TextAnalysis.releasePhraseMemo()
+      (f, Seq(
+        "d6" -> td6, "d9" -> td9, "d2memo" -> td2, "d11" -> td11,
+        "d12" -> td12, "k5" -> tk5, "k10" -> tk10, "p24" -> tp24,
+        "p26" -> tp26, "d14" -> td14, "p30b-pairs" -> tp30p,
+        "p30b-assign" -> tp30, "k13" -> tk13, "p31-recount" -> tp31r,
+        "p31-delta" -> tp31d, "p31-delta64" -> tp31d64
+      ))
     }
 
-    // Two ratios per operator. Per-INPUT-row is the headline linearity
-    // claim — but the duplication-amplified corpus gives the PAIR
-    // producers (d6, d2) a genuinely quadratic OUTPUT (every doc gains
-    // f-1 twins: pairs = n·f(f-1)/2 + f²·base), so for those the honest
-    // bound is per-OUTPUT-row cost: a pair producer cannot beat its
-    // output size, and flat per-output cost means the candidate
+    // Two ratios per operator, each normalized by the operator's OWN
+    // measured input rows (docs, vectors, or — for p30b-assign — the
+    // pair-plane output it consumes). Per-INPUT-row is the headline
+    // linearity claim — but the duplication-amplified corpus gives the
+    // PAIR producers (d6, d2) a genuinely quadratic OUTPUT (every doc
+    // gains f-1 twins: pairs = n·f(f-1)/2 + f²·base), so for those the
+    // honest bound is per-OUTPUT-row cost: a pair producer cannot beat
+    // its output size, and flat per-output cost means the candidate
     // generation added no term beyond the pairs themselves.
-    val Seq((fHalf, half), (fFull, full)) = results
-    half.zip(full).zip(
-      Seq("d6", "d9", "d2memo", "d11", "d12", "k5", "k10", "p24", "p26",
-        "d14", "p30b-pairs", "p30b-assign", "k13", "p31")
-    ).foreach { case (((hs, hn), (fs, fn)), name) =>
-      val perIn = (fs / fFull) / (hs / fHalf)
-      val perOut = (fs / fn.max(1L)) / (hs / hn.max(1L))
+    val Seq((_, half), (_, full)) = results
+    half.zip(full).foreach { case ((name, h), (_, fl)) =>
+      val perIn = (fl.sec / fl.inRows) / (h.sec / h.inRows)
+      val perOut =
+        (fl.sec / fl.outRows.max(1L)) / (h.sec / h.outRows.max(1L))
       println(
-        f"[heavytail] $name%-7s per-in-row ratio (full/half): $perIn%.2f" +
-          f"   per-out-row: $perOut%.2f (${hn} -> ${fn} out-rows)")
+        f"[heavytail] $name%-11s per-in-row ratio (full/half): $perIn%.2f" +
+          f"   per-out-row: $perOut%.2f (${h.outRows} -> ${fl.outRows} out-rows)")
     }
     Seq(factor / 2, factor).foreach { f =>
       deleteRecursively(new java.io.File(s"/tmp/graft_heavytail_$f"))

@@ -39,6 +39,7 @@ object SparkEntry {
     actionCache.values.foreach(_.unpersist(false))
     actionCache.clear()
     graft.pipeline.Dedup.releaseMemo()
+    graft.pipeline.TextAnalysis.releasePhraseMemo()
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

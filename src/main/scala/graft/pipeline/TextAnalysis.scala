@@ -482,35 +482,28 @@ object TextAnalysis {
     * Output is the learned merge table: (step, lhs, rhs, merged,
     * n_pairs), deterministic via the (count desc, lhs, rhs) tie-break.
     *
-    * Per round: pair counting is one map-side-combined aggregation to
-    * the pair grain (token text never shuffles per-occurrence beyond
-    * that), the global argmax is a TakeOrdered of 1, and the merge
-    * APPLY is a row-local `aggregate` fold — leftmost-first with
-    * consumption, the standard BPE semantics: inside a run of equal
-    * tokens ("x x x x x" under merge (x,x)) pairs merge at alternating
-    * positions. Zero shuffle in the apply; the iteration count is the
-    * operator's inherent cost (a production trainer additionally keeps
-    * pair-count deltas instead of recounting — the recount form here is
-    * what the oracle can replay bit-for-bit, and each round's recount
-    * is one aggregation either way).
+    * Runs the DELTA-COUNTED trainer ([[phraseTrainDelta]]): pairs are
+    * counted once, then maintained per round by the multiset diff of the
+    * touched docs' fold input/output — round r costs O(touched docs +
+    * distinct pairs), not a corpus recount. The merge APPLY is a
+    * row-local `aggregate` fold — leftmost-first with consumption, the
+    * standard BPE semantics: inside a run of equal tokens ("x x x x x"
+    * under merge (x,x)) pairs merge at alternating positions.
     *
-    * The DuckDB oracle replays the identical loop DECLARATIVELY
-    * (run-parity window logic instead of a fold); the fold ≡ run-parity
-    * equivalence is additionally pinned by PipelineSpec against an
+    * The DuckDB oracle replays the RECOUNT loop DECLARATIVELY
+    * (run-parity window logic instead of a fold); delta ≡ recount ≡
+    * run-parity is pinned by PipelineSpec against [[phraseTrain]] and an
     * independent in-memory model, including the equal-token-run case.
     */
   def phraseMerges(
       spark: SparkSession,
       dir: String,
       nMerges: Int = 8
-  ): DataFrame =
-    phraseMergesOf(
-      spark,
-      spark.read
-        .parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")),
-      nMerges
-    )
+  ): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = trainedPhrases(spark, dir, nMerges)
+    merges.toDF("step", "lhs", "rhs", "merged", "n_pairs").orderBy("step")
+  }
 
   def phraseMergesOf(
       spark: SparkSession,
@@ -518,10 +511,40 @@ object TextAnalysis {
       nMerges: Int
   ): DataFrame = {
     import spark.implicits._
-    val (merges, _, releaseState) = phraseTrain(spark, d, nMerges)
+    val (merges, _, releaseState) = phraseTrainDelta(spark, d, nMerges)
     releaseState()
     merges.toDF("step", "lhs", "rhs", "merged", "n_pairs").orderBy("step")
   }
+
+  /** Session memo of the trained (merge table, final corpus state) per
+    * (session, corpus dir, nMerges) — the d2/d11 pattern: p31 and p32
+    * share ONE training run instead of each paying the 8-round loop.
+    * The memo owns the state checkpoint; [[releasePhraseMemo]] frees it
+    * (wired into SparkEntry.releaseCaches).
+    */
+  private val phraseMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int),
+      (Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  def releasePhraseMemo(): Unit = {
+    phraseMemo.values.foreach(v => Eager.releaseCheckpoint(v._2))
+    phraseMemo.clear()
+  }
+
+  private def trainedPhrases(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int
+  ): (Seq[(Long, String, String, String, Long)], DataFrame) =
+    phraseMemo.getOrElseUpdate(
+      (spark, dir, nMerges), {
+        val d = spark.read
+          .parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val (m, st, _) = phraseTrainDelta(spark, d, nMerges)
+        (m, st) // state checkpoint stays alive: the memo owns it
+      }
+    )
 
   /** P32 — the INFERENCE side of p31: train the merge table, apply it
     * (the training loop's final state IS the fully-merged corpus — each
@@ -539,29 +562,62 @@ object TextAnalysis {
     val d = spark.read
       .parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val (_, state, releaseState) = phraseTrain(spark, d, nMerges)
+    val (_, state) = trainedPhrases(spark, dir, nMerges)
     val before = d.select(
       col("doc_id"),
       size(expr("filter(split(text, ' '), x -> x != '')"))
         .cast("long")
         .as("n_before")
     )
-    val out = before
+    before
       .join(
         state.select(col("doc_id"), size(col("toks")).cast("long").as("n_after")),
         Seq("doc_id")
       )
       .withColumn("n_merged", col("n_before") - col("n_after"))
       .orderBy("doc_id")
-    val res = Eager.materialized(out)
-    releaseState()
-    res
   }
 
-  /** The shared p31/p32 training loop: returns the merge table rows, the
-    * final token state (doc_id, toks), and the state's release hook.
+  /** Adjacent-pair structs of a token array: zip(toks, toks[1:]) — shared
+    * by both trainer forms and the delta diff so the pair grain can never
+    * drift between them.
     */
-  private def phraseTrain(
+  private def adjPairs(toks: Column): Column = {
+    val nm1 = greatest(size(toks) - 1, lit(0))
+    zip_with(
+      slice(toks, lit(1), nm1),
+      slice(toks, lit(2), nm1),
+      (a, b) => struct(a.as("a"), b.as("b"))
+    )
+  }
+
+  /** Row-local leftmost-first merge fold with consumption (the standard
+    * BPE apply: a consumed pair can't re-merge because the accumulator's
+    * last element becomes `m`; inside a run of equal tokens merges land at
+    * alternating positions).
+    */
+  private def mergeFold(toks: Column, a: String, b: String, m: String): Column =
+    aggregate(
+      toks,
+      typedLit(Seq.empty[String]),
+      (acc, t) =>
+        when(
+          size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m)))
+        ).otherwise(concat(acc, array(t)))
+    )
+
+  /** The RECOUNT training loop — the DuckDB oracle's bit-for-bit twin
+    * (PipelineOracles.bpeChain replays exactly this: full pair recount →
+    * argmax → fold, per round). Kept as the law anchor for
+    * [[phraseTrainDelta]], which the registered p31/p32 queries run;
+    * `phraseTrainDelta ≡ phraseTrain` (same merge table AND same final
+    * state) is pinned in PipelineSpec on the real corpus and on the
+    * equal-token-run fixture. Returns the merge table rows, the final
+    * token state (doc_id, toks), and the state's release hook.
+    */
+  private[graft] def phraseTrain(
       spark: SparkSession,
       d: DataFrame,
       nMerges: Int
@@ -583,17 +639,8 @@ object TextAnalysis {
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val nm1 = greatest(size(col("toks")) - 1, lit(0))
       val best = state
-        .select(
-          explode(
-            zip_with(
-              slice(col("toks"), lit(1), nm1),
-              slice(col("toks"), lit(2), nm1),
-              (a, b) => struct(a.as("a"), b.as("b"))
-            )
-          ).as("p")
-        )
+        .select(explode(adjPairs(col("toks"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
@@ -606,20 +653,9 @@ object TextAnalysis {
         val n = best(0).getLong(2)
         val m = a + " " + b
         merges += ((step.toLong, a, b, m, n))
-        // row-local leftmost-first merge fold (consumed pairs can't
-        // re-merge: the accumulator's last element becomes `m`)
-        val folded = aggregate(
-          col("toks"),
-          typedLit(Seq.empty[String]),
-          (acc, t) =>
-            when(
-              size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && t === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m)))
-            ).otherwise(concat(acc, array(t)))
+        val next = Eager.materialized(
+          state.select(col("doc_id"), mergeFold(col("toks"), a, b, m).as("toks"))
         )
-        val next =
-          Eager.materialized(state.select(col("doc_id"), folded.as("toks")))
         releaseState()
         state = next
         stateIsCheckpoint = true
@@ -627,5 +663,235 @@ object TextAnalysis {
       step += 1
     }
     (merges.toSeq, state, () => releaseState())
+  }
+
+  /** The fused apply+delta fold: [[mergeFold]]'s
+    * leftmost-first-with-consumption walk, additionally emitting the
+    * POSITIONAL pair-count delta of the round — the multiset difference
+    * pairs(merged toks) − pairs(toks) — without materializing either
+    * pair list. Only pairs adjacent to an actual merge position are
+    * emitted (−1 for each consumed (lhs,rhs) / severed neighbor pair,
+    * +1 for each new neighbor-of-merged-token pair), so a doc costs one
+    * walk + O(1) per merged occurrence — never its full pair list, which
+    * for head merges would amount to re-exploding the corpus. Returns
+    * struct(toks, dels); toks ≡ [[mergeFold]] and dels ≡ the brute
+    * ±full-pair-list diff are both pinned in PipelineSpec.
+    */
+  private[graft] val DelsType = "array<struct<a:string,b:string,dn:bigint>>"
+
+  private[graft] def mergeDeltaFold(
+      toks: Column,
+      a: String,
+      b: String,
+      m: String
+  ): Column = {
+    val emptyD = array().cast(DelsType)
+    def del(x: Column, y: Column, dn: Long) =
+      struct(x.as("a"), y.as("b"), lit(dn).as("dn"))
+    aggregate(
+      toks,
+      struct(
+        typedLit(Seq.empty[String]).as("acc"),
+        lit(null).cast("string").as("po"),
+        emptyD.as("d")
+      ),
+      (s, t) => {
+        val acc = s.getField("acc")
+        val po = s.getField("po")
+        val d = s.getField("d")
+        val l1 = element_at(acc, -1) // guarded: only read when acc nonempty
+        val isMerge = size(acc) > 0 && (l1 <=> lit(a)) && t === lit(b)
+        // merge: (a,b) is consumed; the left neighbor's pair to `a`
+        // re-points to `m`. The right side is handled by the NEXT step:
+        // a post-merge append sees last = m ≠ po = b and re-points (b, t)
+        // to (m, t). Both emission paths leave `d` untouched when there
+        // is nothing to emit — no per-token array copy.
+        val l2 = element_at(acc, -2)
+        val mergeD = when(
+          size(acc) > 1,
+          concat(
+            d,
+            array(
+              del(lit(a), lit(b), -1L),
+              del(l2, lit(a), -1L),
+              del(l2, lit(m), 1L)
+            )
+          )
+        ).otherwise(concat(d, array(del(lit(a), lit(b), -1L))))
+        val normD = when(
+          po.isNotNull && !(l1 <=> po),
+          concat(d, array(del(l1, t, 1L), del(po, t, -1L)))
+        ).otherwise(d)
+        when(
+          isMerge,
+          struct(
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))).as("acc"),
+            t.as("po"),
+            mergeD.as("d")
+          )
+        ).otherwise(
+          struct(concat(acc, array(t)).as("acc"), t.as("po"), normD.as("d"))
+        )
+      },
+      s => struct(s.getField("acc").as("toks"), s.getField("d").as("dels"))
+    )
+  }
+
+  /** The DELTA-COUNTED trainer — the production form of tokenizer
+    * training, and what the registered p31/p32 queries run. The recount
+    * form pays one corpus-wide pair aggregation PER ROUND (O(rounds ×
+    * corpus pair occurrences) — a scale-killer at the 10⁴–10⁵ merges a
+    * real BPE run learns). This one aggregates the corpus ONCE and then
+    * maintains the argmax from per-round deltas, the lazy-refresh
+    * candidate-heap structure every fast BPE trainer uses:
+    *
+    *  - driver buffer: the top-`bufSize` pairs by (n desc, lhs, rhs),
+    *    with `floor` = the cut count. Every pair outside the buffer has
+    *    count ≤ floor AT BUILD TIME — and stays there, because a merge
+    *    only DECREMENTS existing pairs; the only increments go to pairs
+    *    involving the round's just-created token, which are base-0 new
+    *    (original tokens cannot contain spaces, merged ones always do)
+    *    and therefore enter the buffer with exact counts. So the buffer
+    *    argmax is exact while its max stays ≥ floor; below that, one
+    *    refill (a fresh corpus aggregation) restores the invariant.
+    *    Refills are rare under a Zipf-ish pair distribution — zero at
+    *    the registered nMerges=8.
+    *  - apply+delta: ONE fused row-local pass ([[mergeDeltaFold]]) per
+    *    round. The per-doc gate is a cheap codegen'd `array_contains`;
+    *    only docs that can contain the pair run the fold, which merges
+    *    and emits the positional pair delta in the same walk (O(1) per
+    *    merged occurrence — never a doc's full pair list). The net delta
+    *    is aggregated and collected at pair grain — O(distinct pairs
+    *    adjacent to a merged position), the row-local diff a production
+    *    trainer keeps. No pair-grain table is ever rewritten, and the
+    *    corpus is never re-exploded.
+    *
+    * The one soundness corner: if a later round re-creates a previously
+    * merged token STRING (possible when a merged pair's count resurges —
+    * e.g. merging ("x","y z") after ("x y","z") both produce "x y z"-ish
+    * neighbors), an increment may land on a pair whose true base count is
+    * unknown (≤ floor, not 0). That round sets `taint` and the next
+    * argmax refills first — exactness is never sacrificed for speed.
+    *
+    * Exactly ≡ [[phraseTrain]] by induction: the buffer build is the same
+    * aggregation + TakeOrdered the recount form runs, each round's delta
+    * is the exact multiset difference of the same fold's input and output
+    * pairs, and the argmax reads the same (n desc, lhs, rhs) order —
+    * law-pinned in PipelineSpec (merge table AND final state, real corpus
+    * and the equal-token-run fixture).
+    */
+  private[graft] def phraseTrainDelta(
+      spark: SparkSession,
+      d: DataFrame,
+      nMerges: Int,
+      bufSize: Int = 256
+  ): (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) = {
+    var stateBlocks = Eager.materialized(
+      d.select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks")
+      )
+    )
+    var state = stateBlocks
+
+    // driver-side candidate buffer — bounded at bufSize entries, never
+    // corpus-sized; floor == 0 means the buffer holds the WHOLE pair
+    // table (small corpus) and refills can never be needed
+    val buf = scala.collection.mutable.Map.empty[(String, String), Long]
+    var floor = 0L
+    var fresh = false
+    var taint = false
+    def refill(): Unit = {
+      buf.clear()
+      val top = state
+        .select(explode(adjPairs(col("toks"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(bufSize) // TakeOrdered: exact top slice, no full sort
+        .collect()
+      top.foreach(r => buf((r.getString(0), r.getString(1))) = r.getLong(2))
+      floor = if (top.length < bufSize) 0L else top.last.getLong(2)
+      fresh = true
+      taint = false
+    }
+    refill()
+
+    val mergedStrings = scala.collection.mutable.Set.empty[String]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      def candidate: Option[((String, String), Long)] =
+        if (buf.isEmpty) None
+        else Some(buf.minBy { case ((x, y), c) => (-c, x, y) })
+      // trust the buffer argmax iff it is freshly built (its head is the
+      // exact global top-1), complete (floor 0), or provably above every
+      // unknown pair (> floor — at == floor a decremented entry could be
+      // lex-ordered after an unseen floor tie)
+      var cand = candidate
+      val trusted = !taint &&
+        (fresh || floor == 0L || cand.exists(_._2 > floor))
+      if (!trusted) { refill(); cand = candidate }
+      fresh = false
+      cand match {
+        case None => exhausted = true
+        case Some(((a, b), n)) =>
+          val m = a + " " + b
+          merges += ((step.toLong, a, b, m, n))
+          // ONE row-local pass per round: the cheap codegen'd
+          // array_contains gate scans every doc, and only docs that can
+          // contain the pair run the fused fold. The struct lands in the
+          // checkpoint whole (a getField projection would re-run the
+          // fold once per referenced field — Catalyst does not CSE
+          // across interpreted HOFs).
+          val round = Eager.materialized(
+            state.select(
+              col("doc_id"),
+              when(
+                array_contains(col("toks"), a),
+                mergeDeltaFold(col("toks"), a, b, m)
+              ).otherwise(
+                struct(
+                  col("toks").as("toks"),
+                  array().cast(DelsType).as("dels")
+                )
+              ).as("r")
+            )
+          )
+          // net positional delta, a block scan of the checkpoint
+          val delta = round
+            .select(explode(col("r.dels")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("p.dn")).as("dn"))
+            .filter(col("dn") =!= 0L)
+            .collect()
+          val mRepeated = mergedStrings.contains(m)
+          mergedStrings += m
+          delta.foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            val dn = r.getLong(2)
+            buf.get(k) match {
+              case Some(c) =>
+                if (c + dn > 0L) buf(k) = c + dn else { buf.remove(k): Unit }
+              case None =>
+                if (dn > 0L) {
+                  // a new pair involves this round's merged token: base 0
+                  // exact — unless that token string existed before and
+                  // the true base is an unknown ≤ floor
+                  if (mRepeated && floor > 0L) taint = true
+                  else buf(k) = dn
+                }
+              // dn < 0 on an unseen pair: it was ≤ floor and only sank
+            }
+          }
+          Eager.releaseCheckpoint(stateBlocks)
+          stateBlocks = round
+          state = round.select(col("doc_id"), col("r.toks").as("toks"))
+      }
+      step += 1
+    }
+    (merges.toSeq, state, () => Eager.releaseCheckpoint(stateBlocks))
   }
 }

@@ -1131,6 +1131,118 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bpeModel(docs.map(_._2.split(" ").toSeq), 2))
   }
 
+  test("p31 fused fold: merged toks ≡ mergeFold and dels ≡ brute pair diff") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val ss = spark
+    import ss.implicits._
+    // adversarial shapes: equal-token runs (alternating consumption),
+    // adjacent a≠b merges ("a b a b" → [m, m]), merge at doc start/end,
+    // singleton and pair-free docs
+    val docs = Seq(
+      "x x x x x", "x x", "y x x y", "a b a b", "a b b a b",
+      "b a b", "a b", "z", "a a b b a b a", "b b a a"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val cases = Seq(("x", "x"), ("a", "b"), ("b", "a"), ("b", "b"))
+    def pairs(ts: Seq[String]) = ts.zip(ts.drop(1))
+    def modelMerge(ts: Seq[String], a: String, b: String, m: String) = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      ts.foreach { t =>
+        if (acc.nonEmpty && acc.last == a && t == b) acc(acc.size - 1) = m
+        else acc += t
+      }
+      acc.toSeq
+    }
+    cases.foreach { case (a, b) =>
+      val m = a + " " + b
+      val df = docs
+        .toDF("doc_id", "text")
+        .select(
+          col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks")
+        )
+        .select(
+          col("doc_id"),
+          col("toks"),
+          TextAnalysis.mergeDeltaFold(col("toks"), a, b, m).as("r")
+        )
+      val got = df
+        .select(col("doc_id"), col("toks"), col("r.toks").as("nt"), col("r.dels"))
+        .collect()
+        .map(r =>
+          (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(d => ((d.getString(0), d.getString(1)), d.getLong(2))))
+        )
+      got.foreach { case (id, old, nt, dels) =>
+        assert(nt == modelMerge(old, a, b, m), s"doc $id merged toks, pair ($a,$b)")
+        val want = (pairs(nt).map(_ -> 1L) ++ pairs(old).map(_ -> -1L))
+          .groupMapReduce(_._1)(_._2)(_ + _)
+          .filter(_._2 != 0L)
+        val gotNet = dels
+          .groupMapReduce(_._1)(_._2)(_ + _)
+          .filter(_._2 != 0L)
+        assert(gotNet == want, s"doc $id delta, pair ($a,$b)")
+      }
+      // and the aggregated frame view the trainer consumes
+      val agg = df
+        .select(explode(col("r.dels")).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(org.apache.spark.sql.functions.sum(col("p.dn")).as("dn"))
+        .filter(col("dn") =!= 0L)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      val wantAgg = got
+        .flatMap { case (_, old, nt, _) =>
+          pairs(nt).map(_ -> 1L) ++ pairs(old).map(_ -> -1L)
+        }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+        .filter(_._2 != 0L)
+      assert(agg == wantAgg, s"aggregated delta, pair ($a,$b)")
+    }
+  }
+
+  test("p31 delta trainer ≡ recount trainer (merge table AND final state)") {
+    def run(
+        d: org.apache.spark.sql.DataFrame,
+        nMerges: Int
+    ): (Seq[(Long, String, String, String, Long)], Seq[(Long, Seq[String])]) = {
+      def harvest(
+          t: (Seq[(Long, String, String, String, Long)],
+            org.apache.spark.sql.DataFrame, () => Unit)
+      ) = {
+        val (m, st, release) = t
+        val s = st
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1)))
+          .sortBy(_._1)
+          .toSeq
+        release()
+        (m, s)
+      }
+      val (mr, sr) = harvest(TextAnalysis.phraseTrain(spark, d, nMerges))
+      val (md, sd) = harvest(TextAnalysis.phraseTrainDelta(spark, d, nMerges))
+      assert(md == mr, "merge tables diverge")
+      assert(sd == sr, "final corpus states diverge")
+      (mr, sr)
+    }
+    // the real corpus at the registered round count
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val (m, _) = run(docs, 8)
+    assert(m.size == 8)
+    // equal-token runs (alternating-position consumption) AND exhaustion:
+    // 10 requested rounds exceed what the fixture can supply, so both
+    // trainers must stop at the same shorter merge table
+    val ss = spark
+    import ss.implicits._
+    val fix = Seq((0L, "x x x x x"), (1L, "x x"), (2L, "y x x y"))
+      .toDF("doc_id", "text")
+    val (mf, sf) = run(fix, 10)
+    assert(mf.size < 10 && sf.forall(_._2.size == 1))
+  }
+
   test("p30 split is constant within clusters and moves only clustered docs") {
     val out = Sampling.leakFreeSplit(spark, sfDir).cache()
     // no cluster straddles splits
