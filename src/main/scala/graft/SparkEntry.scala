@@ -176,6 +176,11 @@ object SparkEntry {
     "q13_customer_distribution" -> (Analytics.customerDistribution _),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "m4_media_knn" -> ((s, d) => Multimodal.mediaKnn(s, d)),
+    // m4b — media retrieval through the exact-integer IVF index (the
+    // scale path; brute m4 stays as the float truth leg)
+    "m4b_media_knn_ivf" -> ((s, d) => Multimodal.mediaKnnIvf(s, d)),
+    // m4c — the m-plane recall report: m4b vs brute m4
+    "m4c_media_recall" -> ((s, d) => Multimodal.mediaRecall(s, d)),
     // m5 — binary content dedup: digests shuffle, payloads don't
     "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
@@ -374,6 +379,8 @@ object SparkEntry {
     "q13_customer_distribution" -> AnalyticsOracles.customerDistribution,
     "m3_frame_sample" -> PipelineOracles.frameSample,
     "m4_media_knn" -> PipelineOracles.mediaKnn,
+    "m4b_media_knn_ivf" -> PipelineOracles.mediaKnnIvf,
+    "m4c_media_recall" -> PipelineOracles.mediaRecall,
     "m5_media_dedup" -> PipelineOracles.mediaDedup,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,

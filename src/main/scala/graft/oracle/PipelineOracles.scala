@@ -553,29 +553,16 @@ object PipelineOracles {
       SELECT c.cid, c.pos, COALESCE(m.code, c.code) AS code
       FROM c$n c LEFT JOIN m$n m ON c.cid = m.cid AND c.pos = m.pos)"""
 
-  /** k5 — IVF search with the EXACT-INTEGER trained quantizer
-    * (graft.pipeline.Similarity.knnIvfTrainedExact): k6 quantization →
-    * three unrolled integer spherical k-means iterations (seeded from
-    * the 16 lowest vec_ids, bit-replayable — every step is BIGINT
-    * +−× and truncating //) → per-query nprobe=2 cell probe → members
-    * ranked by the same fixed-point cosine key, ties to vec_id.
-    */
-  /** The shared k5 training chain: k6 quantization → exploded integer
+  /** The shared exact-IVF training chain over an arbitrary integer-code
+    * corpus `qSql` (must yield (vec_id, q8 BIGINT[])): exploded integer
     * codes → full-corpus-seeded exact k-means through iteration 3
     * (`s3`/`a3` = the final per-pair keys and assignment, `c3` the final
-    * centroids). Interpolated verbatim by the k5 search oracle AND the
-    * k13 cell-stats oracle so the two replay the identical training run.
+    * centroids). Interpolated verbatim by the k5 search oracle, the k13
+    * cell-stats oracle AND the m4b media-index oracle so all three
+    * replay the identical training arithmetic.
     */
-  private lazy val ivfTrainedChain: String = s"""q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CASE WHEN mx = 0 THEN 0
-                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
-                                         + 0.5) AS BIGINT) END) AS q8
-      FROM (SELECT vec_id, embedding,
-                   list_max(list_transform(embedding,
-                     x -> abs(CAST(x AS DOUBLE)))) AS mx
-            FROM embeddings)
+  private def ivfChainFrom(qSql: String): String = s"""q AS (
+      $qSql
     ),
     icodes AS (
       SELECT vec_id, g.i - 1 AS pos, q8[g.i] AS code
@@ -598,14 +585,45 @@ object PipelineOracles {
     ${kmeansIter(2)},
     ${kmeansIter(3)}"""
 
-  lazy val knnIvfTrained: String = s"""
-    WITH $ivfTrainedChain,
+  /** The k5 chain instance: k6 quantization of the embeddings corpus. */
+  private lazy val ivfTrainedChain: String = ivfChainFrom("""SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)""")
+
+  /** The m4b chain instance: the deterministic stub media features as
+    * exact BIGINT codes (graft.pipeline.Multimodal.mediaCodes).
+    */
+  private lazy val mediaIvfChain: String = ivfChainFrom(
+    """SELECT doc_id AS vec_id,
+             list_transform(generate_series(1, 8),
+               k -> CAST((strlen(text) * k) % 97 + 1 AS BIGINT)) AS q8
+      FROM documents"""
+  )
+
+  /** The shared probe → score → top-k search tail over the trained chain
+    * (`s3`/`a3`/`icodes`/`iv2`): queries = the `nQueries` lowest vec_ids,
+    * nprobe cells each by the fixed-point key, members ranked by the same
+    * key with ties to vec_id. `outId` renames the hit id column (m4b
+    * presents doc_id).
+    */
+  private def ivfSearchTail(
+      nQueries: Int,
+      nprobe: Int,
+      k: Int,
+      outId: String
+  ): String = s"""
     probes AS (
       SELECT vec_id AS qid, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY skey DESC, cid) AS rn
-        FROM s3 WHERE vec_id < 10) WHERE rn <= 2
+        FROM s3 WHERE vec_id < $nQueries) WHERE rn <= $nprobe
     ),
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
@@ -632,9 +650,54 @@ object PipelineOracles {
                                 ORDER BY score DESC, vec_id) AS rnk
       FROM ps
     )
-    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
-    FROM r WHERE rnk <= 5
+    SELECT qid, vec_id AS $outId, CAST(rnk AS BIGINT) AS rank, score
+    FROM r WHERE rnk <= $k
     ORDER BY qid, rnk
+  """
+
+  /** k5 — IVF search with the EXACT-INTEGER trained quantizer
+    * (graft.pipeline.Similarity.knnIvfTrainedExact): k6 quantization →
+    * three unrolled integer spherical k-means iterations (seeded from
+    * the 16 lowest vec_ids, bit-replayable — every step is BIGINT
+    * +−× and truncating //) → per-query nprobe=2 cell probe → members
+    * ranked by the same fixed-point cosine key, ties to vec_id.
+    */
+  lazy val knnIvfTrained: String = s"""
+    WITH $ivfTrainedChain,
+    ${ivfSearchTail(10, 2, 5, "vec_id")}
+  """
+
+  /** m4b — media retrieval through the trained exact-integer IVF index
+    * (graft.pipeline.Multimodal.mediaKnnIvf): the stub feature extraction
+    * and the whole training run replay in BIGINT, then the k5 search tail
+    * at nQueries=5, k=3.
+    */
+  lazy val mediaKnnIvf: String = s"""
+    WITH $mediaIvfChain,
+    ${ivfSearchTail(5, 2, 3, "doc_id")}
+  """
+
+  /** m4c — the m-plane recall report (graft.pipeline.Multimodal
+    * .mediaRecall): the m4b index top-k LEFT-joined to the exact float
+    * brute-force top-k (m4's oracle verbatim), counted exactly.
+    */
+  lazy val mediaRecall: String = s"""
+    WITH brute AS (SELECT qid, doc_id FROM ($mediaKnn) b0),
+    approx AS (
+      SELECT 'media_ivf' AS method, qid, doc_id FROM ($mediaKnnIvf) x1
+    ),
+    tot AS (SELECT COUNT(*) AS n_truth FROM brute)
+    SELECT a.method,
+           COUNT(DISTINCT a.qid) AS n_queries,
+           COUNT(*) AS n_retrieved,
+           COUNT(b.doc_id) AS n_hits,
+           (SELECT n_truth FROM tot) AS n_truth,
+           CAST(COUNT(b.doc_id) AS DOUBLE) / (SELECT n_truth FROM tot)
+             AS recall
+    FROM approx a
+    LEFT JOIN brute b ON a.qid = b.qid AND a.doc_id = b.doc_id
+    GROUP BY a.method
+    ORDER BY a.method
   """
 
   /** k13 — trained-IVF cell-balance report (graft.pipeline.Similarity

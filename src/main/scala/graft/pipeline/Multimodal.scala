@@ -159,6 +159,89 @@ object Multimodal {
       .orderBy("qid", "rank")
   }
 
+  /** The media features as EXACT integer codes (the stub features are
+    * small exact integers, so no 127-scaling is needed): the `(vec_id,
+    * q8)` frame the exact-IVF machinery consumes.
+    */
+  private[graft] def mediaCodes(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(
+        col("doc_id").as("vec_id"),
+        transform(col("embedding"), x => x.cast("long")).as("q8")
+      )
+
+  /** M4B — media retrieval THROUGH the ANN index: the extracted features
+    * are trained into the exact-integer IVF quantizer (k5's trainer) and
+    * searched cell-pruned, replacing [[mediaKnn]]'s brute corpus scan as
+    * the scale path. This is where the multimodal plane meets the
+    * similarity plane: at 100 TB the brute form scans every media vector
+    * per query set, while this one touches nprobe/kCentroids of the
+    * corpus — the same plan the k5/k9 embedding searches carry, reused
+    * verbatim (train → row-local cell assign → broadcast probes → keyed
+    * top-k window). Everything BIGINT, so the whole chain — feature
+    * extraction AND training — hash-replays in DuckDB. Completeness law
+    * in PipelineSpec: probe-ALL ≡ brute top-k under the same integer
+    * ranking (cell assignment partitions the corpus whatever the
+    * centroids are); [[mediaKnn]] stays as the float truth leg, and
+    * [[mediaRecall]] reports the index's recall against it.
+    */
+  def mediaKnnIvf(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 3,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = mediaCodes(spark, dir).cache()
+    val centroids = Similarity.trainCentroidsExact(codes, kCentroids, iters)
+    val out = Similarity
+      .searchCellsExact(
+        Similarity.assignCellsInt(codes, centroids),
+        codes,
+        centroids,
+        nQueries,
+        k,
+        nprobe
+      )
+      .withColumnRenamed("vec_id", "doc_id")
+    Eager.materialized(out, codes)
+  }
+
+  /** M4C — the m-plane's k12: recall@k of the IVF-indexed media search
+    * ([[mediaKnnIvf]]) against the exact float brute force ([[mediaKnn]])
+    * on the same query set — the monitoring row a deployment watches
+    * after each media-index rebuild. Same protocol and scale shape as
+    * [[Similarity.recallReport]]: the truth set is nQueries × k rows at
+    * any corpus size, so it broadcasts into the approximate leg and the
+    * report is one O(1)-row aggregation beyond the two searches.
+    */
+  def mediaRecall(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 3
+  ): DataFrame = {
+    val truth = mediaKnn(spark, dir, nQueries, k)
+      .select(col("qid"), col("doc_id"), lit(1L).as("bhit"))
+    val approx = mediaKnnIvf(spark, dir, nQueries, k)
+      .select(lit("media_ivf").as("method"), col("qid"), col("doc_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    approx
+      .join(broadcast(truth), Seq("qid", "doc_id"), "left")
+      .groupBy("method")
+      .agg(
+        countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_retrieved"),
+        count(col("bhit")).as("n_hits")
+      )
+      .crossJoin(broadcast(nTruth)) // single-row total
+      .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
+      .select("method", "n_queries", "n_retrieved", "n_hits", "n_truth", "recall")
+      .orderBy("method")
+  }
+
   /** m5 — exact content dedup on the BINARY plane: group identical
     * payloads by (media_type, md5 digest) and elect the lowest doc_id as
     * canonical. The 100 TB shape is the point: the digest is computed in

@@ -1131,6 +1131,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == bpeModel(docs.map(_._2.split(" ").toSeq), 2))
   }
 
+  test("m4b probe-all IVF ≡ brute top-k under the same integer ranking") {
+    // completeness: cell assignment partitions the media corpus whatever
+    // the centroids are, so probing every cell recovers exactly the
+    // brute-force top-k by the fixed-point cosine key
+    val got = graft.pipeline.Multimodal
+      .mediaKnnIvf(spark, sfDir, nQueries = 5, k = 3, nprobe = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // independent in-memory model: stub features -> integer cosine key
+    val feats = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map { r =>
+        val n = r.getString(1).getBytes("UTF-8").length.toLong
+        r.getLong(0) -> (1 to 8).map(k => (n * k) % 97 + 1).toArray
+      }
+      .sortBy(_._1)
+    def key(q: Array[Long], v: Array[Long]): Long = {
+      val dot = q.zip(v).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      if (n2 == 0L) 0L
+      else {
+        val mag = dot * dot * (1L << 20) / n2
+        if (dot >= 0L) mag else -mag
+      }
+    }
+    val want = feats.filter(_._1 < 5).flatMap { case (qid, q) =>
+      feats
+        .filter(_._1 != qid)
+        .map { case (vid, v) => (vid, key(q, v)) }
+        .sortBy { case (vid, s) => (-s, vid) }
+        .take(3)
+        .zipWithIndex
+        .map { case ((vid, s), i) => (qid, vid, i + 1L, s) }
+    }.toSeq
+    assert(got == want)
+    // the registered nprobe=2 form loses no query and retrieves full k
+    val pruned = graft.pipeline.Multimodal.mediaKnnIvf(spark, sfDir)
+    assert(pruned.count() == 15L)
+  }
+
   test("p31 fused fold: merged toks ≡ mergeFold and dels ≡ brute pair diff") {
     import org.apache.spark.sql.functions.{col, explode, expr}
     val ss = spark
