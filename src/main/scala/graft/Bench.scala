@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * finish line. Reading the artifact: `cpu ≈ wall × used-cores` on an idle
   * box; `wall` inflated while `cpu` holds steady and `load` far exceeds
   * the core count is external contention, not a plan regression.
+  *
+  * Memory instrumentation (the round-8 driver run inflated wall AND cpu
+  * with load at ~1.5 — the signature of GC thrash, which the cpu/load
+  * fields could suspect but not PROVE): each query also records the
+  * GC-time delta across all collectors (`GarbageCollectorMXBean
+  * .getCollectionTime`) and the heap-used watermark at its finish line.
+  * Reading it: `gc_sec` approaching `wall` (or cpu ≫ wall×cores with gc
+  * rising in step) is the JVM collecting, not the plan working — a
+  * memory-pressure artifact of the host, attributable with numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,6 +41,18 @@ object Bench {
     def procCpuNs: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     def loadAvg: Double = osBean.map(_.getSystemLoadAverage).getOrElse(-1.0)
     val cores = Runtime.getRuntime.availableProcessors()
+    // total stop-the-world collection millis across all collectors; a
+    // collector can report -1 (unsupported) — treat it as 0 so one odd
+    // bean doesn't poison the sum
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime))
+        .sum
+    }
+    def heapUsedMb: Double =
+      java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+        .getUsed / (1024.0 * 1024.0)
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once
     // per table family (action log / documents / embeddings) — otherwise
@@ -54,36 +75,53 @@ object Bench {
     // success) and lands in "failed", never in the total
     val t0run = System.nanoTime()
     val cpu0run = procCpuNs
+    val gc0run = gcMs
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val c0 = procCpuNs
+      val g0 = gcMs
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpuSec = if (c0 < 0) -1.0 else (procCpuNs - c0) / 1e9
-      (name, if (ok) sec else -1.0, cpuSec, loadAvg)
+      val gcSec = (gcMs - g0) / 1e3
+      (name, if (ok) sec else -1.0, cpuSec, loadAvg, gcSec, heapUsedMb)
     }
     val wallTotal = (System.nanoTime() - t0run) / 1e9
     val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
+    val gcTotal = (gcMs - gc0run) / 1e3
+    val heapMax = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage
+      .getMax / (1024.0 * 1024.0)
 
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON ("0,123")
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val cpus = results.map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }
+    val cpus = results
+      .map { case (k, _, c, _, _, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, _, _, l) => "\"" + k + "\":" + fmt(l) }
+    val loads = results
+      .map { case (k, _, _, l, _, _) => "\"" + k + "\":" + fmt(l) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val gcs = results.map { case (k, _, _, _, g, _) => "\"" + k + "\":" + fmt(g) }
+      .mkString("{", ",", "}")
+    val heaps = results
+      .map { case (k, _, _, _, _, h) => "\"" + k + "\":" + fmt(h) }
+      .mkString("{", ",", "}")
+    val failed = results
+      .collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""cpu_sec":$cpus,"load_avg":$loads,"failed":$failed,""" +
+        s""""cpu_sec":$cpus,"load_avg":$loads,"gc_sec":$gcs,""" +
+        s""""heap_used_mb":$heaps,"failed":$failed,""" +
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
+        s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""
     println(line)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver
