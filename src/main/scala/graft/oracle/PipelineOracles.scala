@@ -1598,11 +1598,6 @@ object PipelineOracles {
       GROUP BY doc_id
     )"""
 
-  /** p31 — BPE-style phrase-merge learning
-    * (graft.pipeline.TextAnalysis.phraseMerges, 8 merges): eight
-    * unrolled count → argmax → merge rounds over word tokens; the merge
-    * table is the output. All counting exact BIGINT; string ops only.
-    */
   /** The shared p31/p32 chain: initial tokenization + the eight
     * unrolled BPE rounds.
     */
@@ -1616,6 +1611,11 @@ object PipelineOracles {
     $iters"""
   }
 
+  /** p31 — BPE-style phrase-merge learning
+    * (graft.pipeline.TextAnalysis.phraseMerges, 8 merges): eight
+    * unrolled count → argmax → merge rounds over word tokens; the merge
+    * table is the output. All counting exact BIGINT; string ops only.
+    */
   lazy val phraseMerges: String = {
     val rows = (1 to 8)
       .map(r =>

@@ -666,12 +666,6 @@ object Dedup {
     incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true)
   }
 
-  /** The canonical d9 corpus split: the top 20% of doc_ids play the new
-    * batch, seeded with verbatim copies of ten old docs (fresh ids +1e6)
-    * so the exact leg has non-vacuous ground truth — the corpus has no
-    * byte-identical cross-id text of its own. Shared by the query and the
-    * persisted-index law spec so the two can never drift apart.
-    */
   /** The id boundary of [[incrementalSplit]]: ids below it play the old
     * corpus. Exposed so consumers (d9's split, p30b's frozen-history
     * lookup) share one derivation.
@@ -687,6 +681,12 @@ object Dedup {
     (maxId + 1L) * 4L / 5L
   }
 
+  /** The canonical d9 corpus split: the top 20% of doc_ids play the new
+    * batch, seeded with verbatim copies of ten old docs (fresh ids +1e6)
+    * so the exact leg has non-vacuous ground truth — the corpus has no
+    * byte-identical cross-id text of its own. Shared by the query and the
+    * persisted-index law spec so the two can never drift apart.
+    */
   def incrementalSplit(
       spark: SparkSession,
       dir: String

@@ -1230,6 +1230,10 @@ object Similarity {
     * kCentroids rows, and empty cells survive via a right join against
     * the kCentroids-row cell list. Everything BIGINT (`SUM DIV count`
     * mean), so the report — training included — hash-replays in DuckDB.
+    *
+    * Oracle parity holds for the DEFAULT parameters only (the DuckDB
+    * twin replays kCentroids=16, iters=3); non-default invocations are
+    * spec-checked, not gate-checked.
     */
   def ivfCellStats(
       spark: SparkSession,
@@ -1239,8 +1243,12 @@ object Similarity {
   ): DataFrame = {
     val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
     val centroids = trainCentroidsExact(codes, kCentroids, iters)
-    val out =
-      presentCellStats(spark, cellStatsRaw(codes, centroids), kCentroids)
+    val out = presentCellStats(
+      spark,
+      cellStatsRaw(codes, centroids),
+      kCentroids,
+      Some(centroids.map(_._1))
+    )
     Eager.materialized(out, codes)
   }
 
@@ -1284,15 +1292,27 @@ object Similarity {
       )
 
   /** The k13 report from raw stats: exact-ppm occupancy, integer mean,
-    * empty cells kept via the kCentroids-row cell list.
+    * empty cells kept via the trained cell list. `cellIds` must be the
+    * ACTUAL trained centroid ids (`centroids.map(_._1)`) — the trainer
+    * seeds from the lowest vec_ids, so a corpus smaller than kCentroids
+    * trains fewer cells and a fixed 0..kCentroids range would report
+    * phantom empties the oracle's DISTINCT-from-c0 cell list never sees.
+    * `None` keeps the fixed-range form for raw frames with no trainer in
+    * sight (the incremental merge path, where every cid present came
+    * from a full-width index). Occupancy guards n_total = 0 (empty
+    * corpus) to 0 ppm instead of a division by zero.
     */
   def presentCellStats(
       spark: SparkSession,
       raw: DataFrame,
-      kCentroids: Int = 16
+      kCentroids: Int = 16,
+      cellIds: Option[Seq[Int]] = None
   ): DataFrame = {
-    val cells =
-      spark.range(0, kCentroids.toLong).select(col("id").as("cid"))
+    import spark.implicits._
+    val cells = cellIds match {
+      case Some(ids) => ids.map(_.toLong).toDF("cid")
+      case None => spark.range(0, kCentroids.toLong).select(col("id").as("cid"))
+    }
     val totals =
       raw.agg(coalesce(sum("n_vectors"), lit(0L)).as("n_total"))
     cells
@@ -1303,7 +1323,11 @@ object Similarity {
         when(col("n_vectors") > 0, expr("sum_cohesion DIV n_vectors"))
       )
       .crossJoin(broadcast(totals)) // single-row total
-      .withColumn("occupancy_ppm", expr("(n_vectors * 1000000) DIV n_total"))
+      .withColumn(
+        "occupancy_ppm",
+        when(col("n_total") > 0, expr("(n_vectors * 1000000) DIV n_total"))
+          .otherwise(lit(0L))
+      )
       .select(
         "cid", "n_vectors", "occupancy_ppm",
         "min_cohesion", "mean_cohesion", "n_total"
@@ -1329,6 +1353,11 @@ object Similarity {
     *
     * Counts are exact BIGINTs; the single recall division is the only
     * double, computed from the same integers on both engines.
+    *
+    * Oracle parity holds for the DEFAULT parameters only (the DuckDB
+    * twin replays nQueries=10, k=5) — same contract as the other kNN
+    * ops, whose oracles pin their registered defaults. Non-default
+    * invocations are real but checked by spec, not by the gate.
     */
   def recallReport(
       spark: SparkSession,

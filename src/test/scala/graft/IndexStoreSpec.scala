@@ -429,6 +429,36 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     codes.unpersist()
   }
 
+  test("k13 report survives a tiny corpus and an empty one") {
+    val ss = spark
+    import ss.implicits._
+    // fewer vectors than kCentroids: the trainer seeds one cell per
+    // vector, and the report's cell list must be the TRAINED cells, not
+    // a phantom 0..15 range (the oracle's cell list is DISTINCT from c0)
+    val tiny = Seq(
+      (0L, Seq(1L, 2L)),
+      (1L, Seq(3L, 4L)),
+      (2L, Seq(5L, 6L))
+    ).toDF("vec_id", "q8")
+    val cents = Similarity.trainCentroidsExact(tiny, 16, 1)
+    assert(cents.size == 3)
+    val rep = Similarity.presentCellStats(
+      spark,
+      Similarity.cellStatsRaw(tiny, cents),
+      16,
+      Some(cents.map(_._1))
+    )
+    assert(rep.count() == 3L)
+    // empty raw frame: occupancy guards the 0/0 to 0 ppm, no error
+    val empty = Similarity
+      .cellStatsRaw(tiny.filter(col("vec_id") < 0), cents)
+    val emptyRep = Similarity
+      .presentCellStats(spark, empty, 16, Some(cents.map(_._1)))
+      .collect()
+    assert(emptyRep.length == 3)
+    assert(emptyRep.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("streaming cell-stats deltas fold into the batch report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
