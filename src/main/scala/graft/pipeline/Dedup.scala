@@ -564,6 +564,21 @@ object Dedup {
     big.filter(graft.functions.BloomMightContain.mightContain(bigKey, bytes))
   }
 
+  /** The d9b size switch: engage the bloom gate only when the stored
+    * index (hashes + bands rows) clears `minRows`. The counts are
+    * parquet footer statistics — no column data is read — so the
+    * decision costs O(files) driver-side metadata, not a scan. Exposed
+    * for the crossover spec.
+    */
+  private[graft] def bloomGateEngaged(
+      spark: SparkSession,
+      indexDir: String,
+      minRows: Long
+  ): Boolean =
+    minRows <= 0L ||
+      spark.read.parquet(s"$indexDir/hashes").count() +
+      spark.read.parquet(s"$indexDir/bands").count() >= minRows
+
   /** [[incrementalDedup]] against a PERSISTED index ([[writeDedupIndex]]):
     * the old corpus never re-hashes — its bands/shingles/hashes stream
     * from the stored tables; only the new batch is hashed fresh, under
@@ -578,6 +593,18 @@ object Dedup {
     * O(batch · (1+fpp)) stored rows instead of the whole index — the
     * batch is always the small side of a daily increment. Row-identical
     * to the ungated form by the no-false-negative law.
+    *
+    * CROSSOVER (measured, sf0.1): the gate costs a batch-side bloom
+    * build + an extra band-set pass (~3 s) that the plain equi-join
+    * doesn't pay, so it only WINS when the stored index is ≫ the batch —
+    * the daily-increment regime it exists for. Below
+    * `bloomMinIndexRows` stored rows (hashes + bands) the gate
+    * auto-disengages and the plain join runs — same rows either way, so
+    * the switch is plan-only and invisible to the oracle. Force the
+    * gated plan regardless of size with `bloomMinIndexRows = 0` (the
+    * plan-assert spec does); the default threshold is sized so a plain
+    * join over the stored index is still trivially cheap at the point
+    * the gate declines.
     */
   def incrementalDedupFromIndex(
       spark: SparkSession,
@@ -585,13 +612,15 @@ object Dedup {
       newDocs: DataFrame,
       threshold: Double = 0.5,
       bloomGate: Boolean = false,
-      fpp: Double = 0.01
+      fpp: Double = 0.01,
+      bloomMinIndexRows: Long = 4L << 20
   ): DataFrame = {
+    val gateOn = bloomGate && bloomGateEngaged(spark, indexDir, bloomMinIndexRows)
     val newHashed = newDocs
       .select(md5(col("text")).as("h"), col("doc_id").as("new_id"))
     val storedHashes = {
       val raw = spark.read.parquet(s"$indexDir/hashes")
-      if (!bloomGate) raw
+      if (!gateOn) raw
       else gateByBloom(raw, xxhash64(col("h")), newHashed, xxhash64(col("h")), fpp)
     }
     val exact = newHashed
@@ -605,11 +634,11 @@ object Dedup {
       val nb =
         bandedIndex(shNew, numPerms, rowsPerBand).toDF("b", "band_n", "bucket_n")
       // gating reads the band set twice (bloom build + join): cache it
-      if (bloomGate) nb.cache() else nb
+      if (gateOn) nb.cache() else nb
     }
     val storedBands = {
       val raw = spark.read.parquet(s"$indexDir/bands").toDF("a", "band", "bucket")
-      if (!bloomGate) raw
+      if (!gateOn) raw
       else
         gateByBloom(
           raw,
@@ -650,13 +679,18 @@ object Dedup {
         )
       )
       .orderBy("new_id", "old_id")
-    Eager.materialized(result, (Seq(shNew) ++ Option.when(bloomGate)(newBands)): _*)
+    Eager.materialized(result, (Seq(shNew) ++ Option.when(gateOn)(newBands)): _*)
   }
 
   /** The canonical d9b query: the same split and oracle as d9, with the
     * old corpus persisted as a stored index and the stored-side scans
     * pruned by the batch-built runtime blooms — the production daily-
-    * increment read path, end to end.
+    * increment read path, end to end. The size switch applies: below
+    * [[bloomGateEngaged]]'s threshold (every test SF) the gate declines
+    * and the plain index join runs — the gated PLAN is pinned by the
+    * IndexStoreSpec plan assert with the threshold forced to 0, and the
+    * two paths are row-identical by the no-false-negative law, so the
+    * oracle sees the same rows whichever side of the crossover runs.
     */
   def incrementalDedupGatedQuery(spark: SparkSession, dir: String): DataFrame = {
     val (oldDocs, newDocs) = incrementalSplit(spark, dir)

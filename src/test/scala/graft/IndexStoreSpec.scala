@@ -82,8 +82,11 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tmp = Files.createTempDirectory("graft-dedup-bloom").toString
     val (oldDocs, newDocs) = graft.pipeline.Dedup.incrementalSplit(spark, sfDir)
     graft.pipeline.Dedup.writeDedupIndex(spark, oldDocs, tmp)
+    // bloomMinIndexRows = 0 FORCES the gate — the default threshold
+    // correctly declines it on this test-sized index (crossover spec)
     def run(gate: Boolean) = graft.pipeline.Dedup
-      .incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = gate)
+      .incrementalDedupFromIndex(
+        spark, tmp, newDocs, bloomGate = gate, bloomMinIndexRows = 0L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSeq
@@ -93,11 +96,26 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and even at an absurd fpp the law holds — the gate can only pass
     // MORE stored rows to the exact joins, never fewer
     val sloppy = graft.pipeline.Dedup
-      .incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true, fpp = 0.5)
+      .incrementalDedupFromIndex(
+        spark, tmp, newDocs,
+        bloomGate = true, fpp = 0.5, bloomMinIndexRows = 0L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSeq
     assert(sloppy == gated)
+    // the size switch: below the threshold the ungated path is chosen
+    // (the bloom build would cost more than the join it prunes), forcing
+    // with threshold 0 engages it, and the DEFAULT declines on an index
+    // this small — with identical rows on both sides of the crossover
+    assert(!graft.pipeline.Dedup.bloomGateEngaged(spark, tmp, 4L << 20))
+    assert(graft.pipeline.Dedup.bloomGateEngaged(spark, tmp, 0L))
+    assert(graft.pipeline.Dedup.bloomGateEngaged(spark, tmp, 10L))
+    val autoRows = graft.pipeline.Dedup
+      .incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(autoRows == gated)
   }
 
   test("bloom gate prunes the stored scans in-plan and the predicate is codegen-true") {
