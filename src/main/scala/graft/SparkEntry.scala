@@ -184,6 +184,8 @@ object SparkEntry {
     // m5 — binary content dedup: digests shuffle, payloads don't
     "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
+    // q8c — CUBE + grouping_id (q8 covers ROLLUP; this closes the lattice)
+    "q8c_revenue_cube" -> (Analytics.revenueCube _),
     // W5 — as-of join (operator Spark lacks; union+ordered-window plan)
     "w5_asof_attribution" -> (Analytics.asofAttribution _),
     // Q15 — exact median by rank selection (deterministic, vs approx)
@@ -383,6 +385,7 @@ object SparkEntry {
     "m4c_media_recall" -> PipelineOracles.mediaRecall,
     "m5_media_dedup" -> PipelineOracles.mediaDedup,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
+    "q8c_revenue_cube" -> AnalyticsOracles.revenueCube,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,
     "q15_price_median" -> AnalyticsOracles.priceMedian,
     "w6_interval_join" -> AnalyticsOracles.intervalCandidates,

@@ -343,6 +343,43 @@ object Analytics {
     spark.sql(graft.oracle.AnalyticsOracles.revenueRollup)
   }
 
+  /** CUBE + grouping_id — revenue over every aggregation lattice point of
+    * (region, ship year); q8 covers ROLLUP, this closes the remaining
+    * common OLAP grouping shape. The native `.cube` API plans ONE Expand
+    * over the joined slice followed by one shuffle on the grouping
+    * columns — the lattice is computed map-side, never by re-scanning the
+    * fact per grouping set; dims broadcast as in q5/q8. `gid` is Spark's
+    * `grouping_id()`, bit-identical to DuckDB's `GROUPING(r_name,
+    * ship_year)` (leftmost argument = most significant bit, verified
+    * empirically), so the oracle pins the lattice BOOKKEEPING — which
+    * rows are subtotals of what — not just the sums.
+    */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("ship_year"),
+      (dec("l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("disc")
+    )
+    val sup = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    val reg = t(spark, dir, "region").select("r_regionkey", "r_name")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("ship_year"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("disc")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(
+        col("gid"),
+        col("r_name").asc_nulls_first,
+        col("ship_year").asc_nulls_first
+      )
+  }
+
   /** TPC-H Q14 shape: promotion revenue share — lineitem joined to part
     * (the one untouched testdata table), a conditional aggregate over the
     * join, exact decimal arithmetic. Part scales with the corpus (its own

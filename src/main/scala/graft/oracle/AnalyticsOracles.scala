@@ -362,6 +362,24 @@ object AnalyticsOracles {
     ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
   """
 
+  /** q8c — CUBE lattice with grouping_id (Analytics.revenueCube): DuckDB
+    * GROUPING and Spark grouping_id share the leftmost-arg-high-bit
+    * convention, so gid replays exactly.
+    */
+  val revenueCube: String = s"""
+    SELECT r_name,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(GROUPING(r_name, ship_year) AS BIGINT) AS gid,
+           CAST(SUM($disc) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, ship_year)
+    ORDER BY gid, r_name ASC NULLS FIRST, ship_year ASC NULLS FIRST
+  """
+
   val topUsers: String = """
     SELECT user_id,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
