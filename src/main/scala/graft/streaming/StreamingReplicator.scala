@@ -95,18 +95,25 @@ object StreamingReplicator {
     * the two-writer race). On Delta/Iceberg this paragraph is the table
     * format's optimistic-concurrency commit; here it is atomic directory
     * renames around the `_COMMITTED` marker.
+    *
+    * The whole contract above flows through the [[StoreCommitProtocol]]
+    * seam (`protocol` param; default [[FsCommitProtocol]]) — see that
+    * trait for the STORAGE contract (atomic rename + CREATE_NEW; POSIX/
+    * HDFS/NFS yes, S3-class object stores NO) and what an object-store
+    * or table-format binding must provide instead.
     */
   def applyBatch(
       spark: SparkSession,
       storeDir: String,
       batch: DataFrame,
-      leaseMs: Long = DefaultLeaseMs
+      leaseMs: Long = DefaultLeaseMs,
+      protocol: StoreCommitProtocol = FsCommitProtocol
   ): Unit = {
     import org.apache.spark.sql.functions.col
-    val (cur, epoch) = resolveCurrent(storeDir)
+    val (cur, epoch) = protocol.resolveCurrent(storeDir)
     val root = Paths.get(storeDir)
     Files.createDirectories(root)
-    val claimToken = claimEpoch(root, epoch + 1, leaseMs)
+    val claimToken = protocol.claimEpoch(root, epoch + 1, leaseMs)
     val journalDir = Paths.get(storeDir, "journal")
     val metaDir = Paths.get(storeDir, "metajournal")
     val batchC = batch.cache()
@@ -124,7 +131,7 @@ object StreamingReplicator {
     )
     heartbeat.scheduleAtFixedRate(
       () =>
-        try renewClaim(root, epoch + 1, claimToken)
+        try protocol.renewClaim(root, epoch + 1, claimToken)
         catch { case _: Throwable => () },
       math.max(leaseMs / 3, 1L),
       math.max(leaseMs / 3, 1L),
@@ -137,7 +144,7 @@ object StreamingReplicator {
         .collect()
         .map(r => (r.getString(0), r.getInt(1)))
       if (touched.isEmpty) {
-        releaseClaim(root, epoch + 1, claimToken)
+        protocol.releaseClaim(root, epoch + 1, claimToken)
         return
       }
 
@@ -157,15 +164,15 @@ object StreamingReplicator {
       // lease was broken anyway (heartbeat lost the race, or the process
       // stalled long enough for renewals to stop) fails here, before
       // clobbering the breaker's bucket files
-      verifyClaim(root, epoch + 1, claimToken)
+      protocol.verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.journal, journalDir,
         Paths.get(storeDir, "journal_schema.json"), touched)
-      verifyClaim(root, epoch + 1, claimToken)
+      protocol.verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.metajournal, metaDir,
         Paths.get(storeDir, "metajournal_schema.json"), touched)
 
-      verifyClaim(root, epoch + 1, claimToken)
-      commitGeneration(root, epoch, merged.pointer2, claimToken)
+      protocol.verifyClaim(root, epoch + 1, claimToken)
+      protocol.commitGeneration(root, epoch, merged.pointer2, claimToken)
     } catch {
       // a failure BEFORE the commit leaves the claim held; release it so a
       // peer need not wait out the lease (crash = lease expiry handles it).
@@ -174,7 +181,7 @@ object StreamingReplicator {
       // deleting it would unserialize two live writers' data writes
       case e: Throwable =>
         if (!e.isInstanceOf[ConcurrentStoreWriteException])
-          releaseClaim(root, epoch + 1, claimToken)
+          protocol.releaseClaim(root, epoch + 1, claimToken)
         throw e
     } finally {
       heartbeat.shutdownNow()

@@ -507,6 +507,60 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist()
   }
 
+  test("commit protocol seam: applyBatch routes every protocol op through it; the race holds through the seam") {
+    import java.nio.file.{Path, Paths}
+    import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
+    import graft.streaming.{FsCommitProtocol, StoreCommitProtocol}
+    val a = actions.cache()
+    val Seq(c1, c2) = chunks(a, 2)
+    val tmp = Files.createTempDirectory("graft-seam").toString
+    val root = Paths.get(tmp)
+
+    // delegating protocol that counts calls: proves the replication logic
+    // has NO hardwired filesystem-protocol calls left — an object-store
+    // binding swapping this instance intercepts everything
+    val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    class Counting extends StoreCommitProtocol {
+      private def n(k: String): Unit = synchronized { calls(k) += 1 }
+      def claimEpoch(r: Path, e: Long, ms: Long): String = {
+        n("claim"); FsCommitProtocol.claimEpoch(r, e, ms)
+      }
+      def renewClaim(r: Path, e: Long, t: String): Unit = {
+        n("renew"); FsCommitProtocol.renewClaim(r, e, t)
+      }
+      def verifyClaim(r: Path, e: Long, t: String): Unit = {
+        n("verify"); FsCommitProtocol.verifyClaim(r, e, t)
+      }
+      def releaseClaim(r: Path, e: Long, t: String): Unit = {
+        n("release"); FsCommitProtocol.releaseClaim(r, e, t)
+      }
+      def commitGeneration(
+          r: Path, base: Long,
+          p2: org.apache.spark.sql.DataFrame, tok: String): Unit = {
+        n("commit"); FsCommitProtocol.commitGeneration(r, base, p2, tok)
+      }
+      def resolveCurrent(d: String): (Path, Long) = {
+        n("resolve"); FsCommitProtocol.resolveCurrent(d)
+      }
+    }
+    val counting = new Counting
+    StreamingReplicator.applyBatch(spark, tmp, c1, protocol = counting)
+    assert(calls("resolve") == 1 && calls("claim") == 1)
+    assert(calls("verify") >= 3, s"each mutation + commit must fence: $calls")
+    assert(calls("commit") == 1)
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
+
+    // the two-writer fail-fast law holds when BOTH writers run through
+    // explicit seam instances (a mid-flight claim blocks the second)
+    StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+    intercept[ConcurrentStoreWriteException] {
+      StreamingReplicator.applyBatch(
+        spark, tmp, c2, leaseMs = 600000L, protocol = new Counting)
+    }
+    assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
+    a.unpersist()
+  }
+
   test("virgin-store race: the epoch-0→1 adoption is writer-fenced") {
     import java.nio.file.Paths
     import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
