@@ -309,6 +309,8 @@ object SparkEntry {
     "k12_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     // k13 — trained-IVF cell occupancy/cohesion (index health report)
     "k13_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
+    // k14 — the k12+k13 composition as an operational decision row
+    "k14_index_health" -> ((s, d) => Similarity.ivfHealthReport(s, d)),
     // p30 — leakage-free split: p19's gate keyed by d5's cluster label
     "p30_leakfree_split" ->
       ((s, d) => graft.pipeline.Sampling.leakFreeSplit(s, d)),
@@ -443,6 +445,7 @@ object SparkEntry {
     "k4_knn_lsh" -> PipelineOracles.knnLsh,
     "k12_recall_report" -> PipelineOracles.knnRecallReport,
     "k13_cell_stats" -> PipelineOracles.ivfCellStats,
+    "k14_index_health" -> PipelineOracles.ivfHealthReport,
     "p30_leakfree_split" -> PipelineOracles.leakFreeSplit,
     "p30b_split_stability" -> PipelineOracles.leakFreeSplitIncremental,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,

@@ -700,6 +700,44 @@ object PipelineOracles {
     ORDER BY a.method
   """
 
+  /** k14 — the operational health row (graft.pipeline.Similarity
+    * .ivfHealthReport): the k5 search replayed twice (probe-ALL = exact
+    * truth by the completeness law, and the registered nprobe=2 form)
+    * plus the k13 cell stats, composed into one row with the
+    * retrain_recommended threshold flag. Every leg is the existing
+    * oracle SQL verbatim inside a subselect; only the two ppm divisions
+    * and the CASE are new — all BIGINT.
+    */
+  lazy val ivfHealthReport: String = {
+    val truthSql = s"""
+    WITH $ivfTrainedChain,
+    ${ivfSearchTail(10, 16, 5, "vec_id")}"""
+    s"""
+    WITH truthq AS (SELECT qid, vec_id FROM ($truthSql) tq),
+    approxq AS (SELECT qid, vec_id FROM ($knnIvfTrained) aq),
+    cellsq AS (SELECT * FROM ($ivfCellStats) cq),
+    tot AS (SELECT COUNT(*) AS n_truth FROM truthq),
+    hits AS (
+      SELECT COUNT(*) AS n_retrieved, COUNT(b.vec_id) AS n_hits
+      FROM approxq a
+      LEFT JOIN truthq b ON a.qid = b.qid AND a.vec_id = b.vec_id
+    ),
+    cellagg AS (
+      SELECT MAX(n_total) AS n_vectors,
+             MAX(occupancy_ppm) AS max_cell_ppm,
+             MIN(mean_cohesion) AS min_mean_cohesion
+      FROM cellsq
+    )
+    SELECT c.n_vectors, h.n_retrieved, h.n_hits, t.n_truth,
+           CAST(h.n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm,
+           c.max_cell_ppm, c.min_mean_cohesion,
+           CAST(CASE WHEN (h.n_hits * 1000000 // t.n_truth) < 600000
+                       OR c.max_cell_ppm > 250000 THEN 1 ELSE 0 END AS BIGINT)
+             AS retrain_recommended
+    FROM hits h, tot t, cellagg c
+  """
+  }
+
   /** k13 — trained-IVF cell-balance report (graft.pipeline.Similarity
     * .ivfCellStats): the k5 training chain verbatim, then the final
     * assignment (a3) joined back to its own-cell fixed-point cosine key

@@ -1393,4 +1393,179 @@ object Similarity {
       .select("method", "n_queries", "n_retrieved", "n_hits", "n_truth", "recall")
       .orderBy("method")
   }
+
+  /** K14 — the index-health row that turns k12 + k13 into an OPERATIONAL
+    * decision: ONE row carrying recall@k of the trained-IVF search
+    * against exact truth (k12's protocol — truth here is the probe-ALL
+    * search, which equals brute force under the fixed-point ranking by
+    * the completeness law), the worst cell's occupancy ppm and the worst
+    * cell's mean cohesion (k13's two risk axes), and the composed
+    * `retrain_recommended` flag (BIGINT 0/1): recall below
+    * `minRecallPpm` OR a cell above `maxCellPpm`. This is the row a
+    * deployment alerts on between rebuilds; the thresholds are the
+    * knobs. Everything except the two ppm divisions is the k5/k13
+    * machinery verbatim — same training run, exact BIGINT throughout —
+    * so the whole decision, training included, hash-replays in DuckDB.
+    *
+    * Scale shape: the searches are bounded by nQueries × cells, the
+    * stats rollup is k13's map-side-combined aggregation, and the final
+    * row is three broadcast single-row frames joined — no new corpus
+    * pass. Oracle parity holds for the default parameters (the DuckDB
+    * twin replays them); the float persisted-index twin of this row is
+    * [[indexHealthOf]], which the lifecycle spec drives through
+    * degrade → fire → retrain → clear.
+    */
+  def ivfHealthReport(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      kCentroids: Int = 16,
+      iters: Int = 3,
+      nprobe: Int = 2,
+      maxCellPpm: Long = 250000L,
+      minRecallPpm: Long = 600000L
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
+    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val assigned = assignCellsInt(codes, centroids).cache()
+    val truth =
+      searchCellsExact(assigned, codes, centroids, nQueries, k, kCentroids)
+        .select(col("qid"), col("vec_id"), lit(1L).as("bhit"))
+    val approx =
+      searchCellsExact(assigned, codes, centroids, nQueries, k, nprobe)
+    val cellsAgg = presentCellStats(
+      spark,
+      cellStatsRaw(codes, centroids),
+      kCentroids,
+      Some(centroids.map(_._1))
+    ).agg(
+      max("n_total").as("n_vectors"),
+      max("occupancy_ppm").as("max_cell_ppm"),
+      min("mean_cohesion").as("min_mean_cohesion")
+    )
+    val hits = approx
+      .join(broadcast(truth), Seq("qid", "vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_retrieved"),
+        count(col("bhit")).as("n_hits")
+      )
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val out = hits
+      .crossJoin(broadcast(nTruth)) // single-row
+      .crossJoin(broadcast(cellsAgg)) // single-row
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+      .withColumn(
+        "retrain_recommended",
+        (col("recall_ppm") < minRecallPpm ||
+          col("max_cell_ppm") > maxCellPpm).cast("long")
+      )
+      .select(
+        "n_vectors", "n_retrieved", "n_hits", "n_truth", "recall_ppm",
+        "max_cell_ppm", "min_mean_cohesion", "retrain_recommended"
+      )
+    Eager.materialized(out, codes, assigned)
+  }
+
+  /** The float persisted-index twin of [[ivfHealthReport]]: the same
+    * health row — recall@k vs probe-all truth, max cell ppm, min
+    * per-cell mean cohesion, `retrain_recommended` — computed against a
+    * STORED index ([[writeIvfIndex]] layout) as it stands, appends
+    * included. The query set is the nQueries lowest vec_ids currently in
+    * the index, so the report needs no external table: the index is
+    * self-monitoring. Occupancy comes from one cid-keyed count (the
+    * vectors scan reads nothing but the partition column and vec_id),
+    * cohesion from one row-local cosine against the broadcast centroid
+    * table; the searches are partition-pruned as always. No SQL oracle
+    * (float k-means is not portably replayable — k5's rationale);
+    * IndexStoreSpec's lifecycle test drives this row through
+    * degrade → trigger fires → [[retrainIvfIndex]] → trigger clears.
+    */
+  def indexHealthOf(
+      spark: SparkSession,
+      indexDir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2,
+      maxCellPpm: Long = 250000L,
+      minRecallPpm: Long = 600000L
+  ): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val kCentroids = cents.count().toInt
+    val vecs = spark.read
+      .parquet(s"$indexDir/vectors")
+      .select("vec_id", "embedding", "cid")
+      .cache()
+    val qs = vecs
+      .orderBy("vec_id")
+      .limit(nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q"))
+    val truth = knnIvfIndexedOf(spark, qs, indexDir, k, kCentroids)
+      .select(col("qid"), col("vec_id"), lit(1L).as("bhit"))
+    val approx = knnIvfIndexedOf(spark, qs, indexDir, k, nprobe)
+    val perCell = vecs
+      .join(broadcast(cents.select(col("cid"), col("c"))), Seq("cid"))
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        avg(cosine(col("embedding"), col("c"))).as("mean_cohesion")
+      )
+    val cellsAgg = perCell
+      .agg(
+        coalesce(sum("n_vectors"), lit(0L)).as("n_vectors"),
+        max("n_vectors").as("max_cell_n"),
+        min("mean_cohesion").as("min_mean_cohesion")
+      )
+      .withColumn(
+        "max_cell_ppm",
+        when(col("n_vectors") > 0, expr("max_cell_n * 1000000 DIV n_vectors"))
+          .otherwise(lit(0L))
+      )
+    val hits = approx
+      .join(broadcast(truth), Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_retrieved"), count(col("bhit")).as("n_hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val out = hits
+      .crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(cellsAgg))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+      .withColumn(
+        "retrain_recommended",
+        (col("recall_ppm") < minRecallPpm ||
+          col("max_cell_ppm") > maxCellPpm).cast("long")
+      )
+      .select(
+        "n_vectors", "n_retrieved", "n_hits", "n_truth", "recall_ppm",
+        "max_cell_ppm", "min_mean_cohesion", "retrain_recommended"
+      )
+    Eager.materialized(out, vecs)
+  }
+
+  /** Acts on a fired [[indexHealthOf]] trigger: re-trains the quantizer
+    * over the index's CURRENT corpus (appends included — that drift is
+    * exactly what the old centroids no longer represent) and writes the
+    * result as a NEW index generation at `out`. The old index stays
+    * intact and serving until the caller swaps readers over — the same
+    * build-new/swap-pointer discipline as the replicator's generations;
+    * an in-place overwrite would race its own input scan and leave a
+    * window with no committed index. Cost is one training run over the
+    * corpus (the k5 accounting) — which is why the trigger exists: at
+    * 100 TB retraining is the expensive, occasional path and appends are
+    * the cheap, continuous one.
+    */
+  def retrainIvfIndex(
+      spark: SparkSession,
+      indexDir: String,
+      out: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Unit =
+    writeIvfIndexOf(
+      spark,
+      spark.read.parquet(s"$indexDir/vectors").select("vec_id", "embedding"),
+      out,
+      kCentroids,
+      iters
+    )
 }

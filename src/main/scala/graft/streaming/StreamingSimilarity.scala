@@ -88,4 +88,46 @@ object StreamingSimilarity {
         sink(Similarity.cellStatsRaw(batch, centroids), batchId)
       }
       .start()
+
+  /** The continuous index-maintenance loop — k10's append lifecycle and
+    * k14's health row composed as a retrain TRIGGER: each arriving
+    * micro-batch of `(vec_id, embedding)` rows is appended to the stored
+    * index (row-local assignment against the frozen quantizer, O(batch)),
+    * and every `healthEvery` batches the index's self-monitoring row
+    * ([[Similarity.indexHealthOf]] — recall@k vs probe-all truth, max
+    * cell ppm, min mean cohesion, `retrain_recommended`) goes to
+    * `healthSink`. ACTING on a fired flag stays with the operator:
+    * [[Similarity.retrainIvfIndex]] builds a NEW generation and readers
+    * swap over — retraining in-stream would mutate the frozen-index
+    * contract the concurrent search plane ([[searchStream]]) relies on.
+    * The append is idempotence-exempt the same way k10's is: a replayed
+    * batch re-appends its rows, so the sink-side dedup contract is the
+    * caller's vec_id uniqueness (documented on
+    * [[Similarity.appendToIvfIndex]]); IndexStoreSpec drives the full
+    * degrade → fire → retrain → clear cycle through this entry point.
+    */
+  def maintenanceStream(
+      newVectors: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      healthEvery: Int = 1,
+      maxCellPpm: Long = 250000L,
+      minRecallPpm: Long = 600000L,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(healthSink: (DataFrame, Long) => Unit): StreamingQuery =
+    newVectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        Similarity.appendToIvfIndex(spark, batch, indexDir)
+        if ((batchId + 1) % healthEvery == 0)
+          healthSink(
+            Similarity.indexHealthOf(
+              spark, indexDir,
+              maxCellPpm = maxCellPpm, minRecallPpm = minRecallPpm),
+            batchId
+          )
+      }
+      .start()
 }

@@ -341,6 +341,84 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromStore == direct)
   }
 
+  test("index lifecycle: streamed drift fires the retrain trigger; retraining clears it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-health").toString
+    val ck = Files.createTempDirectory("graft-health-ck").toString
+    val emb = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Similarity.writeIvfIndexOf(spark, emb, tmp)
+
+    def health(dir: String) =
+      Similarity.indexHealthOf(spark, dir).collect().head
+    val h0 = health(tmp)
+    assert(h0.getAs[Long]("retrain_recommended") == 0L, h0.toString)
+
+    // drifted appended batch: the whole corpus shifted into the positive
+    // orthant (abs + offset) under NEW ids — a cluster the trained
+    // centroids never saw, with internal spread so a retrain CAN split
+    // it; negative ids so the retrain re-seeds inside the drifted mass
+    val drifted: Seq[(Long, Seq[Float])] = emb
+      .select(
+        (-col("vec_id") - 1).as("vec_id"),
+        transform(
+          col("embedding"),
+          x => (abs(x.cast("double")) + lit(3.0)).cast("float")
+        ).as("embedding")
+      )
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+
+    // drive the drift through the STREAMING maintenance loop: appends
+    // land per micro-batch, the health row emits after each
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val healthRows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long)] // (batchId, maxPpm, recallPpm, flag)
+    val q = graft.streaming.StreamingSimilarity.maintenanceStream(
+      ms.toDF().toDF("vec_id", "embedding"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (h, bid) =>
+      val r = h.collect().head
+      healthRows.synchronized {
+        healthRows += ((bid, r.getAs[Long]("max_cell_ppm"),
+          r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("retrain_recommended"))): Unit
+      }
+    }
+    try
+      drifted.grouped(drifted.size / 2 + 1).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    // the trigger FIRES: the drifted mass concentrates in few cells, so
+    // the final health row crosses the ppm threshold
+    assert(healthRows.nonEmpty)
+    val last = healthRows.last
+    assert(last._2 > 250000L, s"drift must skew a cell: $healthRows")
+    assert(last._4 == 1L, s"trigger must fire: $healthRows")
+    val h1 = health(tmp)
+    assert(h1.getAs[Long]("retrain_recommended") == 1L)
+
+    // act on the flag: retrain into a NEW generation (old index stays
+    // serving until readers swap) — the trigger CLEARS
+    val gen2 = Files.createTempDirectory("graft-health2").toString
+    Similarity.retrainIvfIndex(spark, tmp, gen2)
+    val h2 = health(gen2)
+    assert(h2.getAs[Long]("n_vectors") == h1.getAs[Long]("n_vectors"))
+    assert(h2.getAs[Long]("max_cell_ppm") <= 250000L, h2.toString)
+    assert(h2.getAs[Long]("retrain_recommended") == 0L, h2.toString)
+  }
+
   test("streaming IVF search over chunked queries equals one batch search") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
