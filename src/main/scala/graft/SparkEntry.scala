@@ -289,6 +289,11 @@ object SparkEntry {
     "d14_paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     // p28 — per-source document caps (domain-cap selection)
     "p28_source_caps" -> ((s, d) => graft.pipeline.Sampling.sourceCaps(s, d)),
+    // p33 — lexical retrieval through the inverted index (the sparse
+    // complement of the ANN plane)
+    "p33_keyword_topk" -> ((s, d) => graft.pipeline.Retrieval.keywordTopK(s, d)),
+    // p34 — per-source distribution drift vs the frozen history profile
+    "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
     // p29 — surgical decontamination (eval-overlapping spans cut out)
     "p29_decontamination_removal" ->
       ((s, d) => graft.pipeline.Decontamination.decontaminationRemoval(s, d)),
@@ -431,6 +436,8 @@ object SparkEntry {
     "p27_dedup_report" -> PipelineOracles.dedupReport,
     "d14_paragraph_dedup" -> PipelineOracles.paragraphDedup,
     "p28_source_caps" -> PipelineOracles.sourceCaps,
+    "p33_keyword_topk" -> PipelineOracles.keywordTopK,
+    "p34_drift_report" -> PipelineOracles.driftReport,
     "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,

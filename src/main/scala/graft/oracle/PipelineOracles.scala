@@ -2333,6 +2333,109 @@ object PipelineOracles {
     LIMIT 100
   """
 
+  /** p33 — integer tf-idf top-k retrieval through the inverted index
+    * (graft.pipeline.Retrieval.keywordTopK, 5 queries, k=5): postings at
+    * the standard whitespace word grain, idf as the exact surrogate
+    * (N·10⁶) // df, score = Σ tf·idf_ppm over shared terms, ties to
+    * doc_id.
+    */
+  val keywordTopK: String = """
+    WITH toks AS (
+      SELECT doc_id, g.w AS w
+      FROM documents, LATERAL (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+          AS w) g
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w,
+             (SELECT n_docs FROM n) * 1000000 // d.df AS idf_ppm
+      FROM tf t JOIN df d USING (w)
+      WHERE t.doc_id < 5
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id, SUM(t.tf * q.idf_ppm) AS score
+      FROM tf t JOIN qt q ON t.w = q.w
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** p34 — per-source distribution drift vs the frozen history profile
+    * (graft.pipeline.Sampling.driftReport): p26's hashed unigram∪bigram
+    * feature space verbatim, old 80% of doc_ids as the reference, per
+    * (source, bucket) ppm deltas over the union lattice, TV = Σ|Δ| // 2.
+    */
+  val driftReport: String = s"""
+    WITH split AS (
+      SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
+    ),
+    wsh AS (
+      SELECT doc_id, source,
+             list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> ${charHash("w")}) AS wh
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, g.h % 8192 AS b
+      FROM wsh, LATERAL (
+        SELECT unnest(list_concat(wh,
+          list_transform(generate_series(1, len(wh) - 1),
+            i -> (wh[i] * 31 + wh[i + 1]) % 1000000007))) AS h) g
+    ),
+    ref AS (
+      SELECT b, COUNT(*) AS o_cnt FROM toks
+      WHERE doc_id < (SELECT s FROM split) GROUP BY b
+    ),
+    reft AS (SELECT SUM(o_cnt) AS o_tot FROM ref),
+    refppm AS (
+      SELECT b, CAST(o_cnt * 1000000 // (SELECT o_tot FROM reft) AS BIGINT)
+               AS o_ppm
+      FROM ref
+    ),
+    ncnt AS (
+      SELECT source, b, COUNT(*) AS n_cnt FROM toks
+      WHERE doc_id >= (SELECT s FROM split) GROUP BY source, b
+    ),
+    ntot AS (
+      SELECT source, CAST(SUM(n_cnt) AS BIGINT) AS n_tot
+      FROM ncnt GROUP BY source
+    ),
+    lattice AS (
+      SELECT source, b FROM ncnt
+      UNION
+      SELECT t.source, r.b FROM ntot t, refppm r
+    ),
+    sh AS (
+      SELECT l.source, t.n_tot,
+             COALESCE(n.n_cnt, 0) * 1000000 // t.n_tot
+               - COALESCE(r.o_ppm, 0) AS shift
+      FROM lattice l
+      JOIN ntot t USING (source)
+      LEFT JOIN ncnt n ON n.source = l.source AND n.b = l.b
+      LEFT JOIN refppm r ON r.b = l.b
+    )
+    SELECT source, n_tot AS n_tokens,
+           CAST(SUM(ABS(shift)) // 2 AS BIGINT) AS tv_ppm,
+           CAST(MAX(ABS(shift)) AS BIGINT) AS max_shift_ppm
+    FROM sh
+    GROUP BY source, n_tot
+    ORDER BY tv_ppm DESC, source
+  """
+
   /** p28 — per-source document caps (graft.pipeline.Sampling
     * .sourceCaps): top 20 docs per source by (n_chars DESC, doc_id ASC).
     */

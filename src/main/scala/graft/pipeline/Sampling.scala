@@ -672,4 +672,100 @@ object Sampling {
       col("n_chars"),
       cap
     )
+
+  /** The frozen reference profile p34 drifts against: the history
+    * corpus's hashed token distribution in exact ppm — ≤ `buckets` rows
+    * (bounded by construction, like p26's weight table), computed once
+    * and broadcast into every later batch's report. Feature space is
+    * p26's verbatim (unigram ∪ bigram char hashes mod buckets) so the
+    * drift monitor and the affinity sampler can never disagree about
+    * what a "token" is.
+    */
+  def frozenProfile(d: DataFrame, buckets: Long = 8192L): DataFrame = {
+    val cnt = affinityTokens(d, buckets)
+      .groupBy("b")
+      .agg(count(lit(1)).as("o_cnt"))
+    val tot = cnt.agg(sum("o_cnt").as("o_tot"))
+    cnt
+      .crossJoin(broadcast(tot)) // single-row total
+      .select(col("b"), expr("o_cnt * 1000000 DIV o_tot").as("o_ppm"))
+  }
+
+  /** P34 — corpus-distribution drift report: each SOURCE in the arriving
+    * batch gets its hashed-token distribution compared to the frozen
+    * history profile — total-variation distance in exact ppm plus the
+    * single worst bucket shift. This is the TEXT plane's k14: the row an
+    * ingestion pipeline alerts on when a source's content changes shape
+    * (crawler broke, spam flood, language shift) BEFORE the downstream
+    * samplers (p20/p26/p28) silently re-weight garbage.
+    *
+    * Scale shape: the corpus is touched exactly twice, once per profile
+    * (both map-side-combined aggregations to ≤ buckets rows); everything
+    * after lives on the bounded (sources × buckets) lattice — built as a
+    * union so buckets the batch never emits still contribute their full
+    * reference mass, and batch-only buckets their full batch mass (TV
+    * needs both tails). All integer (per-bucket ppm, |Δ| sums), so the
+    * report hash-replays in DuckDB.
+    */
+  def driftReportOf(
+      newD: DataFrame,
+      refPpm: DataFrame,
+      buckets: Long = 8192L
+  ): DataFrame = {
+    val newCnt = affinityTokens(newD, buckets)
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("n_cnt"))
+      .cache()
+    val newTot = newCnt.groupBy("source").agg(sum("n_cnt").as("n_tot"))
+    val lattice = newCnt
+      .select("source", "b")
+      .union(
+        newTot.select("source").crossJoin(broadcast(refPpm.select("b")))
+      )
+      .distinct()
+    val out = lattice
+      .join(broadcast(newTot), Seq("source"))
+      .join(newCnt, Seq("source", "b"), "left")
+      .join(broadcast(refPpm), Seq("b"), "left")
+      .withColumn(
+        "shift",
+        expr("coalesce(n_cnt, 0L) * 1000000 DIV n_tot") -
+          coalesce(col("o_ppm"), lit(0L))
+      )
+      .groupBy("source", "n_tot")
+      .agg(
+        sum(abs(col("shift"))).as("tv2"),
+        max(abs(col("shift"))).as("max_shift_ppm")
+      )
+      .withColumn("tv_ppm", expr("tv2 DIV 2"))
+      .select(
+        col("source"),
+        col("n_tot").as("n_tokens"),
+        col("tv_ppm"),
+        col("max_shift_ppm")
+      )
+      .orderBy(col("tv_ppm").desc, col("source"))
+    Eager.materialized(out, newCnt)
+  }
+
+  /** The canonical p34 query: the d9 boundary split plays history vs
+    * arriving batch (old 80% of doc_ids = the frozen profile, new 20% =
+    * the monitored batch), per-source drift over the shared 8192-bucket
+    * feature space.
+    */
+  def driftReport(
+      spark: SparkSession,
+      dir: String,
+      buckets: Long = 8192L
+  ): DataFrame = {
+    val boundary = graft.pipeline.Dedup.incrementalBoundary(spark, dir)
+    val d = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    driftReportOf(
+      d.filter(col("doc_id") >= boundary),
+      frozenProfile(d.filter(col("doc_id") < boundary), buckets),
+      buckets
+    )
+  }
 }

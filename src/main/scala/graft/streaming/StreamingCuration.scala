@@ -121,6 +121,35 @@ object StreamingCuration {
   def affinityScoreStream(docs: DataFrame, weights: Array[Long]): DataFrame =
     Sampling.affinityScoreLocal(docs, weights)
 
+  /** P34 continuous form — per-micro-batch drift report against a FROZEN
+    * reference profile ([[graft.pipeline.Sampling.frozenProfile]],
+    * computed offline on the history corpus): each arriving batch gets
+    * its own per-source drift rows handed to `sink`, the text plane's
+    * analogue of the ANN maintenance loop's health row. Per-batch
+    * semantics are the POINT (a drift monitor reports on what just
+    * arrived, not a running union), so there is no state store — each
+    * batch runs the batch kernel inside `foreachBatch`, and the
+    * per-batch report equals [[graft.pipeline.Sampling.driftReportOf]]
+    * of that chunk by construction (StreamingCurationSpec pins it).
+    */
+  def driftReportStream(
+      docs: DataFrame,
+      refPpm: DataFrame,
+      checkpointDir: String,
+      buckets: Long = 8192L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Sampling.driftReportOf(batch, refPpm, buckets), batchId)
+      }
+      .start()
+
   /** D13 continuous form — within-doc self-repetition removal on ingest.
     * The batch operator's semantics are PER-DOCUMENT (no cross-doc term),
     * so a stream needs no state store and no index: each micro-batch is

@@ -1174,6 +1174,83 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 15L)
   }
 
+  test("p33 keyword retrieval equals an independent in-memory tf-idf model") {
+    val got = graft.pipeline.Retrieval
+      .keywordTopK(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val n = docs.size.toLong
+    val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val df: Map[String, Long] = docs.toSeq
+      .flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }
+    val want = (0L until 5L).flatMap { qid =>
+      val qws = docs(qid).distinct
+      docs.keys
+        .filter(_ != qid)
+        .flatMap { d =>
+          val s =
+            qws.map(w => tf.getOrElse((d, w), 0L) * (n * 1000000L / df(w))).sum
+          if (s > 0) Some((d, s)) else None // zero overlap = not a candidate
+        }
+        .toSeq
+        .sortBy { case (d, s) => (-s, d) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((d, s), i) => (qid, d, i + 1L, s) }
+    }.toSeq
+    assert(got == want)
+  }
+
+  test("p34 drift: self-drift is zero, disjoint vocabulary saturates, corpus form bounded") {
+    val ss = spark
+    import ss.implicits._
+    val hist = Seq(
+      (1L, "s1", "aa bb cc aa dd"),
+      (2L, "s1", "bb cc dd ee")
+    ).toDF("doc_id", "source", "text")
+    val ref = graft.pipeline.Sampling.frozenProfile(hist)
+    // a batch with the history's exact distribution drifts by zero —
+    // identical per-bucket counts through identical integer ppm math
+    val self = graft.pipeline.Sampling.driftReportOf(hist, ref).collect()
+    assert(self.length == 1)
+    assert(self.head.getAs[Long]("tv_ppm") == 0L, self.mkString)
+    assert(self.head.getAs[Long]("max_shift_ppm") == 0L)
+    // a batch sharing no vocabulary saturates toward 10⁶ ppm — BOTH
+    // tails of the union lattice contribute (ref mass never re-emitted
+    // + batch mass never referenced). Not exactly 10⁶: two-char tokens
+    // occupy a tiny corner of the hash space, so some alien BUCKETS
+    // genuinely collide with reference ones mod 8192 (verified against
+    // an independent in-python replay: s1 = 937499, s2 = 812500)
+    val alien = Seq(
+      (3L, "s1", "xx yy zz xx"),
+      (4L, "s2", "qq rr ss")
+    ).toDF("doc_id", "source", "text")
+    val far = graft.pipeline.Sampling
+      .driftReportOf(alien, ref)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("tv_ppm")))
+      .toMap
+    assert(far == Map("s1" -> 937499L, "s2" -> 812500L), far.toString)
+    // the registered corpus split is non-degenerate and TV-bounded
+    val full = graft.pipeline.Sampling.driftReport(spark, sfDir).collect()
+    assert(full.nonEmpty)
+    assert(full.forall { r =>
+      val tv = r.getAs[Long]("tv_ppm"); tv >= 0L && tv <= 1000000L
+    })
+    assert(full.exists(_.getAs[Long]("tv_ppm") > 0L))
+  }
+
   test("p31 fused fold: merged toks ≡ mergeFold and dels ≡ brute pair diff") {
     import org.apache.spark.sql.functions.{col, explode, expr}
     val ss = spark

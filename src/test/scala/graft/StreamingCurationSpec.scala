@@ -414,4 +414,52 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).count() == 0)
     assert(want.exceptAll(got).count() == 0)
   }
+
+  test("streaming drift report per micro-batch equals the batch kernel on that chunk") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val boundary = graft.pipeline.Dedup.incrementalBoundary(spark, sfDir)
+    // reference profile trained offline on the history corpus, FROZEN
+    val ref = Sampling.frozenProfile(d.filter(col("doc_id") < boundary)).cache()
+    val rows: Seq[(Long, String, String)] = d
+      .filter(col("doc_id") >= boundary)
+      .as[(Long, String, String)]
+      .collect()
+      .toSeq
+    val chunks = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2)
+    val ck =
+      java.nio.file.Files.createTempDirectory("graft-drift-ck").toString
+    val perBatch = scala.collection.mutable.Map
+      .empty[Long, Seq[(String, Long, Long, Long)]]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.driftReportStream(
+      ms.toDF().toDF("doc_id", "source", "text"),
+      ref,
+      ck
+    ) { (rep, bid) =>
+      val r = rep
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .toSeq
+      perBatch.synchronized { perBatch(bid) = r; () }
+    }
+    try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    assert(perBatch.size == chunks.size)
+    // the monitor's per-batch semantics: each arriving chunk's report IS
+    // the batch kernel applied to exactly that chunk
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val want = Sampling
+        .driftReportOf(c.toDF("doc_id", "source", "text"), ref)
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .toSeq
+      assert(want.nonEmpty)
+      assert(perBatch(i.toLong) == want)
+    }
+  }
 }
