@@ -99,6 +99,7 @@ object HeavyTailStress {
       TextAnalysis.phraseMerges(spark, d).count()
       Dedup.releaseMemo()
       TextAnalysis.releasePhraseMemo()
+      graft.pipeline.Similarity.releaseTrainMemo()
     }
 
     val results = Seq(factor / 2, factor).map { f =>
@@ -194,6 +195,7 @@ object HeavyTailStress {
           f"delta(8)/recount(8) = ${tp31d.sec / tp31r.sec}%.2f")
       Dedup.releaseMemo()
       TextAnalysis.releasePhraseMemo()
+      graft.pipeline.Similarity.releaseTrainMemo()
       (f, Seq(
         "d6" -> td6, "d9" -> td9, "d2memo" -> td2, "d11" -> td11,
         "d12" -> td12, "k5" -> tk5, "k10" -> tk10, "p24" -> tp24,

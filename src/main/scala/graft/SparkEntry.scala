@@ -40,6 +40,8 @@ object SparkEntry {
     actionCache.clear()
     graft.pipeline.Dedup.releaseMemo()
     graft.pipeline.TextAnalysis.releasePhraseMemo()
+    graft.pipeline.Similarity.releaseTrainMemo()
+    graft.pipeline.Multimodal.releaseMediaMemo()
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -185,6 +185,32 @@ object Multimodal {
     * centroids are); [[mediaKnn]] stays as the float truth leg, and
     * [[mediaRecall]] reports the index's recall against it.
     */
+  /** Session memo of the media-feature training run (the Similarity
+    * exact-train memo's m-plane twin): m4b and m4c share one
+    * quantization + k-means and one cached codes frame. Released by
+    * [[releaseMediaMemo]] (wired into SparkEntry.releaseCaches).
+    */
+  private val mediaTrainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (DataFrame, Seq[(Int, Seq[Long])])]
+
+  def releaseMediaMemo(): Unit = {
+    mediaTrainMemo.values.foreach(_._1.unpersist(false))
+    mediaTrainMemo.clear()
+  }
+
+  private def trainedMedia(
+      spark: SparkSession,
+      dir: String,
+      kCentroids: Int,
+      iters: Int
+  ): (DataFrame, Seq[(Int, Seq[Long])]) =
+    mediaTrainMemo.getOrElseUpdate(
+      (spark, dir, kCentroids, iters), {
+        val codes = mediaCodes(spark, dir).cache()
+        (codes, Similarity.trainCentroidsExact(codes, kCentroids, iters))
+      }
+    )
+
   def mediaKnnIvf(
       spark: SparkSession,
       dir: String,
@@ -194,8 +220,7 @@ object Multimodal {
       iters: Int = 3,
       nprobe: Int = 2
   ): DataFrame = {
-    val codes = mediaCodes(spark, dir).cache()
-    val centroids = Similarity.trainCentroidsExact(codes, kCentroids, iters)
+    val (codes, centroids) = trainedMedia(spark, dir, kCentroids, iters)
     val out = Similarity
       .searchCellsExact(
         Similarity.assignCellsInt(codes, centroids),
@@ -206,7 +231,7 @@ object Multimodal {
         nprobe
       )
       .withColumnRenamed("vec_id", "doc_id")
-    Eager.materialized(out, codes)
+    Eager.materialized(out) // codes cache stays: the memo owns it
   }
 
   /** M4C — the m-plane's k12: recall@k of the IVF-indexed media search

@@ -390,6 +390,35 @@ object Similarity {
     * monotone in cosine up to 2⁻²⁰ truncation, so the integer ranking
     * tracks the float one).
     */
+  /** Session memo of the exact-integer training run per (session, dir,
+    * kCentroids, iters) — the d2/phrase-memo pattern: k5, k13 and k14
+    * all consume the IDENTICAL quantization + k-means, so they share ONE
+    * run (and one cached codes frame) instead of each paying it. The
+    * memo owns the codes cache; [[releaseTrainMemo]] frees it (wired
+    * into SparkEntry.releaseCaches).
+    */
+  private val exactTrainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (DataFrame, Seq[(Int, Seq[Long])])]
+
+  def releaseTrainMemo(): Unit = {
+    exactTrainMemo.values.foreach(_._1.unpersist(false))
+    exactTrainMemo.clear()
+  }
+
+  private[graft] def trainedExact(
+      spark: SparkSession,
+      dir: String,
+      kCentroids: Int,
+      iters: Int
+  ): (DataFrame, Seq[(Int, Seq[Long])]) =
+    exactTrainMemo.getOrElseUpdate(
+      (spark, dir, kCentroids, iters), {
+        val codes =
+          quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
+        (codes, trainCentroidsExact(codes, kCentroids, iters))
+      }
+    )
+
   def knnIvfTrainedExact(
       spark: SparkSession,
       dir: String,
@@ -399,10 +428,9 @@ object Similarity {
       iters: Int = 3,
       nprobe: Int = 2
   ): DataFrame = {
-    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
-    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val (codes, centroids) = trainedExact(spark, dir, kCentroids, iters)
     val out = searchCellsExact(assignCellsInt(codes, centroids), codes, centroids, nQueries, k, nprobe)
-    Eager.materialized(out, codes)
+    Eager.materialized(out) // codes cache stays: the memo owns it
   }
 
   /** K10 — the incremental-index LIFECYCLE as a single oracle-replayable
@@ -1241,15 +1269,14 @@ object Similarity {
       kCentroids: Int = 16,
       iters: Int = 3
   ): DataFrame = {
-    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
-    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val (codes, centroids) = trainedExact(spark, dir, kCentroids, iters)
     val out = presentCellStats(
       spark,
       cellStatsRaw(codes, centroids),
       kCentroids,
       Some(centroids.map(_._1))
     )
-    Eager.materialized(out, codes)
+    Eager.materialized(out) // codes cache stays: the memo owns it
   }
 
   /** The MERGEABLE core of k13: (cid, n_vectors, sum_cohesion,
@@ -1426,8 +1453,7 @@ object Similarity {
       maxCellPpm: Long = 250000L,
       minRecallPpm: Long = 600000L
   ): DataFrame = {
-    val codes = quantized(spark, dir).select(col("vec_id"), col("q8")).cache()
-    val centroids = trainCentroidsExact(codes, kCentroids, iters)
+    val (codes, centroids) = trainedExact(spark, dir, kCentroids, iters)
     val assigned = assignCellsInt(codes, centroids).cache()
     val truth =
       searchCellsExact(assigned, codes, centroids, nQueries, k, kCentroids)
@@ -1464,7 +1490,7 @@ object Similarity {
         "n_vectors", "n_retrieved", "n_hits", "n_truth", "recall_ppm",
         "max_cell_ppm", "min_mean_cohesion", "retrain_recommended"
       )
-    Eager.materialized(out, codes, assigned)
+    Eager.materialized(out, assigned) // codes cache stays with the memo
   }
 
   /** The float persisted-index twin of [[ivfHealthReport]]: the same
