@@ -501,7 +501,7 @@ object TextAnalysis {
       nMerges: Int = 8
   ): DataFrame = {
     import spark.implicits._
-    val (merges, _) = trainedPhrases(spark, dir, nMerges)
+    val (merges, _, _) = trainedPhrases(spark, dir, nMerges)
     merges.toDF("step", "lhs", "rhs", "merged", "n_pairs").orderBy("step")
   }
 
@@ -524,10 +524,10 @@ object TextAnalysis {
     */
   private val phraseMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int),
-      (Seq[(Long, String, String, String, Long)], DataFrame)]
+      (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit)]
 
   def releasePhraseMemo(): Unit = {
-    phraseMemo.values.foreach(v => Eager.releaseCheckpoint(v._2))
+    phraseMemo.values.foreach(_._3())
     phraseMemo.clear()
   }
 
@@ -535,14 +535,14 @@ object TextAnalysis {
       spark: SparkSession,
       dir: String,
       nMerges: Int
-  ): (Seq[(Long, String, String, String, Long)], DataFrame) =
+  ): (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) =
     phraseMemo.getOrElseUpdate(
       (spark, dir, nMerges), {
         val d = spark.read
           .parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
-        val (m, st, _) = phraseTrainDelta(spark, d, nMerges)
-        (m, st) // state checkpoint stays alive: the memo owns it
+        phraseTrainDelta(spark, d, nMerges)
+        // base+overlay blocks stay alive: the memo owns the release
       }
     )
 
@@ -562,7 +562,7 @@ object TextAnalysis {
     val d = spark.read
       .parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val (_, state) = trainedPhrases(spark, dir, nMerges)
+    val (_, state, _) = trainedPhrases(spark, dir, nMerges)
     val before = d.select(
       col("doc_id"),
       size(expr("filter(split(text, ' '), x -> x != '')"))
@@ -679,11 +679,18 @@ object TextAnalysis {
     */
   private[graft] val DelsType = "array<struct<a:string,b:string,dn:bigint>>"
 
+  /** Pair params arrive as COLUMNS (from a broadcast single-row frame),
+    * not literals: every training round then plans the IDENTICAL
+    * expression tree, so whole-stage codegen's source cache reuses ONE
+    * compiled class across all rounds instead of Janino-compiling this
+    * (large) fold once per merge — measured ~1 s/round at nMerges=8,
+    * the dominant per-round cost once the data writes are O(touched).
+    */
   private[graft] def mergeDeltaFold(
       toks: Column,
-      a: String,
-      b: String,
-      m: String
+      a: Column,
+      b: Column,
+      m: Column
   ): Column = {
     val emptyD = array().cast(DelsType)
     def del(x: Column, y: Column, dn: Long) =
@@ -700,7 +707,7 @@ object TextAnalysis {
         val po = s.getField("po")
         val d = s.getField("d")
         val l1 = element_at(acc, -1) // guarded: only read when acc nonempty
-        val isMerge = size(acc) > 0 && (l1 <=> lit(a)) && t === lit(b)
+        val isMerge = size(acc) > 0 && (l1 <=> a) && t === b
         // merge: (a,b) is consumed; the left neighbor's pair to `a`
         // re-points to `m`. The right side is handled by the NEXT step:
         // a post-merge append sees last = m ≠ po = b and re-points (b, t)
@@ -712,12 +719,12 @@ object TextAnalysis {
           concat(
             d,
             array(
-              del(lit(a), lit(b), -1L),
-              del(l2, lit(a), -1L),
-              del(l2, lit(m), 1L)
+              del(a, b, -1L),
+              del(l2, a, -1L),
+              del(l2, m, 1L)
             )
           )
-        ).otherwise(concat(d, array(del(lit(a), lit(b), -1L))))
+        ).otherwise(concat(d, array(del(a, b, -1L))))
         val normD = when(
           po.isNotNull && !(l1 <=> po),
           concat(d, array(del(l1, t, 1L), del(po, t, -1L)))
@@ -725,7 +732,7 @@ object TextAnalysis {
         when(
           isMerge,
           struct(
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))).as("acc"),
+            concat(slice(acc, lit(1), size(acc) - 1), array(m)).as("acc"),
             t.as("po"),
             mergeD.as("d")
           )
@@ -780,19 +787,61 @@ object TextAnalysis {
     * law-pinned in PipelineSpec (merge table AND final state, real corpus
     * and the equal-token-run fixture).
     */
+  /** State layout (the O(touched-docs) write path): the corpus lives as
+    * an IMMUTABLE checkpointed `base` plus a bounded OVERLAY holding the
+    * latest toks of every doc any round has touched. Per round, ONLY the
+    * docs containing the merged pair's lhs are folded and materialized
+    * (the `array_contains` filter reaches the scan — untouched docs are
+    * read but never rewritten), and the overlay is rewritten at its own
+    * ≤ `compactOver` grain; the corpus-sized base is rewritten only when
+    * the overlay outgrows the bound (amortized O(total-touched /
+    * compactOver) corpus passes, not O(rounds)). Reconstruction
+    * (base ∖ overlay-ids ∪ overlay) is an anti-join whose build side is
+    * the overlay id set — bounded by the compaction invariant, so the
+    * stats planner keeps it a broadcast and no round shuffles the
+    * corpus.
+    */
   private[graft] def phraseTrainDelta(
       spark: SparkSession,
       d: DataFrame,
       nMerges: Int,
-      bufSize: Int = 256
+      bufSize: Int = 256,
+      compactOver: Long = 1000000L
   ): (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) = {
-    var stateBlocks = Eager.materialized(
-      d.select(
-        col("doc_id"),
-        expr("filter(split(text, ' '), x -> x != '')").as("toks")
+    import spark.implicits._
+    // state rows carry the token array AND its space-padded join: the
+    // per-round touch gate is then an exact-substring probe for
+    // " lhs rhs " — true ADJACENCY, not mere token presence. On a
+    // natural corpus the lhs TOKEN can appear in most documents while
+    // the PAIR is rare (measured here: lhs in 76% of docs vs the pair in
+    // ≤7%), and the gate decides how many docs run the (expensive) fold
+    // and materialize — the substring gate is the difference between
+    // O(docs-containing-lhs) and O(docs-containing-pair) per round.
+    def withTxt(st: DataFrame): DataFrame =
+      st.withColumn(
+        "txt",
+        concat(lit(" "), array_join(col("toks"), " "), lit(" "))
+      )
+    var baseBlocks = Eager.materialized(
+      withTxt(
+        d.select(
+          col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks")
+        )
       )
     )
-    var state = stateBlocks
+    var baseView = baseBlocks
+    val nDocs = baseBlocks.count() // block count of the fresh checkpoint
+    var ovlBlocks: Option[DataFrame] = None
+    var ovlRows = 0L // driver UPPER BOUND on overlay rows (no count jobs)
+    def curState: DataFrame = ovlBlocks match {
+      case None => baseView
+      case Some(o) =>
+        baseView
+          .join(o.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(o)
+    }
+    def state = curState
 
     // driver-side candidate buffer — bounded at bufSize entries, never
     // corpus-sized; floor == 0 means the buffer holds the WHOLE pair
@@ -840,33 +889,62 @@ object TextAnalysis {
         case Some(((a, b), n)) =>
           val m = a + " " + b
           merges += ((step.toLong, a, b, m, n))
-          // ONE row-local pass per round: the cheap codegen'd
-          // array_contains gate scans every doc, and only docs that can
-          // contain the pair run the fused fold. The struct lands in the
-          // checkpoint whole (a getField projection would re-run the
+          // Round strategy, decided from DRIVER-KNOWN numbers (the
+          // pair's exact count n bounds its touched-doc count): a HOT
+          // pair (touched potentially a large corpus fraction) takes the
+          // full-rewrite path — one corpus materialization, the overlay
+          // folded in for free since everything rewrites anyway; a RARE
+          // pair (n ≪ corpus) takes the overlay path — only touched
+          // docs and the bounded overlay materialize. Real BPE runs are
+          // the second regime almost everywhere (Zipf: beyond the first
+          // few merges every pair is rare), which is what makes 10⁴
+          // merges affordable; the first few ubiquitous merges take the
+          // one-corpus-write path a recount round would have paid
+          // anyway. In both paths the fold struct lands in the
+          // checkpoint WHOLE (a getField projection would re-run the
           // fold once per referenced field — Catalyst does not CSE
           // across interpreted HOFs).
-          val round = Eager.materialized(
-            state.select(
-              col("doc_id"),
-              when(
-                array_contains(col("toks"), a),
-                mergeDeltaFold(col("toks"), a, b, m)
-              ).otherwise(
-                struct(
-                  col("toks").as("toks"),
-                  array().cast(DelsType).as("dels")
-                )
-              ).as("r")
-            )
+          val hot = n * 8L >= nDocs
+          val tRs = System.nanoTime()
+          // the round's pair rides in a broadcast single-row frame so the
+          // plan (and its generated code) is identical every round — see
+          // the mergeDeltaFold codegen-cache note. `pneedle` is the
+          // adjacency probe " lhs rhs ".
+          val params = broadcast(
+            Seq((a, b, m, s" $a $b ")).toDF("pa", "pb", "pm", "pneedle")
           )
-          // net positional delta, a block scan of the checkpoint
-          val delta = round
+          val stp = state.crossJoin(params)
+          val gate = instr(col("txt"), col("pneedle")) > 0
+          val foldR =
+            mergeDeltaFold(col("toks"), col("pa"), col("pb"), col("pm"))
+          val changed =
+            if (hot)
+              Eager.materialized(
+                stp.select(
+                  col("doc_id"),
+                  when(gate, foldR)
+                    .otherwise(
+                      struct(
+                        col("toks").as("toks"),
+                        array().cast(DelsType).as("dels")
+                      )
+                    ).as("r")
+                )
+              )
+            else
+              Eager.materialized(
+                stp
+                  .filter(gate)
+                  .select(col("doc_id"), foldR.as("r"))
+              )
+          // net positional delta, a block scan of the rewritten docs
+          val delta = changed
             .select(explode(col("r.dels")).as("p"))
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("p.dn")).as("dn"))
             .filter(col("dn") =!= 0L)
             .collect()
+          val tR1 = System.nanoTime()
           val mRepeated = mergedStrings.contains(m)
           mergedStrings += m
           delta.foreach { r =>
@@ -886,12 +964,63 @@ object TextAnalysis {
               // dn < 0 on an unseen pair: it was ≤ floor and only sank
             }
           }
-          Eager.releaseCheckpoint(stateBlocks)
-          stateBlocks = round
-          state = round.select(col("doc_id"), col("r.toks").as("toks"))
+          if (hot) {
+            // the rewrite covered every current doc: rebuild the base
+            // (with its txt gate column) from the fold structs and drop
+            // the overlay — two corpus-sized writes, paid only on the
+            // few ubiquitous early merges
+            val nb = Eager.materialized(
+              withTxt(
+                changed.select(col("doc_id"), col("r.toks").as("toks"))
+              )
+            )
+            Eager.releaseCheckpoint(baseBlocks)
+            ovlBlocks.foreach(Eager.releaseCheckpoint)
+            Eager.releaseCheckpoint(changed)
+            ovlBlocks = None
+            ovlRows = 0L
+            baseBlocks = nb
+            baseView = nb
+          } else {
+            // fold the touched docs into the overlay (latest-wins at the
+            // overlay's own ≤ compactOver grain — the corpus never
+            // rewrites)
+            val changedState = withTxt(
+              changed.select(col("doc_id"), col("r.toks").as("toks"))
+            )
+            val newOvl = Eager.materialized(ovlBlocks match {
+              case None => changedState
+              case Some(o) =>
+                o.join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+                  .unionByName(changedState)
+            })
+            ovlBlocks.foreach(Eager.releaseCheckpoint)
+            Eager.releaseCheckpoint(changed)
+            ovlBlocks = Some(newOvl)
+            ovlRows += n // touched ≤ pair occurrences: a safe upper bound
+            // compaction: when the overlay outgrows the broadcastable
+            // bound, fold it into a fresh base (ONE corpus
+            // materialization amortized over the rounds that filled it)
+            if (ovlRows > compactOver) {
+              val nb = Eager.materialized(curState)
+              Eager.releaseCheckpoint(baseBlocks)
+              ovlBlocks.foreach(Eager.releaseCheckpoint)
+              baseBlocks = nb
+              baseView = nb
+              ovlBlocks = None
+              ovlRows = 0L
+            }
+          }
+          if (sys.env.contains("GRAFT_P31_TRACE"))
+            println(f"[p31trace] step=$step hot=$hot n=$n changed+delta=${(tR1 - tRs) / 1e9}%.2f tail=${(System.nanoTime() - tR1) / 1e9}%.2f")
       }
       step += 1
     }
-    (merges.toSeq, state, () => Eager.releaseCheckpoint(stateBlocks))
+    val release = { () =>
+      Eager.releaseCheckpoint(baseBlocks)
+      ovlBlocks.foreach(Eager.releaseCheckpoint)
+    }
+    // consumers see the (doc_id, toks) contract; txt is gate plumbing
+    (merges.toSeq, curState.select("doc_id", "toks"), release)
   }
 }

@@ -477,6 +477,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // pin the UNCACHED plan: an earlier k5/k13/k14 test may have left the
+    // session train memo's codes cache alive, which re-routes the
+    // embeddings legs through InMemoryRelation and hides the pushed
+    // vec_id bound this spec detects on the parquet scan
+    Similarity.releaseTrainMemo()
     try {
       val df = Similarity.knnIvfPq(spark, sfDir)
       val broadcasts = df.queryExecution.executedPlan.collect {
@@ -1283,7 +1288,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(
           col("doc_id"),
           col("toks"),
-          TextAnalysis.mergeDeltaFold(col("toks"), a, b, m).as("r")
+          TextAnalysis
+            .mergeDeltaFold(
+              col("toks"),
+              org.apache.spark.sql.functions.lit(a),
+              org.apache.spark.sql.functions.lit(b),
+              org.apache.spark.sql.functions.lit(m)
+            )
+            .as("r")
         )
       val got = df
         .select(col("doc_id"), col("toks"), col("r.toks").as("nt"), col("r.dels"))
