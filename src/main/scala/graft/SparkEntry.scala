@@ -296,6 +296,10 @@ object SparkEntry {
     "p33_keyword_topk" -> ((s, d) => graft.pipeline.Retrieval.keywordTopK(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
+    // p35 — bigram-LM familiarity (perplexity-style quality signal,
+    // exact-integer add-one surrogate trained on the history split)
+    "p35_lm_familiarity" ->
+      ((s, d) => graft.pipeline.QualityModel.lmFamiliarity(s, d)),
     // p29 — surgical decontamination (eval-overlapping spans cut out)
     "p29_decontamination_removal" ->
       ((s, d) => graft.pipeline.Decontamination.decontaminationRemoval(s, d)),
@@ -440,6 +444,7 @@ object SparkEntry {
     "p28_source_caps" -> PipelineOracles.sourceCaps,
     "p33_keyword_topk" -> PipelineOracles.keywordTopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
+    "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,
     "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,

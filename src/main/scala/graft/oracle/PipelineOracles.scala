@@ -2436,6 +2436,60 @@ object PipelineOracles {
     ORDER BY tv_ppm DESC, source
   """
 
+  /** p35 — bigram-LM familiarity (graft.pipeline.QualityModel
+    * .lmFamiliarity): add-one-smoothed bigram conditionals counted on the
+    * old 80%, each new doc scored by its mean per-bigram weight_ppm =
+    * (10⁶·(c(a,b)+1)) // (c(a)+V). All BIGINT.
+    */
+  val lmFamiliarity: String = """
+    WITH split AS (
+      SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    hist AS (SELECT w FROM ws WHERE doc_id < (SELECT s FROM split)),
+    uni AS (
+      SELECT g.t AS w1, COUNT(*) AS cu
+      FROM hist, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY g.t
+    ),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    bi AS (
+      SELECT w[g.i] AS a, w[g.i + 1] AS b2, COUNT(*) AS cb
+      FROM hist, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+      GROUP BY w[g.i], w[g.i + 1]
+    ),
+    newb AS (
+      SELECT doc_id, w[g.i] AS a, w[g.i + 1] AS b2
+      FROM ws, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+      WHERE doc_id >= (SELECT s FROM split)
+    ),
+    sc AS (
+      SELECT n.doc_id,
+             (1000000 * (COALESCE(bi.cb, 0) + 1))
+               // (COALESCE(u.cu, 0) + (SELECT v FROM v)) AS wgt
+      FROM newb n
+      LEFT JOIN bi ON bi.a = n.a AND bi.b2 = n.b2
+      LEFT JOIN uni u ON u.w1 = n.a
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(wgt) AS tot
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           CAST(CASE WHEN a.n_bigrams > 0 THEN a.tot // a.n_bigrams
+                     ELSE 0 END AS BIGINT) AS score_ppm
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= (SELECT s FROM split)) d
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+  """
+
   /** p28 — per-source document caps (graft.pipeline.Sampling
     * .sourceCaps): top 20 docs per source by (n_chars DESC, doc_id ASC).
     */

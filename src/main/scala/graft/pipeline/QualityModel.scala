@@ -84,4 +84,70 @@ object QualityModel {
       .withColumn("keep", col("mean_w") >= 0)
       .orderBy("doc_id")
   }
+
+  /** P35 — bigram-LM familiarity scoring: an add-one-smoothed bigram
+    * language model is "trained" (counted) on the HISTORY corpus (the d9
+    * boundary split's old 80%) and each arriving document is scored by
+    * its mean per-bigram familiarity — the classic perplexity-style
+    * quality signal (CCNet's KenLM filter), expressed with an
+    * exact-integer surrogate: weight_ppm(a,b) = (10⁶·(c(a,b)+1)) DIV
+    * (c(a)+V), the add-one conditional in ppm, monotone in the real
+    * probability, no floating log crossing engines. Out-of-vocabulary
+    * bigrams get the smoothing floor, exactly as the model assigns them.
+    *
+    * Scale shape — deliberately the WORD-GRAIN complement of p26's
+    * hashed-bucket broadcast profile: the unigram and bigram count
+    * tables are vocabulary-sized (not broadcastable at 100 TB), so
+    * scoring joins the batch's exploded bigrams AGAINST them on their
+    * natural keys — two map-side-combined count aggregations at
+    * training, two keyed shuffle joins at scoring, each moving only the
+    * batch's bigram rows plus the counts they touch. A deployment
+    * persists the count tables and appends to them; here training and
+    * scoring compose into one oracle-replayable query.
+    */
+  def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = Dedup.incrementalBoundary(spark, dir)
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("ws")
+    )
+    val hist = d.filter(col("doc_id") < boundary)
+    val uni = hist
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = hist
+      .select(explode(TextAnalysis.adjPairs(col("ws"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b2"))
+      .agg(count(lit(1)).as("cb"))
+    val newb = d
+      .filter(col("doc_id") >= boundary)
+      .select(col("doc_id"), explode(TextAnalysis.adjPairs(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b2"))
+    val scored = newb
+      .join(bi, Seq("a", "b2"), "left")
+      .join(uni.withColumnRenamed("w", "a"), Seq("a"), "left")
+      .crossJoin(broadcast(vocab)) // single-row vocabulary size
+      .select(
+        col("doc_id"),
+        (lit(1000000L) * (coalesce(col("cb"), lit(0L)) + lit(1L)))
+          .as("num"),
+        (coalesce(col("cu"), lit(0L)) + col("v")).as("den")
+      )
+      .select(col("doc_id"), expr("num DIV den").as("wgt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("wgt").as("tot"))
+    d.filter(col("doc_id") >= boundary)
+      .select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0, expr("tot DIV n_bigrams"))
+          .otherwise(lit(0L))
+          .as("score_ppm")
+      )
+      .orderBy("doc_id")
+  }
 }

@@ -582,7 +582,7 @@ object TextAnalysis {
     * by both trainer forms and the delta diff so the pair grain can never
     * drift between them.
     */
-  private def adjPairs(toks: Column): Column = {
+  private[pipeline] def adjPairs(toks: Column): Column = {
     val nm1 = greatest(size(toks) - 1, lit(0))
     zip_with(
       slice(toks, lit(1), nm1),

@@ -1217,6 +1217,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("p35 LM familiarity equals an independent in-memory bigram model") {
+    val got = graft.pipeline.QualityModel
+      .lmFamiliarity(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val boundary = (docs.keys.max + 1L) * 4L / 5L
+    val hist = docs.filter { case (id, _) => id < boundary }
+    def bigrams(ws: Seq[String]) = ws.zip(ws.drop(1))
+    val uni: Map[String, Long] = hist.values.toSeq.flatten
+      .groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }
+    val v = uni.size.toLong
+    val bi: Map[(String, String), Long] = hist.values.toSeq
+      .flatMap(bigrams)
+      .groupBy(identity)
+      .map { case (p, g) => (p, g.size.toLong) }
+    val want = docs.keys.toSeq.filter(_ >= boundary).sorted.map { id =>
+      val bs = bigrams(docs(id))
+      if (bs.isEmpty) (id, 0L, 0L)
+      else {
+        val tot = bs.map { case (a, b) =>
+          1000000L * (bi.getOrElse((a, b), 0L) + 1L) /
+            (uni.getOrElse(a, 0L) + v)
+        }.sum
+        (id, bs.size.toLong, tot / bs.size)
+      }
+    }
+    assert(got == want)
+    // the model discriminates: in-distribution docs outscore the floor
+    assert(got.exists(_._3 > 0L))
+  }
+
   test("p34 drift: self-drift is zero, disjoint vocabulary saturates, corpus form bounded") {
     val ss = spark
     import ss.implicits._
