@@ -296,6 +296,9 @@ object SparkEntry {
     "p33_keyword_topk" -> ((s, d) => graft.pipeline.Retrieval.keywordTopK(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
+    // p36 — hybrid retrieval: RRF fusion of the lexical (p33) and
+    // dense (k2) legs
+    "p36_hybrid_topk" -> ((s, d) => graft.pipeline.Retrieval.hybridTopK(s, d)),
     // p35 — bigram-LM familiarity (perplexity-style quality signal,
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
@@ -444,6 +447,7 @@ object SparkEntry {
     "p28_source_caps" -> PipelineOracles.sourceCaps,
     "p33_keyword_topk" -> PipelineOracles.keywordTopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
+    "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,
     "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,

@@ -2373,6 +2373,78 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p36 — hybrid retrieval (graft.pipeline.Retrieval.hybridTopK):
+    * reciprocal-rank fusion of the p33 lexical leg (top-20 tf-idf per
+    * query, its oracle's shape at poolK=20) with the k2 dense leg
+    * (top-20 label-bucket cosine). Fused score = Σ 10⁶ // (60 + rank);
+    * only integer RANKS cross the fusion, so the whole op is BIGINT.
+    */
+  lazy val hybridTopK: String = s"""
+    WITH toks AS (
+      SELECT doc_id, g.w AS w
+      FROM documents, LATERAL (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+          AS w) g
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w,
+             (SELECT n_docs FROM n) * 1000000 // d.df AS idf_ppm
+      FROM tf t JOIN df d USING (w)
+      WHERE t.doc_id < 5
+    ),
+    lexsc AS (
+      SELECT q.qid, t.doc_id, SUM(t.tf * q.idf_ppm) AS score
+      FROM tf t JOIN qt q ON t.w = q.w
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    lex AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM lexsc
+      ) r WHERE rnk <= 20
+    ),
+    dens AS (
+      SELECT qid, vec_id AS doc_id, rnk FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.qid, e.vec_id, $cos AS sim
+          FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                       label
+                FROM embeddings WHERE vec_id < 5) q
+          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee, label
+                FROM embeddings) e
+            ON e.vec_id <> q.qid AND e.label = q.label
+        ) s
+      ) r WHERE rnk <= 20
+    ),
+    legs AS (
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM dens
+    ),
+    fused AS (
+      SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_legs
+      FROM legs GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, rrf_ppm, n_legs
+    FROM (
+      SELECT qid, doc_id, rrf_ppm, n_legs,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM fused
+    ) f WHERE rnk <= 10
+    ORDER BY qid, rnk
+  """
+
   /** p34 — per-source distribution drift vs the frozen history profile
     * (graft.pipeline.Sampling.driftReport): p26's hashed unigram∪bigram
     * feature space verbatim, old 80% of doc_ids as the reference, per

@@ -81,4 +81,57 @@ object Retrieval {
       .orderBy("qid", "rank")
     Eager.materialized(out, tf)
   }
+
+  /** P36 — hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009) of the lexical leg (p33's tf-idf through the inverted
+    * index) with the dense leg (k2's IVF-bucket cosine search) — the
+    * standard two-tower RAG retrieval composition, where each modality
+    * surfaces candidates the other is blind to (exact term overlap vs
+    * embedding geometry). Each leg contributes its top-`poolK` ranks;
+    * a candidate's fused score is Σ_legs 10⁶ DIV (rrfK + rank) — RRF
+    * with the conventional dampening constant 60, in exact-integer ppm
+    * so the fusion replays bit-for-bit in DuckDB (only RANKS cross the
+    * fusion boundary, never floating scores, which is also why RRF
+    * needs no per-leg score normalization). A doc absent from a leg's
+    * pool contributes nothing for that leg, exactly as RRF defines it.
+    * `n_legs` reports how many modalities surfaced each result.
+    *
+    * Scale shape: both candidate-generation legs are already sub-linear
+    * (p33: one broadcast hash join touching only the probed terms'
+    * posting lists; k2: scan pruned to the query's IVF cell), and the
+    * fusion itself operates on O(nQueries × poolK × 2) rows — LEG-OUTPUT
+    * sized, independent of corpus size, so the union + groupBy + window
+    * here is a driver-trivial final reduce at any scale. The testdata's
+    * vec_id ↔ doc_id identity is the deployment's shared document key.
+    */
+  def hybridTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60
+  ): DataFrame = {
+    val lex = keywordTopK(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .knnIvf(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val legs = lex
+      .unionByName(dense)
+      .select(
+        col("qid"),
+        col("doc_id"),
+        expr(s"1000000 DIV ($rrfK + rank)").as("c")
+      )
+    val w =
+      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
+    legs
+      .groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
+      .orderBy("qid", "rank")
+  }
 }

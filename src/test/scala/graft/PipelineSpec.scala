@@ -1256,6 +1256,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._3 > 0L))
   }
 
+  test("p36 hybrid RRF equals in-memory fusion of the two legs and actually fuses") {
+    val got = graft.pipeline.Retrieval
+      .hybridTopK(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // the legs are independently oracle-checked (p33 / k2 shapes); fuse
+    // their collected outputs with plain Scala integer arithmetic
+    val lex = graft.pipeline.Retrieval
+      .keywordTopK(spark, sfDir, nQueries = 5, k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dense = graft.pipeline.Similarity
+      .knnIvf(spark, sfDir, nQueries = 5, k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val contrib = (lex ++ dense).map { case (q, d, rnk) =>
+      ((q, d), 1000000L / (60L + rnk))
+    }
+    val fused = contrib
+      .groupBy(_._1)
+      .map { case ((q, d), cs) => (q, d, cs.map(_._2).sum, cs.size.toLong) }
+      .toSeq
+    val want = fused
+      .groupBy(_._1)
+      .toSeq
+      .sortBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows
+          .sortBy { case (_, d, s, _) => (-s, d) }
+          .zipWithIndex
+          .take(10)
+          .map { case ((q, d, s, nl), i) => (q, d, i + 1L, s, nl) }
+      }
+    assert(got == want)
+    // fusion is non-degenerate: some result was surfaced by BOTH
+    // modalities, and some top-10 result came from a single leg
+    assert(got.exists(_._5 == 2L))
+    assert(got.exists(_._5 == 1L))
+    // every query emits exactly 10 results (pool ≥ k on this corpus)
+    assert(got.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("p34 drift: self-drift is zero, disjoint vocabulary saturates, corpus form bounded") {
     val ss = spark
     import ss.implicits._
