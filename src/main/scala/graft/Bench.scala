@@ -91,6 +91,42 @@ object Bench {
     val wallTotal = (System.nanoTime() - t0run) / 1e9
     val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
     val gcTotal = (gcMs - gc0run) / 1e3
+
+    // Self-defense reruns: three rounds of driver artifacts have carried
+    // host-contention-corrupted walls (k13 at 157 s vs 4 s reproduced at
+    // the same commit) that only an out-of-band rerun could refute. So the
+    // bench now adjudicates ITSELF: any query whose wall its own cpu can't
+    // justify (wall > 3×cpu with wall > 3 s — the process was starved, not
+    // working) or whose cpu is a suite-relative outlier (> 5× the suite
+    // median with wall > 3 s — GC thrash or a frozen host core) is re-run
+    // ONCE, same process, after the main pass, and BOTH measurements land
+    // in the artifact (`queries` + `reruns`). A reader comparing the two
+    // can attribute the gap to the host without a referee: a plan
+    // regression reproduces on the rerun; contention doesn't. Bounded at
+    // 12 reruns so a fully-thrashed host can't double the suite.
+    val cpuMedian = {
+      val cs = results.map(_._3).filter(_ >= 0).sorted
+      if (cs.isEmpty) -1.0 else cs(cs.length / 2)
+    }
+    val suspicious = results
+      .filter { case (_, wall, cpu, _, _, _) =>
+        wall > 3.0 && cpu >= 0 &&
+        (wall > 3 * cpu || (cpuMedian > 0 && cpu > 5 * cpuMedian))
+      }
+      .take(12)
+    val reruns = suspicious.map { case (name, _, _, _, _, _) =>
+      val fn = selected(name)
+      val t0 = System.nanoTime()
+      val c0 = procCpuNs
+      val g0 = gcMs
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cpuSec = if (c0 < 0) -1.0 else (procCpuNs - c0) / 1e9
+      val gcSec = (gcMs - g0) / 1e3
+      (name, if (ok) sec else -1.0, cpuSec, loadAvg, gcSec)
+    }
     val heapMax = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage
       .getMax / (1024.0 * 1024.0)
@@ -115,11 +151,17 @@ object Bench {
     val failed = results
       .collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val rerunJson = reruns
+      .map { case (k, w, c, l, g) =>
+        "\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) +
+          ",\"load\":" + fmt(l) + ",\"gc\":" + fmt(g) + "}"
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu_sec":$cpus,"load_avg":$loads,"gc_sec":$gcs,""" +
-        s""""heap_used_mb":$heaps,"failed":$failed,""" +
+        s""""heap_used_mb":$heaps,"failed":$failed,"reruns":$rerunJson,""" +
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
         s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""

@@ -531,13 +531,34 @@ object TextAnalysis {
     phraseMemo.clear()
   }
 
+  /** Content-version stamp of the corpus behind `dir` — (file name,
+    * mtime, length) folded over `documents.parquet`'s files via the
+    * Hadoop FS. The memo key carries it so a same-path corpus REWRITE
+    * within one session can never serve a stale training run; the
+    * superseded entry's blocks are freed at the next
+    * [[releasePhraseMemo]] (the memo owns them either way).
+    */
+  private def corpusStamp(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.getName.hashCode
+      h = h * 31 + f.getModificationTime
+      h = h * 31 + f.getLen
+    }
+    h
+  }
+
   private def trainedPhrases(
       spark: SparkSession,
       dir: String,
       nMerges: Int
   ): (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) =
     phraseMemo.getOrElseUpdate(
-      (spark, dir, nMerges), {
+      (spark, s"$dir@${corpusStamp(spark, dir)}", nMerges), {
         val d = spark.read
           .parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -553,6 +574,11 @@ object TextAnalysis {
     * entire trained STATE per document against the oracle, not just the
     * 8 merge-table rows — a coincidentally-equal argmax could not hide
     * a divergent corpus state.
+    *
+    * The result is MATERIALIZED before returning (doc-grain, four
+    * columns — tiny), so it stays valid after [[releasePhraseMemo]] /
+    * `SparkEntry.releaseCaches` free the memo-owned training state a
+    * lazy plan would still reference.
     */
   def phraseCompression(
       spark: SparkSession,
@@ -569,13 +595,16 @@ object TextAnalysis {
         .cast("long")
         .as("n_before")
     )
-    before
-      .join(
-        state.select(col("doc_id"), size(col("toks")).cast("long").as("n_after")),
-        Seq("doc_id")
-      )
-      .withColumn("n_merged", col("n_before") - col("n_after"))
-      .orderBy("doc_id")
+    Eager.materialized(
+      before
+        .join(
+          state
+            .select(col("doc_id"), size(col("toks")).cast("long").as("n_after")),
+          Seq("doc_id")
+        )
+        .withColumn("n_merged", col("n_before") - col("n_after"))
+        .orderBy("doc_id")
+    )
   }
 
   /** Adjacent-pair structs of a token array: zip(toks, toks[1:]) — shared
@@ -744,6 +773,39 @@ object TextAnalysis {
     )
   }
 
+  /** UTF-8 binary string order — how the ENGINES compare strings
+    * (Spark's UTF8String and DuckDB's VARCHAR both order by UTF-8
+    * bytes, i.e. by code point). JVM `String` order is UTF-16
+    * code-UNIT order, which disagrees above the BMP: surrogates
+    * (0xD800–0xDFFF) sort below U+E000–U+FFFF while encoding HIGHER
+    * code points. The delta trainer's driver-side argmax must break
+    * count ties exactly like the engine-side refill query and the
+    * DuckDB oracle, so it compares UTF-8 bytes unsigned.
+    */
+  private[graft] val utf8Order: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+
+  /** The trainer argmax order: count DESC, then (lhs, rhs) ascending in
+    * [[utf8Order]] — the driver-side twin of `ORDER BY n DESC, a, b`.
+    */
+  private val argmaxOrder: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(
+          p: ((String, String), Long),
+          q: ((String, String), Long)
+      ): Int = {
+        val c = java.lang.Long.compare(q._2, p._2)
+        if (c != 0) c
+        else {
+          val a = utf8Order.compare(p._1._1, q._1._1)
+          if (a != 0) a else utf8Order.compare(p._1._2, q._1._2)
+        }
+      }
+    }
+
   /** The DELTA-COUNTED trainer — the production form of tokenizer
     * training, and what the registered p31/p32 queries run. The recount
     * form pays one corpus-wide pair aggregation PER ROUND (O(rounds ×
@@ -833,7 +895,7 @@ object TextAnalysis {
     var baseView = baseBlocks
     val nDocs = baseBlocks.count() // block count of the fresh checkpoint
     var ovlBlocks: Option[DataFrame] = None
-    var ovlRows = 0L // driver UPPER BOUND on overlay rows (no count jobs)
+    var ovlRows = 0L // exact overlay row count (recounted per rewrite)
     def curState: DataFrame = ovlBlocks match {
       case None => baseView
       case Some(o) =>
@@ -873,8 +935,7 @@ object TextAnalysis {
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       def candidate: Option[((String, String), Long)] =
-        if (buf.isEmpty) None
-        else Some(buf.minBy { case ((x, y), c) => (-c, x, y) })
+        if (buf.isEmpty) None else Some(buf.min(argmaxOrder))
       // trust the buffer argmax iff it is freshly built (its head is the
       // exact global top-1), complete (floor 0), or provably above every
       // unknown pair (> floor — at == floor a decremented entry could be
@@ -997,7 +1058,15 @@ object TextAnalysis {
             ovlBlocks.foreach(Eager.releaseCheckpoint)
             Eager.releaseCheckpoint(changed)
             ovlBlocks = Some(newOvl)
-            ovlRows += n // touched ≤ pair occurrences: a safe upper bound
+            // EXACT overlay size, counted off the just-checkpointed blocks
+            // (an in-memory scan, no lineage re-run). The pair count n is
+            // NOT a bound on materialized rows: the substring gate admits
+            // false positives across merged-token boundaries (" a b " can
+            // match the join of tokens ["x a", "b"]), and those docs fold
+            // (as no-ops) and land in the overlay — an n-based counter
+            // could let the overlay silently outgrow compactOver and the
+            // anti-join's broadcastable build-side bound
+            ovlRows = newOvl.count()
             // compaction: when the overlay outgrows the broadcastable
             // bound, fold it into a fresh base (ONE corpus
             // materialization amortized over the rounds that filled it)

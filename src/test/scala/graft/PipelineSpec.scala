@@ -1455,6 +1455,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     val (mf, sf) = run(fix, 10)
     assert(mf.size < 10 && sf.forall(_._2.size == 1))
+    // non-BMP count tie: U+10000 is "𐀀" (UTF-16 code units
+    // 0xD800… — sorts BELOW U+E000 in JVM String order) but encodes as
+    // UTF-8 0xF0… (sorts ABOVE U+E000's 0xEE…). Both pairs tie at count
+    // 2, so the delta trainer's driver-side tie-break must match the
+    // engine's UTF-8 order (pick (U+E000, z) first) or the two trainers
+    // diverge on the very first merge.
+    val hi = "𐀀" // U+10000
+    val pu = "" // U+E000
+    val tie = Seq(
+      (0L, s"$hi z"),
+      (1L, s"$hi z"),
+      (2L, s"$pu z"),
+      (3L, s"$pu z")
+    ).toDF("doc_id", "text")
+    val (mt, _) = run(tie, 2)
+    assert(
+      mt.map(t => (t._2, t._3)) == Seq((pu, "z"), (hi, "z")),
+      "tie-break must follow UTF-8 byte order, not UTF-16 code units"
+    )
   }
 
   test("p30 split is constant within clusters and moves only clustered docs") {
