@@ -294,11 +294,26 @@ object SparkEntry {
     // p33 — lexical retrieval through the inverted index (the sparse
     // complement of the ANN plane)
     "p33_keyword_topk" -> ((s, d) => graft.pipeline.Retrieval.keywordTopK(s, d)),
+    // p33b — the persisted-index lifecycle (write history index → append
+    // daily batch → search merged layers); row-identical to p33 by the
+    // RetrievalIndexSpec law, so it carries p33's oracle (the d9b pattern)
+    "p33b_keyword_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.keywordIndexLifecycle(s, d)),
+    // p33c — BM25 (saturation + length normalization), the production
+    // lexical ranking, exact-integer ppm surrogates
+    "p33c_bm25_topk" -> ((s, d) => graft.pipeline.Retrieval.bm25TopK(s, d)),
+    // p33d — BM25 through the persisted-index lifecycle (reuses p33c's
+    // oracle by the same law)
+    "p33d_bm25_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.bm25IndexLifecycle(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
     // p36 — hybrid retrieval: RRF fusion of the lexical (p33) and
     // dense (k2) legs
     "p36_hybrid_topk" -> ((s, d) => graft.pipeline.Retrieval.hybridTopK(s, d)),
+    // p36b — the same fusion with the production BM25 lexical leg
+    "p36b_hybrid_bm25" ->
+      ((s, d) => graft.pipeline.Retrieval.hybridBm25TopK(s, d)),
     // p35 — bigram-LM familiarity (perplexity-style quality signal,
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
@@ -446,6 +461,13 @@ object SparkEntry {
     "d14_paragraph_dedup" -> PipelineOracles.paragraphDedup,
     "p28_source_caps" -> PipelineOracles.sourceCaps,
     "p33_keyword_topk" -> PipelineOracles.keywordTopK,
+    // same oracle as p33: the lifecycle's merged index IS the full-corpus
+    // index (RetrievalIndexSpec pins indexed ≡ inline row-for-row)
+    "p33b_keyword_indexed" -> PipelineOracles.keywordTopK,
+    "p33c_bm25_topk" -> PipelineOracles.bm25TopK,
+    // same oracle as p33c by the same indexed ≡ inline law
+    "p33d_bm25_indexed" -> PipelineOracles.bm25TopK,
+    "p36b_hybrid_bm25" -> PipelineOracles.hybridBm25TopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
     "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,

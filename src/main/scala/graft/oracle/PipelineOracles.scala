@@ -2445,6 +2445,144 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33c — BM25 top-k (graft.pipeline.Retrieval.bm25TopK, 5 queries,
+    * k=5): Robertson–Spärck Jones saturation + length normalization in
+    * exact ppm integers (k1 = 1.2, b = 0.75):
+    * idf_ppm = ((2·(N−df)+1)·10⁶) // (2·df+1),
+    * norm_ppm = 250000 + (750000·dl·N) // total_tokens,
+    * sat_ppm = (tf·2200000·10⁶) // (tf·10⁶ + (1200000·norm) // 10⁶),
+    * per-term score (idf·sat) // 10⁶ summed. The term-grain integer
+    * division happens BEFORE the sum, matching the engine exactly.
+    */
+  val bm25TopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** p36b — hybrid retrieval with the BM25 lexical leg
+    * (graft.pipeline.Retrieval.hybridBm25TopK): the p36 fusion verbatim
+    * with the lexical pool ranked by BM25 (p33c's arithmetic at poolK=20)
+    * instead of tf-idf.
+    */
+  lazy val hybridBm25TopK: String = s"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    lexsc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    lex AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM lexsc
+      ) r WHERE rnk <= 20
+    ),
+    dens AS (
+      SELECT qid, vec_id AS doc_id, rnk FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.qid, e.vec_id, $cos AS sim
+          FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                       label
+                FROM embeddings WHERE vec_id < 5) q
+          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee, label
+                FROM embeddings) e
+            ON e.vec_id <> q.qid AND e.label = q.label
+        ) s
+      ) r WHERE rnk <= 20
+    ),
+    legs AS (
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM dens
+    ),
+    fused AS (
+      SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_legs
+      FROM legs GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, rrf_ppm, n_legs
+    FROM (
+      SELECT qid, doc_id, rrf_ppm, n_legs,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM fused
+    ) f WHERE rnk <= 10
+    ORDER BY qid, rnk
+  """
+
   /** p34 — per-source distribution drift vs the frozen history profile
     * (graft.pipeline.Sampling.driftReport): p26's hashed unigram∪bigram
     * feature space verbatim, old 80% of doc_ids as the reference, per

@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
 
 /** Keyword (sparse) retrieval over the documents table — the lexical
   * complement of the ANN plane: where k1–k14 search by embedding
@@ -113,6 +115,428 @@ object Retrieval {
       rrfK: Int = 60
   ): DataFrame = {
     val lex = keywordTopK(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .knnIvf(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val legs = lex
+      .unionByName(dense)
+      .select(
+        col("qid"),
+        col("doc_id"),
+        expr(s"1000000 DIV ($rrfK + rank)").as("c")
+      )
+    val w =
+      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
+    legs
+      .groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted inverted index — the build-once/query-many lifecycle of the
+  // lexical plane, mirroring the ANN plane's writeIvfIndex/appendToIvfIndex
+  // /knnIvfIndexed trio. Layout under `$out/`:
+  //
+  //   postings/wb=*/   (doc_id, w, tf, dl)  — the term-keyed posting lists,
+  //                    PARTITIONED by wb = portable-hash(w) mod `buckets`:
+  //                    a query's probed terms resolve their buckets
+  //                    row-locally, so the posting scan is FILE-LEVEL
+  //                    partition-pruned to the probed terms' buckets (the
+  //                    cid trick of the IVF store, applied to terms). dl
+  //                    (the document's token count) is denormalized into
+  //                    every posting row — the Lucene-norms layout — so
+  //                    BM25's length normalization needs NO doc-table join
+  //                    at query time.
+  //   df/wb=*/         (w, df) APPEND-ONLY delta layers — document
+  //                    frequency is additive over disjoint doc batches, so
+  //                    appends write a delta layer and readers merge with
+  //                    one groupBy(w).sum (the k13 mergeable-raw-layers
+  //                    argument, verbatim). Same wb partitioning: a query
+  //                    reads only its probed buckets' df rows.
+  //   stats/           (n_docs, total_tokens) single-row delta layers,
+  //                    summed on read — N and avgdl stay exact across any
+  //                    append sequence.
+  //   params/          (buckets) — self-describing, like the dedup index's
+  //                    stored banding: readers never guess the layout.
+  // ---------------------------------------------------------------------
+
+  /** Term-hash partition count of the posting store. 16 keeps test
+    * directories small; a 100 TB index raises it (the wb values are
+    * portable-hash-derived, so any count works) — it is stored in
+    * `params/` and every reader honors the stored value.
+    */
+  val IndexBuckets = 16
+
+  private def wbOf(w: Column, buckets: Int): Column =
+    pmod(PolyHash.polyHash(w), lit(buckets.toLong))
+
+  /** Posting rows with the denormalized document length: one row-local
+    * pass (dl = size of the token array, postings from its explode) — no
+    * join at ingest, no join at query.
+    */
+  private[graft] def postingsWithLen(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      expr("filter(split(text, ' '), x -> x != '')").as("ws")
+    ).select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("w")
+      )
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Builds the persisted inverted index over `corpus` (doc_id, text). */
+  def writeInvertedIndexOf(
+      spark: SparkSession,
+      corpus: DataFrame,
+      out: String,
+      buckets: Int = IndexBuckets
+  ): Unit = {
+    // repartition by wb BEFORE the partitioned write: one file per bucket
+    // per ingest instead of (shuffle partitions × buckets) fragments — the
+    // write-once/read-many trade (one extra ingest shuffle buys compact
+    // partitions for every query)
+    val tf = postingsWithLen(corpus)
+      .withColumn("wb", wbOf(col("w"), buckets))
+      .repartition(buckets, col("wb"))
+      .cache()
+    tf.select("wb", "doc_id", "w", "tf", "dl")
+      .write
+      .mode("overwrite")
+      .partitionBy("wb")
+      .parquet(s"$out/postings")
+    tf.groupBy("wb", "w")
+      .agg(count(lit(1)).as("df"))
+      .write
+      .mode("overwrite")
+      .partitionBy("wb")
+      .parquet(s"$out/df")
+    corpus
+      .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/stats")
+    spark
+      .range(1)
+      .select(lit(buckets).as("buckets"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/params")
+    tf.unpersist(false)
+  }
+
+  /** [[writeInvertedIndexOf]] over the documents table. */
+  def writeInvertedIndex(spark: SparkSession, dir: String, out: String): Unit =
+    writeInvertedIndexOf(spark, docs(spark, dir), out)
+
+  /** Incremental index maintenance: appends `newDocs`' posting lists into
+    * their wb partitions, a df DELTA layer (merged by sum on read), and a
+    * stats delta row. Existing files are never read or rewritten — an
+    * append costs O(batch), the d9/k10 ingest shape. Caller contract:
+    * doc_ids must be new (a re-ingested id would double-count df and rank
+    * twice — upstream dedup is d1/d9's job).
+    */
+  def appendToInvertedIndex(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      indexDir: String
+  ): Unit = {
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val tf = postingsWithLen(newDocs)
+      .withColumn("wb", wbOf(col("w"), buckets))
+      .repartition(buckets, col("wb")) // one new file per touched bucket
+      .cache()
+    tf.select("wb", "doc_id", "w", "tf", "dl")
+      .write
+      .mode("append")
+      .partitionBy("wb")
+      .parquet(s"$indexDir/postings")
+    tf.groupBy("wb", "w")
+      .agg(count(lit(1)).as("df"))
+      .write
+      .mode("append")
+      .partitionBy("wb")
+      .parquet(s"$indexDir/df")
+    newDocs
+      .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+      .write
+      .mode("append")
+      .parquet(s"$indexDir/stats")
+    tf.unpersist(false)
+  }
+
+  /** The stored index's merged read views: (postings pruned to the probed
+    * buckets, df merged over delta layers and pruned likewise, the summed
+    * single-row stats). `probedWb` is bounded by the stored bucket count,
+    * so collecting it turns both stored scans into static partition-pruned
+    * reads (the knnIvfIndexed probe-cell trick).
+    */
+  private def indexViews(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: DataFrame
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val qt = queryTerms.withColumn("wb", wbOf(col("w"), buckets))
+    val probedWb =
+      qt.select("wb").distinct().collect().map(_.getLong(0)) // ≤ buckets
+    val post = spark.read
+      .parquet(s"$indexDir/postings")
+      .where(col("wb").isin(probedWb: _*))
+    val dfm = spark.read
+      .parquet(s"$indexDir/df")
+      .where(col("wb").isin(probedWb: _*))
+      .groupBy("w")
+      .agg(sum("df").as("df")) // merge the append delta layers
+    val stats = spark.read
+      .parquet(s"$indexDir/stats")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens")
+      )
+    (post, dfm, stats, qt)
+  }
+
+  /** tf-idf top-k against the STORED index — no index build at query time:
+    * df layers merge with one bucket-pruned aggregation, N loads from the
+    * summed stats row, and the posting scan reads only the probed buckets'
+    * files. Row-identical to [[keywordTopK]] over the same corpus
+    * (RetrievalIndexSpec law). `queryTerms` is (qid, w) — each query's
+    * DISTINCT terms.
+    */
+  def keywordTopKIndexedOf(
+      spark: SparkSession,
+      queryTerms: DataFrame,
+      indexDir: String,
+      k: Int = 5
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("n_docs * 1000000 DIV df").as("idf_ppm")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    post
+      .join(broadcast(weighted), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("tf") * col("idf_ppm")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** [[keywordTopKIndexedOf]] with the standard query protocol (the
+    * `nQueries` lowest doc_ids' distinct terms, computed row-locally from
+    * the documents table — never from the index).
+    */
+  def keywordTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame =
+    keywordTopKIndexedOf(
+      spark,
+      postings(docs(spark, dir).filter(col("doc_id") < nQueries))
+        .select(col("doc_id").as("qid"), col("w")),
+      indexDir,
+      k
+    )
+
+  /** P33b — the full index lifecycle as one oracle-replayable query: build
+    * the stored index over the history 80% (the d9 boundary), APPEND the
+    * new 20% as a daily batch, search the stored index. The merged index
+    * is definitionally the full-corpus index, so the result is
+    * row-identical to the inline [[keywordTopK]] — which is exactly what
+    * lets the d9b trick apply: same oracle, and the lifecycle (write →
+    * append → merged-layer read) is what's actually under test.
+    */
+  def keywordIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p33b-index")
+      .toString
+    writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+    appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+    keywordTopKIndexed(spark, dir, tmp, nQueries, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // BM25 — the production lexical ranking (Robertson–Spärck Jones):
+  // saturated term frequency + document-length normalization on top of the
+  // same inverted index. Exact-integer ppm surrogates throughout (k1=1.2,
+  // b=0.75 as ppm constants), so the ranking — idf included — hash-replays
+  // in DuckDB:
+  //
+  //   idf_ppm  = ((2·(N−df)+1)·10⁶) DIV (2·df+1)         [RSJ odds ±0.5]
+  //   norm_ppm = 250000 + (750000·dl·N) DIV total_tokens [1−b+b·dl/avgdl]
+  //   sat_ppm  = (tf·2200000·10⁶) DIV (tf·10⁶ + (1200000·norm_ppm) DIV 10⁶)
+  //   score    = Σ (idf_ppm·sat_ppm) DIV 10⁶
+  //
+  // Overflow headroom (BIGINT): idf_ppm ≤ (2N+1)·10⁶; sat_ppm < 2.2·10⁶;
+  // their product < 2N·2.2·10¹² — safe to N ≈ 4·10⁵ millions of docs;
+  // sat's numerator tf·2.2·10¹² is safe to tf ≈ 4·10⁶.
+  // ---------------------------------------------------------------------
+
+  private def bm25Score(
+      post: DataFrame,
+      weighted: DataFrame,
+      stats: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    post
+      .join(broadcast(weighted), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats)) // single row (n_docs, total_tokens)
+      .select(
+        col("qid"),
+        col("doc_id"),
+        expr(
+          "idf_ppm * ((tf * 2200000 * 1000000) DIV (tf * 1000000 + " +
+            "(1200000 * (250000 + (750000 * dl * n_docs) DIV total_tokens)) DIV 1000000)) " +
+            "DIV 1000000"
+        ).as("term_ppm")
+      )
+      .groupBy("qid", "doc_id")
+      .agg(sum("term_ppm").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33c — BM25 top-k, inline form (index built in-plan; the stored-index
+    * twin is [[bm25TopKIndexed]], row-identical by law). Same query
+    * protocol and plan skeleton as [[keywordTopK]]: one broadcast of the
+    * weighted query terms, candidate generation touches only probed terms'
+    * posting rows, one keyed aggregation, WindowGroupLimit top-k.
+    */
+  def bm25TopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val tf = postingsWithLen(docs(spark, dir)).cache()
+    val stats = docs(spark, dir)
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qt = tf
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("w"))
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    val out = bm25Score(tf, qt, stats, k)
+    Eager.materialized(out, tf)
+  }
+
+  /** BM25 against the STORED index: merged df layers weight the query
+    * terms, summed stats supply N/avgdl, postings are bucket-pruned, and
+    * dl rides each posting row (the denormalized norms — no doc join).
+    */
+  def bm25TopKIndexedOf(
+      spark: SparkSession,
+      queryTerms: DataFrame,
+      indexDir: String,
+      k: Int = 5
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    bm25Score(post, weighted, stats, k)
+  }
+
+  /** [[bm25TopKIndexedOf]] with the standard query protocol. */
+  def bm25TopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame =
+    bm25TopKIndexedOf(
+      spark,
+      postings(docs(spark, dir).filter(col("doc_id") < nQueries))
+        .select(col("doc_id").as("qid"), col("w")),
+      indexDir,
+      k
+    )
+
+  /** P33d — the BM25 lifecycle twin of [[keywordIndexLifecycle]]: write
+    * the history index, append the daily batch, BM25-search the store.
+    * Row-identical to the inline [[bm25TopK]] (same oracle).
+    */
+  def bm25IndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p33d-index")
+      .toString
+    writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+    appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+    bm25TopKIndexed(spark, dir, tmp, nQueries, k)
+  }
+
+  /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion
+    * of BM25 (saturation + length normalization) with the dense k2 leg —
+    * [[hybridTopK]]'s composition with tf-idf upgraded to BM25. Identical
+    * fusion arithmetic (only integer ranks cross the boundary); identical
+    * leg-output-sized scale shape.
+    */
+  def hybridBm25TopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60
+  ): DataFrame = {
+    val lex = bm25TopK(spark, dir, nQueries, poolK)
       .select(col("qid"), col("doc_id"), col("rank"))
     val dense = Similarity
       .knnIvf(spark, dir, nQueries, poolK)

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Retrieval
+
+/** Continuous lexical search — the streaming form of the persisted
+  * inverted-index plane, completing batch/streaming parity for the
+  * retrieval plane exactly as [[StreamingSimilarity.searchStream]] did for
+  * the ANN plane.
+  *
+  * Shape: query documents ARRIVE (a stream of `(qid, text)` rows); the
+  * index is the FROZEN side ([[Retrieval.writeInvertedIndexOf]] /
+  * [[Retrieval.appendToInvertedIndex]] maintain it between batches — the
+  * build-once/ingest-daily lifecycle p33b demonstrates). Each micro-batch
+  * tokenizes row-locally into distinct (qid, term) rows and searches with
+  * [[Retrieval.keywordTopKIndexedOf]] (or the BM25 twin): df layers merge
+  * with one bucket-pruned aggregation, and the posting scan is
+  * partition-pruned to the batch's probed term buckets — per-batch cost is
+  * O(batch terms × their posting lists), never O(index).
+  *
+  * Law (RetrievalIndexSpec): queries streamed in chunks ≡ one batch
+  * search, row-for-row. Holds STRUCTURALLY — queries are independent rows
+  * and the index is immutable during a run — so `foreachBatch` (T1
+  * commit-after-write ordering, checkpointed offsets) is the whole
+  * machinery; no cross-batch state exists.
+  */
+object StreamingRetrieval {
+
+  /** Starts the continuous search: `queryDocs` is a STREAMING frame with
+    * columns `(qid: Long, text: String)`; each micro-batch's top-k results
+    * (qid, doc_id, rank, score) go to `sink` with the batch id. `bm25`
+    * selects the production ranking; false = the tf-idf teaching form.
+    * A replayed batch re-scores the same queries — idempotent for any
+    * sink keyed on qid.
+    */
+  def searchStream(
+      queryDocs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      bm25: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // distinct (qid, w): the query protocol's term grain, derived
+        // row-locally from the arriving text — never from the index
+        val terms = batch
+          .select(
+            col("qid"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
+          )
+          .distinct()
+        val res =
+          if (bm25)
+            Retrieval.bm25TopKIndexedOf(batch.sparkSession, terms, indexDir, k)
+          else
+            Retrieval
+              .keywordTopKIndexedOf(batch.sparkSession, terms, indexDir, k)
+        sink(res, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,254 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Retrieval}
+
+/** Laws for the persisted inverted index — the lexical plane's lifecycle
+  * must reproduce the inline build bit-for-bit:
+  *
+  *   - stored ≡ inline (tf-idf and BM25);
+  *   - append ≡ rebuild, batch-insensitive, old files untouched;
+  *   - the lifecycle queries (p33b/p33d) equal their inline twins — the
+  *     justification for reusing the inline oracles;
+  *   - chunked streaming search ≡ one batch search;
+  *   - the posting scan is partition-pruned to the probed term buckets;
+  *   - BM25's integer arithmetic matches an independent in-memory model.
+  */
+class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-retrievalindex-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+
+  test("stored tf-idf search is row-identical to the inline build") {
+    val tmp = Files.createTempDirectory("graft-ii-full").toString
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+    assert(
+      rows(Retrieval.keywordTopKIndexed(spark, sfDir, tmp)) ==
+        rows(Retrieval.keywordTopK(spark, sfDir))
+    )
+  }
+
+  test("stored BM25 search is row-identical to the inline build") {
+    val tmp = Files.createTempDirectory("graft-ii-bm25").toString
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)) ==
+        rows(Retrieval.bm25TopK(spark, sfDir))
+    )
+  }
+
+  private def postingFiles(dir: String): Map[Path, Long] = {
+    val root = Paths.get(dir, "postings")
+    val s = Files.walk(root)
+    try
+      s.filter(p => p.toString.endsWith(".parquet"))
+        .toArray
+        .map(_.asInstanceOf[Path])
+        .map(p => p -> Files.size(p))
+        .toMap
+    finally s.close()
+  }
+
+  test(
+    "append ≡ rebuild: merged layers equal the one-shot index, old files untouched, batch-insensitive"
+  ) {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val old = docs.filter(col("doc_id") < boundary)
+    val fresh = docs.filter(col("doc_id") >= boundary)
+
+    val incr = Files.createTempDirectory("graft-ii-incr").toString
+    Retrieval.writeInvertedIndexOf(spark, old, incr)
+    val before = postingFiles(incr)
+    Retrieval.appendToInvertedIndex(spark, fresh, incr)
+    val after = postingFiles(incr)
+    // old posting files byte-untouched: every pre-append file survives
+    // with its exact size; the append only ADDS files
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) })
+    assert(after.size > before.size)
+
+    val full = Files.createTempDirectory("graft-ii-onepass").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, full)
+
+    // merged df layers equal the one-shot df table
+    def dfTable(dir: String): Map[String, Long] =
+      spark.read
+        .parquet(s"$dir/df")
+        .groupBy("w")
+        .agg(sum("df").as("df"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    assert(dfTable(incr) == dfTable(full))
+
+    // identical searches, both rankings
+    assert(
+      rows(Retrieval.keywordTopKIndexed(spark, sfDir, incr)) ==
+        rows(Retrieval.keywordTopKIndexed(spark, sfDir, full))
+    )
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, incr)) ==
+        rows(Retrieval.bm25TopKIndexed(spark, sfDir, full))
+    )
+
+    // batch-insensitivity: two appends ≡ one append of the union
+    val twice = Files.createTempDirectory("graft-ii-twice").toString
+    val mid = (boundary + docs.agg(max("doc_id")).head().getLong(0)) / 2
+    Retrieval.writeInvertedIndexOf(spark, old, twice)
+    Retrieval.appendToInvertedIndex(
+      spark,
+      fresh.filter(col("doc_id") < mid),
+      twice
+    )
+    Retrieval.appendToInvertedIndex(
+      spark,
+      fresh.filter(col("doc_id") >= mid),
+      twice
+    )
+    assert(dfTable(twice) == dfTable(full))
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, twice)) ==
+        rows(Retrieval.bm25TopKIndexed(spark, sfDir, full))
+    )
+  }
+
+  test("lifecycle queries equal their inline twins (the p33b/p33d oracle reuse)") {
+    assert(
+      rows(Retrieval.keywordIndexLifecycle(spark, sfDir)) ==
+        rows(Retrieval.keywordTopK(spark, sfDir))
+    )
+    assert(
+      rows(Retrieval.bm25IndexLifecycle(spark, sfDir)) ==
+        rows(Retrieval.bm25TopK(spark, sfDir))
+    )
+  }
+
+  test("query-time posting scan prunes to the probed term buckets") {
+    val tmp = Files.createTempDirectory("graft-ii-prune").toString
+    // single-term query: probes exactly one wb bucket out of 16
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+    val ss = spark
+    import ss.implicits._
+    val oneTerm = Seq((0L, "the")).toDF("qid", "w")
+    val out = Retrieval.keywordTopKIndexedOf(spark, oneTerm, tmp)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("wb"))
+  }
+
+  test("indexed BM25 matches an independent in-memory integer model") {
+    val ss = spark
+    import ss.implicits._
+    // tiny fixture: 4 docs, hand-checkable counts
+    val fix = Seq(
+      (0L, "a b a c"),
+      (1L, "a b"),
+      (2L, "b c c d"),
+      (3L, "d d")
+    ).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-ii-model").toString
+    Retrieval.writeInvertedIndexOf(spark, fix, tmp)
+    val qt = Seq((9L, "a"), (9L, "c")).toDF("qid", "w")
+    val got = rows(Retrieval.bm25TopKIndexedOf(spark, qt, tmp, k = 4))
+
+    // in-memory replay of the documented ppm arithmetic
+    val texts = Map(
+      0L -> "a b a c",
+      1L -> "a b",
+      2L -> "b c c d",
+      3L -> "d d"
+    ).map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val nDocs = texts.size.toLong
+    val totalTokens = texts.values.map(_.size.toLong).sum
+    def df(w: String) = texts.values.count(_.contains(w)).toLong
+    def idf(w: String) = (2L * (nDocs - df(w)) + 1L) * 1000000L / (2L * df(w) + 1L)
+    def score(d: Long, qws: Seq[String]): Long = qws.flatMap { w =>
+      val tf = texts(d).count(_ == w).toLong
+      if (tf == 0) None
+      else {
+        val dl = texts(d).size.toLong
+        val norm = 250000L + 750000L * dl * nDocs / totalTokens
+        val sat = tf * 2200000L * 1000000L / (tf * 1000000L + 1200000L * norm / 1000000L)
+        Some(idf(w) * sat / 1000000L)
+      }
+    }.sum
+    val expect = texts.keys.toSeq
+      .map(d => (d, score(d, Seq("a", "c"))))
+      .filter(_._2 > 0)
+      .sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex
+      .map { case ((d, s), i) => (9L, d, (i + 1).toLong, s) }
+    assert(got == expect)
+  }
+
+  test("streaming lexical search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-stream").toString
+    val ck = Files.createTempDirectory("graft-ii-stream-ck").toString
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+
+    val queryRows: Seq[(Long, String)] = docs
+      .filter(col("doc_id") < 6)
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingRetrieval.searchStream(
+      ms.toDF().toDF("qid", "text"),
+      tmp,
+      ck,
+      bm25 = true,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      buf.synchronized { buf ++= rs: Unit }
+    }
+    try
+      queryRows.grouped(2).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val batch = rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp, nQueries = 6))
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+  }
+}
