@@ -318,6 +318,11 @@ object SparkEntry {
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
       ((s, d) => graft.pipeline.QualityModel.lmFamiliarity(s, d)),
+    // p35b — the stored-model lifecycle (write half the history's counts
+    // → append the rest as delta layers → score against the merged
+    // tables); row-identical to p35 by the LmStoreSpec law, same oracle
+    "p35b_lm_lifecycle" ->
+      ((s, d) => graft.pipeline.QualityModel.lmLifecycle(s, d)),
     // p29 — surgical decontamination (eval-overlapping spans cut out)
     "p29_decontamination_removal" ->
       ((s, d) => graft.pipeline.Decontamination.decontaminationRemoval(s, d)),
@@ -471,6 +476,8 @@ object SparkEntry {
     "p34_drift_report" -> PipelineOracles.driftReport,
     "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,
+    // same oracle as p35: merged delta layers ARE the full-history counts
+    "p35b_lm_lifecycle" -> PipelineOracles.lmFamiliarity,
     "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,

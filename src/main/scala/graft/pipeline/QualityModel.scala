@@ -107,22 +107,55 @@ object QualityModel {
     */
   def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val boundary = Dedup.incrementalBoundary(spark, dir)
-    val d = docs(spark, dir).select(
+    val d = lmWords(docs(spark, dir))
+    val hist = d.filter(col("doc_id") < boundary)
+    scoreAgainstCounts(
+      uniCounts(hist),
+      biCounts(hist),
+      d.filter(col("doc_id") >= boundary)
+    )
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted LM model — the count tables as a stored, appendable model
+  // (the CCNet deployment shape the p35 docstring promises): counts are
+  // ADDITIVE over disjoint doc batches, so appends write delta layers and
+  // readers merge with one groupBy-sum per table — the k13
+  // mergeable-raw-layers argument applied to the LM plane. V (vocabulary
+  // size) is DERIVED from the merged unigram table (its row count), so it
+  // stays exact across any append sequence with nothing extra stored.
+  // Layout: `$out/uni` (w, cu) layers; `$out/bi` (a, b2, cb) layers.
+  // ---------------------------------------------------------------------
+
+  private def lmWords(d: DataFrame): DataFrame =
+    d.select(
       col("doc_id"),
       expr("filter(split(text, ' '), x -> x != '')").as("ws")
     )
-    val hist = d.filter(col("doc_id") < boundary)
-    val uni = hist
-      .select(explode(col("ws")).as("w"))
+
+  private def uniCounts(h: DataFrame): DataFrame =
+    h.select(explode(col("ws")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("cu"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = hist
-      .select(explode(TextAnalysis.adjPairs(col("ws"))).as("p"))
+
+  private def biCounts(h: DataFrame): DataFrame =
+    h.select(explode(TextAnalysis.adjPairs(col("ws"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b2"))
       .agg(count(lit(1)).as("cb"))
-    val newb = d
-      .filter(col("doc_id") >= boundary)
+
+  /** The shared scoring kernel: add-one conditionals from the given count
+    * tables (vocabulary-sized — shuffle-joined on their natural keys,
+    * never broadcast), every batch doc reported (docs with no bigrams
+    * score 0). Both the inline p35 and the stored-model path run THIS, so
+    * the two can never drift.
+    */
+  private def scoreAgainstCounts(
+      uni: DataFrame,
+      bi: DataFrame,
+      batch: DataFrame
+  ): DataFrame = {
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val newb = batch
       .select(col("doc_id"), explode(TextAnalysis.adjPairs(col("ws"))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b2"))
     val scored = newb
@@ -138,7 +171,7 @@ object QualityModel {
       .select(col("doc_id"), expr("num DIV den").as("wgt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("wgt").as("tot"))
-    d.filter(col("doc_id") >= boundary)
+    batch
       .select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(
@@ -149,5 +182,74 @@ object QualityModel {
           .as("score_ppm")
       )
       .orderBy("doc_id")
+  }
+
+  /** Persists the LM count tables trained on `hist` (doc_id, text). */
+  def writeLmModelOf(spark: SparkSession, hist: DataFrame, out: String): Unit = {
+    val h = lmWords(hist).cache()
+    uniCounts(h).write.mode("overwrite").parquet(s"$out/uni")
+    biCounts(h).write.mode("overwrite").parquet(s"$out/bi")
+    h.unpersist(false)
+  }
+
+  /** Appends a training batch's counts as delta layers — existing files
+    * are never read or rewritten (O(batch) ingest); readers merge by sum.
+    * Batches must be disjoint document sets (re-ingesting a doc would
+    * double-count, exactly as in the inverted index).
+    */
+  def appendToLmModel(
+      spark: SparkSession,
+      batch: DataFrame,
+      modelDir: String
+  ): Unit = {
+    val h = lmWords(batch).cache()
+    uniCounts(h).write.mode("append").parquet(s"$modelDir/uni")
+    biCounts(h).write.mode("append").parquet(s"$modelDir/bi")
+    h.unpersist(false)
+  }
+
+  /** Scores `batch` (doc_id, text) against the FROZEN stored model — no
+    * training at scoring time: the delta layers merge with one
+    * groupBy-sum per table, then the identical scoring kernel runs.
+    * Row-identical to the inline form over the same history (LmStoreSpec).
+    */
+  def scoreWithLmModel(
+      spark: SparkSession,
+      batch: DataFrame,
+      modelDir: String
+  ): DataFrame =
+    scoreAgainstCounts(
+      spark.read
+        .parquet(s"$modelDir/uni")
+        .groupBy("w")
+        .agg(sum("cu").as("cu")),
+      spark.read
+        .parquet(s"$modelDir/bi")
+        .groupBy("a", "b2")
+        .agg(sum("cb").as("cb")),
+      lmWords(batch)
+    )
+
+  /** P35b — the stored-model lifecycle as one oracle-replayable query:
+    * train on the first half of the history, APPEND the second half as a
+    * later training batch, score the arriving docs against the stored
+    * model. Merged counts are definitionally the full-history counts, so
+    * the result is row-identical to the inline [[lmFamiliarity]] — same
+    * oracle (the d9b/p33b pattern); the lifecycle (write → append →
+    * merged-layer scoring) is what's under test.
+    */
+  def lmLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = Dedup.incrementalBoundary(spark, dir)
+    val d = docs(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p35b-model")
+      .toString
+    writeLmModelOf(spark, d.filter(col("doc_id") < boundary / 2), tmp)
+    appendToLmModel(
+      spark,
+      d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
+      tmp
+    )
+    scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), tmp)
   }
 }

@@ -150,6 +150,39 @@ object StreamingCuration {
       }
       .start()
 
+  /** P35 continuous form — score arriving documents against the FROZEN
+    * stored LM model ([[graft.pipeline.QualityModel.writeLmModelOf]] /
+    * `appendToLmModel` maintain the count tables between runs): each
+    * micro-batch runs [[graft.pipeline.QualityModel.scoreWithLmModel]]
+    * inside `foreachBatch` — the delta layers merge per batch and the
+    * batch's exploded bigrams shuffle-join the count tables on their
+    * natural keys, so per-batch cost is O(batch bigrams + touched count
+    * rows), never O(model). A doc's score depends only on its own bigrams
+    * and the frozen tables, so chunking independence and redelivery
+    * idempotence are structural (StreamingCurationSpec law: any slicing ≡
+    * the stored-model batch scorer row-for-row).
+    */
+  def lmScoreStream(
+      docs: DataFrame,
+      modelDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.pipeline.QualityModel
+            .scoreWithLmModel(batch.sparkSession, batch, modelDir),
+          batchId
+        )
+      }
+      .start()
+
   /** D13 continuous form — within-doc self-repetition removal on ingest.
     * The batch operator's semantics are PER-DOCUMENT (no cross-doc term),
     * so a stream needs no state store and no index: each micro-batch is

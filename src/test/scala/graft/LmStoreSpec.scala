@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, QualityModel}
+
+/** Laws for the persisted LM count tables — the p35 model must behave as
+  * an additive stored model:
+  *
+  *   - stored ≡ inline: scoring against the written model equals the
+  *     inline train+score at the same boundary, row-for-row;
+  *   - append ≡ rebuild, batch-insensitive: delta layers merged by sum
+  *     equal the one-shot counts, however training was chunked;
+  *   - the p35b lifecycle query equals inline p35 (the oracle-reuse law);
+  *   - empty training batches append nothing and change nothing.
+  */
+class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-lmstore-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+
+  private def uniTable(dir: String): Map[String, Long] =
+    spark.read
+      .parquet(s"$dir/uni")
+      .groupBy("w")
+      .agg(sum("cu").as("cu"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  private def biTable(dir: String): Map[(String, String), Long] =
+    spark.read
+      .parquet(s"$dir/bi")
+      .groupBy("a", "b2")
+      .agg(sum("cb").as("cb"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+  test("stored-model scoring equals the inline train+score") {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft-lm-full").toString
+    QualityModel.writeLmModelOf(
+      spark,
+      docs.filter(col("doc_id") < boundary),
+      tmp
+    )
+    val stored = rows(
+      QualityModel
+        .scoreWithLmModel(spark, docs.filter(col("doc_id") >= boundary), tmp)
+    )
+    val inline = rows(QualityModel.lmFamiliarity(spark, sfDir))
+    assert(stored == inline)
+  }
+
+  test("append ≡ rebuild: merged delta layers equal one-shot counts, batch-insensitive") {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val hist = docs.filter(col("doc_id") < boundary)
+
+    val full = Files.createTempDirectory("graft-lm-onepass").toString
+    QualityModel.writeLmModelOf(spark, hist, full)
+
+    // three chunks appended in sequence
+    val chunks = Files.createTempDirectory("graft-lm-chunks").toString
+    val third = boundary / 3
+    QualityModel.writeLmModelOf(spark, hist.filter(col("doc_id") < third), chunks)
+    QualityModel.appendToLmModel(
+      spark,
+      hist.filter(col("doc_id") >= third && col("doc_id") < 2 * third),
+      chunks
+    )
+    QualityModel.appendToLmModel(
+      spark,
+      hist.filter(col("doc_id") >= 2 * third),
+      chunks
+    )
+
+    assert(uniTable(chunks) == uniTable(full))
+    assert(biTable(chunks) == biTable(full))
+
+    val batch = docs.filter(col("doc_id") >= boundary)
+    assert(
+      rows(QualityModel.scoreWithLmModel(spark, batch, chunks)) ==
+        rows(QualityModel.scoreWithLmModel(spark, batch, full))
+    )
+  }
+
+  test("the p35b lifecycle query equals inline p35 (the oracle-reuse law)") {
+    assert(
+      rows(QualityModel.lmLifecycle(spark, sfDir)) ==
+        rows(QualityModel.lmFamiliarity(spark, sfDir))
+    )
+  }
+
+  test("an empty training batch appends nothing and changes nothing") {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val hist = docs.filter(col("doc_id") < boundary)
+    val tmp = Files.createTempDirectory("graft-lm-empty").toString
+    QualityModel.writeLmModelOf(spark, hist, tmp)
+    val before = (uniTable(tmp), biTable(tmp))
+    QualityModel.appendToLmModel(spark, docs.filter(lit(false)), tmp)
+    assert((uniTable(tmp), biTable(tmp)) == before)
+    val batch = docs.filter(col("doc_id") >= boundary)
+    assert(
+      rows(QualityModel.scoreWithLmModel(spark, batch, tmp)) ==
+        rows(QualityModel.lmFamiliarity(spark, sfDir))
+    )
+  }
+}

@@ -462,4 +462,46 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(perBatch(i.toLong) == want)
     }
   }
+
+  test("streaming LM scoring over chunks equals the stored-model batch scorer") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val boundary = graft.pipeline.Dedup.incrementalBoundary(spark, sfDir)
+    // model trained offline on the history corpus, FROZEN during the run
+    val model = java.nio.file.Files.createTempDirectory("graft-lm-sm").toString
+    graft.pipeline.QualityModel
+      .writeLmModelOf(spark, d.filter(col("doc_id") < boundary), model)
+
+    val rows: Seq[Doc] = d
+      .filter(col("doc_id") >= boundary)
+      .as[Doc]
+      .collect()
+      .toSeq
+      .sortBy(_.doc_id)
+    val ck = java.nio.file.Files.createTempDirectory("graft-lm-sm-ck").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration.lmScoreStream(ms.toDF(), model, ck) { (res, _) =>
+      val r = res.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      buf.synchronized { buf ++= r: Unit }
+    }
+    try rows.grouped(rows.size / 3 + 1).foreach { c =>
+      ms.addData(c)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.pipeline.QualityModel
+      .scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), model)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq
+    // a doc's score depends only on its own bigrams and the frozen
+    // tables, so any chunking reproduces the batch scorer row-for-row
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(_._1) == batch.sortBy(_._1))
+  }
 }
