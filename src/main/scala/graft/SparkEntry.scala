@@ -113,6 +113,10 @@ object SparkEntry {
         Snapshots.Criteria(maxSeqNr = 40, minSeqNr = 15))),
     "s10c_snapshot_lifecycle" -> ((s, d) =>
       Snapshots.lifecycle(actions(s, d))),
+    // s10d — snapshot-accelerated recovery: latest snapshot + replay
+    // suffix per journal (the reference's actual recovery flow)
+    "s10d_snapshot_recovery" -> ((s, d) =>
+      Snapshots.recovery(actions(s, d))),
     // C2/F8 typed-payload wire roundtrip: every append's typed payload
     // (json envelope / text / v1 binary frame), tags and metadata must
     // survive actions → Kafka wire → actions byte-exactly; binary is
@@ -385,6 +389,7 @@ object SparkEntry {
     "f8_wire_roundtrip" -> JournalOracles.actionCounts,
     "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
     "s10c_snapshot_lifecycle" -> JournalOracles.snapshotLifecycle,
+    "s10d_snapshot_recovery" -> JournalOracles.snapshotRecovery,
     "c7_payload_roundtrip" -> JournalOracles.payloadRoundtrip,
     "s5b_tag_replay" -> JournalOracles.tagReplay,
     "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,

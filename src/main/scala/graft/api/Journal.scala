@@ -82,6 +82,19 @@ final class Journal(
       .as[EventRecord]
   }
 
+  /** Snapshot-accelerated recovery of one journal — the reference's actual
+    * recovery flow (SnapshotStore.scala:26-34 + Journals.read): the latest
+    * snapshot plus only the events after its seq_nr, `src`-tagged rows in
+    * fold order ([[graft.journal.Snapshots.recovery]] filtered to the
+    * key). A journal with no snapshot replays in full — recover ≡ read
+    * for it; with one, recover's event leg is exactly read's suffix above
+    * the snapshot (the api-spec law).
+    */
+  def recover(topic: String, id: String): DataFrame =
+    graft.journal.Snapshots.recovery(
+      log.filter(col("topic") === topic && col("id") === id)
+    )
+
   /** Highest appended seqNr of one journal (None ⇒ empty row set). */
   def pointer(topic: String, id: String): DataFrame =
     JournalOps

@@ -109,4 +109,51 @@ object Snapshots {
       .filter(col("seq_nr") > deleteToSeqNr) // delete(criteria max=deleteTo)
       .select("topic", "id", "buffer_nr", "seq_nr", "koffset", "payload")
       .orderBy("topic", "id", "buffer_nr")
+
+  /** S10d — snapshot-accelerated recovery, the reference's actual recovery
+    * flow (snapshot/.../SnapshotStore.scala:26-34 composed with
+    * Journals.read): per journal, load the LATEST snapshot and replay only
+    * the events AFTER its seq_nr; a journal with no snapshot replays in
+    * full. Output rows carry `src` ('snapshot' | 'event') so the consumer
+    * sees exactly what a recovering entity would fold: at most one
+    * snapshot row, then the event suffix in seq order.
+    *
+    * Scale shape: the snapshot frame is KEY-GRAIN (one row per journal) —
+    * the suffix filter is one keyed shuffle join of the replay against it
+    * (at 100 TB the journal count is large, so this is a join, not a
+    * broadcast), and the event with seq_nr = snapshot seq_nr is excluded
+    * (the snapshot subsumes it), so recovery reads shrink by exactly the
+    * snapshotted prefix.
+    */
+  def recovery(actions: DataFrame): DataFrame = {
+    val snap = load(actions, Criteria()).select(
+      col("topic"),
+      col("id"),
+      col("seq_nr").as("snap_seq"),
+      col("koffset").as("snap_koffset"),
+      col("payload").as("snap_payload")
+    )
+    val snapRows = snap.select(
+      col("topic"),
+      col("id"),
+      lit("snapshot").as("src"),
+      col("snap_seq").as("seq_nr"),
+      col("snap_koffset").as("koffset"),
+      col("snap_payload").as("payload")
+    )
+    val tail = Replay
+      .mergedRead(actions)
+      .select("topic", "id", "seq_nr", "koffset", "payload")
+      .join(snap.select("topic", "id", "snap_seq"), Seq("topic", "id"), "left")
+      .filter(col("snap_seq").isNull || col("seq_nr") > col("snap_seq"))
+      .select(
+        col("topic"),
+        col("id"),
+        lit("event").as("src"),
+        col("seq_nr"),
+        col("koffset"),
+        col("payload")
+      )
+    snapRows.unionByName(tail).orderBy("topic", "id", "seq_nr")
+  }
 }

@@ -408,4 +408,34 @@ object JournalOracles {
     WHERE rn = 1
     ORDER BY topic, id
   """
+
+  /** s10d — snapshot-accelerated recovery (Snapshots.recovery): latest
+    * surviving snapshot per journal, then the replay suffix strictly above
+    * its seq_nr; journals without a snapshot replay in full.
+    */
+  val snapshotRecovery: String = s"""$annCte,
+    surv AS (
+      SELECT topic, id, seq_nr, koffset, payload
+      FROM ann3
+      WHERE action = 'append' AND after_purge AND seq_nr > COALESCE(dt, 0)
+    ),
+    snap AS (
+      SELECT topic, id, seq_nr, koffset, payload
+      FROM (
+        SELECT s.*,
+               ROW_NUMBER() OVER (PARTITION BY topic, id
+                                  ORDER BY seq_nr DESC) AS rn
+        FROM (SELECT * FROM surv WHERE seq_nr % 10 = 0) s
+      ) t WHERE rn = 1
+    )
+    SELECT topic, id, src, seq_nr, koffset, payload FROM (
+      SELECT topic, id, 'snapshot' AS src, seq_nr, koffset, payload FROM snap
+      UNION ALL
+      SELECT e.topic, e.id, 'event' AS src, e.seq_nr, e.koffset, e.payload
+      FROM surv e
+      LEFT JOIN snap sn ON sn.topic = e.topic AND sn.id = e.id
+      WHERE sn.seq_nr IS NULL OR e.seq_nr > sn.seq_nr
+    ) u
+    ORDER BY topic, id, seq_nr
+  """
 }

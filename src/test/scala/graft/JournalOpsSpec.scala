@@ -145,6 +145,77 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.exceptAll(deduped).count() == 0)
   }
 
+  test("snapshot recovery equals snapshot plus the replay suffix, per journal") {
+    val a = actions.cache()
+    // independent in-memory reconstruction from the FULL replay: the
+    // latest snapshot is the highest surviving seq_nr % 10 == 0 event;
+    // recovery must be that row (src=snapshot) + the strict suffix
+    val replay = Replay
+      .mergedRead(a)
+      .select("topic", "id", "seq_nr", "koffset", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val expect = replay
+      .groupBy(t => (t._1, t._2))
+      .toSeq
+      .flatMap { case ((topic, id), evs) =>
+        val sorted = evs.sortBy(_._3)
+        val snapSeq = sorted.map(_._3).filter(_ % 10 == 0).maxOption
+        snapSeq match {
+          case None =>
+            sorted.map(e => (topic, id, "event", e._3, e._4, e._5))
+          case Some(s) =>
+            val sn = sorted.find(_._3 == s).get
+            (topic, id, "snapshot", sn._3, sn._4, sn._5) +:
+              sorted.filter(_._3 > s).map(e => (topic, id, "event", e._3, e._4, e._5))
+        }
+      }
+      .sortBy(t => (t._1, t._2, t._4))
+    val got = graft.journal.Snapshots
+      .recovery(a)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got.count(_._3 == "snapshot") > 0)
+    assert(got == expect)
+    a.unpersist(false)
+  }
+
+  test("api recover: one-journal recovery; no-snapshot journals recover as full read") {
+    val a = actions.cache()
+    val journal = graft.api.Journal(spark, a)
+    // a journal WITH a snapshot: its recover must equal the all-journal
+    // recovery filtered to the key
+    val snapped = graft.journal.Snapshots
+      .recovery(a)
+      .filter(org.apache.spark.sql.functions.col("src") === "snapshot")
+      .select("topic", "id")
+      .head()
+    val (t0, i0) = (snapped.getString(0), snapped.getString(1))
+    val one = journal
+      .recover(t0, i0)
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+      .toSeq
+    val whole = graft.journal.Snapshots
+      .recovery(a)
+      .filter(
+        org.apache.spark.sql.functions.col("topic") === t0 &&
+          org.apache.spark.sql.functions.col("id") === i0
+      )
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(one == whole)
+    assert(one.head._1 == "snapshot")
+    // recovery reads strictly less than the full read when snapshotted
+    val full = journal.read(t0, i0).count()
+    assert(one.size.toLong <= full)
+    a.unpersist(false)
+  }
+
   test("pointer equals max seq_nr of the journal scan where one exists") {
     import org.apache.spark.sql.functions._
     val fromScan = JournalOps
