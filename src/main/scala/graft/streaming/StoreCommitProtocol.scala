@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Path
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.DataFrame
 
@@ -94,6 +94,151 @@ trait StoreCommitProtocol {
     * crash leftovers if the storage requires it. Epoch 0 = virgin store.
     */
   def resolveCurrent(storeDir: String): (Path, Long)
+}
+
+/** The conditional-put implementation — the OBJECT-STORE shape of the
+  * protocol, proving the seam portable: every fence is built from exactly
+  * the two primitives an S3-class store offers on a single key, modeled by
+  * an in-memory CAS map (a real binding swaps the map operations for
+  * conditional PUTs; nothing else changes):
+  *
+  *   - '''put-if-absent''' (`If-None-Match: *`): taking a claim, the
+  *     virgin-store epoch-0→1 commit.
+  *   - '''compare-and-swap on the current value''' (ETag / `If-Match`):
+  *     breaking an expired lease (guarded by the exact observed claim, so
+  *     two breakers cannot both win), renewing a lease, and the epoch CAS
+  *     itself — the `current` POINTER key swings from generation E to E+1
+  *     only if it still holds E.
+  *
+  * Data stays on the filesystem under UNIQUELY-NAMED staged directories
+  * (`mgen-<epoch>-<nanos>`) that are never contended — exactly how an
+  * object-store deployment stages under unique keys and publishes by
+  * swinging the pointer; an orphaned staging (dead writer) is never
+  * referenced and is garbage, not a correctness hazard (a real store
+  * reaps it with a lifecycle rule, like S3 aborts stale multipart
+  * uploads). Because publication is a single pointer CAS there is no
+  * committed-but-unadopted state and no crash-repair path — the
+  * transactional-table-format argument from the trait doc, demonstrated.
+  *
+  * One instance models ONE store (the map is per-instance state, as an
+  * endpoint's keyspace is per-store): concurrent writers of a store must
+  * share the instance, and the claim/pointer keys are namespaced by root
+  * so one instance can serve many stores.
+  */
+final class MemCommitProtocol extends StoreCommitProtocol {
+  import StreamingReplicator.ConcurrentStoreWriteException
+
+  private case class Claim(token: String, stamp: Long)
+  private case class Gen(path: String, epoch: Long)
+
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Claim]()
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[String, Gen]()
+
+  private def freshToken(): String =
+    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}"
+
+  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String = {
+    val key = (root.toString, epoch)
+    val now = System.currentTimeMillis()
+    val mine = Claim(freshToken(), now)
+    val prev = claims.putIfAbsent(key, mine) // If-None-Match: *
+    if (prev == null) mine.token
+    else {
+      val expired = now - prev.stamp > leaseMs
+      // break = CAS guarded by the exact observed claim (If-Match): of
+      // two concurrent breakers at most one replace succeeds
+      if (expired && claims.replace(key, prev, mine)) mine.token
+      else
+        throw new ConcurrentStoreWriteException(
+          s"epoch $epoch is claimed by a live writer — concurrent " +
+            "replication detected; retry after it commits or its lease expires"
+        )
+    }
+  }
+
+  def renewClaim(root: Path, epoch: Long, token: String): Unit = {
+    val key = (root.toString, epoch)
+    val held = claims.get(key)
+    val renewed = held != null && held.token == token &&
+      claims.replace(key, held, held.copy(stamp = System.currentTimeMillis()))
+    if (!renewed)
+      throw new ConcurrentStoreWriteException(
+        s"claim on epoch $epoch was lease-broken while this writer " +
+          "stalled — publishing nothing; the batch redelivers"
+      )
+  }
+
+  def verifyClaim(root: Path, epoch: Long, token: String): Unit = {
+    val held = claims.get((root.toString, epoch))
+    if (held == null || held.token != token)
+      throw new ConcurrentStoreWriteException(
+        s"claim on epoch $epoch was lease-broken while this writer " +
+          "stalled — publishing nothing; the batch redelivers"
+      )
+  }
+
+  def releaseClaim(root: Path, epoch: Long, token: String): Unit = {
+    // remove iff still ours: a fenced holder must never evict the
+    // breaker's re-issued claim
+    claims.computeIfPresent(
+      (root.toString, epoch),
+      (_, c) => if (c.token == token) null else c
+    ): Unit
+  }
+
+  def commitGeneration(
+      root: Path,
+      basedOnEpoch: Long,
+      pointer2: DataFrame,
+      writerToken: String
+  ): Unit = {
+    require(
+      writerToken.nonEmpty,
+      "writerToken must identify the committing writer"
+    )
+    val nextEpoch = basedOnEpoch + 1
+    val staged = root.resolve(s"mgen-$nextEpoch-${System.nanoTime()}")
+    pointer2.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staged.resolve("pointer2").toString)
+    val key = root.toString
+    val won =
+      if (basedOnEpoch == 0L)
+        // virgin store: If-None-Match — exactly one epoch-1 publisher;
+        // a loser learns immediately (no _WRITER-tag disambiguation
+        // needed: the pointer swing is the only publication event)
+        current.putIfAbsent(key, Gen(staged.toString, 1L)) == null
+      else
+        current.get(key) match {
+          case g if g != null && g.epoch == basedOnEpoch =>
+            val ok = current.replace(key, g, Gen(staged.toString, nextEpoch))
+            if (ok) graft.util.Fs.deleteRecursively(Paths.get(g.path))
+            ok
+          case _ => false
+        }
+    if (!won) {
+      graft.util.Fs.deleteRecursively(staged)
+      throw new ConcurrentStoreWriteException(
+        s"epoch $basedOnEpoch already superseded — another writer " +
+          "committed first; re-read the store and retry"
+      )
+    }
+    // claims at or below the adopted epoch are spent
+    claims
+      .keySet()
+      .removeIf(k => k._1 == root.toString && k._2 <= nextEpoch): Unit
+  }
+
+  def resolveCurrent(storeDir: String): (Path, Long) = {
+    val root = Paths.get(storeDir)
+    current.get(root.toString) match {
+      case null => (root.resolve("current-0"), 0L) // virgin
+      case g    => (Paths.get(g.path), g.epoch)
+    }
+  }
 }
 
 /** The filesystem implementation — the module-level functions on

@@ -563,8 +563,12 @@ object StreamingReplicator {
       } finally s.close()
     }
 
-  def readStore(spark: SparkSession, storeDir: String): Replicate.Store = {
-    val cur = recoverCurrent(storeDir)
+  def readStore(
+      spark: SparkSession,
+      storeDir: String,
+      protocol: StoreCommitProtocol = FsCommitProtocol
+  ): Replicate.Store = {
+    val cur = protocol.resolveCurrent(storeDir)._1
     def bucketed(name: String): DataFrame = {
       val dir = Paths.get(storeDir, name)
       if (hasParquet(dir))

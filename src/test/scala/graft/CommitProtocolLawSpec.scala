@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.journal.Replicate
+import graft.model.ActionLog
+import graft.streaming.StreamingReplicator
+import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
+import graft.streaming.{FsCommitProtocol, MemCommitProtocol, StoreCommitProtocol}
+
+/** The commit-protocol laws, IMPLEMENTATION-GENERIC: every test below runs
+  * twice — once against [[FsCommitProtocol]] (atomic rename + CREATE_NEW)
+  * and once against [[MemCommitProtocol]] (the object-store conditional-put
+  * shape) — exercising the six trait operations only, never an
+  * implementation's internals. Green twice = the trait IS the contract and
+  * the replication logic above it is genuinely storage-agnostic.
+  *
+  * Laws: sequential convergence (three chunked applyBatches ≡ whole-log
+  * compute), two-writer fail-fast (a mid-flight claim blocks the peer
+  * before any data write), lease expiry + break with fencing of the old
+  * holder, live-renewal protection against breaking, zombie epoch-CAS
+  * fencing, the virgin-store epoch-0→1 race, and release ownership (a
+  * fenced holder cannot evict the breaker's claim).
+  */
+class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-protocol-law-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def actions = ActionLog.fromEvents(spark, sfDir)
+
+  private def chunks(a: DataFrame, n: Int): Seq[DataFrame] = {
+    val mx = a.agg(max("event_id")).head().getLong(0)
+    val step = mx / n + 1
+    (0 until n).map { i =>
+      a.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+    }
+  }
+
+  // one protocol instance per store, as a deployment has (the Fs singleton
+  // is stateless over the shared filesystem; the Mem instance IS the store)
+  private def impls: Seq[(String, () => StoreCommitProtocol)] = Seq(
+    "fs" -> (() => FsCommitProtocol),
+    "mem-conditional-put" -> (() => new MemCommitProtocol)
+  )
+
+  private def p2Rows(p: StoreCommitProtocol, dir: String): Seq[String] =
+    StreamingReplicator
+      .readStore(spark, dir, p)
+      .pointer2
+      .collect()
+      .map(_.mkString("|"))
+      .sorted
+      .toSeq
+
+  for ((name, mk) <- impls) {
+
+    test(s"[$name] three chunked applyBatches converge to the whole-log store") {
+      val p = mk()
+      val a = actions.cache()
+      val cs = chunks(a, 3)
+      val tmp = Files.createTempDirectory(s"graft-law-conv-$name").toString
+      cs.foreach(c => StreamingReplicator.applyBatch(spark, tmp, c, protocol = p))
+      assert(p.resolveCurrent(tmp)._2 == 3L)
+      val got = StreamingReplicator.readStore(spark, tmp, p)
+      val want = Replicate.compute(a)
+      for (
+        (g, w, n) <- Seq(
+          (got.journal, want.journal, "journal"),
+          (got.metajournal, want.metajournal, "metajournal"),
+          (got.pointer2, want.pointer2, "pointer2")
+        )
+      ) {
+        val cols = w.columns.sorted.map(col)
+        assert(g.select(cols.toIndexedSeq: _*).exceptAll(w.select(cols.toIndexedSeq: _*)).count() == 0, s"$n extra")
+        assert(w.select(cols.toIndexedSeq: _*).exceptAll(g.select(cols.toIndexedSeq: _*)).count() == 0, s"$n missing")
+      }
+      a.unpersist(false)
+    }
+
+    test(s"[$name] two writers: the peer fails fast at the claim, store untouched") {
+      val p = mk()
+      val a = actions.cache()
+      val Seq(c1, c2) = chunks(a, 2)
+      val tmp = Files.createTempDirectory(s"graft-law-race-$name").toString
+      StreamingReplicator.applyBatch(spark, tmp, c1, protocol = p) // epoch 1
+      val afterC1 = p2Rows(p, tmp)
+
+      // writer A mid-flight on epoch 2
+      p.claimEpoch(Paths.get(tmp), 2L, leaseMs = 600000L)
+      // writer B: fail-fast, nothing published
+      intercept[ConcurrentStoreWriteException] {
+        StreamingReplicator
+          .applyBatch(spark, tmp, c2, leaseMs = 600000L, protocol = p)
+      }
+      assert(p2Rows(p, tmp) == afterC1, "loser must publish nothing")
+      assert(p.resolveCurrent(tmp)._2 == 1L)
+      a.unpersist(false)
+    }
+
+    test(s"[$name] lease expiry: break fences the old holder; release respects ownership") {
+      val p = mk()
+      val tmp = Files.createTempDirectory(s"graft-law-lease-$name").toString
+      val root = Paths.get(tmp)
+      Files.createDirectories(root)
+
+      val holder = p.claimEpoch(root, 2L, leaseMs = 150L)
+      Thread.sleep(400L) // the lease expires un-renewed
+      val breaker = p.claimEpoch(root, 2L, leaseMs = 150L) // break succeeds
+      // the broken holder is fenced everywhere
+      intercept[ConcurrentStoreWriteException] { p.verifyClaim(root, 2L, holder) }
+      intercept[ConcurrentStoreWriteException] { p.renewClaim(root, 2L, holder) }
+      // and cannot evict the breaker by releasing "its" claim
+      p.releaseClaim(root, 2L, holder)
+      p.verifyClaim(root, 2L, breaker) // breaker still clean
+      // the breaker's own release frees the epoch for the next claimant
+      p.releaseClaim(root, 2L, breaker)
+      val next = p.claimEpoch(root, 2L, leaseMs = 600000L)
+      p.verifyClaim(root, 2L, next)
+    }
+
+    test(s"[$name] a renewing holder is live: the lease cannot be broken") {
+      val p = mk()
+      val tmp = Files.createTempDirectory(s"graft-law-renew-$name").toString
+      val root = Paths.get(tmp)
+      Files.createDirectories(root)
+
+      val holder = p.claimEpoch(root, 3L, leaseMs = 2000L)
+      Thread.sleep(1200L)
+      p.renewClaim(root, 3L, holder) // heartbeat refreshes the lease
+      Thread.sleep(1200L)
+      // base stamp is 2.4 s old (> leaseMs) but the renewal is 1.2 s old:
+      // a peer must NOT break a heartbeating holder
+      intercept[ConcurrentStoreWriteException] {
+        p.claimEpoch(root, 3L, leaseMs = 2000L)
+      }
+      p.verifyClaim(root, 3L, holder)
+    }
+
+    test(s"[$name] zombie commit on a superseded epoch is fenced, store unchanged") {
+      val p = mk()
+      val a = actions.cache()
+      val Seq(c1, c2) = chunks(a, 2)
+      val tmp = Files.createTempDirectory(s"graft-law-zombie-$name").toString
+      val root = Paths.get(tmp)
+      StreamingReplicator.applyBatch(spark, tmp, c1, protocol = p) // epoch 1
+      StreamingReplicator.applyBatch(spark, tmp, c2, protocol = p) // epoch 2
+      val committed = p2Rows(p, tmp)
+
+      // zombie resumes with its stale epoch-1 snapshot
+      val stale = StreamingReplicator.readStore(spark, tmp, p).pointer2
+      intercept[ConcurrentStoreWriteException] {
+        p.commitGeneration(root, basedOnEpoch = 1L, stale, "zombie")
+      }
+      assert(p.resolveCurrent(tmp)._2 == 2L)
+      assert(p2Rows(p, tmp) == committed, "fenced zombie must publish nothing")
+      a.unpersist(false)
+    }
+
+    test(s"[$name] virgin-store race: exactly one epoch-1 publisher") {
+      val p = mk()
+      val a = actions.cache()
+      val Seq(c1, c2) = chunks(a, 2)
+      val tmp = Files.createTempDirectory(s"graft-law-virgin-$name").toString
+      val root = Paths.get(tmp)
+      Files.createDirectories(root)
+
+      // commit-only fixture (no data tables yet): read pointer2 straight
+      // from the resolved generation
+      def p2Now(): Seq[String] = spark.read
+        .parquet(p.resolveCurrent(tmp)._1.resolve("pointer2").toString)
+        .collect()
+        .map(_.mkString("|"))
+        .sorted
+        .toSeq
+
+      val p2b = Replicate.compute(c2).pointer2
+      p.commitGeneration(root, 0L, p2b, "B")
+      assert(p.resolveCurrent(tmp)._2 == 1L)
+      val committed = p2Now()
+
+      val p2a = Replicate.compute(c1).pointer2
+      intercept[ConcurrentStoreWriteException] {
+        p.commitGeneration(root, 0L, p2a, "A")
+      }
+      assert(p.resolveCurrent(tmp)._2 == 1L)
+      assert(p2Now() == committed, "B's generation must be untouched")
+      a.unpersist(false)
+    }
+  }
+}
