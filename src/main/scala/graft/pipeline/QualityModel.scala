@@ -202,6 +202,7 @@ object QualityModel {
       batch: DataFrame,
       modelDir: String
   ): Unit = {
+    repairLmModel(modelDir)
     val h = lmWords(batch).cache()
     uniCounts(h).write.mode("append").parquet(s"$modelDir/uni")
     biCounts(h).write.mode("append").parquet(s"$modelDir/bi")
@@ -213,11 +214,55 @@ object QualityModel {
     * groupBy-sum per table, then the identical scoring kernel runs.
     * Row-identical to the inline form over the same history (LmStoreSpec).
     */
+  /** Crash repair for an interrupted [[compactLmModel]]; called by every
+    * model consumer. Per-directory ([[graft.util.DirSwap]]) — both tables'
+    * read views are sum-merges, so compaction commutes per-directory.
+    */
+  def repairLmModel(modelDir: String): Unit = {
+    val root = java.nio.file.Paths.get(modelDir)
+    Seq("uni", "bi").foreach(graft.util.DirSwap.repair(root, _))
+  }
+
+  /** Compact the stored LM model in place: every training append writes a
+    * delta layer, so a long-lived model accumulates small files and every
+    * scoring pass pays the per-layer merge. Collapses each count table to
+    * one summed layer in `targetFiles` files behind a build-then-swap
+    * ([[graft.util.DirSwap]]). Scores are row-identical before and after
+    * (LmStoreSpec law); single-maintainer posture, run between batches.
+    */
+  def compactLmModel(
+      spark: SparkSession,
+      modelDir: String,
+      targetFiles: Int = 8
+  ): Unit = {
+    val root = java.nio.file.Paths.get(modelDir)
+    repairLmModel(modelDir)
+    graft.util.DirSwap.swap(root, "uni") { tmp =>
+      spark.read
+        .parquet(s"$modelDir/uni")
+        .groupBy("w")
+        .agg(sum("cu").as("cu"))
+        .repartition(targetFiles)
+        .write
+        .parquet(tmp.toString)
+    }
+    graft.util.DirSwap.swap(root, "bi") { tmp =>
+      spark.read
+        .parquet(s"$modelDir/bi")
+        .groupBy("a", "b2")
+        .agg(sum("cb").as("cb"))
+        .repartition(targetFiles)
+        .write
+        .parquet(tmp.toString)
+    }
+  }
+
   def scoreWithLmModel(
       spark: SparkSession,
       batch: DataFrame,
       modelDir: String
-  ): DataFrame =
+  ): DataFrame = {
+    repairLmModel(modelDir)
     scoreAgainstCounts(
       spark.read
         .parquet(s"$modelDir/uni")
@@ -229,6 +274,7 @@ object QualityModel {
         .agg(sum("cb").as("cb")),
       lmWords(batch)
     )
+  }
 
   /** P35b — the stored-model lifecycle as one oracle-replayable query:
     * train on the first half of the history, APPEND the second half as a

@@ -248,6 +248,7 @@ object Retrieval {
       newDocs: DataFrame,
       indexDir: String
   ): Unit = {
+    repairInvertedIndex(indexDir)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val tf = postingsWithLen(newDocs)
@@ -274,6 +275,70 @@ object Retrieval {
     tf.unpersist(false)
   }
 
+  /** The three swappable store directories; `params` is written once and
+    * never compacted.
+    */
+  private val SwappedDirs = Seq("postings", "df", "stats")
+
+  /** Crash repair for an interrupted [[compactInvertedIndex]]; called by
+    * every store consumer (query / append / compact) so a crashed
+    * maintenance job can never brick them. Per-directory ([[graft.util.DirSwap]]):
+    * each directory's read view is a sum-merge (postings a row union, df
+    * and stats summed layers), so compaction commutes per-directory and
+    * any prefix of repaired/compacted directories reads identically — the
+    * three swaps need no mutual atomicity.
+    */
+  def repairInvertedIndex(indexDir: String): Unit = {
+    val root = java.nio.file.Paths.get(indexDir)
+    SwappedDirs.foreach(graft.util.DirSwap.repair(root, _))
+  }
+
+  /** Compact the inverted index in place: every append accretes one file
+    * set per touched bucket plus a df/stats delta layer, so a long-lived
+    * index accumulates small files and every query pays the per-layer
+    * merge. Rewrites postings to one file per wb bucket (the build
+    * write's shape), collapses the df delta layers to one summed layer,
+    * and the stats delta rows to one row — each behind a build-then-swap
+    * ([[graft.util.DirSwap]]), so readers always see a complete directory.
+    * Reads are row-identical before and after (RetrievalIndexSpec law);
+    * single-maintainer posture, run between batches like the span-index
+    * compaction.
+    */
+  def compactInvertedIndex(spark: SparkSession, indexDir: String): Unit = {
+    val root = java.nio.file.Paths.get(indexDir)
+    repairInvertedIndex(indexDir)
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    graft.util.DirSwap.swap(root, "postings") { tmp =>
+      spark.read
+        .parquet(s"$indexDir/postings")
+        .repartition(buckets, col("wb"))
+        .write
+        .partitionBy("wb")
+        .parquet(tmp.toString)
+    }
+    graft.util.DirSwap.swap(root, "df") { tmp =>
+      spark.read
+        .parquet(s"$indexDir/df")
+        .groupBy("wb", "w")
+        .agg(sum("df").as("df"))
+        .repartition(buckets, col("wb"))
+        .write
+        .partitionBy("wb")
+        .parquet(tmp.toString)
+    }
+    graft.util.DirSwap.swap(root, "stats") { tmp =>
+      spark.read
+        .parquet(s"$indexDir/stats")
+        .agg(
+          sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens")
+        )
+        .write
+        .parquet(tmp.toString)
+    }
+  }
+
   /** The stored index's merged read views: (postings pruned to the probed
     * buckets, df merged over delta layers and pruned likewise, the summed
     * single-row stats). `probedWb` is bounded by the stored bucket count,
@@ -285,6 +350,7 @@ object Retrieval {
       indexDir: String,
       queryTerms: DataFrame
   ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    repairInvertedIndex(indexDir)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val qt = queryTerms.withColumn("wb", wbOf(col("w"), buckets))

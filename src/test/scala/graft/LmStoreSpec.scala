@@ -134,4 +134,43 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         rows(QualityModel.lmFamiliarity(spark, sfDir))
     )
   }
+
+  test("model compaction collapses delta layers, preserves scores, survives a crashed swap") {
+    val tmp = Files.createTempDirectory("graft-lm-compact").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val d = docs
+    QualityModel.writeLmModelOf(
+      spark, d.filter(col("doc_id") < boundary / 2), tmp)
+    QualityModel.appendToLmModel(
+      spark,
+      d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
+      tmp)
+    val batch = d.filter(col("doc_id") >= boundary)
+
+    def uniFiles(): Int = Option(new java.io.File(s"$tmp/uni").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    def score(): Seq[(Long, Long, Long)] =
+      rows(QualityModel.scoreWithLmModel(spark, batch, tmp))
+
+    val (tablesBefore, scoreBefore, filesBefore) =
+      ((uniTable(tmp), biTable(tmp)), score(), uniFiles())
+    QualityModel.compactLmModel(spark, tmp, targetFiles = 1)
+    assert((uniTable(tmp), biTable(tmp)) == tablesBefore) // merged counts identical
+    assert(score() == scoreBefore)                        // scores row-identical
+    assert(uniFiles() == 1 && filesBefore > 1)            // layers collapsed
+
+    // crash repair between a swap's renames: Case 1 old-*, Case 2 a
+    // COMPLETE compact-* copy (the live dir carries _SUCCESS).
+    val uni = java.nio.file.Paths.get(s"$tmp/uni")
+    Files.move(uni, java.nio.file.Paths.get(s"$tmp/uni.old-999"))
+    assert(score() == scoreBefore)
+    val bi = java.nio.file.Paths.get(s"$tmp/bi")
+    Files.move(bi, java.nio.file.Paths.get(s"$tmp/bi.compact-999"))
+    assert(score() == scoreBefore)
+    val leftovers = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f =>
+        f.getName.contains(".old-") || f.getName.contains(".compact-"))
+    assert(leftovers.isEmpty)
+  }
 }

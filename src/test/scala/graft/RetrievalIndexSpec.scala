@@ -251,4 +251,49 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
   }
+
+  test("compaction collapses delta layers, preserves results, survives a crashed swap") {
+    val tmp = Files.createTempDirectory("graft-ii-compact").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val d = docs
+    Retrieval.writeInvertedIndexOf(
+      spark, d.filter(col("doc_id") < boundary / 2), tmp)
+    Retrieval.appendToInvertedIndex(
+      spark,
+      d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
+      tmp)
+    Retrieval.appendToInvertedIndex(
+      spark, d.filter(col("doc_id") >= boundary), tmp)
+
+    def statRows(): Long = spark.read.parquet(s"$tmp/stats").count()
+    def res(): (Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) =
+      (rows(Retrieval.keywordTopKIndexed(spark, sfDir, tmp)),
+        rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)))
+
+    val before = res()
+    val filesBefore = postingFiles(tmp).size
+    assert(statRows() == 3) // one delta row per ingest
+    Retrieval.compactInvertedIndex(spark, tmp)
+    assert(res() == before) // row-identical reads
+    assert(statRows() == 1) // stats rows collapsed
+    val filesAfter = postingFiles(tmp).size
+    assert(filesAfter < filesBefore && filesAfter <= Retrieval.IndexBuckets)
+
+    // crash repair: a kill between a swap's two renames leaves the live
+    // directory missing — every consumer adopts the surviving copy.
+    // Case 1: only the moved-aside original exists.
+    val post = Paths.get(s"$tmp/postings")
+    Files.move(post, Paths.get(s"$tmp/postings.old-999"))
+    assert(res() == before)
+    // Case 2: a COMPLETE compacted copy (with _SUCCESS) outranks old-*.
+    val dfd = Paths.get(s"$tmp/df")
+    Files.move(dfd, Paths.get(s"$tmp/df.compact-999"))
+    assert(res() == before)
+    // leftovers swept by the repair the reads ran
+    val leftovers = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f =>
+        f.getName.contains(".old-") || f.getName.contains(".compact-"))
+    assert(leftovers.isEmpty)
+  }
 }
