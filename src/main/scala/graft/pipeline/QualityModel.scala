@@ -184,28 +184,63 @@ object QualityModel {
       .orderBy("doc_id")
   }
 
-  /** Persists the LM count tables trained on `hist` (doc_id, text). */
+  /** Persists the LM count tables trained on `hist` (doc_id, text). Both
+    * tables are LAYER-keyed from birth (layer 0 the base owned by
+    * build/compaction, layer>0 one per training append) — see
+    * [[appendToLmModel]] for why.
+    */
   def writeLmModelOf(spark: SparkSession, hist: DataFrame, out: String): Unit = {
     val h = lmWords(hist).cache()
-    uniCounts(h).write.mode("overwrite").parquet(s"$out/uni")
-    biCounts(h).write.mode("overwrite").parquet(s"$out/bi")
+    uniCounts(h)
+      .withColumn("layer", lit(0L))
+      .write
+      .mode("overwrite")
+      .partitionBy("layer")
+      .parquet(s"$out/uni")
+    biCounts(h)
+      .withColumn("layer", lit(0L))
+      .write
+      .mode("overwrite")
+      .partitionBy("layer")
+      .parquet(s"$out/bi")
     h.unpersist(false)
   }
 
-  /** Appends a training batch's counts as delta layers — existing files
+  /** Appends a training batch's counts as delta layers — existing layers
     * are never read or rewritten (O(batch) ingest); readers merge by sum.
     * Batches must be disjoint document sets (re-ingesting a doc would
     * double-count, exactly as in the inverted index).
+    *
+    * Each batch lands under its own `layer` partition via DYNAMIC
+    * partition overwrite, so replaying the SAME (batch, layer) REPLACES
+    * the layer instead of stacking a second copy — the streaming trainer
+    * keys the layer on the micro-batch id and stays exact under T1
+    * redelivery (the inverted index's argument, verbatim). Layers must be
+    * unique across distinct ingests (default fresh per call) and > 0.
     */
   def appendToLmModel(
       spark: SparkSession,
       batch: DataFrame,
-      modelDir: String
+      modelDir: String,
+      layer: Long = System.nanoTime()
   ): Unit = {
+    require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairLmModel(modelDir)
     val h = lmWords(batch).cache()
-    uniCounts(h).write.mode("append").parquet(s"$modelDir/uni")
-    biCounts(h).write.mode("append").parquet(s"$modelDir/bi")
+    uniCounts(h)
+      .withColumn("layer", lit(layer))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("layer")
+      .parquet(s"$modelDir/uni")
+    biCounts(h)
+      .withColumn("layer", lit(layer))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("layer")
+      .parquet(s"$modelDir/bi")
     h.unpersist(false)
   }
 
@@ -225,34 +260,46 @@ object QualityModel {
 
   /** Compact the stored LM model in place: every training append writes a
     * delta layer, so a long-lived model accumulates small files and every
-    * scoring pass pays the per-layer merge. Collapses each count table to
-    * one summed layer in `targetFiles` files behind a build-then-swap
-    * ([[graft.util.DirSwap]]). Scores are row-identical before and after
-    * (LmStoreSpec law); single-maintainer posture, run between batches.
+    * scoring pass pays the per-layer merge. Folds delta layers into the
+    * base layer 0 — each count table to one summed layer in `targetFiles`
+    * files — behind a build-then-swap ([[graft.util.DirSwap]]). Scores are
+    * row-identical before and after (LmStoreSpec law); single-maintainer
+    * posture, run between batches. `protectLayersAbove` keeps
+    * possibly-redeliverable layers unfolded, exactly as in
+    * [[graft.pipeline.Retrieval.compactInvertedIndex]].
     */
   def compactLmModel(
       spark: SparkSession,
       modelDir: String,
-      targetFiles: Int = 8
+      targetFiles: Int = 8,
+      protectLayersAbove: Long = Long.MaxValue
   ): Unit = {
     val root = java.nio.file.Paths.get(modelDir)
     repairLmModel(modelDir)
+    val folded = when(
+      col("layer").cast("long") <= lit(protectLayersAbove),
+      lit(0L)
+    ).otherwise(col("layer").cast("long"))
     graft.util.DirSwap.swap(root, "uni") { tmp =>
       spark.read
         .parquet(s"$modelDir/uni")
-        .groupBy("w")
+        .withColumn("layer", folded)
+        .groupBy("w", "layer")
         .agg(sum("cu").as("cu"))
         .repartition(targetFiles)
         .write
+        .partitionBy("layer")
         .parquet(tmp.toString)
     }
     graft.util.DirSwap.swap(root, "bi") { tmp =>
       spark.read
         .parquet(s"$modelDir/bi")
-        .groupBy("a", "b2")
+        .withColumn("layer", folded)
+        .groupBy("a", "b2", "layer")
         .agg(sum("cb").as("cb"))
         .repartition(targetFiles)
         .write
+        .partitionBy("layer")
         .parquet(tmp.toString)
     }
   }

@@ -161,6 +161,11 @@ object Retrieval {
   //   stats/           (n_docs, total_tokens) single-row delta layers,
   //                    summed on read — N and avgdl stay exact across any
   //                    append sequence.
+  //   Every directory is additionally LAYER-keyed (layer=0 the base owned
+  //   by build/compaction, layer>0 one per ingest, written via dynamic
+  //   partition overwrite): replaying an ingest under its own layer
+  //   REPLACES it instead of stacking a copy — count-based appends stay
+  //   exact under streaming redelivery (see appendToInvertedIndex).
   //   params/          (buckets) — self-describing, like the dedup index's
   //                    stored banding: readers never guess the layout.
   // ---------------------------------------------------------------------
@@ -206,22 +211,29 @@ object Retrieval {
       .withColumn("wb", wbOf(col("w"), buckets))
       .repartition(buckets, col("wb"))
       .cache()
+    // layer 0 is the base (build/compaction) layer; appends write layer>0
+    // partitions, so the store is LAYER-KEYED from birth (uniform
+    // directory depth — partition discovery rejects mixed layouts)
     tf.select("wb", "doc_id", "w", "tf", "dl")
+      .withColumn("layer", lit(0L))
       .write
       .mode("overwrite")
-      .partitionBy("wb")
+      .partitionBy("wb", "layer")
       .parquet(s"$out/postings")
     tf.groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
+      .withColumn("layer", lit(0L))
       .write
       .mode("overwrite")
-      .partitionBy("wb")
+      .partitionBy("wb", "layer")
       .parquet(s"$out/df")
     corpus
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+      .withColumn("layer", lit(0L))
       .write
       .mode("overwrite")
+      .partitionBy("layer")
       .parquet(s"$out/stats")
     spark
       .range(1)
@@ -238,16 +250,31 @@ object Retrieval {
 
   /** Incremental index maintenance: appends `newDocs`' posting lists into
     * their wb partitions, a df DELTA layer (merged by sum on read), and a
-    * stats delta row. Existing files are never read or rewritten — an
+    * stats delta row. Existing layers are never read or rewritten — an
     * append costs O(batch), the d9/k10 ingest shape. Caller contract:
     * doc_ids must be new (a re-ingested id would double-count df and rank
     * twice — upstream dedup is d1/d9's job).
+    *
+    * Each ingest lands under its own `layer` partition via DYNAMIC
+    * partition overwrite — replaying the SAME (batch, layer) REPLACES the
+    * layer's partitions instead of stacking a second copy, which is what
+    * makes count-based appends (df, stats — unlike the span index's
+    * idempotent presence sets) safe under streaming T1 redelivery: the
+    * streaming ingest keys the layer on the micro-batch id, so a
+    * redelivered batch rewrites its own layer and never double-counts.
+    * This is the transactional-table-format idea (a layer ≈ a snapshot
+    * id) expressed in plain partitioned parquet. Layers must be unique
+    * across DISTINCT ingests (the default is fresh per call) and > 0 —
+    * layer 0 is the base layer owned by build/compaction, and an append
+    * overwriting base partitions would drop folded history.
     */
   def appendToInvertedIndex(
       spark: SparkSession,
       newDocs: DataFrame,
-      indexDir: String
+      indexDir: String,
+      layer: Long = System.nanoTime()
   ): Unit = {
+    require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairInvertedIndex(indexDir)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
@@ -256,21 +283,28 @@ object Retrieval {
       .repartition(buckets, col("wb")) // one new file per touched bucket
       .cache()
     tf.select("wb", "doc_id", "w", "tf", "dl")
+      .withColumn("layer", lit(layer))
       .write
-      .mode("append")
-      .partitionBy("wb")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("wb", "layer")
       .parquet(s"$indexDir/postings")
     tf.groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
+      .withColumn("layer", lit(layer))
       .write
-      .mode("append")
-      .partitionBy("wb")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("wb", "layer")
       .parquet(s"$indexDir/df")
     newDocs
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+      .withColumn("layer", lit(layer))
       .write
-      .mode("append")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("layer")
       .parquet(s"$indexDir/stats")
     tf.unpersist(false)
   }
@@ -296,45 +330,67 @@ object Retrieval {
   /** Compact the inverted index in place: every append accretes one file
     * set per touched bucket plus a df/stats delta layer, so a long-lived
     * index accumulates small files and every query pays the per-layer
-    * merge. Rewrites postings to one file per wb bucket (the build
-    * write's shape), collapses the df delta layers to one summed layer,
-    * and the stats delta rows to one row — each behind a build-then-swap
+    * merge. Folds delta layers into the base layer 0 — postings to one
+    * file per wb bucket (the build write's shape), df to one summed layer,
+    * stats to one row — each behind a build-then-swap
     * ([[graft.util.DirSwap]]), so readers always see a complete directory.
     * Reads are row-identical before and after (RetrievalIndexSpec law);
     * single-maintainer posture, run between batches like the span-index
     * compaction.
+    *
+    * `protectLayersAbove` keeps layers above it UNFOLDED (their partitions
+    * rewritten verbatim): a layer that could still be REDELIVERED (under
+    * streaming T1 the last, uncommitted micro-batch) must not be folded —
+    * a fold followed by the redelivered overwrite would stack the folded
+    * copy and the fresh layer and double-count. The streaming ingest
+    * therefore compacts with the just-written layer protected; once its
+    * offsets commit, the next compaction folds it. The default protects
+    * nothing (safe for batch maintainers, who control their ingests).
     */
-  def compactInvertedIndex(spark: SparkSession, indexDir: String): Unit = {
+  def compactInvertedIndex(
+      spark: SparkSession,
+      indexDir: String,
+      protectLayersAbove: Long = Long.MaxValue
+  ): Unit = {
     val root = java.nio.file.Paths.get(indexDir)
     repairInvertedIndex(indexDir)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val folded = when(
+      col("layer").cast("long") <= lit(protectLayersAbove),
+      lit(0L)
+    ).otherwise(col("layer").cast("long"))
     graft.util.DirSwap.swap(root, "postings") { tmp =>
       spark.read
         .parquet(s"$indexDir/postings")
+        .withColumn("layer", folded)
         .repartition(buckets, col("wb"))
         .write
-        .partitionBy("wb")
+        .partitionBy("wb", "layer")
         .parquet(tmp.toString)
     }
     graft.util.DirSwap.swap(root, "df") { tmp =>
       spark.read
         .parquet(s"$indexDir/df")
-        .groupBy("wb", "w")
+        .withColumn("layer", folded)
+        .groupBy("wb", "w", "layer")
         .agg(sum("df").as("df"))
         .repartition(buckets, col("wb"))
         .write
-        .partitionBy("wb")
+        .partitionBy("wb", "layer")
         .parquet(tmp.toString)
     }
     graft.util.DirSwap.swap(root, "stats") { tmp =>
       spark.read
         .parquet(s"$indexDir/stats")
+        .withColumn("layer", folded)
+        .groupBy("layer")
         .agg(
           sum("n_docs").as("n_docs"),
           sum("total_tokens").as("total_tokens")
         )
         .write
+        .partitionBy("layer")
         .parquet(tmp.toString)
     }
   }
@@ -358,10 +414,10 @@ object Retrieval {
       qt.select("wb").distinct().collect().map(_.getLong(0)) // ≤ buckets
     val post = spark.read
       .parquet(s"$indexDir/postings")
-      .where(col("wb").isin(probedWb: _*))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
     val dfm = spark.read
       .parquet(s"$indexDir/df")
-      .where(col("wb").isin(probedWb: _*))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
       .groupBy("w")
       .agg(sum("df").as("df")) // merge the append delta layers
     val stats = spark.read

@@ -183,6 +183,41 @@ object StreamingCuration {
       }
       .start()
 
+  /** P35 continuous TRAINING form — the write side of the LM plane's
+    * streaming lifecycle: each micro-batch of training documents appends
+    * its counts to the stored model, and every `compactEvery` batches the
+    * delta layers fold into the base. Exactly-once by the same
+    * layer-keying as [[StreamingRetrieval.ingestStream]]: the append layer
+    * is the micro-batch id (+1), so a T1-redelivered batch REWRITES its
+    * own layer via dynamic partition overwrite and counts never
+    * double-ingest; compaction protects the just-written (possibly
+    * uncommitted) layer. Caller contract as in the batch append: training
+    * batches are disjoint document sets.
+    */
+  def lmTrainStream(
+      docs: DataFrame,
+      modelDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val layer = batchId + 1L
+        graft.pipeline.QualityModel
+          .appendToLmModel(batch.sparkSession, batch, modelDir, layer)
+        if (compactEvery > 0 && layer % compactEvery == 0)
+          graft.pipeline.QualityModel.compactLmModel(
+            batch.sparkSession,
+            modelDir,
+            protectLayersAbove = layer - 1L
+          )
+      }
+      .start()
+
   /** D13 continuous form — within-doc self-repetition removal on ingest.
     * The batch operator's semantics are PER-DOCUMENT (no cross-doc term),
     * so a stream needs no state store and no index: each micro-batch is

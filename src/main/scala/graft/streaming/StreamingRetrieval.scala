@@ -65,4 +65,49 @@ object StreamingRetrieval {
         sink(res, batchId)
       }
       .start()
+
+  /** Continuous index INGEST — the write side of the retrieval plane's
+    * streaming lifecycle (the ANN plane's `maintenanceStream` analogue):
+    * each micro-batch of arriving documents `(doc_id, text)` is appended
+    * to the stored inverted index, and every `compactEvery` batches the
+    * accreted delta layers fold into the base.
+    *
+    * Exactly-once WITHOUT a commit protocol: the append is keyed on the
+    * micro-batch id (`layer = batchId + 1 > 0`; layer 0 is the base), so
+    * a T1-redelivered batch REWRITES its own layer partitions via dynamic
+    * partition overwrite instead of stacking a second copy — df and
+    * doc-count deltas never double-count. Compaction runs with the
+    * just-written layer PROTECTED (unfolded): it is the one layer whose
+    * offsets may not yet be committed, and folding it before a redelivery
+    * would stack the folded copy under the rewritten layer (see
+    * [[Retrieval.compactInvertedIndex]]); once the next batch arrives,
+    * its predecessor is committed and folds. Caller contract as in the
+    * batch append: arriving doc_ids are fresh (upstream d1/d9).
+    */
+  def ingestStream(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val layer = batchId + 1L
+        Retrieval.appendToInvertedIndex(
+          batch.sparkSession,
+          batch,
+          indexDir,
+          layer
+        )
+        if (compactEvery > 0 && layer % compactEvery == 0)
+          Retrieval.compactInvertedIndex(
+            batch.sparkSession,
+            indexDir,
+            protectLayersAbove = layer - 1L
+          )
+      }
+      .start()
 }

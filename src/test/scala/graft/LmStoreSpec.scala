@@ -147,8 +147,11 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       tmp)
     val batch = d.filter(col("doc_id") >= boundary)
 
-    def uniFiles(): Int = Option(new java.io.File(s"$tmp/uni").listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    def uniFiles(): Int = {
+      val w = Files.walk(java.nio.file.Paths.get(s"$tmp/uni"))
+      try w.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally w.close()
+    }
     def score(): Seq[(Long, Long, Long)] =
       rows(QualityModel.scoreWithLmModel(spark, batch, tmp))
 
@@ -172,5 +175,75 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(f =>
         f.getName.contains(".old-") || f.getName.contains(".compact-"))
     assert(leftovers.isEmpty)
+  }
+
+  test("layer-keyed append: a redelivered training batch never double-counts") {
+    val tmp = Files.createTempDirectory("graft-lm-redeliver").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val d = docs
+    QualityModel.writeLmModelOf(
+      spark, d.filter(col("doc_id") < boundary / 2), tmp)
+    val b1 = d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary)
+    QualityModel.appendToLmModel(spark, b1, tmp, layer = 1L)
+    val once = (uniTable(tmp), biTable(tmp))
+    // T1 redelivery: the same batch re-runs under the same layer
+    QualityModel.appendToLmModel(spark, b1, tmp, layer = 1L)
+    assert((uniTable(tmp), biTable(tmp)) == once)
+
+    // the crash-window interleaving: compaction between first delivery
+    // and redelivery PROTECTS the redeliverable layer, so the fold and
+    // the rewrite never stack
+    QualityModel.compactLmModel(spark, tmp, protectLayersAbove = 0L)
+    QualityModel.appendToLmModel(spark, b1, tmp, layer = 1L)
+    assert((uniTable(tmp), biTable(tmp)) == once)
+    // once committed, the next compaction folds it — counts unchanged
+    QualityModel.compactLmModel(spark, tmp)
+    assert((uniTable(tmp), biTable(tmp)) == once)
+
+    intercept[IllegalArgumentException] {
+      QualityModel.appendToLmModel(spark, b1, tmp, layer = 0L)
+    }
+  }
+
+  test("streaming trainer: chunked ingest with interleaved compaction equals one-shot training") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val hist = docs
+      .filter(col("doc_id") < boundary)
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val tmp = Files.createTempDirectory("graft-lm-train-stream").toString
+    val ckpt = Files.createTempDirectory("graft-lm-train-ckpt").toString
+    // the stream owns the store from batch 0: an empty base, the
+    // write-side twin of the scoring stream's frozen store
+    QualityModel.writeLmModelOf(spark, docs.filter(lit(false)), tmp)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCuration.lmTrainStream(
+      in.toDF().toDF("doc_id", "text"),
+      tmp,
+      ckpt,
+      compactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    try
+      hist.grouped((hist.size / 3).max(1)).foreach { c =>
+        in.addData(c): Unit
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val full = Files.createTempDirectory("graft-lm-train-full").toString
+    QualityModel.writeLmModelOf(spark, docs.filter(col("doc_id") < boundary), full)
+    assert(uniTable(tmp) == uniTable(full))
+    assert(biTable(tmp) == biTable(full))
+    val batch = docs.filter(col("doc_id") >= boundary)
+    assert(
+      rows(QualityModel.scoreWithLmModel(spark, batch, tmp)) ==
+        rows(QualityModel.scoreWithLmModel(spark, batch, full))
+    )
   }
 }

@@ -296,4 +296,91 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         f.getName.contains(".old-") || f.getName.contains(".compact-"))
     assert(leftovers.isEmpty)
   }
+
+  test("layer-keyed append: a redelivered ingest never double-counts, through compaction") {
+    val tmp = Files.createTempDirectory("graft-ii-redeliver").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val d = docs
+    Retrieval.writeInvertedIndexOf(spark, d.filter(col("doc_id") < boundary), tmp)
+    val b1 = d.filter(col("doc_id") >= boundary)
+
+    def dfTable(): Map[String, Long] = spark.read
+      .parquet(s"$tmp/df")
+      .groupBy("w")
+      .agg(sum("df").as("df"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    def nDocs(): Long = spark.read
+      .parquet(s"$tmp/stats")
+      .agg(sum("n_docs"))
+      .head()
+      .getLong(0)
+    def res(): Seq[(Long, Long, Long, Long)] =
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp))
+
+    Retrieval.appendToInvertedIndex(spark, b1, tmp, layer = 1L)
+    val once = (dfTable(), nDocs(), res())
+    // T1 redelivery: the same batch re-runs under the same layer
+    Retrieval.appendToInvertedIndex(spark, b1, tmp, layer = 1L)
+    assert((dfTable(), nDocs(), res()) == once)
+
+    // the crash-window interleaving: compaction between delivery and
+    // redelivery PROTECTS the redeliverable layer — fold and rewrite
+    // never stack
+    Retrieval.compactInvertedIndex(spark, tmp, protectLayersAbove = 0L)
+    Retrieval.appendToInvertedIndex(spark, b1, tmp, layer = 1L)
+    assert((dfTable(), nDocs(), res()) == once)
+    // once committed, the next compaction folds it
+    Retrieval.compactInvertedIndex(spark, tmp)
+    assert((dfTable(), nDocs(), res()) == once)
+
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToInvertedIndex(spark, b1, tmp, layer = 0L)
+    }
+  }
+
+  test("streaming ingest with interleaved compaction equals the one-shot index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val arriving: Seq[(Long, String)] = docs
+      .filter(col("doc_id") >= boundary)
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val tmp = Files.createTempDirectory("graft-ii-ingest-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ii-ingest-ckpt").toString
+    Retrieval.writeInvertedIndexOf(
+      spark, docs.filter(col("doc_id") < boundary), tmp)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingRetrieval.ingestStream(
+      in.toDF().toDF("doc_id", "text"),
+      tmp,
+      ckpt,
+      compactEvery = 2,
+      trigger = Trigger.ProcessingTime(0L)
+    )
+    try
+      arriving.grouped((arriving.size / 3).max(1)).foreach { c =>
+        in.addData(c): Unit
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val full = Files.createTempDirectory("graft-ii-ingest-full").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, full)
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)) ==
+        rows(Retrieval.bm25TopKIndexed(spark, sfDir, full))
+    )
+    assert(
+      rows(Retrieval.keywordTopKIndexed(spark, sfDir, tmp)) ==
+        rows(Retrieval.keywordTopKIndexed(spark, sfDir, full))
+    )
+  }
 }
