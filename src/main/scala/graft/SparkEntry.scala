@@ -327,6 +327,10 @@ object SparkEntry {
     // tables); row-identical to p35 by the LmStoreSpec law, same oracle
     "p35b_lm_lifecycle" ->
       ((s, d) => graft.pipeline.QualityModel.lmLifecycle(s, d)),
+    // p37 — CCNet-style perplexity-tier sampling: head/middle/tail
+    // tertiles over the p35 scores, per-tier deterministic keep rates
+    "p37_perplexity_tiers" ->
+      ((s, d) => graft.pipeline.QualityModel.perplexityTiers(s, d)),
     // p29 — surgical decontamination (eval-overlapping spans cut out)
     "p29_decontamination_removal" ->
       ((s, d) => graft.pipeline.Decontamination.decontaminationRemoval(s, d)),
@@ -483,6 +487,7 @@ object SparkEntry {
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,
     // same oracle as p35: merged delta layers ARE the full-history counts
     "p35b_lm_lifecycle" -> PipelineOracles.lmFamiliarity,
+    "p37_perplexity_tiers" -> PipelineOracles.perplexityTiers,
     "p29_decontamination_removal" -> PipelineOracles.decontaminationRemoval,
     "k7_pq_codes" -> PipelineOracles.pqCodes,
     "k8_knn_pq" -> PipelineOracles.knnPq,

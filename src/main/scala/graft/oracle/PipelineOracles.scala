@@ -2651,8 +2651,7 @@ object PipelineOracles {
     * old 80%, each new doc scored by its mean per-bigram weight_ppm =
     * (10⁶·(c(a,b)+1)) // (c(a)+V). All BIGINT.
     */
-  val lmFamiliarity: String = """
-    WITH split AS (
+  private val lmScoredCtes: String = """split AS (
       SELECT (MAX(doc_id) + 1) * 4 // 5 AS s FROM documents
     ),
     ws AS (
@@ -2689,15 +2688,45 @@ object PipelineOracles {
     agg AS (
       SELECT doc_id, COUNT(*) AS n_bigrams, SUM(wgt) AS tot
       FROM sc GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(a.n_bigrams, 0) AS n_bigrams,
+             CAST(CASE WHEN a.n_bigrams > 0 THEN a.tot // a.n_bigrams
+                       ELSE 0 END AS BIGINT) AS score_ppm
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id >= (SELECT s FROM split)) d
+      LEFT JOIN agg a USING (doc_id)
+    )"""
+
+  val lmFamiliarity: String = s"""
+    WITH $lmScoredCtes
+    SELECT doc_id, n_bigrams, score_ppm
+    FROM scored
+    ORDER BY doc_id
+  """
+
+  /** p37 — perplexity-tier sampling (graft.pipeline.QualityModel
+    * .perplexityTiers): p35's scores cut into tertiles by
+    * NTILE(3) over (score_ppm DESC, doc_id) — both engines split ties by
+    * rank position identically under the same total order — with the
+    * head kept fully, the middle every 2nd doc_id, the tail every 10th.
+    */
+  val perplexityTiers: String = s"""
+    WITH $lmScoredCtes,
+    tiers AS (
+      SELECT doc_id, n_bigrams, score_ppm,
+             CAST(NTILE(3) OVER (ORDER BY score_ppm DESC, doc_id)
+               AS BIGINT) AS tier
+      FROM scored
     )
-    SELECT d.doc_id,
-           COALESCE(a.n_bigrams, 0) AS n_bigrams,
-           CAST(CASE WHEN a.n_bigrams > 0 THEN a.tot // a.n_bigrams
-                     ELSE 0 END AS BIGINT) AS score_ppm
-    FROM (SELECT doc_id FROM documents
-          WHERE doc_id >= (SELECT s FROM split)) d
-    LEFT JOIN agg a USING (doc_id)
-    ORDER BY d.doc_id
+    SELECT doc_id, n_bigrams, score_ppm, tier,
+           CAST(CASE WHEN tier = 1
+                       OR (tier = 2 AND doc_id % 2 = 0)
+                       OR (tier = 3 AND doc_id % 10 = 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM tiers
+    ORDER BY doc_id
   """
 
   /** p28 — per-source document caps (graft.pipeline.Sampling

@@ -345,4 +345,69 @@ object QualityModel {
     )
     scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), tmp)
   }
+
+  // ---------------------------------------------------------------------
+  // P37 — perplexity-tier sampling, the CCNet curation stage the p35
+  // scorer exists to feed: rank the arriving batch by LM familiarity,
+  // cut it into head / middle / tail tertiles, and keep each tier at its
+  // own rate (head fully, middle half, tail a tenth — CCNet's
+  // keep-the-head posture with deterministic integer keep rules so the
+  // whole decision replays in DuckDB).
+  // ---------------------------------------------------------------------
+
+  /** The shared keep rule: head kept, middle every 2nd doc, tail every
+    * 10th — doc_id-keyed (deterministic, join-free), the p19 hashed
+    * sampling posture without the hash since doc_ids are uniform here.
+    */
+  private def keptRule: Column =
+    when(
+      col("tier") === 1L ||
+        (col("tier") === 2L && pmod(col("doc_id"), lit(2L)) === 0L) ||
+        (col("tier") === 3L && pmod(col("doc_id"), lit(10L)) === 0L),
+      1L
+    ).otherwise(0L)
+
+  /** Tertile assignment by GLOBAL rank over the scored batch — the
+    * oracle-exact form. The single-partition window is bounded by the
+    * ARRIVING batch (p35's day-batch grain), not the corpus; the
+    * corpus-scale / streaming form is [[tiersByThreshold]], which needs
+    * no sort at all. `scored` is (doc_id, n_bigrams, score_ppm).
+    */
+  def tiersByRank(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("tier", ntile(3).over(w).cast("long"))
+      .withColumn("kept", keptRule)
+      .select("doc_id", "n_bigrams", "score_ppm", "tier", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Tier assignment against FROZEN score thresholds (head ≥ `tHigh`,
+    * middle ≥ `tLow`, tail below) — the 100 TB and streaming shape: a
+    * row-local comparison, no global sort, thresholds maintained offline
+    * from the history's score distribution (the p23 quantile-sketch job).
+    * Chunking-independent by construction (each doc's tier depends only
+    * on its own score), which is what the streaming twin's law pins.
+    */
+  def tiersByThreshold(
+      scored: DataFrame,
+      tLow: Long,
+      tHigh: Long
+  ): DataFrame =
+    scored
+      .withColumn(
+        "tier",
+        when(col("score_ppm") >= tHigh, 1L)
+          .when(col("score_ppm") >= tLow, 2L)
+          .otherwise(3L)
+      )
+      .withColumn("kept", keptRule)
+      .select("doc_id", "n_bigrams", "score_ppm", "tier", "kept")
+
+  /** P37 as a registered query: score the arriving split against the
+    * history-trained model (p35's kernel verbatim), tier by global rank.
+    */
+  def perplexityTiers(spark: SparkSession, dir: String): DataFrame =
+    tiersByRank(lmFamiliarity(spark, dir))
 }

@@ -183,6 +183,42 @@ object StreamingCuration {
       }
       .start()
 
+  /** P37 continuous form — tier arriving documents by LM familiarity
+    * against the frozen stored model and FROZEN tier thresholds (the
+    * corpus-scale form [[graft.pipeline.QualityModel.tiersByThreshold]]:
+    * a row-local comparison, no global sort — thresholds come from the
+    * history's score distribution, maintained offline). A doc's tier and
+    * keep decision depend only on its own score, so chunking independence
+    * and redelivery idempotence are structural (StreamingCurationSpec
+    * law: any slicing ≡ the batch threshold form row-for-row).
+    */
+  def lmTierStream(
+      docs: DataFrame,
+      modelDir: String,
+      tLow: Long,
+      tHigh: Long,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.pipeline.QualityModel.tiersByThreshold(
+            graft.pipeline.QualityModel
+              .scoreWithLmModel(batch.sparkSession, batch, modelDir),
+            tLow,
+            tHigh
+          ),
+          batchId
+        )
+      }
+      .start()
+
   /** P35 continuous TRAINING form — the write side of the LM plane's
     * streaming lifecycle: each micro-batch of training documents appends
     * its counts to the stored model, and every `compactEvery` batches the

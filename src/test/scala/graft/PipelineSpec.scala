@@ -1511,4 +1511,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("moved")).count() > 0)
     out.unpersist()
   }
+
+  test("p37 perplexity tiers: contiguous balanced tertiles, keep rule replays in memory") {
+    val out = graft.pipeline.QualityModel
+      .perplexityTiers(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+    // balanced: NTILE(3) sizes differ by at most one
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+
+    // contiguous under the ranking order (score DESC, doc_id ASC):
+    // every tier-1 key precedes every tier-2 key precedes every tier-3
+    def key(t: (Long, Long, Long, Long)) = (-t._2, t._1)
+    for (hi <- 1L to 2L) {
+      val maxHi = out.filter(_._3 == hi).map(key).max
+      val minLo = out.filter(_._3 == hi + 1).map(key).min
+      assert(Ordering[(Long, Long)].lt(maxHi, minLo))
+    }
+
+    // the keep rule, replayed in memory
+    out.foreach { case (id, _, tier, kept) =>
+      val want =
+        if (tier == 1L || (tier == 2L && id % 2 == 0) ||
+          (tier == 3L && id % 10 == 0)) 1L
+        else 0L
+      assert(kept == want, s"doc $id tier $tier")
+    }
+    // all three keep rates actually exercised
+    assert(out.exists(t => t._3 == 2L && t._4 == 0L))
+    assert(out.exists(t => t._3 == 3L && t._4 == 1L))
+  }
 }

@@ -504,4 +504,63 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.nonEmpty)
     assert(buf.sortBy(_._1) == batch.sortBy(_._1))
   }
+
+  test("streaming perplexity tiers over chunks equal the batch threshold form") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val boundary = graft.pipeline.Dedup.incrementalBoundary(spark, sfDir)
+    val model = java.nio.file.Files.createTempDirectory("graft-lm-tr").toString
+    graft.pipeline.QualityModel
+      .writeLmModelOf(spark, d.filter(col("doc_id") < boundary), model)
+    val arriving = d.filter(col("doc_id") >= boundary)
+
+    // frozen thresholds: the tertile cut points of the history-scored
+    // batch (the offline p23-style job a deployment runs)
+    val scored = graft.pipeline.QualityModel
+      .scoreWithLmModel(spark, arriving, model)
+    val cuts = graft.pipeline.QualityModel
+      .tiersByRank(scored)
+      .groupBy("tier")
+      .agg(min("score_ppm").as("lo"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val (tHigh, tLow) = (cuts(1L), cuts(2L))
+
+    val rows: Seq[Doc] =
+      arriving.as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val ck = java.nio.file.Files.createTempDirectory("graft-lm-tr-ck").toString
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration.lmTierStream(ms.toDF(), model, tLow, tHigh, ck) {
+      (res, _) =>
+        val r = res
+          .collect()
+          .map(x =>
+            (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+              x.getLong(4)))
+        buf.synchronized { buf ++= r: Unit }
+    }
+    try rows.grouped(rows.size / 3 + 1).foreach { c =>
+      ms.addData(c)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.pipeline.QualityModel
+      .tiersByThreshold(scored, tLow, tHigh)
+      .collect()
+      .map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSeq
+    // a doc's tier/keep decision depends only on its own score and the
+    // frozen thresholds, so any chunking reproduces the batch form
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(_._1) == batch.sortBy(_._1))
+    assert(buf.map(_._4).toSet == Set(1L, 2L, 3L))
+  }
 }
