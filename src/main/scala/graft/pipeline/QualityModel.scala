@@ -346,6 +346,40 @@ object QualityModel {
     scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), tmp)
   }
 
+  /** Model maintenance-debt report — the LM plane's analogue of
+    * [[graft.pipeline.Retrieval.retrievalIndexHealth]]: one row of
+    * store-layout facts, `compact_recommended` firing when the count
+    * tables' delta layers exceed `compactOverLayers`. Layer identities
+    * come from the partition column; file counts from one store listing.
+    */
+  def lmModelHealth(
+      spark: SparkSession,
+      modelDir: String,
+      compactOverLayers: Int = 8
+  ): DataFrame = {
+    repairLmModel(modelDir)
+    def layersOf(sub: String): Long = spark.read
+      .parquet(s"$modelDir/$sub")
+      .select(col("layer").cast("long"))
+      .distinct()
+      .count()
+    def filesOf(sub: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(modelDir, sub))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val (uniL, biL, uniF, biF) =
+      (layersOf("uni"), layersOf("bi"), filesOf("uni"), filesOf("bi"))
+    spark
+      .range(1)
+      .select(
+        lit(math.max(uniL, biL)).as("n_layers"),
+        lit(uniF).as("n_uni_files"),
+        lit(biF).as("n_bi_files"),
+        lit(math.max(uniL, biL) > compactOverLayers).as("compact_recommended")
+      )
+  }
+
   // ---------------------------------------------------------------------
   // P37 — perplexity-tier sampling, the CCNet curation stage the p35
   // scorer exists to feed: rank the arriving batch by LM familiarity,

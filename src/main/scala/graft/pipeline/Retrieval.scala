@@ -395,6 +395,49 @@ object Retrieval {
     }
   }
 
+  /** Index maintenance-debt report — the retrieval plane's analogue of
+    * the ANN plane's index health (k14): one row of store-layout facts a
+    * maintainer alerts on, with `compact_recommended` firing when the
+    * accreted delta layers exceed `compactOverLayers` (every layer is one
+    * more file set per query scan and one more summand in the df/stats
+    * merges). Driver-bounded by construction: layer identities come from
+    * the layer PARTITION column (no data files read) and the file counts
+    * from one store listing — the store's own metadata op, independent of
+    * corpus size.
+    */
+  def retrievalIndexHealth(
+      spark: SparkSession,
+      indexDir: String,
+      compactOverLayers: Int = 8
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    def layersOf(sub: String): Long = spark.read
+      .parquet(s"$indexDir/$sub")
+      .select(col("layer").cast("long"))
+      .distinct()
+      .count()
+    def filesOf(sub: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir, sub))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val (layers, postF, dfF, statsRows) = (
+      layersOf("df"),
+      filesOf("postings"),
+      filesOf("df"),
+      spark.read.parquet(s"$indexDir/stats").count()
+    )
+    spark
+      .range(1)
+      .select(
+        lit(layers).as("n_layers"),
+        lit(postF).as("n_posting_files"),
+        lit(dfF).as("n_df_files"),
+        lit(statsRows).as("n_stats_rows"),
+        lit(layers > compactOverLayers).as("compact_recommended")
+      )
+  }
+
   /** The stored index's merged read views: (postings pruned to the probed
     * buckets, df merged over delta layers and pruned likewise, the summed
     * single-row stats). `probedWb` is bounded by the stored bucket count,

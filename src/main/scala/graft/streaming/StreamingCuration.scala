@@ -235,8 +235,11 @@ object StreamingCuration {
       modelDir: String,
       checkpointDir: String,
       compactEvery: Int = 0,
+      healthEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  )(
+      healthSink: (DataFrame, Long) => Unit = (_, _) => ()
   ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -250,6 +253,12 @@ object StreamingCuration {
             batch.sparkSession,
             modelDir,
             protectLayersAbove = layer - 1L
+          )
+        if (healthEvery > 0 && layer % healthEvery == 0)
+          healthSink(
+            graft.pipeline.QualityModel
+              .lmModelHealth(batch.sparkSession, modelDir),
+            batchId
           )
       }
       .start()

@@ -89,7 +89,10 @@ object StreamingRetrieval {
       indexDir: String,
       checkpointDir: String,
       compactEvery: Int = 0,
+      healthEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()
+  )(
+      healthSink: (DataFrame, Long) => Unit = (_, _) => ()
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -107,6 +110,13 @@ object StreamingRetrieval {
             batch.sparkSession,
             indexDir,
             protectLayersAbove = layer - 1L
+          )
+        // health AFTER maintenance, the k14 monitor posture: the report
+        // reflects the state the next batch will pay for
+        if (healthEvery > 0 && layer % healthEvery == 0)
+          healthSink(
+            Retrieval.retrievalIndexHealth(batch.sparkSession, indexDir),
+            batchId
           )
       }
       .start()

@@ -228,7 +228,7 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt,
       compactEvery = 2,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
-    )
+    )()
     try
       hist.grouped((hist.size / 3).max(1)).foreach { c =>
         in.addData(c): Unit
@@ -245,5 +245,27 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(QualityModel.scoreWithLmModel(spark, batch, tmp)) ==
         rows(QualityModel.scoreWithLmModel(spark, batch, full))
     )
+  }
+
+  test("model health: layer debt reported, recommendation fires and clears") {
+    val tmp = Files.createTempDirectory("graft-lm-health").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val d = docs
+    QualityModel.writeLmModelOf(
+      spark, d.filter(col("doc_id") < boundary / 2), tmp)
+    def health(threshold: Int) = QualityModel
+      .lmModelHealth(spark, tmp, compactOverLayers = threshold)
+      .head()
+    assert(health(8).getAs[Long]("n_layers") == 1L)
+    QualityModel.appendToLmModel(
+      spark,
+      d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
+      tmp)
+    assert(health(8).getAs[Long]("n_layers") == 2L)
+    assert(!health(8).getAs[Boolean]("compact_recommended"))
+    assert(health(1).getAs[Boolean]("compact_recommended"))
+    QualityModel.compactLmModel(spark, tmp)
+    assert(health(1).getAs[Long]("n_layers") == 1L)
+    assert(!health(1).getAs[Boolean]("compact_recommended"))
   }
 }

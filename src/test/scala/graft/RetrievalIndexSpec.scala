@@ -364,7 +364,7 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       ckpt,
       compactEvery = 2,
       trigger = Trigger.ProcessingTime(0L)
-    )
+    )()
     try
       arriving.grouped((arriving.size / 3).max(1)).foreach { c =>
         in.addData(c): Unit
@@ -382,5 +382,67 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(Retrieval.keywordTopKIndexed(spark, sfDir, tmp)) ==
         rows(Retrieval.keywordTopKIndexed(spark, sfDir, full))
     )
+  }
+
+  test("index health: layer debt reported, recommendation fires and clears through the ingest loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft-ii-health").toString
+    Retrieval.writeInvertedIndexOf(
+      spark, docs.filter(col("doc_id") < boundary), tmp)
+
+    def health(threshold: Int) = Retrieval
+      .retrievalIndexHealth(spark, tmp, compactOverLayers = threshold)
+      .head()
+    assert(health(8).getAs[Long]("n_layers") == 1L) // base only
+    Retrieval.appendToInvertedIndex(spark, docs.filter(col("doc_id") >= boundary), tmp)
+    assert(health(8).getAs[Long]("n_layers") == 2L)
+    assert(!health(8).getAs[Boolean]("compact_recommended"))
+    assert(health(1).getAs[Boolean]("compact_recommended")) // debt over threshold
+    Retrieval.compactInvertedIndex(spark, tmp)
+    assert(health(1).getAs[Long]("n_layers") == 1L)
+    assert(!health(1).getAs[Boolean]("compact_recommended")) // cleared
+
+    // through the streaming loop: degrade (appends accrete layers) →
+    // recommendation visible in the emitted report → the loop's own
+    // compaction clears it by the next report
+    val arriving: Seq[(Long, String)] =
+      docs.filter(col("doc_id") >= boundary).as[(Long, String)].collect().toSeq
+    val ckpt = Files.createTempDirectory("graft-ii-health-ck").toString
+    val tmp2 = Files.createTempDirectory("graft-ii-health2").toString
+    Retrieval.writeInvertedIndexOf(
+      spark, docs.filter(col("doc_id") < boundary), tmp2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = graft.streaming.StreamingRetrieval.ingestStream(
+      in.toDF().toDF("doc_id", "text"),
+      tmp2,
+      ckpt,
+      compactEvery = 4,
+      healthEvery = 1,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (h, bid) =>
+      val r = h.head()
+      reports.synchronized {
+        reports += ((bid, r.getAs[Long]("n_layers"),
+          r.getAs[Boolean]("compact_recommended"))): Unit
+      }
+    }
+    try
+      arriving.grouped((arriving.size / 4).max(1)).foreach { c =>
+        in.addData(c): Unit
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    assert(reports.nonEmpty)
+    // layers accrete batch by batch before the compaction batch...
+    assert(reports.exists(_._2 > 1L))
+    // ...and the compactEvery=4 batch folds all committed layers: its
+    // report shows base + only the protected (just-written) layer
+    assert(reports.exists(r => r._1 == 3L && r._2 <= 2L))
   }
 }
