@@ -554,11 +554,15 @@ object Similarity {
     ).cache()
     val centroids = trainCentroids(corpus, kCentroids, iters)
     centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
+    // layer 0 = the base layer owned by build/compaction; appends write
+    // layer>0 partitions (see appendToIvfIndex — the retrieval store's
+    // redelivery-exactness layout, applied to the vector store)
     assignCells(corpus, centroids)
       .select("vec_id", "embedding", "nrm", "cid")
+      .withColumn("layer", lit(0L))
       .write
       .mode("overwrite")
-      .partitionBy("cid")
+      .partitionBy("cid", "layer")
       .parquet(s"$out/vectors")
     corpus.unpersist(false)
   }
@@ -583,12 +587,25 @@ object Similarity {
     * Caller contract: vec_ids in `newVectors` must be new (an id already
     * in the index would rank twice — dedup upstream is d9's job), and the
     * embedding column must carry the index's element type/dimension.
+    *
+    * Each ingest lands under its own `layer` partition via DYNAMIC
+    * partition overwrite (the retrieval store's layout): replaying the
+    * SAME (batch, layer) REPLACES the layer's partitions instead of
+    * stacking duplicate vector rows, so the streaming maintenance loop —
+    * which keys the layer on the micro-batch id — stays exact under T1
+    * redelivery (a duplicated row would surface the same vec_id twice in
+    * a top-k). Layers must be unique across DISTINCT ingests (default
+    * fresh per call) and > 0; layer 0 is the base owned by
+    * build/compaction.
     */
   def appendToIvfIndex(
       spark: SparkSession,
       newVectors: DataFrame,
-      indexDir: String
+      indexDir: String,
+      layer: Long = System.nanoTime()
   ): Unit = {
+    require(layer > 0L, "append layers must be > 0; layer 0 is the base")
+    repairIvfIndex(indexDir)
     val centroids: Seq[(Int, Seq[Double])] = spark.read
       .parquet(s"$indexDir/centroids")
       .collect() // bounded: kCentroids × dim
@@ -599,10 +616,55 @@ object Similarity {
       withNorm(newVectors.select("vec_id", "embedding"), "embedding", "nrm")
     assignCells(withN, centroids)
       .select("vec_id", "embedding", "nrm", "cid")
+      .withColumn("layer", lit(layer))
       .write
-      .mode("append")
-      .partitionBy("cid")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("cid", "layer")
       .parquet(s"$indexDir/vectors")
+  }
+
+  /** Crash repair for an interrupted [[compactIvfIndex]] — the DirSwap
+    * per-directory contract; called by every store consumer.
+    */
+  def repairIvfIndex(indexDir: String): Unit =
+    graft.util.DirSwap.repair(java.nio.file.Paths.get(indexDir), "vectors")
+
+  /** Compact the vector store in place: every append accretes one file
+    * per touched cell, so a long-lived index accumulates small files and
+    * every probe pays the listing/open overhead. Folds delta layers into
+    * the base layer 0 (one file per cell — the build write's shape)
+    * behind a build-then-swap ([[graft.util.DirSwap]]). The vector store
+    * is a plain row union (no count merging), but `protectLayersAbove`
+    * matters for the same reason as the retrieval store's: folding a
+    * layer whose offsets are not yet committed would stack the folded
+    * rows under a redelivered rewrite — the streaming loop protects the
+    * just-written layer. Reads are row-identical across compaction
+    * (IndexStoreSpec law); single-maintainer posture.
+    */
+  def compactIvfIndex(
+      spark: SparkSession,
+      indexDir: String,
+      protectLayersAbove: Long = Long.MaxValue
+  ): Unit = {
+    repairIvfIndex(indexDir)
+    val kCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val folded = when(
+      col("layer").cast("long") <= lit(protectLayersAbove),
+      lit(0L)
+    ).otherwise(col("layer").cast("long"))
+    graft.util.DirSwap.swap(
+      java.nio.file.Paths.get(indexDir),
+      "vectors"
+    ) { tmp =>
+      spark.read
+        .parquet(s"$indexDir/vectors")
+        .withColumn("layer", folded)
+        .repartition(kCells, col("cid"))
+        .write
+        .partitionBy("cid", "layer")
+        .parquet(tmp.toString)
+    }
   }
 
   /** IVF kNN over a PERSISTED index ([[writeIvfIndex]]) — no training at
@@ -644,6 +706,7 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2
   ): DataFrame = {
+    repairIvfIndex(indexDir)
     val centroids: Seq[(Int, Seq[Double])] = spark.read
       .parquet(s"$indexDir/centroids")
       .collect() // bounded: kCentroids × dim
@@ -1517,6 +1580,7 @@ object Similarity {
       minRecallPpm: Long = 600000L
   ): DataFrame = {
     import spark.implicits._
+    repairIvfIndex(indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val kCentroids = cents.count().toInt
     val vecs = spark.read
@@ -1586,7 +1650,8 @@ object Similarity {
       out: String,
       kCentroids: Int = 16,
       iters: Int = 3
-  ): Unit =
+  ): Unit = {
+    repairIvfIndex(indexDir)
     writeIvfIndexOf(
       spark,
       spark.read.parquet(s"$indexDir/vectors").select("vec_id", "embedding"),
@@ -1594,4 +1659,5 @@ object Similarity {
       kCentroids,
       iters
     )
+  }
 }

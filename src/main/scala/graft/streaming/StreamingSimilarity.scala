@@ -100,11 +100,15 @@ object StreamingSimilarity {
     * [[Similarity.retrainIvfIndex]] builds a NEW generation and readers
     * swap over — retraining in-stream would mutate the frozen-index
     * contract the concurrent search plane ([[searchStream]]) relies on.
-    * The append is idempotence-exempt the same way k10's is: a replayed
-    * batch re-appends its rows, so the sink-side dedup contract is the
-    * caller's vec_id uniqueness (documented on
-    * [[Similarity.appendToIvfIndex]]); IndexStoreSpec drives the full
-    * degrade → fire → retrain → clear cycle through this entry point.
+    * The append is keyed on the micro-batch id (`layer = batchId + 1`),
+    * so a T1-redelivered batch REWRITES its own layer via dynamic
+    * partition overwrite instead of stacking duplicate vector rows — the
+    * retrieval ingest's exactness argument applied to the vector store
+    * (the caller's vec_id-uniqueness contract still covers DISTINCT
+    * batches). `compactEvery` folds accreted layers with the just-written
+    * (possibly uncommitted) layer protected; IndexStoreSpec drives the
+    * full degrade → fire → retrain → clear cycle through this entry
+    * point.
     */
   def maintenanceStream(
       newVectors: DataFrame,
@@ -113,6 +117,7 @@ object StreamingSimilarity {
       healthEvery: Int = 1,
       maxCellPpm: Long = 250000L,
       minRecallPpm: Long = 600000L,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()
   )(healthSink: (DataFrame, Long) => Unit): StreamingQuery =
     newVectors.writeStream
@@ -120,7 +125,13 @@ object StreamingSimilarity {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        Similarity.appendToIvfIndex(spark, batch, indexDir)
+        Similarity.appendToIvfIndex(spark, batch, indexDir, batchId + 1L)
+        if (compactEvery > 0 && (batchId + 1L) % compactEvery == 0)
+          Similarity.compactIvfIndex(
+            spark,
+            indexDir,
+            protectLayersAbove = batchId
+          )
         if ((batchId + 1) % healthEvery == 0)
           healthSink(
             Similarity.indexHealthOf(

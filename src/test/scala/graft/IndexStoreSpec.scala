@@ -597,4 +597,53 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(running.toMap == rawMap(Similarity.cellStatsRaw(codes, cents)))
     codes.unpersist()
   }
+
+  test("layer-keyed vector append: a redelivered batch never duplicates rows, through compaction") {
+    val idx = Files.createTempDirectory("graft-ivf-redeliver").toString
+    val all = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val split = all.agg(max("vec_id")).head().getLong(0) * 4L / 5L
+    Similarity.writeIvfIndexOf(spark, all.filter(col("vec_id") <= split), idx)
+    val batch = all.filter(col("vec_id") > split)
+
+    def stored(): Seq[Long] = spark.read
+      .parquet(s"$idx/vectors")
+      .select("vec_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+      .toSeq
+    def search() = Similarity
+      .knnIvfIndexed(spark, sfDir, idx)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    Similarity.appendToIvfIndex(spark, batch, idx, layer = 1L)
+    val once = (stored(), search())
+    // T1 redelivery: same batch, same layer — rows replaced, not stacked
+    Similarity.appendToIvfIndex(spark, batch, idx, layer = 1L)
+    assert((stored(), search()) == once)
+
+    // the crash-window interleaving: compaction protecting the
+    // redeliverable layer, then the redelivered rewrite — still exact
+    Similarity.compactIvfIndex(spark, idx, protectLayersAbove = 0L)
+    Similarity.appendToIvfIndex(spark, batch, idx, layer = 1L)
+    assert((stored(), search()) == once)
+    // once committed, the next compaction folds it — reads unchanged,
+    // one file per cell
+    Similarity.compactIvfIndex(spark, idx)
+    assert((stored(), search()) == once)
+    val layers = spark.read
+      .parquet(s"$idx/vectors")
+      .select(col("layer").cast("long"))
+      .distinct()
+      .count()
+    assert(layers == 1L)
+
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, batch, idx, layer = 0L)
+    }
+  }
 }
