@@ -232,6 +232,9 @@ object SparkEntry {
     // per-doc token compression (pins the full trained state)
     "p32_phrase_compression" ->
       ((s, d) => TextAnalysis.phraseCompression(s, d)),
+    // p32b — the tokenizer artifact's output: the trained state encoded
+    // to (doc_id, pos, token_id) against the derived vocabulary
+    "p32b_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
@@ -452,6 +455,7 @@ object SparkEntry {
     "p12_vocab_topk" -> PipelineOracles.vocabTopK,
     "p31_phrase_merges" -> PipelineOracles.phraseMerges,
     "p32_phrase_compression" -> PipelineOracles.phraseCompression,
+    "p32b_token_ids" -> PipelineOracles.tokenIds,
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,

@@ -1686,6 +1686,30 @@ object PipelineOracles {
     ORDER BY t0.doc_id
   """
 
+  /** p32b — encode to token ids (graft.pipeline.TextAnalysis.tokenIds):
+    * the same eight trained rounds; the final state t8 explodes to
+    * (doc_id, pos, token), the vocabulary assigns dense ids by
+    * (count DESC, token) — binary string order in both engines — and the
+    * join replays the encoding. Empty-token docs have no positions on
+    * either side.
+    */
+  lazy val tokenIds: String = s"""
+    WITH $bpeChain,
+    tok AS (
+      SELECT doc_id, g.i AS pos, toks[g.i] AS w
+      FROM t8, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    ),
+    voc AS (SELECT w, COUNT(*) AS n_occ FROM tok GROUP BY w),
+    ids AS (
+      SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, w) AS BIGINT)
+        AS token_id
+      FROM voc
+    )
+    SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, i.token_id
+    FROM tok t JOIN ids i USING (w)
+    ORDER BY t.doc_id, t.pos
+  """
+
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document
     * frequency; ties broken by word. Spark split / DuckDB string_split

@@ -607,6 +607,116 @@ object TextAnalysis {
     )
   }
 
+  // ---------------------------------------------------------------------
+  // P32b — encode to token IDS: the tokenizer ARTIFACT. p31 trains the
+  // merge table, p32 reports compression; what a training pipeline
+  // actually EMITS is id sequences against a frozen vocabulary. The
+  // vocabulary is the merged corpus's distinct tokens with dense ids
+  // assigned by (occurrence count DESC, token ASC) — both engines order
+  // strings by binary UTF-8 bytes, so the assignment hash-replays.
+  // ---------------------------------------------------------------------
+
+  /** Vocabulary of a merged corpus state: (w, n_occ, token_id), ids from
+    * 1 by (n_occ DESC, w) — id 0 is reserved as OOV/UNK at encode time.
+    * The id-assignment window is VOCABULARY-bounded: unbounded for this
+    * word-grain surrogate in principle, but a production BPE vocabulary
+    * is a bounded artifact (32k–200k entries) — the bound is the
+    * tokenizer's own contract, not the corpus size.
+    */
+  private def vocabOf(state: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("w"))
+    state
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("token_id", row_number().over(w).cast("long"))
+  }
+
+  /** P32b as a registered query: the trained state (the memo p31/p32
+    * share) encoded to (doc_id, pos, token_id). The token→id join is a
+    * vocabulary-keyed shuffle join (the p35 posture — this surrogate's
+    * vocabulary is corpus-derived and unbounded); a deployment with a
+    * bounded BPE vocabulary broadcasts it instead, same plan otherwise.
+    */
+  def tokenIds(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = 8
+  ): DataFrame = {
+    val (_, state, _) = trainedPhrases(spark, dir, nMerges)
+    val vocab = vocabOf(state)
+    state
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .join(vocab, Seq("w"))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        col("token_id")
+      )
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Persists the tokenizer artifact: the merge table (step order IS the
+    * apply order) and the vocabulary. Both driver-bounded (nMerges rows;
+    * the vocabulary contract above) — single-file tables, the form a
+    * deployment ships to every encoder.
+    */
+  def writeTokenizer(
+      spark: SparkSession,
+      dir: String,
+      out: String,
+      nMerges: Int = 8
+  ): Unit = {
+    import spark.implicits._
+    val (merges, state, _) = trainedPhrases(spark, dir, nMerges)
+    merges
+      .toDF("step", "lhs", "rhs", "merged", "n_pairs")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/merges")
+    vocabOf(state)
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/vocab")
+  }
+
+  /** Encode arbitrary (doc_id, text) against the STORED artifact — no
+    * training at encode time: the merge table (bounded by nMerges)
+    * collects to the driver and chains as nMerges nested row-local folds
+    * in ONE projection (BPE encode applies merges in training order per
+    * document), then the vocabulary joins ids; out-of-vocabulary tokens
+    * encode as id 0 (UNK), the standard encoder posture. Row-identical
+    * to [[tokenIds]] over the training corpus (PipelineSpec law).
+    */
+  def encodeWithTokenizer(
+      spark: SparkSession,
+      batch: DataFrame,
+      tokenizerDir: String
+  ): DataFrame = {
+    val merges = spark.read
+      .parquet(s"$tokenizerDir/merges")
+      .orderBy("step")
+      .collect() // bounded: nMerges rows — the artifact's own contract
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val folded = merges.foldLeft(
+      expr("filter(split(text, ' '), x -> x != '')")
+    ) { case (c, (a, b, m)) => mergeFold(c, a, b, m) }
+    val vocab = spark.read
+      .parquet(s"$tokenizerDir/vocab")
+      .select("w", "token_id")
+    batch
+      .select(col("doc_id"), posexplode(folded).as(Seq("pos", "w")))
+      .join(vocab, Seq("w"), "left")
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id")
+      )
+  }
+
   /** Adjacent-pair structs of a token array: zip(toks, toks[1:]) — shared
     * by both trainer forms and the delta diff so the pair grain can never
     * drift between them.

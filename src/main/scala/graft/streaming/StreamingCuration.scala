@@ -183,6 +183,35 @@ object StreamingCuration {
       }
       .start()
 
+  /** P32b continuous form — encode arriving documents against the FROZEN
+    * stored tokenizer ([[graft.pipeline.TextAnalysis.writeTokenizer]]):
+    * each micro-batch runs the stored merge chain + vocabulary join. A
+    * doc's ids depend only on its own text and the frozen artifact, so
+    * chunking independence and redelivery idempotence are structural
+    * (StreamingCurationSpec law: any slicing ≡ the batch encoder
+    * row-for-row).
+    */
+  def encodeStream(
+      docs: DataFrame,
+      tokenizerDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+  )(
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          graft.pipeline.TextAnalysis
+            .encodeWithTokenizer(batch.sparkSession, batch, tokenizerDir),
+          batchId
+        )
+      }
+      .start()
+
   /** P37 continuous form — tier arriving documents by LM familiarity
     * against the frozen stored model and FROZEN tier thresholds (the
     * corpus-scale form [[graft.pipeline.QualityModel.tiersByThreshold]]:

@@ -1545,4 +1545,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(t => t._3 == 2L && t._4 == 0L))
     assert(out.exists(t => t._3 == 3L && t._4 == 1L))
   }
+
+  test("p32b tokenizer artifact: stored encode equals inline ids, OOV encodes as UNK 0") {
+    val ss = spark
+    import ss.implicits._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-tokenizer")
+      .toString
+    graft.pipeline.TextAnalysis.writeTokenizer(spark, sfDir, art)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+        .sortBy(t => (t._1, t._2))
+
+    // stored-artifact encode of the training corpus ≡ the inline query
+    val corpus = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val stored = rows(
+      graft.pipeline.TextAnalysis.encodeWithTokenizer(spark, corpus, art))
+    val inline = rows(graft.pipeline.TextAnalysis.tokenIds(spark, sfDir))
+    assert(stored.nonEmpty)
+    assert(stored == inline)
+    // dense ids from 1, 0 never assigned (reserved for UNK)
+    assert(inline.map(_._3).min >= 1L)
+
+    // an unseen word encodes as UNK 0; in-vocabulary neighbors keep ids
+    val oov = Seq((999000L, "zzz-not-in-vocab the zzz-not-in-vocab"))
+      .toDF("doc_id", "text")
+    val enc = rows(
+      graft.pipeline.TextAnalysis.encodeWithTokenizer(spark, oov, art))
+    assert(enc.count(_._3 == 0L) >= 2)
+    assert(enc.exists(_._3 > 0L))
+  }
 }

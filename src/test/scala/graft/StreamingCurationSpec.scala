@@ -563,4 +563,38 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.sortBy(_._1) == batch.sortBy(_._1))
     assert(buf.map(_._4).toSet == Set(1L, 2L, 3L))
   }
+
+  test("streaming encode over chunks equals the stored-tokenizer batch encoder") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-tok-stream")
+      .toString
+    graft.pipeline.TextAnalysis.writeTokenizer(spark, sfDir, art)
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val rows: Seq[Doc] = d.as[Doc].collect().toSeq.sortBy(_.doc_id).take(120)
+
+    val ck = java.nio.file.Files.createTempDirectory("graft-tok-ck").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ms = MemoryStream[Doc]
+    val q = StreamingCuration.encodeStream(ms.toDF(), art, ck) { (res, _) =>
+      val r = res.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      buf.synchronized { buf ++= r: Unit }
+    }
+    try rows.grouped(rows.size / 3 + 1).foreach { c =>
+      ms.addData(c)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.pipeline.TextAnalysis
+      .encodeWithTokenizer(spark, d.filter(col("doc_id") < rows.size), art)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._2)) == batch.sortBy(t => (t._1, t._2)))
+  }
 }
