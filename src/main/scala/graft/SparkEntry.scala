@@ -160,6 +160,8 @@ object SparkEntry {
     "q6_event_type_stats" -> (Analytics.eventTypeStats _),
     "q7_top_users" -> (Analytics.topUsers _),
     "w3_event_ranks" -> (Analytics.eventRanks _),
+    // w9 — three-step conversion funnel (view -> click -> purchase)
+    "w9_funnel" -> (Analytics.funnel _),
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
     "q14_promo_revenue" -> (Analytics.promoRevenue _),
@@ -409,6 +411,7 @@ object SparkEntry {
     "q6_event_type_stats" -> AnalyticsOracles.eventTypeStats,
     "q7_top_users" -> AnalyticsOracles.topUsers,
     "w3_event_ranks" -> AnalyticsOracles.eventRanks,
+    "w9_funnel" -> AnalyticsOracles.funnel,
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
     "q14_promo_revenue" -> AnalyticsOracles.promoRevenue,

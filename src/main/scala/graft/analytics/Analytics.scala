@@ -1258,4 +1258,55 @@ object Analytics {
       )
       .orderBy(col("nation"), col("o_year").desc)
   }
+
+  /** W9 — three-step conversion funnel (view → click → purchase), the
+    * product-analytics staple: per user, the FIRST view, the first click
+    * STRICTLY AFTER that view, the first purchase strictly after that
+    * click, and the stage count reached. Stage-at-a-time aggregation —
+    * min-per-user, join, filter, min again — so each step is one
+    * map-side-combined aggregation and every join/aggregation keys on
+    * user_id: three exchanges over the SAME key (AQE reuses the
+    * partitioning), never a per-user sorted history in memory — the
+    * collect_list alternative holds a power user's whole event history
+    * in one row, this holds O(1) per user per stage. Timestamps present
+    * as unix micros, the w1/w2 oracle convention.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    def firstAfter(
+        evType: String,
+        prev: DataFrame,
+        prevCol: String,
+        outCol: String
+    ): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(unix_micros(col("ts")) > col(prevCol))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as(outCol))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("view_us"))
+    val clicks =
+      firstAfter("click", views.select("user_id", "view_us"), "view_us", "click_us")
+    val buys =
+      firstAfter("purchase", clicks, "click_us", "purchase_us")
+    ev.select("user_id")
+      .distinct()
+      .join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(buys, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("view_us"),
+        col("click_us"),
+        col("purchase_us"),
+        (when(col("purchase_us").isNotNull, 3L)
+          .when(col("click_us").isNotNull, 2L)
+          .when(col("view_us").isNotNull, 1L)
+          .otherwise(0L)).as("funnel_stage")
+      )
+      .orderBy("user_id")
+  }
 }

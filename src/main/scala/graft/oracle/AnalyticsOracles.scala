@@ -640,4 +640,39 @@ object AnalyticsOracles {
     GROUP BY 1, 2
     ORDER BY nation, o_year DESC
   """
+
+  /** w9 — three-step conversion funnel (graft.analytics.Analytics
+    * .funnel): first view, first click strictly after it, first purchase
+    * strictly after that; stage count per user; micros per the w1/w2
+    * convention.
+    */
+  val funnel: String = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, v.view_us, c.click_us, p.purchase_us,
+           CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+                     WHEN c.click_us IS NOT NULL THEN 2
+                     WHEN v.view_us IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    ORDER BY u.user_id
+  """
 }
