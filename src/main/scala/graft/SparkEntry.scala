@@ -162,6 +162,8 @@ object SparkEntry {
     "w3_event_ranks" -> (Analytics.eventRanks _),
     // w9 — three-step conversion funnel (view -> click -> purchase)
     "w9_funnel" -> (Analytics.funnel _),
+    // w10 — weekly retention cohorts (first-activity week, exact ppm)
+    "w10_retention_cohorts" -> (Analytics.retentionCohorts _),
     "q6_forecast_revenue" -> (Analytics.forecastRevenue _),
     "q12_shipmode_priority" -> (Analytics.shipmodePriority _),
     "q14_promo_revenue" -> (Analytics.promoRevenue _),
@@ -412,6 +414,7 @@ object SparkEntry {
     "q7_top_users" -> AnalyticsOracles.topUsers,
     "w3_event_ranks" -> AnalyticsOracles.eventRanks,
     "w9_funnel" -> AnalyticsOracles.funnel,
+    "w10_retention_cohorts" -> AnalyticsOracles.retentionCohorts,
     "q6_forecast_revenue" -> AnalyticsOracles.forecastRevenue,
     "q12_shipmode_priority" -> AnalyticsOracles.shipmodePriority,
     "q14_promo_revenue" -> AnalyticsOracles.promoRevenue,

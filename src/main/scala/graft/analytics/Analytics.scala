@@ -1309,4 +1309,39 @@ object Analytics {
       )
       .orderBy("user_id")
   }
+
+  /** W10 — weekly retention cohorts, the funnel's companion staple: users
+    * grouped by FIRST-activity week; for every (cohort week, week offset)
+    * the distinct users active that week, the cohort size, and the
+    * retention rate in exact ppm. Weeks are pure integer micros division
+    * (epoch // 7 days) so the bucketing replays bit-for-bit in DuckDB.
+    * Shape: one (user, week) distinct, a min-per-user on the same key,
+    * and a cohort-grain aggregation whose OUTPUT is weeks² rows —
+    * driver-trivial at any corpus size; nothing user-grain survives the
+    * final aggregation.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = ActionLog.normalizedEvents(spark, dir)
+    val act = ev
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("week")
+      )
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    act
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .join(sizes, Seq("cohort_week"))
+      .select(
+        col("cohort_week"),
+        col("week_offset"),
+        col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000 DIV cohort_size").as("retained_ppm")
+      )
+      .orderBy("cohort_week", "week_offset")
+  }
 }

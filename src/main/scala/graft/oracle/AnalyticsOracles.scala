@@ -675,4 +675,27 @@ object AnalyticsOracles {
     LEFT JOIN p ON p.user_id = u.user_id
     ORDER BY u.user_id
   """
+
+  /** w10 — weekly retention cohorts (graft.analytics.Analytics
+    * .retentionCohorts): cohort = first-activity week (integer micros
+    * division), retention in exact ppm.
+    */
+  val retentionCohorts: String = """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+    sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM coh GROUP BY cohort_week),
+    m AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    )
+    SELECT m.cohort_week, m.week_offset, m.n_users, s.cohort_size,
+           CAST(m.n_users * 1000000 // s.cohort_size AS BIGINT) AS retained_ppm
+    FROM m JOIN sz s USING (cohort_week)
+    ORDER BY m.cohort_week, m.week_offset
+  """
 }

@@ -1611,4 +1611,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pinned by the model equality above (the oracle covers sparse users)
     assert(got.values.exists(_._4 == 3L))
   }
+
+  test("w10 retention cohorts match an independent in-memory replay") {
+    val weekUs = 604800000000L
+    val act = graft.model.ActionLog
+      .normalizedEvents(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs))
+      .distinct
+    val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = act
+      .groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case ((cw, off), xs) =>
+        val n = xs.map(_._1).distinct.size.toLong
+        (cw, off) -> (n, sizes(cw), n * 1000000L / sizes(cw))
+      }
+    val got = graft.analytics.Analytics
+      .retentionCohorts(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+    // offsets beyond 0 exist: the fixture actually measures retention
+    assert(got.keys.exists(_._2 > 0L))
+  }
 }
