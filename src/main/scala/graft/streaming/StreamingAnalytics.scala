@@ -101,6 +101,62 @@ object StreamingAnalytics {
       }
   }
 
+  final case class FunnelEv(
+      user_id: Long,
+      event_id: Long,
+      event_type: String,
+      tsUs: Long
+  )
+  final case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+  final case class FunnelOut(user_id: Long, stage: Long, stage_us: Long)
+
+  /** W9's streaming form — per-user funnel progression as O(1) state
+    * (three stage timestamps, −1 = unreached): a stage-advance row
+    * (user, stage, its event-time micros) is EMITTED the moment a user
+    * crosses a stage, the alerting shape a product pipeline wants.
+    * Within a micro-batch the group's rows are processed in
+    * (tsUs, event_id) order — exact under in-order delivery, the
+    * sessionizeStateful bounded-disorder posture on a live stream. The
+    * strictly-after semantics match the batch operator exactly
+    * (StreamingSpec law: final stages over chunked delivery ≡
+    * [[graft.analytics.Analytics.funnel]] row-for-row).
+    */
+  def funnelStateful(
+      spark: SparkSession,
+      events: Dataset[FunnelEv]
+  ): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (user: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+        val sorted = evs.toArray.sortBy(e => (e.tsUs, e.event_id))
+        var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+        val out = Seq.newBuilder[FunnelOut]
+        sorted.foreach { e =>
+          e.event_type match {
+            case "view" if st.viewUs < 0L =>
+              st = st.copy(viewUs = e.tsUs)
+              out += FunnelOut(user, 1L, e.tsUs)
+            case "click"
+                if st.viewUs >= 0L && st.clickUs < 0L && e.tsUs > st.viewUs =>
+              st = st.copy(clickUs = e.tsUs)
+              out += FunnelOut(user, 2L, e.tsUs)
+            case "purchase"
+                if st.clickUs >= 0L && st.purchaseUs < 0L &&
+                  e.tsUs > st.clickUs =>
+              st = st.copy(purchaseUs = e.tsUs)
+              out += FunnelOut(user, 3L, e.tsUs)
+            case _ => ()
+          }
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   final case class AttrEv(
       user_id: Long,
       event_id: Long,

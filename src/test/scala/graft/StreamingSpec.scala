@@ -421,4 +421,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wantSemi.exceptAll(gotSemi).count() == 0)
     ev.unpersist()
   }
+
+  test("streaming funnel over ordered chunks equals the batch w9 funnel") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingAnalytics.FunnelEv
+
+    val evs = ActionLog
+      .normalizedEvents(spark, sfDir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("tsUs")
+      )
+      .as[FunnelEv]
+      .collect()
+      .sortBy(_.tsUs)
+    val chunks = evs.grouped(math.max(evs.length / 4, 1)).toSeq
+
+    val ms = MemoryStream[FunnelEv]
+    val q = StreamingAnalytics
+      .funnelStateful(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("funnel_stream")
+      .outputMode("append")
+      .start()
+    try
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+
+    // stage-advance emissions: at most one row per (user, stage),
+    // monotone stages; reconstructed per-user stage timestamps equal
+    // the batch funnel exactly
+    val rows = spark
+      .table("funnel_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.groupBy(t => (t._1, t._2)).values.forall(_.length == 1))
+    val got = rows
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        val m = xs.map(t => t._2 -> t._3).toMap
+        u -> (m.get(1L), m.get(2L), m.get(3L), m.keys.maxOption.getOrElse(0L))
+      }
+    val want = graft.analytics.Analytics
+      .funnel(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))
+      .filter(_._2._4 > 0L) // stage-0 users emit nothing on the stream
+      .toMap
+    assert(got == want)
+  }
 }
