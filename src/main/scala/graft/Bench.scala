@@ -113,6 +113,10 @@ object Bench {
         wall > 3.0 && cpu >= 0 &&
         (wall > 3 * cpu || (cpuMedian > 0 && cpu > 5 * cpuMedian))
       }
+      // MOST suspicious first (worst wall/cpu inflation), not name order:
+      // when the cap bites, the outliers the rerun exists to adjudicate
+      // must be the ones that get it
+      .sortBy { case (_, wall, cpu, _, _, _) => -(wall / math.max(cpu, 0.01)) }
       .take(12)
     val reruns = suspicious.map { case (name, _, _, _, _, _) =>
       val fn = selected(name)

@@ -1333,7 +1333,11 @@ object Analytics {
     act
       .join(cohort, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct("user_id").as("n_users"))
+      // act is distinct on (user, week) and week is determined by
+      // (cohort_week, offset), so each user contributes at most one row
+      // per group: a plain count IS the distinct-user count, without the
+      // two-level distinct aggregate over the user-grain stage
+      .agg(count(lit(1)).as("n_users"))
       .join(sizes, Seq("cohort_week"))
       .select(
         col("cohort_week"),

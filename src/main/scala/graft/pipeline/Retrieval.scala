@@ -563,7 +563,12 @@ object Retrieval {
   //
   // Overflow headroom (BIGINT): idf_ppm ≤ (2N+1)·10⁶; sat_ppm < 2.2·10⁶;
   // their product < 2N·2.2·10¹² — safe to N ≈ 4·10⁵ millions of docs;
-  // sat's numerator tf·2.2·10¹² is safe to tf ≈ 4·10⁶.
+  // sat's numerator tf·2.2·10¹² is safe to tf ≈ 4·10⁶. The norm's
+  // 750000·dl·N term binds FIRST: it requires dl·N ≲ 1.2·10¹³ (e.g.
+  // 10¹⁰ docs × ≤1 200 tokens). Past that, reassociate as
+  // 250000 + 750000·((dl·10⁶) DIV avgdl_scaled) — one extra stored
+  // avgdl surrogate, same ppm grid — and mirror the oracle; at this
+  // corpus's scales the straight form is exact and the headroom real.
   // ---------------------------------------------------------------------
 
   private def bm25Score(

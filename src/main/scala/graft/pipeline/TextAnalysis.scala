@@ -541,13 +541,17 @@ object TextAnalysis {
   private def corpusStamp(spark: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-file hashes combine by SUM (order-independent): Hadoop listing
+    // order is not a contract, and an order change must not alias as a
+    // corpus rewrite (a spurious memo miss re-pays the whole training run)
     var h = 1125899906842597L
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      h = h * 31 + f.getPath.getName.hashCode
-      h = h * 31 + f.getModificationTime
-      h = h * 31 + f.getLen
+      var fh = f.getPath.getName.hashCode.toLong
+      fh = fh * 31 + f.getModificationTime
+      fh = fh * 31 + f.getLen
+      h += fh
     }
     h
   }
