@@ -190,6 +190,11 @@ object QualityModel {
     * [[appendToLmModel]] for why.
     */
   def writeLmModelOf(spark: SparkSession, hist: DataFrame, out: String): Unit = {
+    // a REBUILD into an existing store supersedes any swapped generation:
+    // drop the pointers so the plain directories are live again
+    val root = java.nio.file.Paths.get(out)
+    Seq("uni", "bi").foreach(n =>
+      java.nio.file.Files.deleteIfExists(root.resolve(s"$n.current")): Unit)
     val h = lmWords(hist).cache()
     uniCounts(h)
       .withColumn("layer", lit(0L))
@@ -226,6 +231,9 @@ object QualityModel {
   ): Unit = {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairLmModel(modelDir)
+    val root = java.nio.file.Paths.get(modelDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     val h = lmWords(batch).cache()
     uniCounts(h)
       .withColumn("layer", lit(layer))
@@ -233,14 +241,14 @@ object QualityModel {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("layer")
-      .parquet(s"$modelDir/uni")
+      .parquet(live("uni"))
     biCounts(h)
       .withColumn("layer", lit(layer))
       .write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("layer")
-      .parquet(s"$modelDir/bi")
+      .parquet(live("bi"))
     h.unpersist(false)
   }
 
@@ -276,13 +284,15 @@ object QualityModel {
   ): Unit = {
     val root = java.nio.file.Paths.get(modelDir)
     repairLmModel(modelDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     val folded = when(
       col("layer").cast("long") <= lit(protectLayersAbove),
       lit(0L)
     ).otherwise(col("layer").cast("long"))
     graft.util.DirSwap.swap(root, "uni") { tmp =>
       spark.read
-        .parquet(s"$modelDir/uni")
+        .parquet(live("uni"))
         .withColumn("layer", folded)
         .groupBy("w", "layer")
         .agg(sum("cu").as("cu"))
@@ -293,7 +303,7 @@ object QualityModel {
     }
     graft.util.DirSwap.swap(root, "bi") { tmp =>
       spark.read
-        .parquet(s"$modelDir/bi")
+        .parquet(live("bi"))
         .withColumn("layer", folded)
         .groupBy("a", "b2", "layer")
         .agg(sum("cb").as("cb"))
@@ -310,13 +320,16 @@ object QualityModel {
       modelDir: String
   ): DataFrame = {
     repairLmModel(modelDir)
+    val root = java.nio.file.Paths.get(modelDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     scoreAgainstCounts(
       spark.read
-        .parquet(s"$modelDir/uni")
+        .parquet(live("uni"))
         .groupBy("w")
         .agg(sum("cu").as("cu")),
       spark.read
-        .parquet(s"$modelDir/bi")
+        .parquet(live("bi"))
         .groupBy("a", "b2")
         .agg(sum("cb").as("cb")),
       lmWords(batch)
@@ -358,13 +371,16 @@ object QualityModel {
       compactOverLayers: Int = 8
   ): DataFrame = {
     repairLmModel(modelDir)
+    val root = java.nio.file.Paths.get(modelDir)
+    def live(sub: String): java.nio.file.Path =
+      graft.util.DirSwap.resolve(root, sub)
     def layersOf(sub: String): Long = spark.read
-      .parquet(s"$modelDir/$sub")
+      .parquet(live(sub).toString)
       .select(col("layer").cast("long"))
       .distinct()
       .count()
     def filesOf(sub: String): Long = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(modelDir, sub))
+      val s = java.nio.file.Files.walk(live(sub))
       try s.filter(_.toString.endsWith(".parquet")).count()
       finally s.close()
     }

@@ -203,6 +203,11 @@ object Retrieval {
       out: String,
       buckets: Int = IndexBuckets
   ): Unit = {
+    // a REBUILD into an existing store supersedes any swapped generation:
+    // drop the pointers so the plain directories are live again
+    SwappedDirs.foreach(n =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(out).resolve(s"$n.current")): Unit)
     // repartition by wb BEFORE the partitioned write: one file per bucket
     // per ingest instead of (shuffle partitions × buckets) fragments — the
     // write-once/read-many trade (one extra ingest shuffle buys compact
@@ -276,6 +281,9 @@ object Retrieval {
   ): Unit = {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairInvertedIndex(indexDir)
+    val root = java.nio.file.Paths.get(indexDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val tf = postingsWithLen(newDocs)
@@ -288,7 +296,7 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("wb", "layer")
-      .parquet(s"$indexDir/postings")
+      .parquet(live("postings"))
     tf.groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
       .withColumn("layer", lit(layer))
@@ -296,7 +304,7 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("wb", "layer")
-      .parquet(s"$indexDir/df")
+      .parquet(live("df"))
     newDocs
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
@@ -305,7 +313,7 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("layer")
-      .parquet(s"$indexDir/stats")
+      .parquet(live("stats"))
     tf.unpersist(false)
   }
 
@@ -354,6 +362,8 @@ object Retrieval {
   ): Unit = {
     val root = java.nio.file.Paths.get(indexDir)
     repairInvertedIndex(indexDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val folded = when(
@@ -362,7 +372,7 @@ object Retrieval {
     ).otherwise(col("layer").cast("long"))
     graft.util.DirSwap.swap(root, "postings") { tmp =>
       spark.read
-        .parquet(s"$indexDir/postings")
+        .parquet(live("postings"))
         .withColumn("layer", folded)
         .repartition(buckets, col("wb"))
         .write
@@ -371,7 +381,7 @@ object Retrieval {
     }
     graft.util.DirSwap.swap(root, "df") { tmp =>
       spark.read
-        .parquet(s"$indexDir/df")
+        .parquet(live("df"))
         .withColumn("layer", folded)
         .groupBy("wb", "w", "layer")
         .agg(sum("df").as("df"))
@@ -382,7 +392,7 @@ object Retrieval {
     }
     graft.util.DirSwap.swap(root, "stats") { tmp =>
       spark.read
-        .parquet(s"$indexDir/stats")
+        .parquet(live("stats"))
         .withColumn("layer", folded)
         .groupBy("layer")
         .agg(
@@ -411,13 +421,16 @@ object Retrieval {
       compactOverLayers: Int = 8
   ): DataFrame = {
     repairInvertedIndex(indexDir)
+    val root = java.nio.file.Paths.get(indexDir)
+    def live(sub: String): java.nio.file.Path =
+      graft.util.DirSwap.resolve(root, sub)
     def layersOf(sub: String): Long = spark.read
-      .parquet(s"$indexDir/$sub")
+      .parquet(live(sub).toString)
       .select(col("layer").cast("long"))
       .distinct()
       .count()
     def filesOf(sub: String): Long = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir, sub))
+      val s = java.nio.file.Files.walk(live(sub))
       try s.filter(_.toString.endsWith(".parquet")).count()
       finally s.close()
     }
@@ -425,7 +438,7 @@ object Retrieval {
       layersOf("df"),
       filesOf("postings"),
       filesOf("df"),
-      spark.read.parquet(s"$indexDir/stats").count()
+      spark.read.parquet(live("stats").toString).count()
     )
     spark
       .range(1)
@@ -450,21 +463,24 @@ object Retrieval {
       queryTerms: DataFrame
   ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     repairInvertedIndex(indexDir)
+    val root = java.nio.file.Paths.get(indexDir)
+    def live(sub: String): String =
+      graft.util.DirSwap.resolve(root, sub).toString
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val qt = queryTerms.withColumn("wb", wbOf(col("w"), buckets))
     val probedWb =
       qt.select("wb").distinct().collect().map(_.getLong(0)) // ≤ buckets
     val post = spark.read
-      .parquet(s"$indexDir/postings")
+      .parquet(live("postings"))
       .where(col("wb").isin(probedWb.toIndexedSeq: _*))
     val dfm = spark.read
-      .parquet(s"$indexDir/df")
+      .parquet(live("df"))
       .where(col("wb").isin(probedWb.toIndexedSeq: _*))
       .groupBy("w")
       .agg(sum("df").as("df")) // merge the append delta layers
     val stats = spark.read
-      .parquet(s"$indexDir/stats")
+      .parquet(live("stats"))
       .agg(
         sum("n_docs").as("n_docs"),
         sum("total_tokens").as("total_tokens")

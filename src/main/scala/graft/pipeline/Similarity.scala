@@ -556,7 +556,10 @@ object Similarity {
     centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
     // layer 0 = the base layer owned by build/compaction; appends write
     // layer>0 partitions (see appendToIvfIndex — the retrieval store's
-    // redelivery-exactness layout, applied to the vector store)
+    // redelivery-exactness layout, applied to the vector store). A
+    // REBUILD into an existing store supersedes any swapped generation.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out).resolve("vectors.current")): Unit
     assignCells(corpus, centroids)
       .select("vec_id", "embedding", "nrm", "cid")
       .withColumn("layer", lit(0L))
@@ -621,7 +624,11 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("cid", "layer")
-      .parquet(s"$indexDir/vectors")
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
   }
 
   /** Crash repair for an interrupted [[compactIvfIndex]] — the DirSwap
@@ -648,6 +655,9 @@ object Similarity {
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = {
     repairIvfIndex(indexDir)
+    val liveVectors = graft.util.DirSwap
+      .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+      .toString
     val kCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
     val folded = when(
       col("layer").cast("long") <= lit(protectLayersAbove),
@@ -658,7 +668,7 @@ object Similarity {
       "vectors"
     ) { tmp =>
       spark.read
-        .parquet(s"$indexDir/vectors")
+        .parquet(liveVectors)
         .withColumn("layer", folded)
         .repartition(kCells, col("cid"))
         .write
@@ -744,7 +754,11 @@ object Similarity {
       .map(_.getInt(0))
       .toSeq
     val vectors = spark.read
-      .parquet(s"$indexDir/vectors")
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
       .where(col("cid").isin(probeCids: _*))
     val scored = vectors
       .join(broadcast(probes), Seq("cid"))
@@ -1584,7 +1598,11 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val kCentroids = cents.count().toInt
     val vecs = spark.read
-      .parquet(s"$indexDir/vectors")
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
       .select("vec_id", "embedding", "cid")
       .cache()
     val qs = vecs
@@ -1654,7 +1672,13 @@ object Similarity {
     repairIvfIndex(indexDir)
     writeIvfIndexOf(
       spark,
-      spark.read.parquet(s"$indexDir/vectors").select("vec_id", "embedding"),
+      spark.read
+        .parquet(
+          graft.util.DirSwap
+            .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+            .toString
+        )
+        .select("vec_id", "embedding"),
       out,
       kCentroids,
       iters

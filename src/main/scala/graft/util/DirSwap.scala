@@ -1,35 +1,51 @@
 package graft.util
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 
-/** The build-then-swap maintenance primitive shared by the persisted
-  * stores' compaction jobs (span index, inverted index, LM counts, IVF
-  * vectors): a compacted replacement is written COMPLETELY under a
-  * uniquely-named sibling (`<name>.compact-<nanos>`, carrying Spark's
-  * `_SUCCESS` marker), then adopted by two renames (live →
-  * `<name>.old-<nanos>`, compact → live). Readers between the renames hit
-  * [[repair]], which every consumer calls first: if the live directory is
-  * missing it adopts the newest COMPLETE compacted copy (it holds the
-  * full merged set by construction, having been written before the swap
-  * began) or, absent one, rolls the newest moved-aside original back.
-  * nanoTime suffixes are compared NUMERICALLY — a lexicographic sort
-  * misorders across digit counts / JVM restarts and could adopt a stale
-  * copy.
+/** Generation-swapped directories — the maintenance primitive behind the
+  * persisted model stores' compaction (inverted index, LM counts, IVF
+  * vectors): the journal store's epoch-generation discipline applied to a
+  * single directory.
   *
-  * Concurrency contract: ONE maintainer ([[swap]]) and any number of
-  * readers ([[repair]]). A reader's repair therefore never deletes
-  * sibling copies while the live directory exists — a complete
-  * `.compact-` sibling with live present may be an in-flight swap's
-  * about-to-publish replacement, and sweeping it would fail the swap
-  * between its renames. Stale leftovers (from a crash during the
-  * replacement write) are swept by the MAINTAINER at the start of the
-  * next [[swap]], where single-maintainership makes the sweep safe; a
-  * reader sweeps only what its own adoption made stale. Adoption itself
-  * is rename-guarded: two concurrent repairs (or a repair racing the
-  * swap's publishing rename) resolve by whoever's move wins — the loser
-  * observes the live directory present and proceeds.
+  * A compacted replacement is written COMPLETELY under a uniquely-named
+  * generation (`<name>.gen-<nanos>`), then PUBLISHED by atomically
+  * replacing a small pointer file (`<name>.current`, containing the
+  * generation's directory name) — POSIX rename-over-existing is atomic,
+  * so readers resolve either the old or the new generation, never a torn
+  * state. Data directories are NEVER renamed or mutated after
+  * publication, which is what makes concurrent readers safe: a Spark job
+  * that listed the previous generation's files keeps reading them —
+  * [[swap]] retains the current AND the immediately-previous generation
+  * and sweeps only older ones, so an in-flight read outlives the swap
+  * that superseded it (one full maintenance cycle of grace; the
+  * rename-based alternative invalidates listed paths mid-read, the
+  * FAILED_READ_FILE race). A store starts as the plain `root/name`
+  * directory (generation zero — what the builders write); the pointer
+  * appears at the first swap.
+  *
+  * Crash model: a crash while writing a generation leaves an orphan
+  * directory no pointer references — reads are unaffected and the next
+  * [[swap]] sweeps it; a crash around the pointer publish leaves the
+  * pointer wholly old or wholly new (the rename is atomic) plus at most
+  * a stale pointer-tmp file, likewise swept. There is no window with no
+  * live data and nothing for readers to repair — [[resolve]] is the
+  * whole consumer contract. Single maintainer per store (the appenders'
+  * existing posture); readers unlimited.
   */
 object DirSwap {
+
+  private def pointer(root: Path, name: String): Path =
+    root.resolve(s"$name.current")
+
+  /** The directory consumers should read/append for `root/name`: the
+    * pointed-to generation, or the plain directory before any swap.
+    */
+  def resolve(root: Path, name: String): Path = {
+    val p = pointer(root, name)
+    if (Files.exists(p))
+      root.resolve(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else root.resolve(name)
+  }
 
   private def listPrefixed(root: Path, prefix: String): Seq[Path] = {
     if (!Files.exists(root)) return Seq.empty
@@ -39,76 +55,56 @@ object DirSwap {
       s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(prefix))
         .toSeq
-        .sortBy(p =>
-          p.getFileName.toString
-            .stripPrefix(prefix)
-            .toLongOption
-            .getOrElse(Long.MinValue)
-        )
     } finally s.close()
   }
 
-  /** Writes a replacement for `root/name` via `write(tmpDir)` and swaps it
-    * live. `write` must leave a `_SUCCESS` marker (any Spark parquet write
-    * does) — [[repair]] uses it to distinguish a complete replacement from
-    * a partial one. Single maintainer per store; tolerant of a concurrent
-    * READER adopting the replacement mid-swap (that adoption IS the
-    * publication).
+  /** Writes a replacement for `root/name` (read side: [[resolve]]) into a
+    * fresh generation via `write(genDir)` and publishes it by the atomic
+    * pointer swap. Retains the superseded generation for in-flight
+    * readers; sweeps everything older, plus orphan generations and
+    * pointer tmps from crashed swaps. Single maintainer.
     */
   def swap(root: Path, name: String)(write: Path => Unit): Unit = {
-    // maintainer-side full repair: adopt if a prior swap crashed, then
-    // sweep ALL stale siblings — safe here and only here (no other swap
-    // can be in flight)
-    repair(root, name)
-    (listPrefixed(root, s"$name.compact-") ++ listPrefixed(root, s"$name.old-"))
+    val prev = resolve(root, name)
+    val gen = root.resolve(s"$name.gen-${System.nanoTime()}")
+    write(gen)
+    val tmp = root.resolve(s"$name.current.tmp-${System.nanoTime()}")
+    Files.write(tmp, gen.getFileName.toString.getBytes("UTF-8"))
+    Files.move(
+      tmp,
+      pointer(root, name),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING
+    )
+    // GC: keep {new current, immediately-previous}; sweep older
+    // generations, the plain dir once it is two generations stale, and
+    // crashed-swap leftovers (orphan gens, pointer tmps)
+    val keep = Set(gen.getFileName.toString, prev.getFileName.toString)
+    (listPrefixed(root, s"$name.gen-") :+ root.resolve(name))
+      .filter(Files.exists(_))
+      .filterNot(p => keep.contains(p.getFileName.toString))
       .foreach(Fs.deleteRecursively)
-    val tmp = root.resolve(s"$name.compact-${System.nanoTime()}")
-    write(tmp)
-    val old = root.resolve(s"$name.old-${System.nanoTime()}")
-    Files.move(root.resolve(name), old)
-    try Files.move(tmp, root.resolve(name))
-    catch {
-      // a concurrent reader's repair adopted our complete copy between
-      // the renames — the replacement is live; nothing left to publish
-      case _: java.nio.file.NoSuchFileException
-          if Files.exists(root.resolve(name)) =>
-        ()
-      case _: java.nio.file.FileAlreadyExistsException
-          if Files.exists(root.resolve(name)) =>
-        ()
-    }
-    Fs.deleteRecursively(old)
+    listPrefixed(root, s"$name.current.tmp-").foreach(Fs.deleteRecursively)
   }
 
-  /** Crash repair for a [[swap]] interrupted between its two renames; see
-    * the object doc. Idempotent and reader-safe: adopts only when the
-    * live directory is MISSING, tolerates a concurrent adopter winning
-    * the rename, and sweeps only the siblings its own adoption made
-    * stale — never an in-flight swap's replacement.
+  /** Consumer-side maintenance hook, kept for the store APIs' contract:
+    * with generation indirection there is nothing to adopt or roll back —
+    * the pointer is atomic and data directories are immutable once
+    * published — so this only validates the pointer (a damaged pointer
+    * naming a missing directory fails fast here rather than deep inside a
+    * scan). Deliberately non-destructive: readers must never delete — a
+    * generation that looks stale to one thread may be mid-read in
+    * another; all sweeping belongs to the single maintainer's [[swap]].
     */
   def repair(root: Path, name: String): Unit = {
-    val live = root.resolve(name)
-    if (!Files.exists(live)) {
-      val complete = listPrefixed(root, s"$name.compact-")
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-      val fallback = listPrefixed(root, s"$name.old-")
-      val adopted = (complete.lastOption orElse fallback.lastOption).exists {
-        chosen =>
-          try { Files.move(chosen, live); true }
-          catch {
-            // another repair (or the swap itself) published first — the
-            // live directory exists, which is all adoption is for
-            case _: java.nio.file.NoSuchFileException
-                if Files.exists(live) =>
-              false
-            case _: java.nio.file.FileAlreadyExistsException
-                if Files.exists(live) =>
-              false
-          }
-      }
-      if (adopted)
-        (listPrefixed(root, s"$name.compact-") ++
-          listPrefixed(root, s"$name.old-")).foreach(Fs.deleteRecursively)
+    val p = pointer(root, name)
+    if (Files.exists(p)) {
+      val target = resolve(root, name)
+      require(
+        Files.exists(target),
+        s"store pointer $p names a missing generation $target — the store " +
+          "was damaged outside the swap protocol"
+      )
     }
   }
 }

@@ -608,7 +608,8 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = all.filter(col("vec_id") > split)
 
     def stored(): Seq[Long] = spark.read
-      .parquet(s"$idx/vectors")
+      .parquet(graft.util.DirSwap
+        .resolve(java.nio.file.Paths.get(idx), "vectors").toString)
       .select("vec_id")
       .collect()
       .map(_.getLong(0))
@@ -636,7 +637,8 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.compactIvfIndex(spark, idx)
     assert((stored(), search()) == once)
     val layers = spark.read
-      .parquet(s"$idx/vectors")
+      .parquet(graft.util.DirSwap
+        .resolve(java.nio.file.Paths.get(idx), "vectors").toString)
       .select(col("layer").cast("long"))
       .distinct()
       .count()

@@ -47,9 +47,12 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
 
+  private def live(dir: String, sub: String): java.nio.file.Path =
+    graft.util.DirSwap.resolve(java.nio.file.Paths.get(dir), sub)
+
   private def uniTable(dir: String): Map[String, Long] =
     spark.read
-      .parquet(s"$dir/uni")
+      .parquet(live(dir, "uni").toString)
       .groupBy("w")
       .agg(sum("cu").as("cu"))
       .collect()
@@ -58,7 +61,7 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def biTable(dir: String): Map[(String, String), Long] =
     spark.read
-      .parquet(s"$dir/bi")
+      .parquet(live(dir, "bi").toString)
       .groupBy("a", "b2")
       .agg(sum("cb").as("cb"))
       .collect()
@@ -148,7 +151,7 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = d.filter(col("doc_id") >= boundary)
 
     def uniFiles(): Int = {
-      val w = Files.walk(java.nio.file.Paths.get(s"$tmp/uni"))
+      val w = Files.walk(live(tmp, "uni"))
       try w.filter(_.toString.endsWith(".parquet")).count().toInt
       finally w.close()
     }
@@ -162,19 +165,17 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(score() == scoreBefore)                        // scores row-identical
     assert(uniFiles() == 1 && filesBefore > 1)            // layers collapsed
 
-    // crash repair between a swap's renames: Case 1 old-*, Case 2 a
-    // COMPLETE compact-* copy (the live dir carries _SUCCESS).
-    val uni = java.nio.file.Paths.get(s"$tmp/uni")
-    Files.move(uni, java.nio.file.Paths.get(s"$tmp/uni.old-999"))
+    // crash model of the generation swap: an orphan generation and a
+    // stale pointer tmp leave scores untouched; the next swap sweeps both
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/uni.gen-999"))
+    Files.write(
+      java.nio.file.Paths.get(s"$tmp/uni.current.tmp-999"),
+      "uni.gen-999".getBytes)
     assert(score() == scoreBefore)
-    val bi = java.nio.file.Paths.get(s"$tmp/bi")
-    Files.move(bi, java.nio.file.Paths.get(s"$tmp/bi.compact-999"))
+    QualityModel.compactLmModel(spark, tmp, targetFiles = 1)
     assert(score() == scoreBefore)
-    val leftovers = Option(new java.io.File(tmp).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f =>
-        f.getName.contains(".old-") || f.getName.contains(".compact-"))
-    assert(leftovers.isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/uni.gen-999")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/uni.current.tmp-999")))
   }
 
   test("layer-keyed append: a redelivered training batch never double-counts") {

@@ -66,8 +66,11 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  private def live(dir: String, sub: String): Path =
+    graft.util.DirSwap.resolve(Paths.get(dir), sub)
+
   private def postingFiles(dir: String): Map[Path, Long] = {
-    val root = Paths.get(dir, "postings")
+    val root = live(dir, "postings")
     val s = Files.walk(root)
     try
       s.filter(p => p.toString.endsWith(".parquet"))
@@ -265,7 +268,8 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Retrieval.appendToInvertedIndex(
       spark, d.filter(col("doc_id") >= boundary), tmp)
 
-    def statRows(): Long = spark.read.parquet(s"$tmp/stats").count()
+    def statRows(): Long =
+      spark.read.parquet(live(tmp, "stats").toString).count()
     def res(): (Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) =
       (rows(Retrieval.keywordTopKIndexed(spark, sfDir, tmp)),
         rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)))
@@ -279,22 +283,21 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filesAfter = postingFiles(tmp).size
     assert(filesAfter < filesBefore && filesAfter <= Retrieval.IndexBuckets)
 
-    // crash repair: a kill between a swap's two renames leaves the live
-    // directory missing — every consumer adopts the surviving copy.
-    // Case 1: only the moved-aside original exists.
-    val post = Paths.get(s"$tmp/postings")
-    Files.move(post, Paths.get(s"$tmp/postings.old-999"))
+    // crash model of the generation swap: an orphan generation (crash
+    // during the replacement write) and a stale pointer tmp (crash
+    // around the publish) leave reads untouched; the next swap sweeps
+    // both and retains only {current, previous} generations.
+    Files.createDirectories(Paths.get(s"$tmp/df.gen-999"))
+    Files.write(Paths.get(s"$tmp/df.current.tmp-999"), "df.gen-999".getBytes)
     assert(res() == before)
-    // Case 2: a COMPLETE compacted copy (with _SUCCESS) outranks old-*.
-    val dfd = Paths.get(s"$tmp/df")
-    Files.move(dfd, Paths.get(s"$tmp/df.compact-999"))
+    Retrieval.compactInvertedIndex(spark, tmp)
     assert(res() == before)
-    // leftovers swept by the repair the reads ran
-    val leftovers = Option(new java.io.File(tmp).listFiles())
+    assert(!Files.exists(Paths.get(s"$tmp/df.gen-999")))
+    assert(!Files.exists(Paths.get(s"$tmp/df.current.tmp-999")))
+    def gens(sub: String): Int = Option(new java.io.File(tmp).listFiles())
       .getOrElse(Array.empty)
-      .filter(f =>
-        f.getName.contains(".old-") || f.getName.contains(".compact-"))
-    assert(leftovers.isEmpty)
+      .count(_.getName.startsWith(s"$sub.gen-"))
+    assert(gens("df") <= 2) // current + in-flight-reader grace
   }
 
   test("layer-keyed append: a redelivered ingest never double-counts, through compaction") {
@@ -305,14 +308,14 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b1 = d.filter(col("doc_id") >= boundary)
 
     def dfTable(): Map[String, Long] = spark.read
-      .parquet(s"$tmp/df")
+      .parquet(live(tmp, "df").toString)
       .groupBy("w")
       .agg(sum("df").as("df"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     def nDocs(): Long = spark.read
-      .parquet(s"$tmp/stats")
+      .parquet(live(tmp, "stats").toString)
       .agg(sum("n_docs"))
       .head()
       .getLong(0)
@@ -444,5 +447,60 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ...and the compactEvery=4 batch folds all committed layers: its
     // report shows base + only the protected (just-written) layer
     assert(reports.exists(r => r._1 == 3L && r._2 <= 2L))
+  }
+
+  test("compaction under concurrent readers: every read is complete and row-identical") {
+    val tmp = Files.createTempDirectory("graft-ii-concurrent").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    Retrieval.writeInvertedIndexOf(
+      spark, docs.filter(col("doc_id") < boundary), tmp)
+    Retrieval.appendToInvertedIndex(
+      spark, docs.filter(col("doc_id") >= boundary), tmp)
+    val expected = rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp))
+    def dfSum(): Long = {
+      Retrieval.repairInvertedIndex(tmp)
+      spark.read
+        .parquet(live(tmp, "df").toString)
+        .agg(sum("df"))
+        .head()
+        .getLong(0)
+    }
+    val expectedDf = dfSum()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val readers = (1 to 3).map { i =>
+      val t = new Thread(() =>
+        try
+          while (!stop.get()) {
+            if (i == 1) {
+              val got = rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp))
+              if (got != expected)
+                throw new AssertionError(s"reader saw divergent results")
+            } else {
+              val got = dfSum()
+              if (got != expectedDf)
+                throw new AssertionError(s"reader saw df sum $got")
+            }
+          }
+        catch {
+          case th: Throwable => failures.add(th); stop.set(true): Unit
+        })
+      t.start(); t
+    }
+    try
+      // each cycle rewrites the same merged content behind a swap; the
+      // readers' repair calls race the swap's two renames — the exact
+      // window the reader-safe repair exists for
+      (1 to 4).foreach { _ =>
+        Retrieval.compactInvertedIndex(spark, tmp)
+        if (stop.get()) throw failures.peek()
+      }
+    finally {
+      stop.set(true)
+      readers.foreach(_.join(60000))
+    }
+    assert(failures.isEmpty, s"concurrent reader failed: ${failures.peek()}")
+    assert(rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)) == expected)
   }
 }

@@ -16,8 +16,8 @@ import graft.pipeline.Retrieval
   *   - append of a FRESH batch (its own layer),
   *   - T1 REDELIVERY of the last batch (same docs, same layer),
   *   - compaction protecting the still-redeliverable layer,
-  *   - a simulated crash mid-swap (a store directory left moved aside,
-  *     repaired by whichever consumer touches the store next),
+  *   - crashed-swap leftovers (an orphan generation and a stale pointer
+  *     tmp, swept by the next maintenance swap),
   *   - an empty batch,
   *
   * the store's merged df table and summed doc count must equal an
@@ -50,12 +50,13 @@ class StoreInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     docs.toDF("doc_id", "text")
   }
 
-  // raw store reads follow the consumer contract: repair first (every
-  // production consumer — query/append/compact — does)
+  // raw store reads follow the consumer contract: resolve the live
+  // generation (every production consumer does)
   private def dfTable(dir: String): Map[String, Long] = {
     Retrieval.repairInvertedIndex(dir)
     spark.read
-      .parquet(s"$dir/df")
+      .parquet(graft.util.DirSwap
+        .resolve(Paths.get(dir), "df").toString)
       .groupBy("w")
       .agg(sum("df").as("df"))
       .collect()
@@ -65,7 +66,11 @@ class StoreInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def nDocs(dir: String): Long = {
     Retrieval.repairInvertedIndex(dir)
-    spark.read.parquet(s"$dir/stats").agg(sum("n_docs")).head().getLong(0)
+    spark.read
+      .parquet(graft.util.DirSwap.resolve(Paths.get(dir), "stats").toString)
+      .agg(sum("n_docs"))
+      .head()
+      .getLong(0)
   }
 
   /** The model contribution of one batch: df = docs containing the word. */
@@ -123,13 +128,15 @@ class StoreInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
               protectLayersAbove = nextLayer - 2L
             )
             check(s"compact step $step")
-          case 4 => // crash mid-swap: one directory left moved aside
+          case 4 => // crashed swap leftovers: an orphan generation and a
+            // stale pointer tmp — reads unaffected, next swap sweeps
             val name = Seq("postings", "df", "stats")(rnd.nextInt(3))
-            val live = Paths.get(dir, name)
-            if (Files.exists(live)) {
-              Files.move(live, Paths.get(dir, s"$name.old-${9000000 + step}"))
-              check(s"crash+repair step $step") // the read repairs it
-            }
+            Files.createDirectories(
+              Paths.get(dir, s"$name.gen-${8000000 + step}"))
+            Files.write(
+              Paths.get(dir, s"$name.current.tmp-${8000000 + step}"),
+              s"$name.gen-${8000000 + step}".getBytes)
+            check(s"crash leftovers step $step")
         }
       }
       // terminal fold of everything: one layer, model unchanged
