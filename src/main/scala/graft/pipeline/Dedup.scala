@@ -1206,6 +1206,9 @@ object Dedup {
       spanWords: Int = 10
   ): Unit = {
     import spark.implicits._
+    // a REBUILD into an existing store supersedes any swapped generation
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out).resolve("windows.current")): Unit
     spanWindows(tokenized(d), spanWords, fingerprint = true)
       .select("win")
       .distinct()
@@ -1241,12 +1244,12 @@ object Dedup {
         .select("win")
         .distinct()
         .join(
-          spark.read.parquet(s"$indexDir/windows"),
+          spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString),
           Seq("win"),
           "left_anti"
         )
     )
-    novel.write.mode("append").parquet(s"$indexDir/windows")
+    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
     Eager.releaseCheckpoint(novel)
   }
 
@@ -1348,74 +1351,38 @@ object Dedup {
     * set per micro-batch, so a long-lived index accretes small files and
     * every per-batch join pays the listing/open overhead. Rewrites the
     * (distinct by construction) window set into `targetFiles` parquet
-    * files and swaps directories — a maintenance job for the index's
-    * single writer to run between batches (same single-writer posture as
-    * the append; the replicator's compaction job is the journal-plane
-    * analogue). The set itself is untouched: readers see identical
-    * windows before and after (spec'd, including an incremental clean).
+    * files behind the generation swap ([[graft.util.DirSwap]] — a fresh
+    * generation directory published by an atomic pointer replace, the
+    * previous generation retained for in-flight readers), so concurrent
+    * readers never lose listed files mid-read. The set itself is
+    * untouched: readers see identical windows before and after (spec'd).
+    * Single maintainer, like the appends.
     */
   def compactSpanIndex(
       spark: SparkSession,
       indexDir: String,
       targetFiles: Int = 8
   ): Unit = {
-    repairSpanIndex(indexDir) // also sweeps leftovers of a crashed compact
     val root = java.nio.file.Paths.get(indexDir)
-    val windows = root.resolve("windows")
-    val tmp = root.resolve(s"windows.compact-${System.nanoTime()}")
-    spark.read
-      .parquet(windows.toString)
-      .repartition(targetFiles)
-      .write
-      .parquet(tmp.toString)
-    val old = root.resolve(s"windows.old-${System.nanoTime()}")
-    java.nio.file.Files.move(windows, old)
-    java.nio.file.Files.move(tmp, windows)
-    graft.util.Fs.deleteRecursively(old)
+    val live = graft.util.DirSwap.resolve(root, "windows").toString
+    graft.util.DirSwap.swap(root, "windows") { tmp =>
+      spark.read
+        .parquet(live)
+        .repartition(targetFiles)
+        .write
+        .parquet(tmp.toString)
+    }
   }
 
-  /** Crash repair for the span index's compaction swap — the swap is two
-    * renames, and a crash between them leaves no `windows` directory. The
-    * repair adopts the newest COMPLETE compacted copy (`windows.compact-*`
-    * carrying Spark's `_SUCCESS` marker — it holds the full set by
-    * construction, having been written before the swap began) or, absent
-    * one, moves the newest `windows.old-*` back; stale leftovers are then
-    * swept. Called by every index consumer (clean / append / compact), so
-    * a crashed maintenance job can never brick the streaming loop.
-    * Single-maintainer posture like the append itself.
+  /** Consumer-side validation hook for the span index's generation swap
+    * (see [[graft.util.DirSwap.repair]]): with the pointer publish there
+    * is nothing to adopt — a crashed compaction leaves an orphan
+    * generation or a stale pointer tmp, both invisible to readers and
+    * swept by the next swap. Kept so every consumer's call site still
+    * fails fast on a store damaged outside the protocol.
     */
-  def repairSpanIndex(indexDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(indexDir)
-    val windows = root.resolve("windows")
-    def listPrefixed(prefix: String): Seq[java.nio.file.Path] = {
-      if (!Files.exists(root)) return Seq.empty
-      val s = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(prefix))
-          .toSeq
-          // NUMERIC suffix order — a lexicographic sort of nanoTime
-          // suffixes misorders across digit counts / JVM restarts and
-          // could adopt a stale copy
-          .sortBy(p =>
-            p.getFileName.toString.stripPrefix(prefix).toLongOption
-              .getOrElse(Long.MinValue)
-          )
-      } finally s.close()
-    }
-    if (!Files.exists(windows)) {
-      val complete = listPrefixed("windows.compact-")
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-      val fallback = listPrefixed("windows.old-")
-      (complete.lastOption orElse fallback.lastOption).foreach { chosen =>
-        Files.move(chosen, windows)
-      }
-    }
-    (listPrefixed("windows.compact-") ++ listPrefixed("windows.old-"))
-      .foreach(p => graft.util.Fs.deleteRecursively(p))
-  }
+  def repairSpanIndex(indexDir: String): Unit =
+    graft.util.DirSwap.repair(java.nio.file.Paths.get(indexDir), "windows")
 
   /** D12 incremental form: clean a NEW batch against a PERSISTED span
     * index ([[writeSpanIndex]]) — the old corpus never re-windows. A new
@@ -1447,7 +1414,7 @@ object Dedup {
     val dupStarts = grouped
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
       .join(
-        spark.read.parquet(s"$indexDir/windows")
+        spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
           .select(col("win").as("iw"), lit(1).as("in_index")),
         col("win") === col("iw"),
         "left"
@@ -1615,6 +1582,9 @@ object Dedup {
       chunkWords: Int = 20
   ): Unit = {
     import spark.implicits._
+    // a REBUILD into an existing store supersedes any swapped generation
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out).resolve("windows.current")): Unit
     chunkRows(tokenized(d), chunkWords)
       .select(chunkFp(col("chunk")).as("win"))
       .distinct()
@@ -1643,12 +1613,12 @@ object Dedup {
         .select(chunkFp(col("chunk")).as("win"))
         .distinct()
         .join(
-          spark.read.parquet(s"$indexDir/windows"),
+          spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString),
           Seq("win"),
           "left_anti"
         )
     )
-    novel.write.mode("append").parquet(s"$indexDir/windows")
+    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
     Eager.releaseCheckpoint(novel)
   }
 
@@ -1678,7 +1648,9 @@ object Dedup {
       .withColumn("first", first)
       .join(
         spark.read
-          .parquet(s"$indexDir/windows")
+          .parquet(graft.util.DirSwap
+            .resolve(java.nio.file.Paths.get(indexDir), "windows")
+            .toString)
           .select(col("win").as("iw"), lit(1).as("in_index")),
         col("key") === col("iw"),
         "left"

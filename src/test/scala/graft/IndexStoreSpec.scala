@@ -192,9 +192,11 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.pipeline.Dedup.appendToSpanIndex(spark, tmp, n1)
     graft.pipeline.Dedup.appendToSpanIndex(spark, tmp, n2)
 
-    def files(): Int = Option(new java.io.File(s"$tmp/windows").listFiles())
+    def liveWin(): String = graft.util.DirSwap
+      .resolve(java.nio.file.Paths.get(tmp), "windows").toString
+    def files(): Int = Option(new java.io.File(liveWin()).listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
-    def winSet(): Set[(Long, Long)] = spark.read.parquet(s"$tmp/windows")
+    def winSet(): Set[(Long, Long)] = spark.read.parquet(liveWin())
       .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
       .toSet
     val probe = oldDocs.limit(20)
@@ -210,26 +212,27 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(winSet() == setBefore)
     assert(cleaned() == cleanBefore)
 
-    // crash repair: a kill between the swap's two renames leaves no
-    // windows dir — every consumer must adopt the surviving copy instead
-    // of failing. Case 1: only the moved-aside original exists.
-    val w = java.nio.file.Paths.get(s"$tmp/windows")
-    java.nio.file.Files.move(
-      w, java.nio.file.Paths.get(s"$tmp/windows.old-999"))
-    assert(cleaned() == cleanBefore) // repair adopted the original
-    assert(winSet() == setBefore)
-    // Case 2: a COMPLETE compacted copy (with _SUCCESS) outranks old-*
-    java.nio.file.Files.move(
-      w, java.nio.file.Paths.get(s"$tmp/windows.compact-999"))
+    // crash model of the generation swap: an orphan generation and a
+    // stale pointer tmp leave reads untouched; the next swap sweeps both
+    // and retains only {current, previous} generations
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/windows.gen-999"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/windows.current.tmp-999"),
+      "windows.gen-999".getBytes)
     assert(cleaned() == cleanBefore)
     assert(winSet() == setBefore)
-    // and the leftovers were swept by the repair
-    assert(files() > 0)
-    val leftovers = Option(new java.io.File(tmp).listFiles())
+    graft.pipeline.Dedup.compactSpanIndex(spark, tmp, targetFiles = 2)
+    assert(cleaned() == cleanBefore)
+    assert(winSet() == setBefore)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/windows.gen-999")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/windows.current.tmp-999")))
+    val gens = Option(new java.io.File(tmp).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("windows.old-") ||
-        f.getName.startsWith("windows.compact-"))
-    assert(leftovers.isEmpty)
+      .count(_.getName.startsWith("windows.gen-"))
+    assert(gens <= 2) // current + in-flight-reader grace
   }
 
   test("incremental append: old files untouched, batch-insensitive, probe-all complete") {
