@@ -694,10 +694,10 @@ object Dedup {
     */
   def incrementalDedupGatedQuery(spark: SparkSession, dir: String): DataFrame = {
     val (oldDocs, newDocs) = incrementalSplit(spark, dir)
-    val tmp =
-      java.nio.file.Files.createTempDirectory("graft-d9b-index").toString
-    writeDedupIndex(spark, oldDocs, tmp)
-    incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true)
+    Eager.withTempStore("graft-d9b-index") { tmp =>
+      writeDedupIndex(spark, oldDocs, tmp)
+      incrementalDedupFromIndex(spark, tmp, newDocs, bloomGate = true)
+    }
   }
 
   /** The id boundary of [[incrementalSplit]]: ids below it play the old

@@ -32,6 +32,21 @@ private[graft] object Eager {
     out
   }
 
+  /** Runs `build` against a fresh temp store directory, eagerly
+    * materializes the resulting frame, and deletes the store. The
+    * registered lifecycle queries (p33b/p33d/p35b/d9b) build a full
+    * index/model copy per invocation, and they run on every bench and
+    * verify pass — a copy left behind per run is unbounded /tmp growth.
+    * Materializing FIRST is what makes the delete safe: the returned
+    * frame re-reads its own checkpointed blocks, never the deleted store.
+    */
+  def withTempStore(prefix: String)(build: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    val out = materialized(build(tmp.toString))
+    graft.util.Fs.deleteRecursively(tmp)
+    out
+  }
+
   /** Frees the storage blocks behind a `localCheckpoint`'d DataFrame NOW.
     * `Dataset.unpersist` is a NO-OP for checkpointed frames — it routes
     * through the CacheManager, which has no entry for the LogicalRDD a

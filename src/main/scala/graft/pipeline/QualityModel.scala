@@ -347,16 +347,15 @@ object QualityModel {
   def lmLifecycle(spark: SparkSession, dir: String): DataFrame = {
     val boundary = Dedup.incrementalBoundary(spark, dir)
     val d = docs(spark, dir).select("doc_id", "text")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-p35b-model")
-      .toString
-    writeLmModelOf(spark, d.filter(col("doc_id") < boundary / 2), tmp)
-    appendToLmModel(
-      spark,
-      d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
-      tmp
-    )
-    scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), tmp)
+    Eager.withTempStore("graft-p35b-model") { tmp =>
+      writeLmModelOf(spark, d.filter(col("doc_id") < boundary / 2), tmp)
+      appendToLmModel(
+        spark,
+        d.filter(col("doc_id") >= boundary / 2 && col("doc_id") < boundary),
+        tmp
+      )
+      scoreWithLmModel(spark, d.filter(col("doc_id") >= boundary), tmp)
+    }
   }
 
   /** Model maintenance-debt report — the LM plane's analogue of

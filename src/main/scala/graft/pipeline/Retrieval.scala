@@ -557,12 +557,11 @@ object Retrieval {
   ): DataFrame = {
     val d = docs(spark, dir)
     val split = Dedup.incrementalBoundary(spark, dir)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-p33b-index")
-      .toString
-    writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
-    appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
-    keywordTopKIndexed(spark, dir, tmp, nQueries, k)
+    Eager.withTempStore("graft-p33b-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      keywordTopKIndexed(spark, dir, tmp, nQueries, k)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -700,12 +699,11 @@ object Retrieval {
   ): DataFrame = {
     val d = docs(spark, dir)
     val split = Dedup.incrementalBoundary(spark, dir)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-p33d-index")
-      .toString
-    writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
-    appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
-    bm25TopKIndexed(spark, dir, tmp, nQueries, k)
+    Eager.withTempStore("graft-p33d-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      bm25TopKIndexed(spark, dir, tmp, nQueries, k)
+    }
   }
 
   /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion

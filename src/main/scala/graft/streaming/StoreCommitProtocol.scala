@@ -129,7 +129,13 @@ final class MemCommitProtocol extends StoreCommitProtocol {
   import StreamingReplicator.ConcurrentStoreWriteException
 
   private case class Claim(token: String, stamp: Long)
-  private case class Gen(path: String, epoch: Long)
+  // `prev` = the staged dir superseded by THIS generation's commit: it is
+  // deleted by the NEXT commit (one full commit cycle of grace), not by
+  // this one — a reader that resolved the old epoch keeps its listed
+  // pointer2 files until a further commit supersedes them, the DirSwap
+  // grace model applied to the protocol's data staging (the pointer CAS
+  // itself never contends on data paths)
+  private case class Gen(path: String, epoch: Long, prev: Option[String])
 
   private val claims =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Claim]()
@@ -210,12 +216,21 @@ final class MemCommitProtocol extends StoreCommitProtocol {
         // virgin store: If-None-Match — exactly one epoch-1 publisher;
         // a loser learns immediately (no _WRITER-tag disambiguation
         // needed: the pointer swing is the only publication event)
-        current.putIfAbsent(key, Gen(staged.toString, 1L)) == null
+        current.putIfAbsent(key, Gen(staged.toString, 1L, None)) == null
       else
         current.get(key) match {
           case g if g != null && g.epoch == basedOnEpoch =>
-            val ok = current.replace(key, g, Gen(staged.toString, nextEpoch))
-            if (ok) graft.util.Fs.deleteRecursively(Paths.get(g.path))
+            val ok = current.replace(
+              key,
+              g,
+              Gen(staged.toString, nextEpoch, Some(g.path))
+            )
+            // sweep the generation superseded TWO commits ago — the one
+            // this commit supersedes (g.path) is retained for in-flight
+            // readers of epoch `basedOnEpoch` and falls due next commit
+            if (ok)
+              g.prev.foreach(p =>
+                graft.util.Fs.deleteRecursively(Paths.get(p)))
             ok
           case _ => false
         }

@@ -243,19 +243,17 @@ object StreamingReplicator {
   ): Unit = {
     val nextEpoch = basedOnEpoch + 1
     val cur = root.resolve(s"current-$basedOnEpoch")
-    val old =
-      if (basedOnEpoch == 0L) None
-      else {
-        val o = root.resolve(s"old-$basedOnEpoch-${System.nanoTime()}")
-        try { Files.move(cur, o); Some(o) }
-        catch {
-          case _: java.nio.file.NoSuchFileException =>
-            deleteRecursively(staged)
-            throw new ConcurrentStoreWriteException(
-              s"epoch $basedOnEpoch already superseded — another writer " +
-                "committed first; re-read the store and retry")
-        }
+    if (basedOnEpoch != 0L) {
+      val o = root.resolve(s"old-$basedOnEpoch-${System.nanoTime()}")
+      try Files.move(cur, o)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          deleteRecursively(staged)
+          throw new ConcurrentStoreWriteException(
+            s"epoch $basedOnEpoch already superseded — another writer " +
+              "committed first; re-read the store and retry")
       }
+    }
     try Files.move(staged, root.resolve(s"current-$nextEpoch"))
     catch {
       case e: java.nio.file.FileSystemException =>
@@ -273,7 +271,13 @@ object StreamingReplicator {
         // our own staged gen was adopted by a reader's crash-repair:
         // the generation IS current — success
     }
-    old.foreach(deleteRecursively)
+    // The generation moved aside by THIS commit (old-<basedOnEpoch>) is
+    // RETAINED for one commit cycle: a reader that resolved the old epoch
+    // just before the CAS can still be scanning its files (the DirSwap
+    // grace model applied to the protocol). Sweep only the generations
+    // superseded by EARLIER commits — they have had their cycle.
+    named(root, "old-").filter(_._2 < basedOnEpoch)
+      .foreach(o => deleteRecursively(o._1))
     // claims at or below the adopted epoch are spent
     claimFiles(root).filter(_._2 <= nextEpoch).foreach(c => Files.deleteIfExists(c._1))
   }
@@ -667,11 +671,15 @@ object StreamingReplicator {
 
     named(root, "current-").maxByOption(_._2) match {
       case Some((p, e)) =>
-        // old-* below the committed epoch and gens at/below it are spent.
+        // old-* more than one epoch below the committed one and gens
+        // at/below it are spent — old-<e-1> (the generation the CURRENT
+        // commit moved aside) keeps its one-commit-cycle reader grace
+        // even across resolves (adoptGeneration's retention would
+        // otherwise be undone by the first reader to resolve).
         // Unmarked gens at/below e are swept too: epoch ge <= e was won
         // (by someone), so a marker-less gen-<ge> is a dead writer's
         // partial staging that no claimant will ever sweep otherwise
-        named(root, "old-").filter(_._2 <= e).foreach(o => deleteRecursively(o._1))
+        named(root, "old-").filter(_._2 < e - 1).foreach(o => deleteRecursively(o._1))
         genDirs(root)
           .filter { case (_, ge) => ge <= e }
           .foreach(g => deleteRecursively(g._1))

@@ -34,6 +34,24 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object DirSwap {
 
+  /** Minimum age (directory mtime) a superseded generation must reach
+    * before [[swap]] sweeps it. The {current, previous} pair alone gives
+    * "one maintenance cycle of grace" — but back-to-back swaps (the
+    * inverted-index compactor runs three per call; a streaming loop can
+    * compact on successive micro-batches) can make that one cycle an
+    * arbitrarily short wall-clock window, deleting a generation a slow
+    * in-flight reader is still scanning. Age-based retention bounds the
+    * grace in WALL-CLOCK terms instead: anything younger than this
+    * survives the sweep regardless of how many swaps superseded it, so a
+    * reader is safe for at least `graceMs` from the moment its
+    * generation was written. Tunable per deployment (longest expected
+    * scan) via `-Dgraft.dirswap.grace.ms=`; tests pin it to 0 to
+    * exercise the sweep itself.
+    */
+  def graceMs: Long =
+    sys.props.get("graft.dirswap.grace.ms").flatMap(_.toLongOption)
+      .getOrElse(10L * 60 * 1000)
+
   private def pointer(root: Path, name: String): Path =
     root.resolve(s"$name.current")
 
@@ -76,13 +94,26 @@ object DirSwap {
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING
     )
-    // GC: keep {new current, immediately-previous}; sweep older
-    // generations, the plain dir once it is two generations stale, and
-    // crashed-swap leftovers (orphan gens, pointer tmps)
+    // GC: keep {new current, immediately-previous} PLUS anything younger
+    // than the wall-clock grace window (slow in-flight readers outlive
+    // even back-to-back swaps); sweep older generations, the plain dir
+    // once it is two generations stale AND aged out, and crashed-swap
+    // leftovers (orphan gens, pointer tmps)
     val keep = Set(gen.getFileName.toString, prev.getFileName.toString)
+    val grace = graceMs
+    def agedOut(p: Path): Boolean =
+      try
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis >= grace
+      catch {
+        // vanished or unreadable mid-sweep: another party's problem —
+        // retaining one more cycle is always safe
+        case _: java.io.IOException => false
+      }
     (listPrefixed(root, s"$name.gen-") :+ root.resolve(name))
       .filter(Files.exists(_))
       .filterNot(p => keep.contains(p.getFileName.toString))
+      .filter(agedOut)
       .foreach(Fs.deleteRecursively)
     listPrefixed(root, s"$name.current.tmp-").foreach(Fs.deleteRecursively)
   }

@@ -208,4 +208,70 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.unpersist(false)
     }
   }
+
+  // Superseded-generation grace (round-10 advice): a commit must not
+  // delete the generation it supersedes — a reader that resolved the old
+  // epoch may still be scanning it. The generation falls due at the NEXT
+  // commit (the DirSwap grace model). The observable differs per
+  // implementation — Mem stages under unique never-renamed keys, so the
+  // reader's LISTED PATHS stay readable; Fs's CAS is itself a rename, so
+  // the retained form is the old-* twin (the crash-recovery fallback) —
+  // hence one test per implementation rather than a generic one.
+
+  test("[mem-conditional-put] a reader's resolved generation outlives the next commit, swept by the one after") {
+    val p = new MemCommitProtocol
+    val a = actions.cache()
+    val Seq(c1, c2, c3) = chunks(a, 3)
+    val tmp = Files.createTempDirectory("graft-law-grace-mem").toString
+    StreamingReplicator.applyBatch(spark, tmp, c1, protocol = p) // epoch 1
+    val (gen1, e1) = p.resolveCurrent(tmp)
+    assert(e1 == 1L)
+    val listed = {
+      val s = Files.walk(gen1)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    assert(listed.nonEmpty)
+    StreamingReplicator.applyBatch(spark, tmp, c2, protocol = p) // epoch 2
+    listed.foreach(f =>
+      assert(
+        Files.exists(f),
+        s"reader grace violated: $f vanished on the commit that superseded it"
+      )
+    )
+    StreamingReplicator.applyBatch(spark, tmp, c3, protocol = p) // epoch 3
+    assert(
+      !Files.exists(gen1),
+      "the generation superseded two commits ago must be swept"
+    )
+    a.unpersist(false)
+  }
+
+  test("[fs] the superseded generation's old-* twin is retained until the next commit") {
+    import scala.jdk.CollectionConverters._
+    val a = actions.cache()
+    val Seq(c1, c2, c3) = chunks(a, 3)
+    val tmp = Files.createTempDirectory("graft-law-grace-fs").toString
+    def olds(): Seq[String] = {
+      val s = Files.list(Paths.get(tmp))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("old-")).toList
+      finally s.close()
+    }
+    StreamingReplicator.applyBatch(spark, tmp, c1) // epoch 1
+    StreamingReplicator.applyBatch(spark, tmp, c2) // epoch 2: current-1 -> old-1-*
+    assert(
+      olds().exists(_.startsWith("old-1-")),
+      "epoch 1's generation must survive the commit that superseded it"
+    )
+    StreamingReplicator.applyBatch(spark, tmp, c3) // epoch 3 sweeps old-1, retains old-2
+    assert(!olds().exists(_.startsWith("old-1-")))
+    assert(olds().exists(_.startsWith("old-2-")))
+    // reader resolves are non-destructive toward the retained twin
+    StreamingReplicator.resolveCurrent(tmp)
+    assert(olds().exists(_.startsWith("old-2-")))
+    a.unpersist(false)
+  }
 }

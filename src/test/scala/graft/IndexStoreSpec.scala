@@ -214,7 +214,8 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // crash model of the generation swap: an orphan generation and a
     // stale pointer tmp leave reads untouched; the next swap sweeps both
-    // and retains only {current, previous} generations
+    // — once aged past the slow-reader grace window — and retains only
+    // {current, previous} generations
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$tmp/windows.gen-999"))
     java.nio.file.Files.write(
@@ -222,6 +223,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "windows.gen-999".getBytes)
     assert(cleaned() == cleanBefore)
     assert(winSet() == setBefore)
+    TestFs.ageOutGenerations(tmp, "windows")
     graft.pipeline.Dedup.compactSpanIndex(spark, tmp, targetFiles = 2)
     assert(cleaned() == cleanBefore)
     assert(winSet() == setBefore)

@@ -166,12 +166,14 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uniFiles() == 1 && filesBefore > 1)            // layers collapsed
 
     // crash model of the generation swap: an orphan generation and a
-    // stale pointer tmp leave scores untouched; the next swap sweeps both
+    // stale pointer tmp leave scores untouched; the next swap sweeps
+    // both once aged past the slow-reader grace window
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/uni.gen-999"))
     Files.write(
       java.nio.file.Paths.get(s"$tmp/uni.current.tmp-999"),
       "uni.gen-999".getBytes)
     assert(score() == scoreBefore)
+    TestFs.ageOutGenerations(tmp, "uni")
     QualityModel.compactLmModel(spark, tmp, targetFiles = 1)
     assert(score() == scoreBefore)
     assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/uni.gen-999")))

@@ -286,10 +286,12 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // crash model of the generation swap: an orphan generation (crash
     // during the replacement write) and a stale pointer tmp (crash
     // around the publish) leave reads untouched; the next swap sweeps
-    // both and retains only {current, previous} generations.
+    // both — once AGED past the slow-reader grace window — and retains
+    // only {current, previous} generations.
     Files.createDirectories(Paths.get(s"$tmp/df.gen-999"))
     Files.write(Paths.get(s"$tmp/df.current.tmp-999"), "df.gen-999".getBytes)
     assert(res() == before)
+    TestFs.ageOutGenerations(tmp, "df")
     Retrieval.compactInvertedIndex(spark, tmp)
     assert(res() == before)
     assert(!Files.exists(Paths.get(s"$tmp/df.gen-999")))
