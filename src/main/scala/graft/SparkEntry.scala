@@ -96,6 +96,13 @@ object SparkEntry {
       val a = actions(s, d)
       JournalOps.staleness(a, JournalOps.defaultWatermark(a))
     }),
+    // t6b — the reader decision FROM the maintained head cache: the log
+    // arrives in offset-ordered chunks, each folded once and merged into
+    // the persisted cache (the reference's HeadCache, never re-folding
+    // history), mid-stream compaction included; output = per-journal head
+    // + partition staleness
+    "t6b_head_cache" -> ((s, d) =>
+      graft.streaming.StreamingHeadCache.lifecycleQuery(s, actions(s, d))),
     "c1_segments" -> ((s, d) => Segments.segments(actions(s, d))),
     "c6_codec_roundtrip" -> ((s, d) => Segments.codecRoundtrip(actions(s, d))),
     "c5_action_header" -> ((s, d) =>
@@ -117,6 +124,10 @@ object SparkEntry {
     // suffix per journal (the reference's actual recovery flow)
     "s10d_snapshot_recovery" -> ((s, d) =>
       Snapshots.recovery(actions(s, d))),
+    // s10e — the snapshot maintainer's debt report: per-journal replay
+    // length (pointer − latest snapshot) with the fire flag; the apply
+    // path and the continuous loop live in StreamingSnapshots
+    "s10e_snapshot_debt" -> ((s, d) => Snapshots.debtReport(actions(s, d))),
     // C2/F8 typed-payload wire roundtrip: every append's typed payload
     // (json envelope / text / v1 binary frame), tags and metadata must
     // survive actions → Kafka wire → actions byte-exactly; binary is
@@ -394,6 +405,9 @@ object SparkEntry {
     "s2_key_tail_scan" -> JournalOracles.keyTailScan,
     "f2_stream_bounds" -> JournalOracles.streamBounds,
     "t6_staleness" -> JournalOracles.staleness,
+    // the cache-maintained decision ≡ the batch headInfo ∘ staleness
+    // composition (HeadCacheSpec law), so the oracle replays the latter
+    "t6b_head_cache" -> JournalOracles.headCacheDecision,
     "c1_segments" -> JournalOracles.segments,
     "c6_codec_roundtrip" -> JournalOracles.codecRoundtrip,
     "c5_action_header" -> JournalOracles.actionHeader,
@@ -401,6 +415,7 @@ object SparkEntry {
     "s10b_snapshot_criteria" -> JournalOracles.snapshotCriteria,
     "s10c_snapshot_lifecycle" -> JournalOracles.snapshotLifecycle,
     "s10d_snapshot_recovery" -> JournalOracles.snapshotRecovery,
+    "s10e_snapshot_debt" -> JournalOracles.snapshotDebt,
     "c7_payload_roundtrip" -> JournalOracles.payloadRoundtrip,
     "s5b_tag_replay" -> JournalOracles.tagReplay,
     "a7b_purge_expired_apply" -> JournalOracles.purgeExpiredApply,

@@ -154,15 +154,17 @@ object HeadInfo {
       }
   }
 
-  /** Flat encodable form of a HeadInfo (for shuffling partials). */
-  private[journal] def pack(h: HeadInfo): (String, Long, Long, Long) = h match {
+  /** Flat encodable form of a HeadInfo (for shuffling partials; also the
+    * persisted-row shape of the streaming head cache's partial folds).
+    */
+  private[graft] def pack(h: HeadInfo): (String, Long, Long, Long) = h match {
     case Empty           => ("e", 0L, 0L, -1L)
     case Purge           => ("p", 0L, 0L, -1L)
     case Delete(d)       => ("d", 0L, 0L, d)
     case Append(o, s, d) => ("a", o, s, d.getOrElse(-1L))
   }
 
-  private[journal] def unpack(t: (String, Long, Long, Long)): HeadInfo =
+  private[graft] def unpack(t: (String, Long, Long, Long)): HeadInfo =
     t._1 match {
       case "e" => Empty
       case "p" => Purge

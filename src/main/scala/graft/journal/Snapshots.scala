@@ -125,14 +125,30 @@ object Snapshots {
     * (the snapshot subsumes it), so recovery reads shrink by exactly the
     * snapshotted prefix.
     */
-  def recovery(actions: DataFrame): DataFrame = {
-    val snap = load(actions, Criteria()).select(
-      col("topic"),
-      col("id"),
-      col("seq_nr").as("snap_seq"),
-      col("koffset").as("snap_koffset"),
-      col("payload").as("snap_payload")
+  def recovery(actions: DataFrame): DataFrame =
+    recoveryWith(
+      actions,
+      table(actions).select("topic", "id", "seq_nr", "koffset", "payload")
     )
+
+  /** [[recovery]] against an EXPLICIT snapshot table (topic, id, seq_nr,
+    * koffset, payload — several rows per journal allowed; the latest
+    * wins), the form the maintenance loop recovers through: the fixture
+    * rule stops being the source of snapshots once [[applySnapshots]] /
+    * the streaming saver writes real ones.
+    */
+  def recoveryWith(actions: DataFrame, snapshots: DataFrame): DataFrame = {
+    val pick = Window.partitionBy("topic", "id").orderBy(col("seq_nr").desc)
+    val snap = snapshots
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("topic"),
+        col("id"),
+        col("seq_nr").as("snap_seq"),
+        col("koffset").as("snap_koffset"),
+        col("payload").as("snap_payload")
+      )
     val snapRows = snap.select(
       col("topic"),
       col("id"),
@@ -156,4 +172,96 @@ object Snapshots {
       )
     snapRows.unionByName(tail).orderBy("topic", "id", "seq_nr")
   }
+
+  // ---------------------------------------------------------------------
+  // S10e — snapshot MAINTENANCE: the s10 plane's k14. A deployment's
+  // recovery cost is the replay-suffix length (pointer − latest snapshot),
+  // so the maintainer reports that debt per journal, fires when it crosses
+  // a threshold, and saves a snapshot at the journal's current head —
+  // reference intent: SnapshotStore.scala:11-62 save +
+  // SnapshotSelectionCriteria-driven retention, operated continuously by
+  // [[graft.streaming.StreamingSnapshots]].
+  // ---------------------------------------------------------------------
+
+  /** Per-journal replay-length debt: `pointer − latest snapshot seq_nr`
+    * (0 when no snapshot), with the maintainer's fire flag. `pointer` is
+    * the A2 pointer (max appended seq_nr after the last purge) — the
+    * seq_nr a recovery must reach; journals with no post-purge appends
+    * have nothing to recover and are absent.
+    *
+    * Scale shape: one keyed aggregation per side joined on the journal
+    * key — the snapshot table is journal-grain (bufferSize rows each),
+    * the pointer an aggregation the metajournal already maintains; AQE
+    * territory at any corpus size.
+    */
+  def snapshotDebt(
+      actions: DataFrame,
+      snapshots: DataFrame,
+      threshold: Long = 25L
+  ): DataFrame =
+    JournalOps
+      .pointer(actions)
+      .select(col("topic"), col("id"), col("seq_nr").as("pointer"))
+      .join(
+        snapshots
+          .groupBy("topic", "id")
+          .agg(max("seq_nr").as("snap_seq")),
+        Seq("topic", "id"),
+        "left"
+      )
+      .select(
+        col("topic"),
+        col("id"),
+        col("pointer"),
+        col("snap_seq"),
+        (col("pointer") - coalesce(col("snap_seq"), lit(0L))).as("debt"),
+        (col("pointer") - coalesce(col("snap_seq"), lit(0L)) > threshold)
+          .as("snapshot_recommended")
+      )
+      .orderBy("topic", "id")
+
+  /** Fires the maintainer: journals whose debt exceeds `threshold` get a
+    * snapshot AT THEIR POINTER — the post-purge append row carrying that
+    * seq_nr supplies koffset/ts/payload (the fixture's payload-as-state
+    * stand-in; a deployment folds real state, same plumbing). Returns the
+    * updated snapshot table (existing ∪ fired); the ring/retention
+    * discipline is the save path's own concern ([[ringUpsert]] for the
+    * batch store, compaction for the persisted one).
+    *
+    * The pointer event may itself be delete-marked — a deleted EVENT no
+    * longer replays, but the STATE at its seq_nr is exactly what a
+    * snapshot preserves (the reference's snapshots outlive journal
+    * deletion; that is their point), so the save reads the post-purge
+    * append row regardless of delete status.
+    */
+  def applySnapshots(
+      actions: DataFrame,
+      snapshots: DataFrame,
+      threshold: Long = 25L
+  ): DataFrame = {
+    val due = snapshotDebt(actions, snapshots, threshold)
+      .filter(col("snapshot_recommended"))
+      .select(col("topic"), col("id"), col("pointer"))
+    val fired = JournalOps
+      .annotate(actions)
+      .filter(col("action") === "append" && col("after_purge"))
+      .join(due, Seq("topic", "id"))
+      .filter(col("seq_nr") === col("pointer"))
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+    snapshots
+      .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+      .unionByName(fired)
+  }
+
+  /** S10e as one oracle-replayable query: the debt report over the
+    * fixture snapshot store — what the maintainer alerts on. Threshold 5
+    * keeps the fire flag non-vacuous at every test SF (max fixture debt
+    * is 9 at sf0.001, 64 at sf0.01).
+    */
+  def debtReport(actions: DataFrame, threshold: Long = 5L): DataFrame =
+    snapshotDebt(
+      actions,
+      table(actions).select("topic", "id", "seq_nr"),
+      threshold
+    )
 }

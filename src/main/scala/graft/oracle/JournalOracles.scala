@@ -260,6 +260,64 @@ object JournalOracles {
     ORDER BY topic, part_no
   """
 
+  /** T6b — the head-cache reader decision: per-journal head fold of the
+    * unreplicated tail composed with its partition's staleness. The Spark
+    * side maintains this INCREMENTALLY through the persisted head cache
+    * (chunked partial folds merged by the Semigroup); maintained ≡ the
+    * whole-log fold is the HeadCacheSpec law, so this oracle replays the
+    * batch headInfo ∘ staleness composition.
+    */
+  val headCacheDecision: String = s"""${ActionLog.oracleCte},
+    wm AS (
+      SELECT topic, part_no,
+             CAST(floor(MAX(koffset) * 0.8) AS BIGINT) AS wm
+      FROM actions GROUP BY topic, part_no
+    ),
+    ends AS (
+      SELECT topic, part_no, MAX(koffset) + 1 AS end_offset
+      FROM actions GROUP BY topic, part_no
+    ),
+    tail AS (
+      SELECT a.* FROM actions a
+      JOIN wm USING (topic, part_no)
+      WHERE koffset > wm
+    ),
+    tl AS (
+      SELECT *,
+             MAX(CASE WHEN action = 'purge' THEN koffset END)
+               OVER (PARTITION BY topic, id) AS lp
+      FROM tail
+    ),
+    tl2 AS (
+      SELECT *, (lp IS NULL OR koffset > lp) AS after_purge FROM tl
+    ),
+    heads AS (
+      SELECT topic, id, MIN(part_no) AS part_no,
+             MIN(CASE WHEN action = 'append' AND after_purge THEN koffset END)
+               AS head_offset,
+             MAX(CASE WHEN action = 'append' AND after_purge THEN seq_nr END)
+               AS head_seq_nr,
+             CASE
+               WHEN MAX(CASE WHEN action = 'append' AND after_purge THEN seq_nr END)
+                    IS NOT NULL THEN 'append'
+               WHEN MAX(CASE WHEN action = 'delete' AND after_purge THEN delete_to END)
+                    IS NOT NULL THEN 'delete'
+               WHEN MAX(CASE WHEN action = 'purge' THEN 1 ELSE 0 END) = 1
+                    THEN 'purge'
+               ELSE 'empty'
+             END AS kind
+      FROM tl2
+      GROUP BY topic, id
+    )
+    SELECT h.topic, h.id, h.part_no, h.kind, h.head_offset, h.head_seq_nr,
+           e.end_offset - w.wm - 1 AS lag,
+           h.kind = 'empty' AS tail_skippable
+    FROM heads h
+    JOIN wm w ON h.topic = w.topic AND h.part_no = w.part_no
+    JOIN ends e ON h.topic = e.topic AND h.part_no = e.part_no
+    ORDER BY h.topic, h.id
+  """
+
   /** Java String.hashCode as portable SQL: Horner sum in BIGINT (exact for
     * ids up to 8 chars), wrapped to int32 once at the end (mod 2^32 is a
     * ring homomorphism, so one wrap equals per-step int overflow).
@@ -407,6 +465,30 @@ object JournalOracles {
     ) t
     WHERE rn = 1
     ORDER BY topic, id
+  """
+
+  /** S10e — the snapshot maintainer's debt report (Snapshots.debtReport):
+    * A2 pointer vs latest fixture snapshot, fire flag at threshold 5.
+    */
+  val snapshotDebt: String = s"""$annCte,
+    ptr AS (
+      SELECT topic, id, MAX(seq_nr) AS pointer
+      FROM ann3
+      WHERE action = 'append' AND after_purge
+      GROUP BY topic, id
+    ),
+    snaps AS (
+      SELECT topic, id, MAX(seq_nr) AS snap_seq
+      FROM ann3
+      WHERE action = 'append' AND after_purge
+        AND seq_nr > COALESCE(dt, 0) AND seq_nr % 10 = 0
+      GROUP BY topic, id
+    )
+    SELECT p.topic, p.id, p.pointer, s.snap_seq,
+           p.pointer - COALESCE(s.snap_seq, 0) AS debt,
+           p.pointer - COALESCE(s.snap_seq, 0) > 5 AS snapshot_recommended
+    FROM ptr p LEFT JOIN snaps s ON p.topic = s.topic AND p.id = s.id
+    ORDER BY p.topic, p.id
   """
 
   /** s10d — snapshot-accelerated recovery (Snapshots.recovery): latest
