@@ -56,8 +56,8 @@ object RetrievalSkewStress {
       r
     }
 
-    time(s"index build ($nDocs docs)") {
-      Retrieval.writeInvertedIndexOf(spark, corpus, idx)
+    time(s"index build ($nDocs docs, positional)") {
+      Retrieval.writeInvertedIndexOf(spark, corpus, idx, withPositions = true)
     }
 
     val ss = spark
@@ -77,6 +77,32 @@ object RetrievalSkewStress {
       println(s"[rskew] $name rows=$n twoPhaseTopK=$partial")
       assert(partial, "expected partial+final WindowGroupLimit in the plan")
       assert(n > 0)
+    }
+
+    // Stopword-PHRASE probe: the pathological phrase query leads with the
+    // corpus-wide term — its positions leg is one row per document — while
+    // the second slot prunes the anchors. The anchor aggregation is
+    // map-side combined and the final rank is the same two-phase top-k,
+    // so the hot phrase stays shuffle-bounded by (matching docs), not by
+    // the stopword's position list landing on one machine.
+    val tok0 = corpus
+      .filter(col("doc_id") === 0L)
+      .select(expr("filter(split(text, ' '), x -> x != '')"))
+      .head()
+      .getSeq[String](0)
+    val hotPhrase = Seq((10L, 1L, tok0(0)), (10L, 2L, tok0(1)))
+      .toDF("qid", "j", "w") // "the <band0>": ~nDocs/50 matches
+    val rarePhrase = Seq((11L, 1L, tok0(5)), (11L, 2L, tok0(6)))
+      .toDF("qid", "j", "w") // high-band bigram: near-unique
+    for ((name, ph) <- Seq("hot(stopword-led)" -> hotPhrase,
+        "rare" -> rarePhrase)) {
+      val res = Retrieval.phraseTopKIndexedOf(spark, ph, idx, k = 10)
+      val plan = res.queryExecution.executedPlan.toString
+      val partial = plan.contains("WindowGroupLimit") &&
+        plan.contains("Partial") && plan.contains("Final")
+      val n = time(s"phrase $name")(res.count())
+      println(s"[rskew] phrase $name rows=$n twoPhaseTopK=$partial")
+      assert(partial, "expected partial+final WindowGroupLimit in the plan")
     }
 
     // O(batch) append + fold: the batch is 1% of the corpus

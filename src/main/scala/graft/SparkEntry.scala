@@ -328,6 +328,14 @@ object SparkEntry {
     // oracle by the same law)
     "p33d_bm25_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.bm25IndexLifecycle(s, d)),
+    // p33e — exact-phrase retrieval: positions-adjacency match of each
+    // query doc's leading n-gram, BM25-scored (positional postings)
+    "p33e_phrase_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.phraseTopK(s, d)),
+    // p33f — the phrase query through the stored POSITIONAL index
+    // lifecycle (build with positions → append → phrase-search the store)
+    "p33f_phrase_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.phraseIndexLifecycle(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
     // p36 — hybrid retrieval: RRF fusion of the lexical (p33) and
@@ -507,6 +515,9 @@ object SparkEntry {
     // same oracle as p33c by the same indexed ≡ inline law
     "p33d_bm25_indexed" -> PipelineOracles.bm25TopK,
     "p36b_hybrid_bm25" -> PipelineOracles.hybridBm25TopK,
+    "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
+    // same oracle as p33e by the indexed ≡ inline law
+    "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
     "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,

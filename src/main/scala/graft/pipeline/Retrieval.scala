@@ -180,6 +180,27 @@ object Retrieval {
   private def wbOf(w: Column, buckets: Int): Column =
     pmod(PolyHash.polyHash(w), lit(buckets.toLong))
 
+  private def liveDir(indexDir: String, sub: String): String =
+    graft.util.DirSwap
+      .resolve(java.nio.file.Paths.get(indexDir), sub)
+      .toString
+
+  /** Token positions at the corpus's standard whitespace grain —
+    * (doc_id, w, pos), pos 1-based over the empty-filtered token
+    * sequence (the p32b enumeration). One row-local posexplode; the
+    * positional-postings payload of the stored index.
+    */
+  private[graft] def positionalPostings(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+        .as(Seq("pos0", "w"))
+    ).select(
+      col("doc_id"),
+      col("w"),
+      (col("pos0") + 1L).cast("long").as("pos")
+    )
+
   /** Posting rows with the denormalized document length: one row-local
     * pass (dl = size of the token array, postings from its explode) — no
     * join at ingest, no join at query.
@@ -196,12 +217,21 @@ object Retrieval {
       .groupBy("doc_id", "dl", "w")
       .agg(count(lit(1)).as("tf"))
 
-  /** Builds the persisted inverted index over `corpus` (doc_id, text). */
+  /** Builds the persisted inverted index over `corpus` (doc_id, text).
+    *
+    * `withPositions` additionally stores POSITIONAL postings
+    * (`positions/wb=*`: doc_id, w, pos — same wb bucketing and layering),
+    * the payload phrase queries ([[phraseTopKIndexed]]) adjacency-join
+    * on. Opt-in: positions are token-grain (≈ total_tokens rows vs the
+    * distinct-term grain of `postings`), so frequency-only consumers
+    * skip the cost — the Lucene omit-positions trade.
+    */
   def writeInvertedIndexOf(
       spark: SparkSession,
       corpus: DataFrame,
       out: String,
-      buckets: Int = IndexBuckets
+      buckets: Int = IndexBuckets,
+      withPositions: Boolean = false
   ): Unit = {
     // a REBUILD into an existing store supersedes any swapped generation:
     // drop the pointers so the plain directories are live again
@@ -240,6 +270,15 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("layer")
       .parquet(s"$out/stats")
+    if (withPositions)
+      positionalPostings(corpus)
+        .withColumn("wb", wbOf(col("w"), buckets))
+        .repartition(buckets, col("wb"))
+        .withColumn("layer", lit(0L))
+        .write
+        .mode("overwrite")
+        .partitionBy("wb", "layer")
+        .parquet(s"$out/positions")
     spark
       .range(1)
       .select(lit(buckets).as("buckets"))
@@ -314,13 +353,26 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("layer")
       .parquet(live("stats"))
+    // a positional store extends its positions with the batch; a
+    // frequency-only store stays frequency-only (the build's choice is
+    // the store's contract — readers never guess)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("positions"))))
+      positionalPostings(newDocs)
+        .withColumn("wb", wbOf(col("w"), buckets))
+        .repartition(buckets, col("wb"))
+        .withColumn("layer", lit(layer))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("wb", "layer")
+        .parquet(live("positions"))
     tf.unpersist(false)
   }
 
-  /** The three swappable store directories; `params` is written once and
-    * never compacted.
+  /** The swappable store directories (`positions` only in positional
+    * stores); `params` is written once and never compacted.
     */
-  private val SwappedDirs = Seq("postings", "df", "stats")
+  private val SwappedDirs = Seq("postings", "df", "stats", "positions")
 
   /** Crash repair for an interrupted [[compactInvertedIndex]]; called by
     * every store consumer (query / append / compact) so a crashed
@@ -403,6 +455,16 @@ object Retrieval {
         .partitionBy("layer")
         .parquet(tmp.toString)
     }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("positions"))))
+      graft.util.DirSwap.swap(root, "positions") { tmp =>
+        spark.read
+          .parquet(live("positions"))
+          .withColumn("layer", folded)
+          .repartition(buckets, col("wb"))
+          .write
+          .partitionBy("wb", "layer")
+          .parquet(tmp.toString)
+      }
   }
 
   /** Index maintenance-debt report — the retrieval plane's analogue of
@@ -586,6 +648,27 @@ object Retrieval {
   // corpus's scales the straight form is exact and the headroom real.
   // ---------------------------------------------------------------------
 
+  private val Bm25TermPpm: String =
+    "idf_ppm * ((tf * 2200000 * 1000000) DIV (tf * 1000000 + " +
+      "(1200000 * (250000 + (750000 * dl * n_docs) DIV total_tokens)) DIV 1000000)) " +
+      "DIV 1000000"
+
+  /** Per-(qid, doc) BM25 scores (no ranking) — shared by the ranked
+    * top-k and the phrase query (which ranks only phrase-matching docs).
+    */
+  private def bm25Scores(
+      post: DataFrame,
+      weighted: DataFrame,
+      stats: DataFrame
+  ): DataFrame =
+    post
+      .join(broadcast(weighted), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats)) // single row (n_docs, total_tokens)
+      .select(col("qid"), col("doc_id"), expr(Bm25TermPpm).as("term_ppm"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("term_ppm").as("score"))
+
   private def bm25Score(
       post: DataFrame,
       weighted: DataFrame,
@@ -593,21 +676,7 @@ object Retrieval {
       k: Int
   ): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    post
-      .join(broadcast(weighted), Seq("w"))
-      .filter(col("doc_id") =!= col("qid"))
-      .crossJoin(broadcast(stats)) // single row (n_docs, total_tokens)
-      .select(
-        col("qid"),
-        col("doc_id"),
-        expr(
-          "idf_ppm * ((tf * 2200000 * 1000000) DIV (tf * 1000000 + " +
-            "(1200000 * (250000 + (750000 * dl * n_docs) DIV total_tokens)) DIV 1000000)) " +
-            "DIV 1000000"
-        ).as("term_ppm")
-      )
-      .groupBy("qid", "doc_id")
-      .agg(sum("term_ppm").as("score"))
+    bm25Scores(post, weighted, stats)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "rank", "score")
@@ -703,6 +772,178 @@ object Retrieval {
       writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
       appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
       bm25TopKIndexed(spark, dir, tmp, nQueries, k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // P33e/P33f — PHRASE retrieval: rank documents containing the exact
+  // query n-gram, via a positions-adjacency join (reference inverted
+  // indexes call these positional postings; Lucene's PhraseQuery). Each
+  // query's phrase is its document's first `phraseLen` tokens; a document
+  // matches at anchor p when token j of the phrase sits at position p+j
+  // for EVERY j — one equi-join of the phrase terms against the positions
+  // table, grouped by (query, doc, anchor = pos − j), anchors with all
+  // phraseLen slots present count as occurrences. Matching docs are
+  // BM25-scored on the phrase terms (same ppm arithmetic as p33c).
+  //
+  // Scale shape: the positions table is term-keyed like the posting
+  // lists — candidate generation touches only the PHRASE TERMS' position
+  // rows (broadcast phrase ⋈ positions; stored form additionally
+  // partition-prunes to the phrase terms' wb buckets); the anchor
+  // aggregation is map-side combinable and its key space is (matching
+  // docs × phrase length), never the corpus.
+  // ---------------------------------------------------------------------
+
+  /** Ranks docs containing the exact phrase, from explicit inputs:
+    * `positions` (doc_id, w, pos), the BM25 legs, and the phrase
+    * `(qid, j, w)` with j the 1-based slot.
+    */
+  private def phraseRank(
+      positions: DataFrame,
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      phrase: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val plen = phrase.groupBy("qid").agg(count(lit(1)).as("plen"))
+    val occ = positions
+      .join(broadcast(phrase), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        (col("pos") - col("j")).as("anchor"),
+        col("j")
+      )
+      .groupBy("qid", "doc_id", "anchor")
+      .agg(countDistinct("j").as("nj"))
+      .join(broadcast(plen), Seq("qid"))
+      .filter(col("nj") === col("plen"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val weighted = phrase
+      .select("qid", "w")
+      .distinct()
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    occ
+      .join(bm25Scores(post, weighted, stats), Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score", "n_occurrences")
+      .orderBy("qid", "rank")
+  }
+
+  /** The standard phrase protocol: each query doc's first `phraseLen`
+    * tokens as (qid, j, w) — row-local, never from the index.
+    */
+  private def queryPhrases(
+      d: DataFrame,
+      nQueries: Int,
+      phraseLen: Int
+  ): DataFrame =
+    positionalPostings(d.filter(col("doc_id") < nQueries))
+      .filter(col("pos") <= phraseLen)
+      .select(col("doc_id").as("qid"), col("pos").as("j"), col("w"))
+
+  /** P33e — phrase top-k, inline form (positions computed in-plan; the
+    * stored-index twin is [[phraseTopKIndexed]], row-identical by law).
+    */
+  def phraseTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val out = phraseRank(
+      positionalPostings(d),
+      tf,
+      dfm,
+      stats,
+      queryPhrases(d, nQueries, phraseLen),
+      k
+    )
+    Eager.materialized(out, tf)
+  }
+
+  /** Phrase top-k against the STORED positional index: the positions
+    * scan, posting scan, and df merge are all partition-pruned to the
+    * phrase terms' wb buckets. `phrase` is (qid, j, w).
+    */
+  def phraseTopKIndexedOf(
+      spark: SparkSession,
+      phrase: DataFrame,
+      indexDir: String,
+      k: Int = 5
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(
+      spark,
+      indexDir,
+      phrase.select("qid", "w").distinct()
+    )
+    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
+    val positions = spark.read
+      .parquet(liveDir(indexDir, "positions"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .select("doc_id", "w", "pos")
+    phraseRank(positions, post, dfm, stats, phrase, k)
+  }
+
+  /** [[phraseTopKIndexedOf]] with the standard phrase protocol. */
+  def phraseTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3
+  ): DataFrame =
+    phraseTopKIndexedOf(
+      spark,
+      queryPhrases(docs(spark, dir), nQueries, phraseLen),
+      indexDir,
+      k
+    )
+
+  /** P33f — the phrase lifecycle twin of [[keywordIndexLifecycle]]: build
+    * the positional history index, append the daily batch, phrase-search
+    * the store. Row-identical to the inline [[phraseTopK]] (same oracle).
+    */
+  def phraseIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33f-index") { tmp =>
+      writeInvertedIndexOf(
+        spark,
+        d.filter(col("doc_id") < split),
+        tmp,
+        withPositions = true
+      )
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      phraseTopKIndexed(spark, dir, tmp, nQueries, k, phraseLen)
     }
   }
 

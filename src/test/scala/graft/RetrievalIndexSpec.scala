@@ -66,6 +66,58 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  private def rows5(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+    df.collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      )
+      .toSeq
+
+  test("stored phrase search is row-identical to the inline positional build, through compaction") {
+    val tmp = Files.createTempDirectory("graft-ii-phrase").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+    val inline = rows5(Retrieval.phraseTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain cross-doc phrase matches")
+    assert(rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp)) == inline)
+    Retrieval.compactInvertedIndex(spark, tmp)
+    assert(rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp)) == inline)
+  }
+
+  test("positional append ≡ rebuild; p33f lifecycle equals inline; frequency-only stores stay positions-free") {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val old = docs.filter(col("doc_id") < boundary)
+    val fresh = docs.filter(col("doc_id") >= boundary)
+
+    val incr = Files.createTempDirectory("graft-ii-posincr").toString
+    Retrieval.writeInvertedIndexOf(spark, old, incr, withPositions = true)
+    Retrieval.appendToInvertedIndex(spark, fresh, incr)
+    val full = Files.createTempDirectory("graft-ii-posfull").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, full, withPositions = true)
+    def posSet(dir: String): Set[(Long, String, Long)] =
+      spark.read
+        .parquet(live(dir, "positions").toString)
+        .select("doc_id", "w", "pos")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(posSet(incr) == posSet(full), "appended positions ≡ rebuild")
+    assert(
+      rows5(Retrieval.phraseTopKIndexed(spark, sfDir, incr)) ==
+        rows5(Retrieval.phraseTopK(spark, sfDir))
+    )
+    // the registered lifecycle query IS this composition — the oracle-reuse
+    // justification
+    assert(
+      rows5(Retrieval.phraseIndexLifecycle(spark, sfDir)) ==
+        rows5(Retrieval.phraseTopK(spark, sfDir))
+    )
+    // a frequency-only store never grows a positions directory
+    val freq = Files.createTempDirectory("graft-ii-freqonly").toString
+    Retrieval.writeInvertedIndexOf(spark, old, freq)
+    Retrieval.appendToInvertedIndex(spark, fresh, freq)
+    assert(!Files.exists(Paths.get(s"$freq/positions")))
+  }
+
   private def live(dir: String, sub: String): Path =
     graft.util.DirSwap.resolve(Paths.get(dir), sub)
 
