@@ -250,6 +250,9 @@ object SparkEntry {
     // p32b — the tokenizer artifact's output: the trained state encoded
     // to (doc_id, pos, token_id) against the derived vocabulary
     "p32b_token_ids" -> ((s, d) => TextAnalysis.tokenIds(s, d)),
+    // p32c — the artifact round trip: persist tokenizer → encode → DECODE;
+    // in-vocab text reproduces the whitespace-normalized corpus exactly
+    "p32c_decode_roundtrip" -> ((s, d) => TextAnalysis.decodeRoundtrip(s, d)),
     "p15_repetition" -> (TextAnalysis.repetition _),
     "p16_pii_scan" -> (graft.pipeline.Pii.piiScan _),
     "p17_token_windows" -> ((s, d) => graft.pipeline.Packing.tokenWindows(s, d)),
@@ -485,6 +488,7 @@ object SparkEntry {
     "p31_phrase_merges" -> PipelineOracles.phraseMerges,
     "p32_phrase_compression" -> PipelineOracles.phraseCompression,
     "p32b_token_ids" -> PipelineOracles.tokenIds,
+    "p32c_decode_roundtrip" -> PipelineOracles.decodeRoundtrip,
     "p15_repetition" -> PipelineOracles.repetition,
     "p16_pii_scan" -> PipelineOracles.piiScan,
     "p17_token_windows" -> PipelineOracles.tokenWindows,

@@ -1710,6 +1710,24 @@ object PipelineOracles {
     ORDER BY t.doc_id, t.pos
   """
 
+  /** p32c — tokenizer decode round trip
+    * (graft.pipeline.TextAnalysis.decodeRoundtrip): decode ∘ encode over
+    * the training corpus ≡ the whitespace-normalized document (split on
+    * ' ', drop empties, single-space rejoin) — every training token is
+    * in-vocab, and merged tokens are space-joined surface forms, so the
+    * artifact round trip is the identity on normalized text. Documents
+    * with no tokens produce no ids and are absent from both sides.
+    */
+  val decodeRoundtrip: String = """
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, ' '), x -> x <> ''), ' '
+           ) AS text
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ORDER BY doc_id
+  """
+
   /** p12 — vocabulary heavy hitters (graft.pipeline.TextAnalysis
     * .vocabTopK, k=100): top words by occurrence with document
     * frequency; ties broken by word. Spark split / DuckDB string_split

@@ -721,6 +721,65 @@ object TextAnalysis {
       )
   }
 
+  /** Decode (doc_id, pos, token_id) back to text through the STORED
+    * vocabulary — the other half of the artifact a trainer ships: one
+    * id→token join, tokens reassembled in position order and re-joined
+    * with single spaces. Merged phrase tokens are space-joined surface
+    * forms (the trainer's `a + " " + b`), so they decode transparently:
+    * decode ∘ encode reproduces the whitespace-NORMALIZED document
+    * (split, drop empties, single-space rejoin) exactly for in-vocab
+    * text. Id 0 / unknown ids decode as the UNK token — the lossy half
+    * of the standard encoder posture (PipelineSpec OOV law).
+    *
+    * Scale shape: the id join mirrors the encode join (vocabulary-keyed;
+    * broadcast for a bounded production vocabulary); reassembly is one
+    * per-document aggregation whose group payload is the document's own
+    * tokens — row-local work, no cross-document state.
+    */
+  def decodeWithTokenizer(
+      spark: SparkSession,
+      ids: DataFrame,
+      tokenizerDir: String,
+      unk: String = "<unk>"
+  ): DataFrame = {
+    val vocab = spark.read
+      .parquet(s"$tokenizerDir/vocab")
+      .select("w", "token_id")
+    ids
+      .join(vocab, Seq("token_id"), "left")
+      .select(
+        col("doc_id"),
+        col("pos"),
+        coalesce(col("w"), lit(unk)).as("w")
+      )
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")
+          ),
+          " "
+        ).as("text")
+      )
+  }
+
+  /** P32c — the tokenizer round trip as one oracle-replayable lifecycle
+    * query: persist the artifact, ENCODE the corpus against the store,
+    * DECODE the ids back. Every training-corpus token is in-vocab by
+    * construction, so the result ≡ the whitespace-normalized corpus —
+    * which is exactly the DuckDB oracle (the d9b identity trick: the
+    * artifact lifecycle is what's under test).
+    */
+  def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Eager.withTempStore("graft-p32c-tokenizer") { tmp =>
+      writeTokenizer(spark, dir, tmp)
+      decodeWithTokenizer(spark, encodeWithTokenizer(spark, d, tmp), tmp)
+        .orderBy("doc_id")
+    }
+  }
+
   /** Adjacent-pair structs of a token array: zip(toks, toks[1:]) — shared
     * by both trainer forms and the delta diff so the pair grain can never
     * drift between them.

@@ -1581,6 +1581,61 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc.exists(_._3 > 0L))
   }
 
+  test("p32c decode: identity on normalized in-vocab text, OOV-lossy as <unk>") {
+    val ss = spark
+    import ss.implicits._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-tokenizer-dec")
+      .toString
+    graft.pipeline.TextAnalysis.writeTokenizer(spark, sfDir, art)
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // decode ∘ encode ≡ whitespace-normalized corpus (every token
+    // in-vocab by construction — the p32c oracle's justification)
+    val got = graft.pipeline.TextAnalysis
+      .decodeWithTokenizer(
+        spark,
+        graft.pipeline.TextAnalysis.encodeWithTokenizer(spark, d, art),
+        art
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val want = d
+      .select(
+        col("doc_id"),
+        expr("array_join(filter(split(text, ' '), x -> x != ''), ' ')")
+          .as("t")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty)
+      .toMap
+    assert(got == want)
+
+    // OOV is LOSSY by design: unknown ids decode as <unk>; in-vocab
+    // neighbors survive. The in-vocab probe comes from the artifact's
+    // own vocabulary (a plain word, not a merged phrase).
+    val inVocab = spark.read
+      .parquet(s"$art/vocab")
+      .filter(!col("w").contains(" "))
+      .orderBy(col("n_occ").desc, col("w"))
+      .head()
+      .getAs[String]("w")
+    val oov = Seq((999000L, s"zzz-not-in-vocab $inVocab zzz-not-in-vocab"))
+      .toDF("doc_id", "text")
+    val dec = graft.pipeline.TextAnalysis
+      .decodeWithTokenizer(
+        spark,
+        graft.pipeline.TextAnalysis.encodeWithTokenizer(spark, oov, art),
+        art
+      )
+      .head()
+      .getString(1)
+    assert(dec == s"<unk> $inVocab <unk>", s"got: $dec")
+  }
+
   test("w9 funnel matches an independent in-memory event replay") {
     val ev = graft.model.ActionLog
       .normalizedEvents(spark, sfDir)
