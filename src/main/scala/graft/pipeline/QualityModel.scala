@@ -378,11 +378,9 @@ object QualityModel {
       .select(col("layer").cast("long"))
       .distinct()
       .count()
-    def filesOf(sub: String): Long = {
-      val s = java.nio.file.Files.walk(live(sub))
-      try s.filter(_.toString.endsWith(".parquet")).count()
-      finally s.close()
-    }
+    // the single listing API (object-store swap point) — never a local walk
+    def filesOf(sub: String): Long =
+      graft.util.Fs.countParquetFiles(live(sub))
     val (uniL, biL, uniF, biF) =
       (layersOf("uni"), layersOf("bi"), filesOf("uni"), filesOf("bi"))
     spark

@@ -491,11 +491,9 @@ object Retrieval {
       .select(col("layer").cast("long"))
       .distinct()
       .count()
-    def filesOf(sub: String): Long = {
-      val s = java.nio.file.Files.walk(live(sub))
-      try s.filter(_.toString.endsWith(".parquet")).count()
-      finally s.close()
-    }
+    // the single listing API (object-store swap point) — never a local walk
+    def filesOf(sub: String): Long =
+      graft.util.Fs.countParquetFiles(live(sub))
     val (layers, postF, dfF, statsRows) = (
       layersOf("df"),
       filesOf("postings"),

@@ -1,0 +1,114 @@
+package graft.util
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ONE health surface for every persisted store — the round-10 verdict's
+  * unification item: the inverted index, LM count tables, IVF vector
+  * store, span/paragraph presence indexes, head cache, and snapshot store
+  * each accrete maintenance debt in one of exactly two shapes, and this
+  * object reports all of them as ONE row schema and drives all their
+  * compactors behind one call:
+  *
+  *   - '''layered''' stores (the exactly-once ingest discipline): every
+  *     append lands a `layer=*` partition; debt = delta layers above the
+  *     base, because every layer is one more file set per scan and one
+  *     more summand in the read-side merges.
+  *   - '''flat''' presence stores (span/paragraph windows): appends are
+  *     idempotent distinct-row files; debt = the data-file count, because
+  *     the per-file open cost is the only thing that grows.
+  *
+  * Row shape: (store, n_layers, n_files, debt_metric, debt,
+  * compact_recommended). Layer identities come from the layer PARTITION
+  * column (no data files read); file counts from [[Fs.countParquetFiles]]
+  * — the single listing API an object-store binding swaps out. Every
+  * directory resolves through [[DirSwap]], so the report always reads the
+  * published generation.
+  *
+  * The generic contract the StoreHealthSpec drives per store:
+  * accrete (appends raise debt) → recommend (threshold fires) →
+  * [[maintainAll]] (the store's own compactor, behind DirSwap) → clear
+  * (the same report stops recommending), reads row-identical throughout
+  * (each store's own law spec pins the read identity; this surface pins
+  * the OPERATIONAL loop).
+  */
+object StoreHealth {
+
+  /** A maintainable store: its root, which sub-directories are
+    * layer-keyed vs flat, the fire thresholds, and its compactor.
+    */
+  final case class Store(
+      name: String,
+      root: String,
+      layeredDirs: Seq[String] = Seq.empty,
+      flatDirs: Seq[String] = Seq.empty,
+      compactOverLayers: Long = 8L,
+      compactOverFiles: Long = 32L,
+      compact: SparkSession => Unit = _ => ()
+  )
+
+  private def liveDir(root: String, sub: String): java.nio.file.Path =
+    DirSwap.resolve(Paths.get(root), sub)
+
+  /** One health row per store, computed from store METADATA only. */
+  def healthAll(spark: SparkSession, stores: Seq[Store]): DataFrame = {
+    import spark.implicits._
+    stores
+      .map { st =>
+        st.layeredDirs.foreach(DirSwap.repair(Paths.get(st.root), _))
+        st.flatDirs.foreach(DirSwap.repair(Paths.get(st.root), _))
+        val layers = st.layeredDirs
+          .map(liveDir(st.root, _))
+          .filter(java.nio.file.Files.exists(_))
+          .map(p =>
+            spark.read
+              .parquet(p.toString)
+              .select(org.apache.spark.sql.functions.col("layer").cast("long"))
+              .distinct()
+              .count()
+          )
+        val nLayers = if (layers.isEmpty) 1L else layers.max
+        val nFiles = (st.layeredDirs ++ st.flatDirs)
+          .map(sub => Fs.countParquetFiles(liveDir(st.root, sub)))
+          .sum
+        val (metric, debt, fire) =
+          if (st.layeredDirs.nonEmpty)
+            ("delta_layers", nLayers - 1L, nLayers > st.compactOverLayers)
+          else ("data_files", nFiles, nFiles > st.compactOverFiles)
+        (st.name, nLayers, nFiles, metric, debt, fire)
+      }
+      .toDF(
+        "store",
+        "n_layers",
+        "n_files",
+        "debt_metric",
+        "debt",
+        "compact_recommended"
+      )
+      .orderBy("store")
+  }
+
+  /** Runs every recommended store's compactor (each already publishes
+    * behind [[DirSwap]]/its protocol), returning (store, compacted) —
+    * the single maintenance entry point a deployment schedules between
+    * batches. Stores below threshold are left untouched: compaction is
+    * not free (it rewrites the base), so the debt threshold IS the
+    * policy.
+    */
+  def maintainAll(spark: SparkSession, stores: Seq[Store]): DataFrame = {
+    import spark.implicits._
+    val fired = healthAll(spark, stores)
+      .collect() // one row per store — the registry is driver-sized
+      .map(r => r.getAs[String]("store") -> r.getAs[Boolean]("compact_recommended"))
+      .toMap
+    stores
+      .map { st =>
+        val due = fired.getOrElse(st.name, false)
+        if (due) st.compact(spark)
+        (st.name, due)
+      }
+      .toDF("store", "compacted")
+      .orderBy("store")
+  }
+}
