@@ -157,6 +157,96 @@ object StreamingAnalytics {
       }
   }
 
+  final case class RetEv(user_id: Long, tsUs: Long)
+  final case class RetState(cohortWeek: Long, offsets: Seq[Long])
+  final case class RetOut(user_id: Long, cohort_week: Long, week_offset: Long)
+
+  /** W10's streaming form — retention cohorts maintained as per-user
+    * state: (cohort week, set of active week offsets), with an increment
+    * row (user, cohort_week, week_offset) EMITTED exactly when the user
+    * is first active in a week — the events a live retention dashboard
+    * consumes. State is O(active weeks) per user — offsets, not events —
+    * and the same week never re-emits (the set is the dedup).
+    *
+    * The cohort is the FIRST week seen, which equals the batch operator's
+    * `min(week)` under per-user event-time order across batches (the
+    * attributionStateful/T4 delivery contract; within a batch rows sort
+    * by time). Source redelivery across committed batches re-emits
+    * at-least-once — increments carry user_id so one keep-first dedup by
+    * (user, cohort, offset) restores exactness, which is precisely what
+    * [[retentionFromIncrements]] does before aggregating.
+    *
+    * Law (StreamingSpec): chunked event-time delivery, increments folded
+    * by [[retentionFromIncrements]] ≡ the batch
+    * [[graft.analytics.Analytics.retentionCohorts]] row-for-row.
+    */
+  def retentionStateful(
+      spark: SparkSession,
+      events: Dataset[RetEv]
+  ): Dataset[RetOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (user: Long, evs: Iterator[RetEv], state: GroupState[RetState]) =>
+        // the batch operator's week grain: unix_micros DIV one week
+        val weeks =
+          evs.map(e => Math.floorDiv(e.tsUs, 604800000000L)).toArray.sorted.distinct
+        if (weeks.isEmpty) Iterator.empty
+        else {
+          var st = state.getOption.getOrElse(RetState(weeks.head, Seq.empty))
+          val seen = scala.collection.mutable.Set(st.offsets: _*)
+          val out = Seq.newBuilder[RetOut]
+          weeks.foreach { w =>
+            val off = w - st.cohortWeek
+            // off < 0 only under cross-batch disorder, which the delivery
+            // contract excludes; dropped rather than silently mis-binned
+            if (off >= 0 && !seen.contains(off)) {
+              seen += off
+              out += RetOut(user, st.cohortWeek, off)
+            }
+          }
+          st = st.copy(offsets = seen.toSeq.sorted)
+          state.update(st)
+          out.result().iterator
+        }
+      }
+  }
+
+  /** Folds emitted retention increments into the w10 report: keep-first
+    * dedup by (user, cohort, offset) — the at-least-once repair — then
+    * the batch operator's aggregation (cohort size = the offset-0 count,
+    * every user's first week by construction).
+    */
+  def retentionFromIncrements(increments: DataFrame): DataFrame = {
+    val uniq = increments
+      .select("user_id", "cohort_week", "week_offset")
+      .distinct()
+    // the size leg re-keys its column: both legs read the same source
+    // (under a memory-sink view a plain self-join fails attribute
+    // deduplication), and the rename sidesteps it without a re-plan
+    val sizes = uniq
+      .filter(col("week_offset") === 0L)
+      .select(col("cohort_week").as("cw"))
+      .groupBy("cw")
+      .agg(count(lit(1)).as("cohort_size"))
+    uniq
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, col("cohort_week") === col("cw"))
+      .drop("cw")
+      .select(
+        col("cohort_week"),
+        col("week_offset"),
+        col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000 DIV cohort_size").as("retained_ppm")
+      )
+      .orderBy("cohort_week", "week_offset")
+  }
+
   final case class AttrEv(
       user_id: Long,
       event_id: Long,

@@ -479,4 +479,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(got == want)
   }
+
+  test("w10 streaming twin: chunked retention increments fold to the batch cohort report") {
+    import graft.streaming.StreamingAnalytics.RetEv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ss = spark
+    import ss.implicits._
+    val evs = ActionLog
+      .normalizedEvents(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[RetEv]
+      .collect()
+      .sortBy(_.tsUs)
+    val chunks = evs.grouped(math.max(evs.length / 4, 1)).toSeq
+
+    val ms = MemoryStream[RetEv]
+    val q = StreamingAnalytics
+      .retentionStateful(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("retention_stream")
+      .outputMode("append")
+      .start()
+    try
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+
+    val incs = spark.table("retention_stream")
+    // each (user, week) emits exactly once across all chunks
+    assert(
+      incs.groupBy("user_id", "cohort_week", "week_offset").count()
+        .filter(col("count") > 1).count() == 0
+    )
+    val got = StreamingAnalytics
+      .retentionFromIncrements(incs)
+      .collect()
+      .map(_.mkString("|"))
+      .toSeq
+    val want = graft.analytics.Analytics
+      .retentionCohorts(spark, sfDir)
+      .collect()
+      .map(_.mkString("|"))
+      .toSeq
+    assert(got == want)
+  }
 }
