@@ -83,6 +83,11 @@ object SparkEntry {
       Replay
         .mergedRead(actions(s, d))
         .select("topic", "id", "seq_nr", "koffset", "ts", "payload")),
+    // j1b — the replay with its tail leg GATED by the maintained head
+    // cache (the reference's consult-cache-then-read flow); row-identical
+    // to j1 by the HeadCacheSpec law, so it carries j1's oracle
+    "j1b_replay_gated" -> ((s, d) =>
+      graft.streaming.StreamingHeadCache.gatedReplayQuery(s, actions(s, d))),
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
     "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-02-15")),
     "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
@@ -410,6 +415,8 @@ object SparkEntry {
     "a1_head_info" -> JournalOracles.headInfo,
     "a3_batch_compaction" -> JournalOracles.batchCompaction,
     "j1_replay_merge" -> JournalOracles.mergedRead,
+    // same oracle as j1: the head-cache gate is row-invisible by law
+    "j1b_replay_gated" -> JournalOracles.mergedRead,
     "f4_dedup_replay" -> JournalOracles.dedupReplay,
     "a7_expired" -> JournalOracles.expired,
     "s10_snapshot_load" -> JournalOracles.snapshotLoad,

@@ -48,6 +48,49 @@ object Replay {
       wmFrac: Double = 0.8,
       tailFrac: Double = 0.6,
       strictUniqueness: Boolean = false
+  ): DataFrame =
+    mergedReadImpl(actions, wmFrac, tailFrac, strictUniqueness, None)
+
+  /** [[mergedRead]] with the tail leg GATED by the live head cache — the
+    * reference's actual read flow (journal/.../HeadCache.scala:19-186:
+    * the reader consults the cached head and SKIPS the Kafka tail when
+    * the head proves it holds nothing to replay). `cacheHeads` is
+    * [[graft.streaming.StreamingHeadCache.readHeads]] output (any
+    * (topic, id, kind) frame works): only journals whose maintained head
+    * kind is 'append' have tail APPENDS, so only they enter the tail
+    * scan — a semi-join against the lag-bounded (hence broadcastable)
+    * cache table. Row-identical to the ungated read (HeadCacheSpec law):
+    * a skipped journal's tail rows are either exact duplicates of the
+    * eventual prefix (the redelivery overlap, F4-dropped anyway) or
+    * non-appends the tail leg never takes; the global delete/purge state
+    * still comes from the full log. The cache must be maintained at the
+    * same watermark the read's `wmFrac` positions.
+    */
+  def mergedReadGated(
+      actions: DataFrame,
+      cacheHeads: DataFrame,
+      wmFrac: Double = 0.8,
+      tailFrac: Double = 0.6,
+      strictUniqueness: Boolean = false
+  ): DataFrame =
+    mergedReadImpl(
+      actions,
+      wmFrac,
+      tailFrac,
+      strictUniqueness,
+      Some(
+        cacheHeads
+          .filter(col("kind") === "append")
+          .select("topic", "id")
+      )
+    )
+
+  private def mergedReadImpl(
+      actions: DataFrame,
+      wmFrac: Double,
+      tailFrac: Double,
+      strictUniqueness: Boolean,
+      tailGate: Option[DataFrame]
   ): DataFrame = {
     val outCols = Seq("topic", "id", "seq_nr", "koffset", "ts", "payload") ++
       carried.filter(actions.columns.contains)
@@ -73,10 +116,14 @@ object Replay {
     )
 
     // Tail leg: raw appends from the log above tail_from (overlaps the
-    // replicated prefix — Kafka gives at-least-once).
-    val tail = bounded
+    // replicated prefix — Kafka gives at-least-once). With a head-cache
+    // gate, only journals the cache says HAVE tail appends are scanned.
+    val rawTail = bounded
       .filter(col("koffset") > col("tail_from") && col("action") === "append")
       .select(outCols.map(col): _*)
+    val tail = tailGate.fold(rawTail)(g =>
+      rawTail.join(broadcast(g), Seq("topic", "id"), "left_semi")
+    )
 
     val merged = eventual.unionByName(tail)
 

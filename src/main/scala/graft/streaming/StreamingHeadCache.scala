@@ -436,6 +436,36 @@ object StreamingHeadCache {
       }
       .start()
 
+  /** J1b — the HEAD-CACHE-GATED replay as one oracle-replayable lifecycle
+    * query: maintain the cache over the chunked log (the t6b flow), then
+    * run the merged two-source replay with the tail leg gated by the
+    * maintained heads ([[graft.journal.Replay.mergedReadGated]]) — the
+    * reference's consult-cache-then-read composition, end to end.
+    * Row-identical to the ungated J1 (HeadCacheSpec law), so it carries
+    * J1's oracle.
+    */
+  def gatedReplayQuery(
+      spark: SparkSession,
+      actions: DataFrame,
+      nChunks: Int = 4
+  ): DataFrame = {
+    val a = actions
+    val wm = graft.journal.JournalOps.defaultWatermark(a)
+    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val step = maxOff / nChunks + 1
+    graft.pipeline.Eager.withTempStore("graft-j1b-head") { tmp =>
+      (0 until nChunks).foreach { i =>
+        val chunk = a.filter(
+          col("koffset") >= i * step && col("koffset") < (i + 1) * step
+        )
+        appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
+      }
+      graft.journal.Replay
+        .mergedReadGated(a, readHeads(spark, tmp))
+        .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+    }
+  }
+
   /** T6b — the reader's decision table THROUGH the cache, as one
     * oracle-replayable lifecycle query: the action log arrives in
     * `nChunks` offset-ordered batches, each folded and appended (never

@@ -66,6 +66,42 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous PHRASE search — the positional plane's read-side twin:
+    * arriving query documents are tokenized row-locally into their
+    * leading `phraseLen`-gram (the standard phrase protocol) and matched
+    * against the frozen positional index with
+    * [[Retrieval.phraseTopKIndexedOf]] — positions, postings, and df all
+    * partition-pruned to the batch's phrase-term buckets. Stateless like
+    * [[searchStream]]: chunked queries ≡ one batch search structurally
+    * (RetrievalIndexSpec law).
+    */
+  def phraseSearchStream(
+      queryDocs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val phrase = batch
+          .select(
+            col("qid"),
+            posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as(Seq("pos0", "w"))
+          )
+          .filter(col("pos0") < phraseLen)
+          .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
+        sink(
+          Retrieval.phraseTopKIndexedOf(batch.sparkSession, phrase, indexDir, k),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous index INGEST — the write side of the retrieval plane's
     * streaming lifecycle (the ANN plane's `maintenanceStream` analogue):
     * each micro-batch of arriving documents `(doc_id, text)` is appended

@@ -218,6 +218,36 @@ class HeadCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(false)
   }
 
+  test("head-cache-gated replay is row-identical to the ungated merged read, and the gate actually prunes") {
+    val a = actions.cache()
+    val tmp = Files.createTempDirectory("graft-head-gate").toString
+    val wm = JournalOps.defaultWatermark(a)
+    StreamingHeadCache.appendBatch(spark, a, tmp, wm, layer = 1L)
+    val cache = StreamingHeadCache.readHeads(spark, tmp).cache()
+    // the gate is a strict decision: some journals skip the tail scan
+    val appendHeads = cache.filter(col("kind") === "append").count()
+    val allJournals = a.select("topic", "id").distinct().count()
+    assert(appendHeads > 0 && appendHeads < allJournals,
+      s"gate must prune: $appendHeads append-heads of $allJournals journals")
+    val cols = Seq("topic", "id", "seq_nr", "koffset", "payload").map(col)
+    val gated = graft.journal.Replay
+      .mergedReadGated(a, cache)
+      .select(cols.toIndexedSeq: _*)
+    val ungated = graft.journal.Replay
+      .mergedRead(a)
+      .select(cols.toIndexedSeq: _*)
+    assert(gated.exceptAll(ungated).count() == 0)
+    assert(ungated.exceptAll(gated).count() == 0)
+    // the registered lifecycle query IS this composition (oracle reuse)
+    val viaQuery = StreamingHeadCache
+      .gatedReplayQuery(spark, a)
+      .select(cols.toIndexedSeq: _*)
+    assert(viaQuery.exceptAll(ungated).count() == 0)
+    assert(ungated.exceptAll(viaQuery).count() == 0)
+    cache.unpersist(false)
+    a.unpersist(false)
+  }
+
   test("streaming headStream over a file source materializes the whole-log fold") {
     val a = actions.cache()
     val tmp = Files.createTempDirectory("graft-head-stream").toString

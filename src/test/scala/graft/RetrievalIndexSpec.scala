@@ -81,6 +81,16 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp)) == inline)
     Retrieval.compactInvertedIndex(spark, tmp)
     assert(rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp)) == inline)
+    // the positions scan is partition-pruned to the phrase terms' buckets
+    val ss = spark
+    import ss.implicits._
+    val phrase = Seq((99L, 1L, "the")).toDF("qid", "j", "w")
+    val plan = Retrieval
+      .phraseTopKIndexedOf(spark, phrase, tmp, k = 3)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("PartitionFilters") && plan.contains("wb"))
   }
 
   test("positional append ≡ rebuild; p33f lifecycle equals inline; frequency-only stores stay positions-free") {
@@ -303,6 +313,50 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally q.stop()
 
     val batch = rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp, nQueries = 6))
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+  }
+
+  test("streaming phrase search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-phrasestream").toString
+    val ck = Files.createTempDirectory("graft-ii-phrasestream-ck").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+
+    val queryRows: Seq[(Long, String)] = docs
+      .filter(col("doc_id") < 6)
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingRetrieval.phraseSearchStream(
+      ms.toDF().toDF("qid", "text"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res
+        .collect()
+        .map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        )
+      buf.synchronized { buf ++= rs: Unit }
+    }
+    try
+      queryRows.grouped(2).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val batch = rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp, nQueries = 6))
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
   }
