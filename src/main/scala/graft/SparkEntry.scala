@@ -344,6 +344,13 @@ object SparkEntry {
     // lifecycle (build with positions → append → phrase-search the store)
     "p33f_phrase_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.phraseIndexLifecycle(s, d)),
+    // p33g — ordered-proximity retrieval (sloppy phrase / #uwN): phrase
+    // terms in order within an 8-token window, band-join chained
+    "p33g_proximity_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.proximityTopK(s, d)),
+    // p33h — proximity through the stored positional-index lifecycle
+    "p33h_proximity_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.proximityIndexLifecycle(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
     // p36 — hybrid retrieval: RRF fusion of the lexical (p33) and
@@ -529,6 +536,9 @@ object SparkEntry {
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,
+    "p33g_proximity_topk" -> PipelineOracles.proximityTopK,
+    // same oracle as p33g by the indexed ≡ inline law
+    "p33h_proximity_indexed" -> PipelineOracles.proximityTopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
     "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,

@@ -2618,6 +2618,92 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33g — ordered-proximity retrieval
+    * (graft.pipeline.Retrieval.proximityTopK, nQueries=5, phraseLen=3,
+    * k=5, window=8): documents where the phrase terms occur in order
+    * within an 8-token span (p1 < p2 < p3 < p1 + 8), window-tuple count
+    * per doc, BM25-scored on the phrase terms. Fixed three slots — the
+    * registered protocol's phraseLen; the Spark side chains generically.
+    * p33h (the stored positional-index lifecycle) carries the same
+    * oracle by the indexed ≡ inline law.
+    */
+  val proximityTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    phrase AS (
+      SELECT doc_id AS qid, pos AS j, w1 FROM pos
+      WHERE doc_id < 5 AND pos <= 3
+    ),
+    m1 AS (
+      SELECT ph.qid, p.doc_id, p.pos AS p1
+      FROM pos p JOIN phrase ph ON p.w1 = ph.w1 AND ph.j = 1
+      WHERE p.doc_id <> ph.qid
+    ),
+    m2 AS (
+      SELECT m1.qid, m1.doc_id, m1.p1, p.pos AS p2
+      FROM m1
+      JOIN phrase ph ON ph.qid = m1.qid AND ph.j = 2
+      JOIN pos p ON p.doc_id = m1.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m1.p1 AND p.pos < m1.p1 + 8
+    ),
+    m3 AS (
+      SELECT m2.qid, m2.doc_id
+      FROM m2
+      JOIN phrase ph ON ph.qid = m2.qid AND ph.j = 3
+      JOIN pos p ON p.doc_id = m2.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m2.p2 AND p.pos < m2.p1 + 8
+    ),
+    occ AS (
+      SELECT qid, doc_id, COUNT(*) AS n_windows
+      FROM m3 GROUP BY qid, doc_id
+    ),
+    qt AS (
+      SELECT DISTINCT ph.qid, ph.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM phrase ph JOIN df d USING (w1)
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT o.qid, o.doc_id, o.n_windows, s.score,
+             ROW_NUMBER() OVER (PARTITION BY o.qid
+                                ORDER BY s.score DESC, o.doc_id) AS rnk
+      FROM occ o JOIN sc s ON o.qid = s.qid AND o.doc_id = s.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score,
+           CAST(n_windows AS BIGINT) AS n_windows
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p36b — hybrid retrieval with the BM25 lexical leg
     * (graft.pipeline.Retrieval.hybridBm25TopK): the p36 fusion verbatim
     * with the lexical pool ranked by BM25 (p33c's arithmetic at poolK=20)

@@ -945,6 +945,173 @@ object Retrieval {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // P33g/P33h — ORDERED-PROXIMITY retrieval (the sloppy-phrase / Indri
+  // #uwN family): rank documents where the phrase terms occur IN ORDER
+  // within a `window`-token span — exact adjacency relaxed to nearness,
+  // the ranking signal proximity-aware engines add on top of BM25. A
+  // match is a position tuple p1 < p2 < … < pk with pk < p1 + window;
+  // the count of such tuples is the doc's window count.
+  //
+  // Scale shape: a chain of per-slot BAND joins — each slot's leg is the
+  // positions of that slot's (query, term) pairs (broadcast phrase ⋈
+  // positions, bucket-pruned in the stored form), the join keys are
+  // (qid, doc_id) with the band as a residual predicate, so every step
+  // is an ordinary hash/sort-merge equi-join whose range condition caps
+  // candidates at < window per anchor — linear in the phrase terms'
+  // position lists, never quadratic on a stopword (the w6 binned range
+  // join argument, applied slot-to-slot).
+  // ---------------------------------------------------------------------
+
+  private def proximityRank(
+      positions: DataFrame,
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      phrase: DataFrame,
+      k: Int,
+      window: Int
+  ): DataFrame = {
+    val maxJ = phrase
+      .agg(coalesce(max("j"), lit(0L)))
+      .head()
+      .getLong(0)
+      .toInt // = phraseLen, the query protocol's own bound
+    def leg(j: Int): DataFrame =
+      positions
+        .join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"), col("pos"))
+    var cand = leg(1).select(
+      col("qid"),
+      col("doc_id"),
+      col("pos").as("p1"),
+      col("pos").as("pj")
+    )
+    (2 to maxJ).foreach { j =>
+      cand = cand
+        .join(leg(j).withColumnRenamed("pos", "pn"), Seq("qid", "doc_id"))
+        .filter(col("pn") > col("pj") && col("pn") < col("p1") + window)
+        .select(col("qid"), col("doc_id"), col("p1"), col("pn").as("pj"))
+    }
+    val occ = cand
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_windows"))
+    val weighted = phrase
+      .select("qid", "w")
+      .distinct()
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    occ
+      .join(bm25Scores(post, weighted, stats), Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score", "n_windows")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33g — ordered-proximity top-k, inline form. */
+  def proximityTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      window: Int = 8
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val out = proximityRank(
+      positionalPostings(d),
+      tf,
+      dfm,
+      stats,
+      queryPhrases(d, nQueries, phraseLen),
+      k,
+      window
+    )
+    Eager.materialized(out, tf)
+  }
+
+  /** Proximity top-k against the STORED positional index (all scans
+    * bucket-pruned to the phrase terms).
+    */
+  def proximityTopKIndexedOf(
+      spark: SparkSession,
+      phrase: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      window: Int = 8
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(
+      spark,
+      indexDir,
+      phrase.select("qid", "w").distinct()
+    )
+    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
+    val positions = spark.read
+      .parquet(liveDir(indexDir, "positions"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .select("doc_id", "w", "pos")
+    proximityRank(positions, post, dfm, stats, phrase, k, window)
+  }
+
+  /** [[proximityTopKIndexedOf]] with the standard phrase protocol. */
+  def proximityTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      window: Int = 8
+  ): DataFrame =
+    proximityTopKIndexedOf(
+      spark,
+      queryPhrases(docs(spark, dir), nQueries, phraseLen),
+      indexDir,
+      k,
+      window
+    )
+
+  /** P33h — the proximity lifecycle twin (same oracle as p33g by the
+    * indexed ≡ inline law).
+    */
+  def proximityIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      window: Int = 8
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33h-index") { tmp =>
+      writeInvertedIndexOf(
+        spark,
+        d.filter(col("doc_id") < split),
+        tmp,
+        withPositions = true
+      )
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      proximityTopKIndexed(spark, dir, tmp, nQueries, k, phraseLen, window)
+    }
+  }
+
   /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion
     * of BM25 (saturation + length normalization) with the dense k2 leg —
     * [[hybridTopK]]'s composition with tf-idf upgraded to BM25. Identical

@@ -93,6 +93,31 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("wb"))
   }
 
+  test("proximity: stored ≡ inline ≡ lifecycle; window = phraseLen degenerates to the exact phrase") {
+    val tmp = Files.createTempDirectory("graft-ii-prox").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+    val inline = rows5(Retrieval.proximityTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain proximity matches")
+    assert(rows5(Retrieval.proximityTopKIndexed(spark, sfDir, tmp)) == inline)
+    assert(rows5(Retrieval.proximityIndexLifecycle(spark, sfDir)) == inline)
+    // proximity is a RELAXATION of the exact phrase: at window =
+    // phraseLen the in-order window forces consecutive positions, so
+    // (doc set, window counts) equal the phrase operator's
+    // (doc set, occurrence counts) exactly
+    // (k large enough to defeat the top-k cutoff: the law is about the
+    // MATCHER SETS and their counts, not the head of the ranking)
+    def keyed(rs: Seq[(Long, Long, Long, Long, Long)]): Map[(Long, Long), Long] =
+      rs.map(t => (t._1, t._2) -> t._5).toMap
+    val tight =
+      keyed(rows5(Retrieval.proximityTopK(spark, sfDir, k = 10000, window = 3)))
+    val phrase = keyed(rows5(Retrieval.phraseTopK(spark, sfDir, k = 10000)))
+    assert(tight == phrase)
+    // and the default window admits at least the exact matches
+    val loose = keyed(rows5(Retrieval.proximityTopK(spark, sfDir, k = 10000)))
+    assert(phrase.keySet.subsetOf(loose.keySet))
+    assert(phrase.forall { case (k, n) => loose(k) >= n })
+  }
+
   test("positional append ≡ rebuild; p33f lifecycle equals inline; frequency-only stores stay positions-free") {
     val boundary = Dedup.incrementalBoundary(spark, sfDir)
     val old = docs.filter(col("doc_id") < boundary)
