@@ -359,6 +359,9 @@ object SparkEntry {
     // p36b — the same fusion with the production BM25 lexical leg
     "p36b_hybrid_bm25" ->
       ((s, d) => graft.pipeline.Retrieval.hybridBm25TopK(s, d)),
+    // p36c — THREE-leg fusion: BM25 + dense IVF + ordered proximity
+    "p36c_hybrid_proximity" ->
+      ((s, d) => graft.pipeline.Retrieval.hybridProximityTopK(s, d)),
     // p35 — bigram-LM familiarity (perplexity-style quality signal,
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
@@ -533,6 +536,7 @@ object SparkEntry {
     // same oracle as p33c by the same indexed ≡ inline law
     "p33d_bm25_indexed" -> PipelineOracles.bm25TopK,
     "p36b_hybrid_bm25" -> PipelineOracles.hybridBm25TopK,
+    "p36c_hybrid_proximity" -> PipelineOracles.hybridProximityTopK,
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,

@@ -2787,6 +2787,147 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p36c — three-leg hybrid retrieval
+    * (graft.pipeline.Retrieval.hybridProximityTopK): the p36b fusion
+    * plus the ordered-proximity leg (p33g's pool at 20) — RRF over
+    * integer ranks, n_legs up to 3.
+    */
+  lazy val hybridProximityTopK: String = s"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    lexsc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    lex AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM lexsc
+      ) r WHERE rnk <= 20
+    ),
+    dens AS (
+      SELECT qid, vec_id AS doc_id, rnk FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.qid, e.vec_id, $cos AS sim
+          FROM (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                       label
+                FROM embeddings WHERE vec_id < 5) q
+          JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee, label
+                FROM embeddings) e
+            ON e.vec_id <> q.qid AND e.label = q.label
+        ) s
+      ) r WHERE rnk <= 20
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    phrase AS (
+      SELECT doc_id AS qid, pos AS j, w1 FROM pos
+      WHERE doc_id < 5 AND pos <= 3
+    ),
+    m1 AS (
+      SELECT ph.qid, p.doc_id, p.pos AS p1
+      FROM pos p JOIN phrase ph ON p.w1 = ph.w1 AND ph.j = 1
+      WHERE p.doc_id <> ph.qid
+    ),
+    m2 AS (
+      SELECT m1.qid, m1.doc_id, m1.p1, p.pos AS p2
+      FROM m1
+      JOIN phrase ph ON ph.qid = m1.qid AND ph.j = 2
+      JOIN pos p ON p.doc_id = m1.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m1.p1 AND p.pos < m1.p1 + 8
+    ),
+    m3 AS (
+      SELECT m2.qid, m2.doc_id
+      FROM m2
+      JOIN phrase ph ON ph.qid = m2.qid AND ph.j = 3
+      JOIN pos p ON p.doc_id = m2.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m2.p2 AND p.pos < m2.p1 + 8
+    ),
+    occ AS (
+      SELECT qid, doc_id FROM m3 GROUP BY qid, doc_id
+    ),
+    pqt AS (
+      SELECT DISTINCT ph.qid, ph.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM phrase ph JOIN df d USING (w1)
+    ),
+    proxsc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN pqt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    prox AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT o.qid, o.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY o.qid
+                                  ORDER BY s.score DESC, o.doc_id) AS rnk
+        FROM occ o JOIN proxsc s ON o.qid = s.qid AND o.doc_id = s.doc_id
+      ) r WHERE rnk <= 20
+    ),
+    legs AS (
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM dens
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM prox
+    ),
+    fused AS (
+      SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_legs
+      FROM legs GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, rrf_ppm, n_legs
+    FROM (
+      SELECT qid, doc_id, rrf_ppm, n_legs,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM fused
+    ) f WHERE rnk <= 10
+    ORDER BY qid, rnk
+  """
+
   /** p34 — per-source distribution drift vs the frozen history profile
     * (graft.pipeline.Sampling.driftReport): p26's hashed unigram∪bigram
     * feature space verbatim, old 80% of doc_ids as the reference, per

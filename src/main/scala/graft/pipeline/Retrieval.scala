@@ -1112,6 +1112,50 @@ object Retrieval {
     }
   }
 
+  /** P36c — THREE-leg hybrid retrieval: RRF fusion of BM25 (term
+    * matching with saturation/length normalization), dense IVF cosine
+    * (embedding geometry), and ordered PROXIMITY (positional structure) —
+    * each modality surfaces candidates the others are blind to, and RRF
+    * needs nothing but their integer ranks, so adding a leg is literally
+    * one more UNION arm (`n_legs` now reaches 3). Same exact-ppm fusion
+    * arithmetic; same leg-output-sized final reduce.
+    */
+  def hybridProximityTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      phraseLen: Int = 3,
+      window: Int = 8
+  ): DataFrame = {
+    val lex = bm25TopK(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .knnIvf(spark, dir, nQueries, poolK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val prox = proximityTopK(spark, dir, nQueries, poolK, phraseLen, window)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val legs = lex
+      .unionByName(dense)
+      .unionByName(prox)
+      .select(
+        col("qid"),
+        col("doc_id"),
+        expr(s"1000000 DIV ($rrfK + rank)").as("c")
+      )
+    val w =
+      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
+    legs
+      .groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
+      .orderBy("qid", "rank")
+  }
+
   /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion
     * of BM25 (saturation + length normalization) with the dense k2 leg —
     * [[hybridTopK]]'s composition with tf-idf upgraded to BM25. Identical
