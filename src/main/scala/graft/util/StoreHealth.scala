@@ -60,7 +60,12 @@ object StoreHealth {
         st.flatDirs.foreach(DirSwap.repair(Paths.get(st.root), _))
         val layers = st.layeredDirs
           .map(liveDir(st.root, _))
-          .filter(java.nio.file.Files.exists(_))
+          // a member directory can be absent (optional, e.g. a
+          // frequency-only index's positions) or exist with ZERO data
+          // files (a store whose first batch had nothing to write) —
+          // both contribute no layers rather than failing schema
+          // inference
+          .filter(p => Fs.countParquetFiles(p) > 0)
           .map(p =>
             spark.read
               .parquet(p.toString)

@@ -43,6 +43,19 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
+  test("empty or partially-materialized store members report zero debt instead of failing") {
+    val base = Files.createTempDirectory("graft-health-empty").toString
+    // an existing-but-empty layered member (a store whose first batch
+    // had nothing to write) and an absent optional member
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/hc/entries"))
+    val row = Maintenance
+      .healthAll(spark, Seq(Maintenance.headCache(s"$base/hc")))
+      .head()
+    assert(row.getAs[Long]("n_layers") == 1L)
+    assert(row.getAs[Long]("n_files") == 0L)
+    assert(!row.getAs[Boolean]("compact_recommended"))
+  }
+
   test("all seven stores: accrete -> recommend -> maintainAll -> clear, reads identical") {
     val docs = spark.read
       .parquet(s"$sfDir/documents.parquet")
