@@ -95,6 +95,28 @@ final class Journal(
       log.filter(col("topic") === topic && col("id") === id)
     )
 
+  /** [[recover]] through an EXPLICIT snapshot table — the read path of
+    * the MAINTAINED snapshot store
+    * ([[graft.streaming.StreamingSnapshots.storedSnapshots]] output, or
+    * any (topic, id, seq_nr, koffset, payload) frame): the latest stored
+    * snapshot plus only the events after it. With the maintenance loop
+    * keeping per-journal debt below its threshold
+    * (SnapshotMaintenanceSpec), this read's replay suffix is bounded by
+    * that threshold — the reference's recovery-cost contract made
+    * operational.
+    */
+  def recoverThrough(
+      snapshots: DataFrame,
+      topic: String,
+      id: String
+  ): DataFrame =
+    graft.journal.Snapshots.recoveryWith(
+      log.filter(col("topic") === topic && col("id") === id),
+      snapshots
+        .filter(col("topic") === topic && col("id") === id)
+        .select("topic", "id", "seq_nr", "koffset", "payload")
+    )
+
   /** Highest appended seqNr of one journal (None ⇒ empty row set). */
   def pointer(topic: String, id: String): DataFrame =
     JournalOps

@@ -216,6 +216,39 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(false)
   }
 
+  test("api recoverThrough: recovery via the MAINTAINED snapshot store, suffix bounded by the loop's threshold") {
+    import org.apache.spark.sql.functions._
+    val a = actions.cache()
+    val journal = graft.api.Journal(spark, a)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-api-recover")
+      .toString
+    val threshold = 5L
+    graft.streaming.StreamingSnapshots
+      .appendMaintenanceBatch(spark, a, tmp, threshold, layer = 1L)
+    val stored =
+      graft.streaming.StreamingSnapshots.storedSnapshots(spark, tmp).cache()
+    assert(stored.count() > 0)
+    val probe = stored.select("topic", "id").head()
+    val (t0, i0) = (probe.getString(0), probe.getString(1))
+    val rec = journal.recoverThrough(stored, t0, i0).collect()
+    assert(rec.head.getString(2) == "snapshot")
+    // the event suffix is exactly the read above the stored snapshot,
+    // and its length respects the maintenance loop's debt bound
+    val snapSeq = rec.head.getLong(3)
+    val suffix = rec.filter(_.getString(2) == "event").map(_.getLong(3)).toSeq
+    val want = journal
+      .read(t0, i0)
+      .filter(col("seq_nr") > snapSeq)
+      .collect()
+      .map(_.getAs[Long]("seq_nr"))
+      .toSeq
+    assert(suffix == want)
+    assert(suffix.size <= threshold)
+    stored.unpersist(false)
+    a.unpersist(false)
+  }
+
   test("pointer equals max seq_nr of the journal scan where one exists") {
     import org.apache.spark.sql.functions._
     val fromScan = JournalOps
