@@ -39,12 +39,15 @@ private[graft] object Eager {
     * verify pass — a copy left behind per run is unbounded /tmp growth.
     * Materializing FIRST is what makes the delete safe: the returned
     * frame re-reads its own checkpointed blocks, never the deleted store.
+    * The delete runs in a finally so a failed build/materialization can't
+    * leak the directory — the lifecycle queries run on every bench and
+    * verify pass, so a leak on the error path is the same unbounded /tmp
+    * growth this helper exists to stop.
     */
   def withTempStore(prefix: String)(build: String => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    val out = materialized(build(tmp.toString))
-    graft.util.Fs.deleteRecursively(tmp)
-    out
+    try materialized(build(tmp.toString))
+    finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   /** Frees the storage blocks behind a `localCheckpoint`'d DataFrame NOW.

@@ -238,6 +238,13 @@ object Retrieval {
     SwappedDirs.foreach(n =>
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(out).resolve(s"$n.current")): Unit)
+    // rebuilding WITHOUT positions must retract an existing positional
+    // payload entirely (mirroring the overwrite semantics of the other
+    // three members): otherwise appendToInvertedIndex's existence check
+    // would extend the OLD corpus's positions and phrase search would
+    // silently mix them with the new postings
+    if (!withPositions)
+      graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "positions")
     // repartition by wb BEFORE the partitioned write: one file per bucket
     // per ingest instead of (shuffle partitions × buckets) fragments — the
     // write-once/read-many trade (one extra ingest shuffle buys compact
@@ -406,12 +413,22 @@ object Retrieval {
     * therefore compacts with the just-written layer protected; once its
     * offsets commit, the next compaction folds it. The default protects
     * nothing (safe for batch maintainers, who control their ingests).
+    *
+    * Disk retention: each of the member swaps keeps superseded
+    * generations for [[graft.util.DirSwap.graceMs]] of wall clock, so a
+    * high-frequency compaction cadence (streaming `compactEvery = 1`)
+    * holds up to (compactions per grace window) full index copies on
+    * disk simultaneously — compact on the debt threshold, not per batch.
     */
   def compactInvertedIndex(
       spark: SparkSession,
       indexDir: String,
       protectLayersAbove: Long = Long.MaxValue
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(indexDir)
+  ) {
+    // the claim covers ALL member swaps: a rival maintainer cannot win
+    // some of {postings, df, stats, positions} while this one wins others
     val root = java.nio.file.Paths.get(indexDir)
     repairInvertedIndex(indexDir)
     def live(sub: String): String =
@@ -953,14 +970,20 @@ object Retrieval {
   // match is a position tuple p1 < p2 < … < pk with pk < p1 + window;
   // the count of such tuples is the doc's window count.
   //
-  // Scale shape: a chain of per-slot BAND joins — each slot's leg is the
+  // Scale shape: a chain of per-slot equi-joins — each slot's leg is the
   // positions of that slot's (query, term) pairs (broadcast phrase ⋈
-  // positions, bucket-pruned in the stored form), the join keys are
-  // (qid, doc_id) with the band as a residual predicate, so every step
-  // is an ordinary hash/sort-merge equi-join whose range condition caps
-  // candidates at < window per anchor — linear in the phrase terms'
-  // position lists, never quadratic on a stopword (the w6 binned range
-  // join argument, applied slot-to-slot).
+  // positions, bucket-pruned in the stored form), joined on (qid, doc_id)
+  // with the window band applied as a RESIDUAL predicate after the hash
+  // join. Corpus-wise the cost is linear in the phrase terms' position
+  // lists; WITHIN a single document the step-j intermediate is
+  // |surviving chains| × |slot-j positions in that doc| — worst case dl²
+  // for a document of length dl whose tokens are all the probed term, a
+  // PER-DOCUMENT bound, not a corpus one (documents are length-bounded;
+  // the stopword-led stress probe measured hot 1.94 s vs rare 0.74 s at
+  // 200k docs, RetrievalSkewStress). If a pathological long-document
+  // class ever matters, the escape is a true positional band join
+  // (bin = pos DIV window — the w6 machinery) applied slot-to-slot,
+  // which caps each probe at the band's width instead of dl.
   // ---------------------------------------------------------------------
 
   private def proximityRank(

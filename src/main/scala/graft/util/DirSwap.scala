@@ -45,8 +45,18 @@ object DirSwap {
     * survives the sweep regardless of how many swaps superseded it, so a
     * reader is safe for at least `graceMs` from the moment its
     * generation was written. Tunable per deployment (longest expected
-    * scan) via `-Dgraft.dirswap.grace.ms=`; tests pin it to 0 to
-    * exercise the sweep itself.
+    * scan) via `-Dgraft.dirswap.grace.ms=`; tests exercise the sweep by
+    * aging generation mtimes out of the window instead of shrinking it
+    * (TestFs.ageOutGenerations backdates the directory mtimes).
+    *
+    * Disk-retention multiplier: every swap inside the grace window
+    * retains its full superseded generation, so a hot compaction loop
+    * (e.g. a streaming ingest with `compactEvery = 1`) holds up to
+    * (swaps per grace window) complete store copies on disk at once.
+    * Size the window to the longest expected scan, not longer — or slow
+    * the compaction cadence; the debt thresholds in
+    * [[graft.util.StoreHealth]] exist precisely so compaction does not
+    * run per-batch.
     */
   def graceMs: Long =
     sys.props.get("graft.dirswap.grace.ms").flatMap(_.toLongOption)
@@ -116,6 +126,21 @@ object DirSwap {
       .filter(agedOut)
       .foreach(Fs.deleteRecursively)
     listPrefixed(root, s"$name.current.tmp-").foreach(Fs.deleteRecursively)
+  }
+
+  /** Removes `root/name` ENTIRELY — pointer, every generation, pointer
+    * tmps, and the plain generation-zero directory. A maintainer-only
+    * operation for rebuilds that change a store's shape (e.g. rebuilding
+    * an inverted index without positions must not leave the old
+    * positional payload for appends to extend): where [[swap]] replaces
+    * content, `drop` retracts the member's existence. No grace window —
+    * a rebuild is an offline operation by contract, not a hot swap.
+    */
+  def drop(root: Path, name: String): Unit = {
+    (listPrefixed(root, s"$name.gen-") ++
+      listPrefixed(root, s"$name.current") :+ root.resolve(name))
+      .filter(Files.exists(_))
+      .foreach(Fs.deleteRecursively)
   }
 
   /** Consumer-side maintenance hook, kept for the store APIs' contract:

@@ -90,4 +90,25 @@ class DirSwapSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("s.current.tmp-999")))
     assert(liveContent(root) == "2")
   }
+
+  test("drop retracts a member entirely: plain dir, generations, pointer, tmps") {
+    val root = freshStore()
+    swapN(root, 1)
+    swapN(root, 2) // pointer + ≥2 generations + the plain dir
+    Files.write(
+      root.resolve("s.current.tmp-777"),
+      "orphan".getBytes("UTF-8")
+    )
+    DirSwap.drop(root, "s")
+    val leftovers = Option(root.toFile.listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(_.startsWith("s"))
+      .toSeq
+    assert(leftovers.isEmpty, s"leftovers after drop: $leftovers")
+    // a fresh build after the drop starts from generation zero
+    Files.createDirectories(root.resolve("s"))
+    Files.write(root.resolve("s").resolve("a.txt"), "9".getBytes("UTF-8"))
+    assert(liveContent(root) == "9")
+  }
 }

@@ -153,6 +153,43 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(s"$freq/positions")))
   }
 
+  test(
+    "rebuild without positions retracts an existing positional payload (no stale-position mixing)"
+  ) {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val old = docs.filter(col("doc_id") < boundary)
+    val fresh = docs.filter(col("doc_id") >= boundary)
+    val dir = Files.createTempDirectory("graft-ii-retract").toString
+    // a positional store, compacted so positions live behind a swapped
+    // generation (the worst case: pointer + generation dirs to retract)
+    Retrieval.writeInvertedIndexOf(spark, old, dir, withPositions = true)
+    Retrieval.compactInvertedIndex(spark, dir)
+    // REBUILD frequency-only (over the history split, so the append below
+    // completes the corpus): the old positional payload must be gone in
+    // every form — plain dir, generations, pointer
+    Retrieval.writeInvertedIndexOf(spark, old, dir)
+    assert(!Files.exists(Paths.get(s"$dir/positions")))
+    assert(!Files.exists(Paths.get(s"$dir/positions.current")))
+    val leftovers = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("positions"))
+          .toList
+      } finally s.close()
+    }
+    assert(leftovers.isEmpty, s"stale positional leftovers: $leftovers")
+    // and the store behaves as frequency-only from here on
+    Retrieval.appendToInvertedIndex(spark, fresh, dir)
+    assert(!Files.exists(Paths.get(s"$dir/positions")))
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, dir)) ==
+        rows(Retrieval.bm25TopK(spark, sfDir))
+    )
+  }
+
   private def live(dir: String, sub: String): Path =
     graft.util.DirSwap.resolve(Paths.get(dir), sub)
 
