@@ -1362,7 +1362,9 @@ object Dedup {
       spark: SparkSession,
       indexDir: String,
       targetFiles: Int = 8
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(indexDir)
+  ) {
     val root = java.nio.file.Paths.get(indexDir)
     val live = graft.util.DirSwap.resolve(root, "windows").toString
     graft.util.DirSwap.swap(root, "windows") { tmp =>

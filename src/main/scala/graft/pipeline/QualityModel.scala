@@ -281,7 +281,9 @@ object QualityModel {
       modelDir: String,
       targetFiles: Int = 8,
       protectLayersAbove: Long = Long.MaxValue
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(modelDir)
+  ) {
     val root = java.nio.file.Paths.get(modelDir)
     repairLmModel(modelDir)
     def live(sub: String): String =

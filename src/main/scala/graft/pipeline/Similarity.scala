@@ -653,7 +653,9 @@ object Similarity {
       spark: SparkSession,
       indexDir: String,
       protectLayersAbove: Long = Long.MaxValue
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(indexDir)
+  ) {
     repairIvfIndex(indexDir)
     val liveVectors = graft.util.DirSwap
       .resolve(java.nio.file.Paths.get(indexDir), "vectors")

@@ -345,7 +345,9 @@ object StreamingHeadCache {
       spark: SparkSession,
       storeDir: String,
       protectLayersAbove: Long = Long.MaxValue
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(storeDir)
+  ) {
     import spark.implicits._
     repairHeadCache(storeDir)
     val root = java.nio.file.Paths.get(storeDir)

@@ -602,9 +602,13 @@ object StreamingReplicator {
     * loser has published NOTHING to the committed generation; re-read the
     * store and re-apply — with Structured Streaming the failed batch is
     * simply redelivered and the idempotent merge converges.
+    *
+    * The class itself lives in [[graft.util.ConcurrentStoreWriteException]]
+    * so the DirSwap-store maintainer fence ([[graft.util.MaintainerLease]])
+    * throws the SAME loss signal without the util layer depending on the
+    * streaming one; this alias keeps the established import site.
     */
-  final class ConcurrentStoreWriteException(msg: String)
-      extends RuntimeException(msg)
+  type ConcurrentStoreWriteException = graft.util.ConcurrentStoreWriteException
 
   /** How long a writer's epoch claim is honored after its last stamp —
     * past this it is presumed dead and its claim breakable (the

@@ -266,7 +266,9 @@ object StreamingSnapshots {
       storeDir: String,
       bufferSize: Int = 3,
       protectLayersAbove: Long = Long.MaxValue
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(storeDir)
+  ) {
     import spark.implicits._
     repairSnapshotStore(storeDir)
     val root = java.nio.file.Paths.get(storeDir)

@@ -211,4 +211,91 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     Seq(docs, emb, actions, parts).foreach(_.unpersist(false))
   }
+
+  test("maintainer fencing, generic: a held lease makes every store's compactor fail fast, publishing nothing") {
+    import graft.util.{ConcurrentStoreWriteException, MaintainerLease}
+    val base = Files.createTempDirectory("graft-health-fence").toString
+    // the fence throws BEFORE the compactor reads anything, so an empty
+    // directory suffices to drive the loss path for every registry member
+    val stores = Seq(
+      Maintenance.invertedIndex(s"$base/ii"),
+      Maintenance.lmModel(s"$base/lm"),
+      Maintenance.ivfVectors(s"$base/ivf"),
+      Maintenance.spanIndex(s"$base/span"),
+      Maintenance.paragraphIndex(s"$base/para"),
+      Maintenance.headCache(s"$base/head"),
+      Maintenance.snapshotStore(s"$base/snap")
+    )
+    stores.foreach { st =>
+      val root = java.nio.file.Paths.get(st.root)
+      val token = MaintainerLease.claim(root)
+      val lost = intercept[ConcurrentStoreWriteException](st.compact(spark))
+      assert(lost.getMessage.contains("live maintainer"))
+      // nothing published: the store root still holds only the claim files
+      val names = Option(root.toFile.listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName)
+        .toSet
+      assert(names.forall(_.startsWith("maintainer.claim")), s"${st.name}: $names")
+      MaintainerLease.release(root, token)
+    }
+  }
+
+  test("maintainer fencing: two concurrent maintainers on one store — one wins, reads row-identical throughout") {
+    import graft.util.ConcurrentStoreWriteException
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val iiDir = Files.createTempDirectory("graft-fence-race").toString
+    Retrieval.writeInvertedIndexOf(
+      spark,
+      docs.filter(col("doc_id") < maxId / 2),
+      iiDir
+    )
+    Retrieval.appendToInvertedIndex(
+      spark,
+      docs.filter(col("doc_id") >= maxId / 2),
+      iiDir
+    )
+    val before = rowsOf(Retrieval.keywordTopKIndexed(spark, sfDir, iiDir))
+
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        results.add(
+          try Right(Retrieval.compactInvertedIndex(spark, iiDir))
+          catch { case t: Throwable => Left(t) }
+        )
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join())
+
+    val (losses, wins) = results.toArray(Array.empty[Either[Throwable, Unit]])
+      .partition(_.isLeft)
+    assert(wins.nonEmpty, "at least one maintainer must win the store")
+    // every loss is the fencing signal, never a torn swap or an IO error
+    losses.foreach {
+      case Left(t) =>
+        assert(
+          t.isInstanceOf[ConcurrentStoreWriteException],
+          s"loser must fail with the fencing signal, got: $t"
+        )
+      case Right(_) => ()
+    }
+    // the store reads row-identical whoever won (and however many did)
+    assert(
+      rowsOf(Retrieval.keywordTopKIndexed(spark, sfDir, iiDir)) == before
+    )
+    // the lease is released: a follow-up maintainer is not wedged
+    Retrieval.compactInvertedIndex(spark, iiDir)
+    assert(
+      rowsOf(Retrieval.keywordTopKIndexed(spark, sfDir, iiDir)) == before
+    )
+  }
 }
