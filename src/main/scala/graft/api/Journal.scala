@@ -82,6 +82,63 @@ final class Journal(
       .as[EventRecord]
   }
 
+  /** [[read]] THROUGH the maintained head cache — the reference client's
+    * actual read flow (Journals.scala:141-175: every read first consults
+    * the HeadCache and skips the Kafka tail when the cached head proves it
+    * holds nothing to replay). The tail leg is semi-joined against the
+    * cache's append-heads ([[graft.journal.Replay.mergedReadGated]]), so a
+    * journal the cache shows fully replicated (or tail-empty) never enters
+    * the tail scan at all. Row-identical to [[read]] by the HeadCacheSpec
+    * law, re-proved at this surface in JournalOpsSpec.
+    *
+    * `cacheDir` is a head-cache store maintained at the same watermark the
+    * read's `wmFrac` positions
+    * ([[graft.streaming.StreamingHeadCache.headStream]] in a deployment;
+    * `appendBatch` in specs) — the cache is replication-lag-sized by
+    * construction, hence broadcastable.
+    */
+  def readCached(
+      topic: String,
+      id: String,
+      cacheDir: String,
+      fromSeqNr: Long = 1L,
+      strict: Boolean = false
+  ): DataFrame =
+    Replay
+      .mergedReadGated(
+        log.filter(col("topic") === topic && col("id") === id),
+        graft.streaming.StreamingHeadCache
+          .readHeads(spark, cacheDir)
+          .filter(col("topic") === topic && col("id") === id),
+        strictUniqueness = strict
+      )
+      .filter(col("seq_nr") >= fromSeqNr)
+
+  /** [[pointer]] with the head-cache fast path — the reference's pointer
+    * flow verbatim (Journals.scala:303-323): an `append` head answers from
+    * the CACHE ALONE (its head_seq_nr is the journal's last appended
+    * seq_nr — no log or store scan runs at all); a `purge` head answers
+    * "no pointer" likewise for free; an `empty`/`delete` head — or a
+    * journal absent from the cache (fully replicated) — falls back to the
+    * eventual [[pointer]] query. The cache row is a driver-bounded
+    * single-row collect (readHeads merges to one row per journal), which
+    * is what lets the fallback scan be skipped rather than merely pruned.
+    */
+  def pointerCached(topic: String, id: String, cacheDir: String): DataFrame = {
+    val head = graft.streaming.StreamingHeadCache
+      .readHeads(spark, cacheDir)
+      .filter(col("topic") === topic && col("id") === id)
+      .select("kind", "head_seq_nr")
+      .collect() // ≤ 1 row: the cache merges per journal
+    head.headOption.map(_.getString(0)) match {
+      case Some("append") =>
+        spark.range(1).select(lit(head.head.getLong(1)).as("seq_nr"))
+      case Some("purge") =>
+        spark.range(0).select(col("id").as("seq_nr")) // no pointer
+      case _ => pointer(topic, id) // empty/delete head, or fully replicated
+    }
+  }
+
   /** Snapshot-accelerated recovery of one journal — the reference's actual
     * recovery flow (SnapshotStore.scala:26-34 + Journals.read): the latest
     * snapshot plus only the events after its seq_nr, `src`-tagged rows in

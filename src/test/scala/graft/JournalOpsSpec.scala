@@ -249,6 +249,77 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(false)
   }
 
+  test("api readCached/pointerCached: the client consults the maintained head cache; identical to the ungated surface") {
+    import org.apache.spark.sql.functions._
+    val a = actions.cache()
+    val journal = graft.api.Journal(spark, a)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-api-headcache")
+      .toString
+    // maintain the cache over the chunked log at the read's own watermark
+    // (the j1b/t6b lifecycle shape)
+    val wm = JournalOps.defaultWatermark(a)
+    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val nChunks = 4
+    val step = maxOff / nChunks + 1
+    (0 until nChunks).foreach { i =>
+      val chunk = a.filter(
+        col("koffset") >= i * step && col("koffset") < (i + 1) * step
+      )
+      graft.streaming.StreamingHeadCache
+        .appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
+    }
+    val heads =
+      graft.streaming.StreamingHeadCache.readHeads(spark, tmp).cache()
+    def keyOf(kind: String): Option[(String, String)] =
+      heads
+        .filter(col("kind") === kind)
+        .select("topic", "id")
+        .collect()
+        .headOption
+        .map(r => (r.getString(0), r.getString(1)))
+    assert(keyOf("append").nonEmpty, "fixture must have an append head")
+    // one probe per cached head kind, plus one journal ABSENT from the
+    // cache (fully replicated — the fallback path)
+    val cachedKeys = heads
+      .select("topic", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val absent = JournalOps
+      .ids(a)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .find(!cachedKeys.contains(_))
+    val someTopic = a.select("topic").head().getString(0)
+    val probes =
+      Seq("append", "delete", "purge", "empty").flatMap(keyOf(_)) ++
+        absent ++ // a fully-replicated journal, when the fixture has one
+        Seq((someTopic, "no-such-journal")) // cache-absent, log-absent
+    def seqs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("seq_nr").collect().map(_.getLong(0)).sorted.toSeq
+    probes.foreach { case (t, i) =>
+      assert(
+        seqs(journal.readCached(t, i, tmp)) == seqs(journal.read(t, i)),
+        s"readCached ≡ read for ($t, $i)"
+      )
+      assert(
+        seqs(journal.pointerCached(t, i, tmp)) == seqs(journal.pointer(t, i)),
+        s"pointerCached ≡ pointer for ($t, $i)"
+      )
+    }
+    // the append fast path answers from the CACHE row itself
+    keyOf("append").foreach { case (t, i) =>
+      val fromCache = heads
+        .filter(col("topic") === t && col("id") === i)
+        .head()
+        .getAs[Long]("head_seq_nr")
+      assert(journal.pointerCached(t, i, tmp).head().getLong(0) == fromCache)
+    }
+    heads.unpersist(false)
+    a.unpersist(false)
+  }
+
   test("pointer equals max seq_nr of the journal scan where one exists") {
     import org.apache.spark.sql.functions._
     val fromScan = JournalOps
