@@ -362,6 +362,12 @@ object SparkEntry {
     // p36c — THREE-leg fusion: BM25 + dense IVF + ordered proximity
     "p36c_hybrid_proximity" ->
       ((s, d) => graft.pipeline.Retrieval.hybridProximityTopK(s, d)),
+    // p36d — the fusion through the PERSISTED stores (the production
+    // shape): build the positional inverted index AND the exact-integer
+    // IVF index, then fuse the three STORED searches — every leg reads
+    // its store partition-pruned, nothing recomputed inline
+    "p36d_hybrid_stored" ->
+      ((s, d) => graft.pipeline.Retrieval.hybridStoredLifecycle(s, d)),
     // p35 — bigram-LM familiarity (perplexity-style quality signal,
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
@@ -537,6 +543,7 @@ object SparkEntry {
     "p33d_bm25_indexed" -> PipelineOracles.bm25TopK,
     "p36b_hybrid_bm25" -> PipelineOracles.hybridBm25TopK,
     "p36c_hybrid_proximity" -> PipelineOracles.hybridProximityTopK,
+    "p36d_hybrid_stored" -> PipelineOracles.hybridStoredTopK,
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,

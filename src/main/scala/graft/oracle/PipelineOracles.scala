@@ -770,15 +770,21 @@ object PipelineOracles {
     ORDER BY c.cid
   """
 
-  /** k10 — the incremental-index lifecycle
-    * (graft.pipeline.Similarity.knnIndexLifecycleExact): k-means trains
-    * ONLY on the initial ingest (`vec_id % 4 < 3`, seeded from its 16
-    * lowest ids), the remaining quarter is assigned to the FROZEN
-    * centroids (the append path — iteration 3 scores the full corpus
-    * against c3 without feeding means back), and the nprobe search runs
-    * over the union. Same exact-BIGINT arithmetic as k5 end to end.
+  /** The k10 lifecycle chain as a parameterized POOL: quantize the
+    * corpus, train the exact k-means ONLY on the initial ingest
+    * (`vec_id % 4 < 3`, seeded from its 16 lowest ids), assign the full
+    * corpus to the FROZEN centroids (iteration 3 scores against c3
+    * without feeding means back — the append path), nprobe-search the
+    * union — yielding (qid, vec_id, score, rnk) up to `k` per query.
+    * Interpolated by the k10 oracle AND the p36d stored-hybrid's dense
+    * leg (at the fusion pool size), so both replay the identical
+    * lifecycle arithmetic.
     */
-  lazy val indexLifecycle: String = s"""
+  private def indexLifecyclePool(
+      nQueries: Int,
+      nprobe: Int,
+      k: Int
+  ): String = s"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -818,7 +824,7 @@ object PipelineOracles {
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY skey DESC, cid) AS rn
-        FROM s3 WHERE vec_id < 10) WHERE rn <= 2
+        FROM s3 WHERE vec_id < $nQueries) WHERE rn <= $nprobe
     ),
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
@@ -845,8 +851,19 @@ object PipelineOracles {
                                 ORDER BY score DESC, vec_id) AS rnk
       FROM ps
     )
+    SELECT qid, vec_id, score, rnk
+    FROM r WHERE rnk <= $k
+  """
+
+  /** k10 — the incremental-index lifecycle
+    * (graft.pipeline.Similarity.knnIndexLifecycleExact): the
+    * [[indexLifecyclePool]] chain at the registered protocol
+    * (nQueries=10, nprobe=2, k=5). Same exact-BIGINT arithmetic as k5
+    * end to end.
+    */
+  lazy val indexLifecycle: String = s"""
     SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
-    FROM r WHERE rnk <= 5
+    FROM (${indexLifecyclePool(10, 2, 5)}) lf
     ORDER BY qid, rnk
   """
 
@@ -2849,6 +2866,140 @@ object PipelineOracles {
             ON e.vec_id <> q.qid AND e.label = q.label
         ) s
       ) r WHERE rnk <= 20
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    phrase AS (
+      SELECT doc_id AS qid, pos AS j, w1 FROM pos
+      WHERE doc_id < 5 AND pos <= 3
+    ),
+    m1 AS (
+      SELECT ph.qid, p.doc_id, p.pos AS p1
+      FROM pos p JOIN phrase ph ON p.w1 = ph.w1 AND ph.j = 1
+      WHERE p.doc_id <> ph.qid
+    ),
+    m2 AS (
+      SELECT m1.qid, m1.doc_id, m1.p1, p.pos AS p2
+      FROM m1
+      JOIN phrase ph ON ph.qid = m1.qid AND ph.j = 2
+      JOIN pos p ON p.doc_id = m1.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m1.p1 AND p.pos < m1.p1 + 8
+    ),
+    m3 AS (
+      SELECT m2.qid, m2.doc_id
+      FROM m2
+      JOIN phrase ph ON ph.qid = m2.qid AND ph.j = 3
+      JOIN pos p ON p.doc_id = m2.doc_id AND p.w1 = ph.w1
+      WHERE p.pos > m2.p2 AND p.pos < m2.p1 + 8
+    ),
+    occ AS (
+      SELECT qid, doc_id FROM m3 GROUP BY qid, doc_id
+    ),
+    pqt AS (
+      SELECT DISTINCT ph.qid, ph.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM phrase ph JOIN df d USING (w1)
+    ),
+    proxsc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN pqt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    prox AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT o.qid, o.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY o.qid
+                                  ORDER BY s.score DESC, o.doc_id) AS rnk
+        FROM occ o JOIN proxsc s ON o.qid = s.qid AND o.doc_id = s.doc_id
+      ) r WHERE rnk <= 20
+    ),
+    legs AS (
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM dens
+      UNION ALL
+      SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM prox
+    ),
+    fused AS (
+      SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_legs
+      FROM legs GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, rrf_ppm, n_legs
+    FROM (
+      SELECT qid, doc_id, rrf_ppm, n_legs,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_ppm DESC, doc_id) AS rnk
+      FROM fused
+    ) f WHERE rnk <= 10
+    ORDER BY qid, rnk
+  """
+
+  /** p36d — hybrid retrieval through the PERSISTED stores
+    * (graft.pipeline.Retrieval.hybridStoredLifecycle): the p36c fusion
+    * with its dense leg replaced by the k10 stored-index lifecycle chain
+    * ([[indexLifecyclePool]] at nQueries=5, pool 20 — train on the
+    * initial 3/4, frozen-quantizer assignment, nprobe=2 search). The
+    * lexical and proximity legs replay the inline arithmetic their stored
+    * forms are row-identical to (RetrievalIndexSpec laws); the dense leg
+    * replays knnIvfIndexedExact's (IndexStoreSpec law) — so this SQL is
+    * the three-store production query end to end.
+    */
+  lazy val hybridStoredTopK: String = s"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    lexsc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    lex AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM lexsc
+      ) r WHERE rnk <= 20
+    ),
+    dens AS (
+      SELECT qid, vec_id AS doc_id, rnk
+      FROM (${indexLifecyclePool(5, 2, 20)}) dl
     ),
     pos AS (
       SELECT doc_id, g.i AS pos, w[g.i] AS w1

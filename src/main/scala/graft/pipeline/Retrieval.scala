@@ -119,22 +119,7 @@ object Retrieval {
     val dense = Similarity
       .knnIvf(spark, dir, nQueries, poolK)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    val legs = lex
-      .unionByName(dense)
-      .select(
-        col("qid"),
-        col("doc_id"),
-        expr(s"1000000 DIV ($rrfK + rank)").as("c")
-      )
-    val w =
-      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
-    legs
-      .groupBy("qid", "doc_id")
-      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
-      .orderBy("qid", "rank")
+    rrfFuse(Seq(lex, dense), rrfK, k)
   }
 
   // ---------------------------------------------------------------------
@@ -1135,6 +1120,37 @@ object Retrieval {
     }
   }
 
+  /** The shared RRF fusion tail: every leg contributes
+    * `1000000 DIV (rrfK + rank)` per (qid, doc_id), summed exactly (ppm),
+    * ranked desc with doc_id ties. Legs are (qid, doc_id, rank) pools —
+    * only integer RANKS cross the fusion boundary, so adding a modality
+    * is one more union arm and the whole fusion hash-replays in DuckDB.
+    * Leg-output-sized at any corpus scale.
+    */
+  private[graft] def rrfFuse(
+      legs: Seq[DataFrame],
+      rrfK: Int,
+      k: Int
+  ): DataFrame = {
+    val u = legs
+      .map(
+        _.select(
+          col("qid"),
+          col("doc_id"),
+          expr(s"1000000 DIV ($rrfK + rank)").as("c")
+        )
+      )
+      .reduce(_.unionByName(_))
+    val w =
+      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
+    u.groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
+      .orderBy("qid", "rank")
+  }
+
   /** P36c — THREE-leg hybrid retrieval: RRF fusion of BM25 (term
     * matching with saturation/length normalization), dense IVF cosine
     * (embedding geometry), and ordered PROXIMITY (positional structure) —
@@ -1160,23 +1176,7 @@ object Retrieval {
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     val prox = proximityTopK(spark, dir, nQueries, poolK, phraseLen, window)
       .select(col("qid"), col("doc_id"), col("rank"))
-    val legs = lex
-      .unionByName(dense)
-      .unionByName(prox)
-      .select(
-        col("qid"),
-        col("doc_id"),
-        expr(s"1000000 DIV ($rrfK + rank)").as("c")
-      )
-    val w =
-      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
-    legs
-      .groupBy("qid", "doc_id")
-      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
-      .orderBy("qid", "rank")
+    rrfFuse(Seq(lex, dense, prox), rrfK, k)
   }
 
   /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion
@@ -1198,21 +1198,89 @@ object Retrieval {
     val dense = Similarity
       .knnIvf(spark, dir, nQueries, poolK)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    val legs = lex
-      .unionByName(dense)
-      .select(
-        col("qid"),
-        col("doc_id"),
-        expr(s"1000000 DIV ($rrfK + rank)").as("c")
+    rrfFuse(Seq(lex, dense), rrfK, k)
+  }
+
+  /** The fused search over EXISTING stores — what a deployed retrieval
+    * system runs per query batch: BM25 through the persisted inverted
+    * index ([[bm25TopKIndexed]]), dense cosine through the persisted
+    * exact-integer IVF index
+    * ([[graft.pipeline.Similarity.knnIvfIndexedExact]]), ordered
+    * proximity through the persisted POSITIONAL index
+    * ([[proximityTopKIndexed]]) — every leg's scan partition-pruned to
+    * its probed buckets/cells (plan-asserted in RetrievalIndexSpec),
+    * nothing recomputed inline, fused by the p36c RRF arithmetic.
+    */
+  def hybridStoredTopK(
+      spark: SparkSession,
+      dir: String,
+      textIndexDir: String,
+      vecIndexDir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      phraseLen: Int = 3,
+      window: Int = 8,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val lex = bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .knnIvfIndexedExact(spark, dir, vecIndexDir, nQueries, poolK, nprobe)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val prox =
+      proximityTopKIndexed(spark, dir, textIndexDir, nQueries, poolK, phraseLen, window)
+        .select(col("qid"), col("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, dense, prox), rrfK, k)
+  }
+
+  /** P36d — hybrid retrieval through the PERSISTED stores, as one
+    * oracle-replayable lifecycle query (the production shape p36c only
+    * approximated with inline legs): build the positional inverted index
+    * over the history 80% and append the daily 20% (the p33f/p33h store),
+    * build the exact-integer IVF index trained on the initial 3/4 ingest
+    * and append the remaining quarter to the frozen quantizer (the k10
+    * store), then run ONE [[hybridStoredTopK]] — three modalities, three
+    * stores, one fused answer. Every leg reads its store; the lexical
+    * and proximity legs are row-identical to their inline forms (the
+    * RetrievalIndexSpec laws) and the dense leg to
+    * [[graft.pipeline.Similarity.knnIndexLifecycleExact]] (IndexStoreSpec
+    * law), so the whole query hash-replays in DuckDB as RRF over the
+    * three legs' oracle chains.
+    */
+  def hybridStoredLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      phraseLen: Int = 3,
+      window: Int = 8,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p36d-text") { tIdx =>
+      writeInvertedIndexOf(
+        spark,
+        d.filter(col("doc_id") < split),
+        tIdx,
+        withPositions = true
       )
-    val w =
-      Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("doc_id"))
-    legs
-      .groupBy("qid", "doc_id")
-      .agg(sum("c").as("rrf_ppm"), count(lit(1)).as("n_legs"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "doc_id", "rank", "rrf_ppm", "n_legs")
-      .orderBy("qid", "rank")
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+      Eager.withTempStore("graft-p36d-vec") { vIdx =>
+        val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
+        Similarity
+          .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
+        Similarity
+          .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+        hybridStoredTopK(
+          spark, dir, tIdx, vIdx,
+          nQueries, poolK, k, rrfK, phraseLen, window, nprobe
+        )
+      }
+    }
   }
 }

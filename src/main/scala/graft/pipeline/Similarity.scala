@@ -779,6 +779,176 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted EXACT-INTEGER IVF store — the k5/k10 arithmetic behind the
+  // SAME parquet layout as the float store (`centroids` + a (cid, layer)-
+  // partitioned `vectors` member), deliberately sharing its member names
+  // so repairIvfIndex / compactIvfIndex / Maintenance.ivfVectors drive it
+  // unchanged. The integer payload is what makes the STORED search
+  // oracle-replayable end to end (training, assignment, probing, scoring
+  // — all BIGINT), which is what the stored-leg hybrid (p36d) fuses.
+  // ---------------------------------------------------------------------
+
+  private def readExactCentroids(
+      spark: SparkSession,
+      indexDir: String
+  ): Seq[(Int, Seq[Long])] = spark.read
+    .parquet(s"$indexDir/centroids")
+    .collect() // bounded: kCentroids × dim
+    .map(r => r.getInt(0) -> r.getSeq[Long](1))
+    .sortBy(_._1)
+    .toSeq
+
+  /** Persist the exact-integer trained IVF index over `codes`
+    * (vec_id, q8 — [[quantized]]'s BIGINT codes): trains
+    * [[trainCentroidsExact]], writes the quantizer to `centroids`
+    * (cid, c BIGINT[]) and the assigned corpus to `vectors`
+    * (vec_id, q8) partitioned by (cid, layer) — layer 0 the base, the
+    * float store's exactly-once layout verbatim.
+    */
+  def writeIvfIndexExactOf(
+      spark: SparkSession,
+      codes: DataFrame,
+      out: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Unit = {
+    import spark.implicits._
+    val c = codes.select("vec_id", "q8").cache()
+    val centroids = trainCentroidsExact(c, kCentroids, iters)
+    centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
+    // a REBUILD into an existing store supersedes any swapped generation
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out).resolve("vectors.current")): Unit
+    assignCellsInt(c, centroids)
+      .select(col("vec_id"), col("q8"), col("cid").cast("int").as("cid"))
+      .withColumn("layer", lit(0L))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid", "layer")
+      .parquet(s"$out/vectors")
+    c.unpersist(false)
+  }
+
+  /** Append a batch of codes to the FROZEN exact quantizer — k10's append
+    * path through parquet: row-local [[assignCellsInt]] against the stored
+    * centroids, landed under its own layer via dynamic partition overwrite
+    * (same redelivery-exactness contract as [[appendToIvfIndex]]).
+    */
+  def appendToIvfIndexExact(
+      spark: SparkSession,
+      newCodes: DataFrame,
+      indexDir: String,
+      layer: Long = System.nanoTime()
+  ): Unit = {
+    require(layer > 0L, "append layers must be > 0; layer 0 is the base")
+    repairIvfIndex(indexDir)
+    val centroids = readExactCentroids(spark, indexDir)
+    assignCellsInt(newCodes.select("vec_id", "q8"), centroids)
+      .select(col("vec_id"), col("q8"), col("cid").cast("int").as("cid"))
+      .withColumn("layer", lit(layer))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("cid", "layer")
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
+  }
+
+  /** Exact-integer IVF search over the PERSISTED store — no training at
+    * query time: the stored centroids (bounded kCentroids×dim longs)
+    * resolve each query's nprobe cells row-locally, the probed-cell set
+    * (≤ kCentroids) turns the vectors scan into a static partition-pruned
+    * read, and candidates rank by the fixed-point cosine key with ties to
+    * vec_id — [[searchCellsExact]]'s arithmetic against store rows.
+    * Bit-identical to [[knnIndexLifecycleExact]] when the store was built
+    * with its protocol (train on the initial ingest, append the rest —
+    * the IndexStoreSpec law), because assignment is row-local in the
+    * frozen quantizer and parquet round-trips BIGINT codes exactly.
+    */
+  def knnIvfIndexedExactOf(
+      spark: SparkSession,
+      queryCodes: DataFrame,
+      indexDir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2
+  ): DataFrame = {
+    repairIvfIndex(indexDir)
+    val centroids = readExactCentroids(spark, indexDir)
+    val probes = queryCodes
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("q8").as("q"),
+        explode(
+          slice(
+            sort_array(
+              array(cellScoresInt(col("q8"), centroids): _*),
+              asc = false
+            ),
+            1,
+            nprobe
+          )
+        ).as("probe")
+      )
+      .select(col("qid"), col("q"), (-col("probe.negCid")).cast("int").as("cid"))
+    // probed-cell set bounded by kCentroids: collecting it makes the
+    // store scan a static partition-pruned read (the float form's trick)
+    val probeCids = probes
+      .select("cid")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val vectors = spark.read
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
+      .where(col("cid").isin(probeCids: _*))
+    val scored = vectors
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
+          .as("score")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** [[knnIvfIndexedExactOf]] with the standard query protocol (the
+    * nQueries lowest vec_ids' codes, quantized row-locally from the
+    * corpus — never read back from the index).
+    */
+  def knnIvfIndexedExact(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2
+  ): DataFrame =
+    knnIvfIndexedExactOf(
+      spark,
+      quantized(spark, dir).select("vec_id", "q8"),
+      indexDir,
+      nQueries,
+      k,
+      nprobe
+    )
+
   /** Symmetric int8 quantization of an embedding column: per-vector scale
     * = 127/max|v_i|, code_i = floor(v_i·scale + 0.5) ∈ [−127, 127] (the
     * all-zero vector maps to all-zero codes). This is the storage format

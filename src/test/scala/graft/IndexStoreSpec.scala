@@ -346,6 +346,38 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromStore == direct)
   }
 
+  test("persisted exact-integer IVF store: write→append→search ≡ the k10 single plan; pruned scan; compaction identity") {
+    val tmp = Files.createTempDirectory("graft-ivf-exact-store").toString
+    val codes = Similarity.quantized(spark, sfDir).select("vec_id", "q8")
+    // the k10 protocol through the REAL store functions: train on the
+    // initial 3/4 ingest, append the quarter to the frozen quantizer
+    Similarity
+      .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+    Similarity
+      .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+    def rows4(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val stored = Similarity.knnIvfIndexedExact(spark, sfDir, tmp)
+    // the store scan is partition-pruned to the probed cells
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("cid"))
+    val direct = rows4(Similarity.knnIndexLifecycleExact(spark, sfDir))
+    assert(direct.nonEmpty)
+    assert(rows4(stored) == direct)
+    // compaction (the float store's compactor, shared layout) folds the
+    // append layer; reads identical; the maintenance registry drives it
+    val st = Maintenance.ivfVectors(tmp).copy(compactOverLayers = 1)
+    val fired = Maintenance
+      .maintainAll(spark, Seq(st))
+      .head()
+      .getAs[Boolean]("compacted")
+    assert(fired)
+    assert(rows4(Similarity.knnIvfIndexedExact(spark, sfDir, tmp)) == direct)
+  }
+
   test("index lifecycle: streamed drift fires the retrain trigger; retraining clears it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

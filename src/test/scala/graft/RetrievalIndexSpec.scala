@@ -267,6 +267,43 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("p36d stored-leg hybrid equals the inline-composed fusion (its oracle's justification); stored legs prune") {
+    val lex = Retrieval
+      .bm25TopK(spark, sfDir, 5, 20)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = graft.pipeline.Similarity
+      .knnIndexLifecycleExact(spark, sfDir, 5, 20)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val prox = Retrieval
+      .proximityTopK(spark, sfDir, 5, 20)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val expected = rows5(Retrieval.rrfFuse(Seq(lex, dense, prox), 60, 10))
+    assert(expected.nonEmpty)
+    assert(rows5(Retrieval.hybridStoredLifecycle(spark, sfDir)) == expected)
+    // and the fused STORED query's leg scans are all partition-pruned:
+    // build both stores once, plan-check hybridStoredTopK directly
+    val tIdx = Files.createTempDirectory("graft-p36d-ti").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tIdx, withPositions = true)
+    val vIdx = Files.createTempDirectory("graft-p36d-vi").toString
+    graft.pipeline.Similarity.writeIvfIndexExactOf(
+      spark,
+      graft.pipeline.Similarity.quantized(spark, sfDir).select("vec_id", "q8"),
+      vIdx
+    )
+    val fused = Retrieval.hybridStoredTopK(spark, sfDir, tIdx, vIdx)
+    val plan = fused.queryExecution.executedPlan.toString
+    // every pruneable store scan in the fused plan carries its partition
+    // filter (stats is a single-row summed member — nothing to prune)
+    val storeScans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && (l.contains(tIdx) || l.contains(vIdx)))
+      .toList
+    assert(storeScans.nonEmpty, "no store scans found in the fused plan")
+    val unpruned = storeScans.filter(l =>
+      l.contains("PartitionFilters: []") && !l.contains("stats")
+    )
+    assert(unpruned.isEmpty, s"unpruned store scan:\n${unpruned.mkString("\n")}")
+  }
+
   test("lifecycle queries equal their inline twins (the p33b/p33d oracle reuse)") {
     assert(
       rows(Retrieval.keywordIndexLifecycle(spark, sfDir)) ==
