@@ -209,6 +209,10 @@ object SparkEntry {
     "m4c_media_recall" -> ((s, d) => Multimodal.mediaRecall(s, d)),
     // m5 — binary content dedup: digests shuffle, payloads don't
     "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
+    // m6 — perceptual media near-dup: sign-LSH over the extracted feature
+    // vectors (re-encoded/resized assets m5's byte hash cannot catch),
+    // transitive clusters with lowest-id keeper election
+    "m6_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "q8_revenue_rollup" -> (Analytics.revenueRollup _),
     // q8c — CUBE + grouping_id (q8 covers ROLLUP; this closes the lattice)
     "q8c_revenue_cube" -> (Analytics.revenueCube _),
@@ -487,6 +491,7 @@ object SparkEntry {
     "m4b_media_knn_ivf" -> PipelineOracles.mediaKnnIvf,
     "m4c_media_recall" -> PipelineOracles.mediaRecall,
     "m5_media_dedup" -> PipelineOracles.mediaDedup,
+    "m6_media_neardup" -> PipelineOracles.mediaNearDup,
     "q8_revenue_rollup" -> AnalyticsOracles.revenueRollup,
     "q8c_revenue_cube" -> AnalyticsOracles.revenueCube,
     "w5_asof_attribution" -> AnalyticsOracles.asofAttribution,

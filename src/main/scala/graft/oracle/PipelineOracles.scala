@@ -2106,6 +2106,58 @@ object PipelineOracles {
     ORDER BY vec_id
   """
 
+  /** m6 — perceptual media near-dup (graft.pipeline.Multimodal
+    * .mediaNearDup): the stub feature vectors (exact small integers from
+    * strlen) on the seeded harness (×2-scaled twins for the 20 lowest
+    * ids, media_type preserved), exact all-pairs within-media_type cosine
+    * at the tight threshold (the stub space's parallel-only band — see
+    * the operator doc), transitive closure by recursive min propagation,
+    * non-keepers with their keeper. The LSH candidate generator must
+    * recover every qualifying pair (parallel ⇒ same bucket), so the
+    * all-pairs truth is the exact oracle of the bucketed plan.
+    */
+  val mediaNearDup: String = """
+    WITH RECURSIVE feats AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 8),
+               k -> CAST((strlen(text) * k) % 97 + 1 AS DOUBLE)) AS e,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS label
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, e, label FROM feats
+      UNION ALL
+      SELECT doc_id + 1000000, list_transform(e, v -> v * 2), label
+      FROM feats WHERE doc_id < 20
+    ),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               list_dot_product(l.e, r.e) /
+               (sqrt(list_dot_product(l.e, l.e)) *
+                sqrt(list_dot_product(r.e, r.e))) AS sim
+        FROM corpus l
+        JOIN corpus r ON l.label = r.label AND l.doc_id < r.doc_id
+      ) s WHERE sim >= 0.9999999
+    ),
+    edges AS (
+      SELECT a, b FROM pairs
+      UNION
+      SELECT b AS a, a AS b FROM pairs
+    ),
+    cc(doc_id, keeper) AS (
+      SELECT DISTINCT a AS doc_id, a AS keeper FROM edges
+      UNION
+      SELECT e.a AS doc_id, c.keeper FROM edges e JOIN cc c ON c.doc_id = e.b
+    )
+    SELECT doc_id, MIN(keeper) AS keeper
+    FROM cc
+    GROUP BY doc_id
+    HAVING doc_id <> MIN(keeper)
+    ORDER BY doc_id
+  """
+
   /** p16 — PII scan (graft.pipeline.Pii): the seeded suffix and the four
     * patterns are replayed verbatim (Java-regex ∩ RE2 dialect; DuckDB
     * regexp_replace needs the 'g' flag to match Spark's replace-all). */

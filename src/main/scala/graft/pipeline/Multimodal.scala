@@ -290,6 +290,80 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The m6 HARNESS corpus (the d4/p16 seeded-fixture pattern, applied to
+    * media features): the corpus's stub feature vectors plus one
+    * exactly-parallel "re-encoded copy" per low-id asset — the same
+    * features scaled ×2 (small exact integers, so the scaled floats and
+    * every cosine are bit-identical between engines and the pair's
+    * similarity is exactly parallel by construction). A re-encode/resize
+    * changes bytes but barely moves the perceptual feature vector; the
+    * ×2 seed models the limiting case. Seeds keep the ORIGINAL's
+    * media_type and offset ids by 1e6 (asserted non-colliding).
+    */
+  private[graft] def seededMediaFeatures(
+      spark: SparkSession,
+      dir: String,
+      nSeeds: Int = 20
+  ): DataFrame = {
+    val mt = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int")
+    )
+    val base = extractFeatures(spark, dir).withColumn("media_type", mt)
+    require(
+      base.agg(max("doc_id")).head().getLong(0) < 1000000L,
+      "seed id offset collides with corpus doc_ids"
+    )
+    val seeds = base
+      .filter(col("doc_id") < nSeeds)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        transform(col("embedding"), v => (v * lit(2.0f)).cast("float"))
+          .as("embedding"),
+        col("media_type")
+      )
+    base.unionByName(seeds)
+  }
+
+  /** M6 — PERCEPTUAL media near-dup: the production case m5's byte hash
+    * cannot catch (a re-encoded or resized asset has different bytes but
+    * a near-identical feature vector). The d4 sign-LSH near-dup
+    * transposed to the media plane: candidates from the 1-bit-multiprobe
+    * LSH index over the extracted features (media_type as the cell — an
+    * image is never a dup of a video), exact cosine on candidates only,
+    * transitive clustering with lowest-id keeper election à la d8. Runs
+    * on the seeded harness so ground truth is non-vacuous.
+    *
+    * The default threshold is tight on purpose: the STUB feature space
+    * has only 97 distinct directions (features depend on byte length mod
+    * 97), whose closest non-parallel pair sits at cosine ≈ 0.99999978 —
+    * so 0.9999999 admits exactly the parallel pairs (the re-encode
+    * seeds and byte-length-congruent assets), which is both the honest
+    * semantic under the stub extractor and what makes the operator
+    * hash-replayable (parallel pairs share their LSH bucket, so the
+    * multiprobe index provably recovers every qualifying pair). A real
+    * feature extractor swaps the threshold to d4's 0.99.
+    */
+  def mediaNearDup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.9999999,
+      nBits: Int = 12
+  ): DataFrame = {
+    val feats = seededMediaFeatures(spark, dir)
+      .select(
+        col("doc_id").as("vec_id"),
+        col("embedding"),
+        col("media_type").as("label")
+      )
+    val pairs = Similarity.embeddingNearDupOn(feats, threshold, nBits)
+    Dedup
+      .components(pairs.select("a", "b"))
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"), col("label").as("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Rollup per media type — the "what's in this corpus" report. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir)

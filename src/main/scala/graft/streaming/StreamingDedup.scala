@@ -459,6 +459,57 @@ object StreamingDedup {
       }
   }
 
+  /** Media row shape the scrub stream ingests — the
+    * [[graft.pipeline.Multimodal.mediaTable]] projection: opaque binary
+    * payload plus its typed media_type.
+    */
+  final case class MediaRow(
+      doc_id: Long,
+      payload: Array[Byte],
+      media_type: String
+  )
+
+  /** Scalar mirror of [[graft.pipeline.Multimodal.extractFeatures]]'s stub
+    * arithmetic (law-checked in StreamingDedupSpec) plus the media_type →
+    * label-cell mapping — the row-local map a real deployment swaps for
+    * its vision/audio encoder; the batch shape around it is the contract.
+    */
+  def mediaVecOf(docId: Long, payload: Array[Byte], mediaType: String): Vec = {
+    val n = payload.length.toLong
+    Vec(
+      docId,
+      mediaType match { case "image" => 0; case "audio" => 1; case _ => 2 },
+      Array.tabulate(8)(i => ((n * (i + 1)) % 97 + 1).toFloat)
+    )
+  }
+
+  /** M6 continuous form — the perceptual media scrub stream: arriving
+    * media rows are feature-extracted ROW-LOCALLY (the stub mirror) and
+    * fed through [[embeddingNearDup]] with media_type as the label cell
+    * at the m6 threshold. The emitted pairs ARE the scrub verdicts: a doc
+    * appearing as `b` duplicates the earlier-arrived `a`, and under
+    * monotone ingest ids min(a) over a doc's pairs is exactly the batch
+    * keeper (keep-first — the exactDedup discipline on the perceptual
+    * plane; the StreamingDedupSpec law pins streamed verdicts ≡ batch
+    * [[graft.pipeline.Multimodal.mediaNearDup]] row-for-row). Same state
+    * contract as [[embeddingNearDup]]: per-bucket owner vectors, sharded
+    * by bucket key — the streaming analogue of the persisted LSH index.
+    */
+  def mediaScrubStream(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      threshold: Double = 0.9999999,
+      nBits: Int = 12
+  ): Dataset[NearDupOut] = {
+    import spark.implicits._
+    embeddingNearDup(
+      spark,
+      media.map(m => mediaVecOf(m.doc_id, m.payload, m.media_type)),
+      threshold,
+      nBits
+    )
+  }
+
   /** D12 continuous form — exact-substring span dedup over continuous
     * ingest: each micro-batch is CLEANED against the persisted span index
     * ([[graft.pipeline.Dedup.removeDupSpansAgainstIndex]]: stored-window

@@ -177,6 +177,64 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)   // exact, including bit-identical sims
   }
 
+  test("media scrub stream: row-local features mirror the batch extractor; streamed verdicts equal batch m6") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val media = graft.pipeline.Multimodal
+      .mediaTable(spark, sfDir)
+      .as[(Long, Array[Byte], String)]
+      .collect()
+      .map { case (id, p, t) => StreamingDedup.MediaRow(id, p, t) }
+      .sortBy(_.doc_id) // monotone ingest ids — the keep-first contract
+      .toSeq
+
+    // law 1: the scalar feature mirror ≡ the batch extractor, row-for-row
+    val mirrored = media
+      .map(m => StreamingDedup.mediaVecOf(m.doc_id, m.payload, m.media_type))
+      .map(v => v.vec_id -> v.embedding.toSeq)
+      .toMap
+    val batchFeats = graft.pipeline.Multimodal
+      .extractFeatures(spark, sfDir)
+      .as[(Long, Array[Float])]
+      .collect()
+    assert(batchFeats.nonEmpty)
+    batchFeats.foreach { case (id, e) => assert(mirrored(id) == e.toSeq) }
+
+    // law 2: streamed scrub verdicts ≡ the batch m6 operator. Seeds are
+    // feature-level fixtures (no generating payload), so the stream runs
+    // the REAL media table; seed ids are never keepers and connect only
+    // within already-connected direction groups, so the batch output
+    // filtered below the seed offset IS the unseeded answer.
+    val chunks = media.grouped((media.size + 2) / 3).toSeq
+    val ms = MemoryStream[StreamingDedup.MediaRow]
+    val q = StreamingDedup
+      .mediaScrubStream(spark, ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sd_media_scrub")
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark
+      .table("sd_media_scrub")
+      .groupBy(col("b").as("doc_id"))
+      .agg(min("a").as("keeper"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val want = graft.pipeline.Multimodal
+      .mediaNearDup(spark, sfDir)
+      .filter(col("doc_id") < 1000000L)
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("redelivered vectors are no-ops (idempotent near-dup emission)") {
     val sp = spark
     import sp.implicits._
