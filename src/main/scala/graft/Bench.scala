@@ -104,6 +104,7 @@ object Bench {
     val cpu0run = procCpuNs
     val gc0run = gcMs
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.util.PhaseClock.drain(): Unit // clear any prior leftovers
       val t0 = System.nanoTime()
       val c0 = procCpuNs
       val g0 = gcMs
@@ -113,7 +114,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val cpuSec = if (c0 < 0) -1.0 else (procCpuNs - c0) / 1e9
       val gcSec = (gcMs - g0) / 1e3
-      (name, if (ok) sec else -1.0, cpuSec, loadAvg, gcSec, heapUsedMb)
+      // lifecycle queries stamp their build/search split (PhaseClock via
+      // Eager.withTempStore); empty for plain queries
+      val phases = graft.util.PhaseClock.drain()
+      (name, if (ok) sec else -1.0, cpuSec, loadAvg, gcSec, heapUsedMb, phases)
     }
     val wallTotal = (System.nanoTime() - t0run) / 1e9
     val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
@@ -136,7 +140,7 @@ object Bench {
       if (cs.isEmpty) -1.0 else cs(cs.length / 2)
     }
     val suspicious = results
-      .filter { case (_, wall, cpu, _, _, _) =>
+      .filter { case (_, wall, cpu, _, _, _, _) =>
         wall > 3.0 && cpu >= 0 &&
         (wall > 3 * cpu || (cpuMedian > 0 && cpu > 5 * cpuMedian))
       }
@@ -147,14 +151,14 @@ object Bench {
       // ranks by cpu/cpuMedian, a starved one by wall/cpu; ranking by
       // wall/cpu alone sorted the cpu arm's admits last and the cap could
       // drop exactly them
-      .sortBy { case (_, wall, cpu, _, _, _) =>
+      .sortBy { case (_, wall, cpu, _, _, _, _) =>
         -math.max(
           wall / math.max(cpu, 0.01),
           cpu / math.max(cpuMedian, 0.01)
         )
       }
       .take(12)
-    val reruns = suspicious.map { case (name, _, _, _, _, _) =>
+    val reruns = suspicious.map { case (name, _, _, _, _, _, _) =>
       val fn = selected(name)
       val t0 = System.nanoTime()
       val c0 = procCpuNs
@@ -175,22 +179,32 @@ object Bench {
     // comma-decimal locale would emit invalid JSON ("0,123")
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cpus = results
-      .map { case (k, _, c, _, _, _) => "\"" + k + "\":" + fmt(c) }
+      .map { case (k, _, c, _, _, _, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val loads = results
-      .map { case (k, _, _, l, _, _) => "\"" + k + "\":" + fmt(l) }
+      .map { case (k, _, _, l, _, _, _) => "\"" + k + "\":" + fmt(l) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, _, g, _) => "\"" + k + "\":" + fmt(g) }
+    val gcs = results.map { case (k, _, _, _, g, _, _) => "\"" + k + "\":" + fmt(g) }
       .mkString("{", ",", "}")
     val heaps = results
-      .map { case (k, _, _, _, _, h) => "\"" + k + "\":" + fmt(h) }
+      .map { case (k, _, _, _, _, h, _) => "\"" + k + "\":" + fmt(h) }
       .mkString("{", ",", "}")
     val failed = results
-      .collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
+      .collect { case (k, v, _, _, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // build/search split for the lifecycle queries (the round-11 finding:
+    // the headline total drifts with ingest cost; this keeps the
+    // production read legs visible as their own numbers)
+    val phaseJson = results
+      .collect { case (k, _, _, _, _, _, p) if p.nonEmpty =>
+        "\"" + k + "\":" + p.toSeq.sorted
+          .map { case (ph, s) => "\"" + ph + "\":" + fmt(s) }
+          .mkString("{", ",", "}")
+      }
+      .mkString("{", ",", "}")
     val rerunJson = reruns
       .map { case (k, w, c, l, g) =>
         "\"" + k + "\":{\"wall\":" + fmt(w) + ",\"cpu\":" + fmt(c) +
@@ -201,7 +215,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu_sec":$cpus,"load_avg":$loads,"gc_sec":$gcs,""" +
-        s""""heap_used_mb":$heaps,"failed":$failed,"reruns":$rerunJson,""" +
+        s""""heap_used_mb":$heaps,"failed":$failed,"phases":$phaseJson,""" +
+        s""""reruns":$rerunJson,""" +
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
         s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +

@@ -1262,7 +1262,9 @@ object Retrieval {
   ): DataFrame = {
     val d = docs(spark, dir)
     val split = Dedup.incrementalBoundary(spark, dir)
-    Eager.withTempStore("graft-p36d-text") { tIdx =>
+    Eager.withTempStore("graft-p36d-stores") { tmp =>
+      val tIdx = s"$tmp/text"
+      val vIdx = s"$tmp/vec"
       writeInvertedIndexOf(
         spark,
         d.filter(col("doc_id") < split),
@@ -1270,17 +1272,15 @@ object Retrieval {
         withPositions = true
       )
       appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
-      Eager.withTempStore("graft-p36d-vec") { vIdx =>
-        val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
-        Similarity
-          .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
-        Similarity
-          .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
-        hybridStoredTopK(
-          spark, dir, tIdx, vIdx,
-          nQueries, poolK, k, rrfK, phraseLen, window, nprobe
-        )
-      }
+      val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
+      Similarity
+        .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
+      Similarity
+        .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+      hybridStoredTopK(
+        spark, dir, tIdx, vIdx,
+        nQueries, poolK, k, rrfK, phraseLen, window, nprobe
+      )
     }
   }
 }
