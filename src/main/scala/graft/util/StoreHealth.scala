@@ -51,29 +51,53 @@ object StoreHealth {
   private def liveDir(root: String, sub: String): java.nio.file.Path =
     DirSwap.resolve(Paths.get(root), sub)
 
-  /** One health row per store, computed from store METADATA only. */
+  /** One health row per store, computed from store METADATA only — and
+    * ONE Spark job for the whole registry: every layered member's layer
+    * partition column is unioned into a single (store, member, layer)
+    * frame and counted in one pass, instead of one distinct-count job per
+    * member per store (the round-11 note: at many stores × members the
+    * report is maintainer-cadence but should still be one job).
+    */
   def healthAll(spark: SparkSession, stores: Seq[Store]): DataFrame = {
     import spark.implicits._
-    stores
-      .map { st =>
-        st.layeredDirs.foreach(DirSwap.repair(Paths.get(st.root), _))
-        st.flatDirs.foreach(DirSwap.repair(Paths.get(st.root), _))
-        val layers = st.layeredDirs
-          .map(liveDir(st.root, _))
-          // a member directory can be absent (optional, e.g. a
-          // frequency-only index's positions) or exist with ZERO data
-          // files (a store whose first batch had nothing to write) —
-          // both contribute no layers rather than failing schema
-          // inference
-          .filter(p => Fs.countParquetFiles(p) > 0)
-          .map(p =>
+    import org.apache.spark.sql.functions._
+    stores.foreach { st =>
+      (st.layeredDirs ++ st.flatDirs).foreach(DirSwap.repair(Paths.get(st.root), _))
+    }
+    // a member directory can be absent (optional, e.g. a frequency-only
+    // index's positions) or exist with ZERO data files (a store whose
+    // first batch had nothing to write) — both contribute no layers
+    // rather than failing schema inference
+    val members = for {
+      st <- stores
+      sub <- st.layeredDirs
+      p = liveDir(st.root, sub)
+      if Fs.countParquetFiles(p) > 0
+    } yield (st.name, sub, p)
+    val layerCounts: Map[String, Long] =
+      if (members.isEmpty) Map.empty
+      else
+        members
+          .map { case (name, sub, p) =>
             spark.read
               .parquet(p.toString)
-              .select(org.apache.spark.sql.functions.col("layer").cast("long"))
-              .distinct()
-              .count()
-          )
-        val nLayers = if (layers.isEmpty) 1L else layers.max
+              .select(
+                lit(name).as("store"),
+                lit(sub).as("member"),
+                col("layer").cast("long").as("layer")
+              )
+          }
+          .reduce(_.unionByName(_))
+          .groupBy("store", "member")
+          .agg(countDistinct("layer").as("n"))
+          .groupBy("store")
+          .agg(max("n").as("n_layers"))
+          .collect() // one row per store — driver-bounded
+          .map(r => r.getString(0) -> r.getLong(1))
+          .toMap
+    stores
+      .map { st =>
+        val nLayers = layerCounts.getOrElse(st.name, 1L)
         val nFiles = (st.layeredDirs ++ st.flatDirs)
           .map(sub => Fs.countParquetFiles(liveDir(st.root, sub)))
           .sum
