@@ -1133,14 +1133,21 @@ object Similarity {
       ).as("bucket")
     )
     val targets = corpus.select(
-      col("label").as("label_b"),
+      col("label"),
       col("vec_id").as("b"),
       col("embedding").as("eb"),
       col("bucket")
     )
+    // label rides the JOIN KEY (not a post-join filter): a cross-label
+    // candidate can never pass the equality anyway, so hashing on
+    // (bucket, label) drops it before the cosine — on the media plane
+    // (m6: 3 labels sharing 97 feature directions) that is a 3× cut in
+    // scored pairs for identical output. The label still never GENERATES
+    // candidates: a coarse label alone would be O(n²/|labels|) —
+    // the bucket stays the generator, the label only splits its groups.
     val out = probes
-      .join(targets, Seq("bucket"))
-      .filter(col("a") < col("b") && col("label") === col("label_b"))
+      .join(targets, Seq("bucket", "label"))
+      .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select("label", "a", "b", "sim")
