@@ -873,7 +873,7 @@ object Similarity {
       spark: SparkSession,
       queryCodes: DataFrame,
       indexDir: String,
-      nQueries: Int = 10,
+      nQueries: Long = 10L, // Long so "every arriving query" is expressible
       k: Int = 5,
       nprobe: Int = 2
   ): DataFrame = {

@@ -102,6 +102,77 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous STORED-HYBRID search — the streaming twin of the p36d
+    * production query ([[Retrieval.hybridStoredTopK]]): query documents
+    * arrive as `(qid, text, embedding)` rows and each micro-batch runs
+    * the three-leg fusion against the FROZEN stores — BM25 through the
+    * persisted inverted index, exact-integer IVF cosine through the
+    * persisted vector index (the query codes quantized ROW-LOCALLY with
+    * the corpus arithmetic), ordered proximity through the positional
+    * payload — fused by the shared RRF tail. Every leg's store scan is
+    * partition-pruned to the batch's probed buckets/cells, so per-batch
+    * cost follows the batch's terms/cells, never the index. Stateless
+    * like [[searchStream]]: queries are independent rows and the stores
+    * are immutable during a run, so chunked queries ≡ one batch search
+    * row-for-row (RetrievalIndexSpec law). A replayed batch re-scores
+    * the same queries — idempotent for any sink keyed on qid.
+    */
+  def hybridSearchStream(
+      queryDocs: DataFrame, // (qid: Long, text: String, embedding: Array[Float])
+      textIndexDir: String,
+      vecIndexDir: String,
+      checkpointDir: String,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      phraseLen: Int = 3,
+      window: Int = 8,
+      nprobe: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val terms = batch
+          .select(
+            col("qid"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
+          )
+          .distinct()
+        val lex = Retrieval
+          .bm25TopKIndexedOf(sp, terms, textIndexDir, poolK)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val phrase = batch
+          .select(
+            col("qid"),
+            posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as(Seq("pos0", "w"))
+          )
+          .filter(col("pos0") < phraseLen)
+          .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
+        val prox = Retrieval
+          .proximityTopKIndexedOf(sp, phrase, textIndexDir, poolK, window)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val codes = batch.select(
+          col("qid").as("vec_id"),
+          graft.pipeline.Similarity.quantize(col("embedding")).as("q8")
+        )
+        val dense = graft.pipeline.Similarity
+          .knnIvfIndexedExactOf(
+            sp,
+            codes,
+            vecIndexDir,
+            nQueries = Long.MaxValue, // every arriving query
+            k = poolK,
+            nprobe = nprobe
+          )
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+        sink(Retrieval.rrfFuse(Seq(lex, dense, prox), rrfK, k), batchId)
+      }
+      .start()
+
   /** Continuous index INGEST — the write side of the retrieval plane's
     * streaming lifecycle (the ANN plane's `maintenanceStream` analogue):
     * each micro-batch of arriving documents `(doc_id, text)` is appended
