@@ -202,6 +202,15 @@ object MaintainerLease {
     * release (release in a finally — a failed compaction must not wedge
     * the store until lease expiry). Reentrant per thread, so composed
     * maintainers (maintainAll → compactor) hold ONE real claim.
+    *
+    * A daemon HEARTBEAT renews the lease every leaseMs/3 while the body
+    * runs, so a legitimately long compaction (a 100 TB store can fold
+    * longer than any reasonable lease) is never presumed dead and
+    * lease-broken mid-swap — the renewal keeps the expiry check reading
+    * a fresh stamp. If a renewal finds the lease already broken (this
+    * maintainer stalled PAST the lease before the heartbeat ran — e.g. a
+    * driver GC pause longer than leaseMs), the heartbeat stops and the
+    * fencing falls back to the documented residual window.
     */
   def withMaintainer[A](root: Path, leaseMs: Long = defaultLeaseMs)(
       body: => A
@@ -211,8 +220,29 @@ object MaintainerLease {
     else {
       val token = claim(root, leaseMs)
       held.set(held.get() + key)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val heartbeat = new Thread(
+        () =>
+          try
+            while (!stop.get()) {
+              Thread.sleep(math.max(1L, leaseMs / 3))
+              if (!stop.get()) renew(root, token)
+            }
+          catch {
+            // fenced (lease broken while we stalled) or interrupted at
+            // release: either way the heartbeat's job is over
+            case _: ConcurrentStoreWriteException => ()
+            case _: InterruptedException          => ()
+          },
+        s"graft-maintainer-heartbeat-$key"
+      )
+      heartbeat.setDaemon(true)
+      heartbeat.start()
       try body
       finally {
+        stop.set(true)
+        heartbeat.interrupt()
+        heartbeat.join(1000L)
         held.set(held.get() - key)
         release(root, token)
       }

@@ -241,6 +241,40 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintainer heartbeat: a maintenance job outliving its lease stays fenced against rivals") {
+    import graft.util.{ConcurrentStoreWriteException, MaintainerLease}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-heartbeat")
+      .toAbsolutePath
+    val leaseMs = 1000L
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val rivalOutcome =
+      new java.util.concurrent.atomic.AtomicReference[Option[Throwable]](None)
+    val rival = new Thread(() => {
+      entered.await()
+      Thread.sleep(leaseMs * 3) // well past the nominal lease
+      rivalOutcome.set(
+        try { MaintainerLease.claim(root, leaseMs); None }
+        catch { case t: Throwable => Some(t) }
+      )
+    })
+    rival.start()
+    val out = MaintainerLease.withMaintainer(root, leaseMs) {
+      entered.countDown()
+      Thread.sleep(leaseMs * 4) // the body outlives the lease 4×
+      42
+    }
+    rival.join()
+    assert(out == 42)
+    assert(
+      rivalOutcome.get().exists(_.isInstanceOf[ConcurrentStoreWriteException]),
+      s"rival must stay fenced while the heartbeat renews: ${rivalOutcome.get()}"
+    )
+    // and the release was clean: a later maintainer claims immediately
+    val t = MaintainerLease.claim(root, leaseMs)
+    MaintainerLease.release(root, t)
+  }
+
   test("maintainer fencing: two concurrent maintainers on one store — one wins, reads row-identical throughout") {
     import graft.util.ConcurrentStoreWriteException
     val docs = spark.read
