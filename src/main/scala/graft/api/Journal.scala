@@ -91,11 +91,13 @@ final class Journal(
     * the tail scan at all. Row-identical to [[read]] by the HeadCacheSpec
     * law, re-proved at this surface in JournalOpsSpec.
     *
-    * `cacheDir` is a head-cache store maintained at the same watermark the
-    * read's `wmFrac` positions
-    * ([[graft.streaming.StreamingHeadCache.headStream]] in a deployment;
-    * `appendBatch` in specs) — the cache is replication-lag-sized by
-    * construction, hence broadcastable.
+    * The eventual/tail boundary is the CACHE'S OWN stored watermark
+    * ([[graft.journal.Replay.mergedReadAtWatermark]]) — the mark the
+    * cache evicted at — so a journal ABSENT from the cache (fully
+    * replicated) is served completely by the eventual leg: positioning
+    * the boundary anywhere below the cache's watermark would silently
+    * drop an evicted journal's rows between the marks. The cache is
+    * replication-lag-sized by construction, hence broadcastable.
     */
   def readCached(
       topic: String,
@@ -105,11 +107,12 @@ final class Journal(
       strict: Boolean = false
   ): DataFrame =
     Replay
-      .mergedReadGated(
+      .mergedReadAtWatermark(
         log.filter(col("topic") === topic && col("id") === id),
         graft.streaming.StreamingHeadCache
           .readHeads(spark, cacheDir)
           .filter(col("topic") === topic && col("id") === id),
+        graft.streaming.StreamingHeadCache.watermark(spark, cacheDir),
         strictUniqueness = strict
       )
       .filter(col("seq_nr") >= fromSeqNr)

@@ -85,21 +85,87 @@ object Replay {
       )
     )
 
+  /** The gated read at an EXPLICIT replicated watermark — the deployment
+    * read path (api.Journal.readCached): the eventual/tail boundary is
+    * the CACHE'S OWN stored watermark instead of a wmFrac positioned over
+    * the (possibly key-filtered) log, which is what makes the gate's
+    * skip-on-absence sound — a journal evicted from the cache has no
+    * rows above THIS watermark by the eviction invariant, so the eventual
+    * leg (≤ wm) covers it completely. Positioning the boundary anywhere
+    * below the cache's watermark (e.g. 0.8 × a single journal's own max
+    * offset) would silently drop the evicted journal's rows between the
+    * two marks — the round-12 review finding this function closes.
+    *
+    * Partitions ABSENT from `watermark` (the cache has never processed
+    * them) read wm = −1 with their tail UNGATED: absence from the cache
+    * is only evidence where the cache has covered the partition.
+    */
+  def mergedReadAtWatermark(
+      actions: DataFrame,
+      cacheHeads: DataFrame,
+      watermark: DataFrame, // (topic, part_no, wm) — the cache's wm view
+      strictUniqueness: Boolean = false
+  ): DataFrame = {
+    val wmT = watermark.select("topic", "part_no", "wm")
+    val bounds = actions
+      .select("topic", "part_no")
+      .distinct()
+      .join(wmT, Seq("topic", "part_no"), "left")
+      .select(
+        col("topic"),
+        col("part_no"),
+        coalesce(col("wm"), lit(-1L)).as("wm"),
+        coalesce(col("wm"), lit(-1L)).as("tail_from")
+      )
+    // gate: journals whose cached head says the tail holds appends, PLUS
+    // every journal of an uncovered partition (their wm is −1, so the
+    // tail IS their whole read — it must not be gated away)
+    val appendGate = cacheHeads
+      .filter(col("kind") === "append")
+      .select("topic", "id")
+    val uncovered = actions
+      .join(
+        broadcast(wmT.select("topic", "part_no")),
+        Seq("topic", "part_no"),
+        "left_anti"
+      )
+      .select("topic", "id")
+      .distinct()
+    mergedReadBounded(
+      actions,
+      bounds,
+      strictUniqueness,
+      Some(appendGate.unionByName(uncovered))
+    )
+  }
+
   private def mergedReadImpl(
       actions: DataFrame,
       wmFrac: Double,
       tailFrac: Double,
       strictUniqueness: Boolean,
       tailGate: Option[DataFrame]
+  ): DataFrame =
+    mergedReadBounded(
+      actions,
+      actions
+        .groupBy("topic", "part_no")
+        .agg(
+          floor(max("koffset") * wmFrac).cast("long").as("wm"),
+          floor(max("koffset") * tailFrac).cast("long").as("tail_from")
+        ),
+      strictUniqueness,
+      tailGate
+    )
+
+  private def mergedReadBounded(
+      actions: DataFrame,
+      bounds: DataFrame, // (topic, part_no, wm, tail_from)
+      strictUniqueness: Boolean,
+      tailGate: Option[DataFrame]
   ): DataFrame = {
     val outCols = Seq("topic", "id", "seq_nr", "koffset", "ts", "payload") ++
       carried.filter(actions.columns.contains)
-    val bounds = actions
-      .groupBy("topic", "part_no")
-      .agg(
-        floor(max("koffset") * wmFrac).cast("long").as("wm"),
-        floor(max("koffset") * tailFrac).cast("long").as("tail_from")
-      )
     val bounded = actions.join(broadcast(bounds), Seq("topic", "part_no"))
 
     // Eventual leg: what the replicator materialized — delete/purge state

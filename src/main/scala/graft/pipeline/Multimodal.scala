@@ -310,8 +310,15 @@ object Multimodal {
       (col("doc_id") % 3 + 1).cast("int")
     )
     val base = extractFeatures(spark, dir).withColumn("media_type", mt)
+    // collision guard on the RAW doc_id column (one pruned columnar scan)
+    // — running it on `base` would pay a second full feature-extraction
+    // pass through the mapPartitions decoder just to read an id
     require(
-      base.agg(max("doc_id")).head().getLong(0) < 1000000L,
+      spark.read
+        .parquet(s"$dir/documents.parquet")
+        .agg(max("doc_id"))
+        .head()
+        .getLong(0) < 1000000L,
       "seed id offset collides with corpus doc_ids"
     )
     val seeds = base

@@ -218,18 +218,15 @@ object Retrieval {
       buckets: Int = IndexBuckets,
       withPositions: Boolean = false
   ): Unit = {
-    // a REBUILD into an existing store supersedes any swapped generation:
-    // drop the pointers so the plain directories are live again
+    // a REBUILD into an existing store supersedes everything the old
+    // store held — retract each member ENTIRELY (pointer, generations,
+    // plain dir) rather than only the pointer, which would leave
+    // superseded full-size generations on disk until a later compaction's
+    // sweep, and would leave a frequency-only rebuild's old positional
+    // payload for appendToInvertedIndex to extend. A rebuild is an
+    // offline operation by contract (DirSwap.drop's doc).
     SwappedDirs.foreach(n =>
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(out).resolve(s"$n.current")): Unit)
-    // rebuilding WITHOUT positions must retract an existing positional
-    // payload entirely (mirroring the overwrite semantics of the other
-    // three members): otherwise appendToInvertedIndex's existence check
-    // would extend the OLD corpus's positions and phrase search would
-    // silently mix them with the new postings
-    if (!withPositions)
-      graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "positions")
+      graft.util.DirSwap.drop(java.nio.file.Paths.get(out), n))
     // repartition by wb BEFORE the partitioned write: one file per bucket
     // per ingest instead of (shuffle partitions × buckets) fragments — the
     // write-once/read-many trade (one extra ingest shuffle buys compact

@@ -557,9 +557,10 @@ object Similarity {
     // layer 0 = the base layer owned by build/compaction; appends write
     // layer>0 partitions (see appendToIvfIndex — the retrieval store's
     // redelivery-exactness layout, applied to the vector store). A
-    // REBUILD into an existing store supersedes any swapped generation.
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(out).resolve("vectors.current")): Unit
+    // REBUILD into an existing store retracts the swapped member entirely
+    // (pointer AND generations — pointer-only deletion would strand
+    // superseded full-size index copies on disk); offline by contract.
+    graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "vectors")
     assignCells(corpus, centroids)
       .select("vec_id", "embedding", "nrm", "cid")
       .withColumn("layer", lit(0L))
@@ -817,9 +818,8 @@ object Similarity {
     val c = codes.select("vec_id", "q8").cache()
     val centroids = trainCentroidsExact(c, kCentroids, iters)
     centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
-    // a REBUILD into an existing store supersedes any swapped generation
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(out).resolve("vectors.current")): Unit
+    // a REBUILD retracts the swapped member entirely (see writeIvfIndexOf)
+    graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "vectors")
     assignCellsInt(c, centroids)
       .select(col("vec_id"), col("q8"), col("cid").cast("int").as("cid"))
       .withColumn("layer", lit(0L))

@@ -92,30 +92,49 @@ final case class Deployment(
       schema: StructType,
       drainTimeoutMs: Long = 120000L
   ): DataFrame = {
+    // a drain that exceeds its budget ABORTS the tick before maintenance:
+    // proceeding would run maintainAll beside a still-live ingest (the
+    // protectLayersAbove hazard) and the next tick would start a second
+    // query on the same checkpoint. The stream is stopped; offsets
+    // already committed stay committed, and the next tick resumes them.
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit =
+      if (!q.awaitTermination(drainTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$what drain exceeded $drainTimeoutMs ms — tick aborted before " +
+            "maintenance; committed offsets persist and the next tick resumes"
+        )
+      }
     def in: DataFrame = spark.readStream.schema(schema).parquet(inputGlob)
-    val head = StreamingHeadCache.headStream(
-      in,
-      headDir,
-      s"$base/ck-head",
-      sp => replicatedWatermark(sp)
+    drain(
+      StreamingHeadCache.headStream(
+        in,
+        headDir,
+        s"$base/ck-head",
+        sp => replicatedWatermark(sp)
+      ),
+      "head cache"
     )
-    head.awaitTermination(drainTimeoutMs): Unit
-    val snaps = StreamingSnapshots.maintenanceStream(
-      in,
-      snapDir,
-      s"$base/ck-snaps",
-      threshold = snapshotThreshold,
-      bufferSize = snapshotRing
+    drain(
+      StreamingSnapshots.maintenanceStream(
+        in,
+        snapDir,
+        s"$base/ck-snaps",
+        threshold = snapshotThreshold,
+        bufferSize = snapshotRing
+      ),
+      "snapshot maintenance"
     )
-    snaps.awaitTermination(drainTimeoutMs): Unit
-    val repl = StreamingReplicator.streamFrom(
-      spark,
-      inputGlob,
-      storeDir,
-      s"$base/ck-repl",
-      schema
+    drain(
+      StreamingReplicator.streamFrom(
+        spark,
+        inputGlob,
+        storeDir,
+        s"$base/ck-repl",
+        schema
+      ),
+      "replicator"
     )
-    repl.awaitTermination(drainTimeoutMs): Unit
     graft.Maintenance.maintainAll(spark, registry)
   }
 

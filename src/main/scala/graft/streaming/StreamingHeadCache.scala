@@ -210,6 +210,16 @@ object StreamingHeadCache {
       .parquet(live(storeDir, "entries"))
   }
 
+  /** The cache's own replicated-offset table (topic, part_no, wm) — the
+    * boundary [[graft.journal.Replay.mergedReadAtWatermark]] positions
+    * the eventual/tail split at, so skip-on-absence is sound against
+    * exactly the watermark the cache evicted at.
+    */
+  def watermark(spark: SparkSession, storeDir: String): DataFrame = {
+    repairHeadCache(storeDir)
+    wmView(spark, storeDir).select("topic", "part_no", "wm")
+  }
+
   /** The merged per-partition (watermark, end offset) view. */
   private def wmView(spark: SparkSession, storeDir: String): DataFrame =
     readWm(spark, storeDir)

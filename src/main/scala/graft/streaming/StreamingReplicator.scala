@@ -316,9 +316,23 @@ object StreamingReplicator {
         .getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
       val broke = expired && {
-        try { Files.move(claim,
-          root.resolve(s"claim-$epoch.broken-${System.nanoTime()}")); true }
-        catch { case _: java.nio.file.NoSuchFileException => false }
+        val tomb = root.resolve(s"claim-$epoch.broken-${System.nanoTime()}")
+        try {
+          Files.move(claim, tomb)
+          // verify we tombstoned the claim we JUDGED expired — a faster
+          // breaker may have broken and re-issued between our read and
+          // our move, and two slow breakers must not both win. On a
+          // mismatch restore the displaced fresh claim (if its slot was
+          // re-taken, the displaced holder fences at its next verify —
+          // crash-scale residual, never a dual win here).
+          val moved = new String(Files.readAllBytes(tomb), "UTF-8")
+          if (holder.contains(moved)) true
+          else {
+            try Files.move(tomb, claim)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            false
+          }
+        } catch { case _: java.nio.file.NoSuchFileException => false }
       }
       if (!(broke && tryCreate()))
         throw new ConcurrentStoreWriteException(

@@ -122,12 +122,23 @@ object MaintainerLease {
         .getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
       val broke = expired && {
+        val tomb = root.resolve(s"$ClaimName.broken-${System.nanoTime()}")
         try {
-          Files.move(
-            cf,
-            root.resolve(s"$ClaimName.broken-${System.nanoTime()}")
-          )
-          true
+          Files.move(cf, tomb)
+          // the rename is atomic but unconditional: verify we tombstoned
+          // the claim we JUDGED expired, not a fresh claim a faster
+          // breaker re-issued between our read and our move (two slow
+          // breakers must not both win). On a mismatch, restore the
+          // displaced claim; if its slot was re-taken meanwhile the
+          // displaced holder fences itself at its next verify/renew — a
+          // crash-scale residual, never a dual win here.
+          val moved = new String(Files.readAllBytes(tomb), "UTF-8")
+          if (holder.contains(moved)) true
+          else {
+            try Files.move(tomb, cf)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            false
+          }
         } catch { case _: java.nio.file.NoSuchFileException => false }
       }
       if (!(broke && tryCreate()))
@@ -223,16 +234,22 @@ object MaintainerLease {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val heartbeat = new Thread(
         () =>
-          try
-            while (!stop.get()) {
+          try {
+            var fenced = false
+            while (!stop.get() && !fenced) {
               Thread.sleep(math.max(1L, leaseMs / 3))
-              if (!stop.get()) renew(root, token)
+              if (!stop.get())
+                try renew(root, token)
+                catch {
+                  // fenced (lease broken while we stalled): done for good
+                  case _: ConcurrentStoreWriteException => fenced = true
+                  // transient IO (a filesystem hiccup must not silently
+                  // kill the heartbeat and lose the fence): retry next beat
+                  case scala.util.control.NonFatal(_) => ()
+                }
             }
-          catch {
-            // fenced (lease broken while we stalled) or interrupted at
-            // release: either way the heartbeat's job is over
-            case _: ConcurrentStoreWriteException => ()
-            case _: InterruptedException          => ()
+          } catch {
+            case _: InterruptedException => () // released — job over
           },
         s"graft-maintainer-heartbeat-$key"
       )

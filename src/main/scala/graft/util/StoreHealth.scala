@@ -60,53 +60,8 @@ object StoreHealth {
     */
   def healthAll(spark: SparkSession, stores: Seq[Store]): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    stores.foreach { st =>
-      (st.layeredDirs ++ st.flatDirs).foreach(DirSwap.repair(Paths.get(st.root), _))
-    }
-    // a member directory can be absent (optional, e.g. a frequency-only
-    // index's positions) or exist with ZERO data files (a store whose
-    // first batch had nothing to write) — both contribute no layers
-    // rather than failing schema inference
-    val members = for {
-      st <- stores
-      sub <- st.layeredDirs
-      p = liveDir(st.root, sub)
-      if Fs.countParquetFiles(p) > 0
-    } yield (st.name, sub, p)
-    val layerCounts: Map[String, Long] =
-      if (members.isEmpty) Map.empty
-      else
-        members
-          .map { case (name, sub, p) =>
-            spark.read
-              .parquet(p.toString)
-              .select(
-                lit(name).as("store"),
-                lit(sub).as("member"),
-                col("layer").cast("long").as("layer")
-              )
-          }
-          .reduce(_.unionByName(_))
-          .groupBy("store", "member")
-          .agg(countDistinct("layer").as("n"))
-          .groupBy("store")
-          .agg(max("n").as("n_layers"))
-          .collect() // one row per store — driver-bounded
-          .map(r => r.getString(0) -> r.getLong(1))
-          .toMap
-    stores
-      .map { st =>
-        val nLayers = layerCounts.getOrElse(st.name, 1L)
-        val nFiles = (st.layeredDirs ++ st.flatDirs)
-          .map(sub => Fs.countParquetFiles(liveDir(st.root, sub)))
-          .sum
-        val (metric, debt, fire) =
-          if (st.layeredDirs.nonEmpty)
-            ("delta_layers", nLayers - 1L, nLayers > st.compactOverLayers)
-          else ("data_files", nFiles, nFiles > st.compactOverFiles)
-        (st.name, nLayers, nFiles, metric, debt, fire)
-      }
+    healthRows(spark, stores)
+      .map(_._2)
       .toDF(
         "store",
         "n_layers",
@@ -118,6 +73,66 @@ object StoreHealth {
       .orderBy("store")
   }
 
+  /** The per-store health tuples IN REGISTRY ORDER — shared by
+    * [[healthAll]] (one row shape) and [[maintainAll]] (which pairs each
+    * fire decision with ITS store positionally: two registry stores may
+    * share a name, so a name-keyed map could drive the wrong compactor).
+    */
+  private def healthRows(
+      spark: SparkSession,
+      stores: Seq[Store]
+  ): Seq[(Store, (String, Long, Long, String, Long, Boolean))] = {
+    import org.apache.spark.sql.functions._
+    stores.foreach { st =>
+      (st.layeredDirs ++ st.flatDirs).foreach(DirSwap.repair(Paths.get(st.root), _))
+    }
+    // a member directory can be absent (optional, e.g. a frequency-only
+    // index's positions) or exist with ZERO data files (a store whose
+    // first batch had nothing to write) — both contribute no layers
+    // rather than failing schema inference
+    // keyed by the store's REGISTRY POSITION, not its name: two stores of
+    // the same type at different roots must not merge their layer sets
+    val members = for {
+      (st, idx) <- stores.zipWithIndex
+      sub <- st.layeredDirs
+      p = liveDir(st.root, sub)
+      if Fs.countParquetFiles(p) > 0
+    } yield (idx, sub, p)
+    val layerCounts: Map[Int, Long] =
+      if (members.isEmpty) Map.empty
+      else
+        members
+          .map { case (idx, sub, p) =>
+            spark.read
+              .parquet(p.toString)
+              .select(
+                lit(idx).as("store_idx"),
+                lit(sub).as("member"),
+                col("layer").cast("long").as("layer")
+              )
+          }
+          .reduce(_.unionByName(_))
+          .groupBy("store_idx", "member")
+          .agg(countDistinct("layer").as("n"))
+          .groupBy("store_idx")
+          .agg(max("n").as("n_layers"))
+          .collect() // one row per store — driver-bounded
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .toMap
+    stores.zipWithIndex
+      .map { case (st, idx) =>
+        val nLayers = layerCounts.getOrElse(idx, 1L)
+        val nFiles = (st.layeredDirs ++ st.flatDirs)
+          .map(sub => Fs.countParquetFiles(liveDir(st.root, sub)))
+          .sum
+        val (metric, debt, fire) =
+          if (st.layeredDirs.nonEmpty)
+            ("delta_layers", nLayers - 1L, nLayers > st.compactOverLayers)
+          else ("data_files", nFiles, nFiles > st.compactOverFiles)
+        st -> ((st.name, nLayers, nFiles, metric, debt, fire))
+      }
+  }
+
   /** Runs every recommended store's compactor (each already publishes
     * behind [[DirSwap]]/its protocol), returning (store, compacted) —
     * the single maintenance entry point a deployment schedules between
@@ -127,13 +142,8 @@ object StoreHealth {
     */
   def maintainAll(spark: SparkSession, stores: Seq[Store]): DataFrame = {
     import spark.implicits._
-    val fired = healthAll(spark, stores)
-      .collect() // one row per store — the registry is driver-sized
-      .map(r => r.getAs[String]("store") -> r.getAs[Boolean]("compact_recommended"))
-      .toMap
-    stores
-      .map { st =>
-        val due = fired.getOrElse(st.name, false)
+    healthRows(spark, stores)
+      .map { case (st, (_, _, _, _, _, due)) =>
         if (due) st.compact(spark)
         (st.name, due)
       }

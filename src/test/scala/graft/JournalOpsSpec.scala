@@ -317,6 +317,49 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(journal.pointerCached(t, i, tmp).head().getLong(0) == fromCache)
     }
     heads.unpersist(false)
+
+    // the EVICTED-journal path, non-vacuously (the round-12 review bug:
+    // a boundary below the cache's watermark silently dropped an evicted
+    // journal's rows between the marks): a cache maintained at a 3/4
+    // watermark evicts every journal fully replicated by then — their
+    // reads must be served completely by the eventual leg
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-api-headcache-evict")
+      .toString
+    val wmHot = a
+      .groupBy("topic", "part_no")
+      // nearly caught up: only each partition's last three offsets remain
+      // unreplicated, so almost every journal is evicted while the cache
+      // (and its entries member) stays non-empty
+      .agg((max("koffset") - 2L).as("wm"))
+    graft.streaming.StreamingHeadCache.appendBatch(spark, a, tmp2, wmHot, 1L)
+    val heads2 =
+      graft.streaming.StreamingHeadCache.readHeads(spark, tmp2).cache()
+    val cached2 = heads2
+      .select("topic", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val evicted = JournalOps
+      .ids(a)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filterNot(cached2.contains)
+      .take(5)
+      .toSeq
+    assert(evicted.nonEmpty, "the 3/4 watermark must evict some journals")
+    val stillCached = cached2.take(3).toSeq
+    (evicted ++ stillCached).foreach { case (t, i) =>
+      assert(
+        seqs(journal.readCached(t, i, tmp2)) == seqs(journal.read(t, i)),
+        s"readCached ≡ read for ($t, $i) under the 3/4-watermark cache"
+      )
+      assert(
+        seqs(journal.pointerCached(t, i, tmp2)) == seqs(journal.pointer(t, i)),
+        s"pointerCached ≡ pointer for ($t, $i) under the 3/4-watermark cache"
+      )
+    }
+    heads2.unpersist(false)
     a.unpersist(false)
   }
 
