@@ -123,6 +123,41 @@ class DeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gated replay"
     )
 
+    // 2c. the CLIENT surface over the deployment's cache: readCached ≡
+    // read for both an evicted journal (served wholly by the eventual
+    // leg at the cache's watermark) and a cached one
+    val journal = graft.api.Journal(spark, a)
+    val headKeys = dep
+      .readHeads(spark)
+      .select("topic", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val allIds = JournalOps
+      .ids(a)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val apiProbes =
+      allIds.filterNot(headKeys.contains).take(2) ++ headKeys.take(2)
+    assert(apiProbes.nonEmpty)
+    apiProbes.foreach { case (t, i) =>
+      val got = journal
+        .readCached(t, i, dep.headDir)
+        .select("seq_nr")
+        .collect()
+        .map(_.getLong(0))
+        .sorted
+        .toSeq
+      val ref = journal
+        .read(t, i)
+        .select("seq_nr")
+        .collect()
+        .map(_.getLong(0))
+        .sorted
+        .toSeq
+      assert(got == ref, s"readCached ≡ read over the deployment cache ($t, $i)")
+    }
+
     // 3. snapshots bound debt: nobody's replay suffix exceeds threshold
     val stored = dep.storedSnapshots(spark)
     assert(stored.count() > 0, "the snapshot loop must have fired")
