@@ -1204,9 +1204,12 @@ object Dedup {
       d: DataFrame,
       out: String,
       spanWords: Int = 10
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
     import spark.implicits._
-    // a REBUILD into an existing store supersedes any swapped generation
+    // a REBUILD into an existing store supersedes any swapped generation;
+    // fenced so the retraction cannot race a compaction's swap
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(out).resolve("windows.current")): Unit
     spanWindows(tokenized(d), spanWords, fingerprint = true)
@@ -1582,9 +1585,12 @@ object Dedup {
       d: DataFrame,
       out: String,
       chunkWords: Int = 20
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
     import spark.implicits._
-    // a REBUILD into an existing store supersedes any swapped generation
+    // a REBUILD into an existing store supersedes any swapped generation;
+    // fenced so the retraction cannot race a compaction's swap
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(out).resolve("windows.current")): Unit
     chunkRows(tokenized(d), chunkWords)

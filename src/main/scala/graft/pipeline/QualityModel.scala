@@ -189,9 +189,17 @@ object QualityModel {
     * build/compaction, layer>0 one per training append) — see
     * [[appendToLmModel]] for why.
     */
-  def writeLmModelOf(spark: SparkSession, hist: DataFrame, out: String): Unit = {
+  def writeLmModelOf(
+      spark: SparkSession,
+      hist: DataFrame,
+      out: String
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
     // a REBUILD into an existing store supersedes any swapped generation:
-    // drop the pointers so the plain directories are live again
+    // drop the pointers so the plain directories are live again — under
+    // the store's maintainer claim, so the retraction cannot race a
+    // fenced compaction's swaps
     val root = java.nio.file.Paths.get(out)
     Seq("uni", "bi").foreach(n =>
       java.nio.file.Files.deleteIfExists(root.resolve(s"$n.current")): Unit)

@@ -217,14 +217,19 @@ object Retrieval {
       out: String,
       buckets: Int = IndexBuckets,
       withPositions: Boolean = false
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
     // a REBUILD into an existing store supersedes everything the old
     // store held — retract each member ENTIRELY (pointer, generations,
     // plain dir) rather than only the pointer, which would leave
     // superseded full-size generations on disk until a later compaction's
     // sweep, and would leave a frequency-only rebuild's old positional
-    // payload for appendToInvertedIndex to extend. A rebuild is an
-    // offline operation by contract (DirSwap.drop's doc).
+    // payload for appendToInvertedIndex to extend. The drop+rewrite runs
+    // under the store's maintainer claim (reentrancy makes this free when
+    // composed under an existing claim), so a rebuild racing a fenced
+    // compaction is serialized instead of deleting generations mid-swap —
+    // "offline by contract" is now enforced, not just documented.
     SwappedDirs.foreach(n =>
       graft.util.DirSwap.drop(java.nio.file.Paths.get(out), n))
     // repartition by wb BEFORE the partitioned write: one file per bucket

@@ -545,7 +545,11 @@ object Similarity {
       out: String,
       kCentroids: Int = 16,
       iters: Int = 3
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
+    // rebuild = drop + rewrite of the swapped member: fenced like every
+    // other store mutator so it cannot race a compaction's swaps
     import spark.implicits._
     val corpus = withNorm(
       vectors.select("vec_id", "embedding"),
@@ -813,7 +817,10 @@ object Similarity {
       out: String,
       kCentroids: Int = 16,
       iters: Int = 3
-  ): Unit = {
+  ): Unit = graft.util.MaintainerLease.withMaintainer(
+    java.nio.file.Paths.get(out)
+  ) {
+    // fenced rebuild — see writeIvfIndexOf
     import spark.implicits._
     val c = codes.select("vec_id", "q8").cache()
     val centroids = trainCentroidsExact(c, kCentroids, iters)

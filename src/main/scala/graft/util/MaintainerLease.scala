@@ -1,8 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Path}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
 
 /** Multi-maintainer loss signal, shared by the bucketed journal store's
   * commit protocol (graft.streaming.StoreCommitProtocol) and the DirSwap
@@ -20,15 +18,18 @@ final class ConcurrentStoreWriteException(msg: String)
   * second claimant fails fast with [[ConcurrentStoreWriteException]]
   * having read and published nothing. The reference serializes exactly
   * this class of mutation with its CassandraSync locks
-  * (cassandra/src/main/scala/com/evolution/kafka/journal/cassandra/CassandraSync.scala:13-60);
-  * here the lock is built from the same two filesystem primitives as the
-  * commit protocol — atomic create-if-absent (CREATE_NEW) for the claim,
-  * atomic rename for the expired-lease break (two breakers cannot both
-  * win the rename) — and renewal heartbeats are CREATE_NEW side-files so
-  * they never race a breaker's tombstone. Same storage contract too:
-  * POSIX/HDFS/NFS yes, S3-class object stores no (use a conditional-PUT
-  * binding there — the StoreCommitProtocol seam discussion applies
-  * verbatim).
+  * (cassandra/src/main/scala/com/evolution/kafka/journal/cassandra/CassandraSync.scala:13-60).
+  *
+  * The protocol is written against the [[LeaseStore]] primitives
+  * (create-if-absent, read, compare-and-replace, compare-and-delete) and
+  * has TWO bindings with the fencing laws run against both (LeaseSpec —
+  * the commit protocol's two-implementation treatment): [[PosixLeaseStore]]
+  * (claim file + atomic-rename CAS; POSIX/HDFS/NFS) and [[MemLeaseStore]]
+  * (pure conditional-PUT CAS — the S3-class object-store shape, where an
+  * If-Match conditional PUT replaces the rename). Breaking an expired
+  * lease and releasing a held one are each ONE conditional primitive, so
+  * neither can displace a rival's re-issued claim. Renewal heartbeats are
+  * create-new side-entries, so they never race a breaker's CAS.
   *
   * Scope: one claim per store ROOT covers every member directory and all
   * of a compactor's back-to-back [[DirSwap.swap]]s, which is the unit
@@ -37,7 +38,9 @@ final class ConcurrentStoreWriteException(msg: String)
   * compaction). Readers and layer-keyed appenders are NOT fenced — the
   * swap's generation retention already protects in-flight readers, and
   * append-vs-compaction interleaving is governed by `protectLayersAbove`
-  * (see graft.Maintenance).
+  * (see graft.Maintenance). Full REBUILDS (the write* store writers,
+  * which retract and rewrite every swapped member) take the same claim,
+  * so a rebuild cannot race a fenced compaction's swaps.
   *
   * Reentrant per thread: a maintainer composition (Maintenance.maintainAll
   * driving a store compactor that itself claims) holds one real claim per
@@ -58,8 +61,6 @@ object MaintainerLease {
 
   private val ClaimName = "maintainer.claim"
 
-  private def claimFile(root: Path): Path = root.resolve(ClaimName)
-
   private def freshToken(): String =
     s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
       s"${Thread.currentThread().getId} ${System.currentTimeMillis()}"
@@ -67,101 +68,72 @@ object MaintainerLease {
   /** Newest renewal stamp carrying the CURRENT holder's token (a
     * superseded holder's renewals no longer match and are ignored).
     */
-  private def newestRenewal(root: Path, holderToken: String): Long = {
-    if (!Files.isDirectory(root)) return Long.MinValue
-    val s = Files.list(root)
-    try
-      s.iterator()
-        .asScala
-        .filter(_.getFileName.toString.startsWith(s"$ClaimName.r-"))
-        .flatMap { p =>
-          try {
-            val content = new String(Files.readAllBytes(p), "UTF-8")
-            if (content.startsWith(holderToken + " renew "))
-              content.split(" ").lastOption.flatMap(_.toLongOption)
-            else None
-          } catch { case _: java.io.IOException => None }
-        }
-        .foldLeft(Long.MinValue)(math.max)
-    finally s.close()
+  private def newestRenewal(store: LeaseStore, holderToken: String): Long =
+    store
+      .listContents(s"$ClaimName.r-")
+      .flatMap { content =>
+        if (content.startsWith(holderToken + " renew "))
+          content.split(" ").lastOption.flatMap(_.toLongOption)
+        else None
+      }
+      .foldLeft(Long.MinValue)(math.max)
+
+  /** When the holder's claim was last stamped: the claim content's own
+    * trailing millis, OR — when that stamp is corrupt (a crash left a
+    * truncated/empty claim) — the entry's mtime, so a corrupt claim still
+    * lease-expires instead of wedging all maintenance on the store until
+    * someone deletes it by hand. Long.MaxValue ("live, never expires") is
+    * reserved for the transient cases: the entry unreadable mid-write, or
+    * a binding with no mtime to fall back on.
+    */
+  private def stampOf(store: LeaseStore, holder: String): Long = {
+    val parsed = holder.trim.split(" ").lastOption.flatMap(_.toLongOption)
+    val base = parsed
+      .orElse(store.mtimeMs(ClaimName))
+      .getOrElse(Long.MaxValue)
+    math.max(base, newestRenewal(store, holder))
   }
 
-  /** Takes the maintainer claim on `root` (atomic CREATE_NEW of
-    * `maintainer.claim`, content: writer id + wall millis). A live rival
-    * claim → [[ConcurrentStoreWriteException]], before anything is read
-    * or written. An expired claim is broken by an atomic rename to a
-    * unique tombstone — of two breakers at most one rename succeeds —
-    * then re-created.
+  /** Takes the maintainer claim in `store` (atomic create-if-absent,
+    * content: writer id + wall millis). A live rival claim →
+    * [[ConcurrentStoreWriteException]], before anything is read or
+    * written. An expired claim is broken by ONE compare-and-replace of
+    * the exact content judged expired — two breakers cannot both win,
+    * and a fresh claim re-issued in between no longer matches and is
+    * never displaced.
     */
-  def claim(root: Path, leaseMs: Long = defaultLeaseMs): String = {
-    Files.createDirectories(root)
-    val cf = claimFile(root)
+  def claimIn(
+      store: LeaseStore,
+      what: String,
+      leaseMs: Long = defaultLeaseMs
+  ): String = {
     val me = freshToken()
-    def tryCreate(): Boolean =
-      try {
-        Files.write(
-          cf,
-          me.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW
-        )
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    if (!tryCreate()) {
-      val holder =
-        try Some(new String(Files.readAllBytes(cf), "UTF-8"))
-        catch { case _: java.io.IOException => None } // being written: live
-      val stampedAt = holder
-        .map { h =>
-          val base =
-            try h.trim.split(" ").last.toLong
-            catch { case _: Exception => Long.MaxValue }
-          math.max(base, newestRenewal(root, h))
-        }
-        .getOrElse(Long.MaxValue)
+    if (!store.createIfAbsent(ClaimName, me)) {
+      val holder = store.read(ClaimName) // None = being written: live
+      val stampedAt = holder.map(stampOf(store, _)).getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
-      val broke = expired && {
-        val tomb = root.resolve(s"$ClaimName.broken-${System.nanoTime()}")
-        try {
-          Files.move(cf, tomb)
-          // the rename is atomic but unconditional: verify we tombstoned
-          // the claim we JUDGED expired, not a fresh claim a faster
-          // breaker re-issued between our read and our move (two slow
-          // breakers must not both win). On a mismatch, restore the
-          // displaced claim; if its slot was re-taken meanwhile the
-          // displaced holder fences itself at its next verify/renew — a
-          // crash-scale residual, never a dual win here.
-          val moved = new String(Files.readAllBytes(tomb), "UTF-8")
-          if (holder.contains(moved)) true
-          else {
-            try Files.move(tomb, cf)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-            false
-          }
-        } catch { case _: java.nio.file.NoSuchFileException => false }
-      }
-      if (!(broke && tryCreate()))
+      val broke =
+        expired && holder.exists(h => store.replaceIf(ClaimName, h, me))
+      if (!broke)
         throw new ConcurrentStoreWriteException(
-          s"store $root is claimed by a live maintainer — concurrent " +
+          s"store $what is claimed by a live maintainer — concurrent " +
             "maintenance detected; retry after it finishes or its lease expires"
         )
     }
     me
   }
 
-  /** Heartbeat for long compactions: a CREATE_NEW side-file stamping the
+  /** Heartbeat for long compactions: a create-new side-entry stamping the
     * holder's token, verified against the base claim AFTER it lands (a
-    * fenced holder learns immediately, and the side-file cannot race a
-    * breaker's tombstone rename).
+    * fenced holder learns immediately, and the side-entry cannot race a
+    * breaker's claim CAS).
     */
-  def renew(root: Path, token: String): Unit = {
-    Files.write(
-      root.resolve(s"$ClaimName.r-${System.nanoTime()}"),
-      s"$token renew ${System.currentTimeMillis()}".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW
+  def renewIn(store: LeaseStore, what: String, token: String): Unit = {
+    store.putNew(
+      s"$ClaimName.r-${System.nanoTime()}",
+      s"$token renew ${System.currentTimeMillis()}"
     )
-    verify(root, token)
+    verifyIn(store, what, token)
   }
 
   /** Asserts this maintainer still holds the claim — call before the
@@ -170,40 +142,41 @@ object MaintainerLease {
     * and the swap's pointer rename is a crash-scale event, converged by
     * the swap's own atomicity + the next repair.
     */
-  def verify(root: Path, token: String): Unit = {
-    val held =
-      try new String(Files.readAllBytes(claimFile(root)), "UTF-8") == token
-      catch { case _: java.io.IOException => false }
-    if (!held)
+  def verifyIn(store: LeaseStore, what: String, token: String): Unit =
+    if (!store.read(ClaimName).contains(token))
       throw new ConcurrentStoreWriteException(
-        s"maintainer claim on $root was lease-broken while this " +
+        s"maintainer claim on $what was lease-broken while this " +
           "maintainer stalled — publishing nothing; retry the maintenance"
       )
-  }
 
-  /** Releases the claim ONLY if it still carries `token` (a fenced holder
-    * must never remove a breaker's re-issued claim); the holder's renewal
-    * side-files and spent tombstones go with it.
+  /** Releases the claim ONLY if it still carries `token`: one
+    * compare-and-delete, so a release landing after a stall (a rival
+    * broke the lease and re-claimed between our last renewal and this
+    * call) cannot delete the rival's live claim — the round-12
+    * read-then-delete window, closed by the conditional primitive. The
+    * holder's renewal side-entries and spent tombstones go with it.
     */
-  def release(root: Path, token: String): Unit = {
-    val cf = claimFile(root)
-    try {
-      if (new String(Files.readAllBytes(cf), "UTF-8") == token) {
-        Files.deleteIfExists(cf): Unit
-        val s = Files.list(root)
-        try
-          s.iterator()
-            .asScala
-            .filter { p =>
-              val n = p.getFileName.toString
-              n.startsWith(s"$ClaimName.r-") ||
-              n.startsWith(s"$ClaimName.broken-")
-            }
-            .foreach(p => Files.deleteIfExists(p): Unit)
-        finally s.close()
-      }
-    } catch { case _: java.io.IOException => () } // already gone
-  }
+  def releaseIn(store: LeaseStore, token: String): Unit =
+    if (store.deleteIf(ClaimName, token)) {
+      store.deleteAll(s"$ClaimName.r-")
+      store.deleteAll(s"$ClaimName.broken-")
+    }
+
+  // ----- the path-bound surface every DirSwap store compactor uses -----
+
+  private def posix(root: Path): LeaseStore = new PosixLeaseStore(root)
+
+  def claim(root: Path, leaseMs: Long = defaultLeaseMs): String =
+    claimIn(posix(root), root.toString, leaseMs)
+
+  def renew(root: Path, token: String): Unit =
+    renewIn(posix(root), root.toString, token)
+
+  def verify(root: Path, token: String): Unit =
+    verifyIn(posix(root), root.toString, token)
+
+  def release(root: Path, token: String): Unit =
+    releaseIn(posix(root), token)
 
   private val held = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
@@ -229,7 +202,9 @@ object MaintainerLease {
     val key = root.toAbsolutePath.normalize.toString
     if (held.get().contains(key)) body
     else {
-      val token = claim(root, leaseMs)
+      val store = posix(root)
+      java.nio.file.Files.createDirectories(root)
+      val token = claimIn(store, key, leaseMs)
       held.set(held.get() + key)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val heartbeat = new Thread(
@@ -239,7 +214,7 @@ object MaintainerLease {
             while (!stop.get() && !fenced) {
               Thread.sleep(math.max(1L, leaseMs / 3))
               if (!stop.get())
-                try renew(root, token)
+                try renewIn(store, key, token)
                 catch {
                   // fenced (lease broken while we stalled): done for good
                   case _: ConcurrentStoreWriteException => fenced = true
@@ -261,7 +236,7 @@ object MaintainerLease {
         heartbeat.interrupt()
         heartbeat.join(1000L)
         held.set(held.get() - key)
-        release(root, token)
+        releaseIn(store, token)
       }
     }
   }

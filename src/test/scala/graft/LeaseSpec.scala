@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.{
+  ConcurrentStoreWriteException,
+  LeaseStore,
+  MaintainerLease,
+  MemLeaseStore,
+  PosixLeaseStore
+}
+
+/** The maintainer-lease protocol laws, run implementation-generically
+  * against BOTH [[LeaseStore]] bindings — the POSIX rename-CAS one every
+  * DirSwap compactor uses and the in-memory conditional-PUT one that
+  * models an S3-class object store — the same two-implementation
+  * treatment CommitProtocolLawSpec gives the journal store's commit
+  * protocol. Every law below is about the PROTOCOL (claim, break,
+  * renew, release), so a binding passing them is deployable under the
+  * fence unchanged.
+  */
+class LeaseSpec extends AnyFunSuite {
+
+  private def bindings(): Seq[(String, LeaseStore)] = Seq(
+    "posix" -> new PosixLeaseStore(
+      Files.createTempDirectory("graft-lease-law")
+    ),
+    "mem" -> new MemLeaseStore
+  )
+
+  private def claim(s: LeaseStore, leaseMs: Long = 60000L): String =
+    MaintainerLease.claimIn(s, "law", leaseMs)
+
+  test("claim is exclusive; release makes the slot claimable again") {
+    bindings().foreach { case (name, s) =>
+      val t1 = claim(s)
+      intercept[ConcurrentStoreWriteException](claim(s))
+      MaintainerLease.releaseIn(s, t1)
+      val t2 = claim(s)
+      assert(t2 != "", s"$name: reclaim after release must succeed")
+      MaintainerLease.releaseIn(s, t2)
+    }
+  }
+
+  test("an expired lease is broken; a live one is not") {
+    bindings().foreach { case (name, s) =>
+      claim(s, leaseMs = 50L) // holder dies without releasing
+      Thread.sleep(120L)
+      val breaker = claim(s, leaseMs = 50L) // expired: break succeeds
+      // the breaker's claim is now the live one
+      intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 60000L))
+      MaintainerLease.releaseIn(s, breaker)
+      assert(true, s"$name done")
+    }
+  }
+
+  test("renewal keeps a long-running holder fenced against rivals") {
+    bindings().foreach { case (name, s) =>
+      val t = claim(s, leaseMs = 100L)
+      (1 to 4).foreach { _ =>
+        Thread.sleep(60L)
+        MaintainerLease.renewIn(s, "law", t)
+      }
+      // 240 ms past the 100 ms lease, but renewed throughout
+      intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 100L))
+      MaintainerLease.releaseIn(s, t)
+      assert(true, s"$name done")
+    }
+  }
+
+  test("corrupt claim (crash mid-write) still lease-expires via mtime — maintenance is never wedged forever") {
+    bindings().foreach { case (name, s) =>
+      // a crash left a truncated claim: content carries no parsable stamp
+      assert(s.createIfAbsent("maintainer.claim", ""))
+      // fresh mtime: treated live, claim fails (conservative)
+      intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 60000L))
+      Thread.sleep(120L)
+      // past the lease by mtime: the corrupt claim is breakable
+      val t = claim(s, leaseMs = 50L)
+      MaintainerLease.releaseIn(s, t)
+      assert(true, s"$name done")
+    }
+  }
+
+  test("two concurrent breakers of one expired lease: at most one wins, the loser publishes nothing") {
+    bindings().foreach { case (name, s) =>
+      claim(s, leaseMs = 50L) // the stalled holder
+      Thread.sleep(120L)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          gate.await()
+          results.add(
+            try Right(claim(s, leaseMs = 50L))
+            catch { case t: Throwable => Left(t) }
+          )
+        })
+      }
+      threads.foreach(_.start())
+      gate.countDown()
+      threads.foreach(_.join())
+      val (losses, wins) =
+        results.toArray(Array.empty[Either[Throwable, String]]).partition(_.isLeft)
+      assert(wins.size <= 1, s"$name: two breakers must not both win")
+      losses.foreach {
+        case Left(t) =>
+          assert(
+            t.isInstanceOf[ConcurrentStoreWriteException],
+            s"$name: loser must see the fencing signal, got $t"
+          )
+        case _ => ()
+      }
+      // whoever won holds a live claim the store agrees on
+      wins.headOption.foreach { case Right(w) =>
+        assert(s.read("maintainer.claim").contains(w))
+        MaintainerLease.releaseIn(s, w)
+      case _ => ()
+      }
+    }
+  }
+
+  test("release landing after a stall cannot delete a rival's re-issued claim (conditional delete)") {
+    bindings().foreach { case (name, s) =>
+      val stalled = claim(s, leaseMs = 50L)
+      Thread.sleep(120L)
+      val rival = claim(s, leaseMs = 50L) // breaks the expired lease
+      // the stalled holder wakes up and releases — the rival's claim
+      // must survive (the round-12 read-then-delete window)
+      MaintainerLease.releaseIn(s, stalled)
+      assert(
+        s.read("maintainer.claim").contains(rival),
+        s"$name: a stale release must not remove the rival's live claim"
+      )
+      intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 60000L))
+      MaintainerLease.releaseIn(s, rival)
+    }
+  }
+
+  test("two-breaker race WITH the stalled holder's release in flight — shrunk lease, claim survives consistent") {
+    bindings().foreach { case (name, s) =>
+      val stalled = claim(s, leaseMs = 40L)
+      Thread.sleep(100L)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val breakers = (1 to 2).map { _ =>
+        new Thread(() => {
+          gate.await()
+          try wins.add(claim(s, leaseMs = 60000L))
+          catch { case _: ConcurrentStoreWriteException => () }
+        })
+      }
+      val releaser = new Thread(() => {
+        gate.await()
+        MaintainerLease.releaseIn(s, stalled) // the stale release, racing
+      })
+      (breakers :+ releaser).foreach(_.start())
+      gate.countDown()
+      (breakers :+ releaser).foreach(_.join())
+      val winners = wins.toArray(Array.empty[String])
+      assert(winners.size <= 1, s"$name: at most one breaker wins")
+      winners.headOption match {
+        case Some(w) =>
+          // the stale release must not have removed the winner's claim
+          assert(
+            s.read("maintainer.claim").contains(w),
+            s"$name: winner's claim must survive the stale release"
+          )
+          MaintainerLease.releaseIn(s, w)
+        case None =>
+          // the release won the race before any breaker: slot is free
+          val t = claim(s, leaseMs = 60000L)
+          MaintainerLease.releaseIn(s, t)
+      }
+    }
+  }
+
+  test("a superseded holder's renewals do not extend the new holder's expiry check") {
+    bindings().foreach { case (name, s) =>
+      val old = claim(s, leaseMs = 50L)
+      Thread.sleep(120L)
+      val rival = claim(s, leaseMs = 50L)
+      assert(rival.nonEmpty)
+      // the old holder's heartbeat fires late: the side-entry lands but
+      // carries the OLD token — it must fence (verify throws), and its
+      // stamp must not keep the RIVAL's lease fresh
+      intercept[ConcurrentStoreWriteException](
+        MaintainerLease.renewIn(s, "law", old)
+      )
+      Thread.sleep(300L)
+      // the rival never renewed: its lease expires on schedule despite
+      // the old holder's fresher side-entry
+      val third = claim(s, leaseMs = 200L)
+      MaintainerLease.releaseIn(s, third)
+      assert(true, s"$name done")
+    }
+  }
+}

@@ -241,6 +241,45 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rebuild writers are fenced: a held lease makes every write*/retract path fail fast, publishing nothing") {
+    import graft.util.{ConcurrentStoreWriteException, MaintainerLease}
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .limit(50)
+    val emb = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .limit(50)
+    val codes = emb.select(
+      col("vec_id"),
+      Similarity.quantize(col("embedding")).as("q8")
+    )
+    val base = Files.createTempDirectory("graft-rebuild-fence").toString
+    val rebuilds: Seq[(String, String => Unit)] = Seq(
+      ("ii", out => Retrieval.writeInvertedIndexOf(spark, docs, out)),
+      ("ivf", out => Similarity.writeIvfIndexOf(spark, emb, out, 2, 1)),
+      ("ivfx", out => Similarity.writeIvfIndexExactOf(spark, codes, out, 2, 1)),
+      ("lm", out => QualityModel.writeLmModelOf(spark, docs, out)),
+      ("span", out => Dedup.writeSpanIndex(spark, docs, out)),
+      ("para", out => Dedup.writeParagraphIndex(spark, docs, out))
+    )
+    rebuilds.foreach { case (name, rebuild) =>
+      val root = java.nio.file.Paths.get(s"$base/$name")
+      val token = MaintainerLease.claim(root)
+      intercept[ConcurrentStoreWriteException](rebuild(root.toString))
+      // nothing published: the root still holds only the claim files
+      val names = Option(root.toFile.listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName)
+        .toSet
+      assert(names.forall(_.startsWith("maintainer.claim")), s"$name: $names")
+      MaintainerLease.release(root, token)
+      // and uncontended the same rebuild goes through
+      rebuild(root.toString)
+    }
+  }
+
   test("maintainer heartbeat: a maintenance job outliving its lease stays fenced against rivals") {
     import graft.util.{ConcurrentStoreWriteException, MaintainerLease}
     val root = java.nio.file.Files
