@@ -98,6 +98,20 @@ final class Journal(
     * the boundary anywhere below the cache's watermark would silently
     * drop an evicted journal's rows between the marks. The cache is
     * replication-lag-sized by construction, hence broadcastable.
+    *
+    * Staleness contract (self-contained — the deployment doc's proviso,
+    * stated AND enforced here): gated-read ≡ read requires the cache to
+    * have consumed the log up to each partition's current end (the
+    * deployment tick order guarantees the cache trails replication by
+    * exactly one tick). When the cache is STALE — the log holds rows at
+    * or past a partition's stored `end_offset` (appends after the last
+    * drain) — those journals' tails are UN-GATED rather than trusted:
+    * the read stays row-identical to [[read]] and pays an ungated tail
+    * scan on exactly the stale journals (enforced in
+    * [[graft.journal.Replay.mergedReadAtWatermark]], probed in
+    * JournalOpsSpec's stale-cache law). Partitions the cache has NEVER
+    * covered read wm = −1 with their tails ungated likewise — absence
+    * from the cache is only evidence where the cache has coverage.
     */
   def readCached(
       topic: String,

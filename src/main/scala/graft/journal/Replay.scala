@@ -99,11 +99,23 @@ object Replay {
     * Partitions ABSENT from `watermark` (the cache has never processed
     * them) read wm = −1 with their tail UNGATED: absence from the cache
     * is only evidence where the cache has covered the partition.
+    *
+    * STALE partitions are likewise un-gated, ENFORCING the staleness
+    * bound instead of documenting it: when `watermark` carries the
+    * cache's consumed `end_offset` (the stored wm member does), any
+    * journal with log rows at or above it has appends the cache never
+    * folded — its absence from the cache (or an `empty` head) is NOT
+    * evidence of full replication, so it enters the tail scan like an
+    * uncovered-partition journal. A reader consulting a cache that
+    * trails the log therefore pays an ungated tail scan on exactly the
+    * stale journals rather than silently dropping their fresh rows
+    * (the round-12 advice finding). The eventual/tail boundary stays
+    * the stored wm — the un-gated tail covers everything above it.
     */
   def mergedReadAtWatermark(
       actions: DataFrame,
       cacheHeads: DataFrame,
-      watermark: DataFrame, // (topic, part_no, wm) — the cache's wm view
+      watermark: DataFrame, // (topic, part_no, wm[, end_offset])
       strictUniqueness: Boolean = false
   ): DataFrame = {
     val wmT = watermark.select("topic", "part_no", "wm")
@@ -131,11 +143,28 @@ object Replay {
       )
       .select("topic", "id")
       .distinct()
+    // journals with rows the cache never consumed (koffset at or past the
+    // partition's stored end_offset) — row-grain, so only journals with
+    // ACTUAL unseen appends pay the un-gate, not every journal of a
+    // slightly-stale partition
+    val stale =
+      if (!watermark.columns.contains("end_offset")) None
+      else
+        Some(
+          actions
+            .join(
+              broadcast(watermark.select("topic", "part_no", "end_offset")),
+              Seq("topic", "part_no")
+            )
+            .filter(col("koffset") >= col("end_offset"))
+            .select("topic", "id")
+            .distinct()
+        )
     mergedReadBounded(
       actions,
       bounds,
       strictUniqueness,
-      Some(appendGate.unionByName(uncovered))
+      Some(stale.foldLeft(appendGate.unionByName(uncovered))(_.unionByName(_)))
     )
   }
 

@@ -210,14 +210,19 @@ object StreamingHeadCache {
       .parquet(live(storeDir, "entries"))
   }
 
-  /** The cache's own replicated-offset table (topic, part_no, wm) — the
-    * boundary [[graft.journal.Replay.mergedReadAtWatermark]] positions
-    * the eventual/tail split at, so skip-on-absence is sound against
-    * exactly the watermark the cache evicted at.
+  /** The cache's own replicated-offset table
+    * (topic, part_no, wm, end_offset) — `wm` is the boundary
+    * [[graft.journal.Replay.mergedReadAtWatermark]] positions the
+    * eventual/tail split at (skip-on-absence is sound against exactly
+    * the watermark the cache evicted at), and `end_offset` is how far
+    * the cache has CONSUMED the partition — the staleness bound the
+    * gated read enforces (journals with log rows at or past it un-gate:
+    * the cache knows nothing about those appends).
     */
   def watermark(spark: SparkSession, storeDir: String): DataFrame = {
     repairHeadCache(storeDir)
-    wmView(spark, storeDir).select("topic", "part_no", "wm")
+    wmView(spark, storeDir)
+      .select("topic", "part_no", "wm", "end_offset")
   }
 
   /** The merged per-partition (watermark, end offset) view. */

@@ -363,6 +363,108 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(false)
   }
 
+  test("api readCached under a STALE cache: appends past the consumed end_offset are enforced into the read, not lost") {
+    import org.apache.spark.sql.functions._
+    val a = actions.cache()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-api-headcache-stale")
+      .toString
+    // the cache drains the full log at a hot watermark (evicting almost
+    // every journal), then the LOG GROWS: appends land after the drain,
+    // at offsets the cache never consumed — the between-ticks window the
+    // round-12 advice flagged
+    val wmHot = a
+      .groupBy("topic", "part_no")
+      .agg((max("koffset") - 2L).as("wm"))
+    graft.streaming.StreamingHeadCache.appendBatch(spark, a, tmp, wmHot, 1L)
+    val cached = graft.streaming.StreamingHeadCache
+      .readHeads(spark, tmp)
+      .select("topic", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // an EVICTED journal (absent from the cache): under the unenforced
+    // gate its tail would be skipped entirely
+    val (t0, i0) = a
+      .filter(col("action") === "append")
+      .select("topic", "id")
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .find(!cached.contains(_))
+      .get
+    val pn = a
+      .filter(col("topic") === t0 && col("id") === i0)
+      .select("part_no")
+      .head()
+      .getInt(0)
+    val partMax = a
+      .filter(col("topic") === t0 && col("part_no") === pn)
+      .agg(max("koffset"))
+      .head()
+      .getLong(0)
+    val maxSeq = a
+      .filter(
+        col("topic") === t0 && col("id") === i0 && col("action") === "append"
+      )
+      .agg(max("seq_nr"))
+      .head()
+      .getLong(0)
+    val lastRow = a
+      .filter(
+        col("topic") === t0 && col("id") === i0 && col("action") === "append"
+      )
+      .orderBy(col("koffset").desc)
+      .limit(1)
+      .cache()
+    val extra = (1 to 3)
+      .map(k =>
+        lastRow
+          .withColumn("koffset", lit(partMax + k))
+          .withColumn("seq_nr", lit(maxSeq + k))
+      )
+      .reduce(_.unionByName(_))
+    val log2 = a.unionByName(extra)
+    val j2 = graft.api.Journal(spark, log2)
+    def seqs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("seq_nr").collect().map(_.getLong(0)).sorted.toSeq
+    // non-vacuity: the new rows really sit at/past the cache's consumed
+    // end offset for this partition
+    val endOff = graft.streaming.StreamingHeadCache
+      .watermark(spark, tmp)
+      .filter(col("topic") === t0 && col("part_no") === pn)
+      .select("end_offset")
+      .head()
+      .getLong(0)
+    assert(partMax + 1 >= endOff, "fixture must place the appends past end_offset")
+    // the enforced gate: readCached ≡ read, fresh rows included
+    val got = seqs(j2.readCached(t0, i0, tmp))
+    assert(got == seqs(j2.read(t0, i0)))
+    assert(
+      (1 to 3).forall(k => got.contains(maxSeq + k)),
+      "the stale journal's fresh appends must survive the gated read"
+    )
+    // the documented failure mode at a deliberately violated bound: a
+    // wm-ONLY frame (no end_offset — staleness unenforceable) trusts the
+    // stale cache and DROPS the fresh rows; this is what the enforcement
+    // closes, asserted rather than assumed
+    val wmOnly = graft.streaming.StreamingHeadCache
+      .watermark(spark, tmp)
+      .select("topic", "part_no", "wm")
+    val keyed = log2.filter(col("topic") === t0 && col("id") === i0)
+    val headsKeyed = graft.streaming.StreamingHeadCache
+      .readHeads(spark, tmp)
+      .filter(col("topic") === t0 && col("id") === i0)
+    val unenforced =
+      seqs(graft.journal.Replay.mergedReadAtWatermark(keyed, headsKeyed, wmOnly))
+    assert(
+      !unenforced.contains(maxSeq + 1),
+      "without end_offset the violated bound loses rows — the mode the enforcement exists for"
+    )
+    lastRow.unpersist(false)
+    a.unpersist(false)
+  }
+
   test("pointer equals max seq_nr of the journal scan where one exists") {
     import org.apache.spark.sql.functions._
     val fromScan = JournalOps
