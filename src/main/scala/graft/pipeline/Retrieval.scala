@@ -563,7 +563,9 @@ object Retrieval {
       spark: SparkSession,
       queryTerms: DataFrame,
       indexDir: String,
-      k: Int = 5
+      k: Int = 5,
+      excludeSelf: Boolean = true // corpus-query protocol; external-qid
+      //                             callers (the search service) pass false
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
     val weighted = qt
@@ -575,9 +577,8 @@ object Retrieval {
         expr("n_docs * 1000000 DIV df").as("idf_ppm")
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    post
-      .join(broadcast(weighted), Seq("w"))
-      .filter(col("doc_id") =!= col("qid"))
+    val cand = post.join(broadcast(weighted), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
       .groupBy("qid", "doc_id")
       .agg(sum(col("tf") * col("idf_ppm")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -595,14 +596,16 @@ object Retrieval {
       dir: String,
       indexDir: String,
       nQueries: Int = 5,
-      k: Int = 5
+      k: Int = 5,
+      excludeSelf: Boolean = true
   ): DataFrame =
     keywordTopKIndexedOf(
       spark,
       postings(docs(spark, dir).filter(col("doc_id") < nQueries))
         .select(col("doc_id").as("qid"), col("w")),
       indexDir,
-      k
+      k,
+      excludeSelf
     )
 
   /** P33b — the full index lifecycle as one oracle-replayable query: build
@@ -657,28 +660,36 @@ object Retrieval {
 
   /** Per-(qid, doc) BM25 scores (no ranking) — shared by the ranked
     * top-k and the phrase query (which ranks only phrase-matching docs).
+    *
+    * `excludeSelf` applies the CORPUS-query protocol's self-exclusion
+    * (queries are corpus docs; a doc must not retrieve itself). External
+    * queries — the streaming search service, where qids are an unrelated
+    * id space — pass false, or a corpus doc whose doc_id happens to equal
+    * an arriving qid would be silently excluded from that query's results.
     */
   private def bm25Scores(
       post: DataFrame,
       weighted: DataFrame,
-      stats: DataFrame
-  ): DataFrame =
-    post
-      .join(broadcast(weighted), Seq("w"))
-      .filter(col("doc_id") =!= col("qid"))
+      stats: DataFrame,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cand = post.join(broadcast(weighted), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
       .crossJoin(broadcast(stats)) // single row (n_docs, total_tokens)
       .select(col("qid"), col("doc_id"), expr(Bm25TermPpm).as("term_ppm"))
       .groupBy("qid", "doc_id")
       .agg(sum("term_ppm").as("score"))
+  }
 
   private def bm25Score(
       post: DataFrame,
       weighted: DataFrame,
       stats: DataFrame,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    bm25Scores(post, weighted, stats)
+    bm25Scores(post, weighted, stats, excludeSelf)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "rank", "score")
@@ -727,7 +738,8 @@ object Retrieval {
       spark: SparkSession,
       queryTerms: DataFrame,
       indexDir: String,
-      k: Int = 5
+      k: Int = 5,
+      excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
     val weighted = qt
@@ -739,7 +751,7 @@ object Retrieval {
         expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
           .as("idf_ppm")
       )
-    bm25Score(post, weighted, stats, k)
+    bm25Score(post, weighted, stats, k, excludeSelf)
   }
 
   /** [[bm25TopKIndexedOf]] with the standard query protocol. */
@@ -748,14 +760,16 @@ object Retrieval {
       dir: String,
       indexDir: String,
       nQueries: Int = 5,
-      k: Int = 5
+      k: Int = 5,
+      excludeSelf: Boolean = true
   ): DataFrame =
     bm25TopKIndexedOf(
       spark,
       postings(docs(spark, dir).filter(col("doc_id") < nQueries))
         .select(col("doc_id").as("qid"), col("w")),
       indexDir,
-      k
+      k,
+      excludeSelf
     )
 
   /** P33d — the BM25 lifecycle twin of [[keywordIndexLifecycle]]: write
@@ -806,12 +820,13 @@ object Retrieval {
       dfm: DataFrame,
       stats: DataFrame,
       phrase: DataFrame,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true // see bm25Scores
   ): DataFrame = {
     val plen = phrase.groupBy("qid").agg(count(lit(1)).as("plen"))
-    val occ = positions
-      .join(broadcast(phrase), Seq("w"))
-      .filter(col("doc_id") =!= col("qid"))
+    val hits = positions.join(broadcast(phrase), Seq("w"))
+    val occ = (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid"))
+               else hits)
       .select(
         col("qid"),
         col("doc_id"),
@@ -837,7 +852,7 @@ object Retrieval {
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     occ
-      .join(bm25Scores(post, weighted, stats), Seq("qid", "doc_id"))
+      .join(bm25Scores(post, weighted, stats, excludeSelf), Seq("qid", "doc_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "rank", "score", "n_occurrences")
@@ -893,7 +908,8 @@ object Retrieval {
       spark: SparkSession,
       phrase: DataFrame,
       indexDir: String,
-      k: Int = 5
+      k: Int = 5,
+      excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(
       spark,
@@ -905,7 +921,7 @@ object Retrieval {
       .parquet(liveDir(indexDir, "positions"))
       .where(col("wb").isin(probedWb.toIndexedSeq: _*))
       .select("doc_id", "w", "pos")
-    phraseRank(positions, post, dfm, stats, phrase, k)
+    phraseRank(positions, post, dfm, stats, phrase, k, excludeSelf)
   }
 
   /** [[phraseTopKIndexedOf]] with the standard phrase protocol. */
@@ -915,13 +931,15 @@ object Retrieval {
       indexDir: String,
       nQueries: Int = 5,
       k: Int = 5,
-      phraseLen: Int = 3
+      phraseLen: Int = 3,
+      excludeSelf: Boolean = true
   ): DataFrame =
     phraseTopKIndexedOf(
       spark,
       queryPhrases(docs(spark, dir), nQueries, phraseLen),
       indexDir,
-      k
+      k,
+      excludeSelf
     )
 
   /** P33f — the phrase lifecycle twin of [[keywordIndexLifecycle]]: build
@@ -980,18 +998,20 @@ object Retrieval {
       stats: DataFrame,
       phrase: DataFrame,
       k: Int,
-      window: Int
+      window: Int,
+      excludeSelf: Boolean = true // see bm25Scores
   ): DataFrame = {
     val maxJ = phrase
       .agg(coalesce(max("j"), lit(0L)))
       .head()
       .getLong(0)
       .toInt // = phraseLen, the query protocol's own bound
-    def leg(j: Int): DataFrame =
-      positions
+    def leg(j: Int): DataFrame = {
+      val hits = positions
         .join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
-        .filter(col("doc_id") =!= col("qid"))
+      (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits)
         .select(col("qid"), col("doc_id"), col("pos"))
+    }
     var cand = leg(1).select(
       col("qid"),
       col("doc_id"),
@@ -1020,7 +1040,7 @@ object Retrieval {
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     occ
-      .join(bm25Scores(post, weighted, stats), Seq("qid", "doc_id"))
+      .join(bm25Scores(post, weighted, stats, excludeSelf), Seq("qid", "doc_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "rank", "score", "n_windows")
@@ -1064,7 +1084,8 @@ object Retrieval {
       phrase: DataFrame,
       indexDir: String,
       k: Int = 5,
-      window: Int = 8
+      window: Int = 8,
+      excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(
       spark,
@@ -1076,7 +1097,7 @@ object Retrieval {
       .parquet(liveDir(indexDir, "positions"))
       .where(col("wb").isin(probedWb.toIndexedSeq: _*))
       .select("doc_id", "w", "pos")
-    proximityRank(positions, post, dfm, stats, phrase, k, window)
+    proximityRank(positions, post, dfm, stats, phrase, k, window, excludeSelf)
   }
 
   /** [[proximityTopKIndexedOf]] with the standard phrase protocol. */
@@ -1087,14 +1108,16 @@ object Retrieval {
       nQueries: Int = 5,
       k: Int = 5,
       phraseLen: Int = 3,
-      window: Int = 8
+      window: Int = 8,
+      excludeSelf: Boolean = true
   ): DataFrame =
     proximityTopKIndexedOf(
       spark,
       queryPhrases(docs(spark, dir), nQueries, phraseLen),
       indexDir,
       k,
-      window
+      window,
+      excludeSelf
     )
 
   /** P33h — the proximity lifecycle twin (same oracle as p33g by the
@@ -1224,15 +1247,20 @@ object Retrieval {
       rrfK: Int = 60,
       phraseLen: Int = 3,
       window: Int = 8,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true // threaded to all three legs; false =
+      //   the external-query posture (the streaming service's batch twin)
   ): DataFrame = {
-    val lex = bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK)
-      .select(col("qid"), col("doc_id"), col("rank"))
+    val lex =
+      bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK, excludeSelf)
+        .select(col("qid"), col("doc_id"), col("rank"))
     val dense = Similarity
-      .knnIvfIndexedExact(spark, dir, vecIndexDir, nQueries, poolK, nprobe)
+      .knnIvfIndexedExact(
+        spark, dir, vecIndexDir, nQueries, poolK, nprobe, excludeSelf)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     val prox =
-      proximityTopKIndexed(spark, dir, textIndexDir, nQueries, poolK, phraseLen, window)
+      proximityTopKIndexed(
+        spark, dir, textIndexDir, nQueries, poolK, phraseLen, window, excludeSelf)
         .select(col("qid"), col("doc_id"), col("rank"))
     rrfFuse(Seq(lex, dense, prox), rrfK, k)
   }

@@ -721,7 +721,11 @@ object Similarity {
       queryVecs: DataFrame,
       indexDir: String,
       k: Int = 5,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true // corpus-query protocol (queries ARE
+      //   corpus vectors, which must not retrieve themselves); external-qid
+      //   callers (the streaming search service) pass false, or a corpus
+      //   vector whose vec_id equals an arriving qid is silently dropped
   ): DataFrame = {
     repairIvfIndex(indexDir)
     val centroids: Seq[(Int, Seq[Double])] = spark.read
@@ -767,9 +771,9 @@ object Similarity {
           .toString
       )
       .where(col("cid").isin(probeCids: _*))
-    val scored = vectors
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
+    val cand = vectors.join(broadcast(probes), Seq("cid"))
+    val scored = (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid"))
+                  else cand)
       .select(
         col("qid"),
         col("vec_id"),
@@ -882,7 +886,9 @@ object Similarity {
       indexDir: String,
       nQueries: Long = 10L, // Long so "every arriving query" is expressible
       k: Int = 5,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true // see knnIvfIndexedOf — false for
+      //                             external (non-corpus) qid spaces
   ): DataFrame = {
     repairIvfIndex(indexDir)
     val centroids = readExactCentroids(spark, indexDir)
@@ -918,9 +924,9 @@ object Similarity {
           .toString
       )
       .where(col("cid").isin(probeCids: _*))
-    val scored = vectors
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
+    val cand = vectors.join(broadcast(probes), Seq("cid"))
+    val scored = (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid"))
+                  else cand)
       .select(
         col("qid"),
         col("vec_id"),
@@ -945,7 +951,8 @@ object Similarity {
       indexDir: String,
       nQueries: Int = 10,
       k: Int = 5,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true
   ): DataFrame =
     knnIvfIndexedExactOf(
       spark,
@@ -953,7 +960,8 @@ object Similarity {
       indexDir,
       nQueries,
       k,
-      nprobe
+      nprobe,
+      excludeSelf
     )
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

@@ -56,12 +56,16 @@ object StreamingRetrieval {
             explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
           )
           .distinct()
+        // excludeSelf = false: arriving qids are an EXTERNAL id space, so
+        // the corpus protocol's self-exclusion must not leak into the
+        // service — a corpus doc whose doc_id equals a qid stays retrievable
         val res =
           if (bm25)
-            Retrieval.bm25TopKIndexedOf(batch.sparkSession, terms, indexDir, k)
+            Retrieval.bm25TopKIndexedOf(
+              batch.sparkSession, terms, indexDir, k, excludeSelf = false)
           else
-            Retrieval
-              .keywordTopKIndexedOf(batch.sparkSession, terms, indexDir, k)
+            Retrieval.keywordTopKIndexedOf(
+              batch.sparkSession, terms, indexDir, k, excludeSelf = false)
         sink(res, batchId)
       }
       .start()
@@ -96,7 +100,9 @@ object StreamingRetrieval {
           .filter(col("pos0") < phraseLen)
           .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
         sink(
-          Retrieval.phraseTopKIndexedOf(batch.sparkSession, phrase, indexDir, k),
+          // external qid space — no corpus self-exclusion (see searchStream)
+          Retrieval.phraseTopKIndexedOf(
+            batch.sparkSession, phrase, indexDir, k, excludeSelf = false),
           batchId
         )
       }
@@ -141,8 +147,10 @@ object StreamingRetrieval {
             explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
           )
           .distinct()
+        // every leg runs WITHOUT the corpus protocol's self-exclusion:
+        // arriving qids are external, unrelated to corpus doc_ids
         val lex = Retrieval
-          .bm25TopKIndexedOf(sp, terms, textIndexDir, poolK)
+          .bm25TopKIndexedOf(sp, terms, textIndexDir, poolK, excludeSelf = false)
           .select(col("qid"), col("doc_id"), col("rank"))
         val phrase = batch
           .select(
@@ -153,7 +161,8 @@ object StreamingRetrieval {
           .filter(col("pos0") < phraseLen)
           .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
         val prox = Retrieval
-          .proximityTopKIndexedOf(sp, phrase, textIndexDir, poolK, window)
+          .proximityTopKIndexedOf(
+            sp, phrase, textIndexDir, poolK, window, excludeSelf = false)
           .select(col("qid"), col("doc_id"), col("rank"))
         val codes = batch.select(
           col("qid").as("vec_id"),
@@ -166,7 +175,8 @@ object StreamingRetrieval {
             vecIndexDir,
             nQueries = Long.MaxValue, // every arriving query
             k = poolK,
-            nprobe = nprobe
+            nprobe = nprobe,
+            excludeSelf = false
           )
           .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
         sink(Retrieval.rrfFuse(Seq(lex, dense, prox), rrfK, k), batchId)

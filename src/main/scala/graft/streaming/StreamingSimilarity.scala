@@ -50,12 +50,16 @@ object StreamingSimilarity {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(
+          // excludeSelf = false: arriving qids are an external id space;
+          // the corpus protocol's self-exclusion must not drop a corpus
+          // vector whose vec_id happens to equal a query's qid
           Similarity.knnIvfIndexedOf(
             batch.sparkSession,
             batch,
             indexDir,
             k,
-            nprobe
+            nprobe,
+            excludeSelf = false
           ),
           batchId
         )

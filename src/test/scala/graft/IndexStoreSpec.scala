@@ -495,13 +495,15 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     finally q.stop()
 
+    // the service posture: external qids, no corpus self-exclusion
     val batch = Similarity
       .knnIvfIndexedOf(
         spark,
         spark
           .createDataset(queryRows)
           .toDF("qid", "q"),
-        tmp
+        tmp,
+        excludeSelf = false
       )
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -511,6 +513,13 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // frozen, so chunked continuous search IS the batch search
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+    // non-vacuous: these qids collide with corpus vec_ids, and each
+    // colliding vector retrieves ITSELF at rank 1 (cos = 1) — the
+    // exclusion leak the service posture must not have
+    assert(
+      buf.exists(t => t._1 == t._2 && t._3 == 1L),
+      "no self-hit: the corpus protocol's exclusion leaked into the service"
+    )
   }
 
   test("query-time scan prunes to the probed cells' partitions") {

@@ -318,7 +318,10 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.pipeline.Similarity.quantized(spark, sfDir).select("vec_id", "q8"),
       vIdx
     )
-    val want = rows5(Retrieval.hybridStoredTopK(spark, sfDir, tIdx, vIdx))
+    // the stream serves EXTERNAL qids (no corpus self-exclusion); its
+    // batch twin is hybridStoredTopK in the same posture
+    val want = rows5(Retrieval.hybridStoredTopK(
+      spark, sfDir, tIdx, vIdx, excludeSelf = false))
     assert(want.nonEmpty)
     // the protocol's 5 query docs, with their embeddings, in two chunks
     val queryRows = docs
@@ -351,6 +354,12 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       chunksQ.foreach { c => ms.addData(c); q.processAllAvailable() }
     } finally q.stop()
     assert(got.sortBy(t => (t._1, t._3)).toSeq == want.sortBy(t => (t._1, t._3)))
+    // the colliding doc is retrievable by its own query (rank 1 on every
+    // leg) — the self-exclusion leak the service posture must not have
+    assert(
+      got.exists(t => t._1 == t._2),
+      "no self-hit: the corpus protocol's exclusion leaked into the service"
+    )
   }
 
   test("lifecycle queries equal their inline twins (the p33b/p33d oracle reuse)") {
@@ -460,9 +469,19 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     finally q.stop()
 
-    val batch = rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp, nQueries = 6))
+    // the service posture: external qids, no corpus self-exclusion — the
+    // batch twin is the protocol form with excludeSelf = false
+    val batch = rows(Retrieval.bm25TopKIndexed(
+      spark, sfDir, tmp, nQueries = 6, excludeSelf = false))
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+    // non-vacuous: these qids DO collide with corpus doc_ids, and the
+    // colliding doc stays retrievable (its own text is the query, so it
+    // ranks) — the exclusion leak the service posture must not have
+    assert(
+      buf.exists(t => t._1 == t._2),
+      "no self-hit: the corpus protocol's exclusion leaked into the service"
+    )
   }
 
   test("streaming phrase search over chunked queries equals one batch search") {
@@ -504,9 +523,15 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     finally q.stop()
 
-    val batch = rows5(Retrieval.phraseTopKIndexed(spark, sfDir, tmp, nQueries = 6))
+    val batch = rows5(Retrieval.phraseTopKIndexed(
+      spark, sfDir, tmp, nQueries = 6, excludeSelf = false))
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+    // a doc queried with its own leading phrase must match itself
+    assert(
+      buf.exists(t => t._1 == t._2),
+      "no self-hit: the corpus protocol's exclusion leaked into the service"
+    )
   }
 
   test("compaction collapses delta layers, preserves results, survives a crashed swap") {
