@@ -88,6 +88,11 @@ object SparkEntry {
     // to j1 by the HeadCacheSpec law, so it carries j1's oracle
     "j1b_replay_gated" -> ((s, d) =>
       graft.streaming.StreamingHeadCache.gatedReplayQuery(s, actions(s, d))),
+    // j1c — the FULL client recovery (api.Journal.recoverCached over all
+    // journals): snapshot floor + head-cache-gated tail in one query;
+    // row-identical to s10d by the j1b and s10d laws composed
+    "j1c_recover_cached" -> ((s, d) =>
+      graft.streaming.StreamingHeadCache.cachedRecoveryQuery(s, actions(s, d))),
     "f4_dedup_replay" -> ((s, d) => Replay.dedupReplay(actions(s, d))),
     "a7_expired" -> ((s, d) => JournalOps.expired(actions(s, d), "2024-02-15")),
     "s10_snapshot_load" -> ((s, d) => JournalOps.snapshotLoad(actions(s, d))),
@@ -437,6 +442,9 @@ object SparkEntry {
     "j1_replay_merge" -> JournalOracles.mergedRead,
     // same oracle as j1: the head-cache gate is row-invisible by law
     "j1b_replay_gated" -> JournalOracles.mergedRead,
+    // same oracle as s10d: the cache gate is row-invisible (j1b law) and
+    // the snapshot floor is s10d's own derivation
+    "j1c_recover_cached" -> JournalOracles.snapshotRecovery,
     "f4_dedup_replay" -> JournalOracles.dedupReplay,
     "a7_expired" -> JournalOracles.expired,
     "s10_snapshot_load" -> JournalOracles.snapshotLoad,

@@ -191,6 +191,39 @@ final class Journal(
         .select("topic", "id", "seq_nr", "koffset", "payload")
     )
 
+  /** The reference client's FULL recovery flow — BOTH accelerators at
+    * once (Journals.scala:141-175 feeding the recovery flow: the
+    * SnapshotStore supplies the fold floor AND the HeadCache gates the
+    * Kafka tail): the latest stored snapshot plus only the events after
+    * it, with the event leg read THROUGH the maintained head cache
+    * ([[readCached]]'s gated merge — a journal the cache proves fully
+    * replicated never enters the tail scan). Row-identical to
+    * [[recoverThrough]] by composition of the two laws (snapshot-floor ≡
+    * and gated-read ≡), including evicted-journal and stale-cache paths —
+    * [[readCached]]'s staleness contract applies verbatim to the event
+    * leg here.
+    */
+  def recoverCached(
+      topic: String,
+      id: String,
+      snapshots: DataFrame,
+      cacheDir: String
+  ): DataFrame =
+    graft.journal.Snapshots.recoveryOver(
+      Replay
+        .mergedReadAtWatermark(
+          log.filter(col("topic") === topic && col("id") === id),
+          graft.streaming.StreamingHeadCache
+            .readHeads(spark, cacheDir)
+            .filter(col("topic") === topic && col("id") === id),
+          graft.streaming.StreamingHeadCache.watermark(spark, cacheDir)
+        )
+        .select("topic", "id", "seq_nr", "koffset", "payload"),
+      snapshots
+        .filter(col("topic") === topic && col("id") === id)
+        .select("topic", "id", "seq_nr", "koffset", "payload")
+    )
+
   /** Highest appended seqNr of one journal (None ⇒ empty row set). */
   def pointer(topic: String, id: String): DataFrame =
     JournalOps

@@ -137,7 +137,23 @@ object Snapshots {
     * rule stops being the source of snapshots once [[applySnapshots]] /
     * the streaming saver writes real ones.
     */
-  def recoveryWith(actions: DataFrame, snapshots: DataFrame): DataFrame = {
+  def recoveryWith(actions: DataFrame, snapshots: DataFrame): DataFrame =
+    recoveryOver(
+      Replay
+        .mergedRead(actions)
+        .select("topic", "id", "seq_nr", "koffset", "payload"),
+      snapshots
+    )
+
+  /** [[recoveryWith]] over an EXPLICIT replay frame (topic, id, seq_nr,
+    * koffset, payload) — the seam that lets the event leg come from ANY
+    * read formulation: [[recoveryWith]] passes the ungated merged read;
+    * the api's `recoverCached` passes the head-cache-GATED read
+    * ([[graft.journal.Replay.mergedReadAtWatermark]]), composing the
+    * reference client's two recovery accelerators (snapshot floor +
+    * cache-gated tail) in one query.
+    */
+  def recoveryOver(replay: DataFrame, snapshots: DataFrame): DataFrame = {
     val pick = Window.partitionBy("topic", "id").orderBy(col("seq_nr").desc)
     val snap = snapshots
       .withColumn("rn", row_number().over(pick))
@@ -157,8 +173,7 @@ object Snapshots {
       col("snap_koffset").as("koffset"),
       col("snap_payload").as("payload")
     )
-    val tail = Replay
-      .mergedRead(actions)
+    val tail = replay
       .select("topic", "id", "seq_nr", "koffset", "payload")
       .join(snap.select("topic", "id", "snap_seq"), Seq("topic", "id"), "left")
       .filter(col("snap_seq").isNull || col("seq_nr") > col("snap_seq"))

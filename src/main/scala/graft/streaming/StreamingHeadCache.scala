@@ -483,6 +483,46 @@ object StreamingHeadCache {
     }
   }
 
+  /** J1c — the reference client's FULL recovery flow as one
+    * oracle-replayable lifecycle query (api.Journal.recoverCached over
+    * every journal): the log arrives in `nChunks` offset-ordered batches
+    * folded into the maintained head cache, then recovery composes BOTH
+    * accelerators — the snapshot floor
+    * ([[graft.journal.Snapshots.recoveryOver]] over the fixture snapshot
+    * table) and the cache-GATED tail
+    * ([[graft.journal.Replay.mergedReadAtWatermark]] at the cache's own
+    * stored watermark). Row-identical to the ungated
+    * [[graft.journal.Snapshots.recovery]] by composition of the gated-read
+    * law (j1b) and the snapshot-floor law (s10d), so the query carries
+    * s10d's oracle.
+    */
+  def cachedRecoveryQuery(
+      spark: SparkSession,
+      actions: DataFrame,
+      nChunks: Int = 4
+  ): DataFrame = {
+    val a = actions
+    val wm = graft.journal.JournalOps.defaultWatermark(a)
+    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val step = maxOff / nChunks + 1
+    graft.pipeline.Eager.withTempStore("graft-j1c-head") { tmp =>
+      (0 until nChunks).foreach { i =>
+        val chunk = a.filter(
+          col("koffset") >= i * step && col("koffset") < (i + 1) * step
+        )
+        appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
+      }
+      graft.journal.Snapshots.recoveryOver(
+        graft.journal.Replay
+          .mergedReadAtWatermark(a, readHeads(spark, tmp), watermark(spark, tmp))
+          .select("topic", "id", "seq_nr", "koffset", "payload"),
+        graft.journal.Snapshots
+          .table(a)
+          .select("topic", "id", "seq_nr", "koffset", "payload")
+      )
+    }
+  }
+
   /** T6b — the reader's decision table THROUGH the cache, as one
     * oracle-replayable lifecycle query: the action log arrives in
     * `nChunks` offset-ordered batches, each folded and appended (never

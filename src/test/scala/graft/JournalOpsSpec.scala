@@ -249,6 +249,81 @@ class JournalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(false)
   }
 
+  test("api recoverCached: snapshot floor + cache-gated tail composed equals recoverThrough, incl. the evicted path") {
+    import org.apache.spark.sql.functions._
+    val a = actions.cache()
+    val journal = graft.api.Journal(spark, a)
+    // the maintained snapshot store (the recoverThrough fixture)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-api-reccached-snaps")
+      .toString
+    graft.streaming.StreamingSnapshots
+      .appendMaintenanceBatch(spark, a, snapDir, threshold = 5L, layer = 1L)
+    val stored = graft.streaming.StreamingSnapshots
+      .storedSnapshots(spark, snapDir)
+      .cache()
+    assert(stored.count() > 0)
+    // the maintained head cache at a HOT 3/4-style watermark, so most
+    // journals are EVICTED (the path the round-12 vacuity lesson demands
+    // be probed, not assumed): their event leg must come entirely from
+    // the eventual side of the gated read
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-api-reccached-head")
+      .toString
+    val wmHot = a
+      .groupBy("topic", "part_no")
+      .agg((max("koffset") - 2L).as("wm"))
+    graft.streaming.StreamingHeadCache.appendBatch(spark, a, cacheDir, wmHot, 1L)
+    val cached = graft.streaming.StreamingHeadCache
+      .readHeads(spark, cacheDir)
+      .select("topic", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val snappedKeys = stored
+      .select("topic", "id")
+      .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val allKeys = JournalOps
+      .ids(a)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    // probe matrix: {evicted, still-cached} × {snapshotted, bare}
+    val evictedSnapped = snappedKeys.filterNot(cached.contains).take(3)
+    val cachedSnapped = snappedKeys.filter(cached.contains).take(3)
+    // the maintenance threshold snapshots every journal of this fixture,
+    // so the no-snapshot path is probed with a log-absent key (both
+    // surfaces must agree on empty) alongside any bare journal that exists
+    val someTopic = a.select("topic").head().getString(0)
+    val bare = allKeys.filterNot(snappedKeys.toSet.contains).take(3) :+
+      ((someTopic, "no-such-journal"))
+    assert(evictedSnapped.nonEmpty, "need an evicted snapshotted journal")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("src", "seq_nr")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    (evictedSnapped ++ cachedSnapped ++ bare).foreach { case (t, i) =>
+      assert(
+        rows(journal.recoverCached(t, i, stored, cacheDir)) ==
+          rows(journal.recoverThrough(stored, t, i)),
+        s"recoverCached ≡ recoverThrough for ($t, $i)"
+      )
+    }
+    // non-vacuous: the evicted snapshotted probe actually exercises BOTH
+    // accelerators — a snapshot row leads, and an event suffix follows
+    evictedSnapped.headOption.foreach { case (t, i) =>
+      val r = rows(journal.recoverCached(t, i, stored, cacheDir))
+      assert(r.exists(_._1 == "snapshot"), s"($t,$i) must recover via snapshot")
+    }
+    stored.unpersist(false)
+    a.unpersist(false)
+  }
+
   test("api readCached/pointerCached: the client consults the maintained head cache; identical to the ungated surface") {
     import org.apache.spark.sql.functions._
     val a = actions.cache()
