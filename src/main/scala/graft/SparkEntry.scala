@@ -377,6 +377,12 @@ object SparkEntry {
     // its store partition-pruned, nothing recomputed inline
     "p36d_hybrid_stored" ->
       ((s, d) => graft.pipeline.Retrieval.hybridStoredLifecycle(s, d)),
+    // p36e — the whole DEPLOYMENT as one query: bootstrap the three
+    // stores, stream the daily batches through the ingest loops (layers
+    // keyed on micro-batch ids, maintenance at the committed frontier),
+    // then the stored hybrid search; ≡ p36d by the layer-merge laws
+    "p36e_pipeline_deployment" ->
+      ((s, d) => graft.streaming.PipelineDeployment.lifecycleQuery(s, d)),
     // p35 — bigram-LM familiarity (perplexity-style quality signal,
     // exact-integer add-one surrogate trained on the history split)
     "p35_lm_familiarity" ->
@@ -557,6 +563,9 @@ object SparkEntry {
     "p36b_hybrid_bm25" -> PipelineOracles.hybridBm25TopK,
     "p36c_hybrid_proximity" -> PipelineOracles.hybridProximityTopK,
     "p36d_hybrid_stored" -> PipelineOracles.hybridStoredTopK,
+    // same oracle as p36d: the deployment's merged layer views ARE the
+    // full-corpus stores (PipelineDeploymentSpec pins the identity)
+    "p36e_pipeline_deployment" -> PipelineOracles.hybridStoredTopK,
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,

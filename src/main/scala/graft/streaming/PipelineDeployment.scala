@@ -1,0 +1,250 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.util.StoreHealth.Store
+
+/** ONE deployment wiring for the RETRIEVAL/MODEL plane — the
+  * [[Deployment]] composition applied to the persisted pipeline stores
+  * (the reference's `Replicator.make` posture,
+  * replicator/src/main/scala/com/evolution/kafka/journal/replicator/Replicator.scala:44-100:
+  * every duty runs from one resource graph — here: every ingest loop,
+  * the maintainer, and the search service run from one wiring instead of
+  * only meeting in per-store specs).
+  *
+  * Stores (all DirSwap-layered, all under the unified health surface):
+  *
+  *   - '''positional inverted index''' (`text-index`) — the p33 lexical
+  *     plane; ingested by [[StreamingRetrieval.ingestStream]].
+  *   - '''exact-integer IVF vector index''' (`vec-index`) — the k10/p36d
+  *     dense plane; ingested by [[StreamingSimilarity.ingestExactStream]]
+  *     against the quantizer frozen at [[bootstrap]].
+  *   - '''LM count model''' (`lm-model`) — the p35 familiarity plane;
+  *     trained by [[StreamingCuration.lmTrainStream]].
+  *
+  * A [[tick]] drains the three ingest streams (`AvailableNow`), then runs
+  * `Maintenance.maintainAll` with `protectLayersAbove` computed from each
+  * ingest's OWN committed micro-batch id ([[committedBatchId]] reads the
+  * checkpoint's commit log) — the maintainer-BESIDE-live-ingest posture
+  * graft.Maintenance documents: a compactor must not fold a layer whose
+  * offsets are not yet committed (under T1 the last micro-batch can
+  * redeliver; folding it and then dynamic-overwriting it back
+  * double-counts the sum-merged df/stats/LM members). After a CLEAN drain
+  * every processed batch is committed, so the protection is exactly the
+  * no-op it should be; after a crashed/aborted drain the uncommitted
+  * layer stays unfolded until its batch commits — enforced, not assumed
+  * (PipelineDeploymentSpec forces the redelivery).
+  *
+  * Read-side: [[search]] is the p36d batch query over the deployment's
+  * stores; [[searchStream]] the continuous service
+  * ([[StreamingRetrieval.hybridSearchStream]], external-qid posture).
+  * Search ≡ the batch-built store over every tick boundary because every
+  * store read is a layer-merge (the per-store lifecycle laws) — the spec
+  * re-pins it from THIS wiring.
+  */
+final case class PipelineDeployment(
+    base: String,
+    kCentroids: Int = 16,
+    compactOverLayers: Long = 8L
+) {
+
+  val textIndexDir = s"$base/text-index"
+  val vecIndexDir = s"$base/vec-index"
+  val lmDir = s"$base/lm-model"
+  val ckText = s"$base/ck-text"
+  val ckVec = s"$base/ck-vec"
+  val ckLm = s"$base/ck-lm"
+
+  /** Highest COMMITTED micro-batch id in a foreachBatch checkpoint's
+    * commit log (−1 on a virgin checkpoint): Structured Streaming writes
+    * `commits/<batchId>` only after the batch's foreachBatch body
+    * returned, so batches ≤ this id can never redeliver — their layers
+    * (layer = batchId + 1) are final and safe to fold.
+    */
+  def committedBatchId(checkpointDir: String): Long = {
+    val commits = java.nio.file.Paths.get(checkpointDir, "commits")
+    if (!java.nio.file.Files.isDirectory(commits)) -1L
+    else {
+      val s = java.nio.file.Files.list(commits)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.forall(_.isDigit))
+          .map(_.toLong)
+          .foldLeft(-1L)(math.max)
+      } finally s.close()
+    }
+  }
+
+  /** The fold boundary for an ingest that keys layers on batchId + 1:
+    * layers ABOVE this may belong to an uncommitted (redeliverable)
+    * batch and must stay unfolded.
+    */
+  private def protectAbove(checkpointDir: String): Long =
+    committedBatchId(checkpointDir) + 1L
+
+  /** The deployment's maintainable stores with the fold protection read
+    * from the ingests' CURRENT commit logs — built per call, because the
+    * committed frontier advances with every drain.
+    */
+  def registry: Seq[Store] = Seq(
+    graft.Maintenance
+      .invertedIndex(textIndexDir, protectAbove(ckText))
+      .copy(compactOverLayers = compactOverLayers),
+    graft.Maintenance
+      .ivfVectors(vecIndexDir, protectAbove(ckVec))
+      .copy(compactOverLayers = compactOverLayers),
+    graft.Maintenance
+      .lmModel(lmDir, protectAbove(ckLm))
+      .copy(compactOverLayers = compactOverLayers)
+  )
+
+  /** The batch build that precedes the streaming lifecycle: the
+    * positional inverted index and the LM counts over the history
+    * corpus, and the exact-integer IVF index TRAINED on the history
+    * codes — the one step that must see a batch (the quantizer is frozen
+    * here; every later ingest assigns against it row-locally).
+    */
+  def bootstrap(
+      spark: SparkSession,
+      historyDocs: DataFrame, // (doc_id, text)
+      historyCodes: DataFrame // (vec_id, q8)
+  ): Unit = {
+    graft.pipeline.Retrieval
+      .writeInvertedIndexOf(spark, historyDocs, textIndexDir, withPositions = true)
+    graft.pipeline.Similarity
+      .writeIvfIndexExactOf(spark, historyCodes, vecIndexDir, kCentroids)
+    graft.pipeline.QualityModel.writeLmModelOf(spark, historyDocs, lmDir)
+  }
+
+  /** One deployment tick: drain the three ingest loops over whatever the
+    * input globs hold that their checkpoints have not consumed, then
+    * maintain every store with the fold boundary at each ingest's own
+    * committed frontier, returning the maintenance decisions
+    * (store, compacted) — the post-maintenance state is [[health]].
+    * A drain exceeding its budget ABORTS the tick before maintenance
+    * (the [[Deployment.tick]] argument verbatim) — and thanks to the
+    * commit-log-derived protection, even a maintainer racing the aborted
+    * ingest's uncommitted layer would leave it unfolded.
+    */
+  def tick(
+      spark: SparkSession,
+      docsGlob: String,
+      docsSchema: StructType,
+      codesGlob: String,
+      codesSchema: StructType,
+      drainTimeoutMs: Long = 120000L
+  ): DataFrame = {
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit =
+      if (!q.awaitTermination(drainTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$what drain exceeded $drainTimeoutMs ms — tick aborted before " +
+            "maintenance; committed offsets persist and the next tick resumes"
+        )
+      }
+    def docsIn: DataFrame =
+      spark.readStream.schema(docsSchema).parquet(docsGlob)
+    drain(
+      StreamingRetrieval.ingestStream(docsIn, textIndexDir, ckText)(),
+      "text-index ingest"
+    )
+    drain(
+      StreamingSimilarity.ingestExactStream(
+        spark.readStream.schema(codesSchema).parquet(codesGlob),
+        vecIndexDir,
+        ckVec
+      ),
+      "vector ingest"
+    )
+    drain(
+      StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)(),
+      "lm train"
+    )
+    graft.Maintenance.maintainAll(spark, registry)
+  }
+
+  /** The p36d batch search over the deployment's stores (corpus query
+    * protocol; the continuous service is [[searchStream]]).
+    */
+  def search(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10
+  ): DataFrame =
+    graft.pipeline.Retrieval
+      .hybridStoredTopK(spark, dir, textIndexDir, vecIndexDir, nQueries, poolK, k)
+
+  /** The continuous search service over the deployment's stores —
+    * external-qid posture (no corpus self-exclusion).
+    */
+  def searchStream(
+      queryDocs: DataFrame, // (qid, text, embedding)
+      checkpointDir: String,
+      k: Int = 10
+  )(sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingRetrieval.hybridSearchStream(
+      queryDocs,
+      textIndexDir,
+      vecIndexDir,
+      checkpointDir,
+      k = k
+    )(sink)
+
+  /** Familiarity scores against the deployment's maintained LM model. */
+  def lmScore(spark: SparkSession, batch: DataFrame): DataFrame =
+    graft.pipeline.QualityModel.scoreWithLmModel(spark, batch, lmDir)
+
+  /** The unified health report (one row per store). */
+  def health(spark: SparkSession): DataFrame =
+    graft.Maintenance.healthAll(spark, registry)
+}
+
+object PipelineDeployment {
+
+  /** P36e — the deployment lifecycle as one oracle-replayable query:
+    * [[PipelineDeployment.bootstrap]] over the history splits (the p36d
+    * protocol: text below the d9 boundary, quantizer trained on the
+    * vec_id % 4 < 3 codes), ONE [[PipelineDeployment.tick]] ingesting the
+    * daily splits as file streams through the three ingest loops (layers
+    * keyed on their micro-batch ids, maintenance at the committed
+    * frontier), then the stored hybrid search. The merged layer views are
+    * definitionally the full-corpus stores, so the result is
+    * row-identical to [[graft.pipeline.Retrieval.hybridStoredLifecycle]]
+    * — p36d's oracle carries over (the d9b/p33b reuse argument, now for
+    * the whole deployment wiring).
+    */
+  def lifecycleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val split = graft.pipeline.Dedup.incrementalBoundary(spark, dir)
+    val codes =
+      graft.pipeline.Similarity.quantized(spark, dir).select("vec_id", "q8")
+    graft.pipeline.Eager.withTempStore("graft-p36e-deploy") { tmp =>
+      val dep = PipelineDeployment(s"$tmp/stores")
+      dep.bootstrap(
+        spark,
+        d.filter(col("doc_id") < split),
+        codes.filter(col("vec_id") % 4 < 3)
+      )
+      // the daily batches arrive as files — the tick's streams consume
+      // them through their checkpoints exactly once
+      val inDocs = s"$tmp/in-docs"
+      val inCodes = s"$tmp/in-codes"
+      d.filter(col("doc_id") >= split).write.parquet(inDocs)
+      codes.filter(col("vec_id") % 4 >= 3).write.parquet(inCodes)
+      dep.tick(
+        spark,
+        inDocs,
+        spark.read.parquet(inDocs).schema,
+        inCodes,
+        spark.read.parquet(inCodes).schema
+      )
+      dep.search(spark, dir)
+    }
+  }
+}
