@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   * Reading it: `gc_sec` approaching `wall` (or cpu ≫ wall×cores with gc
   * rising in step) is the JVM collecting, not the plan working — a
   * memory-pressure artifact of the host, attributable with numbers.
+  *
+  * Cross-SESSION adjudication (comparing this artifact to an older one,
+  * possibly taken on a differently-loaded host): divide each query's
+  * wall by the artifact's `canary_sec` — a fixed single-threaded
+  * CPU-bound loop timed at run start (`canary_sec`) and end
+  * (`canary_end_sec`). The ratio is host-speed-normalized: a plan
+  * regression moves it, host slowness doesn't. The two canary values
+  * also bound speed drift WITHIN the run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,6 +88,31 @@ object Bench {
       startLoad = loadAvg
     }
     val idleWaitSec = (System.nanoTime() - idleT0) / 1e9
+
+    // Host-speed canary: a FIXED, single-threaded, allocation-free
+    // CPU-bound loop (2×10⁸ iterations of a 64-bit mix) timed at the
+    // start and end of the run. Cross-session adjudication of a wall
+    // number is then ONE DIVISION — query_wall / canary_sec — instead of
+    // hand-rerunning untouched queries against an older artifact (four
+    // rounds of driver artifacts needed exactly that): the canary moves
+    // with per-core host speed (thermal state, noisy neighbors, cgroup
+    // throttling), and a query whose wall/canary ratio holds across runs
+    // did not regress. The digest is printed so the loop cannot be
+    // dead-code-eliminated; start AND end values bound the drift WITHIN
+    // the run.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 200000000) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] canary $sec%.3f s (digest ${h}%d)")
+      sec
+    }
+    val canaryStart = canary()
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once
     // per table family (action log / documents / embeddings) — otherwise
@@ -174,6 +207,7 @@ object Bench {
     val heapMax = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage
       .getMax / (1024.0 * 1024.0)
+    val canaryEnd = canary()
 
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON ("0,123")
@@ -220,6 +254,7 @@ object Bench {
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
         s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
+        s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""
     println(line)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver
