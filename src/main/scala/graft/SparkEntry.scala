@@ -305,6 +305,11 @@ object SparkEntry {
     // parquet lifecycle)
     "k10_index_lifecycle" -> ((s, d) =>
       graft.pipeline.Similarity.knnIndexLifecycleExact(s, d)),
+    // k15 — FILTERED stored ANN (the production vector-store feature):
+    // exact pre-filter within the probed cells — candidates semi-joined
+    // against the metadata predicate's id set before ranking
+    "k15_knn_filtered" -> ((s, d) =>
+      graft.pipeline.Similarity.knnIvfFilteredLifecycle(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
     "d8_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "d9_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupQuery(s, d)),
@@ -353,6 +358,13 @@ object SparkEntry {
     // lifecycle (build with positions → append → phrase-search the store)
     "p33f_phrase_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.phraseIndexLifecycle(s, d)),
+    // p33i — boolean conjunctive (AND) retrieval: only docs containing
+    // ALL the query's terms qualify, BM25-ranked (Lucene MUST mode)
+    "p33i_boolean_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.booleanTopK(s, d)),
+    // p33j — the boolean query through the stored-index lifecycle
+    "p33j_boolean_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.booleanIndexLifecycle(s, d)),
     // p33g — ordered-proximity retrieval (sloppy phrase / #uwN): phrase
     // terms in order within an 8-token window, band-join chained
     "p33g_proximity_topk" ->
@@ -569,6 +581,9 @@ object SparkEntry {
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,
+    "p33i_boolean_topk" -> PipelineOracles.booleanTopK,
+    // same oracle as p33i by the indexed ≡ inline law
+    "p33j_boolean_indexed" -> PipelineOracles.booleanTopK,
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,
     // same oracle as p33g by the indexed ≡ inline law
     "p33h_proximity_indexed" -> PipelineOracles.proximityTopK,
@@ -597,6 +612,7 @@ object SparkEntry {
     "p30b_split_stability" -> PipelineOracles.leakFreeSplitIncremental,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
+    "k15_knn_filtered" -> PipelineOracles.knnIvfFiltered,
     "p22_quality_model" -> PipelineOracles.qualityModel,
     "p23_heavy_hitters" -> PipelineOracles.heavyHitters,
     "p24_cluster_balance" -> PipelineOracles.clusterBalance,

@@ -783,7 +783,9 @@ object PipelineOracles {
   private def indexLifecyclePool(
       nQueries: Int,
       nprobe: Int,
-      k: Int
+      k: Int,
+      candExtra: String = "" // extra predicate on candidates (k15's
+      //                        metadata filter), ANDed into `cand`
   ): String = s"""
     WITH q AS (
       SELECT vec_id,
@@ -828,7 +830,7 @@ object PipelineOracles {
     ),
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
-      WHERE a.vec_id <> p.qid
+      WHERE a.vec_id <> p.qid $candExtra
     ),
     pd AS (
       SELECT c.qid, c.vec_id,
@@ -864,6 +866,99 @@ object PipelineOracles {
   lazy val indexLifecycle: String = s"""
     SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
     FROM (${indexLifecyclePool(10, 2, 5)}) lf
+    ORDER BY qid, rnk
+  """
+
+  /** k15 — FILTERED stored ANN
+    * (graft.pipeline.Similarity.knnIvfFilteredLifecycle): the k10
+    * lifecycle chain with the candidate set restricted to the English
+    * documents (vec_id ↔ doc_id) BEFORE ranking — exact pre-filter
+    * semantics within the probed cells.
+    */
+  lazy val knnIvfFiltered: String = s"""
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (${indexLifecyclePool(
+      10, 2, 5,
+      "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    )}) lf
+    ORDER BY qid, rnk
+  """
+
+  /** p33i — boolean conjunctive (AND) retrieval
+    * (graft.pipeline.Retrieval.booleanTopK, nQueries=5, qLen=3, k=5):
+    * the query is each query doc's first 3 DISTINCT terms in
+    * first-occurrence order; only documents containing ALL of them
+    * qualify, ranked by the p33c BM25 ppm arithmetic over those terms.
+    * p33j (the stored-index lifecycle) carries the same oracle by the
+    * indexed ≡ inline law.
+    */
+  val booleanTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    qsel AS (
+      SELECT qid, w1 FROM (
+        SELECT doc_id AS qid, w1,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY minp) AS rn
+        FROM (SELECT doc_id, w1, MIN(pos) AS minp FROM pos
+              WHERE doc_id < 5 GROUP BY doc_id, w1) f
+      ) r WHERE rn <= 3
+    ),
+    nt AS (SELECT qid, COUNT(DISTINCT w1) AS nt FROM qsel GROUP BY qid),
+    m AS (
+      SELECT q.qid, t.doc_id, COUNT(DISTINCT t.w1) AS nm
+      FROM tf t JOIN qsel q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    gate AS (
+      SELECT m.qid, m.doc_id FROM m JOIN nt USING (qid) WHERE m.nm = nt.nt
+    ),
+    qt AS (
+      SELECT q.qid, q.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM qsel q JOIN df d USING (w1)
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    scg AS (
+      SELECT sc.qid, sc.doc_id, sc.score FROM sc JOIN gate USING (qid, doc_id)
+    ),
+    r AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scg
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rnk <= 5
     ORDER BY qid, rnk
   """
 

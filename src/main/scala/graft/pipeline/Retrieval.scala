@@ -1145,6 +1145,154 @@ object Retrieval {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // P33i/P33j — BOOLEAN conjunctive retrieval (Lucene's BooleanQuery
+  // MUST / "all terms required" mode): only documents containing EVERY
+  // query term qualify, ranked by the p33c BM25 arithmetic. The OR-mode
+  // rankers (keyword/BM25) score any overlap; production search engines
+  // expose AND as the precision mode, and it is also the cheap
+  // candidate-gate of the minimal-interval/WAND family.
+  //
+  // Scale shape: identical to the BM25 candidate generation (posting
+  // rows of the probed terms only, bucket-pruned in the stored form)
+  // plus ONE more keyed aggregation — the distinct-matched-terms count
+  // per (query, doc) compared to the query's term count. The gate
+  // SHRINKS the ranking input (conjunction ⊆ any-overlap), so the
+  // expensive tail (window top-k) sees fewer rows than BM25's.
+  // ---------------------------------------------------------------------
+
+  /** The boolean query protocol: each query doc's first `qLen` DISTINCT
+    * terms in first-occurrence order — a realistic short conjunctive
+    * query, derived row-locally (never from the index).
+    */
+  private def queryAndTerms(
+      d: DataFrame,
+      nQueries: Int,
+      qLen: Int
+  ): DataFrame = {
+    val firstPos = positionalPostings(d.filter(col("doc_id") < nQueries))
+      .groupBy(col("doc_id").as("qid"), col("w"))
+      .agg(min("pos").as("minp"))
+    val w = Window.partitionBy("qid").orderBy(col("minp"))
+    firstPos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= qLen)
+      .select("qid", "w")
+  }
+
+  /** Ranks the docs containing ALL of each query's terms, from explicit
+    * inputs (post, dfm, stats as in the BM25 legs; `qterms` = (qid, w)
+    * distinct).
+    */
+  private def andRank(
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      qterms: DataFrame,
+      k: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    val qt = qterms.select("qid", "w").distinct()
+    val nt = qt.groupBy("qid").agg(countDistinct("w").as("nt"))
+    val hits = post.join(broadcast(qt), Seq("w"))
+    val gated = (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid"))
+                 else hits)
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct("w").as("nm"))
+      .join(broadcast(nt), Seq("qid"))
+      .filter(col("nm") === col("nt"))
+      .select("qid", "doc_id")
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    gated
+      .join(bm25Scores(post, weighted, stats, excludeSelf), Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33i — boolean AND top-k, inline form. */
+  def booleanTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      qLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val out =
+      andRank(tf, dfm, stats, queryAndTerms(d, nQueries, qLen), k, excludeSelf = true)
+    Eager.materialized(out, tf)
+  }
+
+  /** Boolean AND top-k against the STORED index (scans bucket-pruned to
+    * the query terms). `queryTerms` is (qid, w) — each query's distinct
+    * required terms.
+    */
+  def booleanTopKIndexedOf(
+      spark: SparkSession,
+      queryTerms: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      excludeSelf: Boolean = true // see bm25Scores — false for external qids
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
+    andRank(post, dfm, stats, qt.select("qid", "w"), k, excludeSelf)
+  }
+
+  /** [[booleanTopKIndexedOf]] with the standard boolean protocol. */
+  def booleanTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      qLen: Int = 3,
+      excludeSelf: Boolean = true
+  ): DataFrame =
+    booleanTopKIndexedOf(
+      spark,
+      queryAndTerms(docs(spark, dir), nQueries, qLen),
+      indexDir,
+      k,
+      excludeSelf
+    )
+
+  /** P33j — the boolean lifecycle twin (same oracle as p33i by the
+    * indexed ≡ inline law).
+    */
+  def booleanIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      qLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33j-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      booleanTopKIndexed(spark, dir, tmp, nQueries, k, qLen)
+    }
+  }
+
   /** The shared RRF fusion tail: every leg contributes
     * `1000000 DIV (rrfK + rank)` per (qid, doc_id), summed exactly (ppm),
     * ranked desc with doc_id ties. Legs are (qid, doc_id, rank) pools —

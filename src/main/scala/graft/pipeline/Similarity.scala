@@ -941,6 +941,107 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** K15 — FILTERED exact-integer IVF search over the persisted store:
+    * the production vector-store feature every deployed retrieval system
+    * has (search within a metadata predicate — a language, a source, a
+    * tenant). `allowed` is the qualifying id set (vec_id — any frame; a
+    * metadata predicate on the documents table upstream). Semantics are
+    * EXACT pre-filtering within the probed cells: candidates are
+    * semi-joined against `allowed` BEFORE ranking, so the top-k is the
+    * true top-k among qualifying vectors in the probed cells — not a
+    * post-filtered pool that loses recall when the filter is selective.
+    *
+    * Scale shape: the probed-cell partition pruning is unchanged (the
+    * filter never widens the scan); the semi-join touches only the
+    * pruned cells' rows, and `allowed` can be corpus-sized (it is NOT
+    * broadcast-hinted — AQE promotes it when it is small). One more
+    * keyed join over the candidate set, nothing else moves.
+    */
+  def knnIvfIndexedExactFilteredOf(
+      spark: SparkSession,
+      queryCodes: DataFrame,
+      indexDir: String,
+      allowed: DataFrame, // qualifying vec_ids
+      nQueries: Long = 10L,
+      k: Int = 5,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairIvfIndex(indexDir)
+    val centroids = readExactCentroids(spark, indexDir)
+    val probes = queryCodes
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("q8").as("q"),
+        explode(
+          slice(
+            sort_array(
+              array(cellScoresInt(col("q8"), centroids): _*),
+              asc = false
+            ),
+            1,
+            nprobe
+          )
+        ).as("probe")
+      )
+      .select(col("qid"), col("q"), (-col("probe.negCid")).cast("int").as("cid"))
+    val probeCids = probes
+      .select("cid")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val vectors = spark.read
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
+      .where(col("cid").isin(probeCids: _*))
+      .join(allowed.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+    val cand = vectors.join(broadcast(probes), Seq("cid"))
+    val scored = (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid"))
+                  else cand)
+      .select(
+        col("qid"),
+        col("vec_id"),
+        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
+          .as("score")
+      )
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** K15's oracle-replayable lifecycle: the k10 store protocol (train on
+    * the initial 3/4 ingest, append the rest to the frozen quantizer),
+    * then the FILTERED stored search with the qualifying set = the
+    * English documents (vec_id ↔ doc_id, the corpus contract).
+    */
+  def knnIvfFilteredLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select("vec_id", "q8")
+    val allowed = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    graft.pipeline.Eager.withTempStore("graft-k15-index") { tmp =>
+      writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+      appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+      knnIvfIndexedExactFilteredOf(
+        spark, codes, tmp, allowed, nQueries, k, nprobe)
+    }
+  }
+
   /** [[knnIvfIndexedExactOf]] with the standard query protocol (the
     * nQueries lowest vec_ids' codes, quantized row-locally from the
     * corpus — never read back from the index).

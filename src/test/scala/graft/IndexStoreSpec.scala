@@ -378,6 +378,51 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows4(Similarity.knnIvfIndexedExact(spark, sfDir, tmp)) == direct)
   }
 
+  test("k15 filtered search: exact pre-filter semantics — equals the unfiltered ranking restricted to the allowed set") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val tmp = Files.createTempDirectory("graft-ivf-filtered").toString
+    val codes = Similarity.quantized(spark, sfDir).select("vec_id", "q8")
+    Similarity
+      .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+    Similarity
+      .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+    val ss = spark
+    import ss.implicits._
+    val allowed = codes.select("vec_id").filter(col("vec_id") % 2 === 0)
+    val got = Similarity
+      .knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    // every hit satisfies the predicate
+    assert(got.forall(_._2 % 2 == 0), s"filter leak: $got")
+    // REFERENCE: the unfiltered search with k = everything, restricted to
+    // the allowed set, re-ranked — pre-filter semantics say the two are
+    // identical (the filter must not change scores or probed cells)
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    val want = Similarity
+      .knnIvfIndexedExactOf(spark, codes, tmp, 10L, k = Int.MaxValue, 2)
+      .filter(col("vec_id") % 2 === 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "vec_id", "rank", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.sorted == want.sorted, "filtered ≠ unfiltered∘restrict∘re-rank")
+    // non-vacuous: the filter actually changed the answer (some odd
+    // vec_id ranked in the unfiltered top-5)
+    val unf = Similarity
+      .knnIvfIndexedExactOf(spark, codes, tmp, 10L, 5, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(unf.exists(_._2 % 2 != 0), "fixture too easy: filter was a no-op")
+  }
+
   test("index lifecycle: streamed drift fires the retrain trigger; retraining clears it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

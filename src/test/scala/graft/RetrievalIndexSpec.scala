@@ -371,6 +371,60 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(Retrieval.bm25IndexLifecycle(spark, sfDir)) ==
         rows(Retrieval.bm25TopK(spark, sfDir))
     )
+    assert(
+      rows(Retrieval.booleanIndexLifecycle(spark, sfDir)) ==
+        rows(Retrieval.booleanTopK(spark, sfDir))
+    )
+  }
+
+  test("boolean AND retrieval: every hit contains ALL query terms; a term found nowhere together yields nothing") {
+    val ss = spark
+    import ss.implicits._
+    // fixture: doc 9 is the query source (first 3 distinct terms a b c);
+    // only docs holding {a, b, c} TOGETHER may rank
+    val fix = Seq(
+      (9L, "a b c d"),
+      (10L, "a b c"), // qualifies
+      (11L, "c b x a y"), // qualifies (order irrelevant)
+      (12L, "a b"), // missing c
+      (13L, "a c"), // missing b
+      (14L, "x y z")
+    ).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-ii-bool").toString
+    Retrieval.writeInvertedIndexOf(spark, fix, tmp, withPositions = true)
+    val got = Retrieval
+      .booleanTopKIndexedOf(
+        spark,
+        Seq((9L, "a"), (9L, "b"), (9L, "c")).toDF("qid", "w"),
+        tmp
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got == Set(10L, 11L), s"AND gate: $got")
+    // a conjunction satisfied by NO document is empty, not partial-match
+    val none = Retrieval
+      .booleanTopKIndexedOf(
+        spark,
+        Seq((9L, "a"), (9L, "z")).toDF("qid", "w"),
+        tmp
+      )
+      .count()
+    assert(none == 0L, "no doc holds {a, z} together")
+    // external-qid posture: a colliding qid keeps its own doc retrievable
+    val self = Retrieval
+      .booleanTopKIndexedOf(
+        spark,
+        Seq((10L, "a"), (10L, "b"), (10L, "c")).toDF("qid", "w"),
+        tmp,
+        excludeSelf = false
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(self.contains(10L), "service posture keeps the self-hit")
   }
 
   test("query-time posting scan prunes to the probed term buckets") {
