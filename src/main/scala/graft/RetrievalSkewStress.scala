@@ -105,6 +105,26 @@ object RetrievalSkewStress {
       assert(partial, "expected partial+final WindowGroupLimit in the plan")
     }
 
+    // Stopword-BOOLEAN probe: conjunctive (AND) retrieval with the
+    // corpus-wide term in the query. The stopword contributes one
+    // candidate row per document, but the AND gate intersects with the
+    // rare term's postings before ranking — the conjunction is bounded
+    // by the RAREST term's list, the classic boolean-retrieval
+    // optimization surfaced by the plan (the gate join shrinks the
+    // ranking input; OR-mode BM25 ranks the whole stopword list).
+    val hotAnd = Seq((20L, "the"), (20L, "w60013")).toDF("qid", "w")
+    val hotOr = hotAnd
+    for ((name, qt, and) <- Seq(
+        ("and(stopword∧rare)", hotAnd, true),
+        ("or(same terms, BM25)", hotOr, false))) {
+      def run() =
+        (if (and) Retrieval.booleanTopKIndexedOf(spark, qt, idx, k = 10)
+         else Retrieval.bm25TopKIndexedOf(spark, qt, idx, k = 10)).count()
+      run(): Unit // warm the IO/codegen path; time the second execution
+      val n = time(s"boolean-vs-or $name (warm)")(run())
+      println(s"[rskew] boolean-vs-or $name rows=$n")
+    }
+
     // O(batch) append + fold: the batch is 1% of the corpus
     val batch = spark
       .range(nDocs, nDocs + nDocs / 100)

@@ -1194,14 +1194,23 @@ object Retrieval {
   ): DataFrame = {
     val qt = qterms.select("qid", "w").distinct()
     val nt = qt.groupBy("qid").agg(countDistinct("w").as("nt"))
-    val hits = post.join(broadcast(qt), Seq("w"))
-    val gated = (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid"))
-                 else hits)
-      .groupBy("qid", "doc_id")
-      .agg(countDistinct("w").as("nm"))
-      .join(broadcast(nt), Seq("qid"))
-      .filter(col("nm") === col("nt"))
+    // seed from each query's RAREST term (merged df): a qualifying doc
+    // must contain every term, so the rarest term's posting list bounds
+    // the whole conjunction — the classic ordered-intersection win, here
+    // as a semi-join that kills a stopword's corpus-sized posting rows
+    // in a hash probe BEFORE any per-doc aggregation runs (the gate agg
+    // input is |rarest list| × query terms, never |longest list|)
+    val wr = Window.partitionBy("qid").orderBy(col("df"), col("w"))
+    val rarest = qt
+      .join(dfm, Seq("w"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select("qid", "w")
+    val seed0 = post
+      .join(broadcast(rarest), Seq("w"))
       .select("qid", "doc_id")
+    val seed =
+      if (excludeSelf) seed0.filter(col("doc_id") =!= col("qid")) else seed0
     val weighted = qt
       .join(dfm, Seq("w"))
       .crossJoin(broadcast(stats))
@@ -1211,9 +1220,27 @@ object Retrieval {
         expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
           .as("idf_ppm")
       )
+    // ONE pass computes the gate and the scores together: candidates
+    // (already seed-pruned, so a stopword's corpus-sized rows died in
+    // the hash probe) aggregate BOTH the distinct-matched-term count
+    // and the BM25 ppm sum per (query, doc); the gate is then a filter
+    // on the aggregate row. A doc's BM25 score over the query terms
+    // does not depend on other docs, so gating at the aggregate leaves
+    // every surviving score unchanged — and the rank window's input is
+    // bounded by the rarest term's posting list, never the longest's.
+    val cand = post
+      .join(broadcast(weighted), Seq("w"))
+      .join(seed, Seq("qid", "doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    gated
-      .join(bm25Scores(post, weighted, stats, excludeSelf), Seq("qid", "doc_id"))
+    cand
+      .groupBy("qid", "doc_id")
+      .agg(
+        countDistinct("w").as("nm"),
+        sum(expr(Bm25TermPpm)).as("score")
+      )
+      .join(broadcast(nt), Seq("qid"))
+      .filter(col("nm") === col("nt"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "rank", "score")

@@ -70,6 +70,38 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous BOOLEAN (AND) search — the conjunctive mode's service
+    * twin: each arriving query's distinct terms are ALL required
+    * ([[Retrieval.booleanTopKIndexedOf]], BM25-ranked), scans
+    * bucket-pruned to the batch's terms. Stateless like [[searchStream]]
+    * (chunked ≡ one batch, structurally); external-qid posture — no
+    * corpus self-exclusion.
+    */
+  def booleanSearchStream(
+      queryDocs: DataFrame, // (qid, text) — every distinct term required
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val terms = batch
+          .select(
+            col("qid"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
+          )
+          .distinct()
+        sink(
+          Retrieval.booleanTopKIndexedOf(
+            batch.sparkSession, terms, indexDir, k, excludeSelf = false),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous PHRASE search — the positional plane's read-side twin:
     * arriving query documents are tokenized row-locally into their
     * leading `phraseLen`-gram (the standard phrase protocol) and matched

@@ -174,6 +174,23 @@ class DeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
       stored.select("topic", "id", "seq_nr", "koffset", "payload")
     )
     assert(rec.count() > 0)
+    // 3b. the FULL client recovery over the deployment's OWN stores —
+    // snapshot floor from its snapshot loop + cache-gated tail from its
+    // head loop (recoverCached composes both accelerators; both laws
+    // must hold simultaneously from this one wiring)
+    def recRows(df: DataFrame): Seq[(String, Long)] =
+      df.select("src", "seq_nr")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    apiProbes.foreach { case (t, i) =>
+      assert(
+        recRows(journal.recoverCached(t, i, stored, dep.headDir)) ==
+          recRows(journal.recoverThrough(stored, t, i)),
+        s"recoverCached ≡ recoverThrough over the deployment stores ($t, $i)"
+      )
+    }
 
     // 4. the tick's maintainAll kept the stores maintained: the final
     // health report recommends nothing, and at least one tick compacted

@@ -390,8 +390,14 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val allowed = codes.select("vec_id").filter(col("vec_id") % 2 === 0)
-    val got = Similarity
-      .knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 2)
+    val filteredDf =
+      Similarity.knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 2)
+    // the metadata filter must not widen the scan: the store read stays
+    // partition-pruned to the probed cells
+    val plan = filteredDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("cid"))
+    val got = filteredDf
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq

@@ -538,6 +538,61 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("streaming boolean search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-boolstream").toString
+    val ck = Files.createTempDirectory("graft-ii-boolstream-ck").toString
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+
+    // short conjunctive queries: each query doc's first three tokens
+    val queryRows: Seq[(Long, String)] = docs
+      .filter(col("doc_id") < 6)
+      .select(
+        col("doc_id"),
+        expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 3), ' ')")
+      )
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingRetrieval.booleanSearchStream(
+      ms.toDF().toDF("qid", "text"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      buf.synchronized { buf ++= rs: Unit }
+    }
+    try
+      queryRows.grouped(2).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val terms = queryRows
+      .flatMap { case (qid, t) => t.split(" ").filter(_.nonEmpty).map((qid, _)) }
+      .distinct
+      .toDF("qid", "w")
+    val batch = rows(
+      Retrieval.booleanTopKIndexedOf(spark, terms, tmp, excludeSelf = false))
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+    // (the service posture's self-hit is probed in the boolean fixture
+    // test, where the self doc provably ranks; here a qualifying self doc
+    // may legitimately fall below top-k among many conjunctive matches)
+  }
+
   test("streaming phrase search over chunked queries equals one batch search") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
