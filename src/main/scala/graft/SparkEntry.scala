@@ -389,6 +389,11 @@ object SparkEntry {
     // its store partition-pruned, nothing recomputed inline
     "p36d_hybrid_stored" ->
       ((s, d) => graft.pipeline.Retrieval.hybridStoredLifecycle(s, d)),
+    // p36f — the FILTERED production query: the p36d fusion with every
+    // leg restricted to a metadata predicate (lang='en') under exact
+    // pre-filter semantics; df/N and the quantizer stay corpus-grain
+    "p36f_hybrid_filtered" ->
+      ((s, d) => graft.pipeline.Retrieval.hybridStoredFilteredLifecycle(s, d)),
     // p36e — the whole DEPLOYMENT as one query: bootstrap the three
     // stores, stream the daily batches through the ingest loops (layers
     // keyed on micro-batch ids, maintenance at the committed frontier),
@@ -578,6 +583,7 @@ object SparkEntry {
     // same oracle as p36d: the deployment's merged layer views ARE the
     // full-corpus stores (PipelineDeploymentSpec pins the identity)
     "p36e_pipeline_deployment" -> PipelineOracles.hybridStoredTopK,
+    "p36f_hybrid_filtered" -> PipelineOracles.hybridStoredFiltered,
     "p33e_phrase_topk" -> PipelineOracles.phraseTopK,
     // same oracle as p33e by the indexed ≡ inline law
     "p33f_phrase_indexed" -> PipelineOracles.phraseTopK,

@@ -3102,7 +3102,11 @@ object PipelineOracles {
     * replays knnIvfIndexedExact's (IndexStoreSpec law) — so this SQL is
     * the three-store production query end to end.
     */
-  lazy val hybridStoredTopK: String = s"""
+  private def hybridStoredSql(
+      lexFilter: String, // extra predicate on lexical candidates (t.doc_id)
+      densExtra: String, // candExtra for the dense leg's lifecycle pool
+      proxFilter: String // extra predicate on proximity slot-1 (p.doc_id)
+  ): String = s"""
     WITH ws AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
@@ -3133,7 +3137,7 @@ object PipelineOracles {
                      // (SELECT total_tokens FROM n))) // 1000000))
                  // 1000000) AS score
       FROM tf t JOIN qt q ON t.w1 = q.w1
-      WHERE t.doc_id <> q.qid
+      WHERE t.doc_id <> q.qid $lexFilter
       GROUP BY q.qid, t.doc_id
     ),
     lex AS (
@@ -3146,7 +3150,7 @@ object PipelineOracles {
     ),
     dens AS (
       SELECT qid, vec_id AS doc_id, rnk
-      FROM (${indexLifecyclePool(5, 2, 20)}) dl
+      FROM (${indexLifecyclePool(5, 2, 20, densExtra)}) dl
     ),
     pos AS (
       SELECT doc_id, g.i AS pos, w[g.i] AS w1
@@ -3159,7 +3163,7 @@ object PipelineOracles {
     m1 AS (
       SELECT ph.qid, p.doc_id, p.pos AS p1
       FROM pos p JOIN phrase ph ON p.w1 = ph.w1 AND ph.j = 1
-      WHERE p.doc_id <> ph.qid
+      WHERE p.doc_id <> ph.qid $proxFilter
     ),
     m2 AS (
       SELECT m1.qid, m1.doc_id, m1.p1, p.pos AS p2
@@ -3225,6 +3229,22 @@ object PipelineOracles {
     ) f WHERE rnk <= 10
     ORDER BY qid, rnk
   """
+
+  lazy val hybridStoredTopK: String = hybridStoredSql("", "", "")
+
+  /** p36f — the FILTERED production query
+    * (graft.pipeline.Retrieval.hybridStoredFilteredLifecycle): the p36d
+    * chain with every leg's candidates restricted to the English
+    * documents BEFORE ranking (exact pre-filter semantics); df/N and the
+    * quantizer stay corpus-grain (Lucene filter-query semantics, mirrored
+    * by the engine).
+    */
+  lazy val hybridStoredFiltered: String = hybridStoredSql(
+    "AND t.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    "AND p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+  )
+
 
   /** p34 — per-source distribution drift vs the frozen history profile
     * (graft.pipeline.Sampling.driftReport): p26's hashed unigram∪bigram

@@ -1440,6 +1440,163 @@ object Retrieval {
     rrfFuse(Seq(lex, dense, prox), rrfK, k)
   }
 
+  /** BM25 against the stored index RESTRICTED to a qualifying doc set —
+    * the lexical half of filtered retrieval (Lucene's filter-query
+    * semantics: candidates are restricted, but df/N stay CORPUS-grain —
+    * term rarity is a property of the index, not of the filter). The
+    * semi-join lands on the bucket-pruned posting rows, so the filter
+    * never widens the scan; scores of qualifying docs are unchanged.
+    */
+  def bm25TopKIndexedFilteredOf(
+      spark: SparkSession,
+      queryTerms: DataFrame,
+      indexDir: String,
+      allowed: DataFrame, // qualifying doc_ids
+      k: Int = 5,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
+    val fpost = post
+      .join(allowed.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    bm25Score(fpost, weighted, stats, k, excludeSelf)
+  }
+
+  /** Ordered-proximity against the stored positional index RESTRICTED to
+    * a qualifying doc set (see [[bm25TopKIndexedFilteredOf]] for the
+    * df/N convention). Both the positions and posting scans get the
+    * semi-join after their bucket pruning.
+    */
+  def proximityTopKIndexedFilteredOf(
+      spark: SparkSession,
+      phrase: DataFrame,
+      indexDir: String,
+      allowed: DataFrame,
+      k: Int = 5,
+      window: Int = 8,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(
+      spark,
+      indexDir,
+      phrase.select("qid", "w").distinct()
+    )
+    val ids = allowed.select("doc_id").distinct()
+    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
+    val positions = spark.read
+      .parquet(liveDir(indexDir, "positions"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .select("doc_id", "w", "pos")
+      .join(ids, Seq("doc_id"), "left_semi")
+    proximityRank(
+      positions,
+      post.join(ids, Seq("doc_id"), "left_semi"),
+      dfm,
+      stats,
+      phrase,
+      k,
+      window,
+      excludeSelf
+    )
+  }
+
+  /** P36f — the FILTERED production query: [[hybridStoredTopK]] with
+    * every leg restricted to a qualifying doc set (a language, a source,
+    * a tenant) under exact pre-filter semantics — the fusion ranks only
+    * qualifying docs, each leg's pool is the true top-poolK among them,
+    * and corpus statistics (df/N, the IVF quantizer) stay corpus-grain
+    * (Lucene filter-query semantics; retraining the quantizer per filter
+    * would make filters unboundedly expensive).
+    */
+  def hybridStoredTopKFiltered(
+      spark: SparkSession,
+      dir: String,
+      textIndexDir: String,
+      vecIndexDir: String,
+      allowed: DataFrame, // qualifying doc_ids (vec_id ↔ doc_id)
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      phraseLen: Int = 3,
+      window: Int = 8,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val lex = bm25TopKIndexedFilteredOf(
+      spark,
+      postings(d.filter(col("doc_id") < nQueries))
+        .select(col("doc_id").as("qid"), col("w")),
+      textIndexDir,
+      allowed,
+      poolK
+    ).select(col("qid"), col("doc_id"), col("rank"))
+    val dense = Similarity
+      .knnIvfIndexedExactFilteredOf(
+        spark,
+        Similarity.quantized(spark, dir).select("vec_id", "q8"),
+        vecIndexDir,
+        allowed.select(col("doc_id").as("vec_id")),
+        nQueries,
+        poolK,
+        nprobe
+      )
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val prox = proximityTopKIndexedFilteredOf(
+      spark,
+      queryPhrases(d, nQueries, phraseLen),
+      textIndexDir,
+      allowed,
+      poolK,
+      window
+    ).select(col("qid"), col("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, dense, prox), rrfK, k)
+  }
+
+  /** P36f's oracle-replayable lifecycle: the p36d store builds, then the
+    * filtered fusion with the qualifying set = the English documents.
+    */
+  def hybridStoredFilteredLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      poolK: Int = 20,
+      k: Int = 10
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    val allowed = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id")
+    Eager.withTempStore("graft-p36f-stores") { tmp =>
+      val tIdx = s"$tmp/text"
+      val vIdx = s"$tmp/vec"
+      writeInvertedIndexOf(
+        spark,
+        d.filter(col("doc_id") < split),
+        tIdx,
+        withPositions = true
+      )
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+      val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
+      Similarity
+        .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
+      Similarity
+        .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+      hybridStoredTopKFiltered(
+        spark, dir, tIdx, vIdx, allowed, nQueries, poolK, k)
+    }
+  }
+
   /** P36d — hybrid retrieval through the PERSISTED stores, as one
     * oracle-replayable lifecycle query (the production shape p36c only
     * approximated with inline legs): build the positional inverted index

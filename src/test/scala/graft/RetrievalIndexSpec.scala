@@ -304,6 +304,40 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unpruned.isEmpty, s"unpruned store scan:\n${unpruned.mkString("\n")}")
   }
 
+  test("filtered hybrid: every fused doc satisfies the predicate; the filter is non-vacuous") {
+    val tIdx = Files.createTempDirectory("graft-hybfilt-ti").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tIdx, withPositions = true)
+    val vIdx = Files.createTempDirectory("graft-hybfilt-vi").toString
+    graft.pipeline.Similarity.writeIvfIndexExactOf(
+      spark,
+      graft.pipeline.Similarity.quantized(spark, sfDir).select("vec_id", "q8"),
+      vIdx
+    )
+    val allowed = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id")
+    val allowedSet =
+      allowed.collect().map(_.getLong(0)).toSet
+    val got = Retrieval
+      .hybridStoredTopKFiltered(spark, sfDir, tIdx, vIdx, allowed)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+    assert(got.nonEmpty)
+    assert(got.forall(allowedSet.contains), "a non-English doc leaked through")
+    // non-vacuous: the unfiltered fusion ranks at least one excluded doc
+    val unf = Retrieval
+      .hybridStoredTopK(spark, sfDir, tIdx, vIdx)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+    assert(
+      unf.exists(!allowedSet.contains(_)),
+      "fixture too easy: the filter never binds"
+    )
+  }
+
   test("streaming stored-hybrid search over chunked queries equals the batch p36d fusion") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sp = spark
