@@ -1528,7 +1528,9 @@ object Retrieval {
       rrfK: Int = 60,
       phraseLen: Int = 3,
       window: Int = 8,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true // threaded to all three legs; false =
+      //   the external-query posture (the filtered search service's twin)
   ): DataFrame = {
     val d = docs(spark, dir)
     val lex = bm25TopKIndexedFilteredOf(
@@ -1537,7 +1539,8 @@ object Retrieval {
         .select(col("doc_id").as("qid"), col("w")),
       textIndexDir,
       allowed,
-      poolK
+      poolK,
+      excludeSelf
     ).select(col("qid"), col("doc_id"), col("rank"))
     val dense = Similarity
       .knnIvfIndexedExactFilteredOf(
@@ -1547,7 +1550,8 @@ object Retrieval {
         allowed.select(col("doc_id").as("vec_id")),
         nQueries,
         poolK,
-        nprobe
+        nprobe,
+        excludeSelf
       )
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     val prox = proximityTopKIndexedFilteredOf(
@@ -1556,7 +1560,8 @@ object Retrieval {
       textIndexDir,
       allowed,
       poolK,
-      window
+      window,
+      excludeSelf
     ).select(col("qid"), col("doc_id"), col("rank"))
     rrfFuse(Seq(lex, dense, prox), rrfK, k)
   }

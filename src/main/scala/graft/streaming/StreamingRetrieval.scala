@@ -166,6 +166,9 @@ object StreamingRetrieval {
       phraseLen: Int = 3,
       window: Int = 8,
       nprobe: Int = 2,
+      allowed: Option[DataFrame] = None, // tenant/metadata filter: a
+      //   (doc_id) set every leg restricts to (exact pre-filter — the
+      //   p36f semantics applied continuously; None = unfiltered)
       trigger: Trigger = Trigger.AvailableNow()
   )(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryDocs.writeStream
@@ -181,8 +184,14 @@ object StreamingRetrieval {
           .distinct()
         // every leg runs WITHOUT the corpus protocol's self-exclusion:
         // arriving qids are external, unrelated to corpus doc_ids
-        val lex = Retrieval
-          .bm25TopKIndexedOf(sp, terms, textIndexDir, poolK, excludeSelf = false)
+        val lex = allowed
+          .fold(
+            Retrieval.bm25TopKIndexedOf(
+              sp, terms, textIndexDir, poolK, excludeSelf = false)
+          )(a =>
+            Retrieval.bm25TopKIndexedFilteredOf(
+              sp, terms, textIndexDir, a, poolK, excludeSelf = false)
+          )
           .select(col("qid"), col("doc_id"), col("rank"))
         val phrase = batch
           .select(
@@ -192,23 +201,41 @@ object StreamingRetrieval {
           )
           .filter(col("pos0") < phraseLen)
           .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
-        val prox = Retrieval
-          .proximityTopKIndexedOf(
-            sp, phrase, textIndexDir, poolK, window, excludeSelf = false)
+        val prox = allowed
+          .fold(
+            Retrieval.proximityTopKIndexedOf(
+              sp, phrase, textIndexDir, poolK, window, excludeSelf = false)
+          )(a =>
+            Retrieval.proximityTopKIndexedFilteredOf(
+              sp, phrase, textIndexDir, a, poolK, window, excludeSelf = false)
+          )
           .select(col("qid"), col("doc_id"), col("rank"))
         val codes = batch.select(
           col("qid").as("vec_id"),
           graft.pipeline.Similarity.quantize(col("embedding")).as("q8")
         )
-        val dense = graft.pipeline.Similarity
-          .knnIvfIndexedExactOf(
-            sp,
-            codes,
-            vecIndexDir,
-            nQueries = Long.MaxValue, // every arriving query
-            k = poolK,
-            nprobe = nprobe,
-            excludeSelf = false
+        val dense = allowed
+          .fold(
+            graft.pipeline.Similarity.knnIvfIndexedExactOf(
+              sp,
+              codes,
+              vecIndexDir,
+              nQueries = Long.MaxValue, // every arriving query
+              k = poolK,
+              nprobe = nprobe,
+              excludeSelf = false
+            )
+          )(a =>
+            graft.pipeline.Similarity.knnIvfIndexedExactFilteredOf(
+              sp,
+              codes,
+              vecIndexDir,
+              a.select(col("doc_id").as("vec_id")),
+              nQueries = Long.MaxValue,
+              k = poolK,
+              nprobe = nprobe,
+              excludeSelf = false
+            )
           )
           .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
         sink(Retrieval.rrfFuse(Seq(lex, dense, prox), rrfK, k), batchId)

@@ -338,6 +338,61 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("FILTERED streaming hybrid equals the filtered batch fusion, chunked") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tIdx = Files.createTempDirectory("graft-hybfs-ti").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tIdx, withPositions = true)
+    val vIdx = Files.createTempDirectory("graft-hybfs-vi").toString
+    graft.pipeline.Similarity.writeIvfIndexExactOf(
+      spark,
+      graft.pipeline.Similarity.quantized(spark, sfDir).select("vec_id", "q8"),
+      vIdx
+    )
+    val allowed = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id")
+    val want = rows5(Retrieval.hybridStoredTopKFiltered(
+      spark, sfDir, tIdx, vIdx, allowed, excludeSelf = false))
+    assert(want.nonEmpty)
+    val queryRows = docs
+      .filter(col("doc_id") < 5)
+      .join(
+        spark.read
+          .parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id")
+      )
+      .as[(Long, String, Array[Float])]
+      .collect()
+      .toSeq
+    val chunksQ = queryRows.groupBy(_._1 % 2).toSeq.sortBy(_._1).map(_._2)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val ms = MemoryStream[(Long, String, Array[Float])]
+    val ck = Files.createTempDirectory("graft-hybfs-ck").toString
+    val q = graft.streaming.StreamingRetrieval.hybridSearchStream(
+      ms.toDF().toDF("qid", "text", "embedding"),
+      tIdx,
+      vIdx,
+      ck,
+      allowed = Some(allowed),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      got ++= res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    try {
+      chunksQ.foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.sortBy(t => (t._1, t._3)).toSeq == want.sortBy(t => (t._1, t._3)))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(got.forall(t => allowedSet.contains(t._2)), "a filtered doc leaked")
+  }
+
   test("streaming stored-hybrid search over chunked queries equals the batch p36d fusion") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sp = spark
