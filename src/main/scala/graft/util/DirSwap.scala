@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.Path
 
 /** Generation-swapped directories — the maintenance primitive behind the
   * persisted model stores' compaction (inverted index, LM counts, IVF
@@ -11,43 +11,140 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * generation (`<name>.gen-<nanos>`), then PUBLISHED by atomically
   * replacing a small pointer file (`<name>.current`, containing the
   * generation's directory name) — POSIX rename-over-existing is atomic,
-  * so readers resolve either the old or the new generation, never a torn
-  * state. Data directories are NEVER renamed or mutated after
-  * publication, which is what makes concurrent readers safe: a Spark job
-  * that listed the previous generation's files keeps reading them —
-  * [[swap]] retains the current AND the immediately-previous generation
-  * and sweeps only older ones, so an in-flight read outlives the swap
-  * that superseded it (one full maintenance cycle of grace; the
-  * rename-based alternative invalidates listed paths mid-read, the
-  * FAILED_READ_FILE race). A store starts as the plain `root/name`
-  * directory (generation zero — what the builders write); the pointer
-  * appears at the first swap.
+  * object-store PUT is atomic per object, so readers resolve either the
+  * old or the new generation, never a torn state. Data directories are
+  * NEVER renamed or mutated after publication, which is what makes
+  * concurrent readers safe: a Spark job that listed the previous
+  * generation's files keeps reading them — [[DirSwapOver.swap]] retains
+  * the current AND the immediately-previous generation and sweeps only
+  * older ones, so an in-flight read outlives the swap that superseded it
+  * (one full maintenance cycle of grace; the rename-based alternative
+  * invalidates listed paths mid-read, the FAILED_READ_FILE race). A store
+  * starts as the plain `root/name` directory (generation zero — what the
+  * builders write); the pointer appears at the first swap.
   *
   * Crash model: a crash while writing a generation leaves an orphan
   * directory no pointer references — reads are unaffected and the next
-  * [[swap]] sweeps it; a crash around the pointer publish leaves the
-  * pointer wholly old or wholly new (the rename is atomic) plus at most
+  * swap sweeps it; a crash around the pointer publish leaves the
+  * pointer wholly old or wholly new (the publish is atomic) plus at most
   * a stale pointer-tmp file, likewise swept. There is no window with no
   * live data and nothing for readers to repair — [[resolve]] is the
-  * whole consumer contract. Single maintainer per store (the appenders'
-  * existing posture); readers unlimited.
+  * whole consumer contract. Single maintainer per store — ENFORCED by
+  * [[MaintainerLease]] since round 12; readers unlimited.
+  *
+  * Storage binding: the protocol's control plane runs over the five
+  * [[DirStore]] primitives — [[PosixDirStore]] (the default every store
+  * uses here) or an object-store-shaped binding ([[MemDirStore]] is the
+  * in-memory conditional-PUT form the law spec drives). The companion's
+  * methods are the POSIX instance; [[DirSwap.over]] builds one on any
+  * binding.
   */
+final class DirSwapOver(store: DirStore) {
+
+  private def pointer(root: Path, name: String): Path =
+    root.resolve(s"$name.current")
+
+  /** The directory consumers should read/append for `root/name`: the
+    * pointed-to generation, or the plain directory before any swap.
+    */
+  def resolve(root: Path, name: String): Path = {
+    val p = pointer(root, name)
+    if (store.exists(p))
+      root.resolve(new String(store.readBytes(p), "UTF-8").trim)
+    else root.resolve(name)
+  }
+
+  private def listPrefixed(root: Path, prefix: String): Seq[Path] =
+    store
+      .children(root)
+      .filter(_.getFileName.toString.startsWith(prefix))
+
+  /** Writes a replacement for `root/name` (read side: [[resolve]]) into a
+    * fresh generation via `write(genDir)` and publishes it by the atomic
+    * pointer swap. Retains the superseded generation for in-flight
+    * readers; sweeps everything older, plus orphan generations and
+    * pointer tmps from crashed swaps. Single maintainer.
+    */
+  def swap(root: Path, name: String)(write: Path => Unit): Unit = {
+    val prev = resolve(root, name)
+    val gen = root.resolve(s"$name.gen-${System.nanoTime()}")
+    write(gen)
+    store.publishPointer(
+      pointer(root, name),
+      gen.getFileName.toString.getBytes("UTF-8")
+    )
+    // GC: keep {new current, immediately-previous} PLUS anything younger
+    // than the wall-clock grace window (slow in-flight readers outlive
+    // even back-to-back swaps); sweep older generations, the plain dir
+    // once it is two generations stale AND aged out, and crashed-swap
+    // leftovers (orphan gens, pointer tmps)
+    val keep = Set(gen.getFileName.toString, prev.getFileName.toString)
+    val grace = DirSwap.graceMs
+    (listPrefixed(root, s"$name.gen-") :+ root.resolve(name))
+      .filter(store.exists)
+      .filterNot(p => keep.contains(p.getFileName.toString))
+      .filter(store.ageMs(_) >= grace) // an unreadable/vanished stamp
+      //   reads NEGATIVE and is retained — deleting on unknown age could
+      //   cut a live reader's grace short; keeping one more cycle is free
+      .foreach(store.deleteTree)
+    listPrefixed(root, s"$name.current.tmp-").foreach(store.deleteTree)
+  }
+
+  /** Removes `root/name` ENTIRELY — pointer, every generation, pointer
+    * tmps, and the plain generation-zero directory. A maintainer-only
+    * operation for rebuilds that change a store's shape (e.g. rebuilding
+    * an inverted index without positions must not leave the old
+    * positional payload for appends to extend): where [[swap]] replaces
+    * content, `drop` retracts the member's existence. No grace window —
+    * a rebuild is an offline operation by contract, and since round 12
+    * the rebuild writers take the store's maintainer claim.
+    */
+  def drop(root: Path, name: String): Unit = {
+    (listPrefixed(root, s"$name.gen-") ++
+      listPrefixed(root, s"$name.current") :+ root.resolve(name))
+      .filter(store.exists)
+      .foreach(store.deleteTree)
+  }
+
+  /** Consumer-side maintenance hook, kept for the store APIs' contract:
+    * with generation indirection there is nothing to adopt or roll back —
+    * the pointer is atomic and data directories are immutable once
+    * published — so this only validates the pointer (a damaged pointer
+    * naming a missing directory fails fast here rather than deep inside a
+    * scan). Deliberately non-destructive: readers must never delete — a
+    * generation that looks stale to one thread may be mid-read in
+    * another; all sweeping belongs to the single maintainer's [[swap]].
+    */
+  def repair(root: Path, name: String): Unit = {
+    val p = pointer(root, name)
+    if (store.exists(p)) {
+      val target = resolve(root, name)
+      require(
+        store.exists(target),
+        s"store pointer $p names a missing generation $target — the store " +
+          "was damaged outside the swap protocol"
+      )
+    }
+  }
+}
+
 object DirSwap {
 
   /** Minimum age (directory mtime) a superseded generation must reach
-    * before [[swap]] sweeps it. The {current, previous} pair alone gives
-    * "one maintenance cycle of grace" — but back-to-back swaps (the
-    * inverted-index compactor runs three per call; a streaming loop can
-    * compact on successive micro-batches) can make that one cycle an
-    * arbitrarily short wall-clock window, deleting a generation a slow
-    * in-flight reader is still scanning. Age-based retention bounds the
-    * grace in WALL-CLOCK terms instead: anything younger than this
-    * survives the sweep regardless of how many swaps superseded it, so a
-    * reader is safe for at least `graceMs` from the moment its
+    * before [[DirSwapOver.swap]] sweeps it. The {current, previous} pair
+    * alone gives "one maintenance cycle of grace" — but back-to-back
+    * swaps (the inverted-index compactor runs three per call; a streaming
+    * loop can compact on successive micro-batches) can make that one
+    * cycle an arbitrarily short wall-clock window, deleting a generation
+    * a slow in-flight reader is still scanning. Age-based retention
+    * bounds the grace in WALL-CLOCK terms instead: anything younger than
+    * this survives the sweep regardless of how many swaps superseded it,
+    * so a reader is safe for at least `graceMs` from the moment its
     * generation was written. Tunable per deployment (longest expected
     * scan) via `-Dgraft.dirswap.grace.ms=`; tests exercise the sweep by
     * aging generation mtimes out of the window instead of shrinking it
-    * (TestFs.ageOutGenerations backdates the directory mtimes).
+    * (TestFs.ageOutGenerations backdates the directory mtimes; the Mem
+    * binding advances its own clock).
     *
     * Disk-retention multiplier: every swap inside the grace window
     * retains its full superseded generation, so a hot compaction loop
@@ -62,105 +159,17 @@ object DirSwap {
     sys.props.get("graft.dirswap.grace.ms").flatMap(_.toLongOption)
       .getOrElse(10L * 60 * 1000)
 
-  private def pointer(root: Path, name: String): Path =
-    root.resolve(s"$name.current")
+  /** The swap protocol over an explicit storage binding. */
+  def over(store: DirStore): DirSwapOver = new DirSwapOver(store)
 
-  /** The directory consumers should read/append for `root/name`: the
-    * pointed-to generation, or the plain directory before any swap.
-    */
-  def resolve(root: Path, name: String): Path = {
-    val p = pointer(root, name)
-    if (Files.exists(p))
-      root.resolve(new String(Files.readAllBytes(p), "UTF-8").trim)
-    else root.resolve(name)
-  }
+  private val posix = new DirSwapOver(PosixDirStore)
 
-  private def listPrefixed(root: Path, prefix: String): Seq[Path] = {
-    if (!Files.exists(root)) return Seq.empty
-    val s = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .toSeq
-    } finally s.close()
-  }
+  def resolve(root: Path, name: String): Path = posix.resolve(root, name)
 
-  /** Writes a replacement for `root/name` (read side: [[resolve]]) into a
-    * fresh generation via `write(genDir)` and publishes it by the atomic
-    * pointer swap. Retains the superseded generation for in-flight
-    * readers; sweeps everything older, plus orphan generations and
-    * pointer tmps from crashed swaps. Single maintainer.
-    */
-  def swap(root: Path, name: String)(write: Path => Unit): Unit = {
-    val prev = resolve(root, name)
-    val gen = root.resolve(s"$name.gen-${System.nanoTime()}")
-    write(gen)
-    val tmp = root.resolve(s"$name.current.tmp-${System.nanoTime()}")
-    Files.write(tmp, gen.getFileName.toString.getBytes("UTF-8"))
-    Files.move(
-      tmp,
-      pointer(root, name),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    )
-    // GC: keep {new current, immediately-previous} PLUS anything younger
-    // than the wall-clock grace window (slow in-flight readers outlive
-    // even back-to-back swaps); sweep older generations, the plain dir
-    // once it is two generations stale AND aged out, and crashed-swap
-    // leftovers (orphan gens, pointer tmps)
-    val keep = Set(gen.getFileName.toString, prev.getFileName.toString)
-    val grace = graceMs
-    def agedOut(p: Path): Boolean =
-      try
-        System.currentTimeMillis() -
-          Files.getLastModifiedTime(p).toMillis >= grace
-      catch {
-        // vanished or unreadable mid-sweep: another party's problem —
-        // retaining one more cycle is always safe
-        case _: java.io.IOException => false
-      }
-    (listPrefixed(root, s"$name.gen-") :+ root.resolve(name))
-      .filter(Files.exists(_))
-      .filterNot(p => keep.contains(p.getFileName.toString))
-      .filter(agedOut)
-      .foreach(Fs.deleteRecursively)
-    listPrefixed(root, s"$name.current.tmp-").foreach(Fs.deleteRecursively)
-  }
+  def swap(root: Path, name: String)(write: Path => Unit): Unit =
+    posix.swap(root, name)(write)
 
-  /** Removes `root/name` ENTIRELY — pointer, every generation, pointer
-    * tmps, and the plain generation-zero directory. A maintainer-only
-    * operation for rebuilds that change a store's shape (e.g. rebuilding
-    * an inverted index without positions must not leave the old
-    * positional payload for appends to extend): where [[swap]] replaces
-    * content, `drop` retracts the member's existence. No grace window —
-    * a rebuild is an offline operation by contract, not a hot swap.
-    */
-  def drop(root: Path, name: String): Unit = {
-    (listPrefixed(root, s"$name.gen-") ++
-      listPrefixed(root, s"$name.current") :+ root.resolve(name))
-      .filter(Files.exists(_))
-      .foreach(Fs.deleteRecursively)
-  }
+  def drop(root: Path, name: String): Unit = posix.drop(root, name)
 
-  /** Consumer-side maintenance hook, kept for the store APIs' contract:
-    * with generation indirection there is nothing to adopt or roll back —
-    * the pointer is atomic and data directories are immutable once
-    * published — so this only validates the pointer (a damaged pointer
-    * naming a missing directory fails fast here rather than deep inside a
-    * scan). Deliberately non-destructive: readers must never delete — a
-    * generation that looks stale to one thread may be mid-read in
-    * another; all sweeping belongs to the single maintainer's [[swap]].
-    */
-  def repair(root: Path, name: String): Unit = {
-    val p = pointer(root, name)
-    if (Files.exists(p)) {
-      val target = resolve(root, name)
-      require(
-        Files.exists(target),
-        s"store pointer $p names a missing generation $target — the store " +
-          "was damaged outside the swap protocol"
-      )
-    }
-  }
+  def repair(root: Path, name: String): Unit = posix.repair(root, name)
 }
