@@ -112,6 +112,18 @@ object Bench {
       System.err.println(f"[bench] canary $sec%.3f s (digest ${h}%d)")
       sec
     }
+    // untimed JIT warmup of the canary loop itself: the FIRST timed run
+    // would otherwise absorb its own compile/OSR and read slightly high
+    // vs canary_end, biasing the within-run drift bound
+    locally {
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 20000000) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+        i += 1
+      }
+      if (h == 42L) System.err.println("") // keep the loop live
+    }
     val canaryStart = canary()
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once

@@ -61,21 +61,38 @@ final case class PipelineDeployment(
     * `commits/<batchId>` only after the batch's foreachBatch body
     * returned, so batches ≤ this id can never redeliver — their layers
     * (layer = batchId + 1) are final and safe to fold.
+    *
+    * Resolved through Hadoop's `FileSystem` — the same abstraction the
+    * checkpoint was WRITTEN through — so the committed frontier is
+    * correct wherever the checkpoint lives (local disk, HDFS, an
+    * S3-class store), not only under `java.nio` POSIX paths. Failure
+    * posture is deliberately loud: a MISSING `commits` dir is the
+    * legitimate virgin/never-committed state (−1 → protect everything —
+    * correct, nothing is committed), but an UNREADABLE one (bad scheme,
+    * auth failure, dead namenode) throws instead of silently returning
+    * −1: over-protection is safe for one tick but wedges compaction
+    * forever, and a deployment must see the outage, not a stuck
+    * maintainer.
     */
   def committedBatchId(checkpointDir: String): Long = {
-    val commits = java.nio.file.Paths.get(checkpointDir, "commits")
-    if (!java.nio.file.Files.isDirectory(commits)) -1L
-    else {
-      val s = java.nio.file.Files.list(commits)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator.asScala
-          .map(_.getFileName.toString)
-          .filter(_.forall(_.isDigit))
-          .map(_.toLong)
-          .foldLeft(-1L)(math.max)
-      } finally s.close()
-    }
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    // getFileSystem throws on an unresolvable scheme — loud by design
+    val fs = commits.getFileSystem(conf)
+    val listed =
+      try fs.listStatus(commits)
+      catch {
+        // the one benign miss: the stream never started / never committed
+        case _: java.io.FileNotFoundException => return -1L
+      }
+    listed.iterator
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   /** The fold boundary for an ingest that keys layers on batchId + 1:

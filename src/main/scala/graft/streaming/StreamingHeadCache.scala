@@ -453,6 +453,13 @@ object StreamingHeadCache {
       }
       .start()
 
+  /** Null-safe max offset of an action log: `None` on an EMPTY log (a
+    * bare `getLong(0)` on the aggregate row throws on the null primitive
+    * — the lifecycle queries short-circuit instead of chunking nothing).
+    */
+  private def maxOffsetOf(a: DataFrame): Option[Long] =
+    Option(a.agg(max("koffset")).head().getAs[java.lang.Long](0)).map(_.toLong)
+
   /** J1b — the HEAD-CACHE-GATED replay as one oracle-replayable lifecycle
     * query: maintain the cache over the chunked log (the t6b flow), then
     * run the merged two-source replay with the tail leg gated by the
@@ -468,7 +475,11 @@ object StreamingHeadCache {
   ): DataFrame = {
     val a = actions
     val wm = graft.journal.JournalOps.defaultWatermark(a)
-    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val maxOff = maxOffsetOf(a).getOrElse {
+      // empty log: the gated read of nothing is nothing — short-circuit
+      // before the store (chunking an empty log has no layers to append)
+      return a.select("topic", "id", "seq_nr", "koffset", "ts", "payload")
+    }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-j1b-head") { tmp =>
       (0 until nChunks).foreach { i =>
@@ -503,7 +514,16 @@ object StreamingHeadCache {
   ): DataFrame = {
     val a = actions
     val wm = graft.journal.JournalOps.defaultWatermark(a)
-    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val maxOff = maxOffsetOf(a).getOrElse {
+      // empty log: snapshot-only recovery (both legs empty, correct
+      // schema) without building a cache over zero chunks
+      return graft.journal.Snapshots.recoveryOver(
+        a.select("topic", "id", "seq_nr", "koffset", "payload"),
+        graft.journal.Snapshots
+          .table(a)
+          .select("topic", "id", "seq_nr", "koffset", "payload")
+      )
+    }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-j1c-head") { tmp =>
       (0 until nChunks).foreach { i =>
@@ -539,7 +559,27 @@ object StreamingHeadCache {
   ): DataFrame = {
     val a = actions
     val wm = graft.journal.JournalOps.defaultWatermark(a)
-    val maxOff = a.agg(max("koffset")).head().getLong(0)
+    val maxOff = maxOffsetOf(a).getOrElse {
+      // empty log: no journals, no heads — the readHeads row shape with
+      // zero rows (the store path cannot run: zero chunks, no layers)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(
+          Seq(
+            StructField("topic", StringType),
+            StructField("id", StringType),
+            StructField("part_no", IntegerType),
+            StructField("kind", StringType),
+            StructField("head_offset", LongType),
+            StructField("head_seq_nr", LongType),
+            StructField("lag", LongType),
+            StructField("tail_skippable", BooleanType)
+          )
+        )
+      )
+    }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-t6b-head") { tmp =>
       (0 until nChunks).foreach { i =>

@@ -166,10 +166,19 @@ object StreamingRetrieval {
       phraseLen: Int = 3,
       window: Int = 8,
       nprobe: Int = 2,
-      allowed: Option[DataFrame] = None, // tenant/metadata filter: a
+      trigger: Trigger = Trigger.AvailableNow(),
+      // appended AFTER trigger so the signature stays positionally
+      // stable for pre-filter callers
+      allowed: Option[DataFrame] = None // tenant/metadata filter: a
       //   (doc_id) set every leg restricts to (exact pre-filter — the
-      //   p36f semantics applied continuously; None = unfiltered)
-      trigger: Trigger = Trigger.AvailableNow()
+      //   p36f semantics applied continuously; None = unfiltered).
+      //   Filter caveat (the k15 contract, surfaced here because the
+      //   service is where selectivity bites): pre-filtering is exact
+      //   WITHIN the probed cells on the dense leg — a highly selective
+      //   filter can empty the probed cells while qualifying vectors
+      //   live in unprobed ones. For selective tenants raise `nprobe`
+      //   (or use Similarity.knnIvfIndexedExactFilteredAdaptiveOf's
+      //   selectivity-scaled probing on the dense leg).
   )(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryDocs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -87,6 +87,13 @@ object PosixDirStore extends DirStore {
   * objects), used by the protocol law specs to prove [[DirSwap]] needs
   * nothing POSIX-specific. A test clock makes age-based sweeping
   * deterministic without sleeping.
+  *
+  * TEST-ONLY by constraint, not just intent: `children`/`deleteTree`/
+  * `ageMs` scan every key (O(total objects) per call) and `exists`
+  * conflates a key with any prefix-descendant — fine for law specs over
+  * tens of objects, unsuitable as a real store binding. A production
+  * object-store binding must index keys by prefix (the store's own LIST
+  * API does) and distinguish object-exists from prefix-exists.
   */
 final class MemDirStore extends DirStore {
   import scala.collection.concurrent.TrieMap

@@ -55,6 +55,28 @@ class HeadCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def actions = ActionLog.fromEvents(spark, sfDir)
 
+  test("lifecycle queries tolerate an EMPTY action log (no null-primitive throw)") {
+    val empty = actions.limit(0)
+    assert(StreamingHeadCache.gatedReplayQuery(spark, empty).count() == 0L)
+    assert(StreamingHeadCache.cachedRecoveryQuery(spark, empty).count() == 0L)
+    assert(StreamingHeadCache.lifecycleQuery(spark, empty).count() == 0L)
+    // the empty short-circuits keep the non-empty column contract
+    assert(
+      StreamingHeadCache
+        .gatedReplayQuery(spark, empty)
+        .columns
+        .toSeq == Seq("topic", "id", "seq_nr", "koffset", "ts", "payload")
+    )
+    assert(
+      StreamingHeadCache
+        .lifecycleQuery(spark, empty)
+        .columns
+        .toSeq == Seq(
+        "topic", "id", "part_no", "kind",
+        "head_offset", "head_seq_nr", "lag", "tail_skippable")
+    )
+  }
+
   private val HeadCols = Seq("topic", "id", "kind", "head_offset", "head_seq_nr")
 
   private def heads(storeDir: String): DataFrame =

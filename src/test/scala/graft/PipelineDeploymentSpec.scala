@@ -237,6 +237,29 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     codes.unpersist(false)
   }
 
+  test("committedBatchId resolves through Hadoop FileSystem: URI-schemed checkpoints read correctly, unreadable ones fail loudly") {
+    val tmp = Files.createTempDirectory("graft-ckfs").toString
+    // a real commit log, addressed through an explicitly URI-schemed path
+    // (Hadoop LocalFileSystem resolution, NOT java.nio string paths):
+    // same answer as the bare-path read
+    Files.createDirectories(Paths.get(tmp, "ck", "commits"))
+    Files.write(Paths.get(tmp, "ck", "commits", "0"), Array[Byte]('v'))
+    Files.write(Paths.get(tmp, "ck", "commits", "3"), Array[Byte]('v'))
+    val dep = PipelineDeployment(s"$tmp/stores")
+    assert(dep.committedBatchId(s"$tmp/ck") == 3L)
+    assert(dep.committedBatchId(s"file:$tmp/ck") == 3L, "URI-schemed resolution")
+    // virgin checkpoint (never started / never committed): the one benign
+    // miss — protect everything
+    assert(dep.committedBatchId(s"$tmp/no-such-ck") == -1L)
+    assert(dep.committedBatchId(s"file:$tmp/no-such-ck") == -1L)
+    // an UNRESOLVABLE checkpoint location must throw, not silently return
+    // −1 (silent over-protection wedges compaction forever — the outage
+    // must surface)
+    intercept[Exception] {
+      dep.committedBatchId("nosuchfs://bucket/ck"): Unit
+    }
+  }
+
   test("p36e lifecycle query is row-identical to the p36d lifecycle (the oracle-reuse law)") {
     assert(
       rows(PipelineDeployment.lifecycleQuery(spark, sfDir)) ==
