@@ -365,6 +365,14 @@ object SparkEntry {
     // p33j — the boolean query through the stored-index lifecycle
     "p33j_boolean_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.booleanIndexLifecycle(s, d)),
+    // p33k — FULL boolean clause matrix (Lucene MUST / MUST_NOT /
+    // SHOULD): required terms gate, exclusion terms anti, optional
+    // terms score
+    "p33k_boolean_query" ->
+      ((s, d) => graft.pipeline.Retrieval.booleanQueryTopK(s, d)),
+    // p33l — the full boolean query through the stored-index lifecycle
+    "p33l_boolean_query_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.booleanQueryLifecycle(s, d)),
     // p33g — ordered-proximity retrieval (sloppy phrase / #uwN): phrase
     // terms in order within an 8-token window, band-join chained
     "p33g_proximity_topk" ->
@@ -590,6 +598,9 @@ object SparkEntry {
     "p33i_boolean_topk" -> PipelineOracles.booleanTopK,
     // same oracle as p33i by the indexed ≡ inline law
     "p33j_boolean_indexed" -> PipelineOracles.booleanTopK,
+    "p33k_boolean_query" -> PipelineOracles.booleanQueryTopK,
+    // same oracle as p33k by the indexed ≡ inline law
+    "p33l_boolean_query_indexed" -> PipelineOracles.booleanQueryTopK,
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,
     // same oracle as p33g by the indexed ≡ inline law
     "p33h_proximity_indexed" -> PipelineOracles.proximityTopK,

@@ -962,6 +962,103 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33k — FULL boolean retrieval (graft.pipeline.Retrieval
+    * .booleanQueryTopK, nQueries=5, k=5): each query doc's first 5
+    * distinct terms in first-occurrence order, roles by position — 1-2
+    * MUST (all required, the p33i gate), 3 MUST_NOT (any match excludes,
+    * a left-anti on the gate), 4-5 SHOULD (optional, score-bearing).
+    * Score = the p33c BM25 ppm sum over each doc's matched MUST ∪ SHOULD
+    * terms (the Lucene convention: exclusions never score). p33l (the
+    * stored-index lifecycle) carries the same oracle by the indexed ≡
+    * inline law.
+    */
+  val booleanQueryTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    qsel AS (
+      SELECT qid, w1,
+             CASE WHEN rn <= 2 THEN 'must'
+                  WHEN rn = 3 THEN 'must_not'
+                  ELSE 'should' END AS role
+      FROM (
+        SELECT doc_id AS qid, w1,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY minp) AS rn
+        FROM (SELECT doc_id, w1, MIN(pos) AS minp FROM pos
+              WHERE doc_id < 5 GROUP BY doc_id, w1) f
+      ) r WHERE rn <= 5
+    ),
+    nt AS (
+      SELECT qid, COUNT(DISTINCT w1) AS nt FROM qsel
+      WHERE role = 'must' GROUP BY qid
+    ),
+    m AS (
+      SELECT q.qid, t.doc_id, COUNT(DISTINCT t.w1) AS nm
+      FROM tf t JOIN qsel q ON t.w1 = q.w1 AND q.role = 'must'
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    gate AS (
+      SELECT m.qid, m.doc_id FROM m JOIN nt USING (qid) WHERE m.nm = nt.nt
+    ),
+    ex AS (
+      SELECT DISTINCT q.qid, t.doc_id
+      FROM tf t JOIN qsel q ON t.w1 = q.w1 AND q.role = 'must_not'
+      WHERE t.doc_id <> q.qid
+    ),
+    qt AS (
+      SELECT q.qid, q.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM qsel q JOIN df d USING (w1)
+      WHERE q.role <> 'must_not'
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    scg AS (
+      SELECT sc.qid, sc.doc_id, sc.score
+      FROM sc
+      JOIN gate USING (qid, doc_id)
+      LEFT JOIN ex ON ex.qid = sc.qid AND ex.doc_id = sc.doc_id
+      WHERE ex.doc_id IS NULL
+    ),
+    r AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM scg
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p24 — cluster-balanced sampling (graft.pipeline.Sampling
     * .clusterBalancedSample): the k5 integer k-means chain through the
     * final assignment a3, then the finalized hash gate as within-cluster

@@ -1320,6 +1320,206 @@ object Retrieval {
     }
   }
 
+  /** The FULL boolean query protocol (the Lucene clause matrix): each
+    * query doc's first 5 DISTINCT terms in first-occurrence order, role
+    * by position — terms 1-2 MUST (all required), term 3 MUST_NOT (any
+    * match excludes), terms 4-5 SHOULD (optional, score-bearing).
+    * Derived row-locally like every query protocol (never from the
+    * index). Output: (qid, w, role).
+    */
+  private def queryBooleanRoles(
+      d: DataFrame,
+      nQueries: Int,
+      nMust: Int = 2,
+      nNot: Int = 1,
+      nShould: Int = 2
+  ): DataFrame = {
+    val firstPos = positionalPostings(d.filter(col("doc_id") < nQueries))
+      .groupBy(col("doc_id").as("qid"), col("w"))
+      .agg(min("pos").as("minp"))
+    val w = Window.partitionBy("qid").orderBy(col("minp"))
+    firstPos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nMust + nNot + nShould)
+      .select(
+        col("qid"),
+        col("w"),
+        when(col("rn") <= nMust, "must")
+          .when(col("rn") <= nMust + nNot, "must_not")
+          .otherwise("should")
+          .as("role")
+      )
+  }
+
+  /** Ranks docs for a FULL boolean query — MUST terms all required (the
+    * p33i gate), MUST_NOT terms excluding (left-anti on the gate
+    * aggregation — the w7 orphan shape transposed to retrieval), SHOULD
+    * terms optional but score-bearing — from explicit inputs. Scoring is
+    * the BM25 ppm sum over each doc's matched MUST ∪ SHOULD terms (the
+    * Lucene convention: required and optional clauses both contribute;
+    * exclusions never do).
+    *
+    * Scale shape: candidates are seed-pruned by the rarest MUST term's
+    * posting list BEFORE any aggregation (the p33i ordered-intersection
+    * win — a SHOULD stopword's corpus-sized posting rows die in the hash
+    * probe), and the MUST_NOT leg is semi-joined against the same seed
+    * before the anti join, so the exclusion side is bounded by the
+    * candidate set too, never by a stopword exclusion's corpus-sized
+    * list. Everything downstream of the seed is
+    * O(|rarest MUST list| × query terms).
+    */
+  private def booleanQueryRank(
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      qroles: DataFrame, // (qid, w, role)
+      k: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    // a term named under two roles for one query resolves by clause
+    // precedence (MUST_NOT > MUST > SHOULD — Lucene's semantics: an
+    // excluded term can never score); the corpus protocol's roles are
+    // disjoint by construction, but service callers' clause texts can
+    // overlap, and a double-rolled term must not double-count its ppm
+    val wp = Window
+      .partitionBy("qid", "w")
+      .orderBy(
+        when(col("role") === "must_not", 0)
+          .when(col("role") === "must", 1)
+          .otherwise(2)
+      )
+    val qr = qroles
+      .select("qid", "w", "role")
+      .distinct()
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") === 1)
+      .drop("prn")
+    val must = qr.filter(col("role") === "must").select("qid", "w")
+    val mustNot = qr.filter(col("role") === "must_not").select("qid", "w")
+    val scoring = qr.filter(col("role") =!= "must_not")
+    val nt = must.groupBy("qid").agg(countDistinct("w").as("nt"))
+    val wr = Window.partitionBy("qid").orderBy(col("df"), col("w"))
+    val rarest = must
+      .join(dfm, Seq("w"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select("qid", "w")
+    val seed0 = post
+      .join(broadcast(rarest), Seq("w"))
+      .select("qid", "doc_id")
+    val seed =
+      if (excludeSelf) seed0.filter(col("doc_id") =!= col("qid")) else seed0
+    val weighted = scoring
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        col("role"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    // the one gate-and-score pass (see andRank): nm counts only MUST
+    // matches, the score sums MUST ∪ SHOULD matches — same aggregate
+    val cand = post
+      .join(broadcast(weighted), Seq("w"))
+      .join(seed, Seq("qid", "doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+    // exclusions bounded by the seed: anti's right side is candidate-
+    // sized, not posting-list-sized (restricting to seed pairs cannot
+    // change the anti result — cand pairs are themselves seed-pruned)
+    val excl = post
+      .join(broadcast(mustNot), Seq("w"))
+      .select("qid", "doc_id")
+      .join(seed, Seq("qid", "doc_id"), "left_semi")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    cand
+      .groupBy("qid", "doc_id")
+      .agg(
+        countDistinct(when(col("role") === "must", col("w"))).as("nm"),
+        sum(expr(Bm25TermPpm)).as("score")
+      )
+      .join(broadcast(nt), Seq("qid"))
+      .filter(col("nm") === col("nt"))
+      .join(excl, Seq("qid", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33k — full boolean (MUST / MUST_NOT / SHOULD) top-k, inline form. */
+  def booleanQueryTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val out = booleanQueryRank(
+      tf, dfm, stats, queryBooleanRoles(d, nQueries), k, excludeSelf = true)
+    Eager.materialized(out, tf)
+  }
+
+  /** Full boolean top-k against the STORED index (scans bucket-pruned to
+    * the query's terms — MUST, MUST_NOT and SHOULD buckets alike).
+    * `queryRoles` is (qid, w, role).
+    */
+  def booleanQueryTopKIndexedOf(
+      spark: SparkSession,
+      queryRoles: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      excludeSelf: Boolean = true // see bm25Scores — false for external qids
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryRoles)
+    booleanQueryRank(post, dfm, stats, qt.select("qid", "w", "role"), k, excludeSelf)
+  }
+
+  /** [[booleanQueryTopKIndexedOf]] with the standard full-boolean
+    * protocol.
+    */
+  def booleanQueryTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      excludeSelf: Boolean = true
+  ): DataFrame =
+    booleanQueryTopKIndexedOf(
+      spark,
+      queryBooleanRoles(docs(spark, dir), nQueries),
+      indexDir,
+      k,
+      excludeSelf
+    )
+
+  /** P33l — the full-boolean lifecycle twin (same oracle as p33k by the
+    * indexed ≡ inline law).
+    */
+  def booleanQueryLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33l-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      booleanQueryTopKIndexed(spark, dir, tmp, nQueries, k)
+    }
+  }
+
   /** The shared RRF fusion tail: every leg contributes
     * `1000000 DIV (rrfK + rank)` per (qid, doc_id), summed exactly (ppm),
     * ranked desc with doc_id ties. Legs are (qid, doc_id, rank) pools —

@@ -102,6 +102,44 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous FULL-BOOLEAN (MUST / MUST_NOT / SHOULD) search — the
+    * clause-matrix service: each arriving query row carries its three
+    * clause texts explicitly (the API a search client actually has —
+    * roles are the caller's intent, not derivable from one string);
+    * every distinct MUST term is required, any MUST_NOT term excludes,
+    * SHOULD terms lift the BM25 score
+    * ([[Retrieval.booleanQueryTopKIndexedOf]]). Stateless like
+    * [[searchStream]]; external-qid posture.
+    */
+  def booleanQuerySearchStream(
+      queryDocs: DataFrame, // (qid, must_text, must_not_text, should_text)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def leg(srcCol: String, role: String) = batch
+          .select(
+            col("qid"),
+            explode(expr(s"filter(split($srcCol, ' '), x -> x != '')")).as("w")
+          )
+          .withColumn("role", lit(role))
+          .distinct()
+        val roles = leg("must_text", "must")
+          .unionByName(leg("must_not_text", "must_not"))
+          .unionByName(leg("should_text", "should"))
+        sink(
+          Retrieval.booleanQueryTopKIndexedOf(
+            batch.sparkSession, roles, indexDir, k, excludeSelf = false),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous PHRASE search — the positional plane's read-side twin:
     * arriving query documents are tokenized row-locally into their
     * leading `phraseLen`-gram (the standard phrase protocol) and matched

@@ -516,6 +516,59 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(self.contains(10L), "service posture keeps the self-hit")
   }
 
+  test("full boolean clause matrix: MUST gates, MUST_NOT excludes, SHOULD scores but never gates; indexed ≡ inline") {
+    val ss = spark
+    import ss.implicits._
+    // the clause matrix, one doc per cell (must terms {a, b}, exclusion
+    // {n}, optional {s}); docs 20/21 are the should-scoring pair — same
+    // length, same must profile, one carries the optional term
+    val fix = Seq(
+      (20L, "a b s x"), // must ✓, not ∅, should ✓ → hit, boosted
+      (21L, "a b y x"), // must ✓, not ∅, should ∅ → hit, lower score
+      (22L, "a b s n"), // must ✓, but carries the exclusion → OUT
+      (23L, "a s x y"), // missing must b (should cannot substitute) → OUT
+      (24L, "n s x y"), // exclusion + should only → OUT
+      (25L, "x y z w") // nothing relevant → OUT
+    ).toDF("doc_id", "text")
+    val q = Seq(
+      (9L, "a", "must"),
+      (9L, "b", "must"),
+      (9L, "n", "must_not"),
+      (9L, "s", "should")
+    ).toDF("qid", "w", "role")
+    val tmp = Files.createTempDirectory("graft-ii-boolq").toString
+    Retrieval.writeInvertedIndexOf(spark, fix, tmp, withPositions = true)
+    val got = Retrieval
+      .booleanQueryTopKIndexedOf(spark, q, tmp)
+      .select("doc_id", "rank", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+      .toSeq
+    assert(got.map(_._1) == Seq(20L, 21L), s"matrix verdicts: $got")
+    assert(got(0)._3 > got(1)._3, "the matched SHOULD term must raise the score")
+    // a MUST_NOT matched by every qualifying doc empties the result —
+    // exclusion dominates, never merely demotes
+    val allExcluded = Retrieval
+      .booleanQueryTopKIndexedOf(
+        spark,
+        Seq((9L, "a", "must"), (9L, "x", "must_not")).toDF("qid", "w", "role"),
+        tmp
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(allExcluded == Set(22L), s"x excludes 20/21/23; only 22 survives: $allExcluded")
+    // the p33k protocol end-to-end on the real corpus: indexed ≡ inline
+    // (the lifecycle's oracle-reuse law) and the roles are non-vacuous
+    // (some query carries all three roles)
+    val inline = Retrieval.booleanQueryTopK(spark, sfDir)
+    val life = Retrieval.booleanQueryLifecycle(spark, sfDir)
+    assert(rows(inline) == rows(life), "p33l ≡ p33k")
+    assert(inline.count() > 0, "the corpus protocol must return hits")
+  }
+
   test("query-time posting scan prunes to the probed term buckets") {
     val tmp = Files.createTempDirectory("graft-ii-prune").toString
     // single-term query: probes exactly one wb bucket out of 16
