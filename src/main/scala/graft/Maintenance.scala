@@ -71,6 +71,22 @@ object Maintenance {
       graft.pipeline.Similarity.compactIvfIndex(s, dir, protectLayersAbove)
   )
 
+  /** The media plane's ANN store — the IVF layout verbatim
+    * (Multimodal.writeMediaIvfIndex delegates to the exact-integer IVF
+    * writer), so the vec plane's compactor applies unchanged; its own
+    * registry name keeps the health report per-plane.
+    */
+  def mediaIvfVectors(
+      dir: String,
+      protectLayersAbove: Long = Long.MaxValue
+  ): Store = Store(
+    "media_ivf",
+    dir,
+    layeredDirs = Seq("vectors"),
+    compact = s =>
+      graft.pipeline.Similarity.compactIvfIndex(s, dir, protectLayersAbove)
+  )
+
   def spanIndex(dir: String, targetFiles: Int = 8): Store = Store(
     "span_index",
     dir,

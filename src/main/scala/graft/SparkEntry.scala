@@ -212,6 +212,11 @@ object SparkEntry {
     "m4b_media_knn_ivf" -> ((s, d) => Multimodal.mediaKnnIvf(s, d)),
     // m4c — the m-plane recall report: m4b vs brute m4
     "m4c_media_recall" -> ((s, d) => Multimodal.mediaRecall(s, d)),
+    // k16 — the media plane's PERSISTED index lifecycle (k10's protocol
+    // on media feature codes): train 3/4, frozen-quantizer append,
+    // stored search — the production path m4b's inline retrain is not
+    "k16_media_index_lifecycle" ->
+      ((s, d) => Multimodal.mediaIndexLifecycle(s, d)),
     // m5 — binary content dedup: digests shuffle, payloads don't
     "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     // m6 — perceptual media near-dup: sign-LSH over the extracted feature
@@ -629,6 +634,7 @@ object SparkEntry {
     "p30b_split_stability" -> PipelineOracles.leakFreeSplitIncremental,
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
+    "k16_media_index_lifecycle" -> PipelineOracles.mediaIndexLifecycle,
     "k15_knn_filtered" -> PipelineOracles.knnIvfFiltered,
     "p22_quality_model" -> PipelineOracles.qualityModel,
     "p23_heavy_hitters" -> PipelineOracles.heavyHitters,

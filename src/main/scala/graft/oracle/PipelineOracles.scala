@@ -780,7 +780,8 @@ object PipelineOracles {
     * leg (at the fusion pool size), so both replay the identical
     * lifecycle arithmetic.
     */
-  private def indexLifecyclePool(
+  private def indexLifecyclePoolFrom(
+      qSql: String, // the integer-code corpus CTE body: (vec_id, q8)
       nQueries: Int,
       nprobe: Int,
       k: Int,
@@ -788,15 +789,7 @@ object PipelineOracles {
       //                        metadata filter), ANDed into `cand`
   ): String = s"""
     WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CASE WHEN mx = 0 THEN 0
-                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
-                                         + 0.5) AS BIGINT) END) AS q8
-      FROM (SELECT vec_id, embedding,
-                   list_max(list_transform(embedding,
-                     x -> abs(CAST(x AS DOUBLE)))) AS mx
-            FROM embeddings)
+      $qSql
     ),
     icodes AS (
       SELECT vec_id, g.i - 1 AS pos, q8[g.i] AS code
@@ -855,6 +848,51 @@ object PipelineOracles {
     )
     SELECT qid, vec_id, score, rnk
     FROM r WHERE rnk <= $k
+  """
+
+  /** The [[indexLifecyclePoolFrom]] chain at the embeddings corpus (k6
+    * quantization) — the k10/k15/p36d instance.
+    */
+  private def indexLifecyclePool(
+      nQueries: Int,
+      nprobe: Int,
+      k: Int,
+      candExtra: String = ""
+  ): String = indexLifecyclePoolFrom(
+    """SELECT vec_id,
+             list_transform(embedding,
+               x -> CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx)
+                                         + 0.5) AS BIGINT) END) AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)""",
+    nQueries,
+    nprobe,
+    k,
+    candExtra
+  )
+
+  /** k16 — the media index lifecycle
+    * (graft.pipeline.Multimodal.mediaIndexLifecycle): the k10 lifecycle
+    * chain (train on the `vec_id % 4 < 3` initial ingest, frozen-
+    * quantizer assignment of the rest, nprobe stored search) over the
+    * STUB media feature codes — the m4b extraction arithmetic — at the
+    * m4b search protocol (nQueries=5, k=3), presenting doc_id.
+    */
+  lazy val mediaIndexLifecycle: String = s"""
+    SELECT qid, vec_id AS doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (${indexLifecyclePoolFrom(
+      """SELECT doc_id AS vec_id,
+             list_transform(generate_series(1, 8),
+               k -> CAST((strlen(text) * k) % 97 + 1 AS BIGINT)) AS q8
+      FROM documents""",
+      5,
+      2,
+      3
+    )}) lf
+    ORDER BY qid, rnk
   """
 
   /** k10 — the incremental-index lifecycle

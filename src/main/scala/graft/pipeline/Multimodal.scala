@@ -170,6 +170,24 @@ object Multimodal {
         transform(col("embedding"), x => x.cast("long")).as("q8")
       )
 
+  /** ROW-LOCAL media feature codes from raw media rows `(doc_id,
+    * payload, media_type)` — the pure-Column twin of [[mediaCodes]]'s
+    * mapPartitions extraction (same stub arithmetic, law-checked in
+    * StreamingDedupSpec's mediaVecOf mirror), usable on STREAMING frames:
+    * the deployment's media ingest loop maps arriving assets to `(vec_id,
+    * q8)` before the generic exact-IVF append. A real build swaps this
+    * for the encoder output column its extract stage already computed —
+    * the (vec_id, q8) seam is the contract.
+    */
+  def mediaCodesOf(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id").as("vec_id"),
+      transform(
+        sequence(lit(1), lit(8)),
+        k => (octet_length(col("payload")).cast("long") * k.cast("long")) % 97L + 1L
+      ).as("q8")
+    )
+
   /** M4B — media retrieval THROUGH the ANN index: the extracted features
     * are trained into the exact-integer IVF quantizer (k5's trainer) and
     * searched cell-pruned, replacing [[mediaKnn]]'s brute corpus scan as
@@ -232,6 +250,68 @@ object Multimodal {
       )
       .withColumnRenamed("vec_id", "doc_id")
     Eager.materialized(out) // codes cache stays: the memo owns it
+  }
+
+  /** Persist the media ANN index: [[mediaCodes]]' exact-integer features
+    * through [[Similarity.writeIvfIndexExactOf]] — the vec plane's store
+    * layout VERBATIM (centroids + (cid, layer)-partitioned vectors under
+    * DirSwap), so append/repair/compact/health apply unchanged and the
+    * store registers in the deployment's maintenance registry like any
+    * other IVF store. This is the media plane's graduation to the
+    * write/append/compact/health lifecycle every other plane has: the
+    * quantizer trains ONCE here and every later ingest (the deployment's
+    * media loop) assigns against it row-locally.
+    */
+  def writeMediaIvfIndex(
+      spark: SparkSession,
+      codes: DataFrame, // (vec_id, q8) — mediaCodes / mediaCodesOf
+      out: String,
+      kCentroids: Int = 16,
+      iters: Int = 3
+  ): Unit = Similarity.writeIvfIndexExactOf(spark, codes, out, kCentroids, iters)
+
+  /** Media retrieval through the PERSISTED media index — no training at
+    * query time (the production path; [[mediaKnnIvf]] remains the inline
+    * teaching form whose per-query retrain does not survive scale):
+    * [[Similarity.knnIvfIndexedExactOf]] against the stored frozen
+    * quantizer, probed-cell partition pruning and all, presenting doc_id.
+    */
+  def mediaKnnIvfStored(
+      spark: SparkSession,
+      queryCodes: DataFrame, // (vec_id, q8)
+      indexDir: String,
+      nQueries: Long = 5L,
+      k: Int = 3,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true
+  ): DataFrame =
+    Similarity
+      .knnIvfIndexedExactOf(
+        spark, queryCodes, indexDir, nQueries, k, nprobe, excludeSelf)
+      .withColumnRenamed("vec_id", "doc_id")
+
+  /** K16 — the media index lifecycle as one oracle-replayable query (the
+    * k10 protocol on the media plane): train the store on the initial 3/4
+    * ingest of [[mediaCodes]], append the remaining assets to the FROZEN
+    * quantizer, then the stored search at the m4b protocol (nQueries=5,
+    * k=3, nprobe=2). Everything BIGINT end to end — feature extraction,
+    * training, assignment, search — so the whole lifecycle hash-replays
+    * in DuckDB.
+    */
+  def mediaIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = mediaCodes(spark, dir)
+    Eager.withTempStore("graft-k16-media-index") { tmp =>
+      writeMediaIvfIndex(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+      Similarity.appendToIvfIndexExact(
+        spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+      mediaKnnIvfStored(spark, codes, tmp, nQueries.toLong, k, nprobe)
+    }
   }
 
   /** M4C — the m-plane's k12: recall@k of the IVF-indexed media search

@@ -22,8 +22,12 @@ import graft.util.StoreHealth.Store
   *     against the quantizer frozen at [[bootstrap]].
   *   - '''LM count model''' (`lm-model`) — the p35 familiarity plane;
   *     trained by [[StreamingCuration.lmTrainStream]].
+  *   - '''media ANN index''' (`media-index`) — the k16 multimodal plane;
+  *     arriving assets feature-extract row-locally
+  *     ([[graft.pipeline.Multimodal.mediaCodesOf]]) and append through
+  *     the same generic exact-IVF ingest as the vec plane.
   *
-  * A [[tick]] drains the three ingest streams (`AvailableNow`), then runs
+  * A [[tick]] drains the four ingest streams (`AvailableNow`), then runs
   * `Maintenance.maintainAll` with `protectLayersAbove` computed from each
   * ingest's OWN committed micro-batch id ([[committedBatchId]] reads the
   * checkpoint's commit log) — the maintainer-BESIDE-live-ingest posture
@@ -52,9 +56,11 @@ final case class PipelineDeployment(
   val textIndexDir = s"$base/text-index"
   val vecIndexDir = s"$base/vec-index"
   val lmDir = s"$base/lm-model"
+  val mediaIndexDir = s"$base/media-index"
   val ckText = s"$base/ck-text"
   val ckVec = s"$base/ck-vec"
   val ckLm = s"$base/ck-lm"
+  val ckMedia = s"$base/ck-media"
 
   /** Highest COMMITTED micro-batch id in a foreachBatch checkpoint's
     * commit log (−1 on a virgin checkpoint): Structured Streaming writes
@@ -115,6 +121,9 @@ final case class PipelineDeployment(
       .copy(compactOverLayers = compactOverLayers),
     graft.Maintenance
       .lmModel(lmDir, protectAbove(ckLm))
+      .copy(compactOverLayers = compactOverLayers),
+    graft.Maintenance
+      .mediaIvfVectors(mediaIndexDir, protectAbove(ckMedia))
       .copy(compactOverLayers = compactOverLayers)
   )
 
@@ -127,13 +136,20 @@ final case class PipelineDeployment(
   def bootstrap(
       spark: SparkSession,
       historyDocs: DataFrame, // (doc_id, text)
-      historyCodes: DataFrame // (vec_id, q8)
+      historyCodes: DataFrame, // (vec_id, q8)
+      historyMedia: DataFrame // (doc_id, payload, media_type)
   ): Unit = {
     graft.pipeline.Retrieval
       .writeInvertedIndexOf(spark, historyDocs, textIndexDir, withPositions = true)
     graft.pipeline.Similarity
       .writeIvfIndexExactOf(spark, historyCodes, vecIndexDir, kCentroids)
     graft.pipeline.QualityModel.writeLmModelOf(spark, historyDocs, lmDir)
+    graft.pipeline.Multimodal.writeMediaIvfIndex(
+      spark,
+      graft.pipeline.Multimodal.mediaCodesOf(historyMedia),
+      mediaIndexDir,
+      kCentroids
+    )
   }
 
   /** One deployment tick: drain the three ingest loops over whatever the
@@ -152,6 +168,8 @@ final case class PipelineDeployment(
       docsSchema: StructType,
       codesGlob: String,
       codesSchema: StructType,
+      mediaGlob: String,
+      mediaSchema: StructType,
       drainTimeoutMs: Long = 120000L
   ): DataFrame = {
     def drain(q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit =
@@ -180,8 +198,37 @@ final case class PipelineDeployment(
       StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)(),
       "lm train"
     )
+    // the media loop: arriving assets feature-extract ROW-LOCALLY
+    // (mediaCodesOf — the scrub stream's extractor seam on a streaming
+    // select) and append to the frozen media quantizer through the SAME
+    // generic exact-IVF ingest the vec plane uses; the perceptual scrub
+    // service (StreamingDedup.mediaScrubStream) runs beside it over the
+    // same extractor
+    drain(
+      StreamingSimilarity.ingestExactStream(
+        graft.pipeline.Multimodal.mediaCodesOf(
+          spark.readStream.schema(mediaSchema).parquet(mediaGlob)
+        ),
+        mediaIndexDir,
+        ckMedia
+      ),
+      "media ingest"
+    )
     graft.Maintenance.maintainAll(spark, registry)
   }
+
+  /** Media retrieval through the deployment's maintained media store
+    * (the k16 read path; queryCodes = (vec_id, q8) media feature codes).
+    */
+  def mediaSearch(
+      spark: SparkSession,
+      queryCodes: DataFrame,
+      nQueries: Long = 5L,
+      k: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame =
+    graft.pipeline.Multimodal
+      .mediaKnnIvfStored(spark, queryCodes, mediaIndexDir, nQueries, k, nprobe)
 
   /** The p36d batch search over the deployment's stores (corpus query
     * protocol; the continuous service is [[searchStream]]).
@@ -241,25 +288,32 @@ object PipelineDeployment {
     val split = graft.pipeline.Dedup.incrementalBoundary(spark, dir)
     val codes =
       graft.pipeline.Similarity.quantized(spark, dir).select("vec_id", "q8")
+    val media = graft.pipeline.Multimodal.mediaTable(spark, dir)
     graft.pipeline.Eager.withTempStore("graft-p36e-deploy") { tmp =>
       val dep = PipelineDeployment(s"$tmp/stores")
       dep.bootstrap(
         spark,
         d.filter(col("doc_id") < split),
-        codes.filter(col("vec_id") % 4 < 3)
+        codes.filter(col("vec_id") % 4 < 3),
+        // the media quantizer trains on the k16 protocol's 3/4 ingest
+        media.filter(col("doc_id") % 4 < 3)
       )
       // the daily batches arrive as files — the tick's streams consume
       // them through their checkpoints exactly once
       val inDocs = s"$tmp/in-docs"
       val inCodes = s"$tmp/in-codes"
+      val inMedia = s"$tmp/in-media"
       d.filter(col("doc_id") >= split).write.parquet(inDocs)
       codes.filter(col("vec_id") % 4 >= 3).write.parquet(inCodes)
+      media.filter(col("doc_id") % 4 >= 3).write.parquet(inMedia)
       dep.tick(
         spark,
         inDocs,
         spark.read.parquet(inDocs).schema,
         inCodes,
-        spark.read.parquet(inCodes).schema
+        spark.read.parquet(inCodes).schema,
+        inMedia,
+        spark.read.parquet(inMedia).schema
       )
       dep.search(spark, dir)
     }

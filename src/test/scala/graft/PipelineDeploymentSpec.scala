@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Retrieval, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Similarity}
 import graft.streaming.PipelineDeployment
 
 /** The retrieval-plane ONE-wiring integration law — [[graft.streaming.PipelineDeployment]]
@@ -68,6 +68,10 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     val midVec = maxVec / 2L
     val drop0Codes = dailyCodes.filter(col("vec_id") < midVec)
     val drop1Codes = dailyCodes.filter(col("vec_id") >= midVec)
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val histMedia = media.filter(col("doc_id") < split)
+    val drop0Media = media.filter(col("doc_id") >= split && col("doc_id") < midDoc)
+    val drop1Media = media.filter(col("doc_id") >= midDoc)
     assert(drop0Docs.count() > 0 && drop1Docs.count() > 0)
     assert(drop0Codes.count() > 0 && drop1Codes.count() > 0)
 
@@ -75,16 +79,20 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compactOverLayers = 1: one delta layer is already debt, so the
     // maintainer genuinely fires during the lifecycle
     val dep = PipelineDeployment(s"$tmp/stores", compactOverLayers = 1L)
-    dep.bootstrap(spark, histDocs, histCodes)
+    dep.bootstrap(spark, histDocs, histCodes, histMedia)
 
     val inDocs = s"$tmp/in-docs"
     val inCodes = s"$tmp/in-codes"
+    val inMedia = s"$tmp/in-media"
     drop0Docs.coalesce(1).write.parquet(s"$inDocs/drop_0")
     drop0Codes.coalesce(1).write.parquet(s"$inCodes/drop_0")
+    drop0Media.coalesce(1).write.parquet(s"$inMedia/drop_0")
     val docsSchema = spark.read.parquet(s"$inDocs/drop_0").schema
     val codesSchema = spark.read.parquet(s"$inCodes/drop_0").schema
+    val mediaSchema = spark.read.parquet(s"$inMedia/drop_0").schema
     def tick(): DataFrame = dep.tick(
-      spark, s"$inDocs/drop_*", docsSchema, s"$inCodes/drop_*", codesSchema)
+      spark, s"$inDocs/drop_*", docsSchema, s"$inCodes/drop_*", codesSchema,
+      s"$inMedia/drop_*", mediaSchema)
 
     // reference stores built BATCH-wise over the same splits (the p36d
     // protocol applied to each prefix) — the law's right-hand side
@@ -118,6 +126,7 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     // through the loop's own API
     drop1Docs.coalesce(1).write.parquet(s"$inDocs/drop_1")
     drop1Codes.coalesce(1).write.parquet(s"$inCodes/drop_1")
+    drop1Media.coalesce(1).write.parquet(s"$inMedia/drop_1")
     val crashed = graft.streaming.StreamingRetrieval
       .ingestStream(
         spark.readStream.schema(docsSchema).parquet(s"$inDocs/drop_*"),
@@ -225,11 +234,41 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toSeq
     assert(lmRows(dep.lmDir) == lmRows(lmRef), "maintained LM ≡ batch twin")
 
+    // ---- media plane: the deployment's MAINTAINED media ANN store reads
+    // row-identical to the batch-built twin over the same ingest history
+    // (the stream ≡ batch law on the fourth store — its layers arrived
+    // through two streaming batches + compaction, the twin's through one
+    // batch append)
+    val mq = Multimodal.mediaCodesOf(media)
+    val mRef = Files.createTempDirectory("graft-pipedeploy-media").toString
+    Multimodal.writeMediaIvfIndex(spark, Multimodal.mediaCodesOf(histMedia), mRef)
+    Similarity.appendToIvfIndexExact(
+      spark,
+      Multimodal.mediaCodesOf(drop0Media.unionByName(drop1Media)),
+      mRef
+    )
+    def mRows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("qid", "doc_id", "rank", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+        .toSeq
+    assert(
+      mRows(dep.mediaSearch(spark, mq)) ==
+        mRows(Multimodal.mediaKnnIvfStored(spark, mq, mRef)),
+      "maintained media store ≡ batch twin"
+    )
+
     // ---- final health: the redelivered batch is committed again, so the
     // next maintenance folds it and the report clears
     graft.Maintenance.maintainAll(spark, dep.registry)
     val health = dep.health(spark).collect()
     assert(health.nonEmpty)
+    assert(
+      health.map(_.getAs[String]("store")).toSet ==
+        Set("inverted_index", "ivf_vectors", "lm_model", "media_ivf"),
+      "one health frame across all four stores"
+    )
     assert(
       health.forall(!_.getAs[Boolean]("compact_recommended")),
       s"final health must be clear: ${health.mkString("; ")}"
