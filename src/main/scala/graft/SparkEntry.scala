@@ -313,6 +313,11 @@ object SparkEntry {
     // k15 — FILTERED stored ANN (the production vector-store feature):
     // exact pre-filter within the probed cells — candidates semi-joined
     // against the metadata predicate's id set before ranking
+    // k17 — the adaptive filtered ANN (probe width scaled 1/selectivity,
+    // exact integer width selection, degenerating to probe-all — the
+    // recall-floor answer to selective tenant filters)
+    "k17_knn_filtered_adaptive" ->
+      ((s, d) => Similarity.knnIvfFilteredAdaptiveLifecycle(s, d)),
     "k15_knn_filtered" -> ((s, d) =>
       graft.pipeline.Similarity.knnIvfFilteredLifecycle(s, d)),
     "k6_quantized_codes" -> (graft.pipeline.Similarity.quantizedCodes _),
@@ -636,6 +641,7 @@ object SparkEntry {
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "k16_media_index_lifecycle" -> PipelineOracles.mediaIndexLifecycle,
     "k15_knn_filtered" -> PipelineOracles.knnIvfFiltered,
+    "k17_knn_filtered_adaptive" -> PipelineOracles.knnIvfFilteredAdaptive,
     "p22_quality_model" -> PipelineOracles.qualityModel,
     "p23_heavy_hitters" -> PipelineOracles.heavyHitters,
     "p24_cluster_balance" -> PipelineOracles.clusterBalance,

@@ -785,8 +785,10 @@ object PipelineOracles {
       nQueries: Int,
       nprobe: Int,
       k: Int,
-      candExtra: String = "" // extra predicate on candidates (k15's
-      //                        metadata filter), ANDed into `cand`
+      candExtra: String = "", // extra predicate on candidates (k15's
+      //                         metadata filter), ANDed into `cand`
+      nprobeSql: Option[String] = None // k17: a scalar-subquery probe
+      //                                  width (selectivity-adaptive)
   ): String = s"""
     WITH q AS (
       $qSql
@@ -819,7 +821,8 @@ object PipelineOracles {
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY skey DESC, cid) AS rn
-        FROM s3 WHERE vec_id < $nQueries) WHERE rn <= $nprobe
+        FROM s3 WHERE vec_id < $nQueries)
+      WHERE rn <= ${nprobeSql.getOrElse(nprobe.toString)}
     ),
     cand AS (
       SELECT p.qid, a.vec_id FROM probes p JOIN a3 a USING (cid)
@@ -857,7 +860,8 @@ object PipelineOracles {
       nQueries: Int,
       nprobe: Int,
       k: Int,
-      candExtra: String = ""
+      candExtra: String = "",
+      nprobeSql: Option[String] = None
   ): String = indexLifecyclePoolFrom(
     """SELECT vec_id,
              list_transform(embedding,
@@ -871,7 +875,8 @@ object PipelineOracles {
     nQueries,
     nprobe,
     k,
-    candExtra
+    candExtra,
+    nprobeSql
   )
 
   /** k16 — the media index lifecycle
@@ -918,6 +923,30 @@ object PipelineOracles {
     FROM (${indexLifecyclePool(
       10, 2, 5,
       "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    )}) lf
+    ORDER BY qid, rnk
+  """
+
+  /** k17 — SELECTIVITY-ADAPTIVE filtered stored ANN
+    * (graft.pipeline.Similarity.knnIvfFilteredAdaptiveLifecycle): the k15
+    * chain with the probe width computed from the filter itself —
+    * LEAST(kCentroids, ceildiv(nprobe × corpus, qualifying)) in exact
+    * integer arithmetic, replaying the adaptive law's width selection
+    * bit-for-bit.
+    */
+  lazy val knnIvfFilteredAdaptive: String = s"""
+    SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (${indexLifecyclePool(
+      10,
+      2,
+      5,
+      "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+      nprobeSql = Some(
+        """(SELECT LEAST(16, (2 * (SELECT COUNT(*) FROM q)
+                            + COUNT(DISTINCT doc_id) - 1)
+                           // COUNT(DISTINCT doc_id))
+           FROM documents WHERE lang = 'en')"""
+      )
     )}) lf
     ORDER BY qid, rnk
   """

@@ -1715,6 +1715,16 @@ object Retrieval {
     * and corpus statistics (df/N, the IVF quantizer) stay corpus-grain
     * (Lucene filter-query semantics; retraining the quantizer per filter
     * would make filters unboundedly expensive).
+    *
+    * Filter caveat on the DENSE leg: at fixed `nprobe` the pre-filter is
+    * exact only WITHIN the probed cells — a highly selective filter can
+    * empty them while qualifying neighbors live in unprobed cells (the
+    * lexical/proximity legs are immune: their scans prune by TERM, not
+    * by cell, so a filter never hides a matching posting). For selective
+    * tenants pass `adaptiveNprobe = true`: the dense leg runs
+    * [[Similarity.knnIvfIndexedExactFilteredAdaptiveOf]], widening the
+    * probe as 1/selectivity up to all cells (exact over the filter at
+    * the selective extreme).
     */
   def hybridStoredTopKFiltered(
       spark: SparkSession,
@@ -1729,8 +1739,9 @@ object Retrieval {
       phraseLen: Int = 3,
       window: Int = 8,
       nprobe: Int = 2,
-      excludeSelf: Boolean = true // threaded to all three legs; false =
+      excludeSelf: Boolean = true, // threaded to all three legs; false =
       //   the external-query posture (the filtered search service's twin)
+      adaptiveNprobe: Boolean = false // selectivity-scaled dense probing
   ): DataFrame = {
     val d = docs(spark, dir)
     val lex = bm25TopKIndexedFilteredOf(
@@ -1742,18 +1753,19 @@ object Retrieval {
       poolK,
       excludeSelf
     ).select(col("qid"), col("doc_id"), col("rank"))
-    val dense = Similarity
-      .knnIvfIndexedExactFilteredOf(
-        spark,
-        Similarity.quantized(spark, dir).select("vec_id", "q8"),
-        vecIndexDir,
-        allowed.select(col("doc_id").as("vec_id")),
-        nQueries,
-        poolK,
-        nprobe,
-        excludeSelf
-      )
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    val denseSearch =
+      if (adaptiveNprobe) Similarity.knnIvfIndexedExactFilteredAdaptiveOf _
+      else Similarity.knnIvfIndexedExactFilteredOf _
+    val dense = denseSearch(
+      spark,
+      Similarity.quantized(spark, dir).select("vec_id", "q8"),
+      vecIndexDir,
+      allowed.select(col("doc_id").as("vec_id")),
+      nQueries.toLong,
+      poolK,
+      nprobe,
+      excludeSelf
+    ).select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     val prox = proximityTopKIndexedFilteredOf(
       spark,
       queryPhrases(d, nQueries, phraseLen),

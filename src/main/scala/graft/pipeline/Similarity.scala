@@ -1042,6 +1042,102 @@ object Similarity {
     }
   }
 
+  /** SELECTIVITY-AWARE filtered stored ANN — [[knnIvfIndexedExactFilteredOf]]
+    * with the probe width scaled to the filter: the fixed-nprobe form is
+    * exact only WITHIN the probed cells, so a highly selective filter
+    * (1% of the corpus) can empty the probed cells while true qualifying
+    * neighbors live in unprobed ones. Production vector stores widen the
+    * probe (or fall back to scanning the qualifying subset) as
+    * selectivity grows; this is that law: effective nprobe =
+    * min(kCentroids, ceil(nprobe / selectivity)), where selectivity =
+    * |allowed ∩ corpus| / |corpus| — the probe set grows exactly as the
+    * expected qualifying candidates per cell shrink, and at the
+    * selective extreme DEGENERATES to probing every cell, which by the
+    * completeness law is the exact top-k over the qualifying set (the
+    * brute-over-filter fallback, reached continuously rather than by a
+    * mode switch). IndexStoreSpec pins the recall floor: at 1%
+    * selectivity the adaptive form's recall@k against the filtered truth
+    * is 1.0 where the fixed form's demonstrably is not.
+    *
+    * Cost of adaptivity: two O(1)-row counts (the store's row count —
+    * parquet footer metadata — and the allowed set's distinct count, one
+    * aggregation over the filter set the query was going to hash-join
+    * anyway), then the standard filtered search with a wider probed-cell
+    * set. The scan stays partition-pruned to the probed cells; only the
+    * number of probed cells changes.
+    */
+  def knnIvfIndexedExactFilteredAdaptiveOf(
+      spark: SparkSession,
+      queryCodes: DataFrame,
+      indexDir: String,
+      allowed: DataFrame, // qualifying vec_ids
+      nQueries: Long = 10L,
+      k: Int = 5,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairIvfIndex(indexDir)
+    val kCentroids = readExactCentroids(spark, indexDir).size
+    val allowedSet = allowed.select("vec_id").distinct()
+    val nAllowed = allowedSet.count()
+    val nTotal = spark.read
+      .parquet(
+        graft.util.DirSwap
+          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .toString
+      )
+      .count() // parquet footer metadata, no data scan
+    // EXACT integer ceil-div (ceil(nprobe / selectivity) with no floating
+    // point): the probe width is part of the query's replayable protocol
+    // — the k17 oracle computes the identical width from the same counts
+    val nprobeEff =
+      if (nAllowed <= 0L) nprobe // empty filter: any probe set yields ∅
+      else
+        math
+          .min(
+            kCentroids.toLong,
+            (nprobe.toLong * nTotal + nAllowed - 1L) / nAllowed
+          )
+          .toInt
+    knnIvfIndexedExactFilteredOf(
+      spark,
+      queryCodes,
+      indexDir,
+      allowedSet,
+      nQueries,
+      k,
+      math.max(nprobeEff, nprobe),
+      excludeSelf
+    )
+  }
+
+  /** K17 — the adaptive filtered lifecycle (the k15 protocol with the
+    * selectivity-scaled probe): store built train-3/4 / frozen-append,
+    * then [[knnIvfIndexedExactFilteredAdaptiveOf]] with the qualifying
+    * set = the English documents. The effective probe width is exact
+    * integer arithmetic over (corpus count, qualifying count), so the
+    * whole query — width selection included — hash-replays in DuckDB.
+    */
+  def knnIvfFilteredAdaptiveLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 10,
+      k: Int = 5,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val codes = quantized(spark, dir).select("vec_id", "q8")
+    val allowed = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    graft.pipeline.Eager.withTempStore("graft-k17-index") { tmp =>
+      writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+      appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+      knnIvfIndexedExactFilteredAdaptiveOf(
+        spark, codes, tmp, allowed, nQueries, k, nprobe)
+    }
+  }
+
   /** [[knnIvfIndexedExactOf]] with the standard query protocol (the
     * nQueries lowest vec_ids' codes, quantized row-locally from the
     * corpus — never read back from the index).

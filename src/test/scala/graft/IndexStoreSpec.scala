@@ -429,6 +429,59 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unf.exists(_._2 % 2 != 0), "fixture too easy: filter was a no-op")
   }
 
+  test("adaptive filtered search: at ~1% selectivity the widened probe recovers the exact filtered top-k the fixed probe loses") {
+    val tmp = Files.createTempDirectory("graft-ivf-adaptive").toString
+    val codes = Similarity.quantized(spark, sfDir).select("vec_id", "q8")
+    Similarity
+      .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+    Similarity
+      .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+    // ~1% of the corpus qualifies — the selective-tenant case where
+    // fixed-nprobe pre-filtering demonstrably loses recall
+    val allowed = codes.select("vec_id").filter(col("vec_id") % 97 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    // TRUTH: probe every cell — by the completeness law this is the
+    // exact top-k over the qualifying set whatever the centroids are
+    val truth = hits(
+      Similarity
+        .knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 16))
+    assert(truth.nonEmpty, "the selective filter must still yield hits")
+    val fixed = hits(
+      Similarity
+        .knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 2))
+    val adaptive = hits(
+      Similarity.knnIvfIndexedExactFilteredAdaptiveOf(
+        spark, codes, tmp, allowed, 10L, 5, 2))
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(truth).size.toDouble / truth.size
+    // the stated floor: at this selectivity the adaptive probe widens to
+    // every cell, so its recall is exactly 1.0 — and the caveat is real:
+    // the fixed probe provably misses qualifying neighbors
+    assert(recall(adaptive) == 1.0, s"adaptive recall ${recall(adaptive)}")
+    assert(adaptive == truth, "adaptive ≡ exact filtered top-k at the selective extreme")
+    assert(
+      recall(fixed) < 1.0,
+      s"fixture must make the fixed probe lose recall (got ${recall(fixed)})"
+    )
+    // a permissive filter keeps the probe narrow: adaptivity must not
+    // degrade the common case into a full scan
+    val broad = codes.select("vec_id").filter(col("vec_id") % 2 === 0)
+    val adaptiveBroad = hits(
+      Similarity.knnIvfIndexedExactFilteredAdaptiveOf(
+        spark, codes, tmp, broad, 10L, 5, 2))
+    val fixedBroad4 = hits(
+      Similarity
+        .knnIvfIndexedExactFilteredOf(spark, codes, tmp, broad, 10L, 5, 4))
+    assert(
+      adaptiveBroad == fixedBroad4,
+      "50% selectivity → nprobe 2/0.5 = 4, not a degenerate full probe"
+    )
+  }
+
   test("index lifecycle: streamed drift fires the retrain trigger; retraining clears it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
