@@ -217,6 +217,10 @@ object SparkEntry {
     // stored search — the production path m4b's inline retrain is not
     "k16_media_index_lifecycle" ->
       ((s, d) => Multimodal.mediaIndexLifecycle(s, d)),
+    // m4d — recall of the STORED media search (k16's read path) against
+    // the float brute truth: the monitor row for what production serves
+    "m4d_media_recall_stored" ->
+      ((s, d) => Multimodal.mediaRecallStored(s, d)),
     // m5 — binary content dedup: digests shuffle, payloads don't
     "m5_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     // m6 — perceptual media near-dup: sign-LSH over the extracted feature
@@ -640,6 +644,7 @@ object SparkEntry {
     "k5_knn_ivf_trained" -> PipelineOracles.knnIvfTrained,
     "k10_index_lifecycle" -> PipelineOracles.indexLifecycle,
     "k16_media_index_lifecycle" -> PipelineOracles.mediaIndexLifecycle,
+    "m4d_media_recall_stored" -> PipelineOracles.mediaRecallStored,
     "k15_knn_filtered" -> PipelineOracles.knnIvfFiltered,
     "k17_knn_filtered_adaptive" -> PipelineOracles.knnIvfFilteredAdaptive,
     "p22_quality_model" -> PipelineOracles.qualityModel,

@@ -700,6 +700,31 @@ object PipelineOracles {
     ORDER BY a.method
   """
 
+  /** m4d — the stored-media recall report (graft.pipeline.Multimodal
+    * .mediaRecallStored): the m4c report shape with the approximate leg
+    * replaced by the k16 stored-index lifecycle search — the row a
+    * deployment monitors for the store it actually serves.
+    */
+  lazy val mediaRecallStored: String = s"""
+    WITH brute AS (SELECT qid, doc_id FROM ($mediaKnn) b0),
+    approx AS (
+      SELECT 'media_ivf_stored' AS method, qid, doc_id
+      FROM ($mediaIndexLifecycle) x1
+    ),
+    tot AS (SELECT COUNT(*) AS n_truth FROM brute)
+    SELECT a.method,
+           COUNT(DISTINCT a.qid) AS n_queries,
+           COUNT(*) AS n_retrieved,
+           COUNT(b.doc_id) AS n_hits,
+           (SELECT n_truth FROM tot) AS n_truth,
+           CAST(COUNT(b.doc_id) AS DOUBLE) / (SELECT n_truth FROM tot)
+             AS recall
+    FROM approx a
+    LEFT JOIN brute b ON a.qid = b.qid AND a.doc_id = b.doc_id
+    GROUP BY a.method
+    ORDER BY a.method
+  """
+
   /** k14 — the operational health row (graft.pipeline.Similarity
     * .ivfHealthReport): the k5 search replayed twice (probe-ALL = exact
     * truth by the completeness law, and the registered nprobe=2 form)

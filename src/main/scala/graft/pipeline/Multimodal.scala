@@ -327,11 +327,56 @@ object Multimodal {
       dir: String,
       nQueries: Int = 5,
       k: Int = 3
+  ): DataFrame =
+    recallAgainstBrute(
+      spark,
+      dir,
+      mediaKnnIvf(spark, dir, nQueries, k),
+      "media_ivf",
+      nQueries,
+      k
+    )
+
+  /** M4D — the recall report for the PERSISTED media store (k16's read
+    * path): the monitoring row a deployment watches after media-store
+    * maintenance, with the approximate leg the store search itself —
+    * where [[mediaRecall]] grades the inline teaching form, this grades
+    * what production actually serves (train-3/4 / frozen-append /
+    * stored search). Same O(1)-row report shape as k12.
+    */
+  def mediaRecallStored(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 3
+  ): DataFrame =
+    recallAgainstBrute(
+      spark,
+      dir,
+      mediaIndexLifecycle(spark, dir, nQueries, k),
+      "media_ivf_stored",
+      nQueries,
+      k
+    )
+
+  /** The shared m-plane recall report tail: `approx` (qid, doc_id, …)
+    * LEFT-joined against the float brute-force truth ([[mediaKnn]]),
+    * counted exactly — truth is nQueries × k rows at any corpus size, so
+    * it broadcasts and the report costs one O(1)-row aggregation beyond
+    * the two searches.
+    */
+  private def recallAgainstBrute(
+      spark: SparkSession,
+      dir: String,
+      approxTopK: DataFrame,
+      method: String,
+      nQueries: Int,
+      k: Int
   ): DataFrame = {
     val truth = mediaKnn(spark, dir, nQueries, k)
       .select(col("qid"), col("doc_id"), lit(1L).as("bhit"))
-    val approx = mediaKnnIvf(spark, dir, nQueries, k)
-      .select(lit("media_ivf").as("method"), col("qid"), col("doc_id"))
+    val approx = approxTopK
+      .select(lit(method).as("method"), col("qid"), col("doc_id"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     approx
       .join(broadcast(truth), Seq("qid", "doc_id"), "left")

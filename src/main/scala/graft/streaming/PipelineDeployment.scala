@@ -152,15 +152,17 @@ final case class PipelineDeployment(
     )
   }
 
-  /** One deployment tick: drain the three ingest loops over whatever the
-    * input globs hold that their checkpoints have not consumed, then
-    * maintain every store with the fold boundary at each ingest's own
-    * committed frontier, returning the maintenance decisions
-    * (store, compacted) — the post-maintenance state is [[health]].
-    * A drain exceeding its budget ABORTS the tick before maintenance
-    * (the [[Deployment.tick]] argument verbatim) — and thanks to the
-    * commit-log-derived protection, even a maintainer racing the aborted
-    * ingest's uncommitted layer would leave it unfolded.
+  /** One deployment tick: drain the four ingest loops CONCURRENTLY over
+    * whatever the input globs hold that their checkpoints have not
+    * consumed (disjoint stores and checkpoints — no ordering contract;
+    * `drainTimeoutMs` budgets the WHOLE tick), then maintain every store
+    * with the fold boundary at each ingest's own committed frontier,
+    * returning the maintenance decisions (store, compacted) — the
+    * post-maintenance state is [[health]]. A drain exceeding the budget
+    * ABORTS the tick before maintenance (the [[Deployment.tick]]
+    * argument verbatim) — and thanks to the commit-log-derived
+    * protection, even a maintainer racing the aborted ingest's
+    * uncommitted layer would leave it unfolded.
     */
   def tick(
       spark: SparkSession,
@@ -172,48 +174,58 @@ final case class PipelineDeployment(
       mediaSchema: StructType,
       drainTimeoutMs: Long = 120000L
   ): DataFrame = {
-    def drain(q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit =
-      if (!q.awaitTermination(drainTimeoutMs)) {
-        q.stop()
-        throw new IllegalStateException(
-          s"$what drain exceeded $drainTimeoutMs ms — tick aborted before " +
-            "maintenance; committed offsets persist and the next tick resumes"
-        )
-      }
     def docsIn: DataFrame =
       spark.readStream.schema(docsSchema).parquet(docsGlob)
-    drain(
-      StreamingRetrieval.ingestStream(docsIn, textIndexDir, ckText)(),
-      "text-index ingest"
-    )
-    drain(
-      StreamingSimilarity.ingestExactStream(
-        spark.readStream.schema(codesSchema).parquet(codesGlob),
-        vecIndexDir,
-        ckVec
-      ),
-      "vector ingest"
-    )
-    drain(
-      StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)(),
-      "lm train"
-    )
-    // the media loop: arriving assets feature-extract ROW-LOCALLY
+    // the four ingests touch DISJOINT stores and checkpoints, so they
+    // drain CONCURRENTLY (the reference's duties run concurrently from
+    // its resource graph too) — the tick's wall is the slowest drain,
+    // not the sum of four streaming-machinery startups. Contrast the
+    // journal-plane Deployment.tick, which is sequential BY CONTRACT
+    // (the head cache must drain before the replicator advances the
+    // watermark it evicts against); no such order exists here.
+    // The media loop: arriving assets feature-extract ROW-LOCALLY
     // (mediaCodesOf — the scrub stream's extractor seam on a streaming
     // select) and append to the frozen media quantizer through the SAME
     // generic exact-IVF ingest the vec plane uses; the perceptual scrub
     // service (StreamingDedup.mediaScrubStream) runs beside it over the
-    // same extractor
-    drain(
-      StreamingSimilarity.ingestExactStream(
-        graft.pipeline.Multimodal.mediaCodesOf(
-          spark.readStream.schema(mediaSchema).parquet(mediaGlob)
-        ),
-        mediaIndexDir,
-        ckMedia
-      ),
-      "media ingest"
-    )
+    // same extractor.
+    val t0 = System.nanoTime()
+    val drains: Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
+      Seq(
+        "text-index ingest" ->
+          StreamingRetrieval.ingestStream(docsIn, textIndexDir, ckText)(),
+        "vector ingest" ->
+          StreamingSimilarity.ingestExactStream(
+            spark.readStream.schema(codesSchema).parquet(codesGlob),
+            vecIndexDir,
+            ckVec
+          ),
+        "lm train" ->
+          StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)(),
+        "media ingest" ->
+          StreamingSimilarity.ingestExactStream(
+            graft.pipeline.Multimodal.mediaCodesOf(
+              spark.readStream.schema(mediaSchema).parquet(mediaGlob)
+            ),
+            mediaIndexDir,
+            ckMedia
+          )
+      )
+    drains.foreach { case (what, q) =>
+      val left =
+        drainTimeoutMs - (System.nanoTime() - t0) / 1000000L
+      if (left <= 0L || !q.awaitTermination(left)) {
+        // one overrun aborts the WHOLE tick before maintenance (the
+        // sequential contract preserved): stop every drain; committed
+        // offsets persist and the next tick resumes all four
+        drains.foreach(_._2.stop())
+        throw new IllegalStateException(
+          s"$what drain exceeded the ${drainTimeoutMs} ms tick budget — " +
+            "tick aborted before maintenance; committed offsets persist " +
+            "and the next tick resumes"
+        )
+      }
+    }
     graft.Maintenance.maintainAll(spark, registry)
   }
 

@@ -735,6 +735,63 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // may legitimately fall below top-k among many conjunctive matches)
   }
 
+  test("streaming full-boolean search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-boolqstream").toString
+    val ck = Files.createTempDirectory("graft-ii-boolqstream-ck").toString
+    Retrieval.writeInvertedIndex(spark, sfDir, tmp)
+
+    // clause texts from each query doc's leading tokens: MUST = tokens
+    // 1-2, MUST_NOT = token 3, SHOULD = tokens 4-5 (the p33k protocol as
+    // an arriving service request with explicit clause fields)
+    def sliceCol(from: Int, len: Int) =
+      expr(s"array_join(slice(filter(split(text, ' '), x -> x != ''), $from, $len), ' ')")
+    val queryRows: Seq[(Long, String, String, String)] = docs
+      .filter(col("doc_id") < 6)
+      .select(col("doc_id"), sliceCol(1, 2), sliceCol(3, 1), sliceCol(4, 2))
+      .as[(Long, String, String, String)]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, String, String, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingRetrieval.booleanQuerySearchStream(
+      ms.toDF().toDF("qid", "must_text", "must_not_text", "should_text"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      buf.synchronized { buf ++= rs: Unit }
+    }
+    try
+      queryRows.grouped(2).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val roles = queryRows
+      .flatMap { case (qid, m, x, s) =>
+        m.split(" ").filter(_.nonEmpty).map(w => (qid, w, "must")) ++
+          x.split(" ").filter(_.nonEmpty).map(w => (qid, w, "must_not")) ++
+          s.split(" ").filter(_.nonEmpty).map(w => (qid, w, "should"))
+      }
+      .distinct
+      .toDF("qid", "w", "role")
+    val batch = rows(
+      Retrieval.booleanQueryTopKIndexedOf(spark, roles, tmp, excludeSelf = false))
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+  }
+
   test("streaming phrase search over chunked queries equals one batch search") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
