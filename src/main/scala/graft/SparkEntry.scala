@@ -384,6 +384,14 @@ object SparkEntry {
     // terms score
     "p33k_boolean_query" ->
       ((s, d) => graft.pipeline.Retrieval.booleanQueryTopK(s, d)),
+    // p33m — snippets: the ±4-token window around each hit's first
+    // matched query term (the result-page excerpt)
+    "p33m_snippets" ->
+      ((s, d) => graft.pipeline.Retrieval.snippetTopK(s, d)),
+    // p33n — facet counts over each query's FULL match set (no top-k
+    // cut): the refinement sidebar per metadata value
+    "p33n_facets" ->
+      ((s, d) => graft.pipeline.Retrieval.facetCounts(s, d)),
     // p33l — the full boolean query through the stored-index lifecycle
     "p33l_boolean_query_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.booleanQueryLifecycle(s, d)),
@@ -613,6 +621,8 @@ object SparkEntry {
     // same oracle as p33i by the indexed ≡ inline law
     "p33j_boolean_indexed" -> PipelineOracles.booleanTopK,
     "p33k_boolean_query" -> PipelineOracles.booleanQueryTopK,
+    "p33m_snippets" -> PipelineOracles.snippetTopK,
+    "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracle as p33k by the indexed ≡ inline law
     "p33l_boolean_query_indexed" -> PipelineOracles.booleanQueryTopK,
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,

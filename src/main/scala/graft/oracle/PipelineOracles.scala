@@ -2895,6 +2895,120 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33m — snippets (graft.pipeline.Retrieval.snippetTopK, nQueries=5,
+    * k=5, window=4): the p33c BM25 top-k hits, each with the 9-token
+    * window starting at max(1, anchor−4), anchor = the MIN position of
+    * any query term in the hit doc. The window is slice-from-start
+    * semantics in both engines (start clamped to 1, fixed 2w+1 length,
+    * short only at the doc's end).
+    */
+  val snippetTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qt AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ),
+    hits AS (SELECT qid, doc_id, rnk FROM r WHERE rnk <= 5),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+      WHERE doc_id IN (SELECT doc_id FROM hits)
+    ),
+    anch AS (
+      SELECT h.qid, h.doc_id, CAST(MIN(p.pos) AS BIGINT) AS anchor
+      FROM hits h
+      JOIN pos p ON p.doc_id = h.doc_id
+      JOIN qt q ON q.qid = h.qid AND q.w1 = p.w1
+      GROUP BY h.qid, h.doc_id
+    )
+    SELECT a.qid, a.doc_id, CAST(h.rnk AS BIGINT) AS rank, a.anchor,
+           array_to_string(
+             ws.w[GREATEST(a.anchor - 4, 1) : GREATEST(a.anchor - 4, 1) + 8],
+             ' ') AS snippet
+    FROM anch a
+    JOIN hits h ON h.qid = a.qid AND h.doc_id = a.doc_id
+    JOIN ws ON ws.doc_id = a.doc_id
+    ORDER BY a.qid, rank
+  """
+
+  /** p33n — facet counts over the full match set
+    * (graft.pipeline.Retrieval.facetCounts, facet=lang, nQueries=5,
+    * qLen=3): the p33i boolean-AND gate (no top-k cut — facets
+    * summarize the whole result set) joined to the documents table's
+    * facet column and counted per (query, value).
+    */
+  val facetCounts: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    qsel AS (
+      SELECT qid, w1 FROM (
+        SELECT doc_id AS qid, w1,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY minp) AS rn
+        FROM (SELECT doc_id, w1, MIN(pos) AS minp FROM pos
+              WHERE doc_id < 5 GROUP BY doc_id, w1) f
+      ) r WHERE rn <= 3
+    ),
+    nt AS (SELECT qid, COUNT(DISTINCT w1) AS nt FROM qsel GROUP BY qid),
+    m AS (
+      SELECT q.qid, t.doc_id, COUNT(DISTINCT t.w1) AS nm
+      FROM tf t JOIN qsel q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    gate AS (
+      SELECT m.qid, m.doc_id FROM m JOIN nt USING (qid) WHERE m.nm = nt.nt
+    )
+    SELECT g.qid, d.lang, COUNT(*) AS n_docs
+    FROM gate g JOIN documents d ON d.doc_id = g.doc_id
+    GROUP BY g.qid, d.lang
+    ORDER BY g.qid, d.lang
+  """
+
   /** p33e — exact-phrase retrieval (graft.pipeline.Retrieval.phraseTopK,
     * nQueries=5, phraseLen=3, k=5): each query doc's first 3 tokens as
     * the phrase; documents match at anchor p when phrase slot j sits at

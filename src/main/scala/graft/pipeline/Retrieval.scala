@@ -1520,6 +1520,112 @@ object Retrieval {
     }
   }
 
+  /** P33m — SNIPPETS (hit highlighting): for each BM25 top-k hit, the
+    * ±`window`-token text window around the hit's FIRST matched query
+    * term — the result-page excerpt every search engine renders beside a
+    * hit. Anchor = min position over the doc's occurrences of the
+    * query's terms (deterministic); snippet = tokens
+    * [max(1, anchor−window) .. anchor+window] re-joined.
+    *
+    * Scale shape: the position scan is SEMI-JOINED to the hit docs
+    * before anything else (k × nQueries docs — result-page-sized, never
+    * corpus-sized), the anchor is one keyed min-aggregation over those
+    * docs' matched-term positions, and the text slice is a row-local
+    * expression on the hit rows. Against the stored positional index the
+    * same plan reads only the query terms' buckets (the p33f pruning) —
+    * inline here, where the p33c hits already materialize the corpus
+    * pass.
+    */
+  def snippetTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      window: Int = 4
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val hits = bm25TopK(spark, dir, nQueries, k)
+    val qt = postings(d.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("qid"), col("w"))
+      .distinct()
+    val hitDocs = hits.select("doc_id").distinct()
+    val anchors = positionalPostings(
+      d.join(hitDocs, Seq("doc_id"), "left_semi")
+    )
+      .join(broadcast(qt), Seq("w")) // qt is query-terms-sized
+      .join(broadcast(hits.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(min("pos").as("anchor"))
+    hits
+      .join(anchors, Seq("qid", "doc_id"))
+      .join(d.join(hitDocs, Seq("doc_id"), "left_semi"), Seq("doc_id"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        col("rank"),
+        col("anchor"),
+        expr(
+          s"array_join(slice(filter(split(text, ' '), x -> x != ''), " +
+            s"greatest(anchor - $window, 1), ${2 * window + 1}), ' ')"
+        ).as("snippet")
+      )
+      .orderBy("qid", "rank")
+  }
+
+  /** P33n — FACET COUNTS over a query's full match set (Lucene
+    * faceting): for each query, how many matching documents fall in
+    * each value of a metadata column — the refinement sidebar every
+    * search UI renders. The match set is the boolean-AND gate (all query
+    * terms required, p33i's semantics, NO top-k cut: facets summarize
+    * the whole result set), counted per `facet` value.
+    *
+    * Scale shape: the gate aggregation is seed-pruned by the rarest
+    * term's posting list (the p33i bound); the facet join touches only
+    * gated (qid, doc_id) pairs against the documents table's
+    * (doc_id, facet) projection — column-pruned scan, match-set-sized
+    * join, one final small aggregation.
+    */
+  def facetCounts(
+      spark: SparkSession,
+      dir: String,
+      facet: String = "lang",
+      nQueries: Int = 5,
+      qLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qt = queryAndTerms(d, nQueries, qLen)
+    val nt = qt.groupBy("qid").agg(countDistinct("w").as("nt"))
+    val wr = Window.partitionBy("qid").orderBy(col("df"), col("w"))
+    val rarest = qt
+      .join(dfm, Seq("w"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select("qid", "w")
+    val seed = tf
+      .join(broadcast(rarest), Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .select("qid", "doc_id")
+    val gated = tf
+      .join(broadcast(qt), Seq("w"))
+      .join(seed, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct("w").as("nm"))
+      .join(broadcast(nt), Seq("qid"))
+      .filter(col("nm") === col("nt"))
+      .select("qid", "doc_id")
+    val meta = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col(facet))
+    val out = gated
+      .join(meta, Seq("doc_id"))
+      .groupBy("qid", facet)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("qid"), col(facet))
+    Eager.materialized(out, tf)
+  }
+
   /** The shared RRF fusion tail: every leg contributes
     * `1000000 DIV (rrfK + rank)` per (qid, doc_id), summed exactly (ppm),
     * ranked desc with doc_id ties. Legs are (qid, doc_id, rank) pools —

@@ -207,7 +207,7 @@ object StreamingRetrieval {
       trigger: Trigger = Trigger.AvailableNow(),
       // appended AFTER trigger so the signature stays positionally
       // stable for pre-filter callers
-      allowed: Option[DataFrame] = None // tenant/metadata filter: a
+      allowed: Option[DataFrame] = None, // tenant/metadata filter: a
       //   (doc_id) set every leg restricts to (exact pre-filter — the
       //   p36f semantics applied continuously; None = unfiltered).
       //   Filter caveat (the k15 contract, surfaced here because the
@@ -215,8 +215,12 @@ object StreamingRetrieval {
       //   WITHIN the probed cells on the dense leg — a highly selective
       //   filter can empty the probed cells while qualifying vectors
       //   live in unprobed ones. For selective tenants raise `nprobe`
-      //   (or use Similarity.knnIvfIndexedExactFilteredAdaptiveOf's
-      //   selectivity-scaled probing on the dense leg).
+      //   or pass adaptiveNprobe = true.
+      adaptiveNprobe: Boolean = false // selectivity-scaled dense probing
+      //   (Similarity.knnIvfIndexedExactFilteredAdaptiveOf — the k17
+      //   law): the probe widens as 1/selectivity up to all cells, so a
+      //   selective tenant's top-k stays the exact filtered top-k. Only
+      //   meaningful with `allowed`.
   )(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryDocs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -272,18 +276,22 @@ object StreamingRetrieval {
               nprobe = nprobe,
               excludeSelf = false
             )
-          )(a =>
-            graft.pipeline.Similarity.knnIvfIndexedExactFilteredOf(
+          )(a => {
+            val filteredSearch =
+              if (adaptiveNprobe)
+                graft.pipeline.Similarity.knnIvfIndexedExactFilteredAdaptiveOf _
+              else graft.pipeline.Similarity.knnIvfIndexedExactFilteredOf _
+            filteredSearch(
               sp,
               codes,
               vecIndexDir,
               a.select(col("doc_id").as("vec_id")),
-              nQueries = Long.MaxValue,
-              k = poolK,
-              nprobe = nprobe,
-              excludeSelf = false
+              Long.MaxValue, // every arriving query
+              poolK,
+              nprobe,
+              false // external qid space — no corpus self-exclusion
             )
-          )
+          })
           .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
         sink(Retrieval.rrfFuse(Seq(lex, dense, prox), rrfK, k), batchId)
       }

@@ -569,6 +569,66 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inline.count() > 0, "the corpus protocol must return hits")
   }
 
+  test("snippets anchor on a matched query term; facets partition the full match set") {
+    val ss = spark
+    import ss.implicits._
+    // --- snippets: every snippet's anchor token IS one of the query's
+    // terms, and the snippet text is exactly the ±4 window around it
+    val snips = Retrieval.snippetTopK(spark, sfDir)
+    val docToks: Map[Long, Array[String]] = docs
+      .as[(Long, String)]
+      .collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+      .toMap
+    val qTerms: Map[Long, Set[String]] =
+      (0L until 5L).map(q => q -> docToks(q).toSet).toMap
+    val rowsS = snips
+      .select("qid", "doc_id", "anchor", "snippet")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rowsS.nonEmpty)
+    rowsS.foreach { case (qid, did, anchor, snippet) =>
+      val toks = docToks(did)
+      assert(
+        qTerms(qid).contains(toks(anchor.toInt - 1)),
+        s"anchor token of ($qid,$did) must be a query term"
+      )
+      val start = math.max(anchor.toInt - 4, 1)
+      val want = toks.slice(start - 1, start - 1 + 9).mkString(" ")
+      assert(snippet == want, s"window of ($qid,$did)")
+      // the first matched term: no earlier position matches any query term
+      assert(
+        !toks.take(anchor.toInt - 1).exists(qTerms(qid).contains),
+        s"($qid,$did): anchor must be the FIRST match"
+      )
+    }
+    // --- facets: per-facet counts partition the boolean gate (no top-k
+    // cut), cross-checked against an independent client-side count
+    val facets = Retrieval
+      .facetCounts(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(facets.nonEmpty)
+    val gate = Retrieval
+      .booleanTopK(spark, sfDir, k = Int.MaxValue)
+      .select("qid", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lang: Map[Long, String] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val want = gate
+      .groupBy { case (q, d) => (q, lang(d)) }
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    assert(facets == want, "facet counts ≡ gate partitioned by lang")
+  }
+
   test("query-time posting scan prunes to the probed term buckets") {
     val tmp = Files.createTempDirectory("graft-ii-prune").toString
     // single-term query: probes exactly one wb bucket out of 16
