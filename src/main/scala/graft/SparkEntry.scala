@@ -392,6 +392,13 @@ object SparkEntry {
     // cut): the refinement sidebar per metadata value
     "p33n_facets" ->
       ((s, d) => graft.pipeline.Retrieval.facetCounts(s, d)),
+    // p33o/p33p — snippets and facets through the stored-index
+    // lifecycle (positions/postings bucket-pruned; text from the doc
+    // store — the Lucene stored-field fetch)
+    "p33o_snippets_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.snippetIndexLifecycle(s, d)),
+    "p33p_facets_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.facetIndexLifecycle(s, d)),
     // p33l — the full boolean query through the stored-index lifecycle
     "p33l_boolean_query_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.booleanQueryLifecycle(s, d)),
@@ -623,6 +630,9 @@ object SparkEntry {
     "p33k_boolean_query" -> PipelineOracles.booleanQueryTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
+    // same oracles as p33m/p33n by the indexed ≡ inline law
+    "p33o_snippets_indexed" -> PipelineOracles.snippetTopK,
+    "p33p_facets_indexed" -> PipelineOracles.facetCounts,
     // same oracle as p33k by the indexed ≡ inline law
     "p33l_boolean_query_indexed" -> PipelineOracles.booleanQueryTopK,
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,

@@ -1626,6 +1626,153 @@ object Retrieval {
     Eager.materialized(out, tf)
   }
 
+  /** Snippets against the STORED positional index: the hit ranking is
+    * [[bm25TopKIndexedOf]] (bucket-pruned), the anchor positions come
+    * from the stored `positions` member pruned to the query terms' wb
+    * buckets AND semi-joined to the hit docs (result-page-sized), and
+    * the window text slices from `docsTable` — the ORIGINAL document
+    * store (an index stores postings, not text; in production the text
+    * lives beside it — the Lucene stored-field analogue is exactly this
+    * keyed fetch of k × nQueries docs).
+    */
+  def snippetTopKIndexedOf(
+      spark: SparkSession,
+      queryTerms: DataFrame, // (qid, w) distinct
+      indexDir: String,
+      docsTable: DataFrame, // (doc_id, text) — the stored-field side
+      k: Int = 5,
+      window: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val qt0 = queryTerms.select("qid", "w").distinct()
+    val hits = bm25TopKIndexedOf(spark, qt0, indexDir, k, excludeSelf)
+    val (_, _, _, qtv) = indexViews(spark, indexDir, qt0)
+    val probedWb = qtv.select("wb").distinct().collect().map(_.getLong(0))
+    val hitDocs = hits.select("doc_id").distinct()
+    val anchors = spark.read
+      .parquet(liveDir(indexDir, "positions"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .select("doc_id", "w", "pos")
+      .join(hitDocs, Seq("doc_id"), "left_semi")
+      .join(broadcast(qt0), Seq("w"))
+      .join(broadcast(hits.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(min("pos").as("anchor"))
+    hits
+      .join(anchors, Seq("qid", "doc_id"))
+      .join(docsTable.join(hitDocs, Seq("doc_id"), "left_semi"), Seq("doc_id"))
+      .select(
+        col("qid"),
+        col("doc_id"),
+        col("rank"),
+        col("anchor"),
+        expr(
+          s"array_join(slice(filter(split(text, ' '), x -> x != ''), " +
+            s"greatest(anchor - $window, 1), ${2 * window + 1}), ' ')"
+        ).as("snippet")
+      )
+      .orderBy("qid", "rank")
+  }
+
+  /** P33o — the snippet lifecycle twin: build the positional history
+    * index, append the daily batch, snippet-search the store (same
+    * oracle as p33m by the indexed ≡ inline law).
+    */
+  def snippetIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      window: Int = 4
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33o-index") { tmp =>
+      writeInvertedIndexOf(
+        spark, d.filter(col("doc_id") < split), tmp, withPositions = true)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      snippetTopKIndexedOf(
+        spark,
+        postings(d.filter(col("doc_id") < nQueries))
+          .select(col("doc_id").as("qid"), col("w")),
+        tmp,
+        d,
+        k,
+        window
+      )
+    }
+  }
+
+  /** Facet counts against the STORED index: the boolean gate's
+    * aggregation runs over bucket-pruned posting rows (the p33j
+    * machinery — seed semi-join included), then the facet join touches
+    * only gated pairs. `queryTerms` is (qid, w) — every term required.
+    */
+  def facetCountsIndexedOf(
+      spark: SparkSession,
+      queryTerms: DataFrame,
+      indexDir: String,
+      meta: DataFrame, // (doc_id, <facet>) — the metadata projection
+      facet: String = "lang",
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val (post, dfm, _, qt) = indexViews(spark, indexDir, queryTerms)
+    val q = qt.select("qid", "w").distinct()
+    val nt = q.groupBy("qid").agg(countDistinct("w").as("nt"))
+    val wr = Window.partitionBy("qid").orderBy(col("df"), col("w"))
+    val rarest = q
+      .join(dfm, Seq("w"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select("qid", "w")
+    val seed0 = post
+      .join(broadcast(rarest), Seq("w"))
+      .select("qid", "doc_id")
+    val seed =
+      if (excludeSelf) seed0.filter(col("doc_id") =!= col("qid")) else seed0
+    val gated = post
+      .join(broadcast(q), Seq("w"))
+      .join(seed, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct("w").as("nm"))
+      .join(broadcast(nt), Seq("qid"))
+      .filter(col("nm") === col("nt"))
+      .select("qid", "doc_id")
+    gated
+      .join(meta, Seq("doc_id"))
+      .groupBy("qid", facet)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("qid"), col(facet))
+  }
+
+  /** P33p — the facet lifecycle twin (same oracle as p33n by the
+    * indexed ≡ inline law).
+    */
+  def facetIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      facet: String = "lang",
+      nQueries: Int = 5,
+      qLen: Int = 3
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    val meta = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col(facet))
+    Eager.withTempStore("graft-p33p-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      facetCountsIndexedOf(
+        spark,
+        queryAndTerms(d, nQueries, qLen),
+        tmp,
+        meta,
+        facet
+      )
+    }
+  }
+
   /** The shared RRF fusion tail: every leg contributes
     * `1000000 DIV (rrfK + rank)` per (qid, doc_id), summed exactly (ppm),
     * ranked desc with doc_id ties. Legs are (qid, doc_id, rank) pools —

@@ -627,6 +627,25 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mapValues(_.length.toLong)
       .toMap
     assert(facets == want, "facet counts ≡ gate partitioned by lang")
+    // --- the stored-index twins carry the inline oracles by the
+    // indexed ≡ inline law (the p33b/p33d argument)
+    def snipRows(df: DataFrame): Seq[(Long, Long, Long, Long, String)] =
+      df.select("qid", "doc_id", "rank", "anchor", "snippet")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(t => (t._1, t._3))
+        .toSeq
+    assert(
+      snipRows(Retrieval.snippetIndexLifecycle(spark, sfDir)) ==
+        snipRows(Retrieval.snippetTopK(spark, sfDir)),
+      "p33o ≡ p33m"
+    )
+    val facetsIdx = Retrieval
+      .facetIndexLifecycle(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(facetsIdx == facets, "p33p ≡ p33n")
   }
 
   test("query-time posting scan prunes to the probed term buckets") {
