@@ -40,9 +40,10 @@ object Maintenance {
   ): Store = Store(
     "inverted_index",
     dir,
-    // `positions` only exists in positional stores; a missing member
-    // reports 0 files and no layers — healthAll tolerates it
-    layeredDirs = Seq("postings", "df", "stats", "positions"),
+    // `positions`/`fields` only exist in positional / stored-field
+    // stores; a missing member reports 0 files and no layers —
+    // healthAll tolerates it
+    layeredDirs = Seq("postings", "df", "stats", "positions", "fields"),
     compact = s =>
       graft.pipeline.Retrieval
         .compactInvertedIndex(s, dir, protectLayersAbove)

@@ -399,6 +399,11 @@ object SparkEntry {
       ((s, d) => graft.pipeline.Retrieval.snippetIndexLifecycle(s, d)),
     "p33p_facets_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.facetIndexLifecycle(s, d)),
+    // p33q — SELF-CONTAINED snippets: the index's own stored-fields
+    // member serves the excerpt text (build → append → compact → serve
+    // the whole result page from one store root)
+    "p33q_snippets_stored" ->
+      ((s, d) => graft.pipeline.Retrieval.snippetStoredLifecycle(s, d)),
     // p33l — the full boolean query through the stored-index lifecycle
     "p33l_boolean_query_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.booleanQueryLifecycle(s, d)),
@@ -633,6 +638,8 @@ object SparkEntry {
     // same oracles as p33m/p33n by the indexed ≡ inline law
     "p33o_snippets_indexed" -> PipelineOracles.snippetTopK,
     "p33p_facets_indexed" -> PipelineOracles.facetCounts,
+    // p33q: fields round-trip text verbatim, so p33m's oracle carries
+    "p33q_snippets_stored" -> PipelineOracles.snippetTopK,
     // same oracle as p33k by the indexed ≡ inline law
     "p33l_boolean_query_indexed" -> PipelineOracles.booleanQueryTopK,
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,

@@ -216,7 +216,12 @@ object Retrieval {
       corpus: DataFrame,
       out: String,
       buckets: Int = IndexBuckets,
-      withPositions: Boolean = false
+      withPositions: Boolean = false,
+      withFields: Boolean = false // store the document TEXT beside the
+      //   postings (`fields/db=*`: doc_id, text, bucketed by doc_id) —
+      //   the Lucene stored-field: snippet serving needs the original
+      //   text, and a self-contained index serves it with a
+      //   bucket-pruned keyed fetch instead of a side lookup table
   ): Unit = graft.util.MaintainerLease.withMaintainer(
     java.nio.file.Paths.get(out)
   ) {
@@ -273,6 +278,16 @@ object Retrieval {
         .mode("overwrite")
         .partitionBy("wb", "layer")
         .parquet(s"$out/positions")
+    if (withFields)
+      corpus
+        .select(col("doc_id"), col("text"))
+        .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
+        .repartition(buckets, col("db"))
+        .withColumn("layer", lit(0L))
+        .write
+        .mode("overwrite")
+        .partitionBy("db", "layer")
+        .parquet(s"$out/fields")
     spark
       .range(1)
       .select(lit(buckets).as("buckets"))
@@ -360,13 +375,27 @@ object Retrieval {
         .mode("overwrite")
         .partitionBy("wb", "layer")
         .parquet(live("positions"))
+    // a stored-fields index extends its text alongside (same contract:
+    // the build's choice is the store's shape)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("fields"))))
+      newDocs
+        .select(col("doc_id"), col("text"))
+        .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
+        .repartition(buckets, col("db"))
+        .withColumn("layer", lit(layer))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("db", "layer")
+        .parquet(live("fields"))
     tf.unpersist(false)
   }
 
   /** The swappable store directories (`positions` only in positional
-    * stores); `params` is written once and never compacted.
+    * stores, `fields` only in stored-field stores); `params` is written
+    * once and never compacted.
     */
-  private val SwappedDirs = Seq("postings", "df", "stats", "positions")
+  private val SwappedDirs = Seq("postings", "df", "stats", "positions", "fields")
 
   /** Crash repair for an interrupted [[compactInvertedIndex]]; called by
     * every store consumer (query / append / compact) so a crashed
@@ -467,6 +496,18 @@ object Retrieval {
           .repartition(buckets, col("wb"))
           .write
           .partitionBy("wb", "layer")
+          .parquet(tmp.toString)
+      }
+    // fields rows are plain per-doc facts (disjoint across layers under
+    // the fresh-doc_ids contract) — folding is a rewrite, like positions
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("fields"))))
+      graft.util.DirSwap.swap(root, "fields") { tmp =>
+        spark.read
+          .parquet(live("fields"))
+          .withColumn("layer", folded)
+          .repartition(buckets, col("db"))
+          .write
+          .partitionBy("db", "layer")
           .parquet(tmp.toString)
       }
   }
@@ -1646,6 +1687,22 @@ object Retrieval {
   ): DataFrame = {
     val qt0 = queryTerms.select("qid", "w").distinct()
     val hits = bm25TopKIndexedOf(spark, qt0, indexDir, k, excludeSelf)
+    snippetsFromStore(spark, hits, qt0, indexDir, docsTable, window)
+  }
+
+  /** The shared stored-snippet tail over PRECOMPUTED hits: anchors from
+    * the stored positions (bucket-pruned + hit-doc-pruned), window text
+    * from `docsTable` — one hit ranking feeds both the anchor pass and
+    * the text fetch.
+    */
+  private def snippetsFromStore(
+      spark: SparkSession,
+      hits: DataFrame, // (qid, doc_id, rank, ...)
+      qt0: DataFrame, // (qid, w) distinct
+      indexDir: String,
+      docsTable: DataFrame,
+      window: Int
+  ): DataFrame = {
     val (_, _, _, qtv) = indexViews(spark, indexDir, qt0)
     val probedWb = qtv.select("wb").distinct().collect().map(_.getLong(0))
     val hitDocs = hits.select("doc_id").distinct()
@@ -1743,6 +1800,103 @@ object Retrieval {
       .groupBy("qid", facet)
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("qid"), col(facet))
+  }
+
+  /** The stored-fields fetch: the index's own `fields` member pruned to
+    * the wanted doc_ids' db buckets — the Lucene stored-field read. The
+    * wanted set is result-page-sized (k × nQueries), so collecting its
+    * bucket residues (≤ buckets) turns the text scan into a static
+    * partition-pruned read; the semi-join then keeps only the wanted
+    * rows inside those buckets.
+    */
+  private def storedFields(
+      spark: SparkSession,
+      indexDir: String,
+      docIds: DataFrame // (doc_id) — result-page-sized
+  ): DataFrame = {
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val wanted = docIds.select("doc_id").distinct()
+    val dbs = wanted
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("db"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0)) // ≤ buckets
+    spark.read
+      .parquet(liveDir(indexDir, "fields"))
+      .where(col("db").isin(dbs.toIndexedSeq: _*))
+      .join(wanted, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+  }
+
+  /** SELF-CONTAINED stored snippets: [[snippetTopKIndexedOf]] with the
+    * window text fetched from the index's OWN `fields` member instead of
+    * an external document table — the store built `withFields = true`
+    * serves the whole result page (ranks, anchors, excerpts) from one
+    * root.
+    */
+  def snippetTopKStoredOf(
+      spark: SparkSession,
+      queryTerms: DataFrame, // (qid, w) distinct
+      indexDir: String,
+      k: Int = 5,
+      window: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val qt0 = queryTerms.select("qid", "w").distinct()
+    // ONE hit ranking feeds the anchor pass AND the text fetch — the
+    // result page is small, so materialize it rather than re-derive it
+    val hits = Eager.materialized(
+      bm25TopKIndexedOf(spark, qt0, indexDir, k, excludeSelf))
+    val out = snippetsFromStore(
+      spark,
+      hits,
+      qt0,
+      indexDir,
+      storedFields(spark, indexDir, hits.select("doc_id")),
+      window
+    )
+    val res = Eager.materialized(out)
+    Eager.releaseCheckpoint(hits)
+    res
+  }
+
+  /** P33q — the SELF-CONTAINED snippet lifecycle: build the index with
+    * positions AND stored fields, append the daily batch (text extends
+    * alongside), then serve the result page — ranks, anchors, excerpts —
+    * from the store alone (the standard lifecycle protocol: build +
+    * append + search; fold identity through compaction is the spec's
+    * job, as for every other lifecycle query). Same oracle as p33m by
+    * the indexed ≡ inline law (the fields member round-trips the text
+    * verbatim through parquet).
+    */
+  def snippetStoredLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      window: Int = 4
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33q-index") { tmp =>
+      writeInvertedIndexOf(
+        spark,
+        d.filter(col("doc_id") < split),
+        tmp,
+        withPositions = true,
+        withFields = true
+      )
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      snippetTopKStoredOf(
+        spark,
+        postings(d.filter(col("doc_id") < nQueries))
+          .select(col("doc_id").as("qid"), col("w")),
+        tmp,
+        k,
+        window
+      )
+    }
   }
 
   /** P33p — the facet lifecycle twin (same oracle as p33n by the

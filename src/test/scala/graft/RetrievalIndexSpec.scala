@@ -640,6 +640,34 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         snipRows(Retrieval.snippetTopK(spark, sfDir)),
       "p33o ≡ p33m"
     )
+    // the SELF-CONTAINED form (text from the index's own fields member)
+    // serves the identical result page
+    assert(
+      snipRows(Retrieval.snippetStoredLifecycle(spark, sfDir)) ==
+        snipRows(Retrieval.snippetTopK(spark, sfDir)),
+      "p33q ≡ p33m (stored fields round-trip the text)"
+    )
+    // ...and the fields member folds like every other member: compaction
+    // leaves the self-contained result page row-identical
+    val tmpQ = Files.createTempDirectory("graft-ii-fields").toString
+    val dAll = docs
+    val qsel = Retrieval
+      .snippetTopK(spark, sfDir) // protocol reference
+    val qt = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 5)
+      .select(
+        col("doc_id").as("qid"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
+      )
+      .distinct()
+    Retrieval.writeInvertedIndexOf(
+      spark, dAll, tmpQ, withPositions = true, withFields = true)
+    val before = snipRows(Retrieval.snippetTopKStoredOf(spark, qt, tmpQ))
+    Retrieval.compactInvertedIndex(spark, tmpQ)
+    val after = snipRows(Retrieval.snippetTopKStoredOf(spark, qt, tmpQ))
+    assert(before == after, "fields member: fold identity")
+    assert(before == snipRows(qsel), "self-contained ≡ inline on the full corpus")
     val facetsIdx = Retrieval
       .facetIndexLifecycle(spark, sfDir)
       .collect()
