@@ -33,7 +33,11 @@ import org.apache.spark.sql.SparkSession
   * CPU-bound loop timed at run start (`canary_sec`) and end
   * (`canary_end_sec`). The ratio is host-speed-normalized: a plan
   * regression moves it, host slowness doesn't. The two canary values
-  * also bound speed drift WITHIN the run.
+  * also bound speed drift WITHIN the run. `canary_par_sec` /
+  * `canary_par_end_sec` run the same loop on every core concurrently:
+  * contention from a co-tenant shows there while the single-threaded
+  * canary stays flat, so wide (multi-core) queries normalize against
+  * the parallel stamp and narrow ones against the single stamp.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -124,7 +128,35 @@ object Bench {
       }
       if (h == 42L) System.err.println("") // keep the loop live
     }
+    // PARALLEL canary (the round-14 process note): `cores` threads each
+    // run the same mix loop CONCURRENTLY; the stamp is the wall until ALL
+    // finish. Under multi-core contention (another tenant burning cores)
+    // the parallel canary rises while the single-threaded one stays flat
+    // — the artifact itself now adjudicates contention instead of a
+    // hand comparison of cpu_sec across rounds. Uncontended, it reads
+    // close to the single-threaded canary (each core runs one thread).
+    def canaryParallel(): Double = {
+      val n = math.min(cores, 32)
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ =>
+        val t = new Thread(() => {
+          var h = 0x9e3779b97f4a7c15L
+          var i = 0
+          while (i < 200000000) {
+            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+            i += 1
+          }
+          if (h == 42L) System.err.println("") // keep the loop live
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] parallel canary ($n threads) $sec%.3f s")
+      sec
+    }
     val canaryStart = canary()
+    val canaryParStart = canaryParallel()
 
     // warmup: exercise codegen + parquet reader + shuffle machinery once
     // per table family (action log / documents / embeddings) — otherwise
@@ -220,6 +252,7 @@ object Bench {
       .getHeapMemoryUsage
       .getMax / (1024.0 * 1024.0)
     val canaryEnd = canary()
+    val canaryParEnd = canaryParallel()
 
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON ("0,123")
@@ -267,6 +300,7 @@ object Bench {
         s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
         s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
+        s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""
     println(line)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver

@@ -384,6 +384,25 @@ object SparkEntry {
     // terms score
     "p33k_boolean_query" ->
       ((s, d) => graft.pipeline.Retrieval.booleanQueryTopK(s, d)),
+    // p33r — prefix term query (Lucene PrefixQuery): expand to the
+    // capped dictionary terms under the prefix, rank by matched
+    // occurrences; p33r2 = the same through the stored index's SORTED
+    // dict member (range-pruned expansion scan)
+    "p33r_prefix_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.prefixTopK(s, d)),
+    // p33s — the clause matrix with Lucene minimumNumberShouldMatch = 1
+    // (optional clauses become a quorum, same gate aggregate)
+    "p33s_boolean_msm" ->
+      ((s, d) =>
+        graft.pipeline.Retrieval.booleanQueryTopK(s, d, minShouldMatch = 1)),
+    // p33s2/p33s3 — OR-of-ANDs (disjunction of conjunctive clauses):
+    // a union of seed-pruned AND gates, matched clauses' scores sum
+    "p33s2_boolean_dnf" ->
+      ((s, d) => graft.pipeline.Retrieval.dnfTopK(s, d)),
+    "p33s3_dnf_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.dnfIndexLifecycle(s, d)),
+    "p33r2_prefix_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.prefixIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -633,6 +652,13 @@ object SparkEntry {
     // same oracle as p33i by the indexed ≡ inline law
     "p33j_boolean_indexed" -> PipelineOracles.booleanTopK,
     "p33k_boolean_query" -> PipelineOracles.booleanQueryTopK,
+    "p33r_prefix_topk" -> PipelineOracles.prefixTopK,
+    "p33s_boolean_msm" -> PipelineOracles.booleanMsmTopK,
+    "p33s2_boolean_dnf" -> PipelineOracles.dnfTopK,
+    // same oracle as p33s2 by the indexed ≡ inline law
+    "p33s3_dnf_indexed" -> PipelineOracles.dnfTopK,
+    // same oracle as p33r by the indexed ≡ inline law
+    "p33r2_prefix_indexed" -> PipelineOracles.prefixTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracles as p33m/p33n by the indexed ≡ inline law

@@ -952,12 +952,32 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** The k17 adaptive probe width as a DuckDB scalar subquery over the
+    * SAME counts the engine uses: LEAST(kCentroids,
+    * ceildiv(nprobe × |corpus|, |allowed ∩ corpus|)) — the qualifying
+    * count is intersected with the code corpus exactly as
+    * knnIvfIndexedExactFilteredAdaptiveOf semi-joins `allowed` against
+    * the store's vec_ids, and a zero qualifying count falls back to the
+    * base nprobe (mirroring the engine's nAllowed <= 0 branch) instead
+    * of erroring on the division.
+    */
+  private def adaptiveNprobeSql(nprobe: Int, kCentroids: Int = 16): String =
+    s"""(SELECT CASE WHEN COUNT(DISTINCT d.doc_id) = 0 THEN $nprobe
+                ELSE LEAST($kCentroids,
+                           ($nprobe * (SELECT COUNT(*) FROM q)
+                            + COUNT(DISTINCT d.doc_id) - 1)
+                           // COUNT(DISTINCT d.doc_id)) END
+         FROM documents d
+         WHERE d.lang = 'en'
+           AND d.doc_id IN (SELECT vec_id FROM q))"""
+
   /** k17 — SELECTIVITY-ADAPTIVE filtered stored ANN
     * (graft.pipeline.Similarity.knnIvfFilteredAdaptiveLifecycle): the k15
     * chain with the probe width computed from the filter itself —
-    * LEAST(kCentroids, ceildiv(nprobe × corpus, qualifying)) in exact
-    * integer arithmetic, replaying the adaptive law's width selection
-    * bit-for-bit.
+    * LEAST(kCentroids, ceildiv(nprobe × corpus, qualifying ∩ corpus)) in
+    * exact integer arithmetic, replaying the adaptive law's width
+    * selection bit-for-bit (intersection and zero-fallback included —
+    * see [[adaptiveNprobeSql]]).
     */
   lazy val knnIvfFilteredAdaptive: String = s"""
     SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, score
@@ -966,13 +986,55 @@ object PipelineOracles {
       2,
       5,
       "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
-      nprobeSql = Some(
-        """(SELECT LEAST(16, (2 * (SELECT COUNT(*) FROM q)
-                            + COUNT(DISTINCT doc_id) - 1)
-                           // COUNT(DISTINCT doc_id))
-           FROM documents WHERE lang = 'en')"""
-      )
+      nprobeSql = Some(adaptiveNprobeSql(2))
     )}) lf
+    ORDER BY qid, rnk
+  """
+
+  /** p33r — PREFIX term query (graft.pipeline.Retrieval.prefixTopK,
+    * nQueries=5, prefixLen=3, k=5, maxExpansions=64): each query doc
+    * contributes its first token's first 3 characters; the query expands
+    * to the first 64 dictionary terms (term order) with that prefix
+    * (Lucene PrefixQuery under the constant-score rewrite + clause cap),
+    * and candidates rank by total matched occurrences Σ tf. p33r2 (the
+    * stored-index lifecycle over the sorted dict member) carries the
+    * same oracle by the indexed ≡ inline law.
+    */
+  val prefixTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    q AS (
+      SELECT doc_id AS qid, substr(w[1], 1, 3) AS pfx
+      FROM ws WHERE doc_id < 5 AND len(w) >= 1
+    ),
+    expq AS (
+      SELECT qid, w1 FROM (
+        SELECT q.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY t.w1) AS rn
+        FROM q JOIN (SELECT DISTINCT w1 FROM tf) t
+          ON starts_with(t.w1, q.pfx)
+      ) e WHERE rn <= 64
+    ),
+    sc AS (
+      SELECT e.qid, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS score
+      FROM expq e JOIN tf t ON t.w1 = e.w1
+      WHERE t.doc_id <> e.qid
+      GROUP BY e.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
     ORDER BY qid, rnk
   """
 
@@ -1064,7 +1126,15 @@ object PipelineOracles {
     * stored-index lifecycle) carries the same oracle by the indexed ≡
     * inline law.
     */
-  val booleanQueryTopK: String = """
+  val booleanQueryTopK: String = booleanQuerySql(0)
+
+  /** p33s — the p33k clause matrix with Lucene minimumNumberShouldMatch:
+    * a candidate must additionally match at least `msm` DISTINCT SHOULD
+    * terms; scoring is unchanged (matched MUST ∪ SHOULD ppm sum).
+    */
+  lazy val booleanMsmTopK: String = booleanQuerySql(1)
+
+  private def booleanQuerySql(msm: Int): String = s"""
     WITH ws AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
@@ -1113,6 +1183,12 @@ object PipelineOracles {
       FROM tf t JOIN qsel q ON t.w1 = q.w1 AND q.role = 'must_not'
       WHERE t.doc_id <> q.qid
     ),
+    sm AS (
+      SELECT q.qid, t.doc_id, COUNT(DISTINCT t.w1) AS ns
+      FROM tf t JOIN qsel q ON t.w1 = q.w1 AND q.role = 'should'
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
     qt AS (
       SELECT q.qid, q.w1,
              ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
@@ -1137,7 +1213,8 @@ object PipelineOracles {
       FROM sc
       JOIN gate USING (qid, doc_id)
       LEFT JOIN ex ON ex.qid = sc.qid AND ex.doc_id = sc.doc_id
-      WHERE ex.doc_id IS NULL
+      LEFT JOIN sm ON sm.qid = sc.qid AND sm.doc_id = sc.doc_id
+      WHERE ex.doc_id IS NULL AND COALESCE(sm.ns, 0) >= $msm
     ),
     r AS (
       SELECT qid, doc_id, score,
@@ -1148,6 +1225,80 @@ object PipelineOracles {
     SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
            CAST(score AS BIGINT) AS score
     FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** p33s2 — OR-of-ANDs (graft.pipeline.Retrieval.dnfTopK, nQueries=5,
+    * 2 clauses × 2 terms, k=5): clause 0 = the query doc's first 2
+    * distinct terms, clause 1 = the next 2; a doc qualifies by matching
+    * ALL terms of ANY clause, and its score SUMS the matched clauses'
+    * BM25 ppm scores (each clause scores independently — a shared term
+    * counts in each matching clause, the Lucene BooleanQuery-of-
+    * conjunctions semantics). p33s3 (the stored lifecycle) carries the
+    * same oracle by the indexed ≡ inline law.
+    */
+  val dnfTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    qsel AS (
+      SELECT qid, (rn - 1) // 2 AS cid, w1
+      FROM (
+        SELECT doc_id AS qid, w1,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY minp) AS rn
+        FROM (SELECT doc_id, w1, MIN(pos) AS minp FROM pos
+              WHERE doc_id < 5 GROUP BY doc_id, w1) f
+      ) r WHERE rn <= 4
+    ),
+    nt AS (
+      SELECT qid, cid, COUNT(DISTINCT w1) AS nt FROM qsel GROUP BY qid, cid
+    ),
+    qt AS (
+      SELECT q.qid, q.cid, q.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM qsel q JOIN df d USING (w1)
+    ),
+    csc AS (
+      SELECT q.qid, q.cid, t.doc_id, COUNT(DISTINCT t.w1) AS nm,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS cscore
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, q.cid, t.doc_id
+    ),
+    sc AS (
+      SELECT c.qid, c.doc_id, CAST(SUM(c.cscore) AS BIGINT) AS score
+      FROM csc c JOIN nt ON nt.qid = c.qid AND nt.cid = c.cid
+      WHERE c.nm = nt.nt
+      GROUP BY c.qid, c.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
     ORDER BY qid, rnk
   """
 
@@ -2902,6 +3053,9 @@ object PipelineOracles {
     * semantics in both engines (start clamped to 1, fixed 2w+1 length,
     * short only at the doc's end).
     */
+  // anchor = the BEST window (densest ±4 matched positions, earliest on
+  // ties) — the round-15 Lucene-highlighter upgrade; the first-match
+  // anchor is the all-ties degenerate case
   val snippetTopK: String = """
     WITH ws AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -2948,12 +3102,24 @@ object PipelineOracles {
       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
       WHERE doc_id IN (SELECT doc_id FROM hits)
     ),
-    anch AS (
-      SELECT h.qid, h.doc_id, CAST(MIN(p.pos) AS BIGINT) AS anchor
+    mp AS (
+      SELECT h.qid, h.doc_id, p.pos
       FROM hits h
       JOIN pos p ON p.doc_id = h.doc_id
       JOIN qt q ON q.qid = h.qid AND q.w1 = p.w1
-      GROUP BY h.qid, h.doc_id
+    ),
+    acand AS (
+      SELECT a.qid, a.doc_id, a.pos, COUNT(*) AS cnt
+      FROM mp a JOIN mp b ON b.qid = a.qid AND b.doc_id = a.doc_id
+        AND b.pos BETWEEN a.pos - 4 AND a.pos + 4
+      GROUP BY a.qid, a.doc_id, a.pos
+    ),
+    anch AS (
+      SELECT qid, doc_id, CAST(pos AS BIGINT) AS anchor FROM (
+        SELECT qid, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY qid, doc_id
+                                  ORDER BY cnt DESC, pos) AS rn
+        FROM acand) z WHERE rn = 1
     )
     SELECT a.qid, a.doc_id, CAST(h.rnk AS BIGINT) AS rank, a.anchor,
            array_to_string(
@@ -3408,7 +3574,10 @@ object PipelineOracles {
   private def hybridStoredSql(
       lexFilter: String, // extra predicate on lexical candidates (t.doc_id)
       densExtra: String, // candExtra for the dense leg's lifecycle pool
-      proxFilter: String // extra predicate on proximity slot-1 (p.doc_id)
+      proxFilter: String, // extra predicate on proximity slot-1 (p.doc_id)
+      densNprobeSql: Option[String] = None // p36f: the dense leg's
+      //   selectivity-adaptive probe width (the engine's default since
+      //   adaptiveNprobe flipped to true)
   ): String = s"""
     WITH ws AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -3453,7 +3622,7 @@ object PipelineOracles {
     ),
     dens AS (
       SELECT qid, vec_id AS doc_id, rnk
-      FROM (${indexLifecyclePool(5, 2, 20, densExtra)}) dl
+      FROM (${indexLifecyclePool(5, 2, 20, densExtra, densNprobeSql)}) dl
     ),
     pos AS (
       SELECT doc_id, g.i AS pos, w[g.i] AS w1
@@ -3540,12 +3709,16 @@ object PipelineOracles {
     * chain with every leg's candidates restricted to the English
     * documents BEFORE ranking (exact pre-filter semantics); df/N and the
     * quantizer stay corpus-grain (Lucene filter-query semantics, mirrored
-    * by the engine).
+    * by the engine); the dense leg's probe width is selectivity-adaptive
+    * (the engine's default — graded here, not just in k17).
     */
   lazy val hybridStoredFiltered: String = hybridStoredSql(
     "AND t.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
     "AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
-    "AND p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    "AND p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    // the dense leg's probe widens with the filter's selectivity — the
+    // engine's adaptiveNprobe default since round 15 (the k17 law)
+    densNprobeSql = Some(adaptiveNprobeSql(2))
   )
 
 

@@ -1205,13 +1205,13 @@ object Dedup {
       out: String,
       spanWords: Int = 10
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     import spark.implicits._
     // a REBUILD into an existing store supersedes any swapped generation;
     // fenced so the retraction cannot race a compaction's swap
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(out).resolve("windows.current")): Unit
+    graft.util.Blob.deleteIfExists(
+      graft.util.Loc.join(out, "windows.current"))
     spanWindows(tokenized(d), spanWords, fingerprint = true)
       .select("win")
       .distinct()
@@ -1247,12 +1247,12 @@ object Dedup {
         .select("win")
         .distinct()
         .join(
-          spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString),
+          spark.read.parquet(graft.util.DirSwap.resolve(indexDir, "windows")),
           Seq("win"),
           "left_anti"
         )
     )
-    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
+    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(indexDir, "windows"))
     Eager.releaseCheckpoint(novel)
   }
 
@@ -1366,10 +1366,10 @@ object Dedup {
       indexDir: String,
       targetFiles: Int = 8
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(indexDir)
+    indexDir
   ) {
-    val root = java.nio.file.Paths.get(indexDir)
-    val live = graft.util.DirSwap.resolve(root, "windows").toString
+    val root = indexDir
+    val live = graft.util.DirSwap.resolve(root, "windows")
     graft.util.DirSwap.swap(root, "windows") { tmp =>
       spark.read
         .parquet(live)
@@ -1387,7 +1387,7 @@ object Dedup {
     * fails fast on a store damaged outside the protocol.
     */
   def repairSpanIndex(indexDir: String): Unit =
-    graft.util.DirSwap.repair(java.nio.file.Paths.get(indexDir), "windows")
+    graft.util.DirSwap.repair(indexDir, "windows")
 
   /** D12 incremental form: clean a NEW batch against a PERSISTED span
     * index ([[writeSpanIndex]]) — the old corpus never re-windows. A new
@@ -1419,7 +1419,7 @@ object Dedup {
     val dupStarts = grouped
       .withColumn("nd", count(lit(1)).over(Window.partitionBy("win")))
       .join(
-        spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
+        spark.read.parquet(graft.util.DirSwap.resolve(indexDir, "windows"))
           .select(col("win").as("iw"), lit(1).as("in_index")),
         col("win") === col("iw"),
         "left"
@@ -1586,13 +1586,13 @@ object Dedup {
       out: String,
       chunkWords: Int = 20
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     import spark.implicits._
     // a REBUILD into an existing store supersedes any swapped generation;
     // fenced so the retraction cannot race a compaction's swap
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(out).resolve("windows.current")): Unit
+    graft.util.Blob.deleteIfExists(
+      graft.util.Loc.join(out, "windows.current"))
     chunkRows(tokenized(d), chunkWords)
       .select(chunkFp(col("chunk")).as("win"))
       .distinct()
@@ -1621,12 +1621,12 @@ object Dedup {
         .select(chunkFp(col("chunk")).as("win"))
         .distinct()
         .join(
-          spark.read.parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString),
+          spark.read.parquet(graft.util.DirSwap.resolve(indexDir, "windows")),
           Seq("win"),
           "left_anti"
         )
     )
-    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(java.nio.file.Paths.get(indexDir), "windows").toString)
+    novel.write.mode("append").parquet(graft.util.DirSwap.resolve(indexDir, "windows"))
     Eager.releaseCheckpoint(novel)
   }
 
@@ -1657,7 +1657,7 @@ object Dedup {
       .join(
         spark.read
           .parquet(graft.util.DirSwap
-            .resolve(java.nio.file.Paths.get(indexDir), "windows")
+            .resolve(indexDir, "windows")
             .toString)
           .select(col("win").as("iw"), lit(1).as("in_index")),
         col("key") === col("iw"),

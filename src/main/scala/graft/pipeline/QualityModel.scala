@@ -194,15 +194,15 @@ object QualityModel {
       hist: DataFrame,
       out: String
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     // a REBUILD into an existing store supersedes any swapped generation:
     // drop the pointers so the plain directories are live again — under
     // the store's maintainer claim, so the retraction cannot race a
     // fenced compaction's swaps
-    val root = java.nio.file.Paths.get(out)
+    val root = out
     Seq("uni", "bi").foreach(n =>
-      java.nio.file.Files.deleteIfExists(root.resolve(s"$n.current")): Unit)
+      graft.util.Blob.deleteIfExists(graft.util.Loc.join(root, s"$n.current")))
     val h = lmWords(hist).cache()
     uniCounts(h)
       .withColumn("layer", lit(0L))
@@ -239,9 +239,9 @@ object QualityModel {
   ): Unit = {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairLmModel(modelDir)
-    val root = java.nio.file.Paths.get(modelDir)
+    val root = modelDir
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     val h = lmWords(batch).cache()
     uniCounts(h)
       .withColumn("layer", lit(layer))
@@ -270,7 +270,7 @@ object QualityModel {
     * read views are sum-merges, so compaction commutes per-directory.
     */
   def repairLmModel(modelDir: String): Unit = {
-    val root = java.nio.file.Paths.get(modelDir)
+    val root = modelDir
     Seq("uni", "bi").foreach(graft.util.DirSwap.repair(root, _))
   }
 
@@ -290,12 +290,12 @@ object QualityModel {
       targetFiles: Int = 8,
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(modelDir)
+    modelDir
   ) {
-    val root = java.nio.file.Paths.get(modelDir)
+    val root = modelDir
     repairLmModel(modelDir)
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     val folded = when(
       col("layer").cast("long") <= lit(protectLayersAbove),
       lit(0L)
@@ -330,9 +330,9 @@ object QualityModel {
       modelDir: String
   ): DataFrame = {
     repairLmModel(modelDir)
-    val root = java.nio.file.Paths.get(modelDir)
+    val root = modelDir
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     scoreAgainstCounts(
       spark.read
         .parquet(live("uni"))
@@ -380,11 +380,11 @@ object QualityModel {
       compactOverLayers: Int = 8
   ): DataFrame = {
     repairLmModel(modelDir)
-    val root = java.nio.file.Paths.get(modelDir)
-    def live(sub: String): java.nio.file.Path =
+    val root = modelDir
+    def live(sub: String): String =
       graft.util.DirSwap.resolve(root, sub)
     def layersOf(sub: String): Long = spark.read
-      .parquet(live(sub).toString)
+      .parquet(live(sub))
       .select(col("layer").cast("long"))
       .distinct()
       .count()

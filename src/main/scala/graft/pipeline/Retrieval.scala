@@ -167,7 +167,7 @@ object Retrieval {
 
   private def liveDir(indexDir: String, sub: String): String =
     graft.util.DirSwap
-      .resolve(java.nio.file.Paths.get(indexDir), sub)
+      .resolve(indexDir, sub)
       .toString
 
   /** Token positions at the corpus's standard whitespace grain —
@@ -223,7 +223,7 @@ object Retrieval {
       //   text, and a self-contained index serves it with a
       //   bucket-pruned keyed fetch instead of a side lookup table
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     // a REBUILD into an existing store supersedes everything the old
     // store held — retract each member ENTIRELY (pointer, generations,
@@ -236,7 +236,7 @@ object Retrieval {
     // compaction is serialized instead of deleting generations mid-swap —
     // "offline by contract" is now enforced, not just documented.
     SwappedDirs.foreach(n =>
-      graft.util.DirSwap.drop(java.nio.file.Paths.get(out), n))
+      graft.util.DirSwap.drop(out, n))
     // repartition by wb BEFORE the partitioned write: one file per bucket
     // per ingest instead of (shuffle partitions × buckets) fragments — the
     // write-once/read-many trade (one extra ingest shuffle buys compact
@@ -261,6 +261,24 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("wb", "layer")
       .parquet(s"$out/df")
+    // the SORTED term dictionary (`dict`): the same (w, df) facts as
+    // `df`, organized for PREFIX pruning instead of hash-bucket probing —
+    // range-partitioned and sorted on the term, so each file covers a
+    // disjoint lexicographic range and a prefix query's `w >= p AND
+    // w < succ(p)` pushdown skips every non-overlapping file on parquet
+    // min/max stats (the Lucene sorted term dictionary, Spark-first: no
+    // partition-value explosion under unicode alphabets, no driver-side
+    // bucket math). Term-grain, so it is the df member's size — tiny
+    // beside postings.
+    tf.groupBy("w")
+      .agg(count(lit(1)).as("df"))
+      .repartitionByRange(buckets, col("w"))
+      .sortWithinPartitions("w")
+      .withColumn("layer", lit(0L))
+      .write
+      .mode("overwrite")
+      .partitionBy("layer")
+      .parquet(s"$out/dict")
     corpus
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
@@ -329,9 +347,9 @@ object Retrieval {
   ): Unit = {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairInvertedIndex(indexDir)
-    val root = java.nio.file.Paths.get(indexDir)
+    val root = indexDir
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val tf = postingsWithLen(newDocs)
@@ -353,6 +371,21 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("wb", "layer")
       .parquet(live("df"))
+    // pre-dict stores (older layouts) lack the sorted dictionary; an
+    // append must not create a PARTIAL one (a delta-only dict would
+    // silently under-expand prefix queries) — the build's choice is the
+    // store's shape, like positions/fields
+    if (graft.util.Blob.exists(live("dict")))
+      tf.groupBy("w")
+        .agg(count(lit(1)).as("df"))
+        .repartitionByRange(math.max(buckets / 4, 1), col("w"))
+        .sortWithinPartitions("w")
+        .withColumn("layer", lit(layer))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("layer")
+        .parquet(live("dict"))
     newDocs
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
@@ -365,7 +398,7 @@ object Retrieval {
     // a positional store extends its positions with the batch; a
     // frequency-only store stays frequency-only (the build's choice is
     // the store's contract — readers never guess)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("positions"))))
+    if (graft.util.Blob.exists(live("positions")))
       positionalPostings(newDocs)
         .withColumn("wb", wbOf(col("w"), buckets))
         .repartition(buckets, col("wb"))
@@ -377,7 +410,7 @@ object Retrieval {
         .parquet(live("positions"))
     // a stored-fields index extends its text alongside (same contract:
     // the build's choice is the store's shape)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("fields"))))
+    if (graft.util.Blob.exists(live("fields")))
       newDocs
         .select(col("doc_id"), col("text"))
         .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
@@ -395,7 +428,8 @@ object Retrieval {
     * stores, `fields` only in stored-field stores); `params` is written
     * once and never compacted.
     */
-  private val SwappedDirs = Seq("postings", "df", "stats", "positions", "fields")
+  private val SwappedDirs =
+    Seq("postings", "df", "dict", "stats", "positions", "fields")
 
   /** Crash repair for an interrupted [[compactInvertedIndex]]; called by
     * every store consumer (query / append / compact) so a crashed
@@ -406,7 +440,7 @@ object Retrieval {
     * three swaps need no mutual atomicity.
     */
   def repairInvertedIndex(indexDir: String): Unit = {
-    val root = java.nio.file.Paths.get(indexDir)
+    val root = indexDir
     SwappedDirs.foreach(graft.util.DirSwap.repair(root, _))
   }
 
@@ -441,14 +475,14 @@ object Retrieval {
       indexDir: String,
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(indexDir)
+    indexDir
   ) {
     // the claim covers ALL member swaps: a rival maintainer cannot win
     // some of {postings, df, stats, positions} while this one wins others
-    val root = java.nio.file.Paths.get(indexDir)
+    val root = indexDir
     repairInvertedIndex(indexDir)
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val folded = when(
@@ -475,6 +509,21 @@ object Retrieval {
         .partitionBy("wb", "layer")
         .parquet(tmp.toString)
     }
+    // pre-dict stores (older layouts) simply lack the member; compaction
+    // must not invent it — the build's choice is the store's shape
+    if (graft.util.Blob.exists(live("dict")))
+      graft.util.DirSwap.swap(root, "dict") { tmp =>
+        spark.read
+          .parquet(live("dict"))
+          .withColumn("layer", folded)
+          .groupBy("w", "layer")
+          .agg(sum("df").as("df"))
+          .repartitionByRange(buckets, col("w"))
+          .sortWithinPartitions("w")
+          .write
+          .partitionBy("layer")
+          .parquet(tmp.toString)
+      }
     graft.util.DirSwap.swap(root, "stats") { tmp =>
       spark.read
         .parquet(live("stats"))
@@ -488,7 +537,7 @@ object Retrieval {
         .partitionBy("layer")
         .parquet(tmp.toString)
     }
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("positions"))))
+    if (graft.util.Blob.exists(live("positions")))
       graft.util.DirSwap.swap(root, "positions") { tmp =>
         spark.read
           .parquet(live("positions"))
@@ -500,7 +549,7 @@ object Retrieval {
       }
     // fields rows are plain per-doc facts (disjoint across layers under
     // the fresh-doc_ids contract) — folding is a rewrite, like positions
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(live("fields"))))
+    if (graft.util.Blob.exists(live("fields")))
       graft.util.DirSwap.swap(root, "fields") { tmp =>
         spark.read
           .parquet(live("fields"))
@@ -528,11 +577,11 @@ object Retrieval {
       compactOverLayers: Int = 8
   ): DataFrame = {
     repairInvertedIndex(indexDir)
-    val root = java.nio.file.Paths.get(indexDir)
-    def live(sub: String): java.nio.file.Path =
+    val root = indexDir
+    def live(sub: String): String =
       graft.util.DirSwap.resolve(root, sub)
     def layersOf(sub: String): Long = spark.read
-      .parquet(live(sub).toString)
+      .parquet(live(sub))
       .select(col("layer").cast("long"))
       .distinct()
       .count()
@@ -568,9 +617,9 @@ object Retrieval {
       queryTerms: DataFrame
   ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     repairInvertedIndex(indexDir)
-    val root = java.nio.file.Paths.get(indexDir)
+    val root = indexDir
     def live(sub: String): String =
-      graft.util.DirSwap.resolve(root, sub).toString
+      graft.util.DirSwap.resolve(root, sub)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
     val qt = queryTerms.withColumn("wb", wbOf(col("w"), buckets))
@@ -670,6 +719,332 @@ object Retrieval {
       appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
       keywordTopKIndexed(spark, dir, tmp, nQueries, k)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Prefix / wildcard term queries (p33r) — Lucene's PrefixQuery /
+  // WildcardQuery (lucene/core/.../search/PrefixQuery.java,
+  // WildcardQuery.java): a multi-term query rewrites to the documents
+  // matching ANY dictionary term with the prefix, capped at a maximum
+  // expansion count (Lucene's maxClauseCount guard, deterministic here:
+  // the first `maxExpansions` matching terms in lexicographic order).
+  // Scoring is the matched-occurrence count Σ tf over the expanded terms
+  // (constant per-term weight — Lucene's constant-score rewrite), which
+  // keeps the whole query exact-integer and oracle-replayable. The stored
+  // form prunes the expansion scan through the `dict` member's SORTED
+  // organization (range pushdown on parquet min/max stats), then probes
+  // only the expanded terms' wb posting buckets.
+  // ---------------------------------------------------------------------
+
+  /** Per-query prefixes under the standard protocol: the `nQueries`
+    * lowest doc_ids each contribute the first `prefixLen` characters of
+    * their FIRST token. Row-local (one select over the query docs).
+    */
+  private[graft] def prefixQueries(
+      d: DataFrame,
+      nQueries: Int,
+      prefixLen: Int
+  ): DataFrame =
+    d.filter(col("doc_id") < nQueries)
+      .select(
+        col("doc_id").as("qid"),
+        expr(
+          s"substring(element_at(filter(split(text, ' '), x -> x != ''), 1), 1, $prefixLen)"
+        ).as("pfx")
+      )
+      .filter(col("pfx").isNotNull && length(col("pfx")) > 0)
+
+  /** Shared expansion + scoring: terms matching each query's prefix (the
+    * first `maxExpansions` in term order), then candidates scored by the
+    * total matched occurrences. `terms` is the (w)-grain dictionary view
+    * (inline: distinct postings terms; stored: the pruned dict scan).
+    */
+  private def prefixScore(
+      terms: DataFrame,
+      tf: DataFrame, // (doc_id, w, tf)
+      queries: DataFrame, // (qid, pfx)
+      k: Int,
+      maxExpansions: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val expanded = terms
+      .select("w")
+      .distinct()
+      .join(broadcast(queries), col("w").startsWith(col("pfx")))
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+    val rankW =
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val cand = tf.join(broadcast(expanded), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+      .groupBy("qid", "doc_id")
+      .agg(sum("tf").as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33r (inline) — prefix top-k over `corpus`: documents containing any
+    * term with the query's prefix, ranked by total matched occurrences.
+    * `queries` is (qid, pfx).
+    */
+  def prefixTopKOf(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val tf = postings(corpus)
+    prefixScore(tf, tf, queries, k, maxExpansions, excludeSelf)
+  }
+
+  /** [[prefixTopKOf]] under the standard query protocol. */
+  def prefixTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      prefixLen: Int = 3,
+      k: Int = 5,
+      maxExpansions: Int = 64
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    prefixTopKOf(spark, d, prefixQueries(d, nQueries, prefixLen), k, maxExpansions)
+  }
+
+  /** Lexicographic range covering `startsWith(prefix)`: `w >= prefix AND
+    * w < successor` where the successor increments the prefix's last
+    * character — the pushdown parquet min/max skipping needs (a plain
+    * `startsWith` does not push as a range). Falls back to the
+    * unbounded-above range when the last character cannot increment
+    * (U+FFFF — never in tokenized text; correctness keeps the startsWith
+    * filter regardless).
+    */
+  private def prefixRangeCond(w: Column, prefix: String): Column = {
+    val ge = w >= lit(prefix)
+    val last = prefix.last
+    val bounded =
+      if (last < Char.MaxValue)
+        ge && w < lit(prefix.init + (last + 1).toChar)
+      else ge
+    bounded && w.startsWith(lit(prefix))
+  }
+
+  /** P33r (stored) — prefix top-k against the persisted index: the
+    * expansion reads ONLY the dict files whose [min,max] term range
+    * overlaps a query prefix (range pushdown over the sorted dictionary),
+    * and the posting scan reads only the expanded terms' wb buckets —
+    * never the corpus, never the full dictionary. Row-identical to
+    * [[prefixTopKOf]] (RetrievalIndexSpec law). `queries` is (qid, pfx);
+    * the prefixes are collected (nQueries-bounded, like the probed-bucket
+    * set) to drive the pushdown predicate.
+    */
+  def prefixTopKIndexedOf(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    val root = indexDir
+    def live(sub: String): String = graft.util.DirSwap.resolve(root, sub)
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val prefixes = queries
+      .select("pfx")
+      .distinct()
+      .collect() // ≤ nQueries — the driver-bounded probe set
+      .map(_.getString(0))
+      .toSeq
+    if (prefixes.isEmpty)
+      return spark
+        .createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            Seq("qid", "doc_id", "rank", "score").map(n =>
+              org.apache.spark.sql.types.StructField(
+                n,
+                org.apache.spark.sql.types.LongType))))
+    val dictPruned = spark.read
+      .parquet(live("dict"))
+      .where(prefixes.map(prefixRangeCond(col("w"), _)).reduce(_ || _))
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val expanded = dictPruned
+      .select("w")
+      .distinct()
+      .join(broadcast(queries), col("w").startsWith(col("pfx")))
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+      .cache()
+    val probedWb = expanded
+      .select(wbOf(col("w"), buckets).as("wb"))
+      .distinct()
+      .collect() // ≤ buckets
+      .map(_.getLong(0))
+    val out =
+      if (probedWb.isEmpty)
+        expanded.select(
+          col("qid"),
+          col("qid").as("doc_id"),
+          lit(0L).as("rank"),
+          lit(0L).as("score")
+        ).limit(0)
+      else {
+        val post = spark.read
+          .parquet(live("postings"))
+          .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+        val rankW =
+          Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+        val cand = post.join(broadcast(expanded), Seq("w"))
+        (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+          .groupBy("qid", "doc_id")
+          .agg(sum("tf").as("score"))
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+          .filter(col("rank") <= k)
+          .select("qid", "doc_id", "rank", "score")
+          .orderBy("qid", "rank")
+      }
+    out
+  }
+
+  /** [[prefixTopKIndexedOf]] under the standard query protocol. */
+  def prefixTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      prefixLen: Int = 3,
+      k: Int = 5,
+      maxExpansions: Int = 64
+  ): DataFrame =
+    prefixTopKIndexedOf(
+      spark,
+      prefixQueries(docs(spark, dir), nQueries, prefixLen),
+      indexDir,
+      k,
+      maxExpansions
+    )
+
+  /** P33r2 — the prefix lifecycle: build the stored index over the
+    * history 80%, append the daily 20%, search the sorted dictionary.
+    * Merged-store reads ≡ the inline [[prefixTopK]] (the p33b argument),
+    * so the inline oracle carries.
+    */
+  def prefixIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      prefixLen: Int = 3,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33r-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      prefixTopKIndexed(spark, dir, tmp, nQueries, prefixLen, k)
+    }
+  }
+
+  /** Wildcard top-k against the persisted index — Lucene's WildcardQuery
+    * with the leading-literal optimization: `*` matches any run, `?` any
+    * single character; the literal prefix BEFORE the first wildcard
+    * prunes the dictionary scan exactly like [[prefixTopKIndexedOf]]
+    * (a leading-wildcard pattern scans the whole dictionary — the same
+    * cost Lucene documents for it), and the residual pattern filters the
+    * pruned terms. Expansion cap, scoring, and bucket probing are the
+    * prefix query's. `queries` is (qid, pattern).
+    */
+  def wildcardTopKIndexedOf(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    val root = indexDir
+    def live(sub: String): String = graft.util.DirSwap.resolve(root, sub)
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    def litPrefix(pat: String): String = pat.takeWhile(c => c != '*' && c != '?')
+    val pats = queries
+      .select("pattern")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    val prunes = pats.map { p =>
+      val pre = litPrefix(p)
+      if (pre.isEmpty) lit(true) else prefixRangeCond(col("w"), pre)
+    }
+    val qLike = queries.select(
+      col("qid"),
+      col("pattern"),
+      udfFreeLikePattern(col("pattern")).as("like_pat")
+    )
+    val dictPruned = spark.read
+      .parquet(live("dict"))
+      .where(if (prunes.isEmpty) lit(false) else prunes.reduce(_ || _))
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val expanded = dictPruned
+      .select("w")
+      .distinct()
+      .join(
+        broadcast(qLike),
+        expr("w LIKE like_pat ESCAPE '\\\\'")
+      )
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+      .cache()
+    val probedWb = expanded
+      .select(wbOf(col("w"), buckets).as("wb"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    if (probedWb.isEmpty)
+      return expanded
+        .select(
+          col("qid"),
+          col("qid").as("doc_id"),
+          lit(0L).as("rank"),
+          lit(0L).as("score")
+        )
+        .limit(0)
+    val post = spark.read
+      .parquet(live("postings"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+    val rankW =
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val cand = post.join(broadcast(expanded), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+      .groupBy("qid", "doc_id")
+      .agg(sum("tf").as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** Wildcard → SQL LIKE translation as a pure Column expression
+    * (`*`→`%`, `?`→`_`, pre-escaping LIKE's own metacharacters) — kept
+    * UDF-free so the expansion join stays inside codegen.
+    */
+  private def udfFreeLikePattern(pat: Column): Column = {
+    val escaped = regexp_replace(pat, "([%_\\\\])", "\\\\$1")
+    translate(escaped, "*?", "%_")
   }
 
   // ---------------------------------------------------------------------
@@ -1415,7 +1790,13 @@ object Retrieval {
       stats: DataFrame,
       qroles: DataFrame, // (qid, w, role)
       k: Int,
-      excludeSelf: Boolean
+      excludeSelf: Boolean,
+      minShouldMatch: Int = 0 // Lucene minimumNumberShouldMatch: a doc
+      //   must additionally match at least this many DISTINCT SHOULD
+      //   terms (0 = SHOULD stays purely optional, the p33k semantics).
+      //   Counted in the SAME gate aggregate as the MUST count — no new
+      //   shuffle; a query with fewer SHOULD terms than the threshold
+      //   matches nothing, exactly as Lucene's rewrite does.
   ): DataFrame = {
     // a term named under two roles for one query resolves by clause
     // precedence (MUST_NOT > MUST > SHOULD — Lucene's semantics: an
@@ -1478,10 +1859,11 @@ object Retrieval {
       .groupBy("qid", "doc_id")
       .agg(
         countDistinct(when(col("role") === "must", col("w"))).as("nm"),
+        countDistinct(when(col("role") === "should", col("w"))).as("ns"),
         sum(expr(Bm25TermPpm)).as("score")
       )
       .join(broadcast(nt), Seq("qid"))
-      .filter(col("nm") === col("nt"))
+      .filter(col("nm") === col("nt") && col("ns") >= minShouldMatch)
       .join(excl, Seq("qid", "doc_id"), "left_anti")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -1489,12 +1871,16 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
-  /** P33k — full boolean (MUST / MUST_NOT / SHOULD) top-k, inline form. */
+  /** P33k — full boolean (MUST / MUST_NOT / SHOULD) top-k, inline form.
+    * `minShouldMatch` > 0 is the p33s variant (Lucene
+    * minimumNumberShouldMatch — optional clauses become a quorum).
+    */
   def booleanQueryTopK(
       spark: SparkSession,
       dir: String,
       nQueries: Int = 5,
-      k: Int = 5
+      k: Int = 5,
+      minShouldMatch: Int = 0
   ): DataFrame = {
     val d = docs(spark, dir)
     val tf = postingsWithLen(d).cache()
@@ -1505,7 +1891,8 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
     val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val out = booleanQueryRank(
-      tf, dfm, stats, queryBooleanRoles(d, nQueries), k, excludeSelf = true)
+      tf, dfm, stats, queryBooleanRoles(d, nQueries), k,
+      excludeSelf = true, minShouldMatch)
     Eager.materialized(out, tf)
   }
 
@@ -1518,10 +1905,13 @@ object Retrieval {
       queryRoles: DataFrame,
       indexDir: String,
       k: Int = 5,
-      excludeSelf: Boolean = true // see bm25Scores — false for external qids
+      excludeSelf: Boolean = true, // see bm25Scores — false for external qids
+      minShouldMatch: Int = 0
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryRoles)
-    booleanQueryRank(post, dfm, stats, qt.select("qid", "w", "role"), k, excludeSelf)
+    booleanQueryRank(
+      post, dfm, stats, qt.select("qid", "w", "role"), k, excludeSelf,
+      minShouldMatch)
   }
 
   /** [[booleanQueryTopKIndexedOf]] with the standard full-boolean
@@ -1533,14 +1923,16 @@ object Retrieval {
       indexDir: String,
       nQueries: Int = 5,
       k: Int = 5,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true,
+      minShouldMatch: Int = 0
   ): DataFrame =
     booleanQueryTopKIndexedOf(
       spark,
       queryBooleanRoles(docs(spark, dir), nQueries),
       indexDir,
       k,
-      excludeSelf
+      excludeSelf,
+      minShouldMatch
     )
 
   /** P33l — the full-boolean lifecycle twin (same oracle as p33k by the
@@ -1561,12 +1953,176 @@ object Retrieval {
     }
   }
 
+  /** The OR-of-ANDs (disjunctive normal form) query protocol: each
+    * query doc's first 4 DISTINCT terms in first-occurrence order form
+    * TWO conjunctive clauses — clause 0 = terms 1-2, clause 1 = terms
+    * 3-4. A document qualifies by matching ALL terms of ANY clause.
+    * Output: (qid, cid, w).
+    */
+  private def queryDnfClauses(
+      d: DataFrame,
+      nQueries: Int,
+      nClauses: Int = 2,
+      clauseLen: Int = 2
+  ): DataFrame = {
+    val firstPos = positionalPostings(d.filter(col("doc_id") < nQueries))
+      .groupBy(col("doc_id").as("qid"), col("w"))
+      .agg(min("pos").as("minp"))
+    val w = Window.partitionBy("qid").orderBy(col("minp"))
+    firstPos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nClauses * clauseLen)
+      .select(
+        col("qid"),
+        ((col("rn") - 1) / clauseLen).cast("int").as("cid"),
+        col("w")
+      )
+  }
+
+  /** Ranks docs for an OR-of-ANDs query — a UNION of seed-pruned AND
+    * gates (Lucene's BooleanQuery of SHOULD-wrapped conjunctions): each
+    * clause gates independently through ITS rarest term's posting list
+    * (the p33i ordered-intersection win applied per clause — no clause
+    * ever scans beyond its own rarest list), a doc's score is the SUM of
+    * its matched clauses' BM25 ppm scores (Lucene: every matching
+    * optional clause contributes; a term shared by two clauses counts in
+    * each, because each clause scores independently), and non-matching
+    * clauses contribute nothing.
+    */
+  private def dnfRank(
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      qclauses: DataFrame, // (qid, cid, w)
+      k: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    val qc = qclauses.select("qid", "cid", "w").distinct()
+    val nt = qc.groupBy("qid", "cid").agg(countDistinct("w").as("nt"))
+    val wr = Window.partitionBy("qid", "cid").orderBy(col("df"), col("w"))
+    val rarest = qc
+      .join(dfm, Seq("w"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select("qid", "cid", "w")
+    val seed0 = post
+      .join(broadcast(rarest), Seq("w"))
+      .select("qid", "cid", "doc_id")
+    val seed =
+      if (excludeSelf) seed0.filter(col("doc_id") =!= col("qid")) else seed0
+    val weighted = qc
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("cid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
+    val cand = post
+      .join(broadcast(weighted), Seq("w"))
+      .join(seed, Seq("qid", "cid", "doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    cand
+      .groupBy("qid", "cid", "doc_id")
+      .agg(
+        countDistinct("w").as("nm"),
+        sum(expr(Bm25TermPpm)).as("cscore")
+      )
+      .join(broadcast(nt), Seq("qid", "cid"))
+      .filter(col("nm") === col("nt")) // the clause's AND gate
+      .groupBy("qid", "doc_id")
+      .agg(sum("cscore").as("score")) // UNION of gates: matched clauses sum
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33s2 — OR-of-ANDs (DNF) top-k, inline form. */
+  def dnfTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val out =
+      dnfRank(tf, dfm, stats, queryDnfClauses(d, nQueries), k, excludeSelf = true)
+    Eager.materialized(out, tf)
+  }
+
+  /** DNF top-k against the STORED index (scans bucket-pruned to every
+    * clause's terms). `queryClauses` is (qid, cid, w).
+    */
+  def dnfTopKIndexedOf(
+      spark: SparkSession,
+      queryClauses: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryClauses)
+    dnfRank(post, dfm, stats, qt.select("qid", "cid", "w"), k, excludeSelf)
+  }
+
+  /** P33s3 — the DNF lifecycle twin (same oracle as p33s2 by the
+    * indexed ≡ inline law).
+    */
+  def dnfIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33s3-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      dnfTopKIndexedOf(spark, queryDnfClauses(d, nQueries), tmp, k)
+    }
+  }
+
+  /** BEST-WINDOW anchor (the Lucene highlighter's window selection,
+    * lucene/highlighter/.../PassageScorer semantics reduced to counts):
+    * among a hit's matched-term positions, pick the one whose symmetric
+    * ±`window` token range contains the MOST matched positions — the
+    * densest excerpt — with ties broken toward the EARLIEST position,
+    * so the round-14 first-match anchor is exactly the degenerate case
+    * when all densities tie. The matched-position frame is
+    * result-page-sized (hit docs × query-term occurrences), so the
+    * density pass is a band self-join over tiny per-(qid,doc) groups;
+    * exact integer counts keep it oracle-replayable.
+    */
+  private def bestAnchorOf(matched: DataFrame, window: Int): DataFrame = {
+    val a = matched.select(col("qid"), col("doc_id"), col("pos"))
+    val b = matched.select(col("qid"), col("doc_id"), col("pos").as("p2"))
+    val wArg =
+      Window.partitionBy("qid", "doc_id").orderBy(col("cnt").desc, col("pos"))
+    a.join(b, Seq("qid", "doc_id"))
+      .filter(col("p2") >= col("pos") - window && col("p2") <= col("pos") + window)
+      .groupBy("qid", "doc_id", "pos")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), col("pos").as("anchor"))
+  }
+
   /** P33m — SNIPPETS (hit highlighting): for each BM25 top-k hit, the
-    * ±`window`-token text window around the hit's FIRST matched query
-    * term — the result-page excerpt every search engine renders beside a
-    * hit. Anchor = min position over the doc's occurrences of the
-    * query's terms (deterministic); snippet = tokens
-    * [max(1, anchor−window) .. anchor+window] re-joined.
+    * ±`window`-token text window around the hit's BEST matched anchor
+    * ([[bestAnchorOf]] — densest window, earliest on ties) — the
+    * result-page excerpt every search engine renders beside a hit;
+    * snippet = tokens [max(1, anchor−window) .. anchor+window] re-joined.
     *
     * Scale shape: the position scan is SEMI-JOINED to the hit docs
     * before anything else (k × nQueries docs — result-page-sized, never
@@ -1590,13 +2146,15 @@ object Retrieval {
       .select(col("doc_id").as("qid"), col("w"))
       .distinct()
     val hitDocs = hits.select("doc_id").distinct()
-    val anchors = positionalPostings(
-      d.join(hitDocs, Seq("doc_id"), "left_semi")
+    val anchors = bestAnchorOf(
+      positionalPostings(d.join(hitDocs, Seq("doc_id"), "left_semi"))
+        .join(broadcast(qt), Seq("w")) // qt is query-terms-sized
+        .join(
+          broadcast(hits.select("qid", "doc_id")),
+          Seq("qid", "doc_id"),
+          "left_semi"),
+      window
     )
-      .join(broadcast(qt), Seq("w")) // qt is query-terms-sized
-      .join(broadcast(hits.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_semi")
-      .groupBy("qid", "doc_id")
-      .agg(min("pos").as("anchor"))
     hits
       .join(anchors, Seq("qid", "doc_id"))
       .join(d.join(hitDocs, Seq("doc_id"), "left_semi"), Seq("doc_id"))
@@ -1706,15 +2264,19 @@ object Retrieval {
     val (_, _, _, qtv) = indexViews(spark, indexDir, qt0)
     val probedWb = qtv.select("wb").distinct().collect().map(_.getLong(0))
     val hitDocs = hits.select("doc_id").distinct()
-    val anchors = spark.read
-      .parquet(liveDir(indexDir, "positions"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
-      .select("doc_id", "w", "pos")
-      .join(hitDocs, Seq("doc_id"), "left_semi")
-      .join(broadcast(qt0), Seq("w"))
-      .join(broadcast(hits.select("qid", "doc_id")), Seq("qid", "doc_id"), "left_semi")
-      .groupBy("qid", "doc_id")
-      .agg(min("pos").as("anchor"))
+    val anchors = bestAnchorOf(
+      spark.read
+        .parquet(liveDir(indexDir, "positions"))
+        .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+        .select("doc_id", "w", "pos")
+        .join(hitDocs, Seq("doc_id"), "left_semi")
+        .join(broadcast(qt0), Seq("w"))
+        .join(
+          broadcast(hits.select("qid", "doc_id")),
+          Seq("qid", "doc_id"),
+          "left_semi"),
+      window
+    )
     hits
       .join(anchors, Seq("qid", "doc_id"))
       .join(docsTable.join(hitDocs, Seq("doc_id"), "left_semi"), Seq("doc_id"))
@@ -2148,7 +2710,13 @@ object Retrieval {
       nprobe: Int = 2,
       excludeSelf: Boolean = true, // threaded to all three legs; false =
       //   the external-query posture (the filtered search service's twin)
-      adaptiveNprobe: Boolean = false // selectivity-scaled dense probing
+      adaptiveNprobe: Boolean = true // selectivity-scaled dense probing
+      //   (the k17 law) — ON by default: the fixed-nprobe form silently
+      //   loses qualifying neighbors under selective filters, and the
+      //   safe behavior should not be opt-in. Cost: one semi-join +
+      //   two counts per query set (see
+      //   knnIvfIndexedExactFilteredAdaptiveOf); pass false to pin the
+      //   probe width when the filter is known to be broad.
   ): DataFrame = {
     val d = docs(spark, dir)
     val lex = bm25TopKIndexedFilteredOf(

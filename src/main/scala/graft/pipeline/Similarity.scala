@@ -546,7 +546,7 @@ object Similarity {
       kCentroids: Int = 16,
       iters: Int = 3
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     // rebuild = drop + rewrite of the swapped member: fenced like every
     // other store mutator so it cannot race a compaction's swaps
@@ -564,7 +564,7 @@ object Similarity {
     // REBUILD into an existing store retracts the swapped member entirely
     // (pointer AND generations — pointer-only deletion would strand
     // superseded full-size index copies on disk); offline by contract.
-    graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "vectors")
+    graft.util.DirSwap.drop(out, "vectors")
     assignCells(corpus, centroids)
       .select("vec_id", "embedding", "nrm", "cid")
       .withColumn("layer", lit(0L))
@@ -631,7 +631,7 @@ object Similarity {
       .partitionBy("cid", "layer")
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
   }
@@ -640,7 +640,7 @@ object Similarity {
     * per-directory contract; called by every store consumer.
     */
   def repairIvfIndex(indexDir: String): Unit =
-    graft.util.DirSwap.repair(java.nio.file.Paths.get(indexDir), "vectors")
+    graft.util.DirSwap.repair(indexDir, "vectors")
 
   /** Compact the vector store in place: every append accretes one file
     * per touched cell, so a long-lived index accumulates small files and
@@ -659,11 +659,11 @@ object Similarity {
       indexDir: String,
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(indexDir)
+    indexDir
   ) {
     repairIvfIndex(indexDir)
     val liveVectors = graft.util.DirSwap
-      .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+      .resolve(indexDir, "vectors")
       .toString
     val kCells = spark.read.parquet(s"$indexDir/centroids").count().toInt
     val folded = when(
@@ -671,7 +671,7 @@ object Similarity {
       lit(0L)
     ).otherwise(col("layer").cast("long"))
     graft.util.DirSwap.swap(
-      java.nio.file.Paths.get(indexDir),
+      indexDir,
       "vectors"
     ) { tmp =>
       spark.read
@@ -767,7 +767,7 @@ object Similarity {
     val vectors = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
       .where(col("cid").isin(probeCids: _*))
@@ -822,7 +822,7 @@ object Similarity {
       kCentroids: Int = 16,
       iters: Int = 3
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(out)
+    out
   ) {
     // fenced rebuild — see writeIvfIndexOf
     import spark.implicits._
@@ -830,7 +830,7 @@ object Similarity {
     val centroids = trainCentroidsExact(c, kCentroids, iters)
     centroids.toDF("cid", "c").write.mode("overwrite").parquet(s"$out/centroids")
     // a REBUILD retracts the swapped member entirely (see writeIvfIndexOf)
-    graft.util.DirSwap.drop(java.nio.file.Paths.get(out), "vectors")
+    graft.util.DirSwap.drop(out, "vectors")
     assignCellsInt(c, centroids)
       .select(col("vec_id"), col("q8"), col("cid").cast("int").as("cid"))
       .withColumn("layer", lit(0L))
@@ -864,7 +864,7 @@ object Similarity {
       .partitionBy("cid", "layer")
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
   }
@@ -920,7 +920,7 @@ object Similarity {
     val vectors = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
       .where(col("cid").isin(probeCids: _*))
@@ -995,7 +995,7 @@ object Similarity {
     val vectors = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
       .where(col("cid").isin(probeCids: _*))
@@ -1050,7 +1050,9 @@ object Similarity {
     * probe (or fall back to scanning the qualifying subset) as
     * selectivity grows; this is that law: effective nprobe =
     * min(kCentroids, ceil(nprobe / selectivity)), where selectivity =
-    * |allowed ∩ corpus| / |corpus| — the probe set grows exactly as the
+    * |allowed ∩ corpus| / |corpus| (the intersection computed here, so an
+    * allowed set wider than the corpus cannot narrow the probe) — the
+    * probe set grows exactly as the
     * expected qualifying candidates per cell shrink, and at the
     * selective extreme DEGENERATES to probing every cell, which by the
     * completeness law is the exact top-k over the qualifying set (the
@@ -1059,11 +1061,11 @@ object Similarity {
     * selectivity the adaptive form's recall@k against the filtered truth
     * is 1.0 where the fixed form's demonstrably is not.
     *
-    * Cost of adaptivity: two O(1)-row counts (the store's row count —
-    * parquet footer metadata — and the allowed set's distinct count, one
-    * aggregation over the filter set the query was going to hash-join
-    * anyway), then the standard filtered search with a wider probed-cell
-    * set. The scan stays partition-pruned to the probed cells; only the
+    * Cost of adaptivity: two counts (the store's row count — parquet
+    * footer metadata — and the qualifying count |allowed ∩ corpus|, one
+    * semi-join + aggregation over the filter set the query was going to
+    * hash-join anyway), then the standard filtered search with a
+    * wider probed-cell set. The scan stays partition-pruned to the probed cells; only the
     * number of probed cells changes.
     */
   def knnIvfIndexedExactFilteredAdaptiveOf(
@@ -1079,14 +1081,23 @@ object Similarity {
     repairIvfIndex(indexDir)
     val kCentroids = readExactCentroids(spark, indexDir).size
     val allowedSet = allowed.select("vec_id").distinct()
-    val nAllowed = allowedSet.count()
-    val nTotal = spark.read
+    val corpus = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
-      .count() // parquet footer metadata, no data scan
+    val nTotal = corpus.count() // parquet footer metadata, no data scan
+    // |allowed ∩ corpus|, NOT |allowed| — a caller passing a filter set
+    // with ids absent from the index (stale tenant list, cross-shard id
+    // space) would otherwise inflate the qualifying count, NARROW the
+    // effective probe below the intended width, and silently reintroduce
+    // the recall loss this function exists to fix. One semi-join against
+    // the store's vec_id column (column-pruned scan, the frame the query
+    // hash-joins anyway); IndexStoreSpec pins the out-of-corpus case.
+    val nAllowed = allowedSet
+      .join(corpus.select("vec_id"), Seq("vec_id"), "left_semi")
+      .count()
     // EXACT integer ceil-div (ceil(nprobe / selectivity) with no floating
     // point): the probe width is part of the query's replayable protocol
     // — the k17 oracle computes the identical width from the same counts
@@ -1991,7 +2002,7 @@ object Similarity {
     val vecs = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+          .resolve(indexDir, "vectors")
           .toString
       )
       .select("vec_id", "embedding", "cid")
@@ -2066,7 +2077,7 @@ object Similarity {
       spark.read
         .parquet(
           graft.util.DirSwap
-            .resolve(java.nio.file.Paths.get(indexDir), "vectors")
+            .resolve(indexDir, "vectors")
             .toString
         )
         .select("vec_id", "embedding"),

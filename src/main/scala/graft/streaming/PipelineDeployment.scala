@@ -190,41 +190,54 @@ final case class PipelineDeployment(
     // service (StreamingDedup.mediaScrubStream) runs beside it over the
     // same extractor.
     val t0 = System.nanoTime()
-    val drains: Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)] =
-      Seq(
-        "text-index ingest" ->
-          StreamingRetrieval.ingestStream(docsIn, textIndexDir, ckText)(),
-        "vector ingest" ->
-          StreamingSimilarity.ingestExactStream(
-            spark.readStream.schema(codesSchema).parquet(codesGlob),
-            vecIndexDir,
-            ckVec
-          ),
-        "lm train" ->
-          StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)(),
-        "media ingest" ->
-          StreamingSimilarity.ingestExactStream(
-            graft.pipeline.Multimodal.mediaCodesOf(
-              spark.readStream.schema(mediaSchema).parquet(mediaGlob)
-            ),
-            mediaIndexDir,
-            ckMedia
-          )
-      )
-    drains.foreach { case (what, q) =>
-      val left =
-        drainTimeoutMs - (System.nanoTime() - t0) / 1000000L
-      if (left <= 0L || !q.awaitTermination(left)) {
-        // one overrun aborts the WHOLE tick before maintenance (the
-        // sequential contract preserved): stop every drain; committed
-        // offsets persist and the next tick resumes all four
-        drains.foreach(_._2.stop())
-        throw new IllegalStateException(
-          s"$what drain exceeded the ${drainTimeoutMs} ms tick budget — " +
-            "tick aborted before maintenance; committed offsets persist " +
-            "and the next tick resumes"
+    // started queries are tracked INCREMENTALLY so that EVERY abort path
+    // stops all of them — a later stream's construction throwing, a
+    // drain failing with StreamingQueryException, or the tick budget
+    // overrunning all leave zero queries running behind the aborted
+    // tick; committed offsets persist and the next tick resumes all four
+    val started =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(String, org.apache.spark.sql.streaming.StreamingQuery)]
+    def stopAll(): Unit =
+      started.foreach(d =>
+        try d._2.stop()
+        catch { case scala.util.control.NonFatal(_) => () })
+    try {
+      started += "text-index ingest" ->
+        StreamingRetrieval.ingestStream(docsIn, textIndexDir, ckText)()
+      started += "vector ingest" ->
+        StreamingSimilarity.ingestExactStream(
+          spark.readStream.schema(codesSchema).parquet(codesGlob),
+          vecIndexDir,
+          ckVec
         )
+      started += "lm train" ->
+        StreamingCuration.lmTrainStream(docsIn, lmDir, ckLm)()
+      started += "media ingest" ->
+        StreamingSimilarity.ingestExactStream(
+          graft.pipeline.Multimodal.mediaCodesOf(
+            spark.readStream.schema(mediaSchema).parquet(mediaGlob)
+          ),
+          mediaIndexDir,
+          ckMedia
+        )
+      started.foreach { case (what, q) =>
+        val left =
+          drainTimeoutMs - (System.nanoTime() - t0) / 1000000L
+        if (left <= 0L || !q.awaitTermination(left)) {
+          // one overrun aborts the WHOLE tick before maintenance (the
+          // sequential contract preserved)
+          throw new IllegalStateException(
+            s"$what drain exceeded the ${drainTimeoutMs} ms tick budget — " +
+              "tick aborted before maintenance; committed offsets persist " +
+              "and the next tick resumes"
+          )
+        }
       }
+    } catch {
+      case t: Throwable =>
+        stopAll()
+        throw t
     }
     graft.Maintenance.maintainAll(spark, registry)
   }

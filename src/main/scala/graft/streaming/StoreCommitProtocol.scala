@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Path, Paths}
-
 import org.apache.spark.sql.DataFrame
+
+import graft.util.{Blob, Loc}
 
 /** The store's multi-writer commit protocol as an explicit seam.
   *
@@ -60,23 +60,23 @@ trait StoreCommitProtocol {
     * [[ConcurrentStoreWriteException]] while a live (unexpired) claim by
     * another writer exists.
     */
-  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String
+  def claimEpoch(root: String, epoch: Long, leaseMs: Long): String
 
   /** Extends the holder's lease (heartbeat); must fail — fencing the
     * holder — if the claim was broken in the meantime.
     */
-  def renewClaim(root: Path, epoch: Long, token: String): Unit
+  def renewClaim(root: String, epoch: Long, token: String): Unit
 
   /** Asserts this writer still holds the claim; called immediately before
     * every shared-table mutation. Must throw
     * [[ConcurrentStoreWriteException]] if the lease was broken.
     */
-  def verifyClaim(root: Path, epoch: Long, token: String): Unit
+  def verifyClaim(root: String, epoch: Long, token: String): Unit
 
   /** Releases the claim iff it still carries `token` (a holder must never
     * remove a lease-breaker's re-issued claim).
     */
-  def releaseClaim(root: Path, epoch: Long, token: String): Unit
+  def releaseClaim(root: String, epoch: Long, token: String): Unit
 
   /** Stages `pointer2` as generation `basedOnEpoch + 1` and adopts it via
     * the epoch CAS. Must publish nothing and throw
@@ -84,7 +84,7 @@ trait StoreCommitProtocol {
     * store first.
     */
   def commitGeneration(
-      root: Path,
+      root: String,
       basedOnEpoch: Long,
       pointer2: DataFrame,
       writerToken: String
@@ -93,7 +93,7 @@ trait StoreCommitProtocol {
   /** Resolves the committed current generation (path, epoch), repairing
     * crash leftovers if the storage requires it. Epoch 0 = virgin store.
     */
-  def resolveCurrent(storeDir: String): (Path, Long)
+  def resolveCurrent(storeDir: String): (String, Long)
 }
 
 /** The conditional-put implementation — the OBJECT-STORE shape of the
@@ -146,8 +146,8 @@ final class MemCommitProtocol extends StoreCommitProtocol {
     s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}"
 
-  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String = {
-    val key = (root.toString, epoch)
+  def claimEpoch(root: String, epoch: Long, leaseMs: Long): String = {
+    val key = (root, epoch)
     val now = System.currentTimeMillis()
     val mine = Claim(freshToken(), now)
     val prev = claims.putIfAbsent(key, mine) // If-None-Match: *
@@ -165,8 +165,8 @@ final class MemCommitProtocol extends StoreCommitProtocol {
     }
   }
 
-  def renewClaim(root: Path, epoch: Long, token: String): Unit = {
-    val key = (root.toString, epoch)
+  def renewClaim(root: String, epoch: Long, token: String): Unit = {
+    val key = (root, epoch)
     val held = claims.get(key)
     val renewed = held != null && held.token == token &&
       claims.replace(key, held, held.copy(stamp = System.currentTimeMillis()))
@@ -177,8 +177,8 @@ final class MemCommitProtocol extends StoreCommitProtocol {
       )
   }
 
-  def verifyClaim(root: Path, epoch: Long, token: String): Unit = {
-    val held = claims.get((root.toString, epoch))
+  def verifyClaim(root: String, epoch: Long, token: String): Unit = {
+    val held = claims.get((root, epoch))
     if (held == null || held.token != token)
       throw new ConcurrentStoreWriteException(
         s"claim on epoch $epoch was lease-broken while this writer " +
@@ -186,17 +186,17 @@ final class MemCommitProtocol extends StoreCommitProtocol {
       )
   }
 
-  def releaseClaim(root: Path, epoch: Long, token: String): Unit = {
+  def releaseClaim(root: String, epoch: Long, token: String): Unit = {
     // remove iff still ours: a fenced holder must never evict the
     // breaker's re-issued claim
     claims.computeIfPresent(
-      (root.toString, epoch),
+      (root, epoch),
       (_, c) => if (c.token == token) null else c
     ): Unit
   }
 
   def commitGeneration(
-      root: Path,
+      root: String,
       basedOnEpoch: Long,
       pointer2: DataFrame,
       writerToken: String
@@ -206,36 +206,35 @@ final class MemCommitProtocol extends StoreCommitProtocol {
       "writerToken must identify the committing writer"
     )
     val nextEpoch = basedOnEpoch + 1
-    val staged = root.resolve(s"mgen-$nextEpoch-${System.nanoTime()}")
+    val staged = Loc.join(root, s"mgen-$nextEpoch-${System.nanoTime()}")
     pointer2.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(staged.resolve("pointer2").toString)
-    val key = root.toString
+      .parquet(Loc.join(staged, "pointer2"))
+    val key = root
     val won =
       if (basedOnEpoch == 0L)
         // virgin store: If-None-Match — exactly one epoch-1 publisher;
         // a loser learns immediately (no _WRITER-tag disambiguation
         // needed: the pointer swing is the only publication event)
-        current.putIfAbsent(key, Gen(staged.toString, 1L, None)) == null
+        current.putIfAbsent(key, Gen(staged, 1L, None)) == null
       else
         current.get(key) match {
           case g if g != null && g.epoch == basedOnEpoch =>
             val ok = current.replace(
               key,
               g,
-              Gen(staged.toString, nextEpoch, Some(g.path))
+              Gen(staged, nextEpoch, Some(g.path))
             )
             // sweep the generation superseded TWO commits ago — the one
             // this commit supersedes (g.path) is retained for in-flight
             // readers of epoch `basedOnEpoch` and falls due next commit
             if (ok)
-              g.prev.foreach(p =>
-                graft.util.Fs.deleteRecursively(Paths.get(p)))
+              g.prev.foreach(p => Blob.deleteTree(p))
             ok
           case _ => false
         }
     if (!won) {
-      graft.util.Fs.deleteRecursively(staged)
+      Blob.deleteTree(staged)
       throw new ConcurrentStoreWriteException(
         s"epoch $basedOnEpoch already superseded — another writer " +
           "committed first; re-read the store and retry"
@@ -244,14 +243,13 @@ final class MemCommitProtocol extends StoreCommitProtocol {
     // claims at or below the adopted epoch are spent
     claims
       .keySet()
-      .removeIf(k => k._1 == root.toString && k._2 <= nextEpoch): Unit
+      .removeIf(k => k._1 == root && k._2 <= nextEpoch): Unit
   }
 
-  def resolveCurrent(storeDir: String): (Path, Long) = {
-    val root = Paths.get(storeDir)
-    current.get(root.toString) match {
-      case null => (root.resolve("current-0"), 0L) // virgin
-      case g    => (Paths.get(g.path), g.epoch)
+  def resolveCurrent(storeDir: String): (String, Long) = {
+    current.get(storeDir) match {
+      case null => (Loc.join(storeDir, "current-0"), 0L) // virgin
+      case g    => (g.path, g.epoch)
     }
   }
 }
@@ -261,21 +259,21 @@ final class MemCommitProtocol extends StoreCommitProtocol {
   * for the atomic-rename + CREATE_NEW storage contract this relies on.
   */
 object FsCommitProtocol extends StoreCommitProtocol {
-  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String =
+  def claimEpoch(root: String, epoch: Long, leaseMs: Long): String =
     StreamingReplicator.claimEpoch(root, epoch, leaseMs)
-  def renewClaim(root: Path, epoch: Long, token: String): Unit =
+  def renewClaim(root: String, epoch: Long, token: String): Unit =
     StreamingReplicator.renewClaim(root, epoch, token)
-  def verifyClaim(root: Path, epoch: Long, token: String): Unit =
+  def verifyClaim(root: String, epoch: Long, token: String): Unit =
     StreamingReplicator.verifyClaim(root, epoch, token)
-  def releaseClaim(root: Path, epoch: Long, token: String): Unit =
+  def releaseClaim(root: String, epoch: Long, token: String): Unit =
     StreamingReplicator.releaseClaim(root, epoch, token)
   def commitGeneration(
-      root: Path,
+      root: String,
       basedOnEpoch: Long,
       pointer2: DataFrame,
       writerToken: String
   ): Unit =
     StreamingReplicator.commitGeneration(root, basedOnEpoch, pointer2, writerToken)
-  def resolveCurrent(storeDir: String): (Path, Long) =
+  def resolveCurrent(storeDir: String): (String, Long) =
     StreamingReplicator.resolveCurrent(storeDir)
 }

@@ -67,7 +67,7 @@ object StreamingHeadCache {
 
   private def live(storeDir: String, sub: String): String =
     graft.util.DirSwap
-      .resolve(java.nio.file.Paths.get(storeDir), sub)
+      .resolve(storeDir, sub)
       .toString
 
   // explicit schemas: an early micro-batch can be entirely below the
@@ -95,7 +95,7 @@ object StreamingHeadCache {
     * standard swapped-store posture.
     */
   def repairHeadCache(storeDir: String): Unit = {
-    val root = java.nio.file.Paths.get(storeDir)
+    val root = storeDir
     Dirs.foreach(graft.util.DirSwap.repair(root, _))
   }
 
@@ -361,11 +361,11 @@ object StreamingHeadCache {
       storeDir: String,
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(storeDir)
+    storeDir
   ) {
     import spark.implicits._
     repairHeadCache(storeDir)
-    val root = java.nio.file.Paths.get(storeDir)
+    val root = storeDir
     val wm = wmView(spark, storeDir)
     graft.util.DirSwap.swap(root, "entries") { tmp =>
       val all = readEntries(spark, storeDir)

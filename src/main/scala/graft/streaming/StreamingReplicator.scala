@@ -1,13 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.journal.Replicate
+import graft.util.{Blob, Loc}
 
 /** The replicator as a Structured Streaming job (reference
   * replicator/.../TopicReplicator.scala, ConsumeTopic.scala): a stream of
@@ -111,11 +108,11 @@ object StreamingReplicator {
   ): Unit = {
     import org.apache.spark.sql.functions.col
     val (cur, epoch) = protocol.resolveCurrent(storeDir)
-    val root = Paths.get(storeDir)
-    Files.createDirectories(root)
+    val root = storeDir
+    Blob.mkdirs(root)
     val claimToken = protocol.claimEpoch(root, epoch + 1, leaseMs)
-    val journalDir = Paths.get(storeDir, "journal")
-    val metaDir = Paths.get(storeDir, "metajournal")
+    val journalDir = Loc.join(storeDir, "journal")
+    val metaDir = Loc.join(storeDir, "metajournal")
     val batchC = batch.cache()
     // lease heartbeat for the WHOLE batch — the long phases are the two
     // overwrite jobs and the commit, which a single pre-write renewal
@@ -153,8 +150,8 @@ object StreamingReplicator {
         journal = readTouched(spark, journalDir, touched, bootstrap.journal),
         metajournal = readTouched(spark, metaDir, touched, bootstrap.metajournal),
         pointer2 =
-          if (Files.exists(cur))
-            spark.read.parquet(cur.resolve("pointer2").toString)
+          if (Blob.exists(cur))
+            spark.read.parquet(Loc.join(cur, "pointer2"))
           else bootstrap.pointer2
       )
 
@@ -166,10 +163,10 @@ object StreamingReplicator {
       // clobbering the breaker's bucket files
       protocol.verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.journal, journalDir,
-        Paths.get(storeDir, "journal_schema.json"), touched)
+        Loc.join(storeDir, "journal_schema.json"), touched)
       protocol.verifyClaim(root, epoch + 1, claimToken)
       overwriteTouched(merged.metajournal, metaDir,
-        Paths.get(storeDir, "metajournal_schema.json"), touched)
+        Loc.join(storeDir, "metajournal_schema.json"), touched)
 
       protocol.verifyClaim(root, epoch + 1, claimToken)
       protocol.commitGeneration(root, epoch, merged.pointer2, claimToken)
@@ -194,7 +191,7 @@ object StreamingReplicator {
     * nothing — if another writer advanced the store first.
     */
   def commitGeneration(
-      root: Path,
+      root: String,
       basedOnEpoch: Long,
       pointer2: DataFrame,
       writerToken: String
@@ -208,14 +205,14 @@ object StreamingReplicator {
     val nextEpoch = basedOnEpoch + 1
     // a dead claimant of THIS epoch may have left a committed-but-unadopted
     // gen; the live claim holder owns the epoch exclusively, so sweep it
-    genDirs(root).filter(_._2 == nextEpoch).foreach(g => deleteRecursively(g._1))
-    val next = root.resolve(s"gen-$nextEpoch-${System.nanoTime()}")
+    genDirs(root).filter(_._2 == nextEpoch).foreach(g => Blob.deleteTree(g._1))
+    val next = Loc.join(root, s"gen-$nextEpoch-${System.nanoTime()}")
     pointer2.write.mode(SaveMode.Overwrite)
-      .parquet(next.resolve("pointer2").toString)
+      .parquet(Loc.join(next, "pointer2"))
     // the writer identity rides with the staged gen: the virgin-store
     // adoption (no current-0 to CAS on) fences on it — see adoptGeneration
-    Files.write(next.resolve(WriterTag), writerToken.getBytes("UTF-8"))
-    Files.createFile(next.resolve(Committed))
+    Blob.writeBytes(Loc.join(next, WriterTag), writerToken.getBytes("UTF-8"))
+    Blob.writeBytes(Loc.join(next, Committed), Array.emptyByteArray)
     adoptGeneration(root, basedOnEpoch, next, writerToken)
   }
 
@@ -236,40 +233,41 @@ object StreamingReplicator {
     * checkpoint-acked without ever reaching the store).
     */
   private def adoptGeneration(
-      root: Path,
+      root: String,
       basedOnEpoch: Long,
-      staged: Path,
+      staged: String,
       writerToken: String
   ): Unit = {
     val nextEpoch = basedOnEpoch + 1
-    val cur = root.resolve(s"current-$basedOnEpoch")
+    val cur = Loc.join(root, s"current-$basedOnEpoch")
     if (basedOnEpoch != 0L) {
-      val o = root.resolve(s"old-$basedOnEpoch-${System.nanoTime()}")
-      try Files.move(cur, o)
-      catch {
-        case _: java.nio.file.NoSuchFileException =>
-          deleteRecursively(staged)
-          throw new ConcurrentStoreWriteException(
-            s"epoch $basedOnEpoch already superseded — another writer " +
-              "committed first; re-read the store and retry")
+      val o = Loc.join(root, s"old-$basedOnEpoch-${System.nanoTime()}")
+      // the destination is unique, so a failed rename means the source is
+      // gone: another writer moved current-<E> aside first — the CAS loss
+      if (!Blob.move(cur, o)) {
+        Blob.deleteTree(staged)
+        throw new ConcurrentStoreWriteException(
+          s"epoch $basedOnEpoch already superseded — another writer " +
+            "committed first; re-read the store and retry")
       }
     }
-    try Files.move(staged, root.resolve(s"current-$nextEpoch"))
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        val adopted = root.resolve(s"current-$nextEpoch")
-        if (!Files.exists(adopted)) throw e
-        if (!readTag(adopted).contains(writerToken)) {
-          // a DIFFERENT writer's generation sits at our target epoch —
-          // only reachable on the virgin-store path (old CAS passed
-          // vacuously); publish nothing and surface the loss
-          deleteRecursively(staged)
-          throw new ConcurrentStoreWriteException(
-            s"epoch $nextEpoch already committed by another writer — " +
-              "re-read the store and retry")
-        }
-        // our own staged gen was adopted by a reader's crash-repair:
-        // the generation IS current — success
+    val adopted = Loc.join(root, s"current-$nextEpoch")
+    if (!Blob.move(staged, adopted)) {
+      if (!Blob.exists(adopted))
+        throw new java.io.IOException(
+          s"adopting $staged as $adopted failed with no competing adoption " +
+            "present — storage refused the rename")
+      if (!readTag(adopted).contains(writerToken)) {
+        // a DIFFERENT writer's generation sits at our target epoch —
+        // only reachable on the virgin-store path (old CAS passed
+        // vacuously); publish nothing and surface the loss
+        Blob.deleteTree(staged)
+        throw new ConcurrentStoreWriteException(
+          s"epoch $nextEpoch already committed by another writer — " +
+            "re-read the store and retry")
+      }
+      // our own staged gen was adopted by a reader's crash-repair:
+      // the generation IS current — success
     }
     // The generation moved aside by THIS commit (old-<basedOnEpoch>) is
     // RETAINED for one commit cycle: a reader that resolved the old epoch
@@ -277,13 +275,13 @@ object StreamingReplicator {
     // grace model applied to the protocol). Sweep only the generations
     // superseded by EARLIER commits — they have had their cycle.
     named(root, "old-").filter(_._2 < basedOnEpoch)
-      .foreach(o => deleteRecursively(o._1))
+      .foreach(o => Blob.deleteTree(o._1))
     // claims at or below the adopted epoch are spent
-    claimFiles(root).filter(_._2 <= nextEpoch).foreach(c => Files.deleteIfExists(c._1))
+    claimFiles(root).filter(_._2 <= nextEpoch).foreach(c => Blob.deleteIfExists(c._1))
   }
 
-  private def readTag(gen: Path): Option[String] =
-    try Some(new String(Files.readAllBytes(gen.resolve(WriterTag)), "UTF-8"))
+  private def readTag(gen: String): Option[String] =
+    try Some(new String(Blob.readBytes(Loc.join(gen, WriterTag)), "UTF-8"))
     catch { case _: java.io.IOException => None }
 
   /** Takes the lease-style claim on `epoch`: atomic create of
@@ -293,18 +291,15 @@ object StreamingReplicator {
     * is broken by an atomic rename to a unique tombstone — two breakers
     * cannot both win — and then re-created.
     */
-  def claimEpoch(root: Path, epoch: Long, leaseMs: Long): String = {
-    val claim = root.resolve(s"claim-$epoch")
+  def claimEpoch(root: String, epoch: Long, leaseMs: Long): String = {
+    val claim = Loc.join(root, s"claim-$epoch")
     val me =
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
         s"${Thread.currentThread().getId} ${System.currentTimeMillis()}"
-    def tryCreate(): Boolean =
-      try { Files.write(claim, me.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def tryCreate(): Boolean = Blob.createNew(claim, me.getBytes("UTF-8"))
     if (!tryCreate()) {
       val holder =
-        try Some(new String(Files.readAllBytes(claim), "UTF-8"))
+        try Some(new String(Blob.readBytes(claim), "UTF-8"))
         catch { case _: java.io.IOException => None } // being written: live
       val stampedAt = holder
         .map { h =>
@@ -316,23 +311,23 @@ object StreamingReplicator {
         .getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
       val broke = expired && {
-        val tomb = root.resolve(s"claim-$epoch.broken-${System.nanoTime()}")
-        try {
-          Files.move(claim, tomb)
-          // verify we tombstoned the claim we JUDGED expired — a faster
-          // breaker may have broken and re-issued between our read and
-          // our move, and two slow breakers must not both win. On a
-          // mismatch restore the displaced fresh claim (if its slot was
-          // re-taken, the displaced holder fences at its next verify —
-          // crash-scale residual, never a dual win here).
-          val moved = new String(Files.readAllBytes(tomb), "UTF-8")
-          if (holder.contains(moved)) true
-          else {
-            try Files.move(tomb, claim)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-            false
-          }
-        } catch { case _: java.nio.file.NoSuchFileException => false }
+        val tomb = Loc.join(root, s"claim-$epoch.broken-${System.nanoTime()}")
+        // verify we tombstoned the claim we JUDGED expired — a faster
+        // breaker may have broken and re-issued between our read and
+        // our move, and two slow breakers must not both win. On a
+        // mismatch restore the displaced fresh claim (if its slot was
+        // re-taken, the displaced holder fences at its next verify —
+        // crash-scale residual, never a dual win here).
+        Blob.move(claim, tomb) && {
+          try {
+            val moved = new String(Blob.readBytes(tomb), "UTF-8")
+            if (holder.contains(moved)) true
+            else {
+              Blob.move(tomb, claim): Unit // slot re-taken → leave it
+              false
+            }
+          } catch { case _: java.io.IOException => false }
+        }
       }
       if (!(broke && tryCreate()))
         throw new ConcurrentStoreWriteException(
@@ -346,25 +341,21 @@ object StreamingReplicator {
     * by superseded holders are ignored: their token no longer matches).
     */
   private def newestRenewal(
-      root: Path,
+      root: String,
       epoch: Long,
       holderToken: String
-  ): Long = {
-    val s = Files.list(root)
-    try {
-      s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"claim-$epoch.r-"))
-        .flatMap { p =>
-          try {
-            val content = new String(Files.readAllBytes(p), "UTF-8")
-            if (content.startsWith(holderToken + " renew "))
-              content.split(" ").lastOption.flatMap(_.toLongOption)
-            else None
-          } catch { case _: java.io.IOException => None }
-        }
-        .foldLeft(Long.MinValue)(math.max)
-    } finally s.close()
-  }
+  ): Long =
+    Blob.children(root)
+      .filter(Loc.name(_).startsWith(s"claim-$epoch.r-"))
+      .flatMap { p =>
+        try {
+          val content = new String(Blob.readBytes(p), "UTF-8")
+          if (content.startsWith(holderToken + " renew "))
+            content.split(" ").lastOption.flatMap(_.toLongOption)
+          else None
+        } catch { case _: java.io.IOException => None }
+      }
+      .foldLeft(Long.MinValue)(math.max)
 
   /** Verifies this writer still holds the claim on `epoch` — called
     * immediately before every shared-table mutation, so a writer whose
@@ -376,10 +367,10 @@ object StreamingReplicator {
     * makes it a crash-scale event, converged like any crash leftover. A
     * table format with transactional commits closes it entirely.)
     */
-  def verifyClaim(root: Path, epoch: Long, token: String): Unit = {
+  def verifyClaim(root: String, epoch: Long, token: String): Unit = {
     val held =
       try new String(
-        Files.readAllBytes(root.resolve(s"claim-$epoch")), "UTF-8") == token
+        Blob.readBytes(Loc.join(root, s"claim-$epoch")), "UTF-8") == token
       catch { case _: java.io.IOException => false }
     if (!held)
       throw new ConcurrentStoreWriteException(
@@ -397,12 +388,11 @@ object StreamingReplicator {
     * broken in the meantime the renewal is void and the (now fenced)
     * holder learns immediately.
     */
-  def renewClaim(root: Path, epoch: Long, token: String): Unit = {
-    Files.write(
-      root.resolve(s"claim-$epoch.r-${System.nanoTime()}"),
-      s"$token renew ${System.currentTimeMillis()}".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW
-    )
+  def renewClaim(root: String, epoch: Long, token: String): Unit = {
+    Blob.createNew(
+      Loc.join(root, s"claim-$epoch.r-${System.nanoTime()}"),
+      s"$token renew ${System.currentTimeMillis()}".getBytes("UTF-8")
+    ): Unit // nanotime-unique — collisions impossible
     verifyClaim(root, epoch, token)
   }
 
@@ -410,17 +400,14 @@ object StreamingReplicator {
     * must never remove a claim that a lease-breaker has since re-issued
     * under its own token. The holder's own renewal side-files go with it.
     */
-  def releaseClaim(root: Path, epoch: Long, token: String): Unit = {
-    val claim = root.resolve(s"claim-$epoch")
+  def releaseClaim(root: String, epoch: Long, token: String): Unit = {
+    val claim = Loc.join(root, s"claim-$epoch")
     try {
-      if (new String(Files.readAllBytes(claim), "UTF-8") == token) {
-        Files.deleteIfExists(claim): Unit
-        val s = Files.list(root)
-        try {
-          s.iterator().asScala
-            .filter(_.getFileName.toString.startsWith(s"claim-$epoch.r-"))
-            .foreach(p => Files.deleteIfExists(p): Unit)
-        } finally s.close()
+      if (new String(Blob.readBytes(claim), "UTF-8") == token) {
+        Blob.deleteIfExists(claim)
+        Blob.children(root)
+          .filter(Loc.name(_).startsWith(s"claim-$epoch.r-"))
+          .foreach(Blob.deleteIfExists)
       }
     } catch { case _: java.io.IOException => () } // already gone / unreadable
   }
@@ -434,16 +421,16 @@ object StreamingReplicator {
     */
   private def readTouched(
       spark: SparkSession,
-      dir: Path,
+      dir: String,
       touched: Array[(String, Int)],
       bootstrap: DataFrame
   ): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (hasParquet(dir)) {
+    if (Blob.hasParquet(dir)) {
       val pred = touched
         .map { case (t, b) => col("topic") === t && col("bucket") === b }
         .reduce(_ || _)
-      spark.read.parquet(dir.toString).filter(pred).drop("bucket")
+      spark.read.parquet(dir).filter(pred).drop("bucket")
     } else bootstrap
   }
 
@@ -456,15 +443,13 @@ object StreamingReplicator {
     */
   private def overwriteTouched(
       merged: DataFrame,
-      dir: Path,
-      schemaPath: Path,
+      dir: String,
+      schemaPath: String,
       touched: Array[(String, Int)]
   ): Unit = {
     import org.apache.spark.sql.functions.col
-    if (!Files.exists(schemaPath)) {
-      Files.createDirectories(schemaPath.getParent)
-      Files.write(schemaPath, merged.schema.json.getBytes("UTF-8"))
-    }
+    if (!Blob.exists(schemaPath))
+      Blob.writeBytes(schemaPath, merged.schema.json.getBytes("UTF-8"))
     val m = merged
       .withColumn("bucket", Replicate.bucketOf(col("id")))
       .localCheckpoint(true)
@@ -472,7 +457,7 @@ object StreamingReplicator {
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("topic", "bucket")
-      .parquet(dir.toString)
+      .parquet(dir)
     // dynamic overwrite cannot emit an EMPTY partition: a touched
     // partition whose journals were all purged keeps its stale dir —
     // drop those explicitly (re-running after a crash converges: the
@@ -481,8 +466,8 @@ object StreamingReplicator {
       .select("topic", "bucket").distinct().collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
     touched.filterNot(nonEmpty).foreach { case (t, b) =>
-      val part = dir.resolve(s"topic=$t").resolve(s"bucket=$b")
-      if (Files.exists(part)) deleteRecursively(part)
+      val part = Loc.join(Loc.join(dir, s"topic=$t"), s"bucket=$b")
+      if (Blob.exists(part)) Blob.deleteTree(part)
     }
     // checkpoint blocks die with the batch, not with a later GC cycle
     // (Dataset.unpersist is a no-op for checkpointed frames)
@@ -516,34 +501,25 @@ object StreamingReplicator {
   ): Map[String, Int] = {
     import org.apache.spark.sql.functions.col
     Seq("journal", "metajournal").map { table =>
-      val dir = Paths.get(storeDir, table)
-      // Files.list streams hold a directory handle until closed — drain
-      // each eagerly or repeated maintenance runs leak file descriptors
-      def children(p: Path): Seq[Path] = {
-        val s = Files.list(p)
-        try s.iterator().asScala.toSeq
-        finally s.close()
-      }
+      val dir = Loc.join(storeDir, table)
       val over: Seq[(String, Int)] =
-        if (!Files.exists(dir)) Seq.empty
+        if (!Blob.exists(dir)) Seq.empty
         else {
-          val parts = children(dir)
-            .filter(p => p.getFileName.toString.startsWith("topic="))
+          val parts = Blob.children(dir)
+            .filter(Loc.name(_).startsWith("topic="))
             .flatMap { t =>
-              children(t)
-                .filter(p => p.getFileName.toString.startsWith("bucket="))
+              Blob.children(t)
+                .filter(Loc.name(_).startsWith("bucket="))
+                .map(b => (Loc.name(t).stripPrefix("topic="), b))
             }
-          parts.flatMap { p =>
-            val nFiles = children(p).count { f =>
-              val n = f.getFileName.toString
+          parts.flatMap { case (topic, b) =>
+            val nFiles = Blob.children(b).count { f =>
+              val n = Loc.name(f)
               n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
             }
-            if (nFiles > maxFiles) {
-              val topic = p.getParent.getFileName.toString.stripPrefix("topic=")
-              val bucket =
-                p.getFileName.toString.stripPrefix("bucket=").toInt
-              Some((topic, bucket))
-            } else None
+            if (nFiles > maxFiles)
+              Some((topic, Loc.name(b).stripPrefix("bucket=").toInt))
+            else None
           }
         }
       if (over.nonEmpty) {
@@ -551,7 +527,7 @@ object StreamingReplicator {
           .map { case (t, b) => col("topic") === t && col("bucket") === b }
           .reduce(_ || _)
         val cp = spark.read
-          .parquet(dir.toString)
+          .parquet(dir)
           .filter(pred)
           .localCheckpoint(true)
         // one task owns all rows of a partition value => one output file
@@ -561,7 +537,7 @@ object StreamingReplicator {
           .mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("topic", "bucket")
-          .parquet(dir.toString)
+          .parquet(dir)
         graft.pipeline.Eager.releaseCheckpoint(cp)
       }
       table -> over.size
@@ -571,16 +547,6 @@ object StreamingReplicator {
   /** Assembles the store from its on-disk layout (bucketed journal +
     * current head-table generation), repairing crash leftovers first.
     */
-  /** True iff the directory exists and holds at least one parquet file. */
-  private def hasParquet(dir: Path): Boolean =
-    Files.exists(dir) && {
-      val s = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      } finally s.close()
-    }
-
   def readStore(
       spark: SparkSession,
       storeDir: String,
@@ -588,13 +554,13 @@ object StreamingReplicator {
   ): Replicate.Store = {
     val cur = protocol.resolveCurrent(storeDir)._1
     def bucketed(name: String): DataFrame = {
-      val dir = Paths.get(storeDir, name)
-      if (hasParquet(dir))
-        spark.read.parquet(dir.toString).drop("bucket")
+      val dir = Loc.join(storeDir, name)
+      if (Blob.hasParquet(dir))
+        spark.read.parquet(dir).drop("bucket")
       else {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(new String(
-            Files.readAllBytes(Paths.get(storeDir, s"${name}_schema.json")),
+            Blob.readBytes(Loc.join(storeDir, s"${name}_schema.json")),
             "UTF-8"))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         spark.createDataFrame(
@@ -604,7 +570,7 @@ object StreamingReplicator {
     Replicate.Store(
       journal = bucketed("journal"),
       metajournal = bucketed("metajournal"),
-      pointer2 = spark.read.parquet(cur.resolve("pointer2").toString)
+      pointer2 = spark.read.parquet(Loc.join(cur, "pointer2"))
     )
   }
 
@@ -630,30 +596,23 @@ object StreamingReplicator {
     */
   val DefaultLeaseMs: Long = 10L * 60 * 1000
 
-  /** `(path, epoch[, stamp])` views of the generation-protocol entries. */
-  private def named(root: Path, prefix: String): Seq[(Path, Long)] = {
-    if (!Files.exists(root)) return Seq.empty
-    val s = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .flatMap { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith(prefix))
-            n.stripPrefix(prefix).split("[-.]")(0).toLongOption.map(p -> _)
-          else None
-        }
-        .toSeq
-    } finally s.close()
-  }
-  private def genDirs(root: Path): Seq[(Path, Long)] = named(root, "gen-")
-  private def claimFiles(root: Path): Seq[(Path, Long)] =
+  /** `(location, epoch[, stamp])` views of the generation-protocol entries. */
+  private def named(root: String, prefix: String): Seq[(String, Long)] =
+    Blob.children(root)
+      .flatMap { p =>
+        val n = Loc.name(p)
+        if (n.startsWith(prefix))
+          n.stripPrefix(prefix).split("[-.]")(0).toLongOption.map(p -> _)
+        else None
+      }
+  private def genDirs(root: String): Seq[(String, Long)] = named(root, "gen-")
+  private def claimFiles(root: String): Seq[(String, Long)] =
     named(root, "claim-")
 
   /** Back-compat name: resolves (and if necessary repairs) the committed
     * generation, returning its directory.
     */
-  def recoverCurrent(storeDir: String): Path = resolveCurrent(storeDir)._1
+  def recoverCurrent(storeDir: String): String = resolveCurrent(storeDir)._1
 
   /** Resolves (and if necessary repairs) the committed generation:
     * `(current-<E> path, E)`; epoch 0 = virgin store (path won't exist).
@@ -673,18 +632,15 @@ object StreamingReplicator {
     * Legacy (pre-epoch) layout: a bare `current/` migrates to
     * `current-1`.
     */
-  def resolveCurrent(storeDir: String): (Path, Long) = {
-    val root = Paths.get(storeDir)
-    if (!Files.exists(root)) return (root.resolve("current-0"), 0L)
+  def resolveCurrent(storeDir: String): (String, Long) = {
+    val root = storeDir
+    if (!Blob.exists(root)) return (Loc.join(root, "current-0"), 0L)
 
-    val legacy = root.resolve("current")
-    if (Files.exists(legacy)) {
-      try Files.move(legacy, root.resolve("current-1"))
-      catch {
-        // a concurrent resolver migrated it first — the layout is
-        // epoch-named either way (read paths must never crash on this)
-        case _: java.nio.file.FileSystemException if !Files.exists(legacy) =>
-      }
+    val legacy = Loc.join(root, "current")
+    if (Blob.exists(legacy)) {
+      // a failed rename = a concurrent resolver migrated it first — the
+      // layout is epoch-named either way (read paths never crash on this)
+      Blob.move(legacy, Loc.join(root, "current-1")): Unit
     }
 
     named(root, "current-").maxByOption(_._2) match {
@@ -697,24 +653,24 @@ object StreamingReplicator {
         // Unmarked gens at/below e are swept too: epoch ge <= e was won
         // (by someone), so a marker-less gen-<ge> is a dead writer's
         // partial staging that no claimant will ever sweep otherwise
-        named(root, "old-").filter(_._2 < e - 1).foreach(o => deleteRecursively(o._1))
+        named(root, "old-").filter(_._2 < e - 1).foreach(o => Blob.deleteTree(o._1))
         genDirs(root)
           .filter { case (_, ge) => ge <= e }
-          .foreach(g => deleteRecursively(g._1))
-        claimFiles(root).filter(_._2 <= e).foreach(c => Files.deleteIfExists(c._1))
+          .foreach(g => Blob.deleteTree(g._1))
+        claimFiles(root).filter(_._2 <= e).foreach(c => Blob.deleteIfExists(c._1))
         (p, e)
       case None =>
         val committed = genDirs(root)
-          .filter { case (g, _) => Files.exists(g.resolve(Committed)) }
-          .sortBy { case (g, e) => (e, g.getFileName.toString) }
+          .filter { case (g, _) => Blob.exists(Loc.join(g, Committed)) }
+          .sortBy { case (g, e) => (e, Loc.name(g)) }
         committed.lastOption match {
           case Some((g, e)) =>
-            try Files.move(g, root.resolve(s"current-$e"))
-            catch {
-              // a concurrent repair beat us to the same adoption — fine
-              case _: java.nio.file.FileSystemException
-                  if Files.exists(root.resolve(s"current-$e")) =>
-            }
+            val target = Loc.join(root, s"current-$e")
+            // a failed rename with the target present = a concurrent
+            // repair beat us to the same adoption — fine
+            if (!Blob.move(g, target) && !Blob.exists(target))
+              throw new java.io.IOException(
+                s"adopting committed generation $g as $target failed")
             resolveCurrent(storeDir)
           case None =>
             // no committed generation anywhere: only reachable if markers
@@ -722,18 +678,16 @@ object StreamingReplicator {
             // last committed store (re-adopted under its epoch name)
             named(root, "old-").sortBy(_._2).lastOption match {
               case Some((o, e)) =>
-                Files.move(o, root.resolve(s"current-$e"))
+                val target = Loc.join(root, s"current-$e")
+                if (!Blob.move(o, target) && !Blob.exists(target))
+                  throw new java.io.IOException(
+                    s"re-adopting $o as $target failed")
                 resolveCurrent(storeDir)
-              case None => (root.resolve("current-0"), 0L)
+              case None => (Loc.join(root, "current-0"), 0L)
             }
         }
     }
   }
-
-  // shared tolerant delete: concurrent sweepers (any resolver may sweep
-  // spent dirs under the multi-writer contract) race on the same trees
-  private def deleteRecursively(p: Path): Unit =
-    graft.util.Fs.deleteRecursively(p)
 
   /** Runs the replicator over a stream of KAFKA-SHAPED records (key /
     * value bytes / `journal.action` header — the exact columns

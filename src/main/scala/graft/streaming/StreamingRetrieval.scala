@@ -140,6 +140,39 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous PREFIX search — the sorted-dictionary plane's read-side
+    * twin: arriving queries carry an explicit prefix (`(qid, pfx)`), and
+    * each micro-batch expands against the frozen index's `dict` member
+    * (range-pruned to the batch's prefixes) and scores through
+    * [[Retrieval.prefixTopKIndexedOf]]. Stateless: chunked queries ≡ one
+    * batch search (RetrievalIndexSpec law).
+    */
+  def prefixSearchStream(
+      queries: DataFrame, // (qid, pfx)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.prefixTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "pfx"),
+            indexDir,
+            k,
+            maxExpansions,
+            excludeSelf = false
+          ),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous PHRASE search — the positional plane's read-side twin:
     * arriving query documents are tokenized row-locally into their
     * leading `phraseLen`-gram (the standard phrase protocol) and matched
@@ -205,8 +238,11 @@ object StreamingRetrieval {
       window: Int = 8,
       nprobe: Int = 2,
       trigger: Trigger = Trigger.AvailableNow(),
-      // appended AFTER trigger so the signature stays positionally
-      // stable for pre-filter callers
+      // `allowed` sits AFTER `trigger` (it moved here in round 14 —
+      // deliberately: the defaulted tail params group the filter options
+      // together); a caller from the earlier allowed-before-trigger
+      // signature must pass it by NAME. New params only ever append
+      // after this point.
       allowed: Option[DataFrame] = None, // tenant/metadata filter: a
       //   (doc_id) set every leg restricts to (exact pre-filter — the
       //   p36f semantics applied continuously; None = unfiltered).
@@ -216,11 +252,14 @@ object StreamingRetrieval {
       //   filter can empty the probed cells while qualifying vectors
       //   live in unprobed ones. For selective tenants raise `nprobe`
       //   or pass adaptiveNprobe = true.
-      adaptiveNprobe: Boolean = false // selectivity-scaled dense probing
+      adaptiveNprobe: Boolean = true // selectivity-scaled dense probing
       //   (Similarity.knnIvfIndexedExactFilteredAdaptiveOf — the k17
       //   law): the probe widens as 1/selectivity up to all cells, so a
       //   selective tenant's top-k stays the exact filtered top-k. Only
-      //   meaningful with `allowed`.
+      //   meaningful with `allowed`. ON by default — the safe behavior
+      //   is not opt-in; its cost (a semi-join + two counts per batch,
+      //   only when `allowed` is set) is noted on the k17 scaladoc.
+      //   Pass false to pin the probe width for known-broad filters.
   )(sink: (DataFrame, Long) => Unit): StreamingQuery =
     queryDocs.writeStream
       .option("checkpointLocation", checkpointDir)

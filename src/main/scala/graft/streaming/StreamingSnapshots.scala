@@ -41,11 +41,11 @@ object StreamingSnapshots {
 
   private def live(storeDir: String, sub: String): String =
     graft.util.DirSwap
-      .resolve(java.nio.file.Paths.get(storeDir), sub)
+      .resolve(storeDir, sub)
       .toString
 
   def repairSnapshotStore(storeDir: String): Unit = {
-    val root = java.nio.file.Paths.get(storeDir)
+    val root = storeDir
     Dirs.foreach(graft.util.DirSwap.repair(root, _))
   }
 
@@ -168,8 +168,8 @@ object StreamingSnapshots {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairSnapshotStore(storeDir)
     val parts = ptrPartials(batch).cache()
-    val virgin = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(live(storeDir, "ptr"))
+    val virgin = !graft.util.Blob.exists(
+      live(storeDir, "ptr")
     )
     val stored =
       if (virgin)
@@ -267,11 +267,11 @@ object StreamingSnapshots {
       bufferSize: Int = 3,
       protectLayersAbove: Long = Long.MaxValue
   ): Unit = graft.util.MaintainerLease.withMaintainer(
-    java.nio.file.Paths.get(storeDir)
+    storeDir
   ) {
     import spark.implicits._
     repairSnapshotStore(storeDir)
-    val root = java.nio.file.Paths.get(storeDir)
+    val root = storeDir
     val pointers = mergedPointers(spark, storeDir).cache()
     graft.util.DirSwap.swap(root, "snaps") { tmp =>
       val all = readSnaps(spark, storeDir)

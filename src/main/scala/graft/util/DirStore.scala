@@ -1,19 +1,21 @@
 package graft.util
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-
 /** The storage primitives behind [[DirSwap]]'s CONTROL PLANE — the same
   * two-implementation treatment [[LeaseStore]] gave the maintainer lease
   * and StoreCommitProtocol gave the journal store: the generation-swap
   * protocol (pointer read/publish, prefix listing, sweep, age, drop)
-  * expressed over five primitives so its laws can run against both the
-  * POSIX binding and an object-store-shaped one.
+  * expressed over five primitives so its laws can run against the POSIX
+  * binding, the Hadoop `FileSystem` binding (HDFS/S3-class URIs — where a
+  * 100 TB deployment's data lives), and an in-memory object-store-shaped
+  * one.
   *
-  * The DATA plane is deliberately OUTSIDE the seam: [[DirSwap.swap]]'s
-  * `write(genDir)` callback writes parquet through Spark's own
-  * filesystem connectors, which already speak object stores — what an
-  * S3-class deployment needs from THIS seam is only the protocol's
-  * control operations, and each maps directly:
+  * Locations are STRINGS — plain paths or URIs; `java.nio.file.Path`
+  * cannot represent `s3a://…` (see [[Loc]]). The DATA plane is
+  * deliberately OUTSIDE the seam: [[DirSwap.swap]]'s `write(genDir)`
+  * callback writes parquet through Spark's own filesystem connectors,
+  * which already speak every scheme — what a deployment needs from THIS
+  * seam is only the protocol's control operations, and each maps
+  * directly:
   *
   *   - [[readBytes]]/[[exists]] → GET / HEAD on the pointer object
   *   - [[publishPointer]] → PUT of a small object. POSIX needs
@@ -30,57 +32,52 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *     object under the prefix — the binding decides)
   */
 trait DirStore {
-  def exists(p: Path): Boolean
-  def readBytes(p: Path): Array[Byte]
-  /** Publish `bytes` at `p`, atomically replacing any previous content. */
-  def publishPointer(p: Path, bytes: Array[Byte]): Unit
-  /** Immediate children of `root` (empty if absent). */
-  def children(root: Path): Seq[Path]
-  def deleteTree(p: Path): Unit
-  /** Milliseconds since `p` was last modified; NEGATIVE when the stamp
+  def exists(loc: String): Boolean
+  def readBytes(loc: String): Array[Byte]
+  /** Publish `bytes` at `loc`, atomically replacing any previous content. */
+  def publishPointer(loc: String, bytes: Array[Byte]): Unit
+  /** Immediate children of `root` as full locations (empty if absent). */
+  def children(root: String): Seq[String]
+  def deleteTree(loc: String): Unit
+  /** Milliseconds since `loc` was last modified; NEGATIVE when the stamp
     * cannot be read (vanished or unreadable mid-sweep: another party's
     * problem — an unknown age never "ages out" into a sweep; retaining
     * one more cycle is always safe, deleting early is not).
     */
-  def ageMs(p: Path): Long
+  def ageMs(loc: String): Long
   /** Create an (empty) directory entry — the law specs' stand-in for the
     * data plane's generation write; production writes go through Spark.
     */
-  def mkdirs(p: Path): Unit
+  def mkdirs(loc: String): Unit
 }
 
-/** The local/HDFS/NFS binding — rename-based atomic pointer publish. */
-object PosixDirStore extends DirStore {
-  def exists(p: Path): Boolean = Files.exists(p)
-  def readBytes(p: Path): Array[Byte] = Files.readAllBytes(p)
-  def publishPointer(p: Path, bytes: Array[Byte]): Unit = {
-    val tmp = p.resolveSibling(s"${p.getFileName}.tmp-${System.nanoTime()}")
-    Files.write(tmp, bytes)
-    Files.move(
-      tmp,
-      p,
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    ): Unit
-  }
-  def children(root: Path): Seq[Path] = {
-    if (!Files.exists(root)) return Seq.empty
-    val s = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq
-    } finally s.close()
-  }
-  def deleteTree(p: Path): Unit = Fs.deleteRecursively(p)
-  def ageMs(p: Path): Long =
-    try
-      math.max(
-        0L,
-        System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
-      )
-    catch { case _: java.io.IOException => -1L }
-  def mkdirs(p: Path): Unit = { Files.createDirectories(p): Unit }
+/** The swap protocol's control plane over a [[BlobIo]] backend — both
+  * filesystem bindings are this class with the backend swapped.
+  */
+sealed class IoDirStore(io: BlobIo) extends DirStore {
+  def exists(loc: String): Boolean = io.exists(loc)
+  def readBytes(loc: String): Array[Byte] = io.readBytes(loc)
+  def publishPointer(loc: String, bytes: Array[Byte]): Unit =
+    io.publishAtomic(loc, bytes)
+  def children(root: String): Seq[String] = io.children(root)
+  def deleteTree(loc: String): Unit = io.deleteTree(loc)
+  def ageMs(loc: String): Long = io.ageMs(loc)
+  def mkdirs(loc: String): Unit = io.mkdirs(loc)
 }
+
+/** The local/NFS binding — rename-based atomic pointer publish over
+  * `java.nio` (plain paths).
+  */
+object PosixDirStore extends IoDirStore(NioBlob)
+
+/** The Hadoop `FileSystem` binding — URI-schemed roots (`hdfs://`,
+  * `s3a://`, `file://`): maintained stores live where the data plane
+  * lives. Pointer publish is tmp + `FileContext` OVERWRITE rename
+  * (atomic on HDFS) with a single-object-PUT fallback where the scheme
+  * registers no AbstractFileSystem (atomic per object on S3-class
+  * stores) — see [[HadoopBlob.publishAtomic]].
+  */
+object HadoopDirStore extends IoDirStore(HadoopBlob)
 
 /** In-memory conditional-PUT-shaped binding — the object-store analogue
   * (flat key space, per-object atomic PUT, prefix listing, stamped
@@ -101,45 +98,40 @@ final class MemDirStore extends DirStore {
   private val objects = TrieMap.empty[String, (Array[Byte], Long)]
   @volatile private var clockMs: Long = 0L
   def advanceClock(ms: Long): Unit = clockMs += ms
-  private def key(p: Path): String = p.toString
 
-  def exists(p: Path): Boolean = {
-    val k = key(p)
-    objects.contains(k) || objects.keysIterator.exists(_.startsWith(k + "/"))
-  }
-  def readBytes(p: Path): Array[Byte] =
+  def exists(loc: String): Boolean =
+    objects.contains(loc) || objects.keysIterator.exists(_.startsWith(loc + "/"))
+  def readBytes(loc: String): Array[Byte] =
     objects
-      .getOrElse(key(p), throw new java.io.IOException(s"no object ${key(p)}"))
+      .getOrElse(loc, throw new java.io.IOException(s"no object $loc"))
       ._1
-  def publishPointer(p: Path, bytes: Array[Byte]): Unit = {
-    objects.put(key(p), (bytes, clockMs)): Unit // per-object PUT is atomic
+  def publishPointer(loc: String, bytes: Array[Byte]): Unit = {
+    objects.put(loc, (bytes, clockMs)): Unit // per-object PUT is atomic
   }
-  def children(root: Path): Seq[Path] = {
-    val prefix = key(root) + "/"
+  def children(root: String): Seq[String] = {
+    val prefix = root + "/"
     objects.keysIterator
       .filter(_.startsWith(prefix))
       .map(k => k.drop(prefix.length).takeWhile(_ != '/'))
       .toSeq
       .distinct
-      .map(root.resolve)
+      .map(Loc.join(root, _))
   }
-  def deleteTree(p: Path): Unit = {
-    val k = key(p)
-    objects.remove(k): Unit
-    objects.keysIterator.filter(_.startsWith(k + "/")).toSeq
+  def deleteTree(loc: String): Unit = {
+    objects.remove(loc): Unit
+    objects.keysIterator.filter(_.startsWith(loc + "/")).toSeq
       .foreach(objects.remove(_): Unit)
   }
-  def ageMs(p: Path): Long = {
-    val k = key(p)
-    val stamps = (objects.get(k).map(_._2).iterator ++
+  def ageMs(loc: String): Long = {
+    val stamps = (objects.get(loc).map(_._2).iterator ++
       objects.iterator.collect {
-        case (ok, (_, ts)) if ok.startsWith(k + "/") => ts
+        case (ok, (_, ts)) if ok.startsWith(loc + "/") => ts
       }).toSeq
     if (stamps.isEmpty) -1L else clockMs - stamps.max
   }
-  def mkdirs(p: Path): Unit = {
+  def mkdirs(loc: String): Unit = {
     // a marker object stands in for the directory (object stores have no
     // directories; Spark writers leave data objects that play this role)
-    objects.put(key(p) + "/.dir", (Array.emptyByteArray, clockMs)): Unit
+    objects.put(loc + "/.dir", (Array.emptyByteArray, clockMs)): Unit
   }
 }

@@ -1,7 +1,5 @@
 package graft.util
 
-import java.nio.file.Path
-
 /** Generation-swapped directories — the maintenance primitive behind the
   * persisted model stores' compaction (inverted index, LM counts, IVF
   * vectors): the journal store's epoch-generation discipline applied to a
@@ -32,32 +30,36 @@ import java.nio.file.Path
   * whole consumer contract. Single maintainer per store — ENFORCED by
   * [[MaintainerLease]] since round 12; readers unlimited.
   *
-  * Storage binding: the protocol's control plane runs over the five
-  * [[DirStore]] primitives — [[PosixDirStore]] (the default every store
-  * uses here) or an object-store-shaped binding ([[MemDirStore]] is the
-  * in-memory conditional-PUT form the law spec drives). The companion's
-  * methods are the POSIX instance; [[DirSwap.over]] builds one on any
-  * binding.
+  * Storage binding: locations are STRINGS (plain paths or URIs — see
+  * [[Loc]]) and the protocol's control plane runs over the [[DirStore]]
+  * primitives. The companion dispatches by scheme: URI-schemed roots
+  * (`hdfs://`, `s3a://`, `file://`) go through [[HadoopDirStore]] — the
+  * same filesystem abstraction the generation's parquet data is written
+  * through, so a maintained store lives wholly where a 100 TB
+  * deployment's data lives — and plain paths through [[PosixDirStore]].
+  * [[DirSwap.over]] builds the protocol on any explicit binding
+  * ([[MemDirStore]] is the in-memory conditional-PUT form the law spec
+  * drives).
   */
 final class DirSwapOver(store: DirStore) {
 
-  private def pointer(root: Path, name: String): Path =
-    root.resolve(s"$name.current")
+  private def pointer(root: String, name: String): String =
+    Loc.join(root, s"$name.current")
 
   /** The directory consumers should read/append for `root/name`: the
     * pointed-to generation, or the plain directory before any swap.
     */
-  def resolve(root: Path, name: String): Path = {
+  def resolve(root: String, name: String): String = {
     val p = pointer(root, name)
     if (store.exists(p))
-      root.resolve(new String(store.readBytes(p), "UTF-8").trim)
-    else root.resolve(name)
+      Loc.join(root, new String(store.readBytes(p), "UTF-8").trim)
+    else Loc.join(root, name)
   }
 
-  private def listPrefixed(root: Path, prefix: String): Seq[Path] =
+  private def listPrefixed(root: String, prefix: String): Seq[String] =
     store
       .children(root)
-      .filter(_.getFileName.toString.startsWith(prefix))
+      .filter(Loc.name(_).startsWith(prefix))
 
   /** Writes a replacement for `root/name` (read side: [[resolve]]) into a
     * fresh generation via `write(genDir)` and publishes it by the atomic
@@ -65,24 +67,24 @@ final class DirSwapOver(store: DirStore) {
     * readers; sweeps everything older, plus orphan generations and
     * pointer tmps from crashed swaps. Single maintainer.
     */
-  def swap(root: Path, name: String)(write: Path => Unit): Unit = {
+  def swap(root: String, name: String)(write: String => Unit): Unit = {
     val prev = resolve(root, name)
-    val gen = root.resolve(s"$name.gen-${System.nanoTime()}")
+    val gen = Loc.join(root, s"$name.gen-${System.nanoTime()}")
     write(gen)
     store.publishPointer(
       pointer(root, name),
-      gen.getFileName.toString.getBytes("UTF-8")
+      Loc.name(gen).getBytes("UTF-8")
     )
     // GC: keep {new current, immediately-previous} PLUS anything younger
     // than the wall-clock grace window (slow in-flight readers outlive
     // even back-to-back swaps); sweep older generations, the plain dir
     // once it is two generations stale AND aged out, and crashed-swap
     // leftovers (orphan gens, pointer tmps)
-    val keep = Set(gen.getFileName.toString, prev.getFileName.toString)
+    val keep = Set(Loc.name(gen), Loc.name(prev))
     val grace = DirSwap.graceMs
-    (listPrefixed(root, s"$name.gen-") :+ root.resolve(name))
+    (listPrefixed(root, s"$name.gen-") :+ Loc.join(root, name))
       .filter(store.exists)
-      .filterNot(p => keep.contains(p.getFileName.toString))
+      .filterNot(p => keep.contains(Loc.name(p)))
       .filter(store.ageMs(_) >= grace) // an unreadable/vanished stamp
       //   reads NEGATIVE and is retained — deleting on unknown age could
       //   cut a live reader's grace short; keeping one more cycle is free
@@ -99,9 +101,9 @@ final class DirSwapOver(store: DirStore) {
     * a rebuild is an offline operation by contract, and since round 12
     * the rebuild writers take the store's maintainer claim.
     */
-  def drop(root: Path, name: String): Unit = {
+  def drop(root: String, name: String): Unit = {
     (listPrefixed(root, s"$name.gen-") ++
-      listPrefixed(root, s"$name.current") :+ root.resolve(name))
+      listPrefixed(root, s"$name.current") :+ Loc.join(root, name))
       .filter(store.exists)
       .foreach(store.deleteTree)
   }
@@ -115,7 +117,7 @@ final class DirSwapOver(store: DirStore) {
     * generation that looks stale to one thread may be mid-read in
     * another; all sweeping belongs to the single maintainer's [[swap]].
     */
-  def repair(root: Path, name: String): Unit = {
+  def repair(root: String, name: String): Unit = {
     val p = pointer(root, name)
     if (store.exists(p)) {
       val target = resolve(root, name)
@@ -163,13 +165,22 @@ object DirSwap {
   def over(store: DirStore): DirSwapOver = new DirSwapOver(store)
 
   private val posix = new DirSwapOver(PosixDirStore)
+  private val hadoop = new DirSwapOver(HadoopDirStore)
 
-  def resolve(root: Path, name: String): Path = posix.resolve(root, name)
+  /** Scheme dispatch: URI roots run over Hadoop `FileSystem`, plain
+    * paths over `java.nio` — one protocol, the binding the root implies.
+    */
+  private def forRoot(root: String): DirSwapOver =
+    if (Loc.hasScheme(root)) hadoop else posix
 
-  def swap(root: Path, name: String)(write: Path => Unit): Unit =
-    posix.swap(root, name)(write)
+  def resolve(root: String, name: String): String =
+    forRoot(root).resolve(root, name)
 
-  def drop(root: Path, name: String): Unit = posix.drop(root, name)
+  def swap(root: String, name: String)(write: String => Unit): Unit =
+    forRoot(root).swap(root, name)(write)
 
-  def repair(root: Path, name: String): Unit = posix.repair(root, name)
+  def drop(root: String, name: String): Unit = forRoot(root).drop(root, name)
+
+  def repair(root: String, name: String): Unit =
+    forRoot(root).repair(root, name)
 }

@@ -45,21 +45,25 @@ object Fs {
   def deleteRecursively(f: java.io.File): Unit =
     deleteRecursively(f.toPath)
 
+  /** String-location form: scheme dispatch via [[Blob]] (URI roots go
+    * through Hadoop `FileSystem`, plain paths through `java.nio`).
+    */
+  def deleteRecursively(loc: String): Unit = Blob.deleteTree(loc)
+
   /** Parquet data-file count under a store directory — THE listing API
     * every health/debt report rides (retrieval index, LM model, and the
     * unified [[graft.util.StoreHealth]] surface all call this one
-    * definition). On a local filesystem it is one recursive walk; an
-    * object-store binding swaps this single body for the store's paged
-    * LIST call — the reports themselves never touch the filesystem API.
-    * A missing directory reports 0 (an optional store member, e.g. a
-    * frequency-only index's absent `positions`).
+    * definition). Locations are strings: a URI-schemed root lists through
+    * Hadoop `FileSystem` (the store's own paged LIST on object stores), a
+    * plain path through one recursive `java.nio` walk — the reports
+    * themselves never touch a filesystem API. A missing directory reports
+    * 0 (an optional store member, e.g. a frequency-only index's absent
+    * `positions`).
     */
-  def countParquetFiles(p: Path): Long = {
-    if (!Files.exists(p)) return 0L
-    var walk: java.util.stream.Stream[Path] = null
-    try {
-      walk = Files.walk(p)
-      walk.filter(_.toString.endsWith(".parquet")).count()
-    } finally if (walk != null) walk.close()
-  }
+  def countParquetFiles(loc: String): Long = Blob.countParquetFiles(loc)
+
+  def countParquetFiles(p: Path): Long = countParquetFiles(p.toString)
+
+  /** True iff at least one parquet data file exists under `loc`. */
+  def hasParquet(loc: String): Boolean = Blob.hasParquet(loc)
 }

@@ -1,9 +1,5 @@
 package graft.util
 
-import java.nio.file.{Files, Path}
-
-import scala.jdk.CollectionConverters._
-
 /** The storage primitives [[MaintainerLease]] is built from — extracted so
   * the lease gets the same two-implementation treatment as the journal
   * store's commit protocol (graft.streaming.StoreCommitProtocol /
@@ -66,34 +62,30 @@ trait LeaseStore {
   def mtimeMs(key: String): Option[Long]
 }
 
-/** POSIX/HDFS/NFS binding: entries are files under `root`; create-if-absent
-  * is CREATE_NEW, and both conditional primitives are built from the atomic
-  * rename-to-unique-tombstone dance (move the entry aside — of two racers at
-  * most one rename succeeds — verify the displaced content matches `expect`,
-  * then complete or restore). NOT for S3-class object stores (rename is
-  * copy+delete there); bind the conditional primitives to conditional PUT
-  * instead — [[MemLeaseStore]] models that shape.
+/** Filesystem binding over a string root (plain path or URI — the
+  * backend dispatches by scheme, see [[Blob]]): entries are files under
+  * `root`; create-if-absent is an atomic exclusive create, and both
+  * conditional primitives are built from the atomic
+  * rename-to-unique-tombstone dance (move the entry aside — of two racers
+  * at most one rename succeeds — verify the displaced content matches
+  * `expect`, then complete or restore). Correct on POSIX, HDFS, and NFS —
+  * NOT on S3-class object stores (rename is copy+delete there); bind the
+  * conditional primitives to conditional PUT instead — [[MemLeaseStore]]
+  * models that shape.
   */
-final class PosixLeaseStore(root: Path) extends LeaseStore {
+final class FsLeaseStore(root: String) extends LeaseStore {
 
-  private def p(key: String): Path = root.resolve(key)
+  private val io: BlobIo = Blob.backend(root)
+
+  private def p(key: String): String = Loc.join(root, key)
 
   override def createIfAbsent(key: String, content: String): Boolean = {
-    Files.createDirectories(root)
-    try {
-      Files.write(
-        p(key),
-        content.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW
-      )
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    io.mkdirs(root)
+    io.createNew(p(key), content.getBytes("UTF-8"))
   }
 
   override def read(key: String): Option[String] =
-    try Some(new String(Files.readAllBytes(p(key)), "UTF-8"))
+    try Some(new String(io.readBytes(p(key)), "UTF-8"))
     catch { case _: java.io.IOException => None }
 
   /** The shared rename-verify core: displaces the entry to a unique
@@ -104,22 +96,20 @@ final class PosixLeaseStore(root: Path) extends LeaseStore {
     * dual win).
     */
   private def casVia(key: String, expect: String)(
-      complete: Path => Boolean
+      complete: String => Boolean
   ): Boolean = {
     val entry = p(key)
     val tomb = p(s"$key.broken-${System.nanoTime()}")
     try {
-      Files.move(entry, tomb)
-      val moved = new String(Files.readAllBytes(tomb), "UTF-8")
+      if (!io.move(entry, tomb)) return false
+      val moved = new String(io.readBytes(tomb), "UTF-8")
       if (moved == expect) complete(tomb)
       else {
-        try Files.move(tomb, entry)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        io.move(tomb, entry): Unit // slot re-taken meanwhile → leave it
         false
       }
     } catch {
-      case _: java.nio.file.NoSuchFileException => false
-      case _: java.io.IOException               => false
+      case _: java.io.IOException => false
     }
   }
 
@@ -132,48 +122,33 @@ final class PosixLeaseStore(root: Path) extends LeaseStore {
 
   override def deleteIf(key: String, expect: String): Boolean =
     casVia(key, expect) { tomb =>
-      Files.deleteIfExists(tomb)
+      io.deleteIfExists(tomb)
       true
     }
 
   override def putNew(key: String, content: String): Unit = {
-    Files.createDirectories(root)
-    Files.write(
-      p(key),
-      content.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW
-    )
+    io.mkdirs(root)
+    if (!io.createNew(p(key), content.getBytes("UTF-8")))
+      throw new java.io.IOException(s"unique key ${p(key)} already exists")
   }
 
-  override def listContents(prefix: String): Seq[String] = {
-    if (!Files.isDirectory(root)) return Seq.empty
-    val s = Files.list(root)
-    try
-      s.iterator()
-        .asScala
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .flatMap { f =>
-          try Some(new String(Files.readAllBytes(f), "UTF-8"))
-          catch { case _: java.io.IOException => None }
-        }
-        .toSeq
-    finally s.close()
-  }
+  override def listContents(prefix: String): Seq[String] =
+    io.children(root)
+      .filter(Loc.name(_).startsWith(prefix))
+      .flatMap { f =>
+        try Some(new String(io.readBytes(f), "UTF-8"))
+        catch { case _: java.io.IOException => None }
+      }
 
-  override def deleteAll(prefix: String): Unit = {
-    if (!Files.isDirectory(root)) return
-    val s = Files.list(root)
-    try
-      s.iterator()
-        .asScala
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .foreach(f => Files.deleteIfExists(f): Unit)
-    finally s.close()
-  }
+  override def deleteAll(prefix: String): Unit =
+    io.children(root)
+      .filter(Loc.name(_).startsWith(prefix))
+      .foreach(io.deleteIfExists)
 
-  override def mtimeMs(key: String): Option[Long] =
-    try Some(Files.getLastModifiedTime(p(key)).toMillis)
-    catch { case _: java.io.IOException => None }
+  override def mtimeMs(key: String): Option[Long] = {
+    val age = io.ageMs(p(key))
+    if (age < 0) None else Some(System.currentTimeMillis() - age)
+  }
 }
 
 /** In-memory conditional-PUT binding: every primitive is a single

@@ -1,7 +1,5 @@
 package graft.util
 
-import java.nio.file.Path
-
 /** Multi-maintainer loss signal, shared by the bucketed journal store's
   * commit protocol (graft.streaming.StoreCommitProtocol) and the DirSwap
   * stores' maintainer fence ([[MaintainerLease]]): the loser has published
@@ -23,8 +21,9 @@ final class ConcurrentStoreWriteException(msg: String)
   * The protocol is written against the [[LeaseStore]] primitives
   * (create-if-absent, read, compare-and-replace, compare-and-delete) and
   * has TWO bindings with the fencing laws run against both (LeaseSpec —
-  * the commit protocol's two-implementation treatment): [[PosixLeaseStore]]
-  * (claim file + atomic-rename CAS; POSIX/HDFS/NFS) and [[MemLeaseStore]]
+  * the commit protocol's two-implementation treatment): [[FsLeaseStore]]
+  * (claim file + atomic-rename CAS over `java.nio` or Hadoop `FileSystem`
+  * by the root's scheme; POSIX/HDFS/NFS) and [[MemLeaseStore]]
   * (pure conditional-PUT CAS — the S3-class object-store shape, where an
   * If-Match conditional PUT replaces the rename). Breaking an expired
   * lease and releasing a held one are each ONE conditional primitive, so
@@ -162,21 +161,23 @@ object MaintainerLease {
       store.deleteAll(s"$ClaimName.broken-")
     }
 
-  // ----- the path-bound surface every DirSwap store compactor uses -----
+  // ---- the root-bound surface every DirSwap store compactor uses ----
+  // (string locations: URI roots bind through Hadoop FileSystem, plain
+  // paths through java.nio — FsLeaseStore dispatches by scheme)
 
-  private def posix(root: Path): LeaseStore = new PosixLeaseStore(root)
+  private def storeFor(root: String): LeaseStore = new FsLeaseStore(root)
 
-  def claim(root: Path, leaseMs: Long = defaultLeaseMs): String =
-    claimIn(posix(root), root.toString, leaseMs)
+  def claim(root: String, leaseMs: Long = defaultLeaseMs): String =
+    claimIn(storeFor(root), root, leaseMs)
 
-  def renew(root: Path, token: String): Unit =
-    renewIn(posix(root), root.toString, token)
+  def renew(root: String, token: String): Unit =
+    renewIn(storeFor(root), root, token)
 
-  def verify(root: Path, token: String): Unit =
-    verifyIn(posix(root), root.toString, token)
+  def verify(root: String, token: String): Unit =
+    verifyIn(storeFor(root), root, token)
 
-  def release(root: Path, token: String): Unit =
-    releaseIn(posix(root), token)
+  def release(root: String, token: String): Unit =
+    releaseIn(storeFor(root), token)
 
   private val held = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
@@ -196,14 +197,19 @@ object MaintainerLease {
     * driver GC pause longer than leaseMs), the heartbeat stops and the
     * fencing falls back to the documented residual window.
     */
-  def withMaintainer[A](root: Path, leaseMs: Long = defaultLeaseMs)(
+  def withMaintainer[A](root: String, leaseMs: Long = defaultLeaseMs)(
       body: => A
   ): A = {
-    val key = root.toAbsolutePath.normalize.toString
+    // the reentrancy key must be canonical so a compactor addressing the
+    // store as "dir" and a composed maintainer addressing it absolutely
+    // hold ONE claim; URI roots are already canonical
+    val key =
+      if (Loc.hasScheme(root)) root.stripSuffix("/")
+      else java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
     if (held.get().contains(key)) body
     else {
-      val store = posix(root)
-      java.nio.file.Files.createDirectories(root)
+      val store = storeFor(root)
+      Blob.mkdirs(root)
       val token = claimIn(store, key, leaseMs)
       held.set(held.get() + key)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)

@@ -1,7 +1,5 @@
 package graft.util
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** ONE health surface for every persisted store — the round-10 verdict's
@@ -48,8 +46,8 @@ object StoreHealth {
       compact: SparkSession => Unit = _ => ()
   )
 
-  private def liveDir(root: String, sub: String): java.nio.file.Path =
-    DirSwap.resolve(Paths.get(root), sub)
+  private def liveDir(root: String, sub: String): String =
+    DirSwap.resolve(root, sub)
 
   /** One health row per store, computed from store METADATA only — and
     * ONE Spark job for the whole registry: every layered member's layer
@@ -84,7 +82,7 @@ object StoreHealth {
   ): Seq[(Store, (String, Long, Long, String, Long, Boolean))] = {
     import org.apache.spark.sql.functions._
     stores.foreach { st =>
-      (st.layeredDirs ++ st.flatDirs).foreach(DirSwap.repair(Paths.get(st.root), _))
+      (st.layeredDirs ++ st.flatDirs).foreach(DirSwap.repair(st.root, _))
     }
     // a member directory can be absent (optional, e.g. a frequency-only
     // index's positions) or exist with ZERO data files (a store whose
@@ -104,7 +102,7 @@ object StoreHealth {
         members
           .map { case (idx, sub, p) =>
             spark.read
-              .parquet(p.toString)
+              .parquet(p)
               .select(
                 lit(idx).as("store_idx"),
                 lit(sub).as("member"),

@@ -14,11 +14,15 @@ import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
 import graft.streaming.{FsCommitProtocol, MemCommitProtocol, StoreCommitProtocol}
 
 /** The commit-protocol laws, IMPLEMENTATION-GENERIC: every test below runs
-  * twice — once against [[FsCommitProtocol]] (atomic rename + CREATE_NEW)
-  * and once against [[MemCommitProtocol]] (the object-store conditional-put
-  * shape) — exercising the six trait operations only, never an
-  * implementation's internals. Green twice = the trait IS the contract and
-  * the replication logic above it is genuinely storage-agnostic.
+  * THREE times — against [[FsCommitProtocol]] at a plain POSIX root
+  * (atomic rename + CREATE_NEW over `java.nio`), against the SAME protocol
+  * at a `file://` URI root (every operation routed through the Hadoop
+  * `FileSystem` backend — the binding an HDFS deployment's store root
+  * exercises), and against [[MemCommitProtocol]] (the object-store
+  * conditional-put shape) — exercising the six trait operations only,
+  * never an implementation's internals. Green three ways = the trait IS
+  * the contract and the replication logic above it is genuinely
+  * storage-agnostic.
   *
   * Laws: sequential convergence (three chunked applyBatches ≡ whole-log
   * compute), two-writer fail-fast (a mid-flight claim blocks the peer
@@ -58,10 +62,13 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // one protocol instance per store, as a deployment has (the Fs singleton
-  // is stateless over the shared filesystem; the Mem instance IS the store)
-  private def impls: Seq[(String, () => StoreCommitProtocol)] = Seq(
-    "fs" -> (() => FsCommitProtocol),
-    "mem-conditional-put" -> (() => new MemCommitProtocol)
+  // is stateless over the shared filesystem; the Mem instance IS the
+  // store). The root mapping picks the storage backend: a plain path runs
+  // the java.nio backend, a file:// URI runs the Hadoop FileSystem one.
+  private def impls: Seq[(String, () => StoreCommitProtocol, String => String)] = Seq(
+    ("fs", () => FsCommitProtocol, identity[String] _),
+    ("fs-hadoop-uri", () => FsCommitProtocol, (d: String) => s"file://$d"),
+    ("mem-conditional-put", () => new MemCommitProtocol, identity[String] _)
   )
 
   private def p2Rows(p: StoreCommitProtocol, dir: String): Seq[String] =
@@ -73,13 +80,13 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sorted
       .toSeq
 
-  for ((name, mk) <- impls) {
+  for ((name, mk, asRoot) <- impls) {
 
     test(s"[$name] three chunked applyBatches converge to the whole-log store") {
       val p = mk()
       val a = actions.cache()
       val cs = chunks(a, 3)
-      val tmp = Files.createTempDirectory(s"graft-law-conv-$name").toString
+      val tmp = asRoot(Files.createTempDirectory("graft-law-conv").toString)
       cs.foreach(c => StreamingReplicator.applyBatch(spark, tmp, c, protocol = p))
       assert(p.resolveCurrent(tmp)._2 == 3L)
       val got = StreamingReplicator.readStore(spark, tmp, p)
@@ -102,12 +109,12 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = mk()
       val a = actions.cache()
       val Seq(c1, c2) = chunks(a, 2)
-      val tmp = Files.createTempDirectory(s"graft-law-race-$name").toString
+      val tmp = asRoot(Files.createTempDirectory("graft-law-race").toString)
       StreamingReplicator.applyBatch(spark, tmp, c1, protocol = p) // epoch 1
       val afterC1 = p2Rows(p, tmp)
 
       // writer A mid-flight on epoch 2
-      p.claimEpoch(Paths.get(tmp), 2L, leaseMs = 600000L)
+      p.claimEpoch(tmp, 2L, leaseMs = 600000L)
       // writer B: fail-fast, nothing published
       intercept[ConcurrentStoreWriteException] {
         StreamingReplicator
@@ -120,9 +127,7 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     test(s"[$name] lease expiry: break fences the old holder; release respects ownership") {
       val p = mk()
-      val tmp = Files.createTempDirectory(s"graft-law-lease-$name").toString
-      val root = Paths.get(tmp)
-      Files.createDirectories(root)
+      val root = asRoot(Files.createTempDirectory("graft-law-lease").toString)
 
       val holder = p.claimEpoch(root, 2L, leaseMs = 150L)
       Thread.sleep(400L) // the lease expires un-renewed
@@ -141,9 +146,7 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     test(s"[$name] a renewing holder is live: the lease cannot be broken") {
       val p = mk()
-      val tmp = Files.createTempDirectory(s"graft-law-renew-$name").toString
-      val root = Paths.get(tmp)
-      Files.createDirectories(root)
+      val root = asRoot(Files.createTempDirectory("graft-law-renew").toString)
 
       val holder = p.claimEpoch(root, 3L, leaseMs = 2000L)
       Thread.sleep(1200L)
@@ -161,8 +164,8 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = mk()
       val a = actions.cache()
       val Seq(c1, c2) = chunks(a, 2)
-      val tmp = Files.createTempDirectory(s"graft-law-zombie-$name").toString
-      val root = Paths.get(tmp)
+      val tmp = asRoot(Files.createTempDirectory("graft-law-zombie").toString)
+      val root = tmp
       StreamingReplicator.applyBatch(spark, tmp, c1, protocol = p) // epoch 1
       StreamingReplicator.applyBatch(spark, tmp, c2, protocol = p) // epoch 2
       val committed = p2Rows(p, tmp)
@@ -181,14 +184,13 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = mk()
       val a = actions.cache()
       val Seq(c1, c2) = chunks(a, 2)
-      val tmp = Files.createTempDirectory(s"graft-law-virgin-$name").toString
-      val root = Paths.get(tmp)
-      Files.createDirectories(root)
+      val tmp = asRoot(Files.createTempDirectory("graft-law-virgin").toString)
+      val root = tmp
 
       // commit-only fixture (no data tables yet): read pointer2 straight
       // from the resolved generation
       def p2Now(): Seq[String] = spark.read
-        .parquet(p.resolveCurrent(tmp)._1.resolve("pointer2").toString)
+        .parquet(graft.util.Loc.join(p.resolveCurrent(tmp)._1, "pointer2"))
         .collect()
         .map(_.mkString("|"))
         .sorted
@@ -227,7 +229,7 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (gen1, e1) = p.resolveCurrent(tmp)
     assert(e1 == 1L)
     val listed = {
-      val s = Files.walk(gen1)
+      val s = Files.walk(Paths.get(gen1))
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
@@ -243,7 +245,7 @@ class CommitProtocolLawSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     StreamingReplicator.applyBatch(spark, tmp, c3, protocol = p) // epoch 3
     assert(
-      !Files.exists(gen1),
+      !Files.exists(Paths.get(gen1)),
       "the generation superseded two commits ago must be swept"
     )
     a.unpersist(false)

@@ -21,9 +21,10 @@ class DirSwapSpec extends AnyFunSuite {
   }
 
   private def swapN(root: java.nio.file.Path, n: Int): Unit =
-    DirSwap.swap(root, "s") { g =>
-      Files.createDirectories(g)
-      Files.write(g.resolve("a.txt"), n.toString.getBytes("UTF-8")): Unit
+    DirSwap.swap(root.toString, "s") { g =>
+      val gp = java.nio.file.Paths.get(g)
+      Files.createDirectories(gp)
+      Files.write(gp.resolve("a.txt"), n.toString.getBytes("UTF-8")): Unit
     }
 
   private def gens(root: java.nio.file.Path): Seq[String] =
@@ -35,7 +36,9 @@ class DirSwapSpec extends AnyFunSuite {
 
   private def liveContent(root: java.nio.file.Path): String =
     new String(
-      Files.readAllBytes(DirSwap.resolve(root, "s").resolve("a.txt")),
+      Files.readAllBytes(
+        java.nio.file.Paths.get(DirSwap.resolve(root.toString, "s"))
+          .resolve("a.txt")),
       "UTF-8"
     )
 
@@ -99,7 +102,7 @@ class DirSwapSpec extends AnyFunSuite {
       root.resolve("s.current.tmp-777"),
       "orphan".getBytes("UTF-8")
     )
-    DirSwap.drop(root, "s")
+    DirSwap.drop(root.toString, "s")
     val leftovers = Option(root.toFile.listFiles())
       .getOrElse(Array.empty)
       .map(_.getName)

@@ -168,7 +168,7 @@ class HeadCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(tmp) == before, "full compaction must not change reads")
     val raw = spark.read.parquet(
       graft.util.DirSwap
-        .resolve(java.nio.file.Paths.get(tmp), "entries")
+        .resolve(tmp, "entries")
         .toString
     )
     assert(

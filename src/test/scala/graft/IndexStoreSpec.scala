@@ -193,7 +193,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.pipeline.Dedup.appendToSpanIndex(spark, tmp, n2)
 
     def liveWin(): String = graft.util.DirSwap
-      .resolve(java.nio.file.Paths.get(tmp), "windows").toString
+      .resolve(tmp, "windows")
     def files(): Int = Option(new java.io.File(liveWin()).listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
     def winSet(): Set[(Long, Long)] = spark.read.parquet(liveWin())
@@ -482,6 +482,46 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
   }
 
+  test("adaptive filtered search: allowed ids absent from the index cannot narrow the probe") {
+    // the round-14 advice case: a stale tenant list (or cross-shard id
+    // space) wider than the corpus would inflate a raw |allowed| count,
+    // under-widen the probe, and silently reintroduce the recall loss —
+    // the width must come from |allowed ∩ corpus|
+    val tmp = Files.createTempDirectory("graft-ivf-adaptive-oob").toString
+    val codes = Similarity.quantized(spark, sfDir).select("vec_id", "q8")
+    Similarity
+      .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), tmp)
+    Similarity
+      .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), tmp)
+    val allowed = codes.select("vec_id").filter(col("vec_id") % 97 === 0)
+    // pad the filter with 100× ids that exist in NO shard of this index:
+    // a raw count would read ~100% selectivity and keep the narrow probe
+    val padded = allowed.unionByName(
+      codes.select((col("vec_id") + lit(10000000L)).as("vec_id"))
+    )
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val clean = hits(
+      Similarity.knnIvfIndexedExactFilteredAdaptiveOf(
+        spark, codes, tmp, allowed, 10L, 5, 2))
+    val oob = hits(
+      Similarity.knnIvfIndexedExactFilteredAdaptiveOf(
+        spark, codes, tmp, padded, 10L, 5, 2))
+    assert(
+      oob == clean,
+      "out-of-corpus allowed ids changed the adaptive result — the " +
+        "selectivity estimate is not intersecting the corpus"
+    )
+    // and the width it selected is the recall-1.0 one: ≡ probe-all truth
+    val truth = hits(
+      Similarity
+        .knnIvfIndexedExactFilteredOf(spark, codes, tmp, allowed, 10L, 5, 16))
+    assert(oob == truth, "padded-filter adaptive search must stay exact")
+  }
+
   test("index lifecycle: streamed drift fires the retrain trigger; retraining clears it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
@@ -759,7 +799,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def stored(): Seq[Long] = spark.read
       .parquet(graft.util.DirSwap
-        .resolve(java.nio.file.Paths.get(idx), "vectors").toString)
+        .resolve(idx, "vectors"))
       .select("vec_id")
       .collect()
       .map(_.getLong(0))
@@ -788,7 +828,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((stored(), search()) == once)
     val layers = spark.read
       .parquet(graft.util.DirSwap
-        .resolve(java.nio.file.Paths.get(idx), "vectors").toString)
+        .resolve(idx, "vectors"))
       .select(col("layer").cast("long"))
       .distinct()
       .count()

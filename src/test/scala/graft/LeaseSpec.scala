@@ -8,8 +8,8 @@ import graft.util.{
   ConcurrentStoreWriteException,
   LeaseStore,
   MaintainerLease,
-  MemLeaseStore,
-  PosixLeaseStore
+  FsLeaseStore,
+  MemLeaseStore
 }
 
 /** The maintainer-lease protocol laws, run implementation-generically
@@ -24,8 +24,13 @@ import graft.util.{
 class LeaseSpec extends AnyFunSuite {
 
   private def bindings(): Seq[(String, LeaseStore)] = Seq(
-    "posix" -> new PosixLeaseStore(
-      Files.createTempDirectory("graft-lease-law")
+    "posix" -> new FsLeaseStore(
+      Files.createTempDirectory("graft-lease-law").toString
+    ),
+    // the SAME filesystem binding at a file:// URI root — every primitive
+    // routed through the Hadoop FileSystem backend (the HDFS shape)
+    "hadoop-file-uri" -> new FsLeaseStore(
+      s"file://${Files.createTempDirectory("graft-lease-law-h")}"
     ),
     "mem" -> new MemLeaseStore
   )

@@ -47,8 +47,8 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
 
-  private def live(dir: String, sub: String): java.nio.file.Path =
-    graft.util.DirSwap.resolve(java.nio.file.Paths.get(dir), sub)
+  private def live(dir: String, sub: String): String =
+    graft.util.DirSwap.resolve(dir, sub)
 
   private def uniTable(dir: String): Map[String, Long] =
     spark.read
@@ -151,7 +151,7 @@ class LmStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = d.filter(col("doc_id") >= boundary)
 
     def uniFiles(): Int = {
-      val w = Files.walk(live(tmp, "uni"))
+      val w = Files.walk(java.nio.file.Paths.get(live(tmp, "uni")))
       try w.filter(_.toString.endsWith(".parquet")).count().toInt
       finally w.close()
     }

@@ -176,7 +176,7 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     def textLayers(): Set[Long] = spark.read
       .parquet(
         graft.util.DirSwap
-          .resolve(Paths.get(dep.textIndexDir), "postings")
+          .resolve(dep.textIndexDir, "postings")
           .toString
       )
       .select(col("layer").cast("long"))
@@ -198,7 +198,7 @@ class PipelineDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     val trueDocs = d.count()
     def storedDocs(dir: String): Long = spark.read
-      .parquet(graft.util.DirSwap.resolve(Paths.get(dir), "stats").toString)
+      .parquet(graft.util.DirSwap.resolve(dir, "stats"))
       .agg(sum("n_docs"))
       .head()
       .getLong(0)

@@ -464,7 +464,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Writer A mid-flight: epoch-2 claim taken, nothing committed yet
     val (_, e1) = StreamingReplicator.resolveCurrent(tmp)
     assert(e1 == 1L)
-    StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+    StreamingReplicator.claimEpoch(tmp, 2L, leaseMs = 600000L)
 
     // Writer B fails FAST at the claim — before any data write; the
     // committed generation is untouched
@@ -487,7 +487,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // commit: the epoch CAS fences it — clean loss, store unchanged
     val stale = StreamingReplicator.readStore(spark, tmp).pointer2
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.commitGeneration(root, basedOnEpoch = 1L, stale,
+      StreamingReplicator.commitGeneration(tmp, basedOnEpoch = 1L, stale,
         writerToken = "zombie-A")
     }
     assert(p2Rows() == afterC2, "fenced zombie must publish nothing")
@@ -508,7 +508,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("commit protocol seam: applyBatch routes every protocol op through it; the race holds through the seam") {
-    import java.nio.file.{Path, Paths}
+    import java.nio.file.Paths
     import graft.streaming.StreamingReplicator.ConcurrentStoreWriteException
     import graft.streaming.{FsCommitProtocol, StoreCommitProtocol}
     val a = actions.cache()
@@ -522,24 +522,24 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     class Counting extends StoreCommitProtocol {
       private def n(k: String): Unit = synchronized { calls(k) += 1 }
-      def claimEpoch(r: Path, e: Long, ms: Long): String = {
+      def claimEpoch(r: String, e: Long, ms: Long): String = {
         n("claim"); FsCommitProtocol.claimEpoch(r, e, ms)
       }
-      def renewClaim(r: Path, e: Long, t: String): Unit = {
+      def renewClaim(r: String, e: Long, t: String): Unit = {
         n("renew"); FsCommitProtocol.renewClaim(r, e, t)
       }
-      def verifyClaim(r: Path, e: Long, t: String): Unit = {
+      def verifyClaim(r: String, e: Long, t: String): Unit = {
         n("verify"); FsCommitProtocol.verifyClaim(r, e, t)
       }
-      def releaseClaim(r: Path, e: Long, t: String): Unit = {
+      def releaseClaim(r: String, e: Long, t: String): Unit = {
         n("release"); FsCommitProtocol.releaseClaim(r, e, t)
       }
       def commitGeneration(
-          r: Path, base: Long,
+          r: String, base: Long,
           p2: org.apache.spark.sql.DataFrame, tok: String): Unit = {
         n("commit"); FsCommitProtocol.commitGeneration(r, base, p2, tok)
       }
-      def resolveCurrent(d: String): (Path, Long) = {
+      def resolveCurrent(d: String): (String, Long) = {
         n("resolve"); FsCommitProtocol.resolveCurrent(d)
       }
     }
@@ -552,7 +552,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // the two-writer fail-fast law holds when BOTH writers run through
     // explicit seam instances (a mid-flight claim blocks the second)
-    StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+    StreamingReplicator.claimEpoch(tmp, 2L, leaseMs = 600000L)
     intercept[ConcurrentStoreWriteException] {
       StreamingReplicator.applyBatch(
         spark, tmp, c2, leaseMs = 600000L, protocol = new Counting)
@@ -571,11 +571,11 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.createDirectories(root)
     // writer B commits epoch 1 first (its own token)
     val p2b = Replicate.compute(c2).pointer2
-    StreamingReplicator.commitGeneration(root, 0L, p2b, writerToken = "B")
+    StreamingReplicator.commitGeneration(tmp, 0L, p2b, writerToken = "B")
     assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
     def p2Now(): Seq[String] = spark.read
-      .parquet(StreamingReplicator.resolveCurrent(tmp)._1
-        .resolve("pointer2").toString)
+      .parquet(graft.util.Loc.join(
+        StreamingReplicator.resolveCurrent(tmp)._1, "pointer2"))
       .collect().map(_.mkString("|")).sorted.toSeq
     val committed = p2Now()
     // zombie A (lease-broken while stalled on the virgin store) tries the
@@ -583,7 +583,7 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // here and A's batch would be checkpoint-acked without ever landing
     val p2a = Replicate.compute(c1).pointer2
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.commitGeneration(root, 0L, p2a, writerToken = "A")
+      StreamingReplicator.commitGeneration(tmp, 0L, p2a, writerToken = "A")
     }
     assert(StreamingReplicator.resolveCurrent(tmp)._2 == 1L)
     assert(p2Now() == committed, "B's committed generation must be untouched")
@@ -602,9 +602,9 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val staleStamp = System.currentTimeMillis() - 3600000L
     val holder = s"slow-writer/1 $staleStamp"
     Files.write(root.resolve("claim-2"), holder.getBytes("UTF-8"))
-    StreamingReplicator.renewClaim(root, 2L, holder) // heartbeat
+    StreamingReplicator.renewClaim(tmp, 2L, holder) // heartbeat
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.claimEpoch(root, 2L, leaseMs = 600000L)
+      StreamingReplicator.claimEpoch(tmp, 2L, leaseMs = 600000L)
     }
 
     // without a fresh renewal the same aged claim IS breakable
@@ -612,18 +612,18 @@ class ReplicatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root2 = Paths.get(tmp2)
     Files.createDirectories(root2)
     Files.write(root2.resolve("claim-2"), holder.getBytes("UTF-8"))
-    val breaker = StreamingReplicator.claimEpoch(root2, 2L, leaseMs = 600000L)
+    val breaker = StreamingReplicator.claimEpoch(tmp2, 2L, leaseMs = 600000L)
 
     // the broken holder's world is fenced: verify fails before any
     // shared-table write, and a late renewal is void
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.verifyClaim(root2, 2L, holder)
+      StreamingReplicator.verifyClaim(tmp2, 2L, holder)
     }
     intercept[ConcurrentStoreWriteException] {
-      StreamingReplicator.renewClaim(root2, 2L, holder)
+      StreamingReplicator.renewClaim(tmp2, 2L, holder)
     }
     // the breaker itself still verifies clean
-    StreamingReplicator.verifyClaim(root2, 2L, breaker)
+    StreamingReplicator.verifyClaim(tmp2, 2L, breaker)
   }
 
   test("store-based purgeExpiredApply ≡ actions-based, and scans only the store") {

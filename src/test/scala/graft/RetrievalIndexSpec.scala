@@ -191,7 +191,7 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def live(dir: String, sub: String): Path =
-    graft.util.DirSwap.resolve(Paths.get(dir), sub)
+    Paths.get(graft.util.DirSwap.resolve(dir, sub))
 
   private def postingFiles(dir: String): Map[Path, Long] = {
     val root = live(dir, "postings")
@@ -596,10 +596,25 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       val start = math.max(anchor.toInt - 4, 1)
       val want = toks.slice(start - 1, start - 1 + 9).mkString(" ")
       assert(snippet == want, s"window of ($qid,$did)")
-      // the first matched term: no earlier position matches any query term
+      // BEST-window law (the round-15 highlighter upgrade): the anchor
+      // maximizes the matched-position count of its ±4 window, earliest
+      // on ties — so it is never WORSE than the old first-match anchor
+      val matchedPos = toks.zipWithIndex.collect {
+        case (t, i) if qTerms(qid).contains(t) => i + 1
+      }
+      def cnt(a: Int): Int = matchedPos.count(p => p >= a - 4 && p <= a + 4)
+      val bestPos = matchedPos
+        .map(p => (cnt(p), p))
+        .sortBy { case (c, p) => (-c, p) }
+        .head
+        ._2
       assert(
-        !toks.take(anchor.toInt - 1).exists(qTerms(qid).contains),
-        s"($qid,$did): anchor must be the FIRST match"
+        anchor.toInt == bestPos,
+        s"($qid,$did): anchor $anchor is not the densest-window position $bestPos"
+      )
+      assert(
+        cnt(anchor.toInt) >= cnt(matchedPos.min),
+        s"($qid,$did): chosen window must be at least as dense as the first-match window"
       )
     }
     // --- facets: per-facet counts partition the boolean gate (no top-k
@@ -895,6 +910,54 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("qid", "w", "role")
     val batch = rows(
       Retrieval.booleanQueryTopKIndexedOf(spark, roles, tmp, excludeSelf = false))
+    assert(buf.nonEmpty)
+    assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
+  }
+
+  test("streaming prefix search over chunked queries equals one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-prefixstream").toString
+    val ck = Files.createTempDirectory("graft-ii-prefixstream-ck").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+
+    val queryRows: Seq[(Long, String)] = docs
+      .filter(col("doc_id") < 6)
+      .select(
+        col("doc_id"),
+        expr("substring(element_at(filter(split(text, ' '), x -> x != ''), 1), 1, 3)")
+      )
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingRetrieval.prefixSearchStream(
+      ms.toDF().toDF("qid", "pfx"),
+      tmp,
+      ck,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      buf.synchronized { buf ++= rs: Unit }
+    }
+    try
+      queryRows.grouped(2).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+
+    val batch = rows(
+      Retrieval.prefixTopKIndexedOf(
+        spark, queryRows.toDF("qid", "pfx"), tmp, excludeSelf = false))
     assert(buf.nonEmpty)
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
   }
@@ -1198,5 +1261,164 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(failures.isEmpty, s"concurrent reader failed: ${failures.peek()}")
     assert(rows(Retrieval.bm25TopKIndexed(spark, sfDir, tmp)) == expected)
+  }
+
+  // ---- p33r: prefix / wildcard term queries over the sorted dictionary
+
+  test("prefix: stored ≡ inline ≡ lifecycle, through append and compaction") {
+    val tmp = Files.createTempDirectory("graft-ii-prefix").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    Retrieval.writeInvertedIndexOf(spark, docs.filter(col("doc_id") < boundary), tmp)
+    Retrieval.appendToInvertedIndex(
+      spark, docs.filter(col("doc_id") >= boundary), tmp, layer = 1L)
+    val inline = rows(Retrieval.prefixTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain prefix matches")
+    assert(rows(Retrieval.prefixTopKIndexed(spark, sfDir, tmp)) == inline)
+    assert(rows(Retrieval.prefixIndexLifecycle(spark, sfDir)) == inline)
+    Retrieval.compactInvertedIndex(spark, tmp)
+    assert(rows(Retrieval.prefixTopKIndexed(spark, sfDir, tmp)) == inline)
+  }
+
+  test("prefix: the dict scan pushes the term range; postings prune to the expanded buckets") {
+    val tmp = Files.createTempDirectory("graft-ii-prefix-plan").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val ss = spark
+    import ss.implicits._
+    val q = Seq((99L, "the")).toDF("qid", "pfx")
+    val plan = Retrieval
+      .prefixTopKIndexedOf(spark, q, tmp, k = 3)
+      .queryExecution
+      .executedPlan
+      .toString
+    // the sorted dictionary's prefix pruning is a pushed RANGE on w —
+    // parquet min/max stats skip every file outside [pfx, succ(pfx))
+    assert(
+      plan.contains("GreaterThanOrEqual(w,the") &&
+        plan.contains("LessThan(w,thf"),
+      s"dict range not pushed:\n$plan"
+    )
+    // and the posting scan stays partition-pruned to the probed buckets
+    assert(plan.contains("PartitionFilters") && plan.contains("wb"))
+  }
+
+  test("prefix expansion cap: the first maxExpansions terms in order, both forms identically") {
+    val tmp = Files.createTempDirectory("graft-ii-prefix-cap").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val ss = spark
+    import ss.implicits._
+    // a one-letter prefix matches many terms — the cap must bite, and
+    // bite IDENTICALLY inline and stored (else the oracle can't carry)
+    val q = Seq((0L, "s")).toDF("qid", "pfx")
+    val capped = rows(
+      Retrieval.prefixTopKIndexedOf(spark, q, tmp, k = 5, maxExpansions = 3))
+    assert(capped == rows(
+      Retrieval.prefixTopKOf(spark, docs, q, k = 5, maxExpansions = 3)))
+    // non-vacuity: the cap genuinely bound the expansion (the corpus has
+    // more than 3 distinct terms under the prefix); whether the capped
+    // TOP-K happens to coincide with the uncapped one is fixture luck,
+    // so the bite is asserted on the term count itself
+    val nTerms = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .filter(col("w").startsWith("s"))
+      .select("w")
+      .distinct()
+      .count()
+    assert(nTerms > 3, s"fixture must have > 3 terms under the prefix ($nTerms)")
+  }
+
+  test("wildcard: trailing-star ≡ prefix; '?' patterns match an independent in-memory model") {
+    val tmp = Files.createTempDirectory("graft-ii-wild").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val ss = spark
+    import ss.implicits._
+    val pq = Retrieval
+      .prefixTopKIndexedOf(spark, Seq((0L, "the")).toDF("qid", "pfx"), tmp)
+    val wq = Retrieval
+      .wildcardTopKIndexedOf(spark, Seq((0L, "the*")).toDF("qid", "pattern"), tmp)
+    assert(rows(wq) == rows(pq), "pattern 'p*' must equal prefix 'p'")
+
+    // '?' semantics against a brute-force in-memory model over the corpus
+    val pattern = "th?"
+    val re = java.util.regex.Pattern.compile("th.")
+    val d = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = d.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map(w => (id, w))
+    }.groupBy(identity).map { case ((id, w), g) => (id, w, g.length.toLong) }
+    val matchedTerms = tf.map(_._2).filter(w => re.matcher(w).matches()).toSet
+      .toSeq.sorted.take(64).toSet
+    val want = tf
+      .filter(t => matchedTerms.contains(t._2) && t._1 != 0L)
+      .groupBy(_._1)
+      .map { case (id, g) => (id, g.map(_._3).sum) }
+      .toSeq
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(5)
+      .zipWithIndex
+      .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
+    val got = rows(Retrieval.wildcardTopKIndexedOf(
+      spark, Seq((0L, pattern)).toDF("qid", "pattern"), tmp))
+    assert(want.nonEmpty, "fixture must contain th? matches")
+    assert(got == want, s"wildcard '?': got $got want $want")
+  }
+
+  // ---- p33s: minimum-should-match and OR-of-ANDs over the clause matrix
+
+  test("minShouldMatch: stored ≡ inline; the quorum genuinely prunes; msm 0 ≡ p33k") {
+    val tmp = Files.createTempDirectory("graft-ii-msm").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val inline1 = rows(Retrieval.booleanQueryTopK(spark, sfDir, minShouldMatch = 1))
+    assert(inline1.nonEmpty)
+    assert(
+      rows(Retrieval.booleanQueryTopKIndexed(spark, sfDir, tmp, minShouldMatch = 1))
+        == inline1
+    )
+    // msm = 0 must reproduce the p33k semantics exactly
+    assert(
+      rows(Retrieval.booleanQueryTopK(spark, sfDir, minShouldMatch = 0)) ==
+        rows(Retrieval.booleanQueryTopK(spark, sfDir))
+    )
+    // non-vacuity: requiring BOTH should terms must change some query's
+    // candidate set vs requiring none (k large enough to defeat top-k)
+    val all0 = rows(Retrieval.booleanQueryTopK(spark, sfDir, k = 10000))
+    val all2 = rows(
+      Retrieval.booleanQueryTopK(spark, sfDir, k = 10000, minShouldMatch = 2))
+    assert(all2.size < all0.size, "msm=2 must prune candidates on this fixture")
+    // a quorum larger than the query's SHOULD set matches nothing
+    assert(
+      rows(Retrieval.booleanQueryTopK(spark, sfDir, minShouldMatch = 99)).isEmpty
+    )
+  }
+
+  test("OR-of-ANDs: stored ≡ inline ≡ lifecycle; a doc matching either clause qualifies") {
+    val tmp = Files.createTempDirectory("graft-ii-dnf").toString
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    Retrieval.writeInvertedIndexOf(spark, docs.filter(col("doc_id") < boundary), tmp)
+    Retrieval.appendToInvertedIndex(
+      spark, docs.filter(col("doc_id") >= boundary), tmp, layer = 1L)
+    val inline = rows(Retrieval.dnfTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain DNF matches")
+    val ss = spark
+    import ss.implicits._
+    assert(rows(Retrieval.dnfIndexLifecycle(spark, sfDir)) == inline)
+    Retrieval.compactInvertedIndex(spark, tmp)
+    // explicit-clause form through the compacted store
+    val clauses = Seq(
+      (0L, 0, "the"), (0L, 0, "fast"), (0L, 1, "key"), (0L, 1, "order")
+    ).toDF("qid", "cid", "w")
+    val got = Retrieval
+      .dnfTopKIndexedOf(spark, clauses, tmp, k = 10000)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+      .toMap
+    // independent model: docs (≠ qid) containing {the, fast} or {key,
+    // order}; the matched-clause UNION is the qualifying set
+    val d = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val wantDocs = d.collect {
+      case (id, text) if id != 0L =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSet
+        (id, (ws.contains("the") && ws.contains("fast")) ||
+          (ws.contains("key") && ws.contains("order")))
+    }.filter(_._2).map(_._1).toSet
+    assert(got.keySet == wantDocs, "DNF gate must be the union of clause gates")
   }
 }

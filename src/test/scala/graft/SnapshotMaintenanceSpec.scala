@@ -182,7 +182,7 @@ class SnapshotMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recoverRows() == before, "compaction must not change recovery")
     val raw = spark.read.parquet(
       graft.util.DirSwap
-        .resolve(java.nio.file.Paths.get(tmp), "snaps")
+        .resolve(tmp, "snaps")
         .toString
     )
     assert(raw.select("layer").distinct().count() == 1, "layers folded")

@@ -167,7 +167,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.read
           .parquet(
             graft.util.DirSwap
-              .resolve(java.nio.file.Paths.get(ivfDir), "vectors")
+              .resolve(ivfDir, "vectors")
               .toString
           )
           .select("vec_id", "cid")
@@ -176,7 +176,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.read
           .parquet(
             graft.util.DirSwap
-              .resolve(java.nio.file.Paths.get(spanDir), "windows")
+              .resolve(spanDir, "windows")
               .toString
           )
       ),
@@ -184,7 +184,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.read
           .parquet(
             graft.util.DirSwap
-              .resolve(java.nio.file.Paths.get(paraDir), "windows")
+              .resolve(paraDir, "windows")
               .toString
           )
       ),
@@ -228,7 +228,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     stores.foreach { st =>
       val root = java.nio.file.Paths.get(st.root)
-      val token = MaintainerLease.claim(root)
+      val token = MaintainerLease.claim(st.root)
       val lost = intercept[ConcurrentStoreWriteException](st.compact(spark))
       assert(lost.getMessage.contains("live maintainer"))
       // nothing published: the store root still holds only the claim files
@@ -237,7 +237,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.getName)
         .toSet
       assert(names.forall(_.startsWith("maintainer.claim")), s"${st.name}: $names")
-      MaintainerLease.release(root, token)
+      MaintainerLease.release(root.toString, token)
     }
   }
 
@@ -266,7 +266,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     rebuilds.foreach { case (name, rebuild) =>
       val root = java.nio.file.Paths.get(s"$base/$name")
-      val token = MaintainerLease.claim(root)
+      val token = MaintainerLease.claim(root.toString)
       intercept[ConcurrentStoreWriteException](rebuild(root.toString))
       // nothing published: the root still holds only the claim files
       val names = Option(root.toFile.listFiles())
@@ -274,7 +274,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(_.getName)
         .toSet
       assert(names.forall(_.startsWith("maintainer.claim")), s"$name: $names")
-      MaintainerLease.release(root, token)
+      MaintainerLease.release(root.toString, token)
       // and uncontended the same rebuild goes through
       rebuild(root.toString)
     }
@@ -285,6 +285,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = java.nio.file.Files
       .createTempDirectory("graft-heartbeat")
       .toAbsolutePath
+      .toString
     val leaseMs = 1000L
     val entered = new java.util.concurrent.CountDownLatch(1)
     val rivalOutcome =
@@ -311,7 +312,7 @@ class StoreHealthSpec extends AnyFunSuite with BeforeAndAfterAll {
     )
     // and the release was clean: a later maintainer claims immediately
     val t = MaintainerLease.claim(root, leaseMs)
-    MaintainerLease.release(root, t)
+    MaintainerLease.release(root.toString, t)
   }
 
   test("maintainer fencing: two concurrent maintainers on one store — one wins, reads row-identical throughout") {

@@ -56,7 +56,7 @@ class StoreInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Retrieval.repairInvertedIndex(dir)
     spark.read
       .parquet(graft.util.DirSwap
-        .resolve(Paths.get(dir), "df").toString)
+        .resolve(dir, "df"))
       .groupBy("w")
       .agg(sum("df").as("df"))
       .collect()
@@ -67,7 +67,7 @@ class StoreInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def nDocs(dir: String): Long = {
     Retrieval.repairInvertedIndex(dir)
     spark.read
-      .parquet(graft.util.DirSwap.resolve(Paths.get(dir), "stats").toString)
+      .parquet(graft.util.DirSwap.resolve(dir, "stats"))
       .agg(sum("n_docs"))
       .head()
       .getLong(0)
