@@ -403,6 +403,10 @@ object SparkEntry {
       ((s, d) => graft.pipeline.Retrieval.dnfIndexLifecycle(s, d)),
     "p33r2_prefix_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.prefixIndexLifecycle(s, d)),
+    // p33r3 — wildcard term query through the stored lifecycle (leading
+    // literal prunes the sorted dict; '?' residual matches via LIKE)
+    "p33r3_wildcard_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.wildcardIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -659,6 +663,7 @@ object SparkEntry {
     "p33s3_dnf_indexed" -> PipelineOracles.dnfTopK,
     // same oracle as p33r by the indexed ≡ inline law
     "p33r2_prefix_indexed" -> PipelineOracles.prefixTopK,
+    "p33r3_wildcard_indexed" -> PipelineOracles.wildcardTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracles as p33m/p33n by the indexed ≡ inline law

@@ -1038,6 +1038,53 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33r3 — WILDCARD term query
+    * (graft.pipeline.Retrieval.wildcardIndexLifecycle, nQueries=5, k=5,
+    * maxExpansions=64): each query doc whose first token has ≥ 3 chars
+    * contributes the pattern `c₁ ? rest *` (second character wildcarded,
+    * any suffix); expansion and scoring are the p33r protocol over the
+    * LIKE-translated pattern. The corpus tokens contain no LIKE
+    * metacharacters (the engine escapes them; this fixture has none to
+    * escape), so the translation is the plain `_`/`%` substitution.
+    */
+  val wildcardTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    q AS (
+      SELECT doc_id AS qid,
+             substr(w[1], 1, 1) || '_' || substr(w[1], 3) || '%' AS pat
+      FROM ws WHERE doc_id < 5 AND len(w) >= 1 AND length(w[1]) >= 3
+    ),
+    expq AS (
+      SELECT qid, w1 FROM (
+        SELECT q.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY t.w1) AS rn
+        FROM q JOIN (SELECT DISTINCT w1 FROM tf) t ON t.w1 LIKE q.pat
+      ) e WHERE rn <= 64
+    ),
+    sc AS (
+      SELECT e.qid, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS score
+      FROM expq e JOIN tf t ON t.w1 = e.w1
+      WHERE t.doc_id <> e.qid
+      GROUP BY e.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p33i — boolean conjunctive (AND) retrieval
     * (graft.pipeline.Retrieval.booleanTopK, nQueries=5, qLen=3, k=5):
     * the query is each query doc's first 3 DISTINCT terms in

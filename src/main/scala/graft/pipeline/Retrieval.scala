@@ -1038,6 +1038,51 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  /** Per-query wildcard patterns under the standard protocol: each of
+    * the `nQueries` lowest doc_ids whose first token has ≥ 3 characters
+    * contributes `c₁ ? c₃.. *` — first character literal, second
+    * wildcarded single, rest of the token literal, any suffix. The
+    * leading literal keeps the dictionary scan range-prunable while the
+    * `?` exercises the residual matcher.
+    */
+  private[graft] def wildcardQueries(d: DataFrame, nQueries: Int): DataFrame =
+    d.filter(col("doc_id") < nQueries)
+      .select(
+        col("doc_id").as("qid"),
+        expr(
+          "element_at(filter(split(text, ' '), x -> x != ''), 1)"
+        ).as("tok")
+      )
+      .filter(col("tok").isNotNull && length(col("tok")) >= 3)
+      .select(
+        col("qid"),
+        concat(
+          substring(col("tok"), 1, 1),
+          lit("?"),
+          expr("substring(tok, 3)"),
+          lit("*")
+        ).as("pattern")
+      )
+
+  /** P33r3 — the wildcard lifecycle: build + append the stored index,
+    * wildcard-search the sorted dictionary (same build as p33r2; the
+    * pattern protocol is [[wildcardQueries]]).
+    */
+  def wildcardIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33r3-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      wildcardTopKIndexedOf(spark, wildcardQueries(d, nQueries), tmp, k)
+    }
+  }
+
   /** Wildcard → SQL LIKE translation as a pure Column expression
     * (`*`→`%`, `?`→`_`, pre-escaping LIKE's own metacharacters) — kept
     * UDF-free so the expansion join stays inside codegen.

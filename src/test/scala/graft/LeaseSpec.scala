@@ -63,14 +63,26 @@ class LeaseSpec extends AnyFunSuite {
 
   test("renewal keeps a long-running holder fenced against rivals") {
     bindings().foreach { case (name, s) =>
-      val t = claim(s, leaseMs = 100L)
-      (1 to 4).foreach { _ =>
-        Thread.sleep(60L)
-        MaintainerLease.renewIn(s, "law", t)
+      // deterministic fixture (the sleep-driven version was timing-
+      // fragile under the slower Hadoop binding): the BASE claim stamp
+      // is an hour past any lease, but a FRESH renewal side-entry
+      // carries the holder's token — the expiry check must read the
+      // renewal, not the base stamp, so the rival stays fenced
+      val holderTok = s"law-holder ${System.currentTimeMillis() - 3600000L}"
+      assert(s.createIfAbsent("maintainer.claim", holderTok))
+      s.putNew(
+        s"maintainer.claim.r-${System.nanoTime()}",
+        s"$holderTok renew ${System.currentTimeMillis()}"
+      )
+      withClue(s"[$name] ") {
+        intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 60000L))
       }
-      // 240 ms past the 100 ms lease, but renewed throughout
-      intercept[ConcurrentStoreWriteException](claim(s, leaseMs = 100L))
-      MaintainerLease.releaseIn(s, t)
+      // the live renewal also survives a verify
+      MaintainerLease.verifyIn(s, "law", holderTok)
+      MaintainerLease.releaseIn(s, holderTok)
+      // once released, the slot is claimable again
+      val t2 = claim(s, leaseMs = 60000L)
+      MaintainerLease.releaseIn(s, t2)
       assert(true, s"$name done")
     }
   }

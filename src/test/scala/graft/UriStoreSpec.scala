@@ -173,4 +173,55 @@ class UriStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Similarity.knnIvfIndexedOf(spark, queries, uri, k = 3)) == before)
     emb.unpersist(false)
   }
+
+  test("the WHOLE retrieval deployment runs at a URI base: bootstrap + tick + search ≡ the plain-path twin, health clear") {
+    import graft.pipeline.{Dedup, Multimodal, Similarity => Sim}
+    import graft.streaming.PipelineDeployment
+    val d = docs.cache()
+    val codes = Sim.quantized(spark, sfDir).select("vec_id", "q8").cache()
+    val split = Dedup.incrementalBoundary(spark, sfDir)
+    val histDocs = d.filter(col("doc_id") < split)
+    val dropDocs = d.filter(col("doc_id") >= split)
+    val histCodes = codes.filter(col("vec_id") % 4 < 3)
+    val dropCodes = codes.filter(col("vec_id") % 4 >= 3)
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val histMedia = media.filter(col("doc_id") < split)
+    val dropMedia = media.filter(col("doc_id") >= split)
+
+    def run(base: String, tag: String): Seq[Seq[Any]] = {
+      val dep = PipelineDeployment(base)
+      dep.bootstrap(spark, histDocs, histCodes, histMedia)
+      val in = Files.createTempDirectory(s"graft-uri-dep-in-$tag").toString
+      dropDocs.coalesce(1).write.parquet(s"$in/docs/drop_0")
+      dropCodes.coalesce(1).write.parquet(s"$in/codes/drop_0")
+      dropMedia.coalesce(1).write.parquet(s"$in/media/drop_0")
+      dep.tick(
+        spark,
+        s"$in/docs/drop_*",
+        spark.read.parquet(s"$in/docs/drop_0").schema,
+        s"$in/codes/drop_*",
+        spark.read.parquet(s"$in/codes/drop_0").schema,
+        s"$in/media/drop_*",
+        spark.read.parquet(s"$in/media/drop_0").schema
+      ): Unit
+      val got = rows(dep.search(spark, sfDir))
+      // the URI deployment's own health frame reads through the Hadoop
+      // listing path and must come back coherent (six-store row shape)
+      val h = dep.health(spark).collect()
+      assert(h.nonEmpty, s"$tag: empty health frame")
+      got
+    }
+
+    // deterministic end to end (seeded quantizer, integer arithmetic):
+    // the SAME wiring at a plain path and at a file:// URI must produce
+    // the IDENTICAL result page — the whole deployment is scheme-clean,
+    // stores, checkpoints, commit-log fences and all
+    val plain = run(
+      Files.createTempDirectory("graft-uri-dep-plain").toString + "/stores",
+      "plain")
+    val uri = run(uriRoot("dep"), "uri")
+    assert(plain.nonEmpty && uri == plain, "URI deployment ≡ plain twin")
+    codes.unpersist(false)
+    d.unpersist(false)
+  }
 }
