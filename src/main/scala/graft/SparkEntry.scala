@@ -407,6 +407,13 @@ object SparkEntry {
     // literal prunes the sorted dict; '?' residual matches via LIKE)
     "p33r3_wildcard_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.wildcardIndexLifecycle(s, d)),
+    // p33t/p33t2 — fuzzy term query (Lucene FuzzyQuery, maxEdits=2):
+    // closest dictionary terms win the capped clause budget, constant-
+    // score Σ tf ranking; t2 = the stored-dict lifecycle
+    "p33t_fuzzy_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.fuzzyTopK(s, d)),
+    "p33t2_fuzzy_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.fuzzyIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -664,6 +671,9 @@ object SparkEntry {
     // same oracle as p33r by the indexed ≡ inline law
     "p33r2_prefix_indexed" -> PipelineOracles.prefixTopK,
     "p33r3_wildcard_indexed" -> PipelineOracles.wildcardTopK,
+    "p33t_fuzzy_topk" -> PipelineOracles.fuzzyTopK,
+    // same oracle as p33t by the indexed ≡ inline law
+    "p33t2_fuzzy_indexed" -> PipelineOracles.fuzzyTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracles as p33m/p33n by the indexed ≡ inline law

@@ -1085,6 +1085,57 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33t — FUZZY term query (graft.pipeline.Retrieval.fuzzyTopK,
+    * nQueries=5, k=5, maxEdits=2, maxExpansions=64): each query doc's
+    * first token expands to the dictionary terms within 2 Levenshtein
+    * edits (itself included), capped at the first 64 in (distance, term)
+    * order; candidates rank by total matched occurrences Σ tf. Both
+    * engines' `levenshtein` is the classic (no-transposition) edit
+    * distance, so the whole query hash-replays. p33t2 (the stored
+    * lifecycle over the dict member) carries the same oracle by the
+    * indexed ≡ inline law.
+    */
+  val fuzzyTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    q AS (
+      SELECT doc_id AS qid, w[1] AS term
+      FROM ws WHERE doc_id < 5 AND len(w) >= 1
+    ),
+    expq AS (
+      SELECT qid, w1 FROM (
+        SELECT q.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY levenshtein(t.w1, q.term), t.w1)
+                 AS rn
+        FROM q JOIN (SELECT DISTINCT w1 FROM tf) t
+          ON abs(length(t.w1) - length(q.term)) <= 2
+             AND levenshtein(t.w1, q.term) <= 2
+      ) e WHERE rn <= 64
+    ),
+    sc AS (
+      SELECT e.qid, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS score
+      FROM expq e JOIN tf t ON t.w1 = e.w1
+      WHERE t.doc_id <> e.qid
+      GROUP BY e.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p33i — boolean conjunctive (AND) retrieval
     * (graft.pipeline.Retrieval.booleanTopK, nQueries=5, qLen=3, k=5):
     * the query is each query doc's first 3 DISTINCT terms in

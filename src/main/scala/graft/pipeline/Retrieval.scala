@@ -1083,6 +1083,182 @@ object Retrieval {
     }
   }
 
+  /** Per-query fuzzy terms under the standard protocol: each query
+    * doc's FIRST token, matched within `maxEdits` edits.
+    */
+  private[graft] def fuzzyQueries(d: DataFrame, nQueries: Int): DataFrame =
+    d.filter(col("doc_id") < nQueries)
+      .select(
+        col("doc_id").as("qid"),
+        expr("element_at(filter(split(text, ' '), x -> x != ''), 1)")
+          .as("term")
+      )
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+
+  /** Shared fuzzy expansion + scoring — Lucene's FuzzyQuery under the
+    * constant-score rewrite: the query term expands to the dictionary
+    * terms within `maxEdits` Levenshtein edits (the term itself
+    * included, distance 0), capped at the first `maxExpansions` in
+    * (distance, term) order — closest terms win the clause budget, the
+    * deterministic analogue of Lucene's boost-ranked rewrite. Candidates
+    * score by total matched occurrences Σ tf, like the prefix family.
+    * The length band |len(w) − len(term)| ≤ maxEdits prunes BEFORE the
+    * distance computation (an edit changes length by at most 1);
+    * `levenshtein` is a codegen'd built-in on both engines, so the whole
+    * query hash-replays.
+    *
+    * Scale posture: fuzzy expansion reads the TERM DICTIONARY (the
+    * df-member grain — tiny beside postings) once per query BATCH, all
+    * queries in one pass, with the band + distance filters row-local.
+    * Lucene walks a Levenshtein automaton against its FST instead; the
+    * scan-with-codegen'd-filter is the Spark-first equivalent, and the
+    * postings side stays bucket-pruned to the expanded terms exactly as
+    * for prefix queries.
+    */
+  private def fuzzyScore(
+      terms: DataFrame, // (w)-grain dictionary view
+      tf: DataFrame, // (doc_id, w, tf)
+      queries: DataFrame, // (qid, term)
+      k: Int,
+      maxEdits: Int,
+      maxExpansions: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    val expansionW =
+      Window.partitionBy("qid").orderBy(col("dist"), col("w"))
+    val expanded = terms
+      .select("w")
+      .distinct()
+      .join(
+        broadcast(queries),
+        abs(length(col("w")) - length(col("term"))) <= maxEdits
+      )
+      .withColumn("dist", levenshtein(col("w"), col("term")))
+      .filter(col("dist") <= maxEdits)
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+    val rankW =
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val cand = tf.join(broadcast(expanded), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+      .groupBy("qid", "doc_id")
+      .agg(sum("tf").as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33t (inline) — fuzzy top-k over `corpus`. `queries` is (qid, term). */
+  def fuzzyTopKOf(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      maxEdits: Int = 2,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val tf = postings(corpus)
+    fuzzyScore(tf, tf, queries, k, maxEdits, maxExpansions, excludeSelf)
+  }
+
+  /** [[fuzzyTopKOf]] under the standard query protocol. */
+  def fuzzyTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      maxEdits: Int = 2,
+      maxExpansions: Int = 64
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    fuzzyTopKOf(spark, d, fuzzyQueries(d, nQueries), k, maxEdits, maxExpansions)
+  }
+
+  /** Fuzzy top-k against the STORED index: expansion over the `dict`
+    * member (one term-grain scan for the whole query batch), postings
+    * bucket-pruned to the expanded terms. Row-identical to
+    * [[fuzzyTopKOf]]. `queries` is (qid, term).
+    */
+  def fuzzyTopKIndexedOf(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      maxEdits: Int = 2,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    val root = indexDir
+    def live(sub: String): String = graft.util.DirSwap.resolve(root, sub)
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val expansionW =
+      Window.partitionBy("qid").orderBy(col("dist"), col("w"))
+    val expanded = spark.read
+      .parquet(live("dict"))
+      .select("w")
+      .distinct()
+      .join(
+        broadcast(queries.select("qid", "term")),
+        abs(length(col("w")) - length(col("term"))) <= maxEdits
+      )
+      .withColumn("dist", levenshtein(col("w"), col("term")))
+      .filter(col("dist") <= maxEdits)
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+      .cache()
+    val probedWb = expanded
+      .select(wbOf(col("w"), buckets).as("wb"))
+      .distinct()
+      .collect() // ≤ buckets
+      .map(_.getLong(0))
+    if (probedWb.isEmpty)
+      return expanded
+        .select(
+          col("qid"),
+          col("qid").as("doc_id"),
+          lit(0L).as("rank"),
+          lit(0L).as("score")
+        )
+        .limit(0)
+    val post = spark.read
+      .parquet(live("postings"))
+      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+    val rankW =
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val cand = post.join(broadcast(expanded), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+      .groupBy("qid", "doc_id")
+      .agg(sum("tf").as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33t2 — the fuzzy lifecycle twin (same oracle as p33t by the
+    * indexed ≡ inline law).
+    */
+  def fuzzyIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33t2-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      fuzzyTopKIndexedOf(spark, fuzzyQueries(d, nQueries), tmp, k)
+    }
+  }
+
   /** Wildcard → SQL LIKE translation as a pure Column expression
     * (`*`→`%`, `?`→`_`, pre-escaping LIKE's own metacharacters) — kept
     * UDF-free so the expansion join stays inside codegen.

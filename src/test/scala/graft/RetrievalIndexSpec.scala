@@ -1361,6 +1361,63 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"wildcard '?': got $got want $want")
   }
 
+  test("fuzzy: stored ≡ inline ≡ lifecycle; expansion matches a brute-force edit-distance model; maxEdits 0 degenerates to the exact term") {
+    val tmp = Files.createTempDirectory("graft-ii-fuzzy").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val ss = spark
+    import ss.implicits._
+    val inline = rows(Retrieval.fuzzyTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain fuzzy matches")
+    val queries = docs
+      .filter(col("doc_id") < 5)
+      .select(
+        col("doc_id").as("qid"),
+        expr("element_at(filter(split(text, ' '), x -> x != ''), 1)").as("term"))
+    assert(
+      rows(Retrieval.fuzzyTopKIndexedOf(spark, queries, tmp)) == inline,
+      "stored ≡ inline")
+    assert(
+      rows(Retrieval.fuzzyIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline")
+
+    // independent model: brute-force Levenshtein over the collected
+    // vocabulary reproduces qid 0's result exactly
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val d0 = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val tfAll = d0.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, w))
+    }.groupBy(identity).map { case ((id, w), g) => (id, w, g.length.toLong) }
+    val q0 = d0.find(_._1 == 0L).get._2.split(" ").filter(_.nonEmpty).head
+    val expTerms = tfAll.map(_._2).toSeq.distinct
+      .map(w => (lev(w, q0), w)).filter(_._1 <= 2).sorted.take(64).map(_._2).toSet
+    val want = tfAll
+      .filter(t => expTerms.contains(t._2) && t._1 != 0L)
+      .groupBy(_._1).map { case (id, g) => (id, g.map(_._3).sum) }.toSeq
+      .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+      .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
+    assert(inline.filter(_._1 == 0L) == want, "fuzzy ≡ in-memory model (qid 0)")
+
+    // maxEdits = 0: the expansion is exactly the query term — Σ tf over
+    // one term, i.e. raw term-frequency ranking for that term
+    val exact = rows(
+      Retrieval.fuzzyTopKIndexedOf(spark, queries, tmp, maxEdits = 0))
+    val tfRank = tfAll.toSeq
+      .filter(t => t._2 == q0 && t._1 != 0L)
+      .map(t => (t._1, t._3))
+      .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+      .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
+    assert(exact.filter(_._1 == 0L) == tfRank, "maxEdits 0 ≡ exact-term tf rank")
+  }
+
   // ---- p33s: minimum-should-match and OR-of-ANDs over the clause matrix
 
   test("minShouldMatch: stored ≡ inline; the quorum genuinely prunes; msm 0 ≡ p33k") {
