@@ -414,6 +414,13 @@ object SparkEntry {
       ((s, d) => graft.pipeline.Retrieval.fuzzyTopK(s, d)),
     "p33t2_fuzzy_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.fuzzyIndexLifecycle(s, d)),
+    // p33u/p33u2 — phrase-prefix (search-as-you-type): exact leading
+    // tokens immediately followed by any term with the last slot's
+    // prefix; u2 = the stored lifecycle (dict-expanded last slot)
+    "p33u_phrase_prefix" ->
+      ((s, d) => graft.pipeline.Retrieval.phrasePrefixTopK(s, d)),
+    "p33u2_phrase_prefix_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.phrasePrefixIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -672,6 +679,9 @@ object SparkEntry {
     "p33r2_prefix_indexed" -> PipelineOracles.prefixTopK,
     "p33r3_wildcard_indexed" -> PipelineOracles.wildcardTopK,
     "p33t_fuzzy_topk" -> PipelineOracles.fuzzyTopK,
+    "p33u_phrase_prefix" -> PipelineOracles.phrasePrefixTopK,
+    // same oracle as p33u by the indexed ≡ inline law
+    "p33u2_phrase_prefix_indexed" -> PipelineOracles.phrasePrefixTopK,
     // same oracle as p33t by the indexed ≡ inline law
     "p33t2_fuzzy_indexed" -> PipelineOracles.fuzzyTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,

@@ -3349,6 +3349,103 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33u — PHRASE-PREFIX retrieval
+    * (graft.pipeline.Retrieval.phrasePrefixTopK, nQueries=5, phraseLen=3,
+    * prefixLen=2, k=5, maxExpansions=64): the query doc's first 2 tokens
+    * exactly, immediately followed by ANY dictionary term carrying the
+    * first 2 characters of token 3 (capped expansion, term order) — the
+    * search-as-you-type query (Lucene MatchPhrasePrefixQuery). Gate =
+    * every SLOT matched at a common anchor (COUNT(DISTINCT j), so any
+    * expansion completes slot 3); score = the p33e BM25 ppm over the
+    * query's terms, expansions included. p33u2 (the stored lifecycle —
+    * expansion over the sorted dict member) carries the same oracle by
+    * the indexed ≡ inline law.
+    */
+  val phrasePrefixTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    exacts AS (
+      SELECT doc_id AS qid, pos AS j, w1 FROM pos
+      WHERE doc_id < 5 AND pos < 3
+    ),
+    pfx AS (
+      SELECT doc_id AS qid, substr(w1, 1, 2) AS pfx FROM pos
+      WHERE doc_id < 5 AND pos = 3
+    ),
+    lastslot AS (
+      SELECT qid, 3 AS j, w1 FROM (
+        SELECT p.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY t.w1) AS rn
+        FROM pfx p JOIN (SELECT DISTINCT w1 FROM tf) t
+          ON starts_with(t.w1, p.pfx)
+      ) e WHERE rn <= 64
+    ),
+    phrase AS (
+      SELECT qid, j, w1 FROM exacts
+      UNION ALL
+      SELECT qid, j, w1 FROM lastslot
+    ),
+    plen AS (SELECT qid, COUNT(DISTINCT j) AS plen FROM phrase GROUP BY qid),
+    anch AS (
+      SELECT ph.qid, p.doc_id, p.pos - ph.j AS anchor,
+             COUNT(DISTINCT ph.j) AS nj
+      FROM pos p JOIN phrase ph ON p.w1 = ph.w1
+      WHERE p.doc_id <> ph.qid
+      GROUP BY ph.qid, p.doc_id, p.pos - ph.j
+    ),
+    occ AS (
+      SELECT a.qid, a.doc_id, COUNT(*) AS n_occurrences
+      FROM anch a JOIN plen l ON a.qid = l.qid
+      WHERE a.nj = l.plen
+      GROUP BY a.qid, a.doc_id
+    ),
+    qt AS (
+      SELECT DISTINCT ph.qid, ph.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM phrase ph JOIN df d USING (w1)
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT o.qid, o.doc_id, o.n_occurrences, s.score,
+             ROW_NUMBER() OVER (PARTITION BY o.qid
+                                ORDER BY s.score DESC, o.doc_id) AS rnk
+      FROM occ o JOIN sc s ON o.qid = s.qid AND o.doc_id = s.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p33g — ordered-proximity retrieval
     * (graft.pipeline.Retrieval.proximityTopK, nQueries=5, phraseLen=3,
     * k=5, window=8): documents where the phrase terms occur in order

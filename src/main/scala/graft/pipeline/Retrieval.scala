@@ -254,8 +254,11 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("wb", "layer")
       .parquet(s"$out/postings")
-    tf.groupBy("wb", "w")
+    val dfFrame = tf
+      .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
+      .cache() // term grain — feeds df AND dict without re-shuffling tf
+    dfFrame
       .withColumn("layer", lit(0L))
       .write
       .mode("overwrite")
@@ -268,10 +271,12 @@ object Retrieval {
     // w < succ(p)` pushdown skips every non-overlapping file on parquet
     // min/max stats (the Lucene sorted term dictionary, Spark-first: no
     // partition-value explosion under unicode alphabets, no driver-side
-    // bucket math). Term-grain, so it is the df member's size — tiny
-    // beside postings.
-    tf.groupBy("w")
-      .agg(count(lit(1)).as("df"))
+    // bucket math). Derived from the CACHED df aggregate — term grain,
+    // so the extra member costs one tiny shuffle, never a second pass
+    // over the doc×term postings.
+    dfFrame
+      .groupBy("w")
+      .agg(sum("df").as("df"))
       .repartitionByRange(buckets, col("w"))
       .sortWithinPartitions("w")
       .withColumn("layer", lit(0L))
@@ -279,6 +284,7 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("layer")
       .parquet(s"$out/dict")
+    dfFrame.unpersist(false)
     corpus
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
@@ -363,8 +369,11 @@ object Retrieval {
       .mode("overwrite")
       .partitionBy("wb", "layer")
       .parquet(live("postings"))
-    tf.groupBy("wb", "w")
+    val dfFrame = tf
+      .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
+      .cache() // term grain — feeds df AND dict without re-shuffling tf
+    dfFrame
       .withColumn("layer", lit(layer))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -376,8 +385,9 @@ object Retrieval {
     // silently under-expand prefix queries) — the build's choice is the
     // store's shape, like positions/fields
     if (graft.util.Blob.exists(live("dict")))
-      tf.groupBy("w")
-        .agg(count(lit(1)).as("df"))
+      dfFrame
+        .groupBy("w")
+        .agg(sum("df").as("df"))
         .repartitionByRange(math.max(buckets / 4, 1), col("w"))
         .sortWithinPartitions("w")
         .withColumn("layer", lit(layer))
@@ -386,6 +396,7 @@ object Retrieval {
         .mode("overwrite")
         .partitionBy("layer")
         .parquet(live("dict"))
+    dfFrame.unpersist(false)
     newDocs
       .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
@@ -1460,7 +1471,10 @@ object Retrieval {
       k: Int,
       excludeSelf: Boolean = true // see bm25Scores
   ): DataFrame = {
-    val plen = phrase.groupBy("qid").agg(count(lit(1)).as("plen"))
+    // DISTINCT slots: an exact phrase has one row per slot (identical
+    // count), a phrase-prefix frame carries one row per EXPANSION at the
+    // last slot — the gate is "every slot matched", not "every row"
+    val plen = phrase.groupBy("qid").agg(countDistinct("j").as("plen"))
     val hits = positions.join(broadcast(phrase), Seq("w"))
     val occ = (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid"))
                else hits)
@@ -1601,6 +1615,139 @@ object Retrieval {
       )
       appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
       phraseTopKIndexed(spark, dir, tmp, nQueries, k, phraseLen)
+    }
+  }
+
+  /** The phrase-prefix protocol (Lucene MatchPhrasePrefixQuery): the
+    * query doc's first `phraseLen − 1` tokens exactly, then the first
+    * `prefixLen` characters of token `phraseLen` as a PREFIX — the
+    * search-as-you-type query. Output: ((qid, j, w) exact slots,
+    * (qid, pfx) last-slot prefixes).
+    */
+  private def queryPhrasePrefix(
+      d: DataFrame,
+      nQueries: Int,
+      phraseLen: Int,
+      prefixLen: Int
+  ): (DataFrame, DataFrame) = {
+    val posq = positionalPostings(d.filter(col("doc_id") < nQueries))
+    val exact = posq
+      .filter(col("pos") < phraseLen)
+      .select(col("doc_id").as("qid"), col("pos").as("j"), col("w"))
+    val prefixes = posq
+      .filter(col("pos") === phraseLen)
+      .select(
+        col("doc_id").as("qid"),
+        substring(col("w"), 1, prefixLen).as("pfx")
+      )
+    (exact, prefixes)
+  }
+
+  /** Expands the last slot's prefixes against a (w)-grain dictionary
+    * view and returns the FULL phrase frame (exact slots ∪ one row per
+    * expansion at slot `phraseLen`) — [[phraseRank]] gates on distinct
+    * slots, so any expansion completing the phrase matches.
+    */
+  private def phrasePrefixFrame(
+      terms: DataFrame,
+      exact: DataFrame,
+      prefixes: DataFrame,
+      phraseLen: Int,
+      maxExpansions: Int
+  ): DataFrame = {
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val lastSlot = terms
+      .select("w")
+      .distinct()
+      .join(broadcast(prefixes), col("w").startsWith(col("pfx")))
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select(col("qid"), lit(phraseLen).cast("int").as("j"), col("w"))
+    exact.select(col("qid"), col("j").cast("int").as("j"), col("w"))
+      .unionByName(lastSlot)
+  }
+
+  /** P33u — PHRASE-PREFIX top-k, inline form: documents containing the
+    * exact leading tokens immediately followed by ANY term with the
+    * last slot's prefix (capped expansion, term order). Ranked like the
+    * phrase family: BM25 ppm over the query's terms (expansions
+    * included — they are the query), occurrence count carried.
+    */
+  def phrasePrefixTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      prefixLen: Int = 2,
+      maxExpansions: Int = 64
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val (exact, prefixes) = queryPhrasePrefix(d, nQueries, phraseLen, prefixLen)
+    val frame = phrasePrefixFrame(tf, exact, prefixes, phraseLen, maxExpansions)
+    val out = phraseRank(positionalPostings(d), tf, dfm, stats, frame, k)
+    Eager.materialized(out, tf)
+  }
+
+  /** Phrase-prefix against the STORED index: the expansion reads the
+    * range-pruned `dict` member, then positions/postings/df prune to
+    * the frame's wb buckets (the p33f machinery over the expanded
+    * frame). `exact` is (qid, j, w); `prefixes` is (qid, pfx).
+    */
+  def phrasePrefixTopKIndexedOf(
+      spark: SparkSession,
+      exact: DataFrame,
+      prefixes: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    val pfxs = prefixes
+      .select("pfx")
+      .distinct()
+      .collect() // ≤ nQueries — the driver-bounded pushdown set
+      .map(_.getString(0))
+      .toSeq
+    val dict = spark.read.parquet(liveDir(indexDir, "dict"))
+    val dictPruned =
+      if (pfxs.isEmpty) dict.limit(0)
+      else dict.where(pfxs.map(prefixRangeCond(col("w"), _)).reduce(_ || _))
+    val frame = phrasePrefixFrame(
+      dictPruned, exact, prefixes, phraseLen, maxExpansions)
+      .cache()
+    phraseTopKIndexedOf(spark, frame, indexDir, k, excludeSelf)
+  }
+
+  /** P33u2 — the phrase-prefix lifecycle twin (same oracle as p33u by
+    * the indexed ≡ inline law).
+    */
+  def phrasePrefixIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      prefixLen: Int = 2
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33u2-index") { tmp =>
+      writeInvertedIndexOf(
+        spark, d.filter(col("doc_id") < split), tmp, withPositions = true)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      val (exact, prefixes) = queryPhrasePrefix(d, nQueries, phraseLen, prefixLen)
+      phrasePrefixTopKIndexedOf(spark, exact, prefixes, tmp, k, phraseLen)
     }
   }
 

@@ -1418,6 +1418,48 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.filter(_._1 == 0L) == tfRank, "maxEdits 0 ≡ exact-term tf rank")
   }
 
+  test("phrase-prefix: stored ≡ inline ≡ lifecycle; the relaxation admits every exact-phrase match") {
+    val tmp = Files.createTempDirectory("graft-ii-phpfx").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+    val inline = rows5(Retrieval.phrasePrefixTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain phrase-prefix matches")
+    val (exact, prefixes) = {
+      val posq = docs.filter(col("doc_id") < 5)
+      (
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5)
+          .select(
+            col("doc_id").as("qid"),
+            posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as(Seq("p0", "w")))
+          .filter(col("p0") < 2)
+          .select(col("qid"), (col("p0") + 1).as("j"), col("w")),
+        posq
+          .select(
+            col("doc_id").as("qid"),
+            expr(
+              "substring(element_at(filter(split(text, ' '), x -> x != ''), 3), 1, 2)"
+            ).as("pfx"))
+          .filter(col("pfx").isNotNull && length(col("pfx")) > 0)
+      )
+    }
+    assert(
+      rows5(Retrieval.phrasePrefixTopKIndexedOf(spark, exact, prefixes, tmp))
+        == inline,
+      "stored ≡ inline")
+    assert(
+      rows5(Retrieval.phrasePrefixIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline")
+    // relaxation law: a doc matching the EXACT 3-token phrase matches the
+    // phrase-prefix query too, with at least as many occurrences
+    def keyed(rs: Seq[(Long, Long, Long, Long, Long)]): Map[(Long, Long), Long] =
+      rs.map(t => (t._1, t._2) -> t._5).toMap
+    val strict = keyed(rows5(Retrieval.phraseTopK(spark, sfDir, k = 10000)))
+    val relaxed = keyed(rows5(
+      Retrieval.phrasePrefixTopK(spark, sfDir, k = 10000)))
+    assert(strict.keySet.subsetOf(relaxed.keySet), "exact matches admitted")
+    assert(strict.forall { case (k, n) => relaxed(k) >= n }, "occurrences ≥")
+  }
+
   // ---- p33s: minimum-should-match and OR-of-ANDs over the clause matrix
 
   test("minShouldMatch: stored ≡ inline; the quorum genuinely prunes; msm 0 ≡ p33k") {
