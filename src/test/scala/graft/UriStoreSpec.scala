@@ -224,4 +224,47 @@ class UriStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     codes.unpersist(false)
     d.unpersist(false)
   }
+
+  // binary columns render by OBJECT IDENTITY under Row.mkString — hex
+  // them so the row comparison is by VALUE
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.schema.fields.sortBy(_.name).map { f =>
+      if (f.dataType == org.apache.spark.sql.types.BinaryType) hex(col(f.name))
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+      .collect()
+      .map(_.mkString("|"))
+      .sorted
+      .toSeq
+  }
+
+  test("the JOURNAL plane deployment runs at a URI base: tick + replay ≡ the plain-path twin") {
+    import graft.journal.Replicate
+    import graft.streaming.Deployment
+    val a = graft.model.ActionLog.fromEvents(spark, sfDir).cache()
+    val mid = a.agg(max("event_id")).head().getLong(0) / 2
+
+    def run(base: String, tag: String): (Seq[String], Seq[String]) = {
+      val in = Files.createTempDirectory(s"graft-uri-jdep-in-$tag").toString
+      a.filter(col("event_id") <= mid).coalesce(1).write.parquet(s"$in/c0")
+      a.filter(col("event_id") > mid).coalesce(1).write.parquet(s"$in/c1")
+      val dep = Deployment(base)
+      dep.tick(spark, s"$in/c*", a.schema): Unit
+      val st = dep.readStore(spark)
+      (sortedRows(st.journal), sortedRows(st.pointer2))
+    }
+
+    val plain = run(
+      Files.createTempDirectory("graft-uri-jdep-plain").toString + "/dep",
+      "plain")
+    val uri = run(uriRoot("jdep"), "uri")
+    assert(plain._1.nonEmpty && uri == plain, "URI journal deployment ≡ plain twin")
+    // and ≡ the whole-log batch derivation (the replay-exactness law at
+    // the URI base — the journal store's epoch protocol, head cache and
+    // snapshot stores all resolved through the Hadoop binding)
+    val wantJ = sortedRows(Replicate.compute(a).journal)
+    assert(uri._1 == wantJ, "URI store ≡ whole-log compute")
+    a.unpersist(false)
+  }
 }
