@@ -90,10 +90,19 @@ final class FsLeaseStore(root: String) extends LeaseStore {
 
   /** The shared rename-verify core: displaces the entry to a unique
     * tombstone, verifies the displaced content is `expect`, then runs
-    * `complete` on match or restores the displaced entry on mismatch
-    * (if its slot was re-taken meanwhile, the displaced holder fences
-    * itself at its next verify/renew — a crash-scale residual, never a
-    * dual win).
+    * `complete` on match or restores the displaced entry on mismatch.
+    *
+    * PRE-READ GUARD (round 15): an operation whose expectation already
+    * fails returns false WITHOUT displacing — the displace-then-restore
+    * dance vacates the slot for a window a third party can claim into,
+    * and the full LeaseSpec race (two breakers + a stale release)
+    * observed exactly that as a dual win under the slower Hadoop
+    * binding. With the guard, displacement happens only when the read
+    * matched; the residual (the content changes BETWEEN the read and
+    * the move, so the verify mismatches and the restore briefly vacates
+    * a re-taken slot) needs a triple interleaving — crash-scale, and
+    * the displaced holder fences at its next verify/renew before
+    * publishing anything.
     */
   private def casVia(key: String, expect: String)(
       complete: String => Boolean
@@ -101,6 +110,8 @@ final class FsLeaseStore(root: String) extends LeaseStore {
     val entry = p(key)
     val tomb = p(s"$key.broken-${System.nanoTime()}")
     try {
+      val now = new String(io.readBytes(entry), "UTF-8")
+      if (now != expect) return false
       if (!io.move(entry, tomb)) return false
       val moved = new String(io.readBytes(tomb), "UTF-8")
       if (moved == expect) complete(tomb)
