@@ -18,20 +18,31 @@ import graft.util.{Blob, Loc}
   * == Storage contract of the default implementation ==
   *
   * [[FsCommitProtocol]] (the default) builds the guarantees from exactly
-  * two filesystem primitives, and is correct ONLY where both are atomic:
+  * three primitives of the [[graft.util.Blob]] conditional layer, and is
+  * correct ONLY where they are atomic:
   *
   *   - '''atomic rename that fails when the source is gone'''
-  *     (`Files.move`): the epoch CAS — only one writer can move
-  *     `current-<E>` aside — and the lease break (tombstone rename).
+  *     (`Blob.move`): the epoch CAS — only one writer can move
+  *     `current-<E>` aside.
   *   - '''atomic create-if-absent''' (`CREATE_NEW`): claim files, renewal
   *     side-files, the virgin-store `_WRITER` fence.
+  *   - '''compare-and-swap on a claim's content'''
+  *     (`Blob.putIfMatch`/`deleteIfMatch`): the lease break and the
+  *     conditional release — construction-grade where the backend has a
+  *     real CAS (plain paths and `file://` via the file-locked nio CAS, a
+  *     conditional-PUT object-store binding), rename-EMULATED on HDFS
+  *     (pre-read-guarded displace-verify-restore; crash-scale residual,
+  *     fenced at the holder's next verify).
   *
-  * POSIX filesystems, HDFS, and NFS provide both. '''S3-class object
-  * stores provide NEITHER''' on plain keys — "rename" is copy+delete
-  * (non-atomic, and both halves visible mid-flight), and an unconditional
-  * PUT last-writer-wins. Running [[FsCommitProtocol]] against an object
-  * store mounted as a filesystem silently loses BOTH fences: two writers
-  * can each believe they committed the same epoch. Do not do it.
+  * POSIX filesystems, HDFS, and NFS provide the first two. '''S3-class
+  * object stores provide NEITHER rename nor exclusive-create''' on plain
+  * keys — "rename" is copy+delete (non-atomic, and both halves visible
+  * mid-flight), and an unconditional PUT last-writer-wins. Running
+  * [[FsCommitProtocol]] against an object store mounted as a filesystem
+  * silently loses the epoch and virgin-store fences: two writers can
+  * each believe they committed the same epoch. Bind the conditional
+  * primitives to the store's real conditional PUTs instead (the
+  * [[graft.util.MemBlob]] law target is that binding's exact shape).
   *
   * An object-store deployment implements this trait with the store's own
   * conditional primitives instead: claim/renew as conditional PUT

@@ -288,8 +288,10 @@ object StreamingReplicator {
     * `claim-<epoch>` (content: writer id + wall millis). An existing live
     * claim → [[ConcurrentStoreWriteException]] (fail fast, before any
     * data write). An expired claim (holder presumed dead after `leaseMs`)
-    * is broken by an atomic rename to a unique tombstone — two breakers
-    * cannot both win — and then re-created.
+    * is broken by ONE conditional-PUT ([[graft.util.Blob.putIfMatch]])
+    * guarded by the exact content judged expired — two breakers cannot
+    * both win, and a fresh claim re-issued in between no longer matches
+    * and is never displaced.
     */
   def claimEpoch(root: String, epoch: Long, leaseMs: Long): String = {
     val claim = Loc.join(root, s"claim-$epoch")
@@ -310,26 +312,18 @@ object StreamingReplicator {
         }
         .getOrElse(Long.MaxValue)
       val expired = System.currentTimeMillis() - stampedAt > leaseMs
-      val broke = expired && {
-        val tomb = Loc.join(root, s"claim-$epoch.broken-${System.nanoTime()}")
-        // verify we tombstoned the claim we JUDGED expired — a faster
-        // breaker may have broken and re-issued between our read and
-        // our move, and two slow breakers must not both win. On a
-        // mismatch restore the displaced fresh claim (if its slot was
-        // re-taken, the displaced holder fences at its next verify —
-        // crash-scale residual, never a dual win here).
-        Blob.move(claim, tomb) && {
-          try {
-            val moved = new String(Blob.readBytes(tomb), "UTF-8")
-            if (holder.contains(moved)) true
-            else {
-              Blob.move(tomb, claim): Unit // slot re-taken → leave it
-              false
-            }
-          } catch { case _: java.io.IOException => false }
-        }
+      // ONE compare-and-replace of the exact claim judged expired with
+      // ours: two breakers cannot both win (the second's expectation no
+      // longer matches), and on CAS-capable backends (plain paths and
+      // file:// via the file-locked nio CAS, a conditional-PUT object
+      // store) the slot is never vacated in between — the round-15
+      // displace-verify-restore race class gone by construction. On HDFS
+      // the blob layer emulates with the pre-read-guarded rename dance
+      // (crash-scale residual, fenced at the holder's next verify).
+      val broke = expired && holder.exists { h =>
+        Blob.putIfMatch(claim, h.getBytes("UTF-8"), me.getBytes("UTF-8"))
       }
-      if (!(broke && tryCreate()))
+      if (!broke)
         throw new ConcurrentStoreWriteException(
           s"epoch $epoch is claimed by a live writer — concurrent " +
             "replication detected; retry after it commits or its lease expires")
@@ -396,20 +390,19 @@ object StreamingReplicator {
     verifyClaim(root, epoch, token)
   }
 
-  /** Deletes `claim-<epoch>` ONLY if it still carries `token` — a holder
-    * must never remove a claim that a lease-breaker has since re-issued
-    * under its own token. The holder's own renewal side-files go with it.
+  /** Deletes `claim-<epoch>` ONLY if it still carries `token`: ONE
+    * compare-and-delete ([[graft.util.Blob.deleteIfMatch]]), so a release
+    * landing after a stall cannot remove a claim a lease-breaker has
+    * since re-issued under its own token (the read-then-delete TOCTOU
+    * window the conditional primitive closes). The holder's own renewal
+    * side-files go with it.
     */
   def releaseClaim(root: String, epoch: Long, token: String): Unit = {
     val claim = Loc.join(root, s"claim-$epoch")
-    try {
-      if (new String(Blob.readBytes(claim), "UTF-8") == token) {
-        Blob.deleteIfExists(claim)
-        Blob.children(root)
-          .filter(Loc.name(_).startsWith(s"claim-$epoch.r-"))
-          .foreach(Blob.deleteIfExists)
-      }
-    } catch { case _: java.io.IOException => () } // already gone / unreadable
+    if (Blob.deleteIfMatch(claim, token.getBytes("UTF-8")))
+      Blob.children(root)
+        .filter(Loc.name(_).startsWith(s"claim-$epoch.r-"))
+        .foreach(Blob.deleteIfExists)
   }
 
   /** Touched-partition subset of a `(topic, bucket)`-partitioned table —
@@ -638,9 +631,18 @@ object StreamingReplicator {
 
     val legacy = Loc.join(root, "current")
     if (Blob.exists(legacy)) {
+      val migrated = Loc.join(root, "current-1")
       // a failed rename = a concurrent resolver migrated it first — the
-      // layout is epoch-named either way (read paths never crash on this)
-      Blob.move(legacy, Loc.join(root, "current-1")): Unit
+      // layout is epoch-named either way (read paths never crash on
+      // this). But if NEITHER the migrated name nor a vanished source
+      // explains the failure, the rename failed for a storage reason: a
+      // POPULATED legacy store must fail loudly, not resolve as virgin
+      // (round-15 advice)
+      if (!Blob.move(legacy, migrated) && !Blob.exists(migrated) &&
+          Blob.exists(legacy))
+        throw new java.io.IOException(
+          s"migrating legacy layout $legacy to $migrated failed with no " +
+            "concurrent migration present — storage refused the rename")
     }
 
     named(root, "current-").maxByOption(_._2) match {

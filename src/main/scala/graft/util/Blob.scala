@@ -68,6 +68,26 @@ trait BlobIo {
   def deleteTree(loc: String): Unit
   def deleteIfExists(loc: String): Unit
   def mkdirs(loc: String): Unit
+  /** Atomic compare-and-replace: succeeds iff `loc` currently holds
+    * exactly `expect`, in which case the content becomes `bytes`. False
+    * when absent or the content differs. The lease-break / epoch-pointer
+    * primitive: of two racers guarding on the same observed content at
+    * most one wins, and — on bindings where [[casByConstruction]] is true
+    * — the slot is NEVER vacated in between (no displace window at all).
+    */
+  def putIfMatch(loc: String, expect: Array[Byte], bytes: Array[Byte]): Boolean
+  /** Atomic compare-and-delete: succeeds iff `loc` currently holds
+    * exactly `expect`. The conditional-release primitive.
+    */
+  def deleteIfMatch(loc: String, expect: Array[Byte]): Boolean
+  /** True when [[createNew]]/[[putIfMatch]]/[[deleteIfMatch]] at `loc` are
+    * each arbitrated by a SINGLE storage operation (a true compare-and-
+    * swap), so the at-most-one-winner guarantees hold by construction.
+    * False where the binding can only EMULATE them with the displace-
+    * verify-restore rename dance, whose residual race is crash-scale but
+    * nonzero (see [[HadoopBlob]]).
+    */
+  def casByConstruction(loc: String): Boolean
   /** Milliseconds since last modification; NEGATIVE when unreadable
     * (vanished mid-sweep — an unknown age never "ages out").
     */
@@ -89,6 +109,12 @@ object Blob {
   def createNew(loc: String, bytes: Array[Byte]): Boolean =
     backend(loc).createNew(loc, bytes)
   def move(src: String, dst: String): Boolean = backend(src).move(src, dst)
+  def putIfMatch(loc: String, expect: Array[Byte], bytes: Array[Byte]): Boolean =
+    backend(loc).putIfMatch(loc, expect, bytes)
+  def deleteIfMatch(loc: String, expect: Array[Byte]): Boolean =
+    backend(loc).deleteIfMatch(loc, expect)
+  def casByConstruction(loc: String): Boolean =
+    backend(loc).casByConstruction(loc)
   def publishAtomic(loc: String, bytes: Array[Byte]): Unit =
     backend(loc).publishAtomic(loc, bytes)
   def children(root: String): Seq[String] = backend(root).children(root)
@@ -128,9 +154,76 @@ object NioBlob extends BlobIo {
   def move(src: String, dst: String): Boolean =
     try { Files.move(p(src), p(dst)); true }
     catch {
-      case _: java.nio.file.NoSuchFileException        => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: java.nio.file.FileSystemException        => false
+      // ONLY the CAS-loss signals map to false (source taken, destination
+      // occupied); every other FileSystemException — AccessDenied, quota,
+      // generic IO — PROPAGATES, so a storage failure surfaces as a
+      // storage failure instead of masquerading as a concurrency loss
+      // that callers answer by deleting their staged work (round-15
+      // advice: adoptGeneration interpreted a swallowed AccessDenied as
+      // "another writer committed first")
+      case _: java.nio.file.NoSuchFileException         => false
+      case _: java.nio.file.FileAlreadyExistsException  => false
+      case _: java.nio.file.DirectoryNotEmptyException  => false
+    }
+
+  /** Per-lock-file monitors: the same-JVM half of the CAS mutual
+    * exclusion (an OS [[java.nio.channels.FileLock]] is held per PROCESS;
+    * two threads of one JVM locking the same file would throw
+    * `OverlappingFileLockException`, so in-process writers serialize on
+    * this monitor first).
+    */
+  private val casMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Runs `body` holding the CAS mutex for `loc`'s directory: a JVM
+    * monitor (same-process writers) + an exclusive OS file lock on a
+    * `.graft-cas.lck` sibling (cross-process writers). Advisory — but
+    * every conditional mutator routes through here, so within a
+    * deployment the read-compare-publish sequence linearizes; and the
+    * publish itself is [[publishAtomic]], so non-locking readers still
+    * never observe torn content. POSIX and NFSv4 honor the lock; this is
+    * what makes the plain-path binding's conditional primitives
+    * construction-grade rather than emulated.
+    */
+  private def underCasLock[A](loc: String)(body: => A): A = {
+    val target = p(loc).toAbsolutePath
+    val parent = Option(target.getParent).getOrElse(target.getRoot)
+    Files.createDirectories(parent)
+    val lockPath = parent.resolve(".graft-cas.lck")
+    val monitor =
+      casMonitors.computeIfAbsent(lockPath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        lockPath,
+        StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE
+      )
+      try {
+        val fl = ch.lock()
+        try body
+        finally fl.release()
+      } finally ch.close()
+    }
+  }
+
+  def casByConstruction(loc: String): Boolean = true
+
+  def putIfMatch(loc: String, expect: Array[Byte], bytes: Array[Byte]): Boolean =
+    underCasLock(loc) {
+      val cur =
+        try Files.readAllBytes(p(loc))
+        catch { case _: java.io.IOException => null }
+      if (cur == null || !java.util.Arrays.equals(cur, expect)) false
+      else { publishAtomic(loc, bytes); true }
+    }
+
+  def deleteIfMatch(loc: String, expect: Array[Byte]): Boolean =
+    underCasLock(loc) {
+      val cur =
+        try Files.readAllBytes(p(loc))
+        catch { case _: java.io.IOException => null }
+      if (cur == null || !java.util.Arrays.equals(cur, expect)) false
+      else Files.deleteIfExists(p(loc))
     }
 
   def publishAtomic(loc: String, bytes: Array[Byte]): Unit = {
@@ -206,11 +299,25 @@ object NioBlob extends BlobIo {
   * apply to the control plane too).
   *
   * Atomicity per operation class:
-  *   - [[createNew]]: `create(overwrite = false)` — atomic on HDFS (the
-  *     namenode arbitrates); object stores without conditional PUT weaken
-  *     this, which is exactly why the lease/commit protocols also ship
-  *     conditional-PUT-shaped bindings (MemLeaseStore / MemCommitProtocol
-  *     document that shape).
+  *   - [[createNew]] / [[putIfMatch]] / [[deleteIfMatch]] at a `file://`
+  *     root DELEGATE to [[NioBlob]] on the local path: `fs.create(p,
+  *     overwrite = false)` on `RawLocalFileSystem` is exists-check-then-
+  *     create (NOT atomic), while `java.nio` `CREATE_NEW` and the
+  *     file-locked CAS are — so the local-URI binding keeps the same
+  *     construction-grade claims as the plain-path one (round-15 advice).
+  *   - [[createNew]] elsewhere: `create(overwrite = false)` — atomic on
+  *     HDFS (the namenode arbitrates); object stores without conditional
+  *     PUT weaken this.
+  *   - [[putIfMatch]]/[[deleteIfMatch]] elsewhere: EMULATED with the
+  *     pre-read-guarded displace-verify-restore rename dance
+  *     ([[casByConstruction]] = false there): correct up to a triple
+  *     interleaving (content changes between the guard read and the
+  *     displacing rename — crash-scale, converged by the protocols'
+  *     verify fences). A store with true conditional PUT (S3
+  *     If-None-Match/If-Match, GCS generation preconditions, Azure
+  *     etags) should bind these natively — [[MemBlob]] IS that binding's
+  *     semantics and the law target proving the protocols need nothing
+  *     more than these primitives.
   *   - [[move]]: `FileSystem.rename` — atomic on HDFS; of two racers
   *     renaming one source, at most one wins.
   *   - [[publishAtomic]]: tmp + `FileContext.rename(OVERWRITE)` (atomic
@@ -257,16 +364,96 @@ object HadoopBlob extends BlobIo {
     finally out.close()
   }
 
-  def createNew(loc: String, bytes: Array[Byte]): Boolean = {
-    val (fs, p) = fsOf(loc)
-    try {
-      val out = fs.create(p, false)
-      try out.write(bytes)
-      finally out.close()
+  /** `file://` URIs resolve to a local path — route the conditional
+    * primitives through [[NioBlob]] there (see the class doc).
+    */
+  private def localPathOf(loc: String): Option[String] = {
+    val uri = new HPath(loc).toUri
+    if (uri.getScheme == "file") Option(uri.getPath) else None
+  }
+
+  def createNew(loc: String, bytes: Array[Byte]): Boolean =
+    localPathOf(loc) match {
+      case Some(lp) => NioBlob.createNew(lp, bytes)
+      case None =>
+        val (fs, p) = fsOf(loc)
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes)
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException        => false
+        }
+    }
+
+  def casByConstruction(loc: String): Boolean = localPathOf(loc).isDefined
+
+  def putIfMatch(loc: String, expect: Array[Byte], bytes: Array[Byte]): Boolean =
+    localPathOf(loc) match {
+      case Some(lp) => NioBlob.putIfMatch(lp, expect, bytes)
+      case None     => putIfMatchViaRename(loc, expect, bytes)
+    }
+
+  def deleteIfMatch(loc: String, expect: Array[Byte]): Boolean =
+    localPathOf(loc) match {
+      case Some(lp) => NioBlob.deleteIfMatch(lp, expect)
+      case None     => deleteIfMatchViaRename(loc, expect)
+    }
+
+  /** The displace-verify-restore EMULATION of compare-and-replace over
+    * atomic rename (schemes with no native CAS — HDFS): pre-read guard
+    * (no displacement unless the content already matches), displace to a
+    * unique tombstone (of two racers at most one rename wins), verify the
+    * displaced content, complete or restore. Residual: the content
+    * changing between the guard read and the rename mismatches the
+    * verify, and the restore briefly vacates a re-taken slot — a triple
+    * interleaving, crash-scale, fenced by the protocols' next verify.
+    * `private[graft]` so the law spec exercises this path explicitly even
+    * at a `file://` root (where the public entry points delegate to the
+    * construction-grade nio CAS instead).
+    */
+  private[graft] def putIfMatchViaRename(
+      loc: String,
+      expect: Array[Byte],
+      bytes: Array[Byte]
+  ): Boolean =
+    casViaRename(loc, expect) { tomb =>
+      // the slot is empty between the displacing rename and this create;
+      // a rival taking it first means we lost — never displace the rival
+      val won = createNew(loc, bytes)
+      deleteIfExists(tomb) // spent either way (displaced content is stale)
+      won
+    }
+
+  private[graft] def deleteIfMatchViaRename(
+      loc: String,
+      expect: Array[Byte]
+  ): Boolean =
+    casViaRename(loc, expect) { tomb =>
+      deleteIfExists(tomb)
       true
+    }
+
+  private def casViaRename(loc: String, expect: Array[Byte])(
+      complete: String => Boolean
+  ): Boolean = {
+    val tomb = s"$loc.broken-${System.nanoTime()}"
+    try {
+      val now =
+        try readBytes(loc)
+        catch { case _: java.io.IOException => null }
+      if (now == null || !java.util.Arrays.equals(now, expect)) return false
+      if (!move(loc, tomb)) return false
+      val moved = readBytes(tomb)
+      if (java.util.Arrays.equals(moved, expect)) complete(tomb)
+      else {
+        move(tomb, loc): Unit // slot re-taken meanwhile → leave it
+        false
+      }
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException        => false
+      case _: java.io.IOException => false
     }
   }
 
@@ -285,7 +472,11 @@ object HadoopBlob extends BlobIo {
       // unambiguous evidence of the race)
       val nested = new HPath(d, s.getName)
       if (fs.exists(nested) && !nested.equals(d)) {
-        fs.rename(nested, s): Unit
+        // if the un-nest rename ALSO fails, delete the leftover: the
+        // source was ours to lose (move returns false = CAS loss), and a
+        // bounded loss beats a permanent stray nested inside the rival's
+        // destination that nothing ever lists or sweeps (round-15 advice)
+        if (!fs.rename(nested, s)) fs.delete(nested, true): Unit
         false
       } else true
     } catch { case _: java.io.IOException => false }
@@ -369,4 +560,131 @@ object HadoopBlob extends BlobIo {
       found
     } catch { case _: java.io.FileNotFoundException => false }
   }
+}
+
+/** In-memory conditional-PUT binding: every conditional primitive is ONE
+  * compare-and-swap on a concurrent map — exactly the semantics an
+  * S3-class object store offers with If-None-Match (create) and If-Match
+  * (replace/delete) conditional PUTs, with no rename anywhere. Running the
+  * lease/commit fencing laws against this binding is what proves the
+  * PROTOCOLS need nothing beyond these primitives — a real object-store
+  * binding swaps the map computes for conditional HTTP PUTs and changes
+  * nothing else. The reference gets the same arbitration from Cassandra
+  * LWT (cassandra/src/main/scala/com/evolution/kafka/journal/cassandra/CassandraSync.scala:13-60).
+  *
+  * [[beforeCas]] is the law-spec hook: it fires at the top of each
+  * compare-and-swap primitive ([[putIfMatch]]/[[deleteIfMatch]]), letting
+  * a spec FORCE the adversarial schedule
+  * (a rival mutation landing exactly between a protocol's read and its
+  * CAS — the triple interleaving the rename emulation can lose). The CAS
+  * itself remains a single map compute, which is what the at-most-one-
+  * winner law then shows to hold by construction.
+  */
+final class MemBlob extends BlobIo {
+  import scala.jdk.CollectionConverters._
+
+  @volatile var beforeCas: String => Unit = _ => ()
+
+  // (content, mtime millis); all mutations go through the map's own
+  // atomic compute/putIfAbsent — no external lock
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
+
+  private def now(): Long = System.currentTimeMillis()
+
+  def exists(loc: String): Boolean = {
+    val k = loc.stripSuffix("/")
+    entries.containsKey(k) || entries.keySet.asScala.exists(_.startsWith(k + "/"))
+  }
+
+  def readBytes(loc: String): Array[Byte] =
+    Option(entries.get(loc)).map(_._1).getOrElse(
+      throw new java.io.IOException(s"$loc absent")
+    )
+
+  def writeBytes(loc: String, bytes: Array[Byte]): Unit =
+    entries.put(loc, (bytes, now())): Unit
+
+  def createNew(loc: String, bytes: Array[Byte]): Boolean =
+    entries.putIfAbsent(loc, (bytes, now())) == null
+
+  def move(src: String, dst: String): Boolean = {
+    val s = src.stripSuffix("/"); val d = dst.stripSuffix("/")
+    if (exists(d)) return false
+    entries.remove(s) match {
+      case null =>
+        // directory move: relocate every key under the prefix
+        val kids = entries.keySet.asScala.filter(_.startsWith(s + "/")).toSeq
+        if (kids.isEmpty) false
+        else {
+          kids.foreach { k =>
+            val v = entries.remove(k)
+            if (v != null) entries.put(d + k.stripPrefix(s), v): Unit
+          }
+          true
+        }
+      case v =>
+        if (entries.putIfAbsent(d, v) == null) true
+        else { entries.putIfAbsent(s, v); false } // destination taken → restore
+    }
+  }
+
+  def putIfMatch(loc: String, expect: Array[Byte], bytes: Array[Byte]): Boolean = {
+    beforeCas(loc)
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    entries.computeIfPresent(
+      loc,
+      (_, cur) =>
+        if (java.util.Arrays.equals(cur._1, expect)) {
+          won.set(true)
+          (bytes, now())
+        } else cur
+    )
+    won.get()
+  }
+
+  def deleteIfMatch(loc: String, expect: Array[Byte]): Boolean = {
+    beforeCas(loc)
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    entries.computeIfPresent(
+      loc,
+      (_, cur) =>
+        if (java.util.Arrays.equals(cur._1, expect)) { won.set(true); null }
+        else cur
+    )
+    won.get()
+  }
+
+  def casByConstruction(loc: String): Boolean = true
+
+  def publishAtomic(loc: String, bytes: Array[Byte]): Unit = writeBytes(loc, bytes)
+
+  def children(root: String): Seq[String] = {
+    val pfx = root.stripSuffix("/") + "/"
+    entries.keySet.asScala.toSeq
+      .collect { case k if k.startsWith(pfx) =>
+        pfx + k.stripPrefix(pfx).takeWhile(_ != '/')
+      }
+      .distinct
+  }
+
+  def deleteTree(loc: String): Unit = {
+    val k = loc.stripSuffix("/")
+    entries.remove(k)
+    entries.keySet.removeIf(_.startsWith(k + "/")): Unit
+  }
+
+  def deleteIfExists(loc: String): Unit = entries.remove(loc): Unit
+
+  def mkdirs(loc: String): Unit = () // directories are implicit
+
+  def ageMs(loc: String): Long =
+    Option(entries.get(loc)).map(v => math.max(0L, now() - v._2)).getOrElse(-1L)
+
+  def countParquetFiles(loc: String): Long = {
+    val pfx = loc.stripSuffix("/") + "/"
+    entries.keySet.asScala.count(k => k.startsWith(pfx) && k.endsWith(".parquet")).toLong
+  }
+
+  def hasParquet(loc: String): Boolean = countParquetFiles(loc) > 0
 }

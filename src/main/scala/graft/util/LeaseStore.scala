@@ -64,18 +64,26 @@ trait LeaseStore {
 
 /** Filesystem binding over a string root (plain path or URI — the
   * backend dispatches by scheme, see [[Blob]]): entries are files under
-  * `root`; create-if-absent is an atomic exclusive create, and both
-  * conditional primitives are built from the atomic
-  * rename-to-unique-tombstone dance (move the entry aside — of two racers
-  * at most one rename succeeds — verify the displaced content matches
-  * `expect`, then complete or restore). Correct on POSIX, HDFS, and NFS —
-  * NOT on S3-class object stores (rename is copy+delete there); bind the
-  * conditional primitives to conditional PUT instead — [[MemLeaseStore]]
-  * models that shape.
+  * `root`; every conditional primitive delegates to the [[BlobIo]]
+  * conditional layer — atomic `CREATE_NEW` for create-if-absent, and the
+  * blob CAS ([[BlobIo.putIfMatch]]/[[BlobIo.deleteIfMatch]]) for
+  * compare-and-replace/-delete. Where the backend's CAS is
+  * construction-grade ([[BlobIo.casByConstruction]]: plain paths and
+  * `file://` via the file-locked nio CAS, [[MemBlob]]'s map computes, a
+  * future object-store If-Match binding) the round-15 displace-verify-
+  * restore race class is gone BY CONSTRUCTION — the slot is never
+  * vacated between read and swap. Elsewhere (HDFS) the blob layer
+  * emulates with the pre-read-guarded rename dance, whose residual is
+  * crash-scale and fenced at the holder's next verify.
+  *
+  * Pass `io` explicitly to bind a specific backend (the law spec runs
+  * the whole protocol over [[MemBlob]] with its adversarial-schedule
+  * hook); the single-argument constructor dispatches by the root's
+  * scheme as every production caller does.
   */
-final class FsLeaseStore(root: String) extends LeaseStore {
+final class FsLeaseStore(root: String, io: BlobIo) extends LeaseStore {
 
-  private val io: BlobIo = Blob.backend(root)
+  def this(root: String) = this(root, Blob.backend(root))
 
   private def p(key: String): String = Loc.join(root, key)
 
@@ -88,54 +96,11 @@ final class FsLeaseStore(root: String) extends LeaseStore {
     try Some(new String(io.readBytes(p(key)), "UTF-8"))
     catch { case _: java.io.IOException => None }
 
-  /** The shared rename-verify core: displaces the entry to a unique
-    * tombstone, verifies the displaced content is `expect`, then runs
-    * `complete` on match or restores the displaced entry on mismatch.
-    *
-    * PRE-READ GUARD (round 15): an operation whose expectation already
-    * fails returns false WITHOUT displacing — the displace-then-restore
-    * dance vacates the slot for a window a third party can claim into,
-    * and the full LeaseSpec race (two breakers + a stale release)
-    * observed exactly that as a dual win under the slower Hadoop
-    * binding. With the guard, displacement happens only when the read
-    * matched; the residual (the content changes BETWEEN the read and
-    * the move, so the verify mismatches and the restore briefly vacates
-    * a re-taken slot) needs a triple interleaving — crash-scale, and
-    * the displaced holder fences at its next verify/renew before
-    * publishing anything.
-    */
-  private def casVia(key: String, expect: String)(
-      complete: String => Boolean
-  ): Boolean = {
-    val entry = p(key)
-    val tomb = p(s"$key.broken-${System.nanoTime()}")
-    try {
-      val now = new String(io.readBytes(entry), "UTF-8")
-      if (now != expect) return false
-      if (!io.move(entry, tomb)) return false
-      val moved = new String(io.readBytes(tomb), "UTF-8")
-      if (moved == expect) complete(tomb)
-      else {
-        io.move(tomb, entry): Unit // slot re-taken meanwhile → leave it
-        false
-      }
-    } catch {
-      case _: java.io.IOException => false
-    }
-  }
-
   override def replaceIf(key: String, expect: String, content: String): Boolean =
-    casVia(key, expect) { _ =>
-      // the slot is empty between our rename and this create; a rival
-      // taking it first means we lost — never displace the rival
-      createIfAbsent(key, content)
-    }
+    io.putIfMatch(p(key), expect.getBytes("UTF-8"), content.getBytes("UTF-8"))
 
   override def deleteIf(key: String, expect: String): Boolean =
-    casVia(key, expect) { tomb =>
-      io.deleteIfExists(tomb)
-      true
-    }
+    io.deleteIfMatch(p(key), expect.getBytes("UTF-8"))
 
   override def putNew(key: String, content: String): Unit = {
     io.mkdirs(root)

@@ -20,14 +20,17 @@ final class ConcurrentStoreWriteException(msg: String)
   *
   * The protocol is written against the [[LeaseStore]] primitives
   * (create-if-absent, read, compare-and-replace, compare-and-delete) and
-  * has TWO bindings with the fencing laws run against both (LeaseSpec —
-  * the commit protocol's two-implementation treatment): [[FsLeaseStore]]
-  * (claim file + atomic-rename CAS over `java.nio` or Hadoop `FileSystem`
-  * by the root's scheme; POSIX/HDFS/NFS) and [[MemLeaseStore]]
-  * (pure conditional-PUT CAS — the S3-class object-store shape, where an
-  * If-Match conditional PUT replaces the rename). Breaking an expired
-  * lease and releasing a held one are each ONE conditional primitive, so
-  * neither can displace a rival's re-issued claim. Renewal heartbeats are
+  * has multiple bindings with the fencing laws run against all of them
+  * (LeaseSpec — the commit protocol's two-implementation treatment):
+  * [[FsLeaseStore]] (claim file + the [[BlobIo]] conditional layer —
+  * construction-grade file-locked CAS on plain paths and `file://`,
+  * rename-emulated on HDFS, by the root's scheme), [[MemLeaseStore]] and
+  * `FsLeaseStore(root, new MemBlob)` (pure conditional-PUT CAS — the
+  * S3-class object-store shape, where an If-Match conditional PUT
+  * replaces the rename; the MemBlob run forces the adversarial
+  * interleavings through its hook). Breaking an expired lease and
+  * releasing a held one are each ONE conditional primitive, so neither
+  * can displace a rival's re-issued claim. Renewal heartbeats are
   * create-new side-entries, so they never race a breaker's CAS.
   *
   * Scope: one claim per store ROOT covers every member directory and all

@@ -9,6 +9,7 @@ import graft.util.{
   LeaseStore,
   MaintainerLease,
   FsLeaseStore,
+  MemBlob,
   MemLeaseStore
 }
 
@@ -32,7 +33,13 @@ class LeaseSpec extends AnyFunSuite {
     "hadoop-file-uri" -> new FsLeaseStore(
       s"file://${Files.createTempDirectory("graft-lease-law-h")}"
     ),
-    "mem" -> new MemLeaseStore
+    "mem" -> new MemLeaseStore,
+    // the whole FILESYSTEM protocol over the conditional-PUT blob binding
+    // (round 16): proves FsLeaseStore itself — not just MemLeaseStore's
+    // separate implementation — needs nothing beyond the BlobIo
+    // conditional primitives, so an object-store putIfMatch binding slots
+    // in under the unchanged protocol
+    "mem-blob" -> new FsLeaseStore("law-root", new MemBlob)
   )
 
   private def claim(s: LeaseStore, leaseMs: Long = 60000L): String =
@@ -194,6 +201,65 @@ class LeaseSpec extends AnyFunSuite {
           MaintainerLease.releaseIn(s, t)
       }
     }
+  }
+
+  test("forced triple interleaving — a rival's FULL break lands exactly between a breaker's read and its CAS: at most one winner, by construction") {
+    // THE schedule the round-15 displace-verify-restore dance could lose
+    // (both breakers reporting success): breaker A reads the expired
+    // claim, and before A's compare-and-replace executes, breaker B
+    // completes an entire break of the same observed content. With the
+    // blob-level CAS (round 16) A's expectation no longer matches and A
+    // loses — the slot is never vacated at any point. Forced
+    // deterministically via the Mem binding's beforeCas hook.
+    val mb = new MemBlob
+    val s = new FsLeaseStore("law-root", mb)
+    val holderTok = s"stalled-holder ${System.currentTimeMillis() - 3600000L}"
+    assert(s.createIfAbsent("maintainer.claim", holderTok))
+    val bTok = s"breaker-B ${System.currentTimeMillis()}"
+    @volatile var bWon = false
+    mb.beforeCas = { _ =>
+      mb.beforeCas = _ => () // fire once: B's own CAS must not recurse
+      bWon = mb.putIfMatch(
+        "law-root/maintainer.claim",
+        holderTok.getBytes("UTF-8"),
+        bTok.getBytes("UTF-8")
+      )
+    }
+    val aWon =
+      try { MaintainerLease.claimIn(s, "law", leaseMs = 50L); true }
+      catch { case _: ConcurrentStoreWriteException => false }
+    assert(bWon, "B's injected break must win (it matched first)")
+    assert(!aWon, "A must lose: its expectation no longer matches")
+    assert(
+      s.read("maintainer.claim").contains(bTok),
+      "B's live claim survives untouched — never displaced, never vacated"
+    )
+  }
+
+  test("forced triple interleaving — a stale release vacates the slot between a breaker's read and its CAS: the breaker loses cleanly, the slot stays free") {
+    val mb = new MemBlob
+    val s = new FsLeaseStore("law-root", mb)
+    val holderTok = s"stalled-holder ${System.currentTimeMillis() - 3600000L}"
+    assert(s.createIfAbsent("maintainer.claim", holderTok))
+    @volatile var released = false
+    mb.beforeCas = { _ =>
+      mb.beforeCas = _ => ()
+      // the stalled holder's release lands mid-break (conditional delete
+      // with the matching content — legitimate)
+      released = mb.deleteIfMatch(
+        "law-root/maintainer.claim",
+        holderTok.getBytes("UTF-8")
+      )
+    }
+    val aWon =
+      try { MaintainerLease.claimIn(s, "law", leaseMs = 50L); true }
+      catch { case _: ConcurrentStoreWriteException => false }
+    assert(released, "the release must win (it matched first)")
+    assert(!aWon, "the breaker's CAS finds the slot gone and loses cleanly")
+    assert(s.read("maintainer.claim").isEmpty, "slot legitimately free")
+    // and a fresh claim takes it without contention
+    val t = claim(s)
+    MaintainerLease.releaseIn(s, t)
   }
 
   test("a superseded holder's renewals do not extend the new holder's expiry check") {
