@@ -14,11 +14,13 @@ import graft.pipeline.Retrieval
   * LARGE vocabulary (≈ nDocs distinct terms — two zipf-ish shared bands
   * plus a per-doc unique suffix term), then:
   *
-  *   - a selective prefix (matches a handful of terms) vs the
-  *     full-dictionary-scan baseline (fuzzy: a length band is not
-  *     lexicographic, so nothing is min/max-prunable): the rows
+  *   - a selective prefix (matches a handful of terms): the rows
   *     surviving the prefix pushdown collapse from |vocab| to the
   *     matching band — measured against the dict member directly;
+  *   - fuzzy via the round-16 `dictgrams` candidate path (probes the
+  *     query grams' buckets) vs the full-dictionary-scan fallback on
+  *     the same store with the member dropped — row-identical, and the
+  *     candidate band is printed beside the vocabulary;
   *   - wall clocks for both, plus the wildcard leading-literal path;
   *   - linearity probe: the same prefix at 1× and 2× corpus — the
   *     expansion side should track matching-term count, not corpus size.
@@ -65,13 +67,36 @@ object DictStress {
       timed(s"[$tag] prefix 'band4' (11 matching terms)") {
         Retrieval.prefixTopKIndexedOf(spark, q, dir, k = 5).collect(): Unit
       }
-      // vocabulary-bound baseline: fuzzy must visit every term's length
-      // band (the documented trade — Lucene's automaton/FST analogue)
+      // fuzzy, round 16: candidate generation probes the dictgrams
+      // member (the query grams' buckets), no longer the whole
+      // dictionary — measured against the full-scan fallback on the
+      // SAME store with the member dropped (the pre-gram shape)
       val fq = Seq((0L, "band7")).toDF("qid", "term")
-      timed(s"[$tag] fuzzy 'band7'±1 (vocab-scan baseline)") {
+      val viaGrams = timed(s"[$tag] fuzzy 'band7'±1 (gram-probed)") {
         Retrieval.fuzzyTopKIndexedOf(spark, fq, dir, k = 5, maxEdits = 1)
-          .collect(): Unit
+          .collect()
       }
+      val gramsDir = graft.util.DirSwap.resolve(dir, "dictgrams")
+      val gramRows = spark.read.parquet(gramsDir).count()
+      val qGrams = Seq("ba", "an", "nd", "d7", "b", "a", "n", "d", "7")
+      val bandRows = spark.read
+        .parquet(gramsDir)
+        .where(col("gram").isin(qGrams: _*))
+        .select("w")
+        .distinct()
+        .count()
+      graft.util.DirSwap.drop(dir, "dictgrams")
+      val viaScan = timed(s"[$tag] fuzzy 'band7'±1 (full-scan fallback)") {
+        Retrieval.fuzzyTopKIndexedOf(spark, fq, dir, k = 5, maxEdits = 1)
+          .collect()
+      }
+      assert(
+        viaGrams.toSeq == viaScan.toSeq,
+        "gram-probed fuzzy must be row-identical to the full scan"
+      )
+      println(
+        s"[dict-stress] [$tag] dictgrams rows=$gramRows; terms sharing " +
+          s"any query gram (the candidate band)=$bandRows")
       val wq = Seq((0L, "band4?")).toDF("qid", "pattern")
       timed(s"[$tag] wildcard 'band4?' (leading-literal pruned)") {
         Retrieval.wildcardTopKIndexedOf(spark, wq, dir, k = 5).collect(): Unit

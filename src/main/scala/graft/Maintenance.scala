@@ -43,7 +43,8 @@ object Maintenance {
     // `positions`/`fields` only exist in positional / stored-field
     // stores; a missing member reports 0 files and no layers —
     // healthAll tolerates it
-    layeredDirs = Seq("postings", "df", "dict", "stats", "positions", "fields"),
+    layeredDirs =
+      Seq("postings", "df", "dict", "dictgrams", "stats", "positions", "fields"),
     compact = s =>
       graft.pipeline.Retrieval
         .compactInvertedIndex(s, dir, protectLayersAbove)

@@ -421,6 +421,13 @@ object SparkEntry {
       ((s, d) => graft.pipeline.Retrieval.phrasePrefixTopK(s, d)),
     "p33u2_phrase_prefix_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.phrasePrefixIndexLifecycle(s, d)),
+    // p33v/p33v2 — regex term query (Lucene RegexpQuery): the pattern's
+    // leading literal range-prunes the sorted dict, the RE2 ∩ Java
+    // residual filters the band; v2 = the stored-dict lifecycle
+    "p33v_regex_topk" ->
+      ((s, d) => graft.pipeline.Retrieval.regexTopK(s, d)),
+    "p33v2_regex_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.regexIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -451,6 +458,13 @@ object SparkEntry {
     // p33h — proximity through the stored positional-index lifecycle
     "p33h_proximity_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.proximityIndexLifecycle(s, d)),
+    // p33w/p33w2 — UNORDERED proximity (#uw8): all phrase terms at
+    // distinct positions within the window, any order (ordered ⊆
+    // unordered law); w2 = the stored positional lifecycle
+    "p33w_proximity_unordered" ->
+      ((s, d) => graft.pipeline.Retrieval.unorderedProximityTopK(s, d)),
+    "p33w2_unordered_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.unorderedProximityIndexLifecycle(s, d)),
     // p34 — per-source distribution drift vs the frozen history profile
     "p34_drift_report" -> ((s, d) => graft.pipeline.Sampling.driftReport(s, d)),
     // p36 — hybrid retrieval: RRF fusion of the lexical (p33) and
@@ -684,6 +698,9 @@ object SparkEntry {
     "p33u2_phrase_prefix_indexed" -> PipelineOracles.phrasePrefixTopK,
     // same oracle as p33t by the indexed ≡ inline law
     "p33t2_fuzzy_indexed" -> PipelineOracles.fuzzyTopK,
+    "p33v_regex_topk" -> PipelineOracles.regexTopK,
+    // same oracle as p33v by the indexed ≡ inline law
+    "p33v2_regex_indexed" -> PipelineOracles.regexTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracles as p33m/p33n by the indexed ≡ inline law
@@ -696,6 +713,9 @@ object SparkEntry {
     "p33g_proximity_topk" -> PipelineOracles.proximityTopK,
     // same oracle as p33g by the indexed ≡ inline law
     "p33h_proximity_indexed" -> PipelineOracles.proximityTopK,
+    "p33w_proximity_unordered" -> PipelineOracles.unorderedProximityTopK,
+    // same oracle as p33w by the indexed ≡ inline law
+    "p33w2_unordered_indexed" -> PipelineOracles.unorderedProximityTopK,
     "p34_drift_report" -> PipelineOracles.driftReport,
     "p36_hybrid_topk" -> PipelineOracles.hybridTopK,
     "p35_lm_familiarity" -> PipelineOracles.lmFamiliarity,

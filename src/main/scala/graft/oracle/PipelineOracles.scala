@@ -1085,6 +1085,58 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33v — REGEX term query (graft.pipeline.Retrieval.regexTopK,
+    * nQueries=5, k=5, maxExpansions=64): each query doc whose first
+    * token has ≥ 3 chars contributes `^c₁c₂([a-z]*|[0-9]*)c_last$` —
+    * anchored full-string match on both engines (Spark rlike and DuckDB
+    * regexp_matches are substring matchers; the anchors restore Lucene
+    * RegexpQuery's whole-term semantics). The dialect stays in
+    * RE2 ∩ Java (literals, classes, *, alternation, anchors — the p16
+    * precedent), so the expansion replays bit-for-bit. Expansion and
+    * scoring are the p33r protocol. p33v2 (the stored-dict lifecycle,
+    * leading-literal range pruned) carries the same oracle by the
+    * indexed ≡ inline law.
+    */
+  val regexTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    q AS (
+      SELECT doc_id AS qid,
+             '^' || substr(w[1], 1, 2) || '([a-z]*|[0-9]*)' ||
+               substr(w[1], length(w[1]), 1) || '$' AS pat
+      FROM ws WHERE doc_id < 5 AND len(w) >= 1 AND length(w[1]) >= 3
+    ),
+    expq AS (
+      SELECT qid, w1 FROM (
+        SELECT q.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY t.w1) AS rn
+        FROM q JOIN (SELECT DISTINCT w1 FROM tf) t
+          ON regexp_matches(t.w1, q.pat)
+      ) e WHERE rn <= 64
+    ),
+    sc AS (
+      SELECT e.qid, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS score
+      FROM expq e JOIN tf t ON t.w1 = e.w1
+      WHERE t.doc_id <> e.qid
+      GROUP BY e.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p33t — FUZZY term query (graft.pipeline.Retrieval.fuzzyTopK,
     * nQueries=5, k=5, maxEdits=2, maxExpansions=64): each query doc's
     * first token expands to the dictionary terms within 2 Levenshtein
@@ -3350,10 +3402,11 @@ object PipelineOracles {
   """
 
   /** p33u — PHRASE-PREFIX retrieval
-    * (graft.pipeline.Retrieval.phrasePrefixTopK, nQueries=5, phraseLen=3,
-    * prefixLen=2, k=5, maxExpansions=64): the query doc's first 2 tokens
-    * exactly, immediately followed by ANY dictionary term carrying the
-    * first 2 characters of token 3 (capped expansion, term order) — the
+    * (graft.pipeline.Retrieval.phrasePrefixTopK, nQueries=10,
+    * phraseLen=3, prefixLen=1, k=5, maxExpansions=64 — round-16 widened
+    * fixture): the query doc's first 2 tokens exactly, immediately
+    * followed by ANY dictionary term carrying the
+    * first character of token 3 (capped expansion, term order) — the
     * search-as-you-type query (Lucene MatchPhrasePrefixQuery). Gate =
     * every SLOT matched at a common anchor (COUNT(DISTINCT j), so any
     * expansion completes slot 3); score = the p33e BM25 ppm over the
@@ -3382,11 +3435,11 @@ object PipelineOracles {
     ),
     exacts AS (
       SELECT doc_id AS qid, pos AS j, w1 FROM pos
-      WHERE doc_id < 5 AND pos < 3
+      WHERE doc_id < 10 AND pos < 3
     ),
     pfx AS (
-      SELECT doc_id AS qid, substr(w1, 1, 2) AS pfx FROM pos
-      WHERE doc_id < 5 AND pos = 3
+      SELECT doc_id AS qid, substr(w1, 1, 1) AS pfx FROM pos
+      WHERE doc_id < 10 AND pos = 3
     ),
     lastslot AS (
       SELECT qid, 3 AS j, w1 FROM (
@@ -3496,6 +3549,95 @@ object PipelineOracles {
       JOIN phrase ph ON ph.qid = m2.qid AND ph.j = 3
       JOIN pos p ON p.doc_id = m2.doc_id AND p.w1 = ph.w1
       WHERE p.pos > m2.p2 AND p.pos < m2.p1 + 8
+    ),
+    occ AS (
+      SELECT qid, doc_id, COUNT(*) AS n_windows
+      FROM m3 GROUP BY qid, doc_id
+    ),
+    qt AS (
+      SELECT DISTINCT ph.qid, ph.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM phrase ph JOIN df d USING (w1)
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    r AS (
+      SELECT o.qid, o.doc_id, o.n_windows, s.score,
+             ROW_NUMBER() OVER (PARTITION BY o.qid
+                                ORDER BY s.score DESC, o.doc_id) AS rnk
+      FROM occ o JOIN sc s ON o.qid = s.qid AND o.doc_id = s.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score,
+           CAST(n_windows AS BIGINT) AS n_windows
+    FROM r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** p33w — UNORDERED-proximity retrieval
+    * (graft.pipeline.Retrieval.unorderedProximityTopK, nQueries=5,
+    * phraseLen=3, k=5, window=8 — Indri's #uw8): a match assigns each
+    * phrase slot a DISTINCT position of its term, any order, spread
+    * max − min < 8; every ordered p33g tuple qualifies (the containment
+    * law). Ranking is the p33g BM25 arithmetic verbatim. p33w2 (the
+    * stored positional lifecycle) carries the same oracle by the
+    * indexed ≡ inline law.
+    */
+  val unorderedProximityTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    pos AS (
+      SELECT doc_id, g.i AS pos, w[g.i] AS w1
+      FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    phrase AS (
+      SELECT doc_id AS qid, pos AS j, w1 FROM pos
+      WHERE doc_id < 5 AND pos <= 3
+    ),
+    m1 AS (
+      SELECT ph.qid, p.doc_id, p.pos AS p1
+      FROM pos p JOIN phrase ph ON p.w1 = ph.w1 AND ph.j = 1
+      WHERE p.doc_id <> ph.qid
+    ),
+    m2 AS (
+      SELECT m1.qid, m1.doc_id, m1.p1, p.pos AS p2
+      FROM m1
+      JOIN phrase ph ON ph.qid = m1.qid AND ph.j = 2
+      JOIN pos p ON p.doc_id = m1.doc_id AND p.w1 = ph.w1
+      WHERE p.pos <> m1.p1
+        AND greatest(m1.p1, p.pos) - least(m1.p1, p.pos) < 8
+    ),
+    m3 AS (
+      SELECT m2.qid, m2.doc_id
+      FROM m2
+      JOIN phrase ph ON ph.qid = m2.qid AND ph.j = 3
+      JOIN pos p ON p.doc_id = m2.doc_id AND p.w1 = ph.w1
+      WHERE p.pos <> m2.p1 AND p.pos <> m2.p2
+        AND greatest(m2.p1, m2.p2, p.pos)
+              - least(m2.p1, m2.p2, p.pos) < 8
     ),
     occ AS (
       SELECT qid, doc_id, COUNT(*) AS n_windows

@@ -153,6 +153,33 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(s"$freq/positions")))
   }
 
+  test("withDict = false: frequency queries identical, no dict member on build OR append, dictionary queries fail loudly naming the flag") {
+    val boundary = Dedup.incrementalBoundary(spark, sfDir)
+    val old = docs.filter(col("doc_id") < boundary)
+    val fresh = docs.filter(col("doc_id") >= boundary)
+    val noDict = Files.createTempDirectory("graft-ii-nodict").toString
+    Retrieval.writeInvertedIndexOf(spark, old, noDict, withDict = false)
+    Retrieval.appendToInvertedIndex(spark, fresh, noDict)
+    assert(
+      !Files.exists(Paths.get(s"$noDict/dict")),
+      "a dict-less store must not grow a partial dict on append either"
+    )
+    val withD = Files.createTempDirectory("graft-ii-withdict").toString
+    Retrieval.writeInvertedIndexOf(spark, old, withD)
+    Retrieval.appendToInvertedIndex(spark, fresh, withD)
+    // the frequency path (p33d's composition) is byte-for-byte unaffected
+    assert(
+      rows(Retrieval.bm25TopKIndexed(spark, sfDir, noDict)) ==
+        rows(Retrieval.bm25TopKIndexed(spark, sfDir, withD))
+    )
+    // a dictionary query against the dict-less store names the rebuild
+    // flag instead of failing as a bare path error or an empty result
+    val ex = intercept[IllegalStateException](
+      Retrieval.prefixTopKIndexed(spark, sfDir, noDict)
+    )
+    assert(ex.getMessage.contains("withDict"))
+  }
+
   test(
     "rebuild without positions retracts an existing positional payload (no stale-position mixing)"
   ) {
@@ -1285,11 +1312,14 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val q = Seq((99L, "the")).toDF("qid", "pfx")
-    val plan = Retrieval
-      .prefixTopKIndexedOf(spark, q, tmp, k = 3)
-      .queryExecution
-      .executedPlan
-      .toString
+    // the lazy variant: the public path eagerly materializes (and
+    // releases its cache — the round-15 advice), which collapses the
+    // executed plan to the checkpointed blocks; the pushdown must be
+    // asserted on the UNMATERIALIZED search plan
+    val (lazyOut, cache) =
+      Retrieval.prefixTopKIndexedLazyOf(spark, q, tmp, k = 3)
+    val plan = lazyOut.queryExecution.executedPlan.toString
+    cache.foreach(_.unpersist(false))
     // the sorted dictionary's prefix pruning is a pushed RANGE on w —
     // parquet min/max stats skip every file outside [pfx, succ(pfx))
     assert(
@@ -1418,15 +1448,167 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.filter(_._1 == 0L) == tfRank, "maxEdits 0 ≡ exact-term tf rank")
   }
 
+  test("unordered proximity: stored ≡ inline ≡ lifecycle; ordered ⊆ unordered at equal window, with window counts dominating") {
+    val tmp = Files.createTempDirectory("graft-ii-uw").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+    val inline = rows5(Retrieval.unorderedProximityTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain unordered-window matches")
+    assert(
+      rows5(
+        Retrieval.unorderedProximityTopKIndexedOf(
+          spark,
+          Retrieval.queryPhrases(docs, 5, 3),
+          tmp
+        )
+      ) == inline,
+      "stored ≡ inline"
+    )
+    assert(
+      rows5(Retrieval.unorderedProximityIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline"
+    )
+    // THE containment law: every ordered tuple (p₁ < … < p_k within the
+    // window) is a distinct-position any-order tuple of the same spread,
+    // so at equal window the ordered match set is contained in the
+    // unordered one and each doc's window count can only grow. k large
+    // enough that top-k truncation is vacuous.
+    val ordered =
+      rows5(Retrieval.proximityTopK(spark, sfDir, k = 1000000))
+    val unordered =
+      rows5(Retrieval.unorderedProximityTopK(spark, sfDir, k = 1000000))
+    val uw = unordered.map(r => ((r._1, r._2), r._5)).toMap
+    ordered.foreach { r =>
+      val key = (r._1, r._2)
+      assert(
+        uw.contains(key),
+        s"ordered match $key missing from the unordered set"
+      )
+      assert(
+        uw(key) >= r._5,
+        s"unordered window count must dominate at $key: ${uw(key)} < ${r._5}"
+      )
+    }
+    // non-vacuity: the relaxation genuinely admits more (more matching
+    // docs, or more windows over the common docs)
+    assert(
+      unordered.size > ordered.size ||
+        unordered.map(_._5).sum > ordered.map(_._5).sum,
+      "fixture must exercise an unordered-only match or extra windows"
+    )
+  }
+
+  test("regex: stored ≡ inline ≡ lifecycle; patterns match an independent in-memory model; leading-metachar patterns stay correct (unpruned)") {
+    val tmp = Files.createTempDirectory("graft-ii-regex").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val inline = rows(Retrieval.regexTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain regex matches")
+    val queries = Retrieval.regexQueries(docs, 5)
+    assert(
+      rows(Retrieval.regexTopKIndexedOf(spark, queries, tmp)) == inline,
+      "stored ≡ inline"
+    )
+    assert(
+      rows(Retrieval.regexIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline"
+    )
+    // independent model: Scala's own regex engine over the collected
+    // vocabulary reproduces qid 0's expansion and ranking exactly (the
+    // '?'-model pattern from the wildcard spec, extended)
+    val d0 = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val tfAll = d0
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map(w => (id, w)) }
+      .groupBy(identity)
+      .map { case ((id, w), g) => (id, w, g.length.toLong) }
+    val q0tok = d0.find(_._1 == 0L).get._2.split(" ").filter(_.nonEmpty).head
+    assert(q0tok.length >= 3, "fixture: qid 0's token drives the protocol")
+    val pat0 =
+      ("^" + q0tok.take(2) + "([a-z]*|[0-9]*)" + q0tok.last + "$").r
+    val expTerms = tfAll
+      .map(_._2)
+      .toSeq
+      .distinct
+      .filter(w => pat0.matches(w))
+      .sorted
+      .take(64)
+      .toSet
+    val want = tfAll
+      .filter(t => expTerms.contains(t._2) && t._1 != 0L)
+      .groupBy(_._1)
+      .map { case (id, g) => (id, g.map(_._3).sum) }
+      .toSeq
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(5)
+      .zipWithIndex
+      .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
+    assert(inline.filter(_._1 == 0L) == want, "regex ≡ in-memory model (qid 0)")
+    // a leading-metachar pattern cannot range-prune (Lucene's documented
+    // dictionary-scan case) but must still answer correctly through the
+    // stored path
+    val ss = spark
+    import ss.implicits._
+    val open = Seq((7L, "^.*" + q0tok.last + "$")).toDF("qid", "pattern")
+    val viaStore =
+      rows(Retrieval.regexTopKIndexedOf(spark, open, tmp, k = 3))
+    val viaInline =
+      rows(Retrieval.regexTopKOf(spark, docs, open, k = 3))
+    assert(viaStore == viaInline && viaStore.nonEmpty, "unpruned pattern agrees")
+  }
+
+  test("fuzzy gram candidates: gram-probed path ≡ full dict scan at every maxEdits (no recall loss); short terms ride the sentinel leg") {
+    val ss = spark
+    import ss.implicits._
+    // clustered spellings PLUS short terms the gram-count bound can never
+    // prune (max(len) ≤ maxEdits — the sentinel leg's jurisdiction, where
+    // a true match may share ZERO grams with the query, e.g. "z" vs "ab")
+    val fix = Seq(
+      (0L, "ab xy qu kitten sitting mitten"),
+      (1L, "ab ax kitten bitten"),
+      (2L, "xy ay sitten mitten fitting"),
+      (3L, "qu quick sittings kitchen"),
+      (4L, "zz z a abcd abcde abcdef")
+    ).toDF("doc_id", "text")
+    val withGrams = Files.createTempDirectory("graft-ii-fuzzygram").toString
+    Retrieval.writeInvertedIndexOf(spark, fix, withGrams)
+    assert(
+      Files.exists(Paths.get(s"$withGrams/dictgrams")),
+      "the dict family includes the gram member"
+    )
+    // the pre-gram store shape: same corpus, member dropped → the query
+    // takes the full-scan fallback; the gram path must be row-identical
+    // (its candidate set is a SUPERSET of all within-maxEdits pairs and
+    // the exact Levenshtein filter decides — the no-recall-loss law)
+    val preGram = Files.createTempDirectory("graft-ii-fuzzyscan").toString
+    Retrieval.writeInvertedIndexOf(spark, fix, preGram)
+    graft.util.DirSwap.drop(preGram, "dictgrams")
+    val q = Seq((0L, "kitten"), (1L, "ab"), (2L, "z"), (3L, "sitting"))
+      .toDF("qid", "term")
+    for (d <- Seq(0, 1, 2)) {
+      assert(
+        rows(Retrieval.fuzzyTopKIndexedOf(spark, q, withGrams, k = 5, maxEdits = d)) ==
+          rows(Retrieval.fuzzyTopKIndexedOf(spark, q, preGram, k = 5, maxEdits = d)),
+        s"gram path ≡ full scan at maxEdits=$d"
+      )
+    }
+    // the sentinel leg is non-vacuous: "z" (len 1) at maxEdits=2 must
+    // reach doc 0, whose qualifying terms (ab/xy/qu, lev 2 each) share
+    // no character with the query — only the sentinel enumeration finds
+    // them
+    val zHits = rows(
+      Retrieval.fuzzyTopKIndexedOf(spark, q, withGrams, k = 5, maxEdits = 2)
+    ).filter(_._1 == 2L).map(_._2)
+    assert(zHits.contains(0L), s"sentinel leg must reach doc 0, got $zHits")
+  }
+
   test("phrase-prefix: stored ≡ inline ≡ lifecycle; the relaxation admits every exact-phrase match") {
     val tmp = Files.createTempDirectory("graft-ii-phpfx").toString
     Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
     val inline = rows5(Retrieval.phrasePrefixTopK(spark, sfDir))
     assert(inline.nonEmpty, "fixture must contain phrase-prefix matches")
+    // the round-16 widened protocol: 10 queries, 1-char last-slot prefix
     val (exact, prefixes) = {
-      val posq = docs.filter(col("doc_id") < 5)
+      val posq = docs.filter(col("doc_id") < 10)
       (
-        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 5)
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 10)
           .select(
             col("doc_id").as("qid"),
             posexplode(expr("filter(split(text, ' '), x -> x != '')"))
@@ -1437,7 +1619,7 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
           .select(
             col("doc_id").as("qid"),
             expr(
-              "substring(element_at(filter(split(text, ' '), x -> x != ''), 3), 1, 2)"
+              "substring(element_at(filter(split(text, ' '), x -> x != ''), 3), 1, 1)"
             ).as("pfx"))
           .filter(col("pfx").isNotNull && length(col("pfx")) > 0)
       )
