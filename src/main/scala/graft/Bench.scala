@@ -208,10 +208,12 @@ object Bench {
     // working) or whose cpu is a suite-relative outlier (> 5× the suite
     // median with wall > 3 s — GC thrash or a frozen host core) is re-run
     // ONCE, same process, after the main pass, and BOTH measurements land
-    // in the artifact (`queries` + `reruns`). A reader comparing the two
-    // can attribute the gap to the host without a referee: a plan
-    // regression reproduces on the rerun; contention doesn't. Bounded at
-    // 12 reruns so a fully-thrashed host can't double the suite.
+    // in the artifact (`first_pass` + `reruns`; the HEADLINE `queries`
+    // value is the min of the two — see the rerun-promotion note below).
+    // A reader comparing the two can attribute the gap to the host
+    // without a referee: a plan regression reproduces on the rerun;
+    // contention doesn't. Bounded at 12 reruns so a fully-thrashed host
+    // can't double the suite.
     val cpuMedian = {
       val cs = results.map(_._3).filter(_ >= 0).sorted
       if (cs.isEmpty) -1.0 else cs(cs.length / 2)
@@ -258,7 +260,29 @@ object Bench {
     // comma-decimal locale would emit invalid JSON ("0,123")
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    // Rerun promotion (round-16 verdict: "promote the rerun protocol to
+    // the headline number"): a query that earned a rerun reports
+    // min(first pass, rerun) as its HEADLINE wall — wall inflation is
+    // one-sided (contention only ever adds time), so the minimum is the
+    // contention-refuting statistic, and the cross-round table stops
+    // carrying corrupted walls that a same-commit rerun already refuted
+    // in the same artifact. The first-pass wall stays visible in
+    // `first_pass` (and the rerun detail in `reruns`), so nothing is
+    // hidden — the headline just stops being the corrupted sample.
+    val rerunWall: Map[String, Double] =
+      reruns.collect { case (k, w, _, _, _) if w >= 0 => k -> w }.toMap
+    val headline = results.map { case r @ (k, v, _, _, _, _, _) =>
+      rerunWall.get(k) match {
+        case Some(rw) if v >= 0 && rw < v => r.copy(_2 = rw)
+        case _                            => r
+      }
+    }
+    val firstPass = results
+      .collect { case (k, v, _, _, _, _, _) if rerunWall.contains(k) =>
+        "\"" + k + "\":" + fmt(v)
+      }
+      .mkString("{", ",", "}")
+    val qs = headline.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cpus = results
       .map { case (k, _, c, _, _, _, _) => "\"" + k + "\":" + fmt(c) }
@@ -290,12 +314,12 @@ object Bench {
           ",\"load\":" + fmt(l) + ",\"gc\":" + fmt(g) + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = headline.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu_sec":$cpus,"load_avg":$loads,"gc_sec":$gcs,""" +
         s""""heap_used_mb":$heaps,"failed":$failed,"phases":$phaseJson,""" +
-        s""""reruns":$rerunJson,""" +
+        s""""reruns":$rerunJson,"first_pass":$firstPass,""" +
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
         s""""run_gc_sec":${fmt(gcTotal)},"heap_max_mb":${fmt(heapMax)},""" +
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
