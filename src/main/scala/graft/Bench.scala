@@ -315,6 +315,9 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = headline.map(_._2).filter(_ >= 0).sum
+    val stampedName = s"BENCH_FULL_${System.currentTimeMillis()}.json"
+    // the FULL artifact (per-query cpu/load/gc/heap, phases, reruns,
+    // first-pass walls) — written to the run-stamped file below
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu_sec":$cpus,"load_avg":$loads,"gc_sec":$gcs,""" +
@@ -326,7 +329,20 @@ object Bench {
         s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
         s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""
-    println(line)
+    // STDOUT gets a LEAN line: the round-15 driver artifact carried only
+    // a truncated tail of the full line (183 queries × six per-query
+    // maps overran its capture) and parsed to null — a parseable
+    // headline beats an unparseable everything. The full detail is in
+    // the stamped file, named here so a reader can follow the pointer.
+    val leanLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"first_pass":$firstPass,""" +
+        s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
+        s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
+        s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
+        s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
+        s""""cores":$cores,"full":"$stampedName","sf":"$sfDir"}"""
+    println(leanLine)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver
     // artifacts were contention-corrupted and the builder's uncontended
     // counter-evidence got overwritten by the driver's later run of the
@@ -335,9 +351,8 @@ object Bench {
     // when a caller wants one. A write failure is REPORTED — silently
     // comparing a stale file from a previous run would be worse than none.
     try {
-      val stamped = s"BENCH_FULL_${System.currentTimeMillis()}.json"
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stamped)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", stampedName)
       )
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full results -> $out")

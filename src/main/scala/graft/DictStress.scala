@@ -78,7 +78,9 @@ object DictStress {
       }
       val gramsDir = graft.util.DirSwap.resolve(dir, "dictgrams")
       val gramRows = spark.read.parquet(gramsDir).count()
-      val qGrams = Seq("ba", "an", "nd", "d7", "b", "a", "n", "d", "7")
+      // the probe set 'band7' actually sends at maxEdits=1: bigrams only
+      // (qlen 5 > 2·1+1, so the unigram leg is unreachable and unprobed)
+      val qGrams = Seq("ba", "an", "nd", "d7")
       val bandRows = spark.read
         .parquet(gramsDir)
         .where(col("gram").isin(qGrams: _*))

@@ -304,6 +304,11 @@ object Retrieval {
       // postings; derived from the same cached df aggregate.
       dictGramsOf(dfFrame.select("w").distinct(), buckets)
         .repartition(buckets, col("gb"))
+        // sorted by gram within each bucket file: the query pushes its
+        // gram IN-list and the parquet reader's min/max stats skip every
+        // non-overlapping row group — the dict member's organization
+        // applied at the gram grain
+        .sortWithinPartitions("gram")
         .withColumn("layer", lit(0L))
         .write
         .mode("overwrite")
@@ -428,6 +433,7 @@ object Retrieval {
     if (graft.util.Blob.exists(live("dictgrams")))
       dictGramsOf(dfFrame.select("w").distinct(), buckets)
         .repartition(buckets, col("gb"))
+        .sortWithinPartitions("gram") // gram min/max skipping (see build)
         .withColumn("layer", lit(layer))
         .write
         .option("partitionOverwriteMode", "dynamic")
@@ -582,6 +588,7 @@ object Retrieval {
           .distinct()
           .withColumn("layer", lit(0L))
           .repartition(buckets, col("gb"))
+          .sortWithinPartitions("gram") // gram min/max skipping (see build)
           .write
           .partitionBy("gb", "layer")
           .parquet(tmp.toString)
@@ -915,6 +922,15 @@ object Retrieval {
     */
   private val ShortSentinelLen = 4
 
+  /** Unigram rows exist only for terms this short: the unigram leg
+    * applies only to pairs with max(len) ≤ 2·maxEdits+1 ≤ 2·[[ShortSentinelLen]]+1,
+    * so longer terms can never need them — and writing them anyway would
+    * put EVERY term sharing a letter with the query into the candidate
+    * join (in natural text, most of the vocabulary — the first cut's
+    * DictStress measured exactly that).
+    */
+  private val UniGramLenCap = 2 * ShortSentinelLen + 1
+
   /** Char-n-gram rows for the dictionary's terms — (gb, gram, w, cnt,
     * len): every BIGRAM and UNIGRAM of each term with its bag
     * multiplicity, plus the short-term sentinel row. `gb` buckets by the
@@ -933,12 +949,14 @@ object Retrieval {
         )
       ).as("gram")
     )
-    val uni = terms.select(
-      col("w"),
-      explode(
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-      ).as("gram")
-    )
+    val uni = terms
+      .filter(length(col("w")) <= UniGramLenCap)
+      .select(
+        col("w"),
+        explode(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).as("gram")
+      )
     val sentinel = terms
       .filter(length(col("w")) <= ShortSentinelLen)
       .select(col("w"), lit(SentinelGram).as("gram"))
@@ -958,10 +976,13 @@ object Retrieval {
     */
   private def queryGramsOf(
       term: String,
+      withUnigrams: Boolean, // only when the unigram leg is reachable
+      //   (qlen ≤ 2·maxEdits+1) — else every term sharing a letter
+      //   would join as a candidate
       withSentinel: Boolean
   ): Seq[(String, Long)] = {
     val bi = (1 until term.length).map(i => term.substring(i - 1, i + 1))
-    val uni = term.map(_.toString)
+    val uni = if (withUnigrams) term.map(_.toString) else Seq.empty
     val sent = if (withSentinel) Seq(SentinelGram) else Seq.empty
     (bi ++ uni ++ sent)
       .groupBy(identity)
@@ -1622,9 +1643,13 @@ object Retrieval {
           .collect() // ≤ nQueries — the driver-bounded probe set
           .map(_.getString(0))
           .toSeq
+        val c2 = 2 * maxEdits + 1
         val qgRows: Seq[(String, Long, String, Long)] = qTerms.flatMap { t =>
-          queryGramsOf(t, withSentinel = t.length <= maxEdits)
-            .map { case (g, c) => (t, t.length.toLong, g, c) }
+          queryGramsOf(
+            t,
+            withUnigrams = t.length <= c2,
+            withSentinel = t.length <= maxEdits
+          ).map { case (g, c) => (t, t.length.toLong, g, c) }
         }
         val qg = spark
           .createDataFrame(qgRows)
@@ -1634,10 +1659,14 @@ object Retrieval {
           .distinct()
           .collect() // ≤ Σ |term| grams — a local-relation job
           .map(_.getLong(0))
-        val c2 = 2 * maxEdits + 1
+        val qGramSet = qgRows.map(_._3).distinct
         val dg = spark.read
           .parquet(live("dictgrams"))
           .where(col("gb").isin(probedGb.toIndexedSeq: _*))
+          // redundant with the join below, but PUSHED: the gram-sorted
+          // bucket files min/max-skip every row group outside the query
+          // gram set — the read tracks the candidate band, not the bucket
+          .where(col("gram").isin(qGramSet: _*))
           .select("gram", "w", "cnt", "len")
           .distinct() // layer dedup: gram rows are per-term facts
         dg.join(broadcast(qg), "gram")

@@ -173,6 +173,142 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous FUZZY search — the dictionary plane's read-side twin for
+    * Lucene FuzzyQuery: arriving queries carry a term (`(qid, term)`),
+    * and each micro-batch generates candidates through the frozen
+    * index's `dictgrams` member (probing only the batch's query grams'
+    * buckets — the round-16 count-filter path; full-scan fallback on
+    * pre-gram stores) and scores through
+    * [[Retrieval.fuzzyTopKIndexedOf]]. Stateless: chunked queries ≡ one
+    * batch search (RetrievalIndexSpec law).
+    */
+  def fuzzySearchStream(
+      queries: DataFrame, // (qid, term)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      maxEdits: Int = 2,
+      maxExpansions: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.fuzzyTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "term"),
+            indexDir,
+            k,
+            maxEdits,
+            maxExpansions,
+            excludeSelf = false
+          ),
+          batchId
+        )
+      }
+      .start()
+
+  /** Continuous WILDCARD search — `(qid, pattern)` with `*`/`?`
+    * patterns; each micro-batch prunes the dict by the batch patterns'
+    * leading literals and scores through
+    * [[Retrieval.wildcardTopKIndexedOf]]. Stateless: chunked ≡ batch.
+    */
+  def wildcardSearchStream(
+      queries: DataFrame, // (qid, pattern)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.wildcardTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "pattern"),
+            indexDir,
+            k,
+            maxExpansions,
+            excludeSelf = false
+          ),
+          batchId
+        )
+      }
+      .start()
+
+  /** Continuous REGEX search — `(qid, pattern)` in the RE2 ∩ Java
+    * dialect; each micro-batch range-prunes the dict by the batch
+    * patterns' leading literals and scores through
+    * [[Retrieval.regexTopKIndexedOf]]. Stateless: chunked ≡ batch.
+    */
+  def regexSearchStream(
+      queries: DataFrame, // (qid, pattern)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.regexTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "pattern"),
+            indexDir,
+            k,
+            maxExpansions,
+            excludeSelf = false
+          ),
+          batchId
+        )
+      }
+      .start()
+
+  /** Continuous UNORDERED-PROXIMITY search — the positional plane's
+    * read-side twin of p33w: arriving query documents tokenize
+    * row-locally into their leading `phraseLen`-gram and match through
+    * [[Retrieval.unorderedProximityTopKIndexedOf]] (positions, postings,
+    * and df all partition-pruned to the batch's phrase-term buckets).
+    * Stateless: chunked ≡ batch.
+    */
+  def unorderedProximitySearchStream(
+      queryDocs: DataFrame, // (qid, text)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      phraseLen: Int = 3,
+      window: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val phrase = batch
+          .select(
+            col("qid"),
+            posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as(Seq("pos0", "w"))
+          )
+          .filter(col("pos0") < phraseLen)
+          .select(col("qid"), (col("pos0") + 1L).cast("long").as("j"), col("w"))
+        sink(
+          // external qid space — no corpus self-exclusion (see searchStream)
+          Retrieval.unorderedProximityTopKIndexedOf(
+            batch.sparkSession, phrase, indexDir, k, window, excludeSelf = false),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous PHRASE search — the positional plane's read-side twin:
     * arriving query documents are tokenized row-locally into their
     * leading `phraseLen`-gram (the standard phrase protocol) and matched

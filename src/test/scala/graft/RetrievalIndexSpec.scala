@@ -989,6 +989,107 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
   }
 
+  test("streaming fuzzy/wildcard/regex/unordered-proximity searches over chunked queries equal one batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark
+    import ss.implicits._
+    val tmp = Files.createTempDirectory("graft-ii-dictstreams").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp, withPositions = true)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    // shared chunk-driver: feed (qid, s) rows two at a time through the
+    // service under test, collecting whatever the sink sees
+    def drive(
+        queryRows: Seq[(Long, String)],
+        cols: Seq[String]
+    )(
+        mk: (DataFrame, String, (DataFrame, Long) => Unit) =>
+          org.apache.spark.sql.streaming.StreamingQuery
+    ): Seq[Seq[Long]] = {
+      val ck = Files.createTempDirectory("graft-ii-dictstream-ck").toString
+      val ms = MemoryStream[(Long, String)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val q = mk(
+        ms.toDF().toDF(cols: _*),
+        ck,
+        (res, _) => {
+          val rs = res.collect().map(r => r.toSeq.map(_.asInstanceOf[Long]).toSeq)
+          buf.synchronized { buf ++= rs: Unit }
+        }
+      )
+      try
+        queryRows.grouped(2).foreach { c =>
+          ms.addData(c)
+          q.processAllAvailable()
+        }
+      finally q.stop()
+      buf.toSeq.sortBy(r => (r.head, r(2)))
+    }
+    def asRows(rs: Seq[(Long, Long, Long, Long)]): Seq[Seq[Long]] =
+      rs.map(t => Seq(t._1, t._2, t._3, t._4)).sortBy(r => (r.head, r(2)))
+    def asRows5(rs: Seq[(Long, Long, Long, Long, Long)]): Seq[Seq[Long]] =
+      rs.map(t => Seq(t._1, t._2, t._3, t._4, t._5)).sortBy(r => (r.head, r(2)))
+
+    // fuzzy — the gram-probed candidate path per micro-batch
+    val fuzzyQ = docs
+      .filter(col("doc_id") < 6)
+      .select(
+        col("doc_id"),
+        expr("element_at(filter(split(text, ' '), x -> x != ''), 1)"))
+      .as[(Long, String)].collect().toSeq
+    val fuzzyStreamed = drive(fuzzyQ, Seq("qid", "term")) { (qdf, ck, sink) =>
+      graft.streaming.StreamingRetrieval.fuzzySearchStream(
+        qdf, tmp, ck, trigger = Trigger.ProcessingTime(0L))(sink)
+    }
+    assert(fuzzyStreamed.nonEmpty)
+    assert(
+      fuzzyStreamed == asRows(rows(Retrieval.fuzzyTopKIndexedOf(
+        spark, fuzzyQ.toDF("qid", "term"), tmp, excludeSelf = false))),
+      "fuzzy: chunked ≡ batch")
+
+    // wildcard — leading-literal pruned per micro-batch
+    val wildQ = Retrieval.wildcardQueries(docs, 6)
+      .as[(Long, String)].collect().toSeq
+    val wildStreamed = drive(wildQ, Seq("qid", "pattern")) { (qdf, ck, sink) =>
+      graft.streaming.StreamingRetrieval.wildcardSearchStream(
+        qdf, tmp, ck, trigger = Trigger.ProcessingTime(0L))(sink)
+    }
+    assert(wildStreamed.nonEmpty)
+    assert(
+      wildStreamed == asRows(rows(Retrieval.wildcardTopKIndexedOf(
+        spark, wildQ.toDF("qid", "pattern"), tmp, excludeSelf = false))),
+      "wildcard: chunked ≡ batch")
+
+    // regex — range-pruned dict + rlike residual per micro-batch
+    val rxQ = Retrieval.regexQueries(docs, 6)
+      .as[(Long, String)].collect().toSeq
+    val rxStreamed = drive(rxQ, Seq("qid", "pattern")) { (qdf, ck, sink) =>
+      graft.streaming.StreamingRetrieval.regexSearchStream(
+        qdf, tmp, ck, trigger = Trigger.ProcessingTime(0L))(sink)
+    }
+    assert(rxStreamed.nonEmpty)
+    assert(
+      rxStreamed == asRows(rows(Retrieval.regexTopKIndexedOf(
+        spark, rxQ.toDF("qid", "pattern"), tmp, excludeSelf = false))),
+      "regex: chunked ≡ batch")
+
+    // unordered proximity — query docs tokenize in the batch
+    val uwQ = docs
+      .filter(col("doc_id") < 6)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val uwStreamed = drive(uwQ, Seq("qid", "text")) { (qdf, ck, sink) =>
+      graft.streaming.StreamingRetrieval.unorderedProximitySearchStream(
+        qdf, tmp, ck, trigger = Trigger.ProcessingTime(0L))(sink)
+    }
+    assert(uwStreamed.nonEmpty)
+    assert(
+      uwStreamed == asRows5(rows5(Retrieval.unorderedProximityTopKIndexedOf(
+        spark, Retrieval.queryPhrases(docs, 6, 3), tmp, excludeSelf = false))),
+      "unordered proximity: chunked ≡ batch")
+  }
+
   test("streaming phrase search over chunked queries equals one batch search") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
