@@ -428,6 +428,18 @@ object SparkEntry {
       ((s, d) => graft.pipeline.Retrieval.regexTopK(s, d)),
     "p33v2_regex_indexed" ->
       ((s, d) => graft.pipeline.Retrieval.regexIndexLifecycle(s, d)),
+    // p33x/p33x2 — term-range query (Lucene TermRangeQuery): both range
+    // bounds push onto the sorted dict; x2 = the stored lifecycle
+    "p33x_term_range" ->
+      ((s, d) => graft.pipeline.Retrieval.termRangeTopK(s, d)),
+    "p33x2_term_range_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.termRangeIndexLifecycle(s, d)),
+    // p33y/p33y2 — more-like-this (Lucene MLT): the query doc's top
+    // tf-idf terms become a BM25 disjunction; y2 = the stored lifecycle
+    "p33y_more_like_this" ->
+      ((s, d) => graft.pipeline.Retrieval.moreLikeThisTopK(s, d)),
+    "p33y2_mlt_indexed" ->
+      ((s, d) => graft.pipeline.Retrieval.moreLikeThisIndexLifecycle(s, d)),
     // p33m — snippets: the ±4-token window around each hit's first
     // matched query term (the result-page excerpt)
     "p33m_snippets" ->
@@ -701,6 +713,12 @@ object SparkEntry {
     "p33v_regex_topk" -> PipelineOracles.regexTopK,
     // same oracle as p33v by the indexed ≡ inline law
     "p33v2_regex_indexed" -> PipelineOracles.regexTopK,
+    "p33x_term_range" -> PipelineOracles.termRangeTopK,
+    // same oracle as p33x by the indexed ≡ inline law
+    "p33x2_term_range_indexed" -> PipelineOracles.termRangeTopK,
+    "p33y_more_like_this" -> PipelineOracles.moreLikeThisTopK,
+    // same oracle as p33y by the indexed ≡ inline law
+    "p33y2_mlt_indexed" -> PipelineOracles.moreLikeThisTopK,
     "p33m_snippets" -> PipelineOracles.snippetTopK,
     "p33n_facets" -> PipelineOracles.facetCounts,
     // same oracles as p33m/p33n by the indexed ≡ inline law

@@ -1085,6 +1085,117 @@ object PipelineOracles {
     ORDER BY qid, rnk
   """
 
+  /** p33x — TERM-RANGE query (graft.pipeline.Retrieval.termRangeTopK,
+    * nQueries=5, k=5, maxExpansions=64): each query doc's first two
+    * distinct tokens, sorted, bound the inclusive range [lo, hi]; the
+    * query expands to the first 64 dictionary terms inside it (term
+    * order — Lucene TermRangeQuery under the constant-score rewrite +
+    * clause cap) and candidates rank by total matched occurrences Σ tf.
+    * Binary string comparison on both engines. p33x2 (the stored
+    * lifecycle — both bounds pushed onto the sorted dict member)
+    * carries the same oracle by the indexed ≡ inline law.
+    */
+  val termRangeTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, g.t
+    ),
+    q AS (
+      SELECT doc_id AS qid, least(w[1], w[2]) AS lo, greatest(w[1], w[2]) AS hi
+      FROM ws WHERE doc_id < 5 AND len(w) >= 2 AND w[1] <> w[2]
+    ),
+    expq AS (
+      SELECT qid, w1 FROM (
+        SELECT q.qid, t.w1,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY t.w1) AS rn
+        FROM q JOIN (SELECT DISTINCT w1 FROM tf) t
+          ON t.w1 >= q.lo AND t.w1 <= q.hi
+      ) e WHERE rn <= 64
+    ),
+    sc AS (
+      SELECT e.qid, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS score
+      FROM expq e JOIN tf t ON t.w1 = e.w1
+      WHERE t.doc_id <> e.qid
+      GROUP BY e.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
+  /** p33y — MORE-LIKE-THIS (graft.pipeline.Retrieval.moreLikeThisTopK,
+    * nQueries=5, nTerms=5, k=5): the query doc's top 5 terms by
+    * tf·idf_ppm (ties → term order — Lucene MoreLikeThis's
+    * interestingTerms, exact-integer), then a disjunctive BM25 over
+    * those terms (the p33c ppm arithmetic), query doc excluded. p33y2
+    * (the stored lifecycle) carries the same oracle by the indexed ≡
+    * inline law.
+    */
+  val moreLikeThisTopK: String = """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(w) AS dl, g.t AS w1, COUNT(*) AS tf
+      FROM ws, LATERAL (SELECT unnest(w) AS t) g
+      GROUP BY doc_id, len(w), g.t
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs, COALESCE(SUM(len(w)), 0) AS total_tokens
+      FROM ws
+    ),
+    df AS (SELECT w1, COUNT(*) AS df FROM tf GROUP BY w1),
+    qsel AS (
+      SELECT t.doc_id AS qid, t.w1,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (((2 * ((SELECT n_docs FROM n) - d.df) + 1)
+                                  * 1000000) // (2 * d.df + 1)) DESC,
+                        t.w1) AS rn
+      FROM tf t JOIN df d USING (w1)
+      WHERE t.doc_id < 5
+    ),
+    qt AS (
+      SELECT qs.qid, qs.w1,
+             ((2 * ((SELECT n_docs FROM n) - d.df) + 1) * 1000000)
+               // (2 * d.df + 1) AS idf_ppm
+      FROM qsel qs JOIN df d USING (w1)
+      WHERE qs.rn <= 5
+    ),
+    sc AS (
+      SELECT q.qid, t.doc_id,
+             SUM(q.idf_ppm * ((t.tf * 2200000 * 1000000) //
+                 (t.tf * 1000000 +
+                  (1200000 * (250000 +
+                   (750000 * t.dl * (SELECT n_docs FROM n))
+                     // (SELECT total_tokens FROM n))) // 1000000))
+                 // 1000000) AS score
+      FROM tf t JOIN qt q ON t.w1 = q.w1
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    )
+    SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) r WHERE rnk <= 5
+    ORDER BY qid, rnk
+  """
+
   /** p33v — REGEX term query (graft.pipeline.Retrieval.regexTopK,
     * nQueries=5, k=5, maxExpansions=64): each query doc whose first
     * token has ≥ 3 chars contributes `^c₁c₂([a-z]*|[0-9]*)c_last$` —

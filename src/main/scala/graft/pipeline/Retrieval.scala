@@ -1284,6 +1284,340 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------------
+  // P33x — TERM-RANGE queries (Lucene TermRangeQuery,
+  // lucene/core/.../search/TermRangeQuery.java): every dictionary term
+  // in [lo, hi] (inclusive, binary order), constant-score rewrite +
+  // expansion cap like the prefix family. The sorted dict member serves
+  // BOTH bounds as one pushed range — parquet min/max skipping reads
+  // only the covering band, Lucene's sorted-terms-dictionary seek
+  // Spark-first.
+  // ---------------------------------------------------------------------
+
+  /** Per-query term ranges under the standard protocol: each query
+    * doc's first two distinct tokens, sorted, form the inclusive range
+    * [lo, hi]. Binary string order on both engines (Spark UTF8 binary,
+    * DuckDB default collation), so the expansion replays.
+    */
+  private[graft] def termRangeQueries(d: DataFrame, nQueries: Int): DataFrame =
+    d.filter(col("doc_id") < nQueries)
+      .select(
+        col("doc_id").as("qid"),
+        expr("element_at(filter(split(text, ' '), x -> x != ''), 1)").as("t1"),
+        expr("element_at(filter(split(text, ' '), x -> x != ''), 2)").as("t2")
+      )
+      .filter(col("t1").isNotNull && col("t2").isNotNull && col("t1") =!= col("t2"))
+      .select(
+        col("qid"),
+        least(col("t1"), col("t2")).as("lo"),
+        greatest(col("t1"), col("t2")).as("hi")
+      )
+
+  /** Shared range expansion + scoring: terms in each query's [lo, hi]
+    * (the first `maxExpansions` in term order), Σ tf scoring — the
+    * prefix family's arithmetic with a two-sided bound.
+    */
+  private def termRangeScore(
+      terms: DataFrame,
+      tf: DataFrame, // (doc_id, w, tf)
+      queries: DataFrame, // (qid, lo, hi)
+      k: Int,
+      maxExpansions: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val expanded = terms
+      .select("w")
+      .distinct()
+      .join(broadcast(queries), col("w") >= col("lo") && col("w") <= col("hi"))
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+    val rankW =
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val cand = tf.join(broadcast(expanded), Seq("w"))
+    (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+      .groupBy("qid", "doc_id")
+      .agg(sum("tf").as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "rank", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** P33x (inline) — term-range top-k over `corpus`. `queries` is
+    * (qid, lo, hi).
+    */
+  def termRangeTopKOf(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val tf = postings(corpus)
+    termRangeScore(tf, tf, queries, k, maxExpansions, excludeSelf)
+  }
+
+  /** [[termRangeTopKOf]] under the standard query protocol. */
+  def termRangeTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      maxExpansions: Int = 64
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    termRangeTopKOf(spark, d, termRangeQueries(d, nQueries), k, maxExpansions)
+  }
+
+  /** Term-range top-k against the STORED index: the [lo, hi] bounds push
+    * straight onto the sorted dict (both sides of the range — the
+    * two-sided analogue of the prefix pushdown), postings bucket-pruned
+    * to the expanded terms. Row-identical to [[termRangeTopKOf]].
+    */
+  def termRangeTopKIndexedOf(
+      spark: SparkSession,
+      queries: DataFrame,
+      indexDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    repairInvertedIndex(indexDir)
+    val root = indexDir
+    def live(sub: String): String = graft.util.DirSwap.resolve(root, sub)
+    val buckets =
+      spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
+    val ranges = queries
+      .select("lo", "hi")
+      .distinct()
+      .collect() // ≤ nQueries — the driver-bounded pushdown set
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val dictPruned = spark.read
+      .parquet(requireDict(indexDir))
+      .where(
+        if (ranges.isEmpty) lit(false)
+        else
+          ranges
+            .map { case (lo, hi) => col("w") >= lit(lo) && col("w") <= lit(hi) }
+            .reduce(_ || _)
+      )
+    val expansionW = Window.partitionBy("qid").orderBy("w")
+    val expanded = dictPruned
+      .select("w")
+      .distinct()
+      .join(broadcast(queries), col("w") >= col("lo") && col("w") <= col("hi"))
+      .select("qid", "w")
+      .withColumn("rn", row_number().over(expansionW))
+      .filter(col("rn") <= maxExpansions)
+      .select("qid", "w")
+      .cache()
+    val probedWb = expanded
+      .select(wbOf(col("w"), buckets).as("wb"))
+      .distinct()
+      .collect() // ≤ buckets
+      .map(_.getLong(0))
+    val out =
+      if (probedWb.isEmpty)
+        expanded
+          .select(
+            col("qid"),
+            col("qid").as("doc_id"),
+            lit(0L).as("rank"),
+            lit(0L).as("score")
+          )
+          .limit(0)
+      else {
+        val post = spark.read
+          .parquet(live("postings"))
+          .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+        val rankW =
+          Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+        val cand = post.join(broadcast(expanded), Seq("w"))
+        (if (excludeSelf) cand.filter(col("doc_id") =!= col("qid")) else cand)
+          .groupBy("qid", "doc_id")
+          .agg(sum("tf").as("score"))
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+          .filter(col("rank") <= k)
+          .select("qid", "doc_id", "rank", "score")
+          .orderBy("qid", "rank")
+      }
+    Eager.materialized(out, expanded) // release the cache (house lifecycle)
+  }
+
+  /** P33x2 — the term-range lifecycle (same oracle as p33x by the
+    * indexed ≡ inline law).
+    */
+  def termRangeIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33x2-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      termRangeTopKIndexedOf(spark, termRangeQueries(d, nQueries), tmp, k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // P33y — MORE-LIKE-THIS (Lucene MoreLikeThis,
+  // lucene/queries/.../mlt/MoreLikeThis.java): the query is a DOCUMENT;
+  // its most informative terms (top nTerms by tf·idf — Lucene's
+  // interestingTerms, exact-integer ppm here) become a disjunctive
+  // should-query scored with BM25 — "find documents like this one".
+  // Term selection is part of the QUERY protocol (derived from the
+  // query docs + corpus statistics); the search leg is the p33c/p33k
+  // machinery and bucket-prunes to the selected terms in the stored
+  // form.
+  // ---------------------------------------------------------------------
+
+  /** The RSJ idf surrogate shared by selection and scoring. */
+  private val IdfPpmExpr =
+    "((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)"
+
+  /** Top-`nTerms` informative terms of each query doc by tf·idf_ppm
+    * (ties → term order): Lucene MLT's interestingTerms, deterministic.
+    * `qtf` is (qid, w, tf); `dfm` (w, df); `stats` one row.
+    */
+  private def mltTerms(
+      qtf: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      nTerms: Int
+  ): DataFrame = {
+    val selW =
+      Window.partitionBy("qid").orderBy(col("sel_ppm").desc, col("w"))
+    qtf
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        (col("tf") * expr(IdfPpmExpr)).as("sel_ppm")
+      )
+      .withColumn("rn", row_number().over(selW))
+      .filter(col("rn") <= nTerms)
+      .select("qid", "w")
+  }
+
+  /** P33y (inline) — more-like-this top-k: each query doc's top-`nTerms`
+    * tf·idf terms, BM25-scored disjunctively over the corpus (the doc
+    * itself excluded).
+    */
+  def moreLikeThisTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      nTerms: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = postingsWithLen(d).cache()
+    val stats = d
+      .select(
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl")
+      )
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    val dfm = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qtf = tf
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("w"), col("tf"))
+    val qterms = mltTerms(qtf, dfm, stats, nTerms)
+    val weighted = qterms
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("w"), expr(IdfPpmExpr).as("idf_ppm"))
+    val out = bm25Score(tf, weighted, stats, k)
+    Eager.materialized(out, tf)
+  }
+
+  /** More-like-this against the STORED index: term selection reads the
+    * df member pruned to the query docs' term buckets, the search leg
+    * prunes to the SELECTED terms' buckets — both driver-bounded probe
+    * sets. Row-identical to [[moreLikeThisTopK]] (the index's df/stats
+    * equal the corpus's by construction).
+    */
+  def moreLikeThisTopKIndexed(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      nQueries: Int = 5,
+      nTerms: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    // query protocol derived row-locally from the query docs, never the
+    // index (the house rule); the index supplies df/stats/postings
+    val qtf = postingsWithLen(d.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("qid"), col("w"), col("tf"))
+    val (_, dfm0, stats0, _) =
+      indexViews(spark, indexDir, qtf.select("qid", "w"))
+    val qterms = mltTerms(qtf, dfm0, stats0, nTerms)
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, qterms)
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("w"), expr(IdfPpmExpr).as("idf_ppm"))
+    bm25Score(post, weighted, stats, k)
+  }
+
+  /** More-like-this for EXTERNAL documents against the stored index —
+    * the service form: `queryDocs` is (qid, text) with qids outside the
+    * corpus id space; each doc tokenizes row-locally (the standard
+    * whitespace grain), selects its top-`nTerms` terms by tf·idf using
+    * the INDEX's statistics, and BM25-scores disjunctively. The
+    * [[moreLikeThisTopKIndexed]] corpus-protocol form is this with the
+    * query docs drawn from the corpus.
+    */
+  def moreLikeThisTopKIndexedOf(
+      spark: SparkSession,
+      queryDocs: DataFrame, // (qid, text)
+      indexDir: String,
+      nTerms: Int = 5,
+      k: Int = 5,
+      excludeSelf: Boolean = false // external qid space by default
+  ): DataFrame = {
+    val qtf = postingsWithLen(
+      queryDocs.select(col("qid").as("doc_id"), col("text"))
+    ).select(col("doc_id").as("qid"), col("w"), col("tf"))
+    val (_, dfm0, stats0, _) =
+      indexViews(spark, indexDir, qtf.select("qid", "w"))
+    val qterms = mltTerms(qtf, dfm0, stats0, nTerms)
+    val (post, dfm, stats, qt) = indexViews(spark, indexDir, qterms)
+    val weighted = qt
+      .join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("w"), expr(IdfPpmExpr).as("idf_ppm"))
+    bm25Score(post, weighted, stats, k, excludeSelf)
+  }
+
+  /** P33y2 — the more-like-this lifecycle (same oracle as p33y by the
+    * indexed ≡ inline law).
+    */
+  def moreLikeThisIndexLifecycle(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      nTerms: Int = 5,
+      k: Int = 5
+  ): DataFrame = {
+    val d = docs(spark, dir)
+    val split = Dedup.incrementalBoundary(spark, dir)
+    Eager.withTempStore("graft-p33y2-index") { tmp =>
+      writeInvertedIndexOf(spark, d.filter(col("doc_id") < split), tmp)
+      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tmp)
+      moreLikeThisTopKIndexed(spark, dir, tmp, nQueries, nTerms, k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // P33v — REGEX term queries (Lucene RegexpQuery,
   // lucene/core/.../search/RegexpQuery.java): a multi-term query matching
   // every dictionary term the regex FULLY matches, under the same

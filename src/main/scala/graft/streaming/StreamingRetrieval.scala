@@ -272,6 +272,70 @@ object StreamingRetrieval {
       }
       .start()
 
+  /** Continuous TERM-RANGE search — `(qid, lo, hi)` inclusive term
+    * ranges; each micro-batch pushes the batch's bounds onto the sorted
+    * dict and scores through [[Retrieval.termRangeTopKIndexedOf]].
+    * Stateless: chunked ≡ batch.
+    */
+  def termRangeSearchStream(
+      queries: DataFrame, // (qid, lo, hi)
+      indexDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      maxExpansions: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.termRangeTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "lo", "hi"),
+            indexDir,
+            k,
+            maxExpansions,
+            excludeSelf = false
+          ),
+          batchId
+        )
+      }
+      .start()
+
+  /** Continuous MORE-LIKE-THIS search — the service form of p33y:
+    * arbitrary documents arrive as `(qid, text)`, tokenize row-locally,
+    * select their top-`nTerms` tf·idf terms against the FROZEN index's
+    * statistics, and BM25-score disjunctively
+    * ([[Retrieval.moreLikeThisTopKIndexedOf]] per micro-batch; both
+    * probe sets — selection df lookups and the search postings — stay
+    * bucket-pruned to the batch's terms). Stateless: chunked ≡ batch.
+    */
+  def mltSearchStream(
+      queryDocs: DataFrame, // (qid, text)
+      indexDir: String,
+      checkpointDir: String,
+      nTerms: Int = 5,
+      k: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(
+          Retrieval.moreLikeThisTopKIndexedOf(
+            batch.sparkSession,
+            batch.select("qid", "text"),
+            indexDir,
+            nTerms,
+            k
+          ),
+          batchId
+        )
+      }
+      .start()
+
   /** Continuous UNORDERED-PROXIMITY search — the positional plane's
     * read-side twin of p33w: arriving query documents tokenize
     * row-locally into their leading `phraseLen`-gram and match through

@@ -989,7 +989,7 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.sortBy(t => (t._1, t._3)) == batch.sortBy(t => (t._1, t._3)))
   }
 
-  test("streaming fuzzy/wildcard/regex/unordered-proximity searches over chunked queries equal one batch search") {
+  test("streaming fuzzy/wildcard/regex/unordered-proximity/term-range/MLT searches over chunked queries equal one batch search") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     val ss = spark
@@ -1088,6 +1088,50 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       uwStreamed == asRows5(rows5(Retrieval.unorderedProximityTopKIndexedOf(
         spark, Retrieval.queryPhrases(docs, 6, 3), tmp, excludeSelf = false))),
       "unordered proximity: chunked ≡ batch")
+
+    // term-range — (qid, lo, hi) rows need their own 3-column driver
+    val trQ = Retrieval.termRangeQueries(docs, 6)
+      .as[(Long, String, String)].collect().toSeq
+    val trCk = Files.createTempDirectory("graft-ii-trstream-ck").toString
+    val ms3 = MemoryStream[(Long, String, String)]
+    val trBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val trq = graft.streaming.StreamingRetrieval.termRangeSearchStream(
+      ms3.toDF().toDF("qid", "lo", "hi"),
+      tmp,
+      trCk,
+      trigger = Trigger.ProcessingTime(0L)
+    ) { (res, _) =>
+      val rs = res.collect().map(r => r.toSeq.map(_.asInstanceOf[Long]).toSeq)
+      trBuf.synchronized { trBuf ++= rs: Unit }
+    }
+    try
+      trQ.grouped(2).foreach { c =>
+        ms3.addData(c)
+        trq.processAllAvailable()
+      }
+    finally trq.stop()
+    val trStreamed = trBuf.toSeq.sortBy(r => (r.head, r(2)))
+    assert(trStreamed.nonEmpty)
+    assert(
+      trStreamed == asRows(rows(Retrieval.termRangeTopKIndexedOf(
+        spark, trQ.toDF("qid", "lo", "hi"), tmp, excludeSelf = false))),
+      "term-range: chunked ≡ batch")
+
+    // more-like-this — EXTERNAL documents (qids outside the corpus id
+    // space) tokenize and select in the batch
+    val mltQ = docs
+      .filter(col("doc_id") < 6)
+      .select(col("doc_id") + 1000L, col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mltStreamed = drive(mltQ, Seq("qid", "text")) { (qdf, ck, sink) =>
+      graft.streaming.StreamingRetrieval.mltSearchStream(
+        qdf, tmp, ck, trigger = Trigger.ProcessingTime(0L))(sink)
+    }
+    assert(mltStreamed.nonEmpty)
+    assert(
+      mltStreamed == asRows(rows(Retrieval.moreLikeThisTopKIndexedOf(
+        spark, mltQ.toDF("qid", "text"), tmp))),
+      "more-like-this: chunked ≡ batch")
   }
 
   test("streaming phrase search over chunked queries equals one batch search") {
@@ -1547,6 +1591,97 @@ class RetrievalIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
       .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
     assert(exact.filter(_._1 == 0L) == tfRank, "maxEdits 0 ≡ exact-term tf rank")
+  }
+
+  test("term-range: stored ≡ inline ≡ lifecycle; expansion matches an in-memory model; the cap binds") {
+    val tmp = Files.createTempDirectory("graft-ii-trange").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val inline = rows(Retrieval.termRangeTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must contain range matches")
+    val queries = Retrieval.termRangeQueries(docs, 5)
+    assert(
+      rows(Retrieval.termRangeTopKIndexedOf(spark, queries, tmp)) == inline,
+      "stored ≡ inline"
+    )
+    assert(
+      rows(Retrieval.termRangeIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline"
+    )
+    // independent model for qid 0: terms in [lo, hi] in term order,
+    // capped at 64, Σ tf ranking
+    val d0 = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val tfAll = d0
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map(w => (id, w)) }
+      .groupBy(identity)
+      .map { case ((id, w), g) => (id, w, g.length.toLong) }
+    val toks0 = d0.find(_._1 == 0L).get._2.split(" ").filter(_.nonEmpty)
+    assert(toks0.length >= 2 && toks0(0) != toks0(1), "fixture drives qid 0")
+    val (lo, hi) =
+      if (toks0(0) < toks0(1)) (toks0(0), toks0(1)) else (toks0(1), toks0(0))
+    val expTerms = tfAll
+      .map(_._2)
+      .toSeq
+      .distinct
+      .filter(w => w >= lo && w <= hi)
+      .sorted
+      .take(64)
+      .toSet
+    val want = tfAll
+      .filter(t => expTerms.contains(t._2) && t._1 != 0L)
+      .groupBy(_._1)
+      .map { case (id, g) => (id, g.map(_._3).sum) }
+      .toSeq
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(5)
+      .zipWithIndex
+      .map { case ((id, sc), i) => (0L, id, (i + 1).toLong, sc) }
+    assert(inline.filter(_._1 == 0L) == want, "range ≡ in-memory model (qid 0)")
+    // the expansion cap genuinely binds somewhere in the fixture: a wide
+    // range covers more than 64 dictionary terms
+    val vocabInRange = tfAll.map(_._2).toSeq.distinct.count(w => w >= lo && w <= hi)
+    val ss = spark
+    import ss.implicits._
+    val wide = Seq((0L, "a", "zzzzzz")).toDF("qid", "lo", "hi")
+    val capped =
+      rows(Retrieval.termRangeTopKOf(spark, docs, wide, maxExpansions = 3))
+    val uncapped =
+      rows(Retrieval.termRangeTopKOf(spark, docs, wide, maxExpansions = 1000000))
+    assert(capped != uncapped || vocabInRange <= 3, "the cap must bind on a wide range")
+    assert(
+      capped == rows(Retrieval.termRangeTopKIndexedOf(spark, wide, tmp, maxExpansions = 3)),
+      "capped stored ≡ capped inline"
+    )
+  }
+
+  test("more-like-this: stored ≡ inline ≡ lifecycle; nTerms beyond the doc vocabulary degenerates to the full BM25 protocol; selection binds") {
+    val tmp = Files.createTempDirectory("graft-ii-mlt").toString
+    Retrieval.writeInvertedIndexOf(spark, docs, tmp)
+    val inline = rows(Retrieval.moreLikeThisTopK(spark, sfDir))
+    assert(inline.nonEmpty, "fixture must produce MLT matches")
+    assert(
+      rows(Retrieval.moreLikeThisTopKIndexed(spark, sfDir, tmp)) == inline,
+      "stored ≡ inline"
+    )
+    assert(
+      rows(Retrieval.moreLikeThisIndexLifecycle(spark, sfDir)) == inline,
+      "lifecycle ≡ inline"
+    )
+    // degeneracy law: with nTerms ≥ every query doc's distinct-term
+    // count, the "interesting" selection is ALL the doc's terms — which
+    // is exactly the p33c BM25 query protocol, so the results coincide
+    assert(
+      rows(Retrieval.moreLikeThisTopK(spark, sfDir, nTerms = 1000000)) ==
+        rows(Retrieval.bm25TopK(spark, sfDir)),
+      "nTerms → ∞ degenerates to the p33c protocol"
+    )
+    // and the default selection genuinely binds: a query doc has more
+    // than nTerms distinct terms
+    val distinct0 = docs
+      .filter(col("doc_id") === 0L)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")))
+      .distinct()
+      .count()
+    assert(distinct0 > 5, "fixture: selection must actually select")
   }
 
   test("unordered proximity: stored ≡ inline ≡ lifecycle; ordered ⊆ unordered at equal window, with window counts dominating") {
