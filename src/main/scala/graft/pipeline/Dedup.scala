@@ -520,23 +520,32 @@ object Dedup {
   ): Unit = {
     import spark.implicits._
     val sh = shingles(docs).cache()
-    bandedIndex(sh, numPerms, rowsPerBand).write
-      .mode("overwrite")
-      .parquet(s"$out/bands")
-    sh.write.mode("overwrite").parquet(s"$out/shingles")
+    // fill the shared shingle cache once, then overlap the independent
+    // member writes (disjoint directories; guide §2.6) — bands and
+    // shingles read the cache, hashes/params re-derive from `docs`
+    sh.count(): Unit
+    graft.util.Par.run(
+      () =>
+        bandedIndex(sh, numPerms, rowsPerBand).write
+          .mode("overwrite")
+          .parquet(s"$out/bands"),
+      () => sh.write.mode("overwrite").parquet(s"$out/shingles"),
+      () =>
+        docs
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$out/hashes"),
+      // the index is self-describing: the banding parameters ride with it
+      // so a reader can never join bands computed under a different fold
+      () =>
+        Seq((numPerms, rowsPerBand))
+          .toDF("num_perms", "rows_per_band")
+          .write
+          .mode("overwrite")
+          .parquet(s"$out/params")
+    )
     sh.unpersist(false)
-    docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .write
-      .mode("overwrite")
-      .parquet(s"$out/hashes")
-    // the index is self-describing: the banding parameters ride with it so
-    // a reader can never join bands computed under a different fold
-    Seq((numPerms, rowsPerBand))
-      .toDF("num_perms", "rows_per_band")
-      .write
-      .mode("overwrite")
-      .parquet(s"$out/params")
   }
 
   /** Runtime bloom gate: build a bloom filter over `small`'s keys

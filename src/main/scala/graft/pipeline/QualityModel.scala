@@ -204,18 +204,25 @@ object QualityModel {
     Seq("uni", "bi").foreach(n =>
       graft.util.Blob.deleteIfExists(graft.util.Loc.join(root, s"$n.current")))
     val h = lmWords(hist).cache()
-    uniCounts(h)
-      .withColumn("layer", lit(0L))
-      .write
-      .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(s"$out/uni")
-    biCounts(h)
-      .withColumn("layer", lit(0L))
-      .write
-      .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(s"$out/bi")
+    // fill the shared cache once, then the two count members (disjoint
+    // directories) write concurrently (guide §2.6)
+    h.count(): Unit
+    graft.util.Par.run(
+      () =>
+        uniCounts(h)
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("layer")
+          .parquet(s"$out/uni"),
+      () =>
+        biCounts(h)
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("layer")
+          .parquet(s"$out/bi")
+    )
     h.unpersist(false)
   }
 

@@ -255,100 +255,130 @@ object Retrieval {
       .withColumn("wb", wbOf(col("w"), buckets))
       .repartition(buckets, col("wb"))
       .cache()
-    // layer 0 is the base (build/compaction) layer; appends write layer>0
-    // partitions, so the store is LAYER-KEYED from birth (uniform
-    // directory depth — partition discovery rejects mixed layouts)
-    tf.select("wb", "doc_id", "w", "tf", "dl")
-      .withColumn("layer", lit(0L))
-      .write
-      .mode("overwrite")
-      .partitionBy("wb", "layer")
-      .parquet(s"$out/postings")
+    // fill the tf cache with ONE action before fanning out: the postings
+    // write and the df aggregation both read it, and racing two first
+    // actions into a cold cache computes partitions twice
+    tf.count(): Unit
     val dfFrame = tf
       .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
       .cache() // term grain — feeds df AND dict without re-shuffling tf
-    dfFrame
-      .withColumn("layer", lit(0L))
-      .write
-      .mode("overwrite")
-      .partitionBy("wb", "layer")
-      .parquet(s"$out/df")
-    // the SORTED term dictionary (`dict`): the same (w, df) facts as
-    // `df`, organized for PREFIX pruning instead of hash-bucket probing —
-    // range-partitioned and sorted on the term, so each file covers a
-    // disjoint lexicographic range and a prefix query's `w >= p AND
-    // w < succ(p)` pushdown skips every non-overlapping file on parquet
-    // min/max stats (the Lucene sorted term dictionary, Spark-first: no
-    // partition-value explosion under unicode alphabets, no driver-side
-    // bucket math). Derived from the CACHED df aggregate — term grain,
-    // so the extra member costs one tiny shuffle, never a second pass
-    // over the doc×term postings.
-    if (withDict) {
-      dfFrame
-        .groupBy("w")
-        .agg(sum("df").as("df"))
-        .repartitionByRange(buckets, col("w"))
-        .sortWithinPartitions("w")
-        .withColumn("layer", lit(0L))
-        .write
-        .mode("overwrite")
-        .partitionBy("layer")
-        .parquet(s"$out/dict")
-      // the dictionary's char-n-gram index (`dictgrams`): fuzzy candidate
-      // generation by gram-count filtering reads ONLY the query grams'
-      // gb buckets instead of the whole dictionary (round-15 verdict:
-      // the one vocab-linear read path, made band-tracking) — the
-      // scan-free analogue of Lucene's Levenshtein-automaton FST walk.
-      // Term-grain like dict itself, so the member is tiny beside
-      // postings; derived from the same cached df aggregate.
-      dictGramsOf(dfFrame.select("w").distinct(), buckets)
-        .repartition(buckets, col("gb"))
-        // sorted by gram within each bucket file: the query pushes its
-        // gram IN-list and the parquet reader's min/max stats skip every
-        // non-overlapping row group — the dict member's organization
-        // applied at the gram grain
-        .sortWithinPartitions("gram")
-        .withColumn("layer", lit(0L))
-        .write
-        .mode("overwrite")
-        .partitionBy("gb", "layer")
-        .parquet(s"$out/dictgrams")
-    }
+    // Member writes run CONCURRENTLY (guide §2.6 — independent jobs
+    // submitted from driver threads back-fill each other's task tails):
+    // the df→dict/dictgrams chain shares the dfFrame cache, while
+    // postings, stats, positions and fields have no dependency on it —
+    // the build's wall is the longest CHAIN, not the sum of every
+    // member's job. Output directories are disjoint, and the maintainer
+    // claim is held by this thread for the whole block (member writes
+    // themselves never claim), so the fencing story is unchanged.
+    graft.util.Par.runOpt(
+      Some { () =>
+        // layer 0 is the base (build/compaction) layer; appends write
+        // layer>0 partitions, so the store is LAYER-KEYED from birth
+        // (uniform directory depth — partition discovery rejects mixed
+        // layouts)
+        tf.select("wb", "doc_id", "w", "tf", "dl")
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("wb", "layer")
+          .parquet(s"$out/postings")
+      },
+      Some { () =>
+        dfFrame
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("wb", "layer")
+          .parquet(s"$out/df")
+        // the SORTED term dictionary (`dict`): the same (w, df) facts as
+        // `df`, organized for PREFIX pruning instead of hash-bucket
+        // probing — range-partitioned and sorted on the term, so each
+        // file covers a disjoint lexicographic range and a prefix query's
+        // `w >= p AND w < succ(p)` pushdown skips every non-overlapping
+        // file on parquet min/max stats (the Lucene sorted term
+        // dictionary, Spark-first: no partition-value explosion under
+        // unicode alphabets, no driver-side bucket math). Derived from
+        // the CACHED df aggregate — term grain, so the extra member costs
+        // one tiny shuffle, never a second pass over the doc×term
+        // postings. dict and dictgrams both read the dfFrame cache the
+        // df write just filled, and write disjoint members — concurrent.
+        if (withDict) graft.util.Par.run(
+          () =>
+            dfFrame
+              .groupBy("w")
+              .agg(sum("df").as("df"))
+              .repartitionByRange(buckets, col("w"))
+              .sortWithinPartitions("w")
+              .withColumn("layer", lit(0L))
+              .write
+              .mode("overwrite")
+              .partitionBy("layer")
+              .parquet(s"$out/dict"),
+          // the dictionary's char-n-gram index (`dictgrams`): fuzzy
+          // candidate generation by gram-count filtering reads ONLY the
+          // query grams' gb buckets instead of the whole dictionary
+          // (round-15 verdict: the one vocab-linear read path, made
+          // band-tracking) — the scan-free analogue of Lucene's
+          // Levenshtein-automaton FST walk. Term-grain like dict itself,
+          // so the member is tiny beside postings; derived from the same
+          // cached df aggregate.
+          () =>
+            dictGramsOf(dfFrame.select("w").distinct(), buckets)
+              .repartition(buckets, col("gb"))
+              // sorted by gram within each bucket file: the query pushes
+              // its gram IN-list and the parquet reader's min/max stats
+              // skip every non-overlapping row group — the dict member's
+              // organization applied at the gram grain
+              .sortWithinPartitions("gram")
+              .withColumn("layer", lit(0L))
+              .write
+              .mode("overwrite")
+              .partitionBy("gb", "layer")
+              .parquet(s"$out/dictgrams")
+        )
+      },
+      Some { () =>
+        corpus
+          .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("layer")
+          .parquet(s"$out/stats")
+        spark
+          .range(1)
+          .select(lit(buckets).as("buckets"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$out/params")
+      },
+      if (withPositions) Some { () =>
+        positionalPostings(corpus)
+          .withColumn("wb", wbOf(col("w"), buckets))
+          .repartition(buckets, col("wb"))
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("wb", "layer")
+          .parquet(s"$out/positions")
+      }
+      else None,
+      if (withFields) Some { () =>
+        corpus
+          .select(col("doc_id"), col("text"))
+          .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
+          .repartition(buckets, col("db"))
+          .withColumn("layer", lit(0L))
+          .write
+          .mode("overwrite")
+          .partitionBy("db", "layer")
+          .parquet(s"$out/fields")
+      }
+      else None
+    )
     dfFrame.unpersist(false)
-    corpus
-      .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
-      .withColumn("layer", lit(0L))
-      .write
-      .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(s"$out/stats")
-    if (withPositions)
-      positionalPostings(corpus)
-        .withColumn("wb", wbOf(col("w"), buckets))
-        .repartition(buckets, col("wb"))
-        .withColumn("layer", lit(0L))
-        .write
-        .mode("overwrite")
-        .partitionBy("wb", "layer")
-        .parquet(s"$out/positions")
-    if (withFields)
-      corpus
-        .select(col("doc_id"), col("text"))
-        .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
-        .repartition(buckets, col("db"))
-        .withColumn("layer", lit(0L))
-        .write
-        .mode("overwrite")
-        .partitionBy("db", "layer")
-        .parquet(s"$out/fields")
-    spark
-      .range(1)
-      .select(lit(buckets).as("buckets"))
-      .write
-      .mode("overwrite")
-      .parquet(s"$out/params")
     tf.unpersist(false)
   }
 
@@ -393,89 +423,119 @@ object Retrieval {
       .withColumn("wb", wbOf(col("w"), buckets))
       .repartition(buckets, col("wb")) // one new file per touched bucket
       .cache()
-    tf.select("wb", "doc_id", "w", "tf", "dl")
-      .withColumn("layer", lit(layer))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("wb", "layer")
-      .parquet(live("postings"))
+    // one action fills the shared cache before the fan-out (see build)
+    tf.count(): Unit
     val dfFrame = tf
       .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
       .cache() // term grain — feeds df AND dict without re-shuffling tf
-    dfFrame
-      .withColumn("layer", lit(layer))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("wb", "layer")
-      .parquet(live("df"))
-    // pre-dict stores (older layouts) lack the sorted dictionary; an
-    // append must not create a PARTIAL one (a delta-only dict would
-    // silently under-expand prefix queries) — the build's choice is the
-    // store's shape, like positions/fields
-    if (graft.util.Blob.exists(live("dict")))
-      dfFrame
-        .groupBy("w")
-        .agg(sum("df").as("df"))
-        .repartitionByRange(math.max(buckets / 4, 1), col("w"))
-        .sortWithinPartitions("w")
-        .withColumn("layer", lit(layer))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy("layer")
-        .parquet(live("dict"))
-    // gram rows are per-term FACTS (functions of the term string alone),
-    // so appending the batch's terms can only duplicate rows the reader
-    // dedups — no cross-layer merge arithmetic like df's sum
-    if (graft.util.Blob.exists(live("dictgrams")))
-      dictGramsOf(dfFrame.select("w").distinct(), buckets)
-        .repartition(buckets, col("gb"))
-        .sortWithinPartitions("gram") // gram min/max skipping (see build)
-        .withColumn("layer", lit(layer))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy("gb", "layer")
-        .parquet(live("dictgrams"))
+    // member writes overlap exactly as in the build (guide §2.6): the
+    // postings→df→dict chain owns the tf/dfFrame caches; stats/positions/
+    // fields are independent batch passes. All target directories are
+    // resolved (and member existence probed) BEFORE the threads start —
+    // the live() pointers must be read once, not raced.
+    val dictDir =
+      Option(live("dict")).filter(graft.util.Blob.exists)
+    val gramsDir =
+      Option(live("dictgrams")).filter(graft.util.Blob.exists)
+    val positionsDir =
+      Option(live("positions")).filter(graft.util.Blob.exists)
+    val fieldsDir =
+      Option(live("fields")).filter(graft.util.Blob.exists)
+    graft.util.Par.runOpt(
+      Some { () =>
+        tf.select("wb", "doc_id", "w", "tf", "dl")
+          .withColumn("layer", lit(layer))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("wb", "layer")
+          .parquet(live("postings"))
+      },
+      Some { () =>
+        dfFrame
+          .withColumn("layer", lit(layer))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("wb", "layer")
+          .parquet(live("df"))
+        // pre-dict stores (older layouts) lack the sorted dictionary; an
+        // append must not create a PARTIAL one (a delta-only dict would
+        // silently under-expand prefix queries) — the build's choice is
+        // the store's shape, like positions/fields
+        graft.util.Par.runOpt(
+          dictDir.map(dir =>
+            () =>
+              dfFrame
+                .groupBy("w")
+                .agg(sum("df").as("df"))
+                .repartitionByRange(math.max(buckets / 4, 1), col("w"))
+                .sortWithinPartitions("w")
+                .withColumn("layer", lit(layer))
+                .write
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("layer")
+                .parquet(dir)),
+          // gram rows are per-term FACTS (functions of the term string
+          // alone), so appending the batch's terms can only duplicate
+          // rows the reader dedups — no cross-layer merge arithmetic
+          // like df's sum
+          gramsDir.map(dir =>
+            () =>
+              dictGramsOf(dfFrame.select("w").distinct(), buckets)
+                .repartition(buckets, col("gb"))
+                .sortWithinPartitions("gram") // gram min/max skipping (see build)
+                .withColumn("layer", lit(layer))
+                .write
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy("gb", "layer")
+                .parquet(dir))
+        )
+      },
+      Some { () =>
+        newDocs
+          .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+          .withColumn("layer", lit(layer))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("layer")
+          .parquet(live("stats"))
+      },
+      // a positional store extends its positions with the batch; a
+      // frequency-only store stays frequency-only (the build's choice is
+      // the store's contract — readers never guess)
+      positionsDir.map(dir =>
+        () =>
+          positionalPostings(newDocs)
+            .withColumn("wb", wbOf(col("w"), buckets))
+            .repartition(buckets, col("wb"))
+            .withColumn("layer", lit(layer))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("wb", "layer")
+            .parquet(dir)),
+      // a stored-fields index extends its text alongside (same contract:
+      // the build's choice is the store's shape)
+      fieldsDir.map(dir =>
+        () =>
+          newDocs
+            .select(col("doc_id"), col("text"))
+            .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
+            .repartition(buckets, col("db"))
+            .withColumn("layer", lit(layer))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("db", "layer")
+            .parquet(dir))
+    )
     dfFrame.unpersist(false)
-    newDocs
-      .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("total_tokens"))
-      .withColumn("layer", lit(layer))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(live("stats"))
-    // a positional store extends its positions with the batch; a
-    // frequency-only store stays frequency-only (the build's choice is
-    // the store's contract — readers never guess)
-    if (graft.util.Blob.exists(live("positions")))
-      positionalPostings(newDocs)
-        .withColumn("wb", wbOf(col("w"), buckets))
-        .repartition(buckets, col("wb"))
-        .withColumn("layer", lit(layer))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy("wb", "layer")
-        .parquet(live("positions"))
-    // a stored-fields index extends its text alongside (same contract:
-    // the build's choice is the store's shape)
-    if (graft.util.Blob.exists(live("fields")))
-      newDocs
-        .select(col("doc_id"), col("text"))
-        .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
-        .repartition(buckets, col("db"))
-        .withColumn("layer", lit(layer))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy("db", "layer")
-        .parquet(live("fields"))
     tf.unpersist(false)
   }
 
@@ -4114,18 +4174,27 @@ object Retrieval {
     Eager.withTempStore("graft-p36f-stores") { tmp =>
       val tIdx = s"$tmp/text"
       val vIdx = s"$tmp/vec"
-      writeInvertedIndexOf(
-        spark,
-        d.filter(col("doc_id") < split),
-        tIdx,
-        withPositions = true
-      )
-      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+      // the text and vector stores are DISJOINT roots with independent
+      // build→append chains — they bootstrap concurrently (guide §2.6),
+      // exactly as the deployment wiring drains its ingests concurrently
       val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
-      Similarity
-        .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
-      Similarity
-        .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+      graft.util.Par.run(
+        () => {
+          writeInvertedIndexOf(
+            spark,
+            d.filter(col("doc_id") < split),
+            tIdx,
+            withPositions = true
+          )
+          appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+        },
+        () => {
+          Similarity
+            .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
+          Similarity
+            .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+        }
+      )
       hybridStoredTopKFiltered(
         spark, dir, tIdx, vIdx, allowed, nQueries, poolK, k)
     }
@@ -4161,18 +4230,26 @@ object Retrieval {
     Eager.withTempStore("graft-p36d-stores") { tmp =>
       val tIdx = s"$tmp/text"
       val vIdx = s"$tmp/vec"
-      writeInvertedIndexOf(
-        spark,
-        d.filter(col("doc_id") < split),
-        tIdx,
-        withPositions = true
-      )
-      appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+      // disjoint store roots, independent build→append chains — the two
+      // stores bootstrap concurrently (guide §2.6; see the p36f twin)
       val codes = Similarity.quantized(spark, dir).select("vec_id", "q8")
-      Similarity
-        .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
-      Similarity
-        .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+      graft.util.Par.run(
+        () => {
+          writeInvertedIndexOf(
+            spark,
+            d.filter(col("doc_id") < split),
+            tIdx,
+            withPositions = true
+          )
+          appendToInvertedIndex(spark, d.filter(col("doc_id") >= split), tIdx)
+        },
+        () => {
+          Similarity
+            .writeIvfIndexExactOf(spark, codes.filter(col("vec_id") % 4 < 3), vIdx)
+          Similarity
+            .appendToIvfIndexExact(spark, codes.filter(col("vec_id") % 4 >= 3), vIdx)
+        }
+      )
       hybridStoredTopK(
         spark, dir, tIdx, vIdx,
         nQueries, poolK, k, rrfK, phraseLen, window, nprobe

@@ -689,12 +689,46 @@ object TextAnalysis {
 
   /** Encode arbitrary (doc_id, text) against the STORED artifact — no
     * training at encode time: the merge table (bounded by nMerges)
-    * collects to the driver and chains as nMerges nested row-local folds
-    * in ONE projection (BPE encode applies merges in training order per
-    * document), then the vocabulary joins ids; out-of-vocabulary tokens
-    * encode as id 0 (UNK), the standard encoder posture. Row-identical
-    * to [[tokenIds]] over the training corpus (PipelineSpec law).
+    * collects to the driver and applies as ONE row-local walk per
+    * document (BPE encode applies merges in training order), then the
+    * vocabulary joins ids; out-of-vocabulary tokens encode as id 0
+    * (UNK), the standard encoder posture. Row-identical to [[tokenIds]]
+    * over the training corpus (PipelineSpec law).
+    *
+    * The walk is a deterministic UDF rather than nMerges nested Catalyst
+    * [[mergeFold]]s: the expression fold re-copies its accumulator array
+    * per element (`concat(acc, array(t))`), i.e. O(tokens²) data movement
+    * per document PER MERGE — measured as 6.4 s of p32c's 7.4 s wall at
+    * sf0.1 — while the UDF walk appends each token once, O(merges ×
+    * tokens) with zero per-step array copies (the guide's §4.2 trade:
+    * when the built-in expression chain is structurally quadratic, a
+    * linear native batch body wins). Same leftmost-first-with-consumption
+    * algorithm; output bit-identical (the encode ≡ tokenIds law pins it
+    * against the trainer's fold).
     */
+  private[graft] def applyMergesWalk(
+      toks: Seq[String],
+      merges: Array[(String, String, String)]
+  ): Seq[String] = {
+    var cur = toks.toArray
+    var j = 0
+    while (j < merges.length) {
+      val (a, b, m) = merges(j)
+      val out = new Array[String](cur.length)
+      var n = 0 // filled prefix of `out` — the fold's accumulator
+      var i = 0
+      while (i < cur.length) {
+        val t = cur(i)
+        if (n > 0 && out(n - 1) == a && t == b) out(n - 1) = m
+        else { out(n) = t; n += 1 }
+        i += 1
+      }
+      cur = java.util.Arrays.copyOf(out, n)
+      j += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cur)
+  }
+
   def encodeWithTokenizer(
       spark: SparkSession,
       batch: DataFrame,
@@ -705,9 +739,8 @@ object TextAnalysis {
       .orderBy("step")
       .collect() // bounded: nMerges rows — the artifact's own contract
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
-    val folded = merges.foldLeft(
-      expr("filter(split(text, ' '), x -> x != '')")
-    ) { case (c, (a, b, m)) => mergeFold(c, a, b, m) }
+    val applyMerges = udf((ws: Seq[String]) => applyMergesWalk(ws, merges))
+    val folded = applyMerges(expr("filter(split(text, ' '), x -> x != '')"))
     val vocab = spark.read
       .parquet(s"$tokenizerDir/vocab")
       .select("w", "token_id")

@@ -138,19 +138,27 @@ final case class PipelineDeployment(
       historyDocs: DataFrame, // (doc_id, text)
       historyCodes: DataFrame, // (vec_id, q8)
       historyMedia: DataFrame // (doc_id, payload, media_type)
-  ): Unit = {
-    graft.pipeline.Retrieval
-      .writeInvertedIndexOf(spark, historyDocs, textIndexDir, withPositions = true)
-    graft.pipeline.Similarity
-      .writeIvfIndexExactOf(spark, historyCodes, vecIndexDir, kCentroids)
-    graft.pipeline.QualityModel.writeLmModelOf(spark, historyDocs, lmDir)
-    graft.pipeline.Multimodal.writeMediaIvfIndex(
-      spark,
-      graft.pipeline.Multimodal.mediaCodesOf(historyMedia),
-      mediaIndexDir,
-      kCentroids
+  ): Unit =
+    // the four stores are DISJOINT roots with no cross-dependency — they
+    // bootstrap CONCURRENTLY, the same posture as [[tick]]'s concurrent
+    // drains (and the spark_optimization_guide §2.6 overlap rule: the
+    // bootstrap's wall is the slowest build, not the sum of four)
+    graft.util.Par.run(
+      () =>
+        graft.pipeline.Retrieval
+          .writeInvertedIndexOf(spark, historyDocs, textIndexDir, withPositions = true),
+      () =>
+        graft.pipeline.Similarity
+          .writeIvfIndexExactOf(spark, historyCodes, vecIndexDir, kCentroids),
+      () => graft.pipeline.QualityModel.writeLmModelOf(spark, historyDocs, lmDir),
+      () =>
+        graft.pipeline.Multimodal.writeMediaIvfIndex(
+          spark,
+          graft.pipeline.Multimodal.mediaCodesOf(historyMedia),
+          mediaIndexDir,
+          kCentroids
+        )
     )
-  }
 
   /** One deployment tick: drain the four ingest loops CONCURRENTLY over
     * whatever the input globs hold that their checkpoints have not
@@ -328,9 +336,12 @@ object PipelineDeployment {
       val inDocs = s"$tmp/in-docs"
       val inCodes = s"$tmp/in-codes"
       val inMedia = s"$tmp/in-media"
-      d.filter(col("doc_id") >= split).write.parquet(inDocs)
-      codes.filter(col("vec_id") % 4 >= 3).write.parquet(inCodes)
-      media.filter(col("doc_id") % 4 >= 3).write.parquet(inMedia)
+      // three independent staging writes — overlapped like the bootstrap
+      graft.util.Par.run(
+        () => d.filter(col("doc_id") >= split).write.parquet(inDocs),
+        () => codes.filter(col("vec_id") % 4 >= 3).write.parquet(inCodes),
+        () => media.filter(col("doc_id") % 4 >= 3).write.parquet(inMedia)
+      )
       dep.tick(
         spark,
         inDocs,

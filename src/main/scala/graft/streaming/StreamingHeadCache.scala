@@ -482,12 +482,16 @@ object StreamingHeadCache {
     }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-j1b-head") { tmp =>
-      (0 until nChunks).foreach { i =>
+      // each chunk folds independently into its OWN layer (the store's
+      // whole point: appends never read or rewrite each other's layers),
+      // so the ingests run concurrently (guide §2.6) — the cache contents
+      // are bit-identical to the sequential arrival, layer by layer
+      graft.util.Par.run((0 until nChunks).map { i => () =>
         val chunk = a.filter(
           col("koffset") >= i * step && col("koffset") < (i + 1) * step
         )
         appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
-      }
+      }: _*)
       graft.journal.Replay
         .mergedReadGated(a, readHeads(spark, tmp))
         .select("topic", "id", "seq_nr", "koffset", "ts", "payload")
@@ -526,12 +530,13 @@ object StreamingHeadCache {
     }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-j1c-head") { tmp =>
-      (0 until nChunks).foreach { i =>
+      // independent layer-keyed ingests — concurrent, as in j1b
+      graft.util.Par.run((0 until nChunks).map { i => () =>
         val chunk = a.filter(
           col("koffset") >= i * step && col("koffset") < (i + 1) * step
         )
         appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
-      }
+      }: _*)
       graft.journal.Snapshots.recoveryOver(
         graft.journal.Replay
           .mergedReadAtWatermark(a, readHeads(spark, tmp), watermark(spark, tmp))
@@ -582,14 +587,23 @@ object StreamingHeadCache {
     }
     val step = maxOff / nChunks + 1
     graft.pipeline.Eager.withTempStore("graft-t6b-head") { tmp =>
-      (0 until nChunks).foreach { i =>
+      // layer-keyed appends are independent (the j1b argument), but the
+      // MID-STREAM compaction is this query's point — it folds exactly
+      // the layers appended so far. So the chunks run concurrently in
+      // two groups around the compaction barrier: [0..nChunks/2] →
+      // compact → the rest. Store states at the barrier and at the end
+      // are bit-identical to the sequential arrival.
+      val mid = nChunks / 2
+      def append(i: Int): Unit = {
         val chunk = a.filter(
           col("koffset") >= i * step && col("koffset") < (i + 1) * step
         )
         appendBatch(spark, chunk, tmp, wm, layer = i + 1L)
-        if (i == nChunks / 2)
-          compactHeadCache(spark, tmp, protectLayersAbove = i + 1L)
       }
+      graft.util.Par.run((0 to mid).map(i => () => append(i)): _*)
+      compactHeadCache(spark, tmp, protectLayersAbove = mid + 1L)
+      graft.util.Par.run(
+        ((mid + 1) until nChunks).map(i => () => append(i)): _*)
       // head_delete_to stays cache-internal here: the typed fold CLAMPS
       // deleteTo to the seqNr seen at each step (the reference's
       // semantics, HeadInfo.scala:222-236) while the SQL-expressible
