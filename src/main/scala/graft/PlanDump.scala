@@ -59,6 +59,16 @@ object PlanDump {
               .cosine(col("l.embedding"), col("r.embedding"))
               .as("sim")))
     }
+    if (want("postings_tf")) {
+      // the tf frame as the index build shapes it (wb repartition on
+      // top) — the claim under inspection is the Exchange count below
+      // the repartition: groupBy(doc_id, w) paid one, the row-local
+      // term-count walk pays none
+      show("postings_tf")(
+        graft.pipeline.Retrieval
+          .postingsWithLen(d)
+          .repartition(16, col("w")))
+    }
     if (want("hybrid_search")) {
       // the stored hybrid search legs over a freshly built store pair —
       // p36d/p36e's search phase (construction collects included)

@@ -19,6 +19,27 @@ object Retrieval {
       .parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
 
+  /** One (term, tf) row per distinct term of a token array, counted
+    * ROW-LOCALLY in first-occurrence order. A document's tokens all live
+    * in its own row, so its per-term counts never need a shuffle — the
+    * groupBy(doc_id, w) form this replaces paid a full exchange (plus
+    * the partial-aggregation pass) to merge groups that were already
+    * complete within one row (guide §2.4: remove shuffles outright).
+    * Every tf derivation (build, append, every inline query) drops that
+    * exchange; the values are identical counts, so every oracle carries.
+    */
+  private case class TermTf(w: String, tf: Long)
+  private val termCounts =
+    udf((ws: Seq[String]) =>
+      if (ws == null) Seq.empty[TermTf]
+      else {
+        val m = new java.util.LinkedHashMap[String, Long]
+        ws.foreach(w => m.put(w, m.getOrDefault(w, 0L) + 1L))
+        val out = new scala.collection.mutable.ArrayBuffer[TermTf](m.size)
+        m.forEach((w, n) => out += TermTf(w, n))
+        out.toSeq
+      })
+
   /** The posting table (doc_id, w, tf): word tokens at the corpus's
     * standard whitespace grain (the d10/d12/p31 tokenization — shared so
     * the retrieval vocabulary can't drift from the dedup/trainer
@@ -27,9 +48,9 @@ object Retrieval {
   private[graft] def postings(d: DataFrame): DataFrame =
     d.select(
       col("doc_id"),
-      explode(expr("filter(split(text, ' '), x -> x != '')")).as("w")
-    ).groupBy("doc_id", "w")
-      .agg(count(lit(1)).as("tf"))
+      explode(termCounts(expr("filter(split(text, ' '), x -> x != '')")))
+        .as("p")
+    ).select(col("doc_id"), col("p.w").as("w"), col("p.tf").as("tf"))
 
   /** P33 — tf-idf top-k retrieval through the inverted index: the
     * `nQueries` lowest doc_ids play the query set (their distinct terms
@@ -114,12 +135,19 @@ object Retrieval {
       k: Int = 10,
       rrfK: Int = 60
   ): DataFrame = {
-    val lex = keywordTopK(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("doc_id"), col("rank"))
-    val dense = Similarity
-      .knnIvf(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, dense), rrfK, k)
+    // the legs are independent and their CONSTRUCTION already computes
+    // (keywordTopK materializes its ranking eagerly) — build them
+    // concurrently (guide §2.6) and fuse the results
+    val legs = graft.util.Par.eval[DataFrame](
+      () =>
+        keywordTopK(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("doc_id"), col("rank")),
+      () =>
+        Similarity
+          .knnIvf(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    )
+    rrfFuse(legs, rrfK, k)
   }
 
   // ---------------------------------------------------------------------
@@ -197,10 +225,14 @@ object Retrieval {
     ).select(
         col("doc_id"),
         size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("w")
+        explode(termCounts(col("ws"))).as("p")
       )
-      .groupBy("doc_id", "dl", "w")
-      .agg(count(lit(1)).as("tf"))
+      .select(
+        col("doc_id"),
+        col("dl"),
+        col("p.w").as("w"),
+        col("p.tf").as("tf")
+      )
 
   /** Builds the persisted inverted index over `corpus` (doc_id, text).
     *
@@ -3940,14 +3972,20 @@ object Retrieval {
       phraseLen: Int = 3,
       window: Int = 8
   ): DataFrame = {
-    val lex = bm25TopK(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("doc_id"), col("rank"))
-    val dense = Similarity
-      .knnIvf(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    val prox = proximityTopK(spark, dir, nQueries, poolK, phraseLen, window)
-      .select(col("qid"), col("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, dense, prox), rrfK, k)
+    // independent legs, eagerly-computing constructions — overlap them
+    val legs = graft.util.Par.eval[DataFrame](
+      () =>
+        bm25TopK(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("doc_id"), col("rank")),
+      () =>
+        Similarity
+          .knnIvf(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank")),
+      () =>
+        proximityTopK(spark, dir, nQueries, poolK, phraseLen, window)
+          .select(col("qid"), col("doc_id"), col("rank"))
+    )
+    rrfFuse(legs, rrfK, k)
   }
 
   /** P36b — hybrid retrieval with the PRODUCTION lexical leg: RRF fusion
@@ -3964,12 +4002,17 @@ object Retrieval {
       k: Int = 10,
       rrfK: Int = 60
   ): DataFrame = {
-    val lex = bm25TopK(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("doc_id"), col("rank"))
-    val dense = Similarity
-      .knnIvf(spark, dir, nQueries, poolK)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, dense), rrfK, k)
+    // independent legs, eagerly-computing constructions — overlap them
+    val legs = graft.util.Par.eval[DataFrame](
+      () =>
+        bm25TopK(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("doc_id"), col("rank")),
+      () =>
+        Similarity
+          .knnIvf(spark, dir, nQueries, poolK)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+    )
+    rrfFuse(legs, rrfK, k)
   }
 
   /** The fused search over EXISTING stores — what a deployed retrieval
@@ -3997,18 +4040,24 @@ object Retrieval {
       excludeSelf: Boolean = true // threaded to all three legs; false =
       //   the external-query posture (the streaming service's batch twin)
   ): DataFrame = {
-    val lex =
-      bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK, excludeSelf)
-        .select(col("qid"), col("doc_id"), col("rank"))
-    val dense = Similarity
-      .knnIvfIndexedExact(
-        spark, dir, vecIndexDir, nQueries, poolK, nprobe, excludeSelf)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    val prox =
-      proximityTopKIndexed(
-        spark, dir, textIndexDir, nQueries, poolK, phraseLen, window, excludeSelf)
-        .select(col("qid"), col("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, dense, prox), rrfK, k)
+    // each leg's CONSTRUCTION runs driver-side jobs (probed-bucket
+    // collects, centroid loads, query-term derivation) against disjoint
+    // store members — construct the three concurrently (guide §2.6)
+    val legs = graft.util.Par.eval[DataFrame](
+      () =>
+        bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank")),
+      () =>
+        Similarity
+          .knnIvfIndexedExact(
+            spark, dir, vecIndexDir, nQueries, poolK, nprobe, excludeSelf)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank")),
+      () =>
+        proximityTopKIndexed(
+          spark, dir, textIndexDir, nQueries, poolK, phraseLen, window, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank"))
+    )
+    rrfFuse(legs, rrfK, k)
   }
 
   /** BM25 against the stored index RESTRICTED to a qualifying doc set —
@@ -4121,38 +4170,47 @@ object Retrieval {
       //   probe width when the filter is known to be broad.
   ): DataFrame = {
     val d = docs(spark, dir)
-    val lex = bm25TopKIndexedFilteredOf(
-      spark,
-      postings(d.filter(col("doc_id") < nQueries))
-        .select(col("doc_id").as("qid"), col("w")),
-      textIndexDir,
-      allowed,
-      poolK,
-      excludeSelf
-    ).select(col("qid"), col("doc_id"), col("rank"))
-    val denseSearch =
-      if (adaptiveNprobe) Similarity.knnIvfIndexedExactFilteredAdaptiveOf _
-      else Similarity.knnIvfIndexedExactFilteredOf _
-    val dense = denseSearch(
-      spark,
-      Similarity.quantized(spark, dir).select("vec_id", "q8"),
-      vecIndexDir,
-      allowed.select(col("doc_id").as("vec_id")),
-      nQueries.toLong,
-      poolK,
-      nprobe,
-      excludeSelf
-    ).select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-    val prox = proximityTopKIndexedFilteredOf(
-      spark,
-      queryPhrases(d, nQueries, phraseLen),
-      textIndexDir,
-      allowed,
-      poolK,
-      window,
-      excludeSelf
-    ).select(col("qid"), col("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, dense, prox), rrfK, k)
+    // three independent filtered legs — constructed concurrently (the
+    // hybridStoredTopK posture; the adaptive dense leg's selectivity
+    // counts run in its own thread)
+    val legs = graft.util.Par.eval[DataFrame](
+      () =>
+        bm25TopKIndexedFilteredOf(
+          spark,
+          postings(d.filter(col("doc_id") < nQueries))
+            .select(col("doc_id").as("qid"), col("w")),
+          textIndexDir,
+          allowed,
+          poolK,
+          excludeSelf
+        ).select(col("qid"), col("doc_id"), col("rank")),
+      () => {
+        val denseSearch =
+          if (adaptiveNprobe) Similarity.knnIvfIndexedExactFilteredAdaptiveOf _
+          else Similarity.knnIvfIndexedExactFilteredOf _
+        denseSearch(
+          spark,
+          Similarity.quantized(spark, dir).select("vec_id", "q8"),
+          vecIndexDir,
+          allowed.select(col("doc_id").as("vec_id")),
+          nQueries.toLong,
+          poolK,
+          nprobe,
+          excludeSelf
+        ).select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+      },
+      () =>
+        proximityTopKIndexedFilteredOf(
+          spark,
+          queryPhrases(d, nQueries, phraseLen),
+          textIndexDir,
+          allowed,
+          poolK,
+          window,
+          excludeSelf
+        ).select(col("qid"), col("doc_id"), col("rank"))
+    )
+    rrfFuse(legs, rrfK, k)
   }
 
   /** P36f's oracle-replayable lifecycle: the p36d store builds, then the

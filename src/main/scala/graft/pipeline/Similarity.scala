@@ -1910,13 +1910,24 @@ object Similarity {
       nQueries: Int = 10,
       k: Int = 5
   ): DataFrame = {
-    val truth = knnBruteForce(spark, dir, nQueries, k)
-      .select(col("qid"), col("vec_id"), lit(1L).as("bhit"))
+    // truth and the four approximate searches are independent, and
+    // several of them materialize eagerly during construction — build
+    // all five concurrently (guide §2.6)
+    val built = graft.util.Par.eval[DataFrame](
+      () =>
+        knnBruteForce(spark, dir, nQueries, k)
+          .select(col("qid"), col("vec_id"), lit(1L).as("bhit")),
+      () => knnIvf(spark, dir, nQueries, k),
+      () => knnIvfPq(spark, dir, nQueries, k),
+      () => knnLsh(spark, dir, nQueries, k),
+      () => knnPq(spark, dir, nQueries, k)
+    )
+    val truth = built(0)
     val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> knnIvf(spark, dir, nQueries, k),
-      "ivfpq" -> knnIvfPq(spark, dir, nQueries, k),
-      "lsh" -> knnLsh(spark, dir, nQueries, k),
-      "pq" -> knnPq(spark, dir, nQueries, k)
+      "ivf" -> built(1),
+      "ivfpq" -> built(2),
+      "lsh" -> built(3),
+      "pq" -> built(4)
     )
     val approx = methods
       .map { case (m, df) =>

@@ -54,4 +54,20 @@ private[graft] object Par {
     */
   def runOpt(tasks: Option[() => Unit]*): Unit =
     run(tasks.flatten: _*)
+
+  /** Value-returning [[run]]: evaluates the thunks concurrently and
+    * returns their results in ARGUMENT ORDER. Used where constructing
+    * independent query legs itself runs driver-side Spark jobs (probed
+    * bucket collects, centroid loads) — the legs' construction latencies
+    * overlap instead of summing. Same failure posture as [[run]].
+    */
+  def eval[A](tasks: (() => A)*): Seq[A] = {
+    val out = new Array[Any](tasks.size)
+    run(tasks.zipWithIndex.map { case (t, i) =>
+      () => { out(i) = t() }
+    }: _*)
+    scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(out)
+      .map(_.asInstanceOf[A])
+  }
 }
