@@ -27,6 +27,15 @@ object Retrieval {
     * complete within one row (guide §2.4: remove shuffles outright).
     * Every tf derivation (build, append, every inline query) drops that
     * exchange; the values are identical counts, so every oracle carries.
+    *
+    * Precondition (was implicit in every caller already): ONE row per
+    * doc_id. The corpus tables and every split/seed derivation satisfy
+    * it by construction, and the append contract ("doc_ids must be
+    * new") forbids re-ingested ids outright. A caller that DID pass two
+    * rows for one doc_id previously got their token multisets merged by
+    * the groupBy; now it would get two posting rows (and df would count
+    * the doc twice) — same class of corruption the append contract
+    * already names, now uniform across build and append.
     */
   private case class TermTf(w: String, tf: Long)
   private val termCounts =

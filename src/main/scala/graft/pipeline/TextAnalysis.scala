@@ -710,6 +710,10 @@ object TextAnalysis {
       toks: Seq[String],
       merges: Array[(String, String, String)]
   ): Seq[String] = {
+    // null text ⇒ null token array: the superseded expression chain
+    // propagated the null (and posexplode then dropped the row) — the
+    // walk must do the same, not NPE the job
+    if (toks == null) return null
     var cur = toks.toArray
     var j = 0
     while (j < merges.length) {

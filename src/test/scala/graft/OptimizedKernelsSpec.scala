@@ -59,7 +59,9 @@ class OptimizedKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "x y z",
       5L -> "",
       6L -> "б в б в б",
-      7L -> "a b c a b c a b"
+      7L -> "a b c a b c a b",
+      8L -> (null: String) // null text: both forms must yield null (the
+      //   expression chain propagated it; the walk must not NPE)
     ).toDF("doc_id", "text")
     val merges = Array(
       ("a", "b", "a b"),
