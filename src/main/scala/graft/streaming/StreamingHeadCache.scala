@@ -47,10 +47,12 @@ import graft.journal.{ActionRow, HeadInfo}
   * re-creates it from the new actions alone.
   *
   * Exactly-once under T1 redelivery: appends are layer-keyed on the
-  * micro-batch id and written via dynamic partition overwrite, so a
-  * redelivered batch REWRITES its own layer (the store-wide invariant
-  * pinned by StoreInterleavingSpec for the other planes); compaction
-  * protects the possibly-uncommitted newest layer. The entry fold itself
+  * micro-batch id, each written (overwrite-mode) to its OWN
+  * `layer=N` directory, so a redelivered batch REWRITES its own layer
+  * (the store-wide invariant pinned by StoreInterleavingSpec for the
+  * other planes) and concurrent chunk ingests never share a commit
+  * staging directory; compaction protects the possibly-uncommitted
+  * newest layer. The entry fold itself
   * additionally ignores actions at or below the arrival watermark — the
   * F7 replicated-offset skip, applied at the cache boundary.
   *
@@ -171,6 +173,15 @@ object StreamingHeadCache {
     require(layer > 0L, "append layers must be > 0; layer 0 is the base")
     repairHeadCache(storeDir)
     val wmB = broadcast(watermark.select("topic", "part_no", "wm"))
+    // Each layer writes to ITS OWN directory (`<member>/layer=N` — the
+    // identical on-disk layout a partitionBy("layer") write produces, and
+    // the readers' schema'd partition discovery is unchanged), NOT via
+    // dynamic partition overwrite of the shared member root: concurrent
+    // layer appends (j1b/j1c/t6b chunk ingests run under Par) must never
+    // share a commit-protocol staging directory — two jobs committing
+    // into one root can race each other's `_temporary`/staging cleanup
+    // and fail spuriously. A REDELIVERED (batch, layer) still rewrites
+    // exactly its own layer: the overwrite is scoped to the layer dir.
     // watermark progress + partition extent: both MAX-merged on read, so
     // the layer rows are pure facts (no additivity to protect). The
     // watermark side drives the union — an EMPTY batch still advances the
@@ -191,23 +202,16 @@ object StreamingHeadCache {
         coalesce(col("wm"), lit(-1L)).as("wm"),
         coalesce(col("end_offset"), lit(0L)).as("end_offset")
       )
-      .withColumn("layer", lit(layer))
       .write
-      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(live(storeDir, "wm"))
+      .parquet(s"${live(storeDir, "wm")}/layer=$layer")
     val tail = actions
       .join(wmB, Seq("topic", "part_no"), "left")
       .filter(col("wm").isNull || col("koffset") > col("wm"))
       .drop("wm")
-    partialFolds(spark, tail)
-      .withColumn("layer", lit(layer))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
+    partialFolds(spark, tail).write
       .mode("overwrite")
-      .partitionBy("layer")
-      .parquet(live(storeDir, "entries"))
+      .parquet(s"${live(storeDir, "entries")}/layer=$layer")
   }
 
   /** The cache's own replicated-offset table

@@ -11,42 +11,108 @@ package graft.util
   * executors the earlier job's tail frees), so the wall of N independent
   * member writes drops from Σ to ≈ max — on a cluster AND in local mode.
   *
-  * Failure posture: every task runs to completion (a member write racing
-  * a cancelled sibling would leave a half-written store), then the FIRST
-  * failure is rethrown with the others attached as suppressed — callers
-  * see the same exception type a sequential run would have thrown.
+  * Abort posture (round-17): the CALLING thread joins its workers
+  * UNINTERRUPTIBLY — no caller cleanup (withTempStore's delete, a spec's
+  * teardown) can ever run while a writer thread is still submitting Spark
+  * jobs. On the first worker failure, or on an interrupt of the caller
+  * (suite timeout, cancellation), the workers' shared Spark job group is
+  * CANCELLED so the siblings' in-flight jobs die quickly instead of
+  * racing a doomed build to completion; the threads are then still joined
+  * to the end. The first REAL failure is rethrown with the others (which
+  * may be cancellation artifacts of the group cancel) attached as
+  * suppressed; an interrupt with no worker failure re-asserts the flag
+  * and raises InterruptedException after all workers have exited.
+  *
+  * Nesting: a worker spawned by an outer [[run]] REUSES the outer call's
+  * job group (thread-locals are inherited on thread creation), so an
+  * outer cancel reaches jobs submitted by nested fan-outs too.
   *
   * Deliberately NOT a fork-join pool: tasks are few (≤ 8) and blocking
   * (each waits on a Spark job), so one plain thread per task is the whole
-  * story. Spark job groups/descriptions are thread-locals and stay with
-  * the submitting thread, which is exactly right for UI attribution.
+  * story. Spark job descriptions are thread-locals and stay with the
+  * submitting thread, which is exactly right for UI attribution; only the
+  * group-id property is (re)written on the workers.
   */
 private[graft] object Par {
 
-  /** Runs the given thunks concurrently, one thread each, and joins all.
-    * Exceptions: first one rethrown after ALL tasks finished, later ones
-    * suppressed. No-ops and single tasks run inline (no thread cost).
+  private val GroupPrefix = "graft-par-"
+
+  /** Runs the given thunks concurrently, one thread each, and joins all
+    * uninterruptibly. Exceptions: first one rethrown after ALL tasks
+    * finished, later ones suppressed; on first failure or caller
+    * interrupt the shared job group is cancelled (see the abort posture
+    * above). No-ops and single tasks run inline (no thread cost).
     */
   def run(tasks: (() => Unit)*): Unit = {
     val live = tasks.filter(_ != null)
     if (live.isEmpty) return
     if (live.size == 1) { live.head.apply(); return }
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+      .filter(!_.isStopped)
+    // reuse an enclosing Par group so an outer cancel reaches nested jobs
+    val inherited = sc
+      .flatMap(c => Option(c.getLocalProperty("spark.jobGroup.id")))
+      .filter(_.startsWith(GroupPrefix))
+    val group =
+      inherited.getOrElse(GroupPrefix + java.util.UUID.randomUUID().toString)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val threads = live.map { t =>
-      val th = new Thread(() =>
+      val th = new Thread(() => {
+        // tag the worker's jobs with the cancellable group; the inherited
+        // job description is left alone (UI attribution)
+        sc.foreach { c =>
+          c.setLocalProperty("spark.jobGroup.id", group)
+          c.setLocalProperty("spark.job.interruptOnCancel", "true")
+        }
         try t()
-        catch { case e: Throwable => failures.add(e): Unit })
+        catch {
+          case e: Throwable =>
+            failures.add(e)
+            failed.set(true)
+        }
+      })
       th.setDaemon(true)
       th.start()
       th
     }
-    threads.foreach(_.join())
+    var interrupted = false
+    var cancelled = false
+    def cancelGroup(): Unit = if (!cancelled) {
+      cancelled = true
+      try sc.foreach(_.cancelJobGroup(group))
+      catch { case _: Throwable => () } // a stopping context must not mask
+      //                                   the real failure/interrupt
+    }
+    threads.foreach { th =>
+      var joined = false
+      while (!joined) {
+        try {
+          if (failed.get()) cancelGroup()
+          th.join(50)
+          joined = !th.isAlive
+        } catch {
+          case _: InterruptedException =>
+            interrupted = true
+            cancelGroup()
+        }
+      }
+    }
+    if (failed.get()) cancelGroup() // a last-task failure still kills any
+    //                                 zombie jobs the group may hold
+    if (interrupted) Thread.currentThread().interrupt()
     val it = failures.iterator()
     if (it.hasNext) {
       val first = it.next()
       while (it.hasNext) first.addSuppressed(it.next())
       throw first
     }
+    if (interrupted)
+      throw new InterruptedException(
+        "Par.run interrupted; sibling Spark jobs cancelled, all workers joined"
+      )
   }
 
   /** [[run]] over an optional task list — `Some(thunk)` runs, `None` is
