@@ -28,3 +28,41 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// `sbt test` wall time: one forked JVM ran all 42 suites SEQUENTIALLY —
+// ~8 min of test bodies under ~37 min of per-suite SparkSession/fixture
+// setup and teardown — and the round-16 driver run was killed mid-suite
+// on exactly that wall. Suites are independent (each builds its own
+// local[4] session and temp dirs), so they now run in PARALLEL forked
+// JVMs: the four long-running lifecycle suites get a JVM each and the
+// rest round-robin across four more. 8 concurrent JVMs × local[4] = the
+// 32-core box; 4g heap each (the old single JVM ran everything in 8g).
+// Nothing is skipped or shrunk — same tests, same fixtures, wall ≈ the
+// heaviest group instead of the sum.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+    .filterNot(_.startsWith("-Xmx")) :+ "-Xmx4g"
+  def fork = Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))
+  val heavy = Set(
+    "graft.ReplicatorSpec",
+    "graft.StoreInterleavingSpec",
+    "graft.PipelineDeploymentSpec",
+    "graft.DeploymentSpec",
+  )
+  val (big, small) = tests.partition(t => heavy(t.name))
+  val nLight = 4
+  val lightGroups = small
+    .sortBy(_.name)
+    .zipWithIndex
+    .groupBy(_._2 % nLight)
+    .toSeq
+    .sortBy(_._1)
+    .map { case (i, ts) =>
+      new Tests.Group(s"light-$i", ts.map(_._1), fork)
+    }
+  val bigGroups =
+    big.map(t => new Tests.Group(t.name, Seq(t), fork))
+  bigGroups ++ lightGroups
+}
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 8))
