@@ -180,13 +180,16 @@ object Bench {
     val t0run = System.nanoTime()
     val cpu0run = procCpuNs
     val gc0run = gcMs
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timedEntry(
+        name: String,
+        body: () => Unit
+    ): (String, Double, Double, Double, Double, Double, Map[String, Double]) = {
       graft.util.PhaseClock.drain(): Unit // clear any prior leftovers
       val t0 = System.nanoTime()
       val c0 = procCpuNs
       val g0 = gcMs
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { body(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpuSec = if (c0 < 0) -1.0 else (procCpuNs - c0) / 1e9
@@ -195,6 +198,39 @@ object Bench {
       // Eager.withTempStore); empty for plain queries
       val phases = graft.util.PhaseClock.drain()
       (name, if (ok) sec else -1.0, cpuSec, loadAvg, gcSec, heapUsedMb, phases)
+    }
+    // Session-memo fills, charged to NAMED lines (round-16 verdict item:
+    // per-query attribution of the d-family flipped up to ±4 s between
+    // same-commit runs because the shared pair memo billed its whole
+    // shingle→minhash→band pipeline to whichever query touched it first,
+    // and the exact-train memo did the same to k13). The fills run here,
+    // ONCE, before the main pass, and appear in `queries` (and the total)
+    // as their own entries — the cost is still paid in-suite, it just
+    // stops wandering between consumers. Full-contract runs only: an
+    // SPARK_GRAFT_ONLY subset keeps the old first-payer behavior so
+    // isolated probes still measure the cold path when they want to.
+    val memoFills =
+      if (only.isEmpty)
+        Seq(
+          timedEntry(
+            "memo_fill_minhash_pairs",
+            () => graft.pipeline.Dedup.minhashPairs(spark, sfDir).count(): Unit
+          ),
+          timedEntry(
+            "memo_fill_exact_train",
+            () => {
+              graft.pipeline.Similarity.trainedExact(spark, sfDir, 16, 3): Unit
+            }
+          ),
+          timedEntry(
+            "memo_fill_media_train",
+            () => graft.pipeline.Multimodal.mediaKnnIvf(spark, sfDir).count(): Unit
+          )
+        )
+      else Seq.empty
+    val memoFillNames = memoFills.map(_._1).toSet
+    val results = memoFills ++ selected.toSeq.sortBy(_._1).map {
+      case (name, fn) => timedEntry(name, () => fn(spark, sfDir).count(): Unit)
     }
     val wallTotal = (System.nanoTime() - t0run) / 1e9
     val cpuTotal = if (cpu0run < 0) -1.0 else (procCpuNs - cpu0run) / 1e9
@@ -212,14 +248,19 @@ object Bench {
     // value is the min of the two — see the rerun-promotion note below).
     // A reader comparing the two can attribute the gap to the host
     // without a referee: a plan regression reproduces on the rerun;
-    // contention doesn't. Bounded at 12 reruns so a fully-thrashed host
-    // can't double the suite.
+    // contention doesn't. Bounded at 24 reruns so a fully-thrashed host
+    // can't double the suite (round-17: raised from 12 — the round-16
+    // driver run saturated the 12 and the un-rerun outliers became
+    // headline numbers; 24 covers every >3 s query in a typical run).
     val cpuMedian = {
       val cs = results.map(_._3).filter(_ >= 0).sorted
       if (cs.isEmpty) -1.0 else cs(cs.length / 2)
     }
     val suspicious = results
-      .filter { case (_, wall, cpu, _, _, _, _) =>
+      .filter { case (name, wall, cpu, _, _, _, _) =>
+        // memo fills are one-shot by construction — a rerun would read the
+        // warm memo and prove nothing (and they are not in `selected`)
+        !memoFillNames.contains(name) &&
         wall > 3.0 && cpu >= 0 &&
         (wall > 3 * cpu || (cpuMedian > 0 && cpu > 5 * cpuMedian))
       }
@@ -236,7 +277,7 @@ object Bench {
           cpu / math.max(cpuMedian, 0.01)
         )
       }
-      .take(12)
+      .take(24)
     val reruns = suspicious.map { case (name, _, _, _, _, _, _) =>
       val fn = selected(name)
       val t0 = System.nanoTime()
@@ -329,19 +370,25 @@ object Bench {
         s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
         s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
         s""""cores":$cores,"sf":"$sfDir"}"""
-    // STDOUT gets a LEAN line: the round-15 driver artifact carried only
-    // a truncated tail of the full line (183 queries × six per-query
-    // maps overran its capture) and parsed to null — a parseable
-    // headline beats an unparseable everything. The full detail is in
-    // the stamped file, named here so a reader can follow the pointer.
+    // STDOUT gets a COMPACT line: the driver captures only the last
+    // ~2000 bytes of the run's output, and BOTH round-15 and round-16
+    // artifacts carried a front-truncated tail of a multi-KB line that
+    // parsed to null (the 187-query map alone is ~5 KB — it can never
+    // fit). A parseable headline beats an unparseable everything, so the
+    // stdout line carries the totals, the failure list, the host/canary
+    // stamps, and the PATH of the stamped file that holds every per-query
+    // map — the driver (or any reader) follows the `full` pointer for
+    // per-query detail. Round-16 verdict item 2; the full per-query JSON
+    // is unchanged and lives in the stamped file.
     val leanLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"first_pass":$firstPass,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${headline.size},""" +
+        s""""failed":$failed,""" +
         s""""run_wall_sec":${fmt(wallTotal)},"run_cpu_sec":${fmt(cpuTotal)},""" +
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
         s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
         s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
-        s""""cores":$cores,"full":"$stampedName","sf":"$sfDir"}"""
+        s""""cores":$cores,"cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", cores.toString)},""" +
+        s""""full":"$stampedName","sf":"$sfDir"}"""
     println(leanLine)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver
     // artifacts were contention-corrupted and the builder's uncontended
