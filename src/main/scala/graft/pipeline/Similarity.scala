@@ -315,49 +315,210 @@ object Similarity {
     */
   private val CosKeyScale = 1L << 20
 
-  /** sign(dot)·((dot²·2²⁰) DIV nrm2) with the zero-norm guard — `div` is
-    * truncating integer division in Spark (IntegralDivide) and DuckDB
-    * (`//`) alike, including on negatives.
+  // (the Column-expression cosKey/dotL forms this fixed-point key was
+  // first written as live on, rebuilt verbatim, in OptimizedKernelsSpec —
+  // the law anchor the native walks below are pinned against; `div` is
+  // truncating integer division in Spark (IntegralDivide) and DuckDB
+  // (`//`) alike, including on negatives, and so is the JVM's `/`.)
+
+  // ---------------------------------------------------------------------
+  // Native exact-integer kernels (round-17, guide §4 / §1.2 step 2).
+  //
+  // The superseded forms computed every centroid score as
+  // `cosKey(aggregate(zip_with(e, c, _*_), 0L, _+_), nrm2)` — per ROW
+  // that is kCentroids higher-order-function folds, each CodegenFallback
+  // (interpreted per element) and each allocating a zipped array; the
+  // candidate scorer paid two more folds per (query, candidate) pair.
+  // All the arithmetic is BIGINT (order-insensitive, overflow-free by
+  // the CosKeyScale bound), so ONE row-local walk per kernel is
+  // bit-identical — OptimizedKernelsSpec rebuilds the superseded
+  // expression forms verbatim and pins walk ≡ fold on adversarial
+  // fixtures (negative codes, null arrays/elements, length mismatches,
+  // zero-norm centroids, key ties), and every consumer's oracle hash
+  // re-passed. Null semantics replicated exactly:
+  //   - dot: null array / length mismatch / null element ⇒ null;
+  //   - cosKey: nrm2 == 0 ⇒ 0 (guard fires even under a null dot),
+  //     null nrm2 or null dot ⇒ null;
+  //   - argmax over (skey, −cid) structs: null skeys lose to any
+  //     non-null skey; ALL-null skeys tie-break to the LOWEST cid
+  //     (struct comparison puts the null field first ascending).
+  // ---------------------------------------------------------------------
+
+  /** (cid, centroid, ‖centroid‖²) precomputed once per driver-held
+    * centroid table — the closure every walk below captures.
     */
-  private def cosKey(dot: Column, nrm2: Column): Column = {
-    val mag = call_function("div", dot * dot * lit(CosKeyScale), nrm2)
-    when(nrm2 === 0L, lit(0L))
-      .otherwise(when(dot >= 0L, mag).otherwise(-mag))
+  private def centArr(
+      centroids: Seq[(Int, Seq[Long])]
+  ): Array[(Long, Array[Long], Long)] =
+    centroids.map { case (cid, c) =>
+      val ca = c.toArray
+      (cid.toLong, ca, ca.map(x => x * x).sum)
+    }.toArray
+
+  /** Unboxes an array<bigint> value; null (array or element) ⇒ null —
+    * the fold forms' propagate-null contract in one check.
+    */
+  private def unboxCodes(e: Seq[java.lang.Long]): Array[Long] = {
+    if (e == null) return null
+    val n = e.length
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = e(i)
+      if (x == null) return null
+      out(i) = x.longValue()
+      i += 1
+    }
+    out
   }
 
-  private def dotL(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
-
-  /** Per-centroid (skey, −cid) structs against a row's integer codes —
-    * the exact-arithmetic kernel of [[trainCentroidsExact]]: the
-    * fixed-point cosine key against each centroid (scale-invariant, like
-    * the float [[cellSims]]), struct max = highest key with ties to the
-    * LOWEST cid.
+  /** The (skey, cid) key of a row's codes against ONE centroid —
+    * nrm2 == 0 ⇒ Some(0) (the zero-norm guard fires before the dot, so a
+    * degenerate centroid scores 0 even for null/mismatched codes), a
+    * null or length-mismatched code array ⇒ None (the folds' null dot).
+    * JVM `/` is the same truncating division as Spark's `div`
+    * (IntegralDivide).
     */
-  private def cellScoresInt(
-      e: Column,
-      centroids: Seq[(Int, Seq[Long])]
-  ): Seq[Column] =
-    centroids.map { case (cid, c) =>
-      val nrm2 = c.map(x => x * x).sum
-      struct(
-        cosKey(dotL(e, typedLit(c)), lit(nrm2)).as("skey"),
-        lit(-cid.toLong).as("negCid")
-      )
+  private def cellKeyOpt(
+      e: Array[Long],
+      c: Array[Long],
+      nrm2: Long
+  ): Option[Long] =
+    if (nrm2 == 0L) Some(0L)
+    else if (e == null || e.length != c.length) None
+    else {
+      var dot = 0L
+      var i = 0
+      while (i < c.length) { dot += e(i) * c(i); i += 1 }
+      val mag = (dot * dot * CosKeyScale) / nrm2
+      Some(if (dot >= 0L) mag else -mag)
     }
+
+  /** The best (skey, cid) of a row's codes against the frozen centroids
+    * — native twin of `greatest(cellScoresInt(e, centroids))`: a null
+    * key loses to any non-null key (struct comparison puts the null
+    * field first ascending), ties and the all-null degenerate resolve to
+    * the LOWEST cid.
+    */
+  private case class CellBest(skey: Option[Long], cid: Long)
+
+  private def bestCellScalar(
+      cents: Array[(Long, Array[Long], Long)],
+      e: Array[Long]
+  ): CellBest = {
+    var bestKey: Option[Long] = None
+    var bestCid = Long.MaxValue
+    var first = true
+    var j = 0
+    while (j < cents.length) {
+      val (cid, c, nrm2) = cents(j)
+      val key = cellKeyOpt(e, c, nrm2)
+      val wins =
+        if (first) true
+        else
+          (key, bestKey) match {
+            case (Some(x), Some(y)) => x > y || (x == y && cid < bestCid)
+            case (Some(_), None)    => true
+            case (None, Some(_))    => false
+            case (None, None)       => cid < bestCid
+          }
+      if (wins) { bestKey = key; bestCid = cid; first = false }
+      j += 1
+    }
+    CellBest(bestKey, if (first) 0L else bestCid)
+  }
 
   /** Row-local nearest-centroid assignment on integer codes (`q8`) — the
     * exact analog of [[assignCells]]: centroids are a bounded driver
-    * constant, the argmax is `greatest` over (skey, −cid) structs, zero
-    * shuffle per pass.
+    * constant, the argmax is one native walk per row (the superseded
+    * `greatest` over kCentroids interpreted HOF folds), zero shuffle per
+    * pass.
     */
   private[graft] def assignCellsInt(
       codes: DataFrame,
       centroids: Seq[(Int, Seq[Long])]
   ): DataFrame = {
-    val ds = cellScoresInt(col("q8"), centroids)
-    val best = if (ds.size == 1) ds.head else greatest(ds: _*)
-    codes.withColumn("cid", -best.getField("negCid"))
+    val cents = centArr(centroids)
+    val best = udf((e: Seq[java.lang.Long]) => bestCellScalar(cents, unboxCodes(e)).cid)
+    codes.withColumn("cid", best(col("q8")))
+  }
+
+  /** The (skey, cid) pair of the best cell — [[assignCellsInt]] plus the
+    * winning key itself (k13's cohesion input), one walk for both.
+    */
+  private def bestCellUdf(
+      centroids: Seq[(Int, Seq[Long])]
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cents = centArr(centroids)
+    udf((e: Seq[java.lang.Long]) => bestCellScalar(cents, unboxCodes(e)))
+  }
+
+  /** The nprobe nearest cells of a query's codes, best first — native
+    * twin of `slice(sort_array(array(cellScoresInt…), desc), 1, nprobe)`
+    * then −negCid: key desc, ties (and the all-null-key degenerate) to
+    * the lowest cid.
+    */
+  private def topCellsUdf(
+      centroids: Seq[(Int, Seq[Long])],
+      nprobe: Int
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cents = centArr(centroids)
+    udf((eIn: Seq[java.lang.Long]) => {
+      val e = unboxCodes(eIn)
+      val keyed: Array[(Option[Long], Long)] =
+        cents.map(c => (cellKeyOpt(e, c._2, c._3), c._1))
+      // sort_array desc over (skey, negCid) structs: non-null keys desc,
+      // null keys last, equal keys by negCid desc = cid asc
+      keyed
+        .sortWith { case ((ka, ca), (kb, cb)) =>
+          (ka, kb) match {
+            case (Some(x), Some(y)) => if (x != y) x > y else ca < cb
+            case (Some(_), None)    => true
+            case (None, Some(_))    => false
+            case (None, None)       => ca < cb
+          }
+        }
+        .take(nprobe)
+        .map(_._2)
+        .toSeq
+    })
+  }
+
+  /** Test hook for the (private) probe-cell walk — OptimizedKernelsSpec
+    * pins it against the rebuilt sort_array/slice expression form.
+    */
+  private[graft] def topCellsForTest(
+      centroids: Seq[(Int, Seq[Long])],
+      nprobe: Int
+  )(e: Column): Column = topCellsUdf(centroids, nprobe)(e)
+
+  /** The fixed-point cosine key of a (query, candidate) pair — native
+    * one-walk twin of `cosKey(dotL(q, v), dotL(v, v))`, the candidate
+    * scorer of every exact-integer search (see the kernel note above).
+    */
+  private[graft] def cosKeyPair(q: Column, v: Column): Column = {
+    val f = udf((qa: Seq[java.lang.Long], va: Seq[java.lang.Long]) => {
+      val vv = unboxCodes(va)
+      if (vv == null) null // nrm2 null: both when-guards null out
+      else {
+        var nrm2 = 0L
+        var i = 0
+        while (i < vv.length) { nrm2 += vv(i) * vv(i); i += 1 }
+        if (nrm2 == 0L) java.lang.Long.valueOf(0L) // guard precedes the dot
+        else {
+          val qq = unboxCodes(qa)
+          if (qq == null || qq.length != vv.length) null
+          else {
+            var dot = 0L
+            i = 0
+            while (i < vv.length) { dot += qq(i) * vv(i); i += 1 }
+            val mag = (dot * dot * CosKeyScale) / nrm2
+            java.lang.Long.valueOf(if (dot >= 0L) mag else -mag)
+          }
+        }
+      }
+    })
+    f(q, v)
   }
 
   /** EXACT-INTEGER spherical k-means (Lloyd's) over the int8 codes: same
@@ -388,19 +549,62 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](0).toSeq }
       .toSeq
+    // Each Lloyd's iteration is ONE single-stage job: a treeAggregate
+    // over the codes computing per-(cell, position) sums and counts with
+    // the native assignment walk — the superseded form ran assignment as
+    // kCentroids interpreted HOF folds per row, then posexplode +
+    // groupBy(cid, pos) (a corpus×dim-grain EXCHANGE) + collect, i.e.
+    // two stages and an AQE re-plan per iteration. Integer sums are
+    // order-insensitive and `sum DIV count` is the same truncating
+    // division on both forms, so the centroids are bit-identical
+    // (OptimizedKernelsSpec pins the whole training run against the
+    // rebuilt original). The iteration structure itself (seed job +
+    // one job per iteration) is Lloyd's data dependence — irreducible.
+    val rows = codes.select("q8").rdd
     var it = 0
     while (it < iters) {
-      val means = assignCellsInt(codes, centroids)
-        .select(col("cid"), posexplode(col("q8")))
-        .groupBy("cid", "pos")
-        .agg(expr("sum(col) DIV count(1)").as("v"))
-        .collect() // bounded: kCentroids × dim rows
-        .groupBy(_.getLong(0).toInt)
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      val cents = centArr(centroids)
+      val dims = cents.map(_._2.length)
+      val offs = dims.scanLeft(0)(_ + _) // flat (cell, pos) layout
+      val width = offs.last
+      val idxOf = cents.map(_._1).zipWithIndex.toMap // cid → flat index
+      val (sums, counts) = rows.treeAggregate(
+        (new Array[Long](width), new Array[Long](width))
+      )(
+        seqOp = { case (acc, row) =>
+          val e =
+            if (row.isNullAt(0)) null
+            else {
+              val s = row.getSeq[Long](0)
+              if (s == null) null else s.toArray
+            }
+          // a null q8 contributed NO (cid, pos) rows under posexplode;
+          // a shorter row contributed exactly its own positions
+          if (e != null) {
+            val j = idxOf(bestCellScalar(cents, e).cid)
+            val base = offs(j)
+            val lim = math.min(e.length, dims(j))
+            var i = 0
+            while (i < lim) {
+              acc._1(base + i) += e(i)
+              acc._2(base + i) += 1L
+              i += 1
+            }
+          }
+          acc
+        },
+        combOp = { case (a, b) =>
+          var i = 0
+          while (i < width) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
+          a
         }
-      centroids = centroids.map { case (cid, prev) =>
-        cid -> means.getOrElse(cid, prev)
+      )
+      centroids = centroids.zipWithIndex.map { case ((cid, prev), j) =>
+        val base = offs(j)
+        val mean = (0 until dims(j)).collect {
+          case i if counts(base + i) > 0L => sums(base + i) / counts(base + i)
+        }
+        cid -> (if (mean.isEmpty) prev else mean.toSeq)
       }
       it += 1
     }
@@ -510,26 +714,15 @@ object Similarity {
       .select(
         col("vec_id").as("qid"),
         col("q8").as("q"),
-        explode(
-          slice(
-            sort_array(
-              array(cellScoresInt(col("q8"), centroids): _*),
-              asc = false
-            ),
-            1,
-            nprobe
-          )
-        ).as("probe")
+        explode(topCellsUdf(centroids, nprobe)(col("q8"))).as("cid")
       )
-      .select(col("qid"), col("q"), (-col("probe.negCid")).as("cid"))
     val scored = assigned
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(
         col("qid"),
         col("vec_id"),
-        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
-          .as("score")
+        cosKeyPair(col("q"), col("q8")).as("score")
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     scored
@@ -936,18 +1129,9 @@ object Similarity {
       .select(
         col("vec_id").as("qid"),
         col("q8").as("q"),
-        explode(
-          slice(
-            sort_array(
-              array(cellScoresInt(col("q8"), centroids): _*),
-              asc = false
-            ),
-            1,
-            nprobe
-          )
-        ).as("probe")
+        explode(topCellsUdf(centroids, nprobe)(col("q8"))).as("pcid")
       )
-      .select(col("qid"), col("q"), (-col("probe.negCid")).cast("int").as("cid"))
+      .select(col("qid"), col("q"), col("pcid").cast("int").as("cid"))
     // probed-cell set bounded by kCentroids: collecting it makes the
     // store scan a static partition-pruned read (the float form's trick)
     val probeCids = probes
@@ -969,8 +1153,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id"),
-        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
-          .as("score")
+        cosKeyPair(col("q"), col("q8")).as("score")
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     scored
@@ -1013,18 +1196,9 @@ object Similarity {
       .select(
         col("vec_id").as("qid"),
         col("q8").as("q"),
-        explode(
-          slice(
-            sort_array(
-              array(cellScoresInt(col("q8"), centroids): _*),
-              asc = false
-            ),
-            1,
-            nprobe
-          )
-        ).as("probe")
+        explode(topCellsUdf(centroids, nprobe)(col("q8"))).as("pcid")
       )
-      .select(col("qid"), col("q"), (-col("probe.negCid")).cast("int").as("cid"))
+      .select(col("qid"), col("q"), col("pcid").cast("int").as("cid"))
     val probeCids = probes
       .select("cid")
       .distinct()
@@ -1045,8 +1219,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id"),
-        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
-          .as("score")
+        cosKeyPair(col("q"), col("q8")).as("score")
       )
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     scored
@@ -1752,8 +1925,7 @@ object Similarity {
       .select(
         col("qid"),
         col("vec_id"),
-        cosKey(dotL(col("q"), col("q8")), dotL(col("q8"), col("q8")))
-          .as("score")
+        cosKeyPair(col("q"), col("q8")).as("score")
       )
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -1811,11 +1983,10 @@ object Similarity {
       codes: DataFrame,
       centroids: Seq[(Int, Seq[Long])]
   ): DataFrame = {
-    val ds = cellScoresInt(col("q8"), centroids)
-    val best = if (ds.size == 1) ds.head else greatest(ds: _*)
+    val best = bestCellUdf(centroids)(col("q8"))
     codes
       .select(
-        (-best.getField("negCid")).as("cid"),
+        best.getField("cid").as("cid"),
         best.getField("skey").as("skey")
       )
       .groupBy("cid")

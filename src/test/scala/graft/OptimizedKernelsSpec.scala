@@ -154,4 +154,224 @@ class OptimizedKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage === "boom")
   }
+
+  test("Par.run joins uninterruptibly and re-raises the interrupt after all workers exit") {
+    // round-17 abort posture: an interrupt of the calling thread must NOT
+    // let control return while a worker is still running (that race let
+    // withTempStore's cleanup delete a store under live writers — the
+    // round-16 driver test failure)
+    val workerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val outcome = new java.util.concurrent.atomic.AtomicReference[String]("none")
+    val doneAtReturn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val runner = new Thread(() => {
+      try {
+        graft.util.Par.run(
+          () => { Thread.sleep(400); workerDone.set(true) },
+          () => { Thread.sleep(400); workerDone.set(true) }
+        )
+        outcome.set("returned")
+      } catch {
+        case _: InterruptedException =>
+          doneAtReturn.set(workerDone.get())
+          outcome.set("interrupted")
+      }
+    })
+    runner.start()
+    Thread.sleep(100)
+    runner.interrupt()
+    runner.join(5000)
+    assert(!runner.isAlive)
+    assert(outcome.get() === "interrupted")
+    // the workers had ALREADY finished when Par.run raised the interrupt
+    assert(doneAtReturn.get())
+  }
+
+  // -------------------------------------------------------------------
+  // Round-17: the exact-integer ANN kernels (assignment, probe
+  // selection, candidate scoring, the Lloyd's training pass) moved from
+  // Catalyst aggregate(zip_with) folds to native walks. The superseded
+  // expression forms are rebuilt verbatim below and pinned.
+  // -------------------------------------------------------------------
+
+  private val KeyScale = 1L << 20
+
+  private def foldDotL(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+
+  private def foldCosKey(dot: Column, nrm2: Column): Column = {
+    val mag = call_function("div", dot * dot * lit(KeyScale), nrm2)
+    when(nrm2 === 0L, lit(0L))
+      .otherwise(when(dot >= 0L, mag).otherwise(-mag))
+  }
+
+  private def foldCellScores(
+      e: Column,
+      centroids: Seq[(Int, Seq[Long])]
+  ): Seq[Column] =
+    centroids.map { case (cid, c) =>
+      val nrm2 = c.map(x => x * x).sum
+      struct(
+        foldCosKey(foldDotL(e, typedLit(c)), lit(nrm2)).as("skey"),
+        lit(-cid.toLong).as("negCid")
+      )
+    }
+
+  /** Adversarial integer-code fixture: negative codes, ties, a zero
+    * vector, a null array, arrays with null elements, a length mismatch.
+    */
+  private def codeFixture = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dense = (0 until 200).map { i =>
+      (i.toLong, Option((0 until 8).map(_ => Option((rnd.nextInt(255) - 127).toLong))))
+    }
+    val edge: Seq[(Long, Option[Seq[Option[Long]]])] = Seq(
+      (200L, Option(Seq.fill(8)(Option(0L)))), // zero vector
+      (201L, None), // null array
+      (202L, Option((0 until 8).map(i => if (i == 3) None else Option(5L)))), // null element
+      (203L, Option(Seq(Option(1L), Option(2L)))) // length mismatch (dim 2 vs 8)
+    )
+    (dense ++ edge).toDF("vec_id", "q8")
+  }
+
+  /** Centroids with a deliberate tie pair (cid 2 ≡ cid 3) and a
+    * zero-norm centroid (cid 4 — skey 0 by the guard, never null).
+    */
+  private val testCentroids: Seq[(Int, Seq[Long])] = Seq(
+    0 -> Seq(10L, -3L, 7L, 0L, 1L, -9L, 4L, 2L),
+    1 -> Seq(-5L, 5L, -5L, 5L, -5L, 5L, -5L, 5L),
+    2 -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+    3 -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+    4 -> Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+  )
+
+  test("exact-integer cell assignment walk ≡ the superseded greatest-over-folds") {
+    val ds = foldCellScores(col("q8"), testCentroids)
+    val best = greatest(ds: _*)
+    val diff = graft.pipeline.Similarity
+      .assignCellsInt(codeFixture, testCentroids)
+      .withColumn("cid_fold", -best.getField("negCid"))
+      .filter(!(col("cid") <=> col("cid_fold")))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("probe-cell walk ≡ the superseded sort_array/slice expression, every nprobe") {
+    val fixture = codeFixture
+    (1 to 5).foreach { nprobe =>
+      val diff = fixture
+        .select(
+          slice(
+            sort_array(array(foldCellScores(col("q8"), testCentroids): _*), asc = false),
+            1,
+            nprobe
+          ).as("probe"),
+          graft.pipeline.Similarity
+            .topCellsForTest(testCentroids, nprobe)(col("q8"))
+            .as("cids_walk")
+        )
+        .select(
+          expr("transform(probe, p -> -p.negCid)").as("cids_fold"),
+          col("cids_walk")
+        )
+        .filter(!(col("cids_fold") <=> col("cids_walk")))
+        .count()
+      assert(diff === 0L, s"nprobe=$nprobe")
+    }
+  }
+
+  test("cosKeyPair walk ≡ the superseded cosKey(dotL, dotL), nulls and zero-norm included") {
+    val fixture = codeFixture
+    val pairs = fixture
+      .select(col("vec_id").as("a_id"), col("q8").as("qa"))
+      .crossJoin(fixture.select(col("vec_id").as("b_id"), col("q8").as("qb")))
+    val diff = pairs
+      .select(
+        foldCosKey(foldDotL(col("qa"), col("qb")), foldDotL(col("qb"), col("qb")))
+          .as("via_fold"),
+        graft.pipeline.Similarity.cosKeyPair(col("qa"), col("qb")).as("via_walk")
+      )
+      .filter(!(col("via_fold") <=> col("via_walk")))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("mergeDeltaWalk ≡ mergeDeltaFold (toks AND delta emissions), null text included") {
+    val s = spark; import s.implicits._
+    // the PipelineSpec fold-law fixture plus null text and unicode
+    val docs = Seq(
+      Option("x x x x x"), Option("x x"), Option("y x x y"),
+      Option("a b a b"), Option("a b b a b"), Option("b a b"),
+      Option("a b"), Option("z"), Option("a a b b a b a"),
+      Option("b b a a"), Option(""), None, Option("б в б в б")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val cases = Seq(("x", "x"), ("a", "b"), ("b", "a"), ("b", "b"), ("б", "в"))
+    cases.foreach { case (a, b) =>
+      val m = a + " " + b
+      val toks = expr("filter(split(text, ' '), x -> x != '')")
+      val diff = docs
+        .toDF("doc_id", "text")
+        .select(
+          col("doc_id"),
+          graft.pipeline.TextAnalysis
+            .mergeDeltaFold(toks, lit(a), lit(b), lit(m))
+            .as("via_fold"),
+          graft.pipeline.TextAnalysis
+            .mergeDeltaWalk(toks, lit(a), lit(b), lit(m))
+            .as("via_walk")
+        )
+        .filter(!(col("via_fold") <=> col("via_walk")))
+        .count()
+      assert(diff === 0L, s"pair ($a,$b)")
+    }
+  }
+
+  test("treeAggregate k-means training ≡ the superseded posexplode/groupBy training") {
+    val s = spark; import s.implicits._
+    // uniform-dim corpus with negative codes (negative sums exercise the
+    // truncating-division law) and k chosen so at least one cell goes
+    // EMPTY and must keep its previous centroid
+    val rnd = new scala.util.Random(11)
+    val codes = (0 until 120)
+      .map(i => (i.toLong, (0 until 6).map(_ => (rnd.nextInt(255) - 200).toLong)))
+      .toDF("vec_id", "q8")
+      .cache()
+    def trainFold(kC: Int, iters: Int): Seq[(Int, Seq[Long])] = {
+      var centroids: Seq[(Int, Seq[Long])] = codes
+        .orderBy("vec_id")
+        .limit(kC)
+        .select("q8")
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Long](0).toSeq }
+        .toSeq
+      var it = 0
+      while (it < iters) {
+        val ds = foldCellScores(col("q8"), centroids)
+        val best = greatest(ds: _*)
+        val means = codes
+          .withColumn("cid", -best.getField("negCid"))
+          .select(col("cid"), posexplode(col("q8")))
+          .groupBy("cid", "pos")
+          .agg(expr("sum(col) DIV count(1)").as("v"))
+          .collect()
+          .groupBy(_.getLong(0).toInt)
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+          }
+        centroids = centroids.map { case (cid, prev) =>
+          cid -> means.getOrElse(cid, prev)
+        }
+        it += 1
+      }
+      centroids
+    }
+    Seq((4, 3), (16, 2)).foreach { case (kC, iters) =>
+      val viaFold = trainFold(kC, iters)
+      val viaWalk =
+        graft.pipeline.Similarity.trainCentroidsExact(codes, kC, iters)
+      assert(viaWalk === viaFold, s"kCentroids=$kC iters=$iters")
+    }
+    codes.unpersist(false)
+  }
 }
