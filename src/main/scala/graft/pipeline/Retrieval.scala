@@ -288,6 +288,24 @@ object Retrieval {
     // "offline by contract" is now enforced, not just documented.
     SwappedDirs.foreach(n =>
       graft.util.DirSwap.drop(out, n))
+    // Debug-only loud guard for the termCounts one-row-per-doc
+    // precondition (round-16 ADVICE): a contract-violating caller now
+    // fails the build instead of silently double-counting postings/df.
+    // One extra aggregation over the corpus — behind the flag so the
+    // production build path pays nothing.
+    if (sys.env.contains("GRAFT_DEBUG_ASSERT")) {
+      val dup = corpus
+        .groupBy("doc_id")
+        .count()
+        .filter(col("count") > 1L)
+        .limit(1)
+        .collect()
+      require(
+        dup.isEmpty,
+        s"writeInvertedIndexOf: doc_id ${dup.headOption.map(_.get(0))} has " +
+          "multiple corpus rows — termCounts requires one row per doc_id"
+      )
+    }
     // repartition by wb BEFORE the partitioned write: one file per bucket
     // per ingest instead of (shuffle partitions × buckets) fragments — the
     // write-once/read-many trade (one extra ingest shuffle buys compact
@@ -296,10 +314,6 @@ object Retrieval {
       .withColumn("wb", wbOf(col("w"), buckets))
       .repartition(buckets, col("wb"))
       .cache()
-    // fill the tf cache with ONE action before fanning out: the postings
-    // write and the df aggregation both read it, and racing two first
-    // actions into a cold cache computes partitions twice
-    tf.count(): Unit
     val dfFrame = tf
       .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
@@ -309,29 +323,37 @@ object Retrieval {
     // the df→dict/dictgrams chain shares the dfFrame cache, while
     // postings, stats, positions and fields have no dependency on it —
     // the build's wall is the longest CHAIN, not the sum of every
-    // member's job. Output directories are disjoint, and the maintainer
-    // claim is held by this thread for the whole block (member writes
-    // themselves never claim), so the fencing story is unchanged.
+    // member's job. The tf cache fill (one action, so racing two first
+    // actions into a cold cache can't compute partitions twice) gates
+    // ONLY its own consumers — postings and the df chain — inside their
+    // shared branch; stats/positions/fields never read tf, so they start
+    // immediately instead of idling behind the fill (round-17: the fill
+    // was a serial prefix of the whole fan-out). Output directories are
+    // disjoint, and the maintainer claim is held by this thread for the
+    // whole block (member writes themselves never claim), so the fencing
+    // story is unchanged.
     graft.util.Par.runOpt(
       Some { () =>
-        // layer 0 is the base (build/compaction) layer; appends write
-        // layer>0 partitions, so the store is LAYER-KEYED from birth
-        // (uniform directory depth — partition discovery rejects mixed
-        // layouts)
-        tf.select("wb", "doc_id", "w", "tf", "dl")
-          .withColumn("layer", lit(0L))
-          .write
-          .mode("overwrite")
-          .partitionBy("wb", "layer")
-          .parquet(s"$out/postings")
-      },
-      Some { () =>
-        dfFrame
-          .withColumn("layer", lit(0L))
-          .write
-          .mode("overwrite")
-          .partitionBy("wb", "layer")
-          .parquet(s"$out/df")
+        tf.count(): Unit // fill once, then fan out the tf consumers
+        graft.util.Par.run(
+          () =>
+            // layer 0 is the base (build/compaction) layer; appends write
+            // layer>0 partitions, so the store is LAYER-KEYED from birth
+            // (uniform directory depth — partition discovery rejects
+            // mixed layouts)
+            tf.select("wb", "doc_id", "w", "tf", "dl")
+              .withColumn("layer", lit(0L))
+              .write
+              .mode("overwrite")
+              .partitionBy("wb", "layer")
+              .parquet(s"$out/postings"),
+          () => {
+            dfFrame
+              .withColumn("layer", lit(0L))
+              .write
+              .mode("overwrite")
+              .partitionBy("wb", "layer")
+              .parquet(s"$out/df")
         // the SORTED term dictionary (`dict`): the same (w, df) facts as
         // `df`, organized for PREFIX pruning instead of hash-bucket
         // probing — range-partitioned and sorted on the term, so each
@@ -377,6 +399,8 @@ object Retrieval {
               .mode("overwrite")
               .partitionBy("gb", "layer")
               .parquet(s"$out/dictgrams")
+        )
+          }
         )
       },
       Some { () =>
@@ -464,8 +488,6 @@ object Retrieval {
       .withColumn("wb", wbOf(col("w"), buckets))
       .repartition(buckets, col("wb")) // one new file per touched bucket
       .cache()
-    // one action fills the shared cache before the fan-out (see build)
-    tf.count(): Unit
     val dfFrame = tf
       .groupBy("wb", "w")
       .agg(count(lit(1)).as("df"))
@@ -483,24 +505,30 @@ object Retrieval {
       Option(live("positions")).filter(graft.util.Blob.exists)
     val fieldsDir =
       Option(live("fields")).filter(graft.util.Blob.exists)
+    val postingsDir = live("postings")
+    val dfDir = live("df")
+    val statsDir = live("stats")
     graft.util.Par.runOpt(
       Some { () =>
-        tf.select("wb", "doc_id", "w", "tf", "dl")
-          .withColumn("layer", lit(layer))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("wb", "layer")
-          .parquet(live("postings"))
-      },
-      Some { () =>
-        dfFrame
-          .withColumn("layer", lit(layer))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("wb", "layer")
-          .parquet(live("df"))
+        // the tf fill gates only its consumers (see the build's note)
+        tf.count(): Unit
+        graft.util.Par.run(
+          () =>
+            tf.select("wb", "doc_id", "w", "tf", "dl")
+              .withColumn("layer", lit(layer))
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite")
+              .partitionBy("wb", "layer")
+              .parquet(postingsDir),
+          () => {
+            dfFrame
+              .withColumn("layer", lit(layer))
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite")
+              .partitionBy("wb", "layer")
+              .parquet(dfDir)
         // pre-dict stores (older layouts) lack the sorted dictionary; an
         // append must not create a PARTIAL one (a delta-only dict would
         // silently under-expand prefix queries) — the build's choice is
@@ -535,6 +563,8 @@ object Retrieval {
                 .partitionBy("gb", "layer")
                 .parquet(dir))
         )
+          }
+        )
       },
       Some { () =>
         newDocs
@@ -545,7 +575,7 @@ object Retrieval {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .partitionBy("layer")
-          .parquet(live("stats"))
+          .parquet(statsDir)
       },
       // a positional store extends its positions with the batch; a
       // frequency-only store stays frequency-only (the build's choice is
@@ -781,26 +811,50 @@ object Retrieval {
     * so collecting it turns both stored scans into static partition-pruned
     * reads (the knnIvfIndexed probe-cell trick).
     */
-  private def indexViews(
+  /** Bucket-pruned views of a stored index for one or more query-term
+    * sets, with ONE driver round-trip for all of them (round-17, guide
+    * §5 — no driver loops in query paths): the store's params row is
+    * read once and the probed-bucket set of the UNION of the term sets
+    * is collected in one job. The views are pruned to the union — wider
+    * buckets only widen a leg's scan, never its results, because every
+    * consumer joins postings/df by the term `w` itself downstream — and
+    * `probedWb` is exposed so positional consumers prune their positions
+    * scan WITHOUT re-collecting the terms (the superseded form collected
+    * the identical set twice per proximity query).
+    */
+  private final case class IdxViews(
+      post: DataFrame,
+      dfm: DataFrame,
+      stats: DataFrame,
+      qts: Seq[DataFrame],
+      probedWb: Seq[Long]
+  )
+
+  private def indexViewsShared(
       spark: SparkSession,
       indexDir: String,
-      queryTerms: DataFrame
-  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      queryTerms: Seq[DataFrame]
+  ): IdxViews = {
     repairInvertedIndex(indexDir)
     val root = indexDir
     def live(sub: String): String =
       graft.util.DirSwap.resolve(root, sub)
     val buckets =
       spark.read.parquet(s"$indexDir/params").head().getAs[Int]("buckets")
-    val qt = queryTerms.withColumn("wb", wbOf(col("w"), buckets))
-    val probedWb =
-      qt.select("wb").distinct().collect().map(_.getLong(0)) // ≤ buckets
+    val qts = queryTerms.map(_.withColumn("wb", wbOf(col("w"), buckets)))
+    val probedWb = qts
+      .map(_.select("wb"))
+      .reduce(_.unionByName(_))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toIndexedSeq // ≤ buckets
     val post = spark.read
       .parquet(live("postings"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .where(col("wb").isin(probedWb: _*))
     val dfm = spark.read
       .parquet(live("df"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
+      .where(col("wb").isin(probedWb: _*))
       .groupBy("w")
       .agg(sum("df").as("df")) // merge the append delta layers
     val stats = spark.read
@@ -809,8 +863,40 @@ object Retrieval {
         sum("n_docs").as("n_docs"),
         sum("total_tokens").as("total_tokens")
       )
-    (post, dfm, stats, qt)
+    IdxViews(post, dfm, stats, qts, probedWb)
   }
+
+  private def indexViews(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: DataFrame
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val v = indexViewsShared(spark, indexDir, Seq(queryTerms))
+    (v.post, v.dfm, v.stats, v.qts.head)
+  }
+
+  /** The positions member pruned to an already-collected bucket set. */
+  private def positionsView(
+      spark: SparkSession,
+      indexDir: String,
+      probedWb: Seq[Long]
+  ): DataFrame = spark.read
+    .parquet(liveDir(indexDir, "positions"))
+    .where(col("wb").isin(probedWb: _*))
+    .select("doc_id", "w", "pos")
+
+  /** The BM25-weighted query terms of one term set against shared views
+    * — the scoring head every stored BM25/proximity leg reuses.
+    */
+  private def bm25Weighted(qt: DataFrame, dfm: DataFrame, stats: DataFrame): DataFrame =
+    qt.join(dfm, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("qid"),
+        col("w"),
+        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
+          .as("idf_ppm")
+      )
 
   /** tf-idf top-k against the STORED index — no index build at query time:
     * df layers merge with one bucket-pruned aggregation, N loads from the
@@ -2307,16 +2393,7 @@ object Retrieval {
       excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
     val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
-    val weighted = qt
-      .join(dfm, Seq("w"))
-      .crossJoin(broadcast(stats))
-      .select(
-        col("qid"),
-        col("w"),
-        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
-          .as("idf_ppm")
-      )
-    bm25Score(post, weighted, stats, k, excludeSelf)
+    bm25Score(post, bm25Weighted(qt, dfm, stats), stats, k, excludeSelf)
   }
 
   /** [[bm25TopKIndexedOf]] with the standard query protocol. */
@@ -2863,17 +2940,9 @@ object Retrieval {
       window: Int = 8,
       excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
-    val (post, dfm, stats, qt) = indexViews(
-      spark,
-      indexDir,
-      phrase.select("qid", "w").distinct()
-    )
-    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
-    val positions = spark.read
-      .parquet(liveDir(indexDir, "positions"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
-      .select("doc_id", "w", "pos")
-    unorderedProximityRank(positions, post, dfm, stats, phrase, k, window, excludeSelf)
+    val v = indexViewsShared(spark, indexDir, Seq(phrase.select("qid", "w").distinct()))
+    val positions = positionsView(spark, indexDir, v.probedWb)
+    unorderedProximityRank(positions, v.post, v.dfm, v.stats, phrase, k, window, excludeSelf)
   }
 
   /** P33w2 — unordered proximity through the stored positional-index
@@ -2942,17 +3011,9 @@ object Retrieval {
       window: Int = 8,
       excludeSelf: Boolean = true // see bm25Scores — false for external qids
   ): DataFrame = {
-    val (post, dfm, stats, qt) = indexViews(
-      spark,
-      indexDir,
-      phrase.select("qid", "w").distinct()
-    )
-    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
-    val positions = spark.read
-      .parquet(liveDir(indexDir, "positions"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
-      .select("doc_id", "w", "pos")
-    proximityRank(positions, post, dfm, stats, phrase, k, window, excludeSelf)
+    val v = indexViewsShared(spark, indexDir, Seq(phrase.select("qid", "w").distinct()))
+    val positions = positionsView(spark, indexDir, v.probedWb)
+    proximityRank(positions, v.post, v.dfm, v.stats, phrase, k, window, excludeSelf)
   }
 
   /** [[proximityTopKIndexedOf]] with the standard phrase protocol. */
@@ -4049,24 +4110,40 @@ object Retrieval {
       excludeSelf: Boolean = true // threaded to all three legs; false =
       //   the external-query posture (the streaming service's batch twin)
   ): DataFrame = {
-    // each leg's CONSTRUCTION runs driver-side jobs (probed-bucket
-    // collects, centroid loads, query-term derivation) against disjoint
-    // store members — construct the three concurrently (guide §2.6)
-    val legs = graft.util.Par.eval[DataFrame](
-      () =>
-        bm25TopKIndexed(spark, dir, textIndexDir, nQueries, poolK, excludeSelf)
-          .select(col("qid"), col("doc_id"), col("rank")),
+    // ONE handle for the text store's two legs (round-17, guide §5):
+    // params read once, the probed buckets of BOTH term sets collected in
+    // one job — the superseded form ran per-leg indexViews (2 params
+    // reads + 3 term collects for the bm25/proximity pair). The dense
+    // leg's store is disjoint; its construction (centroid load + probe
+    // collect) still overlaps the text legs via Par (guide §2.6).
+    val d = docs(spark, dir)
+    val qtKw = postings(d.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("qid"), col("w"))
+    val phrase = queryPhrases(d, nQueries, phraseLen)
+    val built = graft.util.Par.eval[AnyRef](
+      () => {
+        val v = indexViewsShared(
+          spark, textIndexDir, Seq(qtKw, phrase.select("qid", "w").distinct()))
+        val bm25 = bm25Score(
+          v.post, bm25Weighted(v.qts.head, v.dfm, v.stats), v.stats, poolK, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val prox = proximityRank(
+          positionsView(spark, textIndexDir, v.probedWb),
+          v.post, v.dfm, v.stats, phrase, poolK, window, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        (bm25, prox)
+      },
       () =>
         Similarity
           .knnIvfIndexedExact(
             spark, dir, vecIndexDir, nQueries, poolK, nprobe, excludeSelf)
-          .select(col("qid"), col("vec_id").as("doc_id"), col("rank")),
-      () =>
-        proximityTopKIndexed(
-          spark, dir, textIndexDir, nQueries, poolK, phraseLen, window, excludeSelf)
-          .select(col("qid"), col("doc_id"), col("rank"))
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
     )
-    rrfFuse(legs, rrfK, k)
+    val (bm25, prox) = built(0).asInstanceOf[(DataFrame, DataFrame)]
+    val dense = built(1).asInstanceOf[DataFrame]
+    // leg order unchanged from the superseded form (bm25, dense, prox) —
+    // rrfFuse is order-free but plan parity keeps the evidence diffable
+    rrfFuse(Seq(bm25, dense, prox), rrfK, k)
   }
 
   /** BM25 against the stored index RESTRICTED to a qualifying doc set —
@@ -4087,16 +4164,7 @@ object Retrieval {
     val (post, dfm, stats, qt) = indexViews(spark, indexDir, queryTerms)
     val fpost = post
       .join(allowed.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-    val weighted = qt
-      .join(dfm, Seq("w"))
-      .crossJoin(broadcast(stats))
-      .select(
-        col("qid"),
-        col("w"),
-        expr("((2 * (n_docs - df) + 1) * 1000000) DIV (2 * df + 1)")
-          .as("idf_ppm")
-      )
-    bm25Score(fpost, weighted, stats, k, excludeSelf)
+    bm25Score(fpost, bm25Weighted(qt, dfm, stats), stats, k, excludeSelf)
   }
 
   /** Ordered-proximity against the stored positional index RESTRICTED to
@@ -4113,23 +4181,15 @@ object Retrieval {
       window: Int = 8,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val (post, dfm, stats, qt) = indexViews(
-      spark,
-      indexDir,
-      phrase.select("qid", "w").distinct()
-    )
+    val v = indexViewsShared(spark, indexDir, Seq(phrase.select("qid", "w").distinct()))
     val ids = allowed.select("doc_id").distinct()
-    val probedWb = qt.select("wb").distinct().collect().map(_.getLong(0))
-    val positions = spark.read
-      .parquet(liveDir(indexDir, "positions"))
-      .where(col("wb").isin(probedWb.toIndexedSeq: _*))
-      .select("doc_id", "w", "pos")
+    val positions = positionsView(spark, indexDir, v.probedWb)
       .join(ids, Seq("doc_id"), "left_semi")
     proximityRank(
       positions,
-      post.join(ids, Seq("doc_id"), "left_semi"),
-      dfm,
-      stats,
+      v.post.join(ids, Seq("doc_id"), "left_semi"),
+      v.dfm,
+      v.stats,
       phrase,
       k,
       window,
@@ -4179,20 +4239,33 @@ object Retrieval {
       //   probe width when the filter is known to be broad.
   ): DataFrame = {
     val d = docs(spark, dir)
-    // three independent filtered legs — constructed concurrently (the
-    // hybridStoredTopK posture; the adaptive dense leg's selectivity
-    // counts run in its own thread)
-    val legs = graft.util.Par.eval[DataFrame](
-      () =>
-        bm25TopKIndexedFilteredOf(
-          spark,
-          postings(d.filter(col("doc_id") < nQueries))
-            .select(col("doc_id").as("qid"), col("w")),
-          textIndexDir,
-          allowed,
-          poolK,
-          excludeSelf
-        ).select(col("qid"), col("doc_id"), col("rank")),
+    // shared text-store handle + concurrent dense leg — the
+    // hybridStoredTopK posture (one params read, one probed-bucket
+    // collect for both filtered text legs; the adaptive dense leg's
+    // selectivity counts run in their own thread)
+    val qtKw = postings(d.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("qid"), col("w"))
+    val phrase = queryPhrases(d, nQueries, phraseLen)
+    val built = graft.util.Par.eval[AnyRef](
+      () => {
+        val v = indexViewsShared(
+          spark, textIndexDir, Seq(qtKw, phrase.select("qid", "w").distinct()))
+        val ids = allowed.select("doc_id").distinct()
+        val fpost = v.post.join(ids, Seq("doc_id"), "left_semi")
+        // corpus-grain df/N (Lucene filter-query semantics — see
+        // bm25TopKIndexedFilteredOf): only the candidates are filtered
+        val bm25 = bm25Score(
+          fpost,
+          bm25Weighted(v.qts.head, v.dfm, v.stats),
+          v.stats, poolK, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val prox = proximityRank(
+          positionsView(spark, textIndexDir, v.probedWb)
+            .join(ids, Seq("doc_id"), "left_semi"),
+          fpost, v.dfm, v.stats, phrase, poolK, window, excludeSelf)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        (bm25, prox)
+      },
       () => {
         val denseSearch =
           if (adaptiveNprobe) Similarity.knnIvfIndexedExactFilteredAdaptiveOf _
@@ -4207,19 +4280,11 @@ object Retrieval {
           nprobe,
           excludeSelf
         ).select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
-      },
-      () =>
-        proximityTopKIndexedFilteredOf(
-          spark,
-          queryPhrases(d, nQueries, phraseLen),
-          textIndexDir,
-          allowed,
-          poolK,
-          window,
-          excludeSelf
-        ).select(col("qid"), col("doc_id"), col("rank"))
+      }
     )
-    rrfFuse(legs, rrfK, k)
+    val (bm25, prox) = built(0).asInstanceOf[(DataFrame, DataFrame)]
+    val dense = built(1).asInstanceOf[DataFrame]
+    rrfFuse(Seq(bm25, dense, prox), rrfK, k)
   }
 
   /** P36f's oracle-replayable lifecycle: the p36d store builds, then the
