@@ -983,6 +983,61 @@ object TextAnalysis {
     )
   }
 
+  private case class MergeDel(a: String, b: String, dn: Long)
+  private case class MergeDeltaRes(toks: Seq[String], dels: Seq[MergeDel])
+
+  /** Native linear-walk twin of [[mergeDeltaFold]] (round-17, guide §4.2
+    * — the same treatment the p32c encode fold got in round 16): the
+    * Catalyst aggregate re-copies its accumulator array per token
+    * (`concat(acc, array(t))` — O(tokens²) movement per gated doc per
+    * round) and higher-order functions are CodegenFallback, so the
+    * trainer's per-round fold ran interpreted. One walk, same
+    * leftmost-first-with-consumption semantics, same delta emissions in
+    * the same order, zero per-step copies. [[mergeDeltaFold]] stays as
+    * the law anchor: OptimizedKernelsSpec pins walk ≡ fold on the
+    * adversarial fixtures (equal-token runs, merged-token
+    * re-participation, start/end merges, null text), and PipelineSpec's
+    * model laws now run against THIS form — the one in production.
+    * A stable `val` so every training round plans the identical
+    * expression tree (the codegen-cache note on [[mergeDeltaFold]]).
+    */
+  private[graft] val mergeDeltaWalk =
+    udf((toks: Seq[String], a: String, b: String, m: String) =>
+      if (toks == null) null
+      else {
+        val acc = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        val dels = scala.collection.mutable.ArrayBuffer.empty[MergeDel]
+        var po: String = null
+        toks.foreach { t =>
+          val n = acc.length
+          val l1 = if (n > 0) acc(n - 1) else null
+          // fold guard: size(acc) > 0 && (l1 <=> a) && t === b — the
+          // null-safe l1/a compare is Scala ==; a null t nulls t === b
+          // and falls to the append branch, exactly as when() does
+          val isMerge = n > 0 && l1 == a && t != null && t == b
+          if (isMerge) {
+            dels += MergeDel(a, b, -1L)
+            if (n > 1) {
+              val l2 = acc(n - 2)
+              dels += MergeDel(l2, a, -1L)
+              dels += MergeDel(l2, m, 1L)
+            }
+            acc(n - 1) = m
+          } else {
+            // post-merge re-point: the previous step merged (acc's last
+            // became m ≠ po), so the severed (po, t) pair re-points to
+            // (l1, t); po != null implies acc nonempty, so l1 is real
+            if (po != null && l1 != po) {
+              dels += MergeDel(l1, t, 1L)
+              dels += MergeDel(po, t, -1L)
+            }
+            acc += t
+          }
+          po = t
+        }
+        MergeDeltaRes(acc.toSeq, dels.toSeq)
+      })
+
   /** UTF-8 binary string order — how the ENGINES compare strings
     * (Spark's UTF8String and DuckDB's VARCHAR both order by UTF-8
     * bytes, i.e. by code point). JVM `String` order is UTF-16
@@ -1187,7 +1242,7 @@ object TextAnalysis {
           val stp = state.crossJoin(params)
           val gate = instr(col("txt"), col("pneedle")) > 0
           val foldR =
-            mergeDeltaFold(col("toks"), col("pa"), col("pb"), col("pm"))
+            mergeDeltaWalk(col("toks"), col("pa"), col("pb"), col("pm"))
           val changed =
             if (hot)
               Eager.materialized(
@@ -1208,13 +1263,42 @@ object TextAnalysis {
                   .filter(gate)
                   .select(col("doc_id"), foldR.as("r"))
               )
-          // net positional delta, a block scan of the rewritten docs
-          val delta = changed
+          // The round's two dependents of the `changed` checkpoint — the
+          // net pair-delta collect and the state rewrite — read disjoint
+          // fields and share no downstream state, so they overlap
+          // (guide §2.6); the buffer update (driver-side) waits on the
+          // delta only.
+          def deltaOf(): Array[org.apache.spark.sql.Row] = changed
             .select(explode(col("r.dels")).as("p"))
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("p.dn")).as("dn"))
             .filter(col("dn") =!= 0L)
             .collect()
+          val changedState = withTxt(
+            changed.select(col("doc_id"), col("r.toks").as("toks"))
+          )
+          val built = graft.util.Par.eval[AnyRef](
+            () => deltaOf(),
+            () =>
+              if (hot)
+                // the rewrite covered every current doc: rebuild the base
+                // (with its txt gate column) from the fold structs and
+                // drop the overlay — two corpus-sized writes, paid only
+                // on the few ubiquitous early merges
+                Eager.materialized(changedState)
+              else
+                // fold the touched docs into the overlay (latest-wins at
+                // the overlay's own ≤ compactOver grain — the corpus
+                // never rewrites)
+                Eager.materialized(ovlBlocks match {
+                  case None => changedState
+                  case Some(o) =>
+                    o.join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+                      .unionByName(changedState)
+                })
+          )
+          val delta = built(0).asInstanceOf[Array[org.apache.spark.sql.Row]]
+          val rebuilt = built(1).asInstanceOf[DataFrame]
           val tR1 = System.nanoTime()
           val mRepeated = mergedStrings.contains(m)
           mergedStrings += m
@@ -1236,35 +1320,15 @@ object TextAnalysis {
             }
           }
           if (hot) {
-            // the rewrite covered every current doc: rebuild the base
-            // (with its txt gate column) from the fold structs and drop
-            // the overlay — two corpus-sized writes, paid only on the
-            // few ubiquitous early merges
-            val nb = Eager.materialized(
-              withTxt(
-                changed.select(col("doc_id"), col("r.toks").as("toks"))
-              )
-            )
             Eager.releaseCheckpoint(baseBlocks)
             ovlBlocks.foreach(Eager.releaseCheckpoint)
             Eager.releaseCheckpoint(changed)
             ovlBlocks = None
             ovlRows = 0L
-            baseBlocks = nb
-            baseView = nb
+            baseBlocks = rebuilt
+            baseView = rebuilt
           } else {
-            // fold the touched docs into the overlay (latest-wins at the
-            // overlay's own ≤ compactOver grain — the corpus never
-            // rewrites)
-            val changedState = withTxt(
-              changed.select(col("doc_id"), col("r.toks").as("toks"))
-            )
-            val newOvl = Eager.materialized(ovlBlocks match {
-              case None => changedState
-              case Some(o) =>
-                o.join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
-                  .unionByName(changedState)
-            })
+            val newOvl = rebuilt
             ovlBlocks.foreach(Eager.releaseCheckpoint)
             Eager.releaseCheckpoint(changed)
             ovlBlocks = Some(newOvl)

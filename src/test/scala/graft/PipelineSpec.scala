@@ -1371,7 +1371,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("doc_id"),
           col("toks"),
           TextAnalysis
-            .mergeDeltaFold(
+            .mergeDeltaWalk(
               col("toks"),
               org.apache.spark.sql.functions.lit(a),
               org.apache.spark.sql.functions.lit(b),
