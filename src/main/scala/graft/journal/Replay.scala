@@ -131,40 +131,44 @@ object Replay {
       )
     // gate: journals whose cached head says the tail holds appends, PLUS
     // every journal of an uncovered partition (their wm is −1, so the
-    // tail IS their whole read — it must not be gated away)
+    // tail IS their whole read — it must not be gated away), PLUS
+    // journals with rows the cache never consumed (koffset at or past
+    // the partition's stored end_offset) — row-grain, so only journals
+    // with ACTUAL unseen appends pay the un-gate, not every journal of a
+    // slightly-stale partition. Uncovered and stale were two separate
+    // log scans + distinct exchanges feeding the same semi-join gate
+    // set; when the watermark carries end_offset they fuse into ONE
+    // left-join pass (round-17, guide §2.4): an absent partition reads a
+    // null end_offset (uncovered), a present one filters on it (stale) —
+    // the produced (topic, id) set is identical.
     val appendGate = cacheHeads
       .filter(col("kind") === "append")
       .select("topic", "id")
-    val uncovered = actions
-      .join(
-        broadcast(wmT.select("topic", "part_no")),
-        Seq("topic", "part_no"),
-        "left_anti"
-      )
-      .select("topic", "id")
-      .distinct()
-    // journals with rows the cache never consumed (koffset at or past the
-    // partition's stored end_offset) — row-grain, so only journals with
-    // ACTUAL unseen appends pay the un-gate, not every journal of a
-    // slightly-stale partition
-    val stale =
-      if (!watermark.columns.contains("end_offset")) None
+    val uncoveredOrStale =
+      if (watermark.columns.contains("end_offset"))
+        actions
+          .join(
+            broadcast(watermark.select("topic", "part_no", "end_offset")),
+            Seq("topic", "part_no"),
+            "left"
+          )
+          .filter(col("end_offset").isNull || col("koffset") >= col("end_offset"))
+          .select("topic", "id")
+          .distinct()
       else
-        Some(
-          actions
-            .join(
-              broadcast(watermark.select("topic", "part_no", "end_offset")),
-              Seq("topic", "part_no")
-            )
-            .filter(col("koffset") >= col("end_offset"))
-            .select("topic", "id")
-            .distinct()
-        )
+        actions
+          .join(
+            broadcast(wmT.select("topic", "part_no")),
+            Seq("topic", "part_no"),
+            "left_anti"
+          )
+          .select("topic", "id")
+          .distinct()
     mergedReadBounded(
       actions,
       bounds,
       strictUniqueness,
-      Some(stale.foldLeft(appendGate.unionByName(uncovered))(_.unionByName(_)))
+      Some(appendGate.unionByName(uncoveredOrStale))
     )
   }
 

@@ -434,7 +434,14 @@ object Multimodal {
       array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int")
     )
-    val base = extractFeatures(spark, dir).withColumn("media_type", mt)
+    // materialized ONCE: the returned frame is base ∪ f(base), and a lazy
+    // base would run the feature extraction (the mapPartitions decoder —
+    // the expensive pass over payload bytes at scale) once per union
+    // branch in every downstream fill (round-16 verdict item 8). The
+    // checkpoint is feature-row-sized; its blocks free with the frame.
+    val base = graft.pipeline.Eager.materialized(
+      extractFeatures(spark, dir).withColumn("media_type", mt)
+    )
     // collision guard on the RAW doc_id column (one pruned columnar scan)
     // — running it on `base` would pay a second full feature-extraction
     // pass through the mapPartitions decoder just to read an id
