@@ -2778,6 +2778,163 @@ object Retrieval {
   // which caps each probe at the band's width instead of dl.
   // ---------------------------------------------------------------------
 
+  /** Positions-per-slot window-tuple counting (round-17, guide §2.4):
+    * the proximity rankers used to MATERIALIZE one row per (partial)
+    * matched tuple through a chain of maxJ−1 joins on (qid, doc_id) —
+    * each join an exchange at matched-tuple grain — then count the
+    * survivors. A document's phrase-term positions are complete within
+    * one (qid, doc_id) group, so the tuple count is a ROW-LOCAL function
+    * of the per-slot position lists: ONE broadcast term join + ONE
+    * (qid, doc_id) aggregation replaces the chain, whatever the phrase
+    * length. The native counters below reproduce the chains' counts
+    * EXACTLY (the superseded chain forms are rebuilt verbatim in
+    * OptimizedKernelsSpec and pinned on adversarial fixtures — repeated
+    * terms, duplicate positions across slots, boundary windows), and
+    * every consumer is oracle-hash-checked on top.
+    */
+  /** Ordered (p33g/h, the hybrid proximity legs): tuples (p₁ … p_m),
+    * p_j ∈ slot j's positions, strictly increasing, p_j < p₁ + window
+    * for j ≥ 2 — the chain's `pn > pj && pn < p1 + window` step, counted
+    * by a backward suffix-sum DP per p₁ (no enumeration blow-up).
+    */
+  private def orderedTupleCount(maxJ: Int, window: Int) =
+    udf((js: Seq[Long], ps: Seq[Long]) => {
+      val bySlot =
+        Array.fill(maxJ)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      var i = 0
+      while (i < js.length) {
+        val j = js(i).toInt - 1
+        if (j >= 0 && j < maxJ) bySlot(j) += ps(i)
+        i += 1
+      }
+      if (bySlot.exists(_.isEmpty)) 0L
+      else {
+        val slots = bySlot.map(_.toArray.sorted)
+        var total = 0L
+        slots(0).foreach { p1 =>
+          val bound = p1 + window
+          // ways(j)(q) = completions of slots j+1..M given slot j chose q
+          var ways: Array[Long] = Array.fill(slots(maxJ - 1).length)(1L)
+          var j = maxJ - 2
+          while (j >= 0) {
+            val nxt = slots(j + 1)
+            // suffix sums of ways over nxt positions < bound
+            val cut = {
+              var lo = 0; var hi = nxt.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (nxt(mid) < bound) lo = mid + 1 else hi = mid
+              }
+              lo
+            }
+            val suffix = new Array[Long](cut + 1)
+            var s = cut - 1
+            while (s >= 0) { suffix(s) = suffix(s + 1) + ways(s); s -= 1 }
+            val cur = slots(j)
+            ways = cur.map { q =>
+              // first index in nxt with position > q (strictly)
+              var lo = 0; var hi = cut
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (nxt(mid) <= q) lo = mid + 1 else hi = mid
+              }
+              suffix(lo)
+            }
+            j -= 1
+          }
+          // slot 1's own position needs no bound check (p1 < p1 + window)
+          val idx = java.util.Arrays.binarySearch(slots(0), p1)
+          total += ways(idx)
+        }
+        total
+      }
+    })
+
+  /** Unordered (p33w/w2 — Indri's #uwN): each slot takes a DISTINCT
+    * position of its term, any order, total spread max − min < window;
+    * counted by slot-order enumeration with the chain's own
+    * spread-grows-monotonically pruning (the intermediate bound is the
+    * chain's own row count).
+    */
+  private def unorderedTupleCount(maxJ: Int, window: Int) =
+    udf((js: Seq[Long], ps: Seq[Long]) => {
+      val bySlot =
+        Array.fill(maxJ)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      var i = 0
+      while (i < js.length) {
+        val j = js(i).toInt - 1
+        if (j >= 0 && j < maxJ) bySlot(j) += ps(i)
+        i += 1
+      }
+      if (bySlot.exists(_.isEmpty)) 0L
+      else {
+        val slots = bySlot.map(_.toArray.sorted)
+        val chosen = new Array[Long](maxJ)
+        def rec(j: Int, mn: Long, mx: Long): Long =
+          if (j == maxJ) 1L
+          else {
+            var c = 0L
+            val sl = slots(j)
+            var x = 0
+            while (x < sl.length) {
+              val p = sl(x)
+              var dup = false
+              var y = 0
+              while (y < j && !dup) { if (chosen(y) == p) dup = true; y += 1 }
+              if (!dup) {
+                val nmn = math.min(mn, p)
+                val nmx = math.max(mx, p)
+                if (nmx - nmn < window) {
+                  chosen(j) = p
+                  c += rec(j + 1, nmn, nmx)
+                }
+              }
+              x += 1
+            }
+            c
+          }
+        var total = 0L
+        slots(0).foreach { p => chosen(0) = p; total += rec(1, p, p) }
+        total
+      }
+    })
+
+  /** The per-(query, doc) window-tuple counts: one broadcast join of the
+    * positions onto the phrase slots, one keyed aggregation, the
+    * row-local counter — shared by the ordered and unordered rankers.
+    */
+  private[graft] def windowCounts(
+      positions: DataFrame,
+      phrase: DataFrame,
+      maxJ: Int,
+      window: Int,
+      excludeSelf: Boolean,
+      ordered: Boolean
+  ): DataFrame = {
+    val hits =
+      positions.join(broadcast(phrase.select("qid", "w", "j")), Seq("w"))
+    val h =
+      if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits
+    val counter =
+      if (ordered) orderedTupleCount(maxJ, window)
+      else unorderedTupleCount(maxJ, window)
+    h.groupBy("qid", "doc_id")
+      .agg(
+        collect_list(
+          struct(col("j").cast("long").as("j"), col("pos").cast("long").as("pos"))
+        ).as("sp")
+      )
+      .select(
+        col("qid"),
+        col("doc_id"),
+        counter(
+          expr("transform(sp, s -> s.j)"),
+          expr("transform(sp, s -> s.pos)")
+        ).as("n_windows")
+      )
+      .filter(col("n_windows") > 0L)
+  }
+
   private def proximityRank(
       positions: DataFrame,
       post: DataFrame,
@@ -2793,25 +2950,9 @@ object Retrieval {
       .head()
       .getLong(0)
       .toInt // = phraseLen, the query protocol's own bound
-    def leg(j: Int): DataFrame = {
-      val hits = positions
-        .join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
-      (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits)
-        .select(col("qid"), col("doc_id"), col("pos"))
-    }
-    var cand = leg(1).select(
-      col("qid"),
-      col("doc_id"),
-      col("pos").as("p1"),
-      col("pos").as("pj")
-    )
-    (2 to maxJ).foreach { j =>
-      cand = cand
-        .join(leg(j).withColumnRenamed("pos", "pn"), Seq("qid", "doc_id"))
-        .filter(col("pn") > col("pj") && col("pn") < col("p1") + window)
-        .select(col("qid"), col("doc_id"), col("p1"), col("pn").as("pj"))
-    }
-    proximityScored(cand, post, dfm, stats, phrase, k, excludeSelf)
+    proximityScored(
+      windowCounts(positions, phrase, maxJ, window, excludeSelf, ordered = true),
+      post, dfm, stats, phrase, k, excludeSelf)
   }
 
   /** Shared ranking tail of the proximity family: window-tuple counts per
@@ -2819,7 +2960,7 @@ object Retrieval {
     * proximity operators differ only in WHICH tuples count.
     */
   private def proximityScored(
-      cand: DataFrame, // one row per matched window tuple
+      occ: DataFrame, // (qid, doc_id, n_windows), n_windows > 0
       post: DataFrame,
       dfm: DataFrame,
       stats: DataFrame,
@@ -2827,9 +2968,6 @@ object Retrieval {
       k: Int,
       excludeSelf: Boolean
   ): DataFrame = {
-    val occ = cand
-      .groupBy("qid", "doc_id")
-      .agg(count(lit(1)).as("n_windows"))
     val weighted = phrase
       .select("qid", "w")
       .distinct()
@@ -2877,27 +3015,9 @@ object Retrieval {
       .head()
       .getLong(0)
       .toInt
-    def leg(j: Int): DataFrame = {
-      val hits = positions
-        .join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
-      (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits)
-        .select(col("qid"), col("doc_id"), col("pos"))
-    }
-    var cand = leg(1).select(col("qid"), col("doc_id"), col("pos").as("p1"))
-    (2 to maxJ).foreach { j =>
-      val prev = (1 until j).map(i => col(s"p$i"))
-      val all = prev :+ col(s"p$j")
-      cand = cand
-        .join(leg(j).withColumnRenamed("pos", s"p$j"), Seq("qid", "doc_id"))
-        .filter(prev.map(_ =!= col(s"p$j")).reduce(_ && _))
-        // spread only grows as slots join — pruning at every step keeps
-        // the intermediate at the matched-window grain, like ordered's
-        .filter(greatest(all: _*) - least(all: _*) < window)
-        .select(
-          (col("qid") +: col("doc_id") +: (1 to j).map(i => col(s"p$i"))): _*
-        )
-    }
-    proximityScored(cand, post, dfm, stats, phrase, k, excludeSelf)
+    proximityScored(
+      windowCounts(positions, phrase, maxJ, window, excludeSelf, ordered = false),
+      post, dfm, stats, phrase, k, excludeSelf)
   }
 
   /** P33w — unordered-proximity top-k, inline form. */

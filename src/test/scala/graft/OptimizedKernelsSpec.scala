@@ -296,6 +296,93 @@ class OptimizedKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff === 0L)
   }
 
+  test("proximity window counters ≡ the superseded tuple-materializing join chains") {
+    val s = spark; import s.implicits._
+    // positions: docs with repeated terms, dense position runs (boundary
+    // spreads), and a doc sharing an id with a query (excludeSelf)
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("a", "b", "c", "d")
+    val positions = (0L to 9L)
+      .flatMap { doc =>
+        val n = 8 + rnd.nextInt(10)
+        (0 until n).map(p => (doc, vocab(rnd.nextInt(vocab.length)), p.toLong))
+      }
+      .toDF("doc_id", "w", "pos")
+      .cache()
+    // phrases: repeated term across slots ("a b a"), all-same ("b b b"),
+    // straightforward, and a single-slot degenerate
+    val phrases = Seq(
+      Seq("a", "b", "a"),
+      Seq("b", "b", "b"),
+      Seq("a", "c", "d"),
+      Seq("c"),
+      Seq("d", "a")
+    ).zipWithIndex.flatMap { case (ws, qi) =>
+      ws.zipWithIndex.map { case (w, j) => (qi.toLong, w, (j + 1).toLong) }
+    }
+    def orderedChain(phrase: org.apache.spark.sql.DataFrame, maxJ: Int, window: Int, excludeSelf: Boolean) = {
+      def leg(j: Int) = {
+        val hits = positions.join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
+        (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits)
+          .select(col("qid"), col("doc_id"), col("pos"))
+      }
+      var cand = leg(1).select(col("qid"), col("doc_id"), col("pos").as("p1"), col("pos").as("pj"))
+      (2 to maxJ).foreach { j =>
+        cand = cand
+          .join(leg(j).withColumnRenamed("pos", "pn"), Seq("qid", "doc_id"))
+          .filter(col("pn") > col("pj") && col("pn") < col("p1") + window)
+          .select(col("qid"), col("doc_id"), col("p1"), col("pn").as("pj"))
+      }
+      cand.groupBy("qid", "doc_id").agg(count(lit(1)).as("n_windows"))
+    }
+    def unorderedChain(phrase: org.apache.spark.sql.DataFrame, maxJ: Int, window: Int, excludeSelf: Boolean) = {
+      def leg(j: Int) = {
+        val hits = positions.join(broadcast(phrase.filter(col("j") === j)), Seq("w"))
+        (if (excludeSelf) hits.filter(col("doc_id") =!= col("qid")) else hits)
+          .select(col("qid"), col("doc_id"), col("pos"))
+      }
+      var cand = leg(1).select(col("qid"), col("doc_id"), col("pos").as("p1"))
+      (2 to maxJ).foreach { j =>
+        val prev = (1 until j).map(i => col(s"p$i"))
+        val all = prev :+ col(s"p$j")
+        cand = cand
+          .join(leg(j).withColumnRenamed("pos", s"p$j"), Seq("qid", "doc_id"))
+          .filter(prev.map(_ =!= col(s"p$j")).reduce(_ && _))
+          .filter(greatest(all: _*) - least(all: _*) < window)
+          .select((col("qid") +: col("doc_id") +: (1 to j).map(i => col(s"p$i"))): _*)
+      }
+      cand.groupBy("qid", "doc_id").agg(count(lit(1)).as("n_windows"))
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    for {
+      window <- Seq(1, 3, 8)
+      excludeSelf <- Seq(true, false)
+    } {
+      // per-phrase-length so the chain's maxJ matches each query's slots
+      Seq(Seq(0L, 1L, 2L), Seq(3L), Seq(4L)).foreach { qids =>
+        val phrase = phrases
+          .filter(p => qids.contains(p._1))
+          .toDF("qid", "w", "j")
+        val maxJ =
+          phrases.filter(p => qids.contains(p._1)).map(_._3).max.toInt
+        val viaWalk = asMap(
+          graft.pipeline.Retrieval
+            .windowCounts(positions, phrase, maxJ, window, excludeSelf, ordered = true))
+        val viaChain = asMap(orderedChain(phrase, maxJ, window, excludeSelf))
+        assert(viaWalk === viaChain, s"ordered window=$window self=$excludeSelf qids=$qids")
+        val uWalk = asMap(
+          graft.pipeline.Retrieval
+            .windowCounts(positions, phrase, maxJ, window, excludeSelf, ordered = false))
+        val uChain = asMap(unorderedChain(phrase, maxJ, window, excludeSelf))
+        assert(uWalk === uChain, s"unordered window=$window self=$excludeSelf qids=$qids")
+      }
+    }
+    positions.unpersist(false)
+  }
+
   test("mergeDeltaWalk ≡ mergeDeltaFold (toks AND delta emissions), null text included") {
     val s = spark; import s.implicits._
     // the PipelineSpec fold-law fixture plus null text and unicode
