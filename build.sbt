@@ -65,4 +65,11 @@ Test / testGrouping := {
     big.map(t => new Tests.Group(t.name, Seq(t), fork))
   bigGroups ++ lightGroups
 }
-Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 8))
+// limitAll keeps a global task-concurrency bound in place (the default
+// restrictions are REPLACED by this assignment, and forked groups above
+// 1 require replacing them); 16 is far above anything the build runs
+// concurrently besides the 8 test JVMs.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16),
+  Tags.limit(Tags.ForkedTestGroup, 8),
+)

@@ -387,7 +387,10 @@ object Bench {
         s""""start_load":${fmt(startLoad)},"idle_wait_sec":${fmt(idleWaitSec)},""" +
         s""""canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},""" +
         s""""canary_par_sec":${fmt(canaryParStart)},"canary_par_end_sec":${fmt(canaryParEnd)},""" +
-        s""""cores":$cores,"cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", cores.toString)},""" +
+        s""""cores":$cores,"cpus":${sys.env
+          .get("SPARK_GRAFT_CPUS")
+          .flatMap(_.trim.toIntOption) // non-numeric env must not break the line
+          .getOrElse(cores)},""" +
         s""""full":"$stampedName","sf":"$sfDir"}"""
     println(leanLine)
     // Persist the full line to a RUN-STAMPED path: the round-6/7 driver

@@ -434,17 +434,9 @@ object Multimodal {
       array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int")
     )
-    // materialized ONCE: the returned frame is base ∪ f(base), and a lazy
-    // base would run the feature extraction (the mapPartitions decoder —
-    // the expensive pass over payload bytes at scale) once per union
-    // branch in every downstream fill (round-16 verdict item 8). The
-    // checkpoint is feature-row-sized; its blocks free with the frame.
-    val base = graft.pipeline.Eager.materialized(
-      extractFeatures(spark, dir).withColumn("media_type", mt)
-    )
-    // collision guard on the RAW doc_id column (one pruned columnar scan)
-    // — running it on `base` would pay a second full feature-extraction
-    // pass through the mapPartitions decoder just to read an id
+    // collision guard FIRST, on the RAW doc_id column (one pruned
+    // columnar scan): it must not cost a full feature-extraction pass,
+    // and a violating corpus should fail before the extraction runs
     require(
       spark.read
         .parquet(s"$dir/documents.parquet")
@@ -452,6 +444,14 @@ object Multimodal {
         .head()
         .getLong(0) < 1000000L,
       "seed id offset collides with corpus doc_ids"
+    )
+    // materialized ONCE: the returned frame is base ∪ f(base), and a lazy
+    // base would run the feature extraction (the mapPartitions decoder —
+    // the expensive pass over payload bytes at scale) once per union
+    // branch in every downstream fill (round-16 verdict item 8). The
+    // checkpoint is feature-row-sized; its blocks free with the frame.
+    val base = graft.pipeline.Eager.materialized(
+      extractFeatures(spark, dir).withColumn("media_type", mt)
     )
     val seeds = base
       .filter(col("doc_id") < nSeeds)

@@ -572,21 +572,26 @@ object Similarity {
         (new Array[Long](width), new Array[Long](width))
       )(
         seqOp = { case (acc, row) =>
-          val e =
-            if (row.isNullAt(0)) null
-            else {
-              val s = row.getSeq[Long](0)
-              if (s == null) null else s.toArray
-            }
-          // a null q8 contributed NO (cid, pos) rows under posexplode;
-          // a shorter row contributed exactly its own positions
-          if (e != null) {
+          // a null q8 contributed NO (cid, pos) rows under posexplode; a
+          // row with NULL ELEMENTS assigned like the fold form (all
+          // skeys null except a zero-norm centroid's 0 → that cell, else
+          // the lowest cid) and posexplode still emitted its positions —
+          // sum(col) skipped the null, count(1) did not. Rows shorter
+          // than the centroid dim contribute exactly their own
+          // positions; LONGER rows are out of contract (the fold form
+          // grew the mean vector past the centroid dim — uniform-dim
+          // codes are the quantizer's own output shape).
+          val boxed =
+            if (row.isNullAt(0)) null else row.getSeq[java.lang.Long](0)
+          if (boxed != null) {
+            val e = unboxCodes(boxed) // null if any element is null
             val j = idxOf(bestCellScalar(cents, e).cid)
             val base = offs(j)
-            val lim = math.min(e.length, dims(j))
+            val lim = math.min(boxed.length, dims(j))
             var i = 0
             while (i < lim) {
-              acc._1(base + i) += e(i)
+              val x = boxed(i)
+              if (x != null) acc._1(base + i) += x.longValue()
               acc._2(base + i) += 1L
               i += 1
             }

@@ -101,6 +101,33 @@ object StreamingHeadCache {
     Dirs.foreach(graft.util.DirSwap.repair(root, _))
   }
 
+  /** Crash-safe per-layer write: the frame is FULLY written to a hidden
+    * staging directory (Spark's file index skips dot-prefixed entries),
+    * then the target `layer=N` directory is replaced by delete+rename.
+    * A crash mid-WRITE leaves any previously committed copy of the layer
+    * intact — the durability the superseded dynamic-partition-overwrite
+    * write had at job commit, kept under the round-17 one-directory-per-
+    * layer layout (whose point is that CONCURRENT layer appends never
+    * share commit staging); the vulnerable window shrinks to the
+    * delete+rename itself. Orphaned staging dirs from a crash are
+    * invisible to readers and overwritten/ignored thereafter.
+    */
+  private def writeLayer(df: DataFrame, memberDir: String, layer: Long): Unit = {
+    // Blob-backed (URI-aware): the store root can be a plain path or a
+    // hadoop-file-uri root (the UriStoreSpec deployments)
+    val staging = graft.util.Loc.join(
+      memberDir,
+      s".layer-$layer-staging-${java.util.UUID.randomUUID()}"
+    )
+    df.write.mode("overwrite").parquet(staging)
+    val target = graft.util.Loc.join(memberDir, s"layer=$layer")
+    graft.util.Blob.deleteTree(target) // tolerant of absence
+    require(
+      graft.util.Blob.move(staging, target),
+      s"head-cache layer publish failed: $staging -> $target"
+    )
+  }
+
   /** The per-(journal, batch) partial fold of `actions` (an action-log
     * frame): one row per journal touched, carrying the packed
     * [[HeadInfo]], the chunk's offset extent, and the purge flag. The
@@ -187,7 +214,7 @@ object StreamingHeadCache {
     // watermark side drives the union — an EMPTY batch still advances the
     // stored watermark (eviction must progress while a partition idles,
     // the reference's remove-on-replicate)
-    watermark
+    val wmRows = watermark
       .select("topic", "part_no", "wm")
       .join(
         actions
@@ -202,16 +229,12 @@ object StreamingHeadCache {
         coalesce(col("wm"), lit(-1L)).as("wm"),
         coalesce(col("end_offset"), lit(0L)).as("end_offset")
       )
-      .write
-      .mode("overwrite")
-      .parquet(s"${live(storeDir, "wm")}/layer=$layer")
+    writeLayer(wmRows, live(storeDir, "wm"), layer)
     val tail = actions
       .join(wmB, Seq("topic", "part_no"), "left")
       .filter(col("wm").isNull || col("koffset") > col("wm"))
       .drop("wm")
-    partialFolds(spark, tail).write
-      .mode("overwrite")
-      .parquet(s"${live(storeDir, "entries")}/layer=$layer")
+    writeLayer(partialFolds(spark, tail), live(storeDir, "entries"), layer)
   }
 
   /** The cache's own replicated-offset table

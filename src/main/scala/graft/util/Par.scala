@@ -79,9 +79,9 @@ private[graft] object Par {
       th
     }
     var interrupted = false
-    var cancelled = false
-    def cancelGroup(): Unit = if (!cancelled) {
-      cancelled = true
+    var cancelRequested = false
+    def cancelGroup(): Unit = {
+      cancelRequested = true
       try sc.foreach(_.cancelJobGroup(group))
       catch { case _: Throwable => () } // a stopping context must not mask
       //                                   the real failure/interrupt
@@ -90,7 +90,11 @@ private[graft] object Par {
       var joined = false
       while (!joined) {
         try {
-          if (failed.get()) cancelGroup()
+          // RE-cancel while workers are still alive: a worker that was
+          // between jobs when the first cancel fired would otherwise
+          // submit its next job into an already-spent cancel (a
+          // multi-write thunk submits several jobs)
+          if (failed.get() || cancelRequested) cancelGroup()
           th.join(50)
           joined = !th.isAlive
         } catch {
@@ -100,13 +104,20 @@ private[graft] object Par {
         }
       }
     }
-    if (failed.get()) cancelGroup() // a last-task failure still kills any
-    //                                 zombie jobs the group may hold
+    if (failed.get() || cancelRequested) cancelGroup() // kill any zombie
+    //                                 jobs the group may still hold
     if (interrupted) Thread.currentThread().interrupt()
-    val it = failures.iterator()
-    if (it.hasNext) {
-      val first = it.next()
-      while (it.hasNext) first.addSuppressed(it.next())
+    if (failed.get()) {
+      // primary = the first REAL failure: under a shared (nested) group a
+      // sibling's cancellation artifact can reach the queue before the
+      // root cause propagates up — prefer the first non-cancellation
+      // exception, keep everything else suppressed
+      import scala.jdk.CollectionConverters._
+      val all = failures.asScala.toSeq
+      def isCancelArtifact(t: Throwable): Boolean =
+        Option(t.getMessage).exists(_.toLowerCase.contains("cancel"))
+      val first = all.find(!isCancelArtifact(_)).getOrElse(all.head)
+      all.filter(_ ne first).foreach(first.addSuppressed)
       throw first
     }
     if (interrupted)
